@@ -1,0 +1,176 @@
+package graft.did
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.commons.math3.random.MersenneTwister
+import scala.util.hashing.MurmurHash3
+
+final case class MBootResult(
+    bres: Array[Array[Double]], // biters x K
+    se: Array[Double],          // per-dim; NaN on degenerate dims
+    critVal: Double)
+
+/** Rademacher multiplier bootstrap with sup-t simultaneous critical value
+  * (`csdids/mboot.py:63-143`).
+  *
+  * The influence matrix lives as the sparse long-form `ifTable`
+  * (rowid, cell, inf). Two executions produce the same `bres`:
+  *
+  *  - driver path (n*K small): collect the sparse triplets and loop like
+  *    the reference (seeded, deterministic);
+  *  - distributed path: one `Aggregator` pass computes, per cell, the
+  *    vector of B sign-weighted sums. Signs are a pure function
+  *    `murmur3(rowid, b, seed)` so every cell sees the SAME draw for a
+  *    given unit regardless of partitioning — the property the
+  *    reference gets from materializing Ub per iteration.
+  *
+  * Quantiles are exact type-1 (`inverted_cdf`) per `mboot.py:128-137`;
+  * Spark's percentile_approx is NOT acceptable here (SURVEY.md §7.6).
+  */
+object MBoot {
+
+  /** Deterministic Rademacher sign for (unit, draw). */
+  @inline def sign(rowidHash: Int, b: Int, seed: Long): Double = {
+    val h = MurmurHash3.mix(MurmurHash3.mix(seed.toInt, rowidHash), b)
+    val f = MurmurHash3.finalizeHash(h, 2)
+    if ((f & 1) == 0) 1.0 else -1.0
+  }
+
+  def run(ifTable: DataFrame, k: Int, n: Long, biters: Int, alp: Double,
+      seed: Long, maxDriverEntries: Long = 20L * 1000 * 1000): MBootResult = {
+    val nnz = ifTable.count()
+    val outMat: Array[Array[Double]] =
+      if (nnz <= maxDriverEntries) driverBoot(ifTable, k, n, biters, seed)
+      else distributedBoot(ifTable, k, n, biters, seed)
+    finish(outMat, k, n, alp)
+  }
+
+  /** Driver loop over collected sparse triplets — mirrors
+    * `multiplier_bootstrap` (`csdids/mboot.py:17-31`) with a seeded
+    * MersenneTwister instead of global numpy state. */
+  private def driverBoot(ifTable: DataFrame, k: Int, n: Long, biters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val triplets = ifTable.collect().map { r =>
+      (r.get(0).toString, r.getInt(1), r.getDouble(2))
+    }
+    val units = triplets.map(_._1).distinct.sorted
+    val unitIdx = units.zipWithIndex.toMap
+    val rng = new MersenneTwister(seed)
+    val out = Array.ofDim[Double](biters, k)
+    val ub = new Array[Double](units.length)
+    var b = 0
+    while (b < biters) {
+      var i = 0
+      while (i < ub.length) {
+        ub(i) = if (rng.nextBoolean()) 1.0 else -1.0; i += 1
+      }
+      val acc = new Array[Double](k)
+      triplets.foreach { case (rid, cell, inf) =>
+        acc(cell) += inf * ub(unitIdx(rid))
+      }
+      var j = 0
+      while (j < k) { out(b)(j) = acc(j) / n; j += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private final case class BootBuf(sums: Array[Double])
+
+  /** Distributed path: per cell, accumulate B sign-weighted sums in one
+    * shuffle-light pass (K groups, each carrying a length-B buffer). */
+  private def distributedBoot(ifTable: DataFrame, k: Int, n: Long,
+      biters: Int, seed: Long): Array[Array[Double]] = {
+    val spark = ifTable.sparkSession
+    import spark.implicits._
+
+    val agg = new Aggregator[(Int, Int, Double), Array[Double], Array[Double]] {
+      def zero: Array[Double] = new Array[Double](biters)
+      def reduce(buf: Array[Double], in: (Int, Int, Double)): Array[Double] = {
+        val ridHash = in._1
+        val inf = in._3
+        var b = 0
+        while (b < biters) { buf(b) += inf * sign(ridHash, b, seed); b += 1 }
+        buf
+      }
+      def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(buf: Array[Double]): Array[Double] = buf
+      def bufferEncoder: Encoder[Array[Double]] =
+        implicitly[Encoder[Array[Double]]]
+      def outputEncoder: Encoder[Array[Double]] =
+        implicitly[Encoder[Array[Double]]]
+    }
+
+    val rows = ifTable
+      .select(hash(col("rowid")).as("rh"), col("cell"), col("inf"))
+      .as[(Int, Int, Double)]
+      .groupByKey(_._2)
+      .agg(agg.toColumn)
+      .collect()
+
+    val out = Array.ofDim[Double](biters, k)
+    rows.foreach { case (cell, sums) =>
+      var b = 0
+      while (b < biters) { out(b)(cell) = sums(b) / n; b += 1 }
+    }
+    out
+  }
+
+  /** `sqrt(n)` scale, degenerate-dim drop, IQR-based SE and sup-t critical
+    * value (`csdids/mboot.py:106-141`). */
+  private[did] def finish(outMat: Array[Array[Double]], k: Int, n: Long,
+      alp: Double): MBootResult = {
+    val biters = outMat.length
+    val sqrtN = math.sqrt(n.toDouble)
+    val bres = outMat.map(_.map(_ * sqrtN))
+
+    val ndg = Array.tabulate(k) { j =>
+      val colv = bres.map(_(j))
+      val s = colv.sum
+      !s.isNaN && colv.map(v => v * v).sum > Stats.DegenerateTol
+    }
+    val keep = (0 until k).filter(ndg)
+
+    val z75 = Stats.normPpf(0.75)
+    val z25 = Stats.normPpf(0.25)
+    val bSigma = keep.map { j =>
+      val colv = bres.map(_(j))
+      (Stats.quantileType1(colv, 0.75) - Stats.quantileType1(colv, 0.25)) /
+        (z75 - z25)
+    }.toArray
+
+    val bT = bres.map { row =>
+      keep.indices.map(i => math.abs(row(keep(i)) / bSigma(i)))
+        .foldLeft(0.0)(math.max)
+    }.filter(v => !v.isNaN && !v.isInfinite)
+    val critVal =
+      if (bT.isEmpty || keep.isEmpty) Double.NaN
+      else Stats.quantileType1(bT, 1 - alp)
+
+    val se = Array.fill(k)(Double.NaN)
+    keep.indices.foreach(i => se(keep(i)) = bSigma(i) / sqrtN)
+    MBootResult(bres, se, critVal)
+  }
+
+  /** Cluster bootstrap, intended semantics (the reference's own cluster
+    * path is pandas-on-Spark and raises — SURVEY.md §2.8): cluster-mean
+    * influence, then bootstrap over clusters. `clusterOf` maps rowid ->
+    * cluster id; built distributed by the caller. */
+  def runClustered(ifTable: DataFrame, clusters: DataFrame, k: Int,
+      biters: Int, alp: Double, seed: Long): MBootResult = {
+    val clustered = ifTable.join(clusters, "rowid")
+      .groupBy("cluster", "cell").agg(sum("inf").as("inf"))
+    val nClusters = clusters.select("cluster").distinct().count()
+    val sized = clustered
+      .join(clusters.groupBy("cluster").agg(count(lit(1)).as("csize")),
+        "cluster")
+      .select(col("cluster").as("rowid"), col("cell"),
+        (col("inf") / col("csize")).as("inf"))
+    run(sized, k, nClusters, biters, alp, seed)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.did
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Preprocessed panel with driver-side metadata.
+  *
+  * `df` is persisted and carries canonical columns:
+  * `rowid, tt (time), yy (outcome), gg (cohort), w, w1` plus the covariate
+  * columns named as in the input. `panel=false` means the repeated
+  * cross-section code path (the reference's default regime after the
+  * unbalanced-panel downgrade, `csdids/ATTgt.py:162-166`).
+  */
+final case class PreprocessedPanel(
+    df: DataFrame,
+    tlist: Vector[Double],
+    glist: Vector[Double],
+    n: Long,
+    nG: Int,
+    nT: Int,
+    panel: Boolean,
+    trueRepCrossSection: Boolean,
+    cband: Boolean,
+    config: AttGtConfig) {
+  def unpersist(): Unit = { df.unpersist(); () }
+}
+
+/** Replicates `_preprocess_did` (`csdids/ATTgt.py:57-231`) with the
+  * reference's ~13 separate actions batched into a handful of aggregate
+  * passes and the result persisted once (SURVEY.md §4).
+  *
+  * Intended-semantics divergences (SURVEY.md §7.5): `_w` is always kept
+  * (the reference drops it when `weights_name` is set — column-list bug);
+  * tlist/glist are recomputed after the never-treated recode; warnings go
+  * to stderr, errors are real exceptions.
+  */
+object Preprocess {
+
+  def run(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
+    val spark = data.sparkSession
+    import cfg._
+
+    val nPre = data.count()
+
+    // Project role columns; synthesize _w / _intercept (ATTgt.py:74-98).
+    val covs = cfg.covariates.filter(_ != Formula.InterceptCol)
+    val roleCols =
+      (Seq(idname, tname, yname, gname) ++ clustervar.toSeq ++ covs).distinct
+    var df = data
+      .withColumn("w", weightsName.map(col).getOrElse(lit(1.0)).cast("double"))
+      .select((roleCols.map(col) :+ col("w")): _*)
+      .na.drop("all")
+      .withColumn(Formula.InterceptCol, lit(1.0))
+
+    // Canonical numeric roles.
+    df = df
+      .withColumn("tt", col(tname).cast("double"))
+      .withColumn("yy", col(yname).cast("double"))
+      .withColumn("gg", col(gname).cast("double"))
+
+    val nPost = df.count()
+    if (nPre - nPost != 0)
+      System.err.println(
+        s"[graft.did] Dropped ${nPre - nPost} rows from original data due to missing data")
+
+    // One pass: max(t) for the never-treated recode (ATTgt.py:111-118).
+    val maxT = df.agg(max("tt")).first().getDouble(0)
+    df = df.withColumn("gg", when(col("gg") > maxT, 0.0).otherwise(col("gg")))
+
+    def distinctLists(d: DataFrame): (Vector[Double], Vector[Double]) = {
+      val row = d.agg(collect_set("tt"), collect_set("gg")).first()
+      val t = row.getSeq[Double](0).toVector.sorted
+      val g = row.getSeq[Double](1).toVector.sorted
+      (t, g)
+    }
+
+    var (tlist, glistAll) = distinctLists(df)
+
+    // No never-treated units (ATTgt.py:120-128).
+    if (!glistAll.contains(0.0)) {
+      if (controlGroup == "nevertreated")
+        throw new IllegalArgumentException(
+          "There is no available never-treated group; set controlGroup='notyettreated'")
+      val cut = glistAll.max - anticipation
+      df = df.filter(col("tt") < cut)
+      val lists = distinctLists(df)
+      tlist = lists._1
+      // tlist_glist(_filter=True): drop cohorts >= max cohort (utils.py:41-43)
+      glistAll = lists._2.filter(_ < lists._2.max)
+    }
+
+    var fp = tlist.head
+    var glist = glistAll.filter(g => g > 0 && g > fp + anticipation)
+
+    // Drop units already treated in the first period (ATTgt.py:135-156).
+    val treatedFp = (col("gg") <= fp) && (col("gg") =!= 0.0)
+    val nFirstPeriod =
+      if (panel && !allowUnbalancedPanel) df.filter(treatedFp).count()
+      else df.filter(treatedFp).select(idname).distinct().count()
+    if (nFirstPeriod > 0) {
+      System.err.println(
+        s"[graft.did] Dropped $nFirstPeriod units that were already treated in the first period.")
+      val keep = glist :+ 0.0
+      df = df.filter(col("gg").isin(keep: _*))
+      val lists = distinctLists(df)
+      tlist = lists._1
+      fp = tlist.head
+      glist = lists._2.filter(g => g > 0 && g > fp + anticipation)
+    }
+
+    // Regime selection (ATTgt.py:158-188). Default flags downgrade
+    // panel+unbalanced to the cross-section path with rowid := id.
+    var effPanel = panel
+    var trueRcs = !panel
+    if (panel && allowUnbalancedPanel) { effPanel = false; trueRcs = false }
+
+    if (trueRcs) {
+      // Fresh sample each period: synthesize a stable row id. A bare
+      // monotonically_increasing_id is non-deterministic across
+      // recomputation (SURVEY.md §2.2) — persist immediately to pin it.
+      df = df.withColumn("rowid", monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    } else {
+      df = df.withColumn("rowid", col(idname))
+    }
+
+    df = df.withColumn("w1", col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Batched final pass: unit count + per-cohort sizes (ATTgt.py:188-216).
+    val n =
+      if (effPanel) df.filter(col("tt") === fp).count()
+      else df.select("rowid").distinct().count()
+
+    if (glist.isEmpty)
+      throw new IllegalArgumentException(
+        s"No valid groups. '$gname' should be the period a unit is first treated (0 if never).")
+
+    var effCband = cband
+    if (tlist.length == 2) effCband = false
+
+    val nCov = cfg.covariates.length
+    val reqSize = nCov + 5
+    val small = df.groupBy("gg").count()
+      .withColumn("count", col("count") / tlist.length)
+      .filter(col("count") < reqSize)
+      .collect().map(_.getDouble(0))
+    if (small.nonEmpty) {
+      System.err.println(
+        s"[graft.did] Small groups in data; check cohorts: ${small.mkString(",")}")
+      if (small.contains(0.0) && controlGroup == "nevertreated")
+        throw new IllegalArgumentException(
+          "Never-treated group is too small, try controlGroup='notyettreated'.")
+    }
+
+    PreprocessedPanel(df, tlist, glist, n, glist.length, tlist.length,
+      effPanel, trueRcs, effCband, cfg)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.did
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggteSpec extends AnyFunSuite with SparkSpec {
+  import TestPanels._
+
+  private lazy val fit = {
+    val pp = Preprocess.run(staggered(spark, nUnits = 400, noise = 0.05), cfg)
+    AttGt.fit(pp, estMethod = "dr")
+  }
+  private lazy val prep = Aggte.prepare(fit)
+
+  private def postCells: Seq[Int] =
+    fit.cells.indices.filter(i => fit.cells(i).g <= fit.cells(i).tn)
+
+  test("simple: overall ATT in convex hull of post-treatment cells") {
+    val r = Aggte.simple(prep)
+    val atts = postCells.map(fit.att)
+    assert(r.overallAtt >= atts.min - 1e-9 && r.overallAtt <= atts.max + 1e-9)
+    assert(r.overallSe > 0 && java.lang.Double.isFinite(r.overallSe))
+    // DGP truth: simple is the pg-weighted mean over post-treatment
+    // CELLS (not cohort means); equal cohort sizes -> plain mean of
+    // tau = t-g+1 over the 9 post cells = (1+2+3+4 + 1+2+3 + 1+2)/9
+    assert(math.abs(r.overallAtt - 19.0 / 9.0) < 0.1)
+  }
+
+  test("group: per-cohort means and pg-weighted overall") {
+    val r = Aggte.group(prep)
+    assert(r.egt == Seq(3.0, 4.0, 5.0))
+    val expected = Map(3.0 -> 2.5, 4.0 -> 2.0, 5.0 -> 1.5)
+    r.egt.zip(r.attEgt).foreach { case (g, a) =>
+      assert(math.abs(a - expected(g)) < 0.1, s"cohort $g: $a")
+    }
+    assert(math.abs(r.overallAtt - 2.0) < 0.1)
+    r.seEgt.foreach(se => assert(se > 0))
+  }
+
+  test("calendar: per-period means over treated cohorts") {
+    val r = Aggte.calendar(prep)
+    assert(r.egt == Seq(3.0, 4.0, 5.0, 6.0))
+    // t=3: only cohort 3 treated, tau=1; t=4: cohorts 3,4 -> (2+1)/2=1.5;
+    // t=5: (3+2+1)/3=2; t=6: (4+3+2)/3=3
+    val expected = Map(3.0 -> 1.0, 4.0 -> 1.5, 5.0 -> 2.0, 6.0 -> 3.0)
+    r.egt.zip(r.attEgt).foreach { case (t, a) =>
+      assert(math.abs(a - expected(t)) < 0.1, s"period $t: $a")
+    }
+    assert(math.abs(r.overallAtt - expected.values.sum / 4) < 0.1)
+  }
+
+  test("dynamic (extension): per-event-time means") {
+    val r = Aggte.dynamic(prep)
+    // e>=0: tau = e+1 exactly for every cohort
+    r.egt.zip(r.attEgt).foreach { case (e, a) =>
+      if (e >= 0) assert(math.abs(a - (e + 1)) < 0.1, s"e=$e: $a")
+      else assert(math.abs(a) < 0.1, s"placebo e=$e: $a")
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.did
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class MBootSpec extends AnyFunSuite with SparkSpec {
+  import TestPanels._
+
+  private lazy val fit = {
+    val pp = Preprocess.run(staggered(spark, nUnits = 200, noise = 0.1), cfg)
+    AttGt.fit(pp, estMethod = "dr", bstrap = true)
+  }
+
+  test("bootstrap SEs are near the analytic influence-function SEs") {
+    fit.cells.indices.filterNot(fit.skipped).foreach { i =>
+      val a = fit.seAnalytic(i); val b = fit.se(i)
+      assert(b > 0, s"cell $i se=$b")
+      assert(math.abs(a - b) / a < 0.5, s"cell $i: analytic $a vs boot $b")
+    }
+  }
+
+  test("sup-t critical value exceeds the pointwise normal quantile") {
+    assert(fit.critVal > Stats.normPpf(0.975))
+    assert(fit.critVal < 7.0) // reference warns above 7 (csdids/ATTgt.py:767)
+  }
+
+  test("same seed is deterministic; different seed perturbs") {
+    val r1 = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n, 199, 0.05, 1L)
+    val r2 = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n, 199, 0.05, 1L)
+    val r3 = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n, 199, 0.05, 2L)
+    assert(r1.critVal == r2.critVal)
+    assert(r1.se.toSeq == r2.se.toSeq)
+    assert(r1.critVal != r3.critVal || r1.se.toSeq != r3.se.toSeq)
+  }
+
+  test("distributed path agrees distributionally with driver path") {
+    val driver = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n,
+      999, 0.05, 5L)
+    val dist = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n,
+      999, 0.05, 5L, maxDriverEntries = 0L)
+    driver.se.indices.foreach { i =>
+      if (!driver.se(i).isNaN)
+        assert(math.abs(driver.se(i) - dist.se(i)) / driver.se(i) < 0.25,
+          s"dim $i: ${driver.se(i)} vs ${dist.se(i)}")
+    }
+    assert(math.abs(driver.critVal - dist.critVal) / driver.critVal < 0.25)
+  }
+}
