@@ -5,6 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.did._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Events, Similarity}
+import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
   * (SURVEY.md §2 / §7.8), each with a DuckDB oracle where the semantics
@@ -206,7 +209,110 @@ object SparkEntry {
     "q_if_norms" -> ((s, dir) =>
       fitFor(s, dir).ifTable.groupBy("cell")
         .agg(round(sum(col("inf") * col("inf")), 6).as("ss"))),
+
+    // ---- training-data-pipeline extensions (SURVEY.md §7.7) ----------
+
+    // text analysis: token counting (whitespace + BPE-ish regex)
+    "q_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("n_btok"))),
+
+    // text analysis: composite quality score
+    "q_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"))),
+
+    // text analysis: n-gram-marker language id
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // text analysis: md5 document fingerprint of normalized text
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // dedup: exact groups by fingerprint
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+
+    // dedup: word-3-gram Jaccard near-dup pairs (exact inverted index)
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
+    // dedup: MinHash+LSH candidates, exact-verified — same oracle as the
+    // exact pairs (banded 64x16 signature recall at j>=0.8 is ~1-2e-4)
+    "q_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)),
+
+    // dedup: 64-bit SimHash signatures (engine-specific hash; rows-only)
+    "q_simhash_sig" -> ((s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")),
+
+    // similarity: exact brute-force cosine top-3 for 10 query vectors
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 3)
+    }),
+
+    // similarity: embedding near-dup pairs (cosine >= 0.4, exact O(n^2))
+    "q_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)),
+
+    // similarity: LSH-bucketed approximate top-k (scale path; rows-only —
+    // recall vs brute force is asserted in SimilaritySpec)
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3,
+        nPlanes = 4)
+    }),
+
+    // events: tumbling event-time hourly window aggregation
+    "q_event_hourly" -> ((s, dir) =>
+      Events.hourlyByType(events(s, dir))
+        .select(col("hour").cast("long").as("hour_epoch"),
+          col("event_type"), col("cnt"), col("sum_value"))),
+
+    // events: gap-based sessionization (30 min)
+    "q_sessionize" -> ((s, dir) =>
+      Events.sessionize(events(s, dir))
+        .select(col("user_id"), col("sess_no"),
+          col("sess_start").cast("long").as("start_epoch"),
+          col("sess_end").cast("long").as("end_epoch"),
+          col("n_events"), col("sum_value"))),
+
+    // multimodal: binary-payload decode plumbing (STUB decoder, real
+    // partition-batch execution; rows-only)
+    "q_media_features" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        col("text").cast("binary").as("bytes"),
+        map(lit("source"), col("source")).as("meta"))
+      Multimodal.decodeFeatures(media)
+    }),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Events table with nanosecond timestamps normalized to TimestampType
+    * (Spark cannot scan TIMESTAMP(NANOS) parquet directly — read as long
+    * via the legacy conf, then floor-divide to micros). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   // ---- oracles ---------------------------------------------------------
 
@@ -314,5 +420,140 @@ object SparkEntry {
          |  LEFT JOIN m ON m.g = c.g AND m.tn = c.tn
          |  JOIN pg ON pg.g = c.g)
          |SELECT ROUND(SUM(att * pg) / SUM(pg), 4) AS att FROM katt""".stripMargin),
+
+    // ---- extension oracles ----------------------------------------
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_btok
+        |FROM documents""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS DOUBLE) AS tc,
+        |    CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS mwl,
+        |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / len(text) AS pr
+        |  FROM c)
+        |SELECT doc_id,
+        |  ROUND(least(tc / 100.0, 1.0) * 0.4 +
+        |        (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |        (1.0 - least(pr * 5.0, 1.0)) * 0.3, 6) AS score
+        |FROM f""".stripMargin,
+
+    "q_lang_id" -> {
+      def occ(m: String) =
+        s"CAST((len(p) - len(replace(p, '$m', ''))) / ${m.length} AS INT)"
+      def score(lang: String) =
+        TextFunctions.langMarkers(lang).map(occ).mkString(" + ")
+      val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+      val scoreCols = langs.map(l => s"(${score(l)}) AS s_$l").mkString(",\n    ")
+      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.map(l =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString("\n    ")
+      s"""WITH p AS (
+         |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    $scoreCols
+         |  FROM p),
+         |b AS (SELECT *, $bestExpr AS best FROM s)
+         |SELECT doc_id,
+         |  CASE
+         |    $caseArms
+         |    ELSE 'und' END AS lang_pred
+         |FROM b""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard" -> ngramJaccardSql(0.8),
+    "q_minhash_neardup" -> ngramJaccardSql(0.8),
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT qid, cid, ROUND(cos, 6) AS cos FROM p
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) <= 3""".stripMargin,
+
+    "q_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p
+        |WHERE ROUND(cos, 6) >= 0.4""".stripMargin,
+
+    "q_event_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS cnt, ROUND(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |            CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM f)
+        |SELECT user_id, sess_no,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+        |  count(*) AS n_events, ROUND(sum(value), 2) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
   )
+
+  /** Exact word-3-gram Jaccard pairs oracle (shared by the exact and the
+    * LSH-verified query — LSH recall at j>=0.8 with 16x4 bands is
+    * 1-2e-4 on adversarial 0.8-Jaccard pairs and ~1-1e-15 on the
+    * planted ~0.97 near-dups). */
+  private def ngramJaccardSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) >= $threshold""".stripMargin
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis functions for large-scale training-data
+  * pipelines. Everything here is built from codegen-friendly Spark SQL
+  * built-ins (no UDFs), so filters/projections stay inside whole-stage
+  * codegen and push down into scans where possible.
+  *
+  * Cross-engine determinism: each function has an ANSI-SQL equivalent
+  * (used by the DuckDB oracles in `graft.SparkEntry`), so semantics are
+  * pinned by construction — e.g. occurrence counting uses the
+  * length-difference trick rather than engine-specific regex dialects.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, digits, or single non-space
+    * symbols — a cheap proxy for subword tokenizer load. */
+  def regexTokenCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+
+  /** Number of non-overlapping occurrences of `pat` in `c` via the
+    * length-difference trick (identical semantics in any SQL engine). */
+  def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(call_function("replace", c, lit(pat), lit("")))) /
+      pat.length).cast("int")
+
+  /** Mean token length. */
+  def meanTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  /** Fraction of characters that are not letters/digits/whitespace. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^A-Za-z0-9 ]", ""))).cast("double") /
+      length(c)
+
+  /** Composite quality score in [0,1]: token volume (saturating at 100),
+    * mean word length in a natural 3..8 band, low punctuation noise. */
+  def qualityScore(c: Column): Column = {
+    val tc = tokenCount(c).cast("double")
+    val mwl = meanTokenLen(c)
+    val volume = least(tc / 100.0, lit(1.0))
+    val wordShape = when(mwl.between(3.0, 8.0), 1.0).otherwise(0.5)
+    val punct = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    round(volume * 0.4 + wordShape * 0.3 + punct * 0.3, 6)
+  }
+
+  /** Per-language marker words for the n-gram-heuristic language id.
+    * Deterministic, tiny, broadcast-free (inlined into the plan). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "es" -> Seq(" el ", " de ", " la ", " es "),
+    "fr" -> Seq(" le ", " et ", " la ", " est "))
+
+  /** Marker-hit score for one language over padded text. */
+  def langScore(c: Column, lang: String): Column =
+    langMarkers(lang).map(m => occurrences(c, m)).reduce(_ + _)
+
+  /** Heuristic language id: argmax marker-hit count, alphabetical
+    * tie-break, 'und' (undetermined) when no marker hits at all. */
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val langs = langMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => l -> langScore(padded, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text. Stable across engines (md5 is md5 everywhere). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Distinct word n-gram shingles (empty array when too few tokens). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per token a 64-bit xxhash;
+    * each bit votes +1/-1; the sign vector re-packs into a long. Pure
+    * higher-order-function pipeline — one pass, no shuffle, no UDF. */
+  def simhash64(c: Column): Column = {
+    val votes = aggregate(
+      tokens(c),
+      array_repeat(lit(0), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i)
+            .bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators (batch event-time analytics on the `events`
+  * table: event_id, ts, user_id, event_type, value, props).
+  *
+  * The same tumbling-window aggregation runs unchanged on a streaming
+  * DataFrame — see `graft.streaming.StreamingOps`, which adds the
+  * watermark. */
+object Events {
+
+  /** Tumbling event-time window aggregation. Window start ==
+    * date_trunc(hour) for hour-aligned windows, so the result is
+    * oracle-checkable in ANSI SQL. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes`
+    * of per-user inactivity. One shuffle (by user), two window passes
+    * over user-local data — the classic scalable formulation (running
+    * sum over new-session flags). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") >
+            gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("sess_no", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "sess_no")
+      .agg(
+        min("ts").as("sess_start"),
+        max("ts").as("sess_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f)), // close to 1
+    (3L, Array(0f, 1f, 0f)),
+    (4L, Array(0f, 0.95f, 0.05f)), // close to 3
+    (5L, Array(0f, 0f, 1f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: exact values") {
+    val c = vecs.filter($"vec_id" === 1).as("a")
+      .crossJoin(vecs.filter($"vec_id" === 3).as("b"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .first().getDouble(0)
+    c shouldBe 0.0 +- 1e-12
+  }
+
+  test("bruteForceTopK returns nearest neighbors in order") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    top.head shouldBe ((1L, 2L))
+    top should have length 2
+  }
+
+  test("cosineNearDupPairs finds the two planted near pairs") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L), (3L, 4L))
+  }
+
+  test("lshTopK: same-bucket neighbors rank exactly (recall vs brute force)") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs, 1,
+      idCol = "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // few planes on a tiny space: buckets stay coarse, top-1 must survive
+    val lsh = Similarity.lshTopK(vecs, vecs, 1, nPlanes = 2, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every query that produced an answer must agree with brute force
+    lsh.foreach { case (q, c) => brute(q) shouldBe c }
+    lsh.keySet should not be empty
+  }
+}
+
+class EventsSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val ev = Seq(
+    (1L, ts("2026-01-01 10:05:00"), 7L, "click", 1.0),
+    (2L, ts("2026-01-01 10:25:00"), 7L, "click", 2.0),  // 20min gap: same sess
+    (3L, ts("2026-01-01 10:50:00"), 7L, "buy", 4.0),    // 25min gap: same sess
+    (4L, ts("2026-01-01 13:00:00"), 7L, "click", 8.0),  // new session
+    (5L, ts("2026-01-01 10:10:00"), 9L, "click", 16.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("hourlyByType tumbles on the hour") {
+    val rows = Events.hourlyByType(ev)
+      .select(col("hour").cast("string"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    rows should contain(("2026-01-01 10:00:00", "click", 3L))
+    rows should contain(("2026-01-01 10:00:00", "buy", 1L))
+    rows should contain(("2026-01-01 13:00:00", "click", 1L))
+  }
+
+  test("sessionize splits on >30min gaps per user") {
+    val sess = Events.sessionize(ev, gapMinutes = 30)
+      .select("user_id", "sess_no", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sess shouldBe Set((7L, 1L, 3L), (7L, 2L, 1L), (9L, 1L, 1L))
+  }
+}

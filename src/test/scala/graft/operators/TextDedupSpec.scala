@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("v")).first().get(0)
+
+  test("tokenCount counts whitespace tokens") {
+    one(TextFunctions.tokenCount(col("t")), "a bb  ccc\t d") shouldBe 4
+  }
+
+  test("regexTokenCount splits letter runs, digits, symbols") {
+    // "ab3!cd" -> ab, 3, !, cd
+    one(TextFunctions.regexTokenCount(col("t")), "ab3!cd") shouldBe 4
+  }
+
+  test("occurrences counts non-overlapping pattern hits") {
+    one(TextFunctions.occurrences(col("t"), " the "),
+      " the cat the the dog ") shouldBe 2 // consecutive 'the the' share a space
+  }
+
+  test("meanTokenLen") {
+    one(TextFunctions.meanTokenLen(col("t")), "ab cdef") shouldBe 3.0
+  }
+
+  test("punctRatio") {
+    one(TextFunctions.punctRatio(col("t")), "ab!?") shouldBe 0.5
+  }
+
+  test("langId picks marker-majority language, 'und' when silent") {
+    one(TextFunctions.langId(col("t")),
+      "the cat and the dog is here") shouldBe "en"
+    one(TextFunctions.langId(col("t")),
+      "der hund und die katze ist hier") shouldBe "de"
+    one(TextFunctions.langId(col("t")), "xyzzy plugh") shouldBe "und"
+  }
+
+  test("fingerprint is whitespace/case-insensitive md5") {
+    val a = one(TextFunctions.fingerprint(col("t")), "Hello   World")
+    val b = one(TextFunctions.fingerprint(col("t")), "hello world")
+    a shouldBe b
+    a.asInstanceOf[String] should have length 32
+  }
+
+  test("wordShingles builds distinct n-grams; empty when too short") {
+    one(TextFunctions.wordShingles(col("t"), 3), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]] should contain theSameElementsAs
+      Seq("a b c", "b c d")
+    one(TextFunctions.wordShingles(col("t"), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]] shouldBe empty
+  }
+
+  test("simhash64: identical texts collide, different texts differ") {
+    val df = Seq(
+      (1L, "spark scala data engine"),
+      (2L, "spark scala data engine"),
+      (3L, "completely different words entirely")).toDF("id", "t")
+      .select(col("id"), TextFunctions.simhash64(col("t")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m(1L) shouldBe m(2L)
+    m(1L) should not be m(3L)
+  }
+
+  test("hamming64") {
+    Seq((0L, 7L)).toDF("a", "b")
+      .select(TextFunctions.hamming64(col("a"), col("b")))
+      .first().getInt(0) shouldBe 3
+  }
+}
+
+class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely unrelated text about spark query engines at scale"),
+    (5L, "THE  Quick Brown fox jumps over the lazy dog again and again") // norm dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups groups normalized duplicates under min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    g.map(_.getLong(2)).sum shouldBe 5 // all docs accounted for
+    val big = g.filter(_.getLong(2) == 3L)
+    big should have length 1
+    big.head.getLong(1) shouldBe 1L // keep_id = min(1,2,5)
+  }
+
+  test("dedupExact keeps one row per distinct normalized text") {
+    Dedup.dedupExact(docs, "doc_id", "text").count() shouldBe 3
+  }
+
+  test("ngramJaccardPairs finds near and exact dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs((1L, 2L)) shouldBe 1.0 // exact dup
+    pairs((1L, 5L)) shouldBe 1.0 // case/space normalization happens in tokens()
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0) // near dup
+    pairs.keys should not contain ((1L, 4L))
+  }
+
+  test("minhash LSH recall matches exact pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).select("id_a", "id_b").collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().toSet
+    lsh shouldBe exact
+  }
+
+  test("simhash near-dup banding finds the near duplicate") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxDist = 3).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // identical => hamming 0
+    pairs should contain((1L, 5L))
+  }
+
+  test("ngramJaccard maxDf cap drops stop-shingle pairs (scale guard)") {
+    // with a df cap of 1 every shared shingle is dropped => no pairs
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.1, maxDf = Some(1)).count() shouldBe 0
+  }
+}
