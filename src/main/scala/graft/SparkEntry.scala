@@ -195,12 +195,16 @@ object SparkEntry {
     }),
 
     // §2.8 multiplier-bootstrap SEs (seeded; rows-only check — the
-    // Rademacher draws are not SQL-expressible)
+    // Rademacher draws are not SQL-expressible). Runs on the shared
+    // fit's persisted IF table: the bootstrap is a pure function of the
+    // influence store, no refit needed.
     "q_mboot_se" -> ((s, dir) => {
       import s.implicits._
-      val f = AttGt.fit(Preprocess.run(pv(s, dir), PanelView.config),
-        bstrap = true)
-      f.cells.indices.map(i => (f.cells(i).g, f.cells(i).tn, f.se(i)))
+      val f = fitFor(s, dir)
+      val cfg = f.pp.config
+      val b = MBoot.run(f.ifTable, f.cells.length, f.pp.n, cfg.biters,
+        cfg.alp, cfg.seed)
+      f.cells.indices.map(i => (f.cells(i).g, f.cells(i).tn, b.se(i)))
         .toDF("g", "t", "se")
     }),
 
@@ -420,6 +424,62 @@ object SparkEntry {
          |  LEFT JOIN m ON m.g = c.g AND m.tn = c.tn
          |  JOIN pg ON pg.g = c.g)
          |SELECT ROUND(SUM(att * pg) / SUM(pg), 4) AS att FROM katt""".stripMargin),
+
+    // group (cohort) point estimates: unweighted mean over post cells
+    // per cohort (skipped cells contribute 0, matching add_att_data)
+    "q_aggte_group" -> withPanelCte(
+      s""", $cellMeansCte,
+         |katt AS (
+         |  SELECT c.g,
+         |         COALESCE((m.mu11 - m.mu10) - (m.mu01 - m.mu00), 0) AS att
+         |  FROM cells c LEFT JOIN m ON m.g = c.g AND m.tn = c.tn)
+         |SELECT g, ROUND(AVG(att), 4) AS att FROM katt GROUP BY g""".stripMargin),
+
+    // calendar point estimates: pg-weighted mean over treated cohorts
+    // (g <= t) per post period
+    "q_aggte_calendar" -> withPanelCte(
+      s""", $cellMeansCte,
+         |units AS (SELECT DISTINCT id, g FROM panel),
+         |pg AS (SELECT g, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units) AS pg
+         |       FROM units GROUP BY g),
+         |katt AS (
+         |  SELECT c.g, c.tn,
+         |         COALESCE((m.mu11 - m.mu10) - (m.mu01 - m.mu00), 0) AS att
+         |  FROM cells c LEFT JOIN m ON m.g = c.g AND m.tn = c.tn)
+         |SELECT k.tn AS t, ROUND(SUM(k.att * pg.pg) / SUM(pg.pg), 4) AS att
+         |FROM katt k JOIN pg ON pg.g = k.g GROUP BY k.tn""".stripMargin),
+
+    // dynamic (event-study) point estimates: pg-weighted mean per event
+    // time e = t - g over the FULL varying-base grid (pre cells included;
+    // period spacing is 1 year so recoded-index e equals t - g)
+    "q_aggte_dynamic" -> withPanelCte(
+      """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+        |         FROM (SELECT DISTINCT t FROM panel)),
+        |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+        |cells AS (
+        |  SELECT gs.g, tl.t AS tn,
+        |    CASE WHEN gs.g <= tl.t
+        |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
+        |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+        |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+        |m AS (
+        |  SELECT c.g, c.tn,
+        |    AVG(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.y END) AS mu11,
+        |    AVG(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.y END) AS mu10,
+        |    AVG(CASE WHEN p.g = 0 AND p.t = c.tn THEN p.y END) AS mu01,
+        |    AVG(CASE WHEN p.g = 0 AND p.t = c.tpre THEN p.y END) AS mu00
+        |  FROM cells c JOIN panel p
+        |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)
+        |  GROUP BY c.g, c.tn),
+        |units AS (SELECT DISTINCT id, g FROM panel),
+        |pg AS (SELECT g, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units) AS pg
+        |       FROM units GROUP BY g),
+        |katt AS (
+        |  SELECT c.g, c.tn, c.tn - c.g AS e,
+        |         COALESCE((m.mu11 - m.mu10) - (m.mu01 - m.mu00), 0) AS att
+        |  FROM cells c LEFT JOIN m ON m.g = c.g AND m.tn = c.tn)
+        |SELECT k.e, ROUND(SUM(k.att * pg.pg) / SUM(pg.pg), 4) AS att
+        |FROM katt k JOIN pg ON pg.g = k.g GROUP BY k.e""".stripMargin),
 
     // ---- extension oracles ----------------------------------------
 

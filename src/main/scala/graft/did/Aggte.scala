@@ -75,74 +75,65 @@ object Aggte {
       pgByCohort, pg, origCohort, n)
   }
 
-  /** when-chain lookup column over a small cohort->value map. */
-  private def lookup(c: Column, m: Map[Double, Double]): Column =
-    m.foldLeft(lit(0.0)) { case (acc, (k, v)) => when(c === k, v).otherwise(acc) }
+  /** wif coefficients for one aggregation over `keepers`
+    * (`get_weight_influence_aggregate`, `csdids/utils_aggte.py:7-36`):
+    * the per-unit weight-estimation influence reduces to
+    * `wbar * coef(gbar)` with `coef(g) = attW(g)/s - c2 * cnt(g)` —
+    * a tiny cohort->coefficient map, not a matrix product. */
+  private def wifCoefFor(p: Prep, keepers: Seq[Int]): Map[Double, Double] = {
+    val s = keepers.map(p.pg).sum
+    val byG = keepers.groupBy(k => p.origCohortOfCell(k))
+    val c2 = keepers.map(k => p.fit.att(k) * p.pg(k)).sum / (s * s)
+    byG.map { case (g, ks) =>
+      g -> (ks.map(k => p.fit.att(k)).sum / s - c2 * ks.size)
+    }
+  }
 
-  /** Aggregated per-unit influence function:
-    * `IF_agg = sum_k w_k * IF[:,k] (+ wif . att)` (`utils_aggte.py:38-50`),
-    * distributed: weighted sum over the sparse IF table outer-joined with
-    * the unit table so absent units still get their wif share.
-    * `wifOn` adds the estimated-weights influence (`utils_aggte.py:7-36`).
-    */
-  private def aggIF(p: Prep, keepers: Seq[Int], wAgg: Map[Int, Double],
-      wifOn: Boolean): DataFrame = {
+  /** Family of aggregated per-unit influence functions, ONE pass for all
+    * members (`get_agg_inf_func`, `utils_aggte.py:38-50`, batched):
+    * member m has `IF_m(unit) = sum_cells wt*inf + wbar*coef_m(gbar)`.
+    * Returns long-form (rowid, midx, v); units touched only by the wif
+    * term still appear (union-aggregate, no outer join needed). */
+  private def familyIF(p: Prep,
+      cellWts: Seq[(Int, Int, Double)],      // (cell, midx, wt)
+      wifCoefs: Seq[(Int, Double, Double)])  // (midx, cohort g, coef)
+      : DataFrame = {
     val spark = p.fit.ifTable.sparkSession
     import spark.implicits._
-    val wdf = keepers.map(k => (k, wAgg(k))).toDF("cell", "wt")
-    val part = p.fit.ifTable.join(broadcast(wdf), "cell")
-      .groupBy("rowid").agg(sum(col("inf") * col("wt")).as("ifpart"))
-
-    val withUnits = p.units.join(part, Seq("rowid"), "left")
-      .na.fill(0.0, Seq("ifpart"))
-
-    if (!wifOn) withUnits.select(col("rowid"), col("ifpart").as("ifagg"))
+    val wdf = cellWts.toDF("cell", "midx", "wt")
+    val base = p.fit.ifTable.join(broadcast(wdf), "cell")
+      .groupBy("rowid", "midx").agg(sum(col("inf") * col("wt")).as("v"))
+      .select("rowid", "midx", "v")
+    if (wifCoefs.isEmpty) base
     else {
-      val s = keepers.map(k => p.pg(k)).sum
-      val attW = keepers.groupBy(k => p.origCohortOfCell(k))
-        .map { case (g, ks) => g -> ks.map(k => p.fit.att(k)).sum }
-      val cnt = keepers.groupBy(k => p.origCohortOfCell(k))
-        .map { case (g, ks) => g -> ks.size.toDouble }
-      val c2 = keepers.map(k => p.fit.att(k) * p.pg(k)).sum / (s * s)
-      val wifCol = col("wbar") *
-        ((lookup(col("gbar"), attW) / s) - (lit(c2) * lookup(col("gbar"), cnt)))
-      withUnits.select(col("rowid"), (col("ifpart") + wifCol).as("ifagg"))
+      val cdf = wifCoefs.toDF("midx", "cg", "coef")
+      val wifRows = p.units.join(broadcast(cdf), col("gbar") === col("cg"))
+        .select(col("rowid"), col("midx"),
+          (col("wbar") * col("coef")).as("v"))
+      base.union(wifRows).groupBy("rowid", "midx").agg(sum("v").as("v"))
+        .select("rowid", "midx", "v")
     }
   }
 
-  /** wif variant where the "cells" are already cohort-level aggregates
-    * (overall `group` aggregation): keepers are cohorts themselves. */
-  private def aggIFCohort(p: Prep, cohortIF: DataFrame,
-      attEgt: Array[Double], pgg: Array[Double]): DataFrame = {
-    val spark = cohortIF.sparkSession
-    import spark.implicits._
-    val s = pgg.sum
-    val wdf = p.origGlist.indices.map(i => (i, pgg(i) / s)).toDF("gidx", "wt")
-    val part = cohortIF.join(broadcast(wdf), "gidx")
-      .groupBy("rowid").agg(sum(col("infg") * col("wt")).as("ifpart"))
-    val attW = p.origGlist.indices
-      .map(i => p.origGlist(i) -> attEgt(i)).toMap
-    val cnt = p.origGlist.map(_ -> 1.0).toMap
-    val c2 = p.origGlist.indices.map(i => attEgt(i) * pgg(i)).sum / (s * s)
-    val wifCol = col("wbar") *
-      ((lookup(col("gbar"), attW) / s) - (lit(c2) * lookup(col("gbar"), cnt)))
-    p.units.join(part, Seq("rowid"), "left").na.fill(0.0, Seq("ifpart"))
-      .select(col("rowid"), (col("ifpart") + wifCol).as("ifagg"))
-  }
-
-  /** Analytic or bootstrap SE of one aggregated IF column
-    * (`get_se`, `utils_aggte.py:53-66`). */
-  private def seOf(p: Prep, ifCol: DataFrame, bstrap: Boolean): Double = {
-    if (bstrap) {
-      val cfg = p.fit.pp.config
-      val tab = ifCol.select(col("rowid"), lit(0).as("cell"),
-        col("ifagg").as("inf"))
-      val r = MBoot.run(tab, 1, p.n, cfg.biters, cfg.alp, cfg.seed)
-      r.se(0)
+  /** Per-member SEs from a familyIF frame (`get_se`,
+    * `utils_aggte.py:53-66`): analytic `sqrt(sum IF^2)/n` in one
+    * aggregation, or one COMBINED seeded multiplier bootstrap (per-member
+    * IQR SEs are column-independent, so one run over all members is
+    * statistically identical to the reference's per-column calls). */
+  private def familySe(p: Prep, fam: DataFrame, nMembers: Int,
+      bs: Boolean): Array[Double] = {
+    val cfg = p.fit.pp.config
+    val out = Array.fill(nMembers)(Double.NaN)
+    if (bs) {
+      val tab = fam.select(col("rowid"), col("midx").as("cell"),
+        col("v").as("inf"))
+      val r = MBoot.run(tab, nMembers, p.n, cfg.biters, cfg.alp, cfg.seed)
+      r.se.copyToArray(out)
     } else {
-      val ss = ifCol.agg(sum(col("ifagg") * col("ifagg"))).first().getDouble(0)
-      math.sqrt(ss) / p.n
+      fam.groupBy("midx").agg(sum(col("v") * col("v")).as("ss")).collect()
+        .foreach(r => out(r.getInt(0)) = math.sqrt(r.getDouble(1)) / p.n)
     }
+    out.map(se => if (se <= Stats.DegenerateTol) Double.NaN else se)
   }
 
   def simple(p: Prep, maxE: Double = Double.PositiveInfinity,
@@ -152,28 +143,12 @@ object Aggte {
       .filter(i => p.group(i) <= p.t(i) && p.t(i) <= p.group(i) + maxE)
     val s = keepers.map(p.pg).sum
     val att = keepers.map(k => p.fit.att(k) * p.pg(k)).sum / s
-    val w = keepers.map(k => k -> p.pg(k) / s).toMap
-    val ifA = aggIF(p, keepers, w, wifOn = true)
-    val se0 = seOf(p, ifA, bs)
-    val se = if (se0 <= Stats.DegenerateTol) Double.NaN else se0
+    val fam = familyIF(p,
+      keepers.map(k => (k, 0, p.pg(k) / s)),
+      wifCoefFor(p, keepers).toSeq.map { case (g, c) => (0, g, c) })
+    val se = familySe(p, fam, 1, bs)(0)
     AggteResult("simple", att, se, Nil, Nil, Nil,
       Stats.normPpf(1 - p.fit.pp.config.alp / 2), p.fit.pp.config.alp)
-  }
-
-  /** Per-unit cohort-level IFs as long form (rowid, gidx, infg): the
-    * columns of `selective_inf_func_g` (`csdids/ATTgt.py:698-715`). */
-  private def cohortIFTable(p: Prep, maxE: Double): DataFrame = {
-    val spark = p.fit.ifTable.sparkSession
-    import spark.implicits._
-    val triples = p.origGlist.indices.flatMap { gi =>
-      val g = p.glist(gi)
-      val which = p.group.indices.filter(i =>
-        p.group(i) == g && g <= p.t(i) && p.t(i) <= p.group(i) + maxE)
-      val s = which.map(p.pg).sum
-      which.map(k => (k, gi, p.pg(k) / s))
-    }.toDF("cell", "gidx", "wt")
-    p.fit.ifTable.join(broadcast(triples), "cell")
-      .groupBy("rowid", "gidx").agg(sum(col("inf") * col("wt")).as("infg"))
   }
 
   def group(p: Prep, maxE: Double = Double.PositiveInfinity,
@@ -182,48 +157,52 @@ object Aggte {
     val cfg = p.fit.pp.config
     val bs = bstrap.getOrElse(p.fit.bstrap)
     val cb = cband.getOrElse(p.fit.pp.cband)
+    val nG = p.origGlist.length
 
-    val attEgt = p.origGlist.indices.map { gi =>
+    // per-cohort members 0..nG-1 (`selective_inf_func_g`,
+    // `csdids/ATTgt.py:698-715`): pg-weighted cell IFs, no wif
+    val perG = p.origGlist.indices.map { gi =>
       val g = p.glist(gi)
       val which = p.group.indices.filter(i =>
         p.group(i) == g && p.t(i) >= g && p.t(i) <= p.group(i) + maxE)
+      (gi, which, which.map(p.pg).sum)
+    }
+    val attEgt = perG.map { case (_, which, _) =>
       which.map(p.fit.att).sum / which.size
     }.toArray
 
-    val cIF = cohortIFTable(p, maxE).persist()
-    val ssRows = cIF.groupBy("gidx")
-      .agg(sum(col("infg") * col("infg")).as("ss")).collect()
-    val seEgt = Array.fill(p.origGlist.length)(Double.NaN)
-    if (bs) {
-      // reference calls get_se per cohort (mboot per column)
-      p.origGlist.indices.foreach { gi =>
-        val one = cIF.filter(col("gidx") === gi)
-          .select(col("rowid"), lit(0).as("cell"), col("infg").as("inf"))
-        seEgt(gi) = MBoot.run(one, 1, p.n, cfg.biters, cfg.alp, cfg.seed).se(0)
-      }
-    } else ssRows.foreach { r =>
-      seEgt(r.getInt(0)) = math.sqrt(r.getDouble(1)) / p.n
+    // overall member nG: pgg-weighted mean of cohort IFs + cohort-level
+    // wif (`csdids/ATTgt.py:717-760` intended semantics, SURVEY.md §7.5)
+    val pgg = p.origGlist.map(p.pgByCohort)
+    val sAll = pgg.sum
+    val overallAtt =
+      p.origGlist.indices.map(i => attEgt(i) * pgg(i)).sum / sAll
+    val c2 = p.origGlist.indices.map(i => attEgt(i) * pgg(i)).sum /
+      (sAll * sAll)
+    val overallWts = perG.flatMap { case (gi, which, s) =>
+      which.map(k => (k, nG, p.pg(k) / s * pgg(gi) / sAll))
     }
-    seEgt.indices.foreach(i =>
-      if (seEgt(i) <= Stats.DegenerateTol) seEgt(i) = Double.NaN)
+    val overallWif = p.origGlist.indices.map(gi =>
+      (nG, p.origGlist(gi), attEgt(gi) / sAll - c2))
+
+    val cellWts = perG.flatMap { case (gi, which, s) =>
+      which.map(k => (k, gi, p.pg(k) / s))
+    } ++ overallWts
+    val fam = familyIF(p, cellWts, overallWif).persist()
+    val ses = familySe(p, fam, nG + 1, bs)
+    val seEgt = ses.take(nG)
+    val se = ses(nG)
 
     var critEgt = Stats.normPpf(1 - cfg.alp / 2)
     if (cb) {
-      val asCells = cIF.select(col("rowid"), col("gidx").as("cell"),
-        col("infg").as("inf"))
-      val c = MBoot.run(asCells, p.origGlist.length, p.n, cfg.biters,
-        cfg.alp, cfg.seed).critVal
+      val asCells = fam.filter(col("midx") < nG)
+        .select(col("rowid"), col("midx").as("cell"), col("v").as("inf"))
+      val c = MBoot.run(asCells, nG, p.n, cfg.biters, cfg.alp, cfg.seed)
+        .critVal
       if (!c.isNaN && !c.isInfinite && c >= Stats.normPpf(1 - cfg.alp / 2))
         critEgt = c
     }
-
-    val pgg = p.origGlist.map(p.pgByCohort)
-    val overallAtt =
-      p.origGlist.indices.map(i => attEgt(i) * pgg(i)).sum / pgg.sum
-    val ifOverall = aggIFCohort(p, cIF, attEgt, pgg)
-    val se0 = seOf(p, ifOverall, bs)
-    val se = if (se0 <= Stats.DegenerateTol) Double.NaN else se0
-    cIF.unpersist()
+    fam.unpersist()
     AggteResult("group", overallAtt, se, p.origGlist.toSeq, attEgt.toSeq,
       seEgt.toSeq, critEgt, cfg.alp)
   }
@@ -233,13 +212,12 @@ object Aggte {
     val cfg = p.fit.pp.config
     val bs = bstrap.getOrElse(p.fit.bstrap)
     val cb = cband.getOrElse(p.fit.pp.cband)
-    val spark = p.fit.ifTable.sparkSession
-    import spark.implicits._
 
     val minG = p.group.min
     val calT = p.tlistR.filter(_ >= minG)
     val gtlist = (p.fit.pp.tlist ++ p.fit.pp.glist).distinct.sorted
     def t2orig(r: Double): Double = gtlist(r.toInt)
+    val nT = calT.length
 
     val perT = calT.map { t1 =>
       val which = p.t.indices.filter(i => p.t(i) == t1 && p.group(i) <= p.t(i))
@@ -248,62 +226,39 @@ object Aggte {
       (t1, which, s, att)
     }
 
-    // per-period IFs with wif (`csdids/ATTgt.py:798-812`)
-    val triples = perT.zipWithIndex.flatMap { case ((_, which, s, _), ti) =>
+    // per-period members 0..nT-1 with wif (`csdids/ATTgt.py:798-812`);
+    // overall member nT = unweighted mean over periods (`:814-818`)
+    val cellWts = perT.zipWithIndex.flatMap { case ((_, which, s, _), ti) =>
       which.map(k => (k, ti, p.pg(k) / s))
-    }.toSeq.toDF("cell", "tidx", "wt")
-    val base = p.fit.ifTable.join(broadcast(triples), "cell")
-      .groupBy("rowid", "tidx").agg(sum(col("inf") * col("wt")).as("ifpart"))
-    // add per-period wif columns
-    val withWif = perT.zipWithIndex.map { case ((_, which, s, _), ti) =>
-      val attW = which.groupBy(k => p.origCohortOfCell(k))
-        .map { case (g, ks) => g -> ks.map(p.fit.att(_)).sum }
-      val cnt = which.groupBy(k => p.origCohortOfCell(k))
-        .map { case (g, ks) => g -> ks.size.toDouble }
-      val c2 = which.map(k => p.fit.att(k) * p.pg(k)).sum / (s * s)
-      val wifCol = col("wbar") *
-        ((lookup(col("gbar"), attW) / s) - (lit(c2) * lookup(col("gbar"), cnt)))
-      p.units.join(base.filter(col("tidx") === ti), Seq("rowid"), "left")
-        .na.fill(0.0, Seq("ifpart"))
-        .select(col("rowid"), lit(ti).as("tidx"),
-          (col("ifpart") + wifCol).as("infg"))
-    }.reduce(_ union _).persist()
-
-    val seEgt = Array.fill(calT.length)(Double.NaN)
-    if (bs) {
-      perT.indices.foreach { ti =>
-        val one = withWif.filter(col("tidx") === ti)
-          .select(col("rowid"), lit(0).as("cell"), col("infg").as("inf"))
-        seEgt(ti) = MBoot.run(one, 1, p.n, cfg.biters, cfg.alp, cfg.seed).se(0)
-      }
-    } else {
-      withWif.groupBy("tidx").agg(sum(col("infg") * col("infg")).as("ss"))
-        .collect().foreach(r =>
-          seEgt(r.getInt(0)) = math.sqrt(r.getDouble(1)) / p.n)
+    } ++ perT.zipWithIndex.flatMap { case ((_, which, s, _), _) =>
+      which.map(k => (k, nT, p.pg(k) / s / nT))
     }
-    seEgt.indices.foreach(i =>
-      if (seEgt(i) <= Stats.DegenerateTol) seEgt(i) = Double.NaN)
+    val perTWif = perT.zipWithIndex.map { case ((_, which, _, _), ti) =>
+      ti -> wifCoefFor(p, which)
+    }
+    val wifCoefs = perTWif.flatMap { case (ti, m) =>
+      m.toSeq.map { case (g, c) => (ti, g, c) }
+    } ++ perTWif.flatMap(_._2.toSeq)
+      .groupBy(_._1)
+      .map { case (g, cs) => (nT, g, cs.map(_._2).sum / nT) }
+
+    val fam = familyIF(p, cellWts, wifCoefs).persist()
+    val ses = familySe(p, fam, nT + 1, bs)
+    val seEgt = ses.take(nT)
+    val se = ses(nT)
 
     var critEgt = Stats.normPpf(1 - cfg.alp / 2)
     if (cb) {
-      val asCells = withWif.select(col("rowid"), col("tidx").as("cell"),
-        col("infg").as("inf"))
-      val c = MBoot.run(asCells, calT.length, p.n, cfg.biters, cfg.alp,
-        cfg.seed).critVal
+      val asCells = fam.filter(col("midx") < nT)
+        .select(col("rowid"), col("midx").as("cell"), col("v").as("inf"))
+      val c = MBoot.run(asCells, nT, p.n, cfg.biters, cfg.alp, cfg.seed)
+        .critVal
       if (!c.isNaN && !c.isInfinite && c >= Stats.normPpf(1 - cfg.alp / 2))
         critEgt = c
     }
+    fam.unpersist()
 
-    val overallAtt = perT.map(_._4).sum / perT.length
-    val wdf = perT.indices.map(i => (i, 1.0 / perT.length))
-      .toDF("tidx", "wt")
-    val ifOverall = withWif.join(broadcast(wdf), "tidx")
-      .groupBy("rowid").agg(sum(col("infg") * col("wt")).as("ifagg"))
-    val ifFull = p.units.select("rowid").join(ifOverall, Seq("rowid"), "left")
-      .na.fill(0.0, Seq("ifagg"))
-    val se0 = seOf(p, ifFull, bs)
-    val se = if (se0 <= Stats.DegenerateTol) Double.NaN else se0
-    withWif.unpersist()
+    val overallAtt = perT.map(_._4).sum / nT
     AggteResult("calendar", overallAtt, se, perT.map(t => t2orig(t._1)),
       perT.map(_._4), seEgt.toSeq, critEgt, cfg.alp)
   }
@@ -317,11 +272,10 @@ object Aggte {
       bstrap: Option[Boolean] = None): AggteResult = {
     val cfg = p.fit.pp.config
     val bs = bstrap.getOrElse(p.fit.bstrap)
-    val spark = p.fit.ifTable.sparkSession
-    import spark.implicits._
 
     val eAll = p.t.indices.map(i => p.t(i) - p.group(i))
     val eseq = eAll.distinct.sorted.filter(e => e >= minE && e <= maxE)
+    val nE = eseq.length
     val perE = eseq.map { e =>
       val which = p.t.indices.filter(i =>
         p.t(i) - p.group(i) == e && e >= minE && e <= maxE)
@@ -329,23 +283,25 @@ object Aggte {
       val att = which.map(k => p.fit.att(k) * p.pg(k)).sum / s
       (e, which, s, att)
     }
-    val seEgt = perE.zipWithIndex.map { case ((_, which, s, _), _) =>
-      val w = which.map(k => k -> p.pg(k) / s).toMap
-      val ifE = aggIF(p, which, w, wifOn = true)
-      val se0 = seOf(p, ifE, bs)
-      if (se0 <= Stats.DegenerateTol) Double.NaN else se0
-    }
     val post = perE.filter(_._1 >= 0)
     val overallAtt = post.map(_._4).sum / post.length
-    val keepersPost = post.flatMap(_._2).distinct
-    // overall IF: mean over post event times of their per-e IFs
+    // overall member nE: mean over post event times of their per-e IFs
     val wOverall = post.flatMap { case (_, which, s, _) =>
       which.map(k => k -> p.pg(k) / s / post.length)
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
-    val ifO = aggIF(p, wOverall.keys.toSeq, wOverall, wifOn = true)
-    val se0 = seOf(p, ifO, bs)
-    val se = if (se0 <= Stats.DegenerateTol) Double.NaN else se0
-    AggteResult("dynamic", overallAtt, se, perE.map(_._1), perE.map(_._4),
-      seEgt, Stats.normPpf(1 - cfg.alp / 2), cfg.alp)
+
+    val cellWts = perE.zipWithIndex.flatMap { case ((_, which, s, _), ei) =>
+      which.map(k => (k, ei, p.pg(k) / s))
+    } ++ wOverall.toSeq.map { case (k, w) => (k, nE, w) }
+    val wifCoefs = perE.zipWithIndex.flatMap { case ((_, which, _, _), ei) =>
+      wifCoefFor(p, which).toSeq.map { case (g, c) => (ei, g, c) }
+    } ++ wifCoefFor(p, wOverall.keys.toSeq)
+      .toSeq.map { case (g, c) => (nE, g, c) }
+
+    val fam = familyIF(p, cellWts, wifCoefs)
+    val ses = familySe(p, fam, nE + 1, bs)
+    AggteResult("dynamic", overallAtt, ses(nE), perE.map(_._1),
+      perE.map(_._4), ses.take(nE).toSeq,
+      Stats.normPpf(1 - cfg.alp / 2), cfg.alp)
   }
 }

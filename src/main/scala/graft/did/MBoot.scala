@@ -56,6 +56,19 @@ object MBoot {
     }
     val units = triplets.map(_._1).distinct.sorted
     val unitIdx = units.zipWithIndex.toMap
+    // resolve to primitive index arrays ONCE — the B x nnz inner loop
+    // must not do per-entry hash lookups
+    val nnz = triplets.length
+    val uIx = new Array[Int](nnz)
+    val cIx = new Array[Int](nnz)
+    val infs = new Array[Double](nnz)
+    var t = 0
+    while (t < nnz) {
+      uIx(t) = unitIdx(triplets(t)._1)
+      cIx(t) = triplets(t)._2
+      infs(t) = triplets(t)._3
+      t += 1
+    }
     val rng = new MersenneTwister(seed)
     val out = Array.ofDim[Double](biters, k)
     val ub = new Array[Double](units.length)
@@ -66,9 +79,8 @@ object MBoot {
         ub(i) = if (rng.nextBoolean()) 1.0 else -1.0; i += 1
       }
       val acc = new Array[Double](k)
-      triplets.foreach { case (rid, cell, inf) =>
-        acc(cell) += inf * ub(unitIdx(rid))
-      }
+      t = 0
+      while (t < nnz) { acc(cIx(t)) += infs(t) * ub(uIx(t)); t += 1 }
       var j = 0
       while (j < k) { out(b)(j) = acc(j) / n; j += 1 }
       b += 1

@@ -41,15 +41,21 @@ object Preprocess {
     val spark = data.sparkSession
     import cfg._
 
-    val nPre = data.count()
-
     // Project role columns; synthesize _w / _intercept (ATTgt.py:74-98).
+    // Persist the projected frame IMMEDIATELY: every subsequent action
+    // (counts, distinct lists, max(t), cohort sizes) otherwise recomputes
+    // the caller's input plan from scratch — the reference's #1 cost
+    // (SURVEY.md §4 "caching: none").
     val covs = cfg.covariates.filter(_ != Formula.InterceptCol)
     val roleCols =
       (Seq(idname, tname, yname, gname) ++ clustervar.toSeq ++ covs).distinct
-    var df = data
+    val projected = data
       .withColumn("w", weightsName.map(col).getOrElse(lit(1.0)).cast("double"))
       .select((roleCols.map(col) :+ col("w")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPre = projected.count()
+
+    var df = projected
       .na.drop("all")
       .withColumn(Formula.InterceptCol, lit(1.0))
 
@@ -153,6 +159,10 @@ object Preprocess {
         throw new IllegalArgumentException(
           "Never-treated group is too small, try controlGroup='notyettreated'.")
     }
+
+    // final df is persisted and materialized (by the `n`/small-group
+    // actions above); the intermediate projection can go
+    projected.unpersist()
 
     PreprocessedPanel(df, tlist, glist, n, glist.length, tlist.length,
       effPanel, trueRcs, effCband, cfg)

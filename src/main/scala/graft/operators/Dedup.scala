@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -21,6 +22,13 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Explicit partition count for the pre-tokenize repartition: an
+    * UN-numbered `repartition(col)` is fair game for AQE coalescing,
+    * which on a small corpus folds it back to one partition and
+    * re-serializes the tokenizer — the numbered form pins it. */
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact duplicate groups: fingerprint -> canonical (min) id + count.
     * One shuffle keyed by the 32-char md5. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -36,56 +44,90 @@ object Dedup {
     // join key is the id so AQE picks the right strategy at scale
   }
 
-  /** Exploded (id, shingle) inverted index with an optional
-    * document-frequency cap: shingles occurring in more than `maxDf`
-    * docs are dropped BEFORE the pair join — the standard guard against
-    * quadratic blowup on stop-shingles at scale. */
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDf: Option[Int]): DataFrame = {
-    val idx = df
-      .select(col(idCol).as("did"), wordShingles(col(textCol), n).as("sh"))
-      .select(col("did"), explode(col("sh")).as("s"))
-    maxDf match {
-      case None => idx
-      case Some(cap) =>
-        val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap)
-          .select("s")
-        idx.join(hot, Seq("s"), "left_anti")
-    }
-  }
-
-  /** All pairs with word-n-gram Jaccard >= threshold.
-    * Output: id_a < id_b, jaccard (6dp). `maxDf=None` gives exact
-    * semantics (used when an oracle compares); set a cap at scale. */
+  /** All pairs with word-n-gram Jaccard >= threshold — EXACT output via
+    * prefix filtering (AllPairs/PPJoin): under a global rarest-first
+    * shingle order, two sets with J >= t must share an element within
+    * their first `|S| - ceil(t*|S|) + 1` shingles, so only those prefix
+    * entries enter the self-join; candidates are then verified against
+    * the full shingle sets. At scale this turns the O(sum df^2) inverted-
+    * index join into a join over rare shingles only. Shingles are carried
+    * as 64-bit xxhash values, never strings (8-byte shuffle keys;
+    * collision odds ~m^2/2^65 over m distinct shingles).
+    *
+    * `maxDf` additionally drops shingles occurring in more than that many
+    * docs BEFORE candidate generation — the stop-shingle guard. Scores
+    * stay true full-set Jaccard; the cap only loses pairs whose entire
+    * overlap is hot shingles. Output: id_a < id_b, jaccard (6dp). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Int] = None): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n, maxDf)
-    val sizes = idx.groupBy("did").agg(count(lit(1)).as("nsh"))
-    val inter = idx.as("a").join(idx.as("b"),
-        col("a.s") === col("b.s") && col("a.did") < col("b.did"))
-      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
-      .agg(count(lit(1)).as("ic"))
-    inter
-      .join(sizes.withColumnRenamed("did", "id_a")
-        .withColumnRenamed("nsh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("did", "id_b")
-        .withColumnRenamed("nsh", "nb"), "id_b")
-      .withColumn("jaccard",
-        round(col("ic") / (col("na") + col("nb") - col("ic")), 6))
+    // Two did-keyed exchanges around the tokenizer: the first spreads
+    // raw text across cores (a small parquet arrives as ONE partition,
+    // which would serialize all shingle work), the second is reused by
+    // every downstream branch (explode, both verification joins, the
+    // per-doc window) so text is tokenized exactly once, distributed,
+    // and the did-keyed ops after it need no further shuffle.
+    val shH = df.select(col(idCol).as("did"), col(textCol).as("txt"))
+      .repartition(par(df), col("did"))
+      .select(col("did"),
+        array_distinct(transform(wordShingles(col("txt"), n),
+          x => xxhash64(x))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(par(df), col("did"))
+    val idx0 = shH.select(col("did"), explode(col("sh")).as("h"))
+    val idx = maxDf match {
+      case None => idx0
+      case Some(cap) =>
+        val hot = idx0.groupBy("h").agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") > cap).select("h")
+        idx0.join(hot, Seq("h"), "left_anti")
+    }
+    // one shuffle by did: per-doc (post-cap) set size + rarest-first rank
+    val dfCounts = idx.groupBy("h").agg(count(lit(1)).as("dfq"))
+    val wDid = Window.partitionBy("did")
+    val ranked = idx.join(dfCounts, "h")
+      .withColumn("nsh", count(lit(1)).over(wDid))
+      .withColumn("rn",
+        row_number().over(wDid.orderBy(col("dfq"), col("h"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .select("did", "h", "nsh")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.did") < col("b.did") &&
+          col("a.nsh") >= col("b.nsh") * threshold &&
+          col("b.nsh") >= col("a.nsh") * threshold)
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .distinct()
+    cand
+      .join(shH.select(col("did").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(shH.select(col("did").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("ic", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(
+        col("ic") / (size(col("sha")) + size(col("shb")) - col("ic")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: k per-seed minima of xxhash64(shingle, seed),
-    * computed as k aggregate columns in ONE hash-aggregate pass (no
-    * array-UDAF, fully codegen'd). Returns (id, h0..h{k-1}). */
+  /** MinHash signature: each shingle is string-hashed ONCE (xxhash64),
+    * then the k "permutations" are fixed-width long re-hashes
+    * `xxhash64(j, h)` of that 64-bit value — k 16-byte hashes per shingle
+    * instead of k full string hashes (and no ANSI-mode overflow, unlike a
+    * multiply-add family). All k minima aggregate in ONE hash-aggregate
+    * pass (k codegen'd min columns, no array-UDAF). Any fixed total order
+    * works as the permutation order, so signed-long min is fine:
+    * P(min_a == min_b) = Jaccard still holds. Returns (id, h0..h{k-1}). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
+    // repartition by id first (small files arrive as one partition —
+    // see ngramJaccardPairs); the k min-aggregates then run partial
+    // map-side and the final groupBy(did) needs no extra shuffle
     val idx = df
-      .select(col(idCol).as("did"), explode(wordShingles(col(textCol), n)).as("s"))
-    val mins = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"h$j"))
+      .select(col(idCol).as("did"), col(textCol).as("txt"))
+      .repartition(par(df), col("did"))
+      .select(col("did"), explode(wordShingles(col("txt"), n)).as("s"))
+      .select(col("did"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(j =>
+      min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     idx.groupBy("did").agg(mins.head, mins.tail: _*)
   }
 

@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 
 import scala.util.Random
 
+/** One block of vectors, materialized as primitive arrays so the
+  * all-pairs loop in [[Similarity.cosineNearDupPairs]] runs on flat
+  * doubles (no per-pair Catalyst HOF eval). Public: Spark's encoder
+  * codegen must construct/inspect it from generated classes. */
+final case class VecBlock(
+    blk: Int, ids: Array[Long], vecs: Array[Array[Double]],
+    nrms: Array[Double])
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — exact, one broadcast join of the
@@ -46,16 +54,68 @@ object Similarity {
   }
 
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
-    * Exact O(n^2) — the oracle-checkable baseline; use `lshTopK` or
-    * `minhash`-style banding at scale. */
+    * Exact O(n^2) arithmetic, organized as a triangular block-pair join:
+    * vectors hash into `nBlocks` blocks, the (nBlocks choose 2)+nBlocks
+    * block pairs fan out across executors, and each task runs a tight
+    * primitive dot-product loop over its two blocks. Total shuffle is
+    * O(n * nBlocks) vector copies (each block meets every other block),
+    * the classic all-pairs triangle: pick nBlocks ~ sqrt(#tasks wanted).
+    * Per-element arithmetic is float->double cast then sequential double
+    * accumulation — bit-identical to the DuckDB oracle's
+    * list_dot_product. Use LSH banding instead when n^2 itself is the
+    * problem. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blocks = df
+      .select(pmod(hash(col(idCol)), lit(nBlocks)).as("blk"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (blk, it) =>
+        val rows = it.toArray
+        VecBlock(blk, rows.map(_._2), rows.map(_._3),
+          rows.map(r => math.sqrt(dotD(r._3, r._3))))
+      }
+    val a = blocks.alias("a")
+    val b = blocks.alias("b")
+    a.joinWith(b, col("a.blk") <= col("b.blk"))
+      .flatMap { case (ba, bb) =>
+        val same = ba.blk == bb.blk
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < ba.ids.length) {
+          var j = if (same) i + 1 else 0
+          while (j < bb.ids.length) {
+            val c = dotD(ba.vecs(i), bb.vecs(j)) / (ba.nrms(i) * bb.nrms(j))
+            // cheap pre-filter; exact decimal HALF_UP (= Spark/DuckDB
+            // ROUND semantics) only for survivors near/above threshold
+            if (c >= threshold - 1e-9) {
+              val r = BigDecimal(c)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (r >= threshold) {
+                val (x, y) = (ba.ids(i), bb.ids(j))
+                out += (if (x < y) (x, y, r) else (y, x, r))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "cos")
+  }
+
+  /** Sequential double dot product (matches SQL engines' fold order). */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** Deterministic random hyperplanes (seeded driver-side, inlined as
