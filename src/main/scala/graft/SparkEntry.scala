@@ -99,6 +99,21 @@ object SparkEntry {
     // the DiD panel view itself (project/derive/group)
     "q_panel_view" -> ((s, dir) => pv(s, dir)),
 
+    // §3.1 preprocess pipeline: role projection, weight synthesis, and
+    // the never-treated recode (g > max(t) -> 0). Input variant assigns
+    // an out-of-sample cohort (2003) to exercise the recode for real.
+    "q_preprocess" -> ((s, dir) => {
+      val raw = pv(s, dir).withColumn("g",
+        when(col("g") === 2001.0, 2003.0).otherwise(col("g")))
+      val pp = Preprocess.run(raw, PanelView.config)
+      val out = pp.df.select(
+        col("rowid").cast("long").as("id"),
+        col("tt").as("t"), col("gg").as("g"),
+        round(col("yy"), 2).as("y"), col("w1").as("w"))
+      pp.unpersist()
+      out
+    }),
+
     // §2.4 distinct sorted period list (tlist)
     "q_distinct_periods" -> ((s, dir) =>
       pv(s, dir).select("t").distinct().sort("t")),
@@ -378,6 +393,16 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_panel_view" -> PanelView.sql,
+
+    "q_preprocess" -> withPanelCte(
+      """, p2 AS (
+        |  SELECT id, t, CASE WHEN g = 2001 THEN 2003 ELSE g END AS g, y
+        |  FROM panel),
+        |mx AS (SELECT max(t) AS mt FROM p2)
+        |SELECT id, t,
+        |  CASE WHEN g > mx.mt THEN 0 ELSE g END AS g,
+        |  ROUND(y, 2) AS y, 1.0 AS w
+        |FROM p2, mx""".stripMargin),
 
     "q_distinct_periods" ->
       withPanelCte("SELECT DISTINCT t FROM panel ORDER BY t"),

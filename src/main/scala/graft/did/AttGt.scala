@@ -127,7 +127,12 @@ object AttGt {
     for (g <- pp.glist; tI <- 0 until tlistLen) {
       val tn = tlist(tI + tfac)
       var pret = tI
-      if (basePeriod == "universal" || g < tn) {
+      // NB: the reference adjusts the base only for `g < tn`
+      // (`csdids/ATTgt.py:299`); the R `did` original adjusts for every
+      // post period (`t >= g`). The two differ only for the g == tn cell
+      // under anticipation > 0 — we follow the R intended semantics
+      // (SURVEY.md §7.5), identical to the reference at anticipation = 0.
+      if (basePeriod == "universal" || g <= tn) {
         val candidates = tlist.indices.filter(s => tlist(s) + anticipation < g)
         if (candidates.isEmpty)
           throw new IllegalArgumentException(

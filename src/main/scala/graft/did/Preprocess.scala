@@ -53,7 +53,17 @@ object Preprocess {
       .withColumn("w", weightsName.map(col).getOrElse(lit(1.0)).cast("double"))
       .select((roleCols.map(col) :+ col("w")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nPre = projected.count()
+    // ONE action: total rows + all-null rows (the `na.drop('all')`
+    // diagnostic, ATTgt.py:98-102) — also materializes the cache.
+    val allNull = (roleCols.map(c => col(c).isNull) :+ col("w").isNull)
+      .reduce(_ && _)
+    val cntRow = projected.agg(count(lit(1)),
+      count(when(allNull, 1))).first()
+    val nPre = cntRow.getLong(0)
+    val nDropped = cntRow.getLong(1)
+    if (nDropped != 0)
+      System.err.println(
+        s"[graft.did] Dropped $nDropped rows from original data due to missing data")
 
     var df = projected
       .na.drop("all")
@@ -65,23 +75,20 @@ object Preprocess {
       .withColumn("yy", col(yname).cast("double"))
       .withColumn("gg", col(gname).cast("double"))
 
-    val nPost = df.count()
-    if (nPre - nPost != 0)
-      System.err.println(
-        s"[graft.did] Dropped ${nPre - nPost} rows from original data due to missing data")
-
-    // One pass: max(t) for the never-treated recode (ATTgt.py:111-118).
-    val maxT = df.agg(max("tt")).first().getDouble(0)
-    df = df.withColumn("gg", when(col("gg") > maxT, 0.0).otherwise(col("gg")))
-
+    // ONE pass for both distinct lists; max(t) for the never-treated
+    // recode (ATTgt.py:111-118) falls out of tlist, and the recode is
+    // applied to glist driver-side (the column recode stays lazy).
     def distinctLists(d: DataFrame): (Vector[Double], Vector[Double]) = {
       val row = d.agg(collect_set("tt"), collect_set("gg")).first()
       val t = row.getSeq[Double](0).toVector.sorted
       val g = row.getSeq[Double](1).toVector.sorted
       (t, g)
     }
-
-    var (tlist, glistAll) = distinctLists(df)
+    var (tlist, glistRaw) = distinctLists(df)
+    val maxT = tlist.last
+    df = df.withColumn("gg", when(col("gg") > maxT, 0.0).otherwise(col("gg")))
+    var glistAll =
+      glistRaw.map(g => if (g > maxT) 0.0 else g).distinct.sorted
 
     // No never-treated units (ATTgt.py:120-128).
     if (!glistAll.contains(0.0)) {
@@ -99,11 +106,33 @@ object Preprocess {
     var fp = tlist.head
     var glist = glistAll.filter(g => g > 0 && g > fp + anticipation)
 
+    // ONE rollup pass: per-cohort row counts + distinct-unit counts and
+    // the grand totals. Feeds the already-treated-at-first-period drop
+    // (ATTgt.py:135-156), the unit count n (:188), and the small-group
+    // warning (:199-216) without three more jobs.
+    def cohortStats(d: DataFrame)
+        : (Map[Double, (Long, Long)], Long, Long) = {
+      val rows = d.rollup("gg")
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col(idname)).as("uids"),
+          grouping(col("gg")).as("istot"))
+        .collect()
+      def istot(r: org.apache.spark.sql.Row): Int =
+        r.getAs[Number](3).intValue
+      val per = rows.filter(istot(_) == 0)
+        .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val tot = rows.find(istot(_) == 1).get
+      (per, tot.getLong(1), tot.getLong(2))
+    }
+    var (perCohort, totRows, totUnits) = cohortStats(df)
+
     // Drop units already treated in the first period (ATTgt.py:135-156).
-    val treatedFp = (col("gg") <= fp) && (col("gg") =!= 0.0)
-    val nFirstPeriod =
-      if (panel && !allowUnbalancedPanel) df.filter(treatedFp).count()
-      else df.filter(treatedFp).select(idname).distinct().count()
+    def firstPeriodTreated(per: Map[Double, (Long, Long)]): Long =
+      per.collect {
+        case (g, (cnt, uids)) if g != 0.0 && g <= fp =>
+          if (panel && !allowUnbalancedPanel) cnt else uids
+      }.sum
+    val nFirstPeriod = firstPeriodTreated(perCohort)
     if (nFirstPeriod > 0) {
       System.err.println(
         s"[graft.did] Dropped $nFirstPeriod units that were already treated in the first period.")
@@ -113,6 +142,8 @@ object Preprocess {
       tlist = lists._1
       fp = tlist.head
       glist = lists._2.filter(g => g > 0 && g > fp + anticipation)
+      val stats = cohortStats(df)
+      perCohort = stats._1; totRows = stats._2; totUnits = stats._3
     }
 
     // Regime selection (ATTgt.py:158-188). Default flags downgrade
@@ -134,10 +165,12 @@ object Preprocess {
     df = df.withColumn("w1", col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Batched final pass: unit count + per-cohort sizes (ATTgt.py:188-216).
+    // Unit count n (ATTgt.py:188): derived from the rollup stats — only
+    // the balanced-panel regime needs its own first-period row count.
     val n =
       if (effPanel) df.filter(col("tt") === fp).count()
-      else df.select("rowid").distinct().count()
+      else if (trueRcs) totRows // every row is its own unit
+      else totUnits
 
     if (glist.isEmpty)
       throw new IllegalArgumentException(
@@ -148,10 +181,9 @@ object Preprocess {
 
     val nCov = cfg.covariates.length
     val reqSize = nCov + 5
-    val small = df.groupBy("gg").count()
-      .withColumn("count", col("count") / tlist.length)
-      .filter(col("count") < reqSize)
-      .collect().map(_.getDouble(0))
+    val small = perCohort.collect {
+      case (g, (cnt, _)) if cnt.toDouble / tlist.length < reqSize => g
+    }.toSeq.sorted
     if (small.nonEmpty) {
       System.err.println(
         s"[graft.did] Small groups in data; check cohorts: ${small.mkString(",")}")

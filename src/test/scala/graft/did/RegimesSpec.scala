@@ -1,0 +1,91 @@
+package graft.did
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parameter-surface coverage beyond the default regime (FIXTURES.md
+  * §1.3): anticipation, true repeated cross-sections, clustered
+  * bootstrap, and the est_method callable extension point. */
+class RegimesSpec extends AnyFunSuite with SparkSpec {
+  import TestPanels._
+
+  test("anticipation=1 shifts the base period and drops early cohorts") {
+    val pp = Preprocess.run(staggered(spark, nUnits = 400, noise = 0.05),
+      cfg.copy(anticipation = 1))
+    // glist: g > firstPeriod + anticipation = 2
+    assert(pp.glist.forall(_ > 2.0))
+    val fit = AttGt.fit(pp, estMethod = "dr")
+    fit.cells.indices.foreach { i =>
+      val c = fit.cells(i)
+      // base period satisfies tpre + anticipation < g
+      assert(c.tpre + 1 < c.g || c.g > c.tn,
+        s"cell (g=${c.g}, t=${c.tn}) base ${c.tpre}")
+      // DGP has no anticipation effect, so truth is unchanged
+      val truth = if (c.g <= c.tn) c.tn - c.g + 1.0 else 0.0
+      if (c.g <= c.tn)
+        assert(math.abs(fit.att(i) - truth) < 0.05,
+          s"cell (g=${c.g}, t=${c.tn}): ${fit.att(i)} vs $truth")
+    }
+    fit.unpersist(); pp.unpersist()
+  }
+
+  test("true repeated cross-section regime (panel=false) recovers truth") {
+    val pp = Preprocess.run(staggered(spark, nUnits = 500, noise = 0.05),
+      cfg.copy(panel = false))
+    assert(pp.trueRepCrossSection && !pp.panel)
+    // every observation is its own unit
+    assert(pp.n == 500L * 6)
+    val fit = AttGt.fit(pp, estMethod = "dr")
+    fit.cells.indices.foreach { i =>
+      val c = fit.cells(i)
+      val truth = if (c.g <= c.tn) c.tn - c.g + 1.0 else 0.0
+      // unit fixed effects are noise here (no differencing within unit),
+      // so the tolerance is looser than the panel tests
+      assert(math.abs(fit.att(i) - truth) < 0.4,
+        s"cell (g=${c.g}, t=${c.tn}): ${fit.att(i)} vs $truth")
+    }
+    fit.unpersist(); pp.unpersist()
+  }
+
+  test("clustered bootstrap: cluster-mean IF, finite SEs") {
+    val pp = Preprocess.run(staggered(spark, nUnits = 200, noise = 0.1), cfg)
+    val fit = AttGt.fit(pp, estMethod = "dr")
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 clusters of units (unit id mod 10)
+    val clusters = fit.ifTable.select("rowid").distinct()
+      .withColumn("cluster", pmod(col("rowid").cast("long"), lit(10)))
+    val r = MBoot.runClustered(fit.ifTable, clusters, fit.cells.length,
+      biters = 499, alp = 0.05, seed = 11L)
+    val finite = r.se.filter(s => !s.isNaN)
+    assert(finite.nonEmpty)
+    finite.foreach(s => assert(s > 0 && java.lang.Double.isFinite(s)))
+    assert(r.critVal >= Stats.normPpf(0.9) || r.critVal.isNaN)
+    fit.unpersist(); pp.unpersist()
+  }
+
+  test("est_method callable: custom estimator drives the surface") {
+    val pp = Preprocess.run(staggered(spark, nUnits = 120), cfg)
+    // difference-in-means estimator with zero influence (degenerate SEs)
+    val custom = new RcCellEstimator {
+      def estimate(cell: RcCell): (Double, Array[Double]) = {
+        def m(d: Double, p: Double): Double = {
+          val sel = cell.y.indices.filter(i =>
+            cell.d(i) == d && cell.post(i) == p)
+          sel.map(cell.y).sum / sel.size
+        }
+        ((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)),
+          Array.fill(cell.y.length)(0.0))
+      }
+    }
+    val fit = AttGt.fit(pp, customRc = Some(custom))
+    val ref = AttGt.fit(pp, estMethod = "dr")
+    fit.att.indices.foreach { i =>
+      if (!fit.skipped(i) && !ref.skipped(i))
+        assert(math.abs(fit.att(i) - ref.att(i)) < 1e-8,
+          s"cell $i: ${fit.att(i)} vs ${ref.att(i)}")
+    }
+    fit.unpersist(); ref.unpersist(); pp.unpersist()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.did.{AttGt, Preprocess, TestPanels}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class PanelSourceSpec extends AnyFunSuite with SparkSpec {
+
+  test("CSV roundtrip: inferred and explicit schemas agree end-to-end") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val panel = TestPanels.staggered(spark, nUnits = 60)
+    panel.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/panel")
+
+    val inferred = PanelSource.readCsv(spark, s"$dir/panel")
+    val explicit = PanelSource.readCsv(spark, s"$dir/panel",
+      Some("id INT, period INT, y DOUBLE, g INT, x1 DOUBLE, x2 DOUBLE, wgt DOUBLE"))
+    assert(inferred.count() == panel.count())
+    assert(explicit.count() == panel.count())
+
+    // same ATT surface from either ingest path
+    val f1 = AttGt.fit(Preprocess.run(inferred, TestPanels.cfg))
+    val f2 = AttGt.fit(Preprocess.run(explicit, TestPanels.cfg))
+    f1.att.indices.foreach(i =>
+      assert(math.abs(f1.att(i) - f2.att(i)) < 1e-12))
+    f1.unpersist(); f2.unpersist()
+  }
+
+  test("parquet write/read roundtrip preserves the result table") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val pp = Preprocess.run(TestPanels.staggered(spark, nUnits = 60),
+      TestPanels.cfg)
+    val fit = AttGt.fit(pp)
+    PanelSource.writeParquet(fit.resultDF, s"$dir/att")
+    val back = PanelSource.readParquet(spark, s"$dir/att")
+    assert(back.count() == fit.cells.length)
+    fit.unpersist(); pp.unpersist()
+  }
+}
