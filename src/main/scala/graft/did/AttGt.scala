@@ -79,8 +79,8 @@ object AttGt {
       maxDriverCellRows: Long = 10L * 1000 * 1000): AttGtFit = {
     require(basePeriod == "varying" || basePeriod == "universal",
       s"basePeriod must be varying|universal: $basePeriod")
-    require(Set("dr", "reg").contains(estMethod) || customRc.nonEmpty,
-      s"estMethod must be dr|reg or provide customRc: $estMethod")
+    require(Set("dr", "reg", "ipw").contains(estMethod) || customRc.nonEmpty,
+      s"estMethod must be dr|reg|ipw or provide customRc: $estMethod")
 
     val cells = buildCells(pp, basePeriod)
     val fitres =
@@ -236,7 +236,9 @@ object AttGt {
         val mu01 = wy01 / w01; val mu00 = wy00 / w00
         att(i) = (mu11 - mu01) - (mu10 - mu00)
         post(i) = cells(i).postTreat
-        if (estMethod == "dr") {
+        if (estMethod == "dr" || estMethod == "ipw") {
+          // intercept-only dr and ipw share this closed form: the
+          // propensity is constant, all estimation-effect terms vanish
           consts(i) = (mu11, mu10, mu01, mu00,
             ncell / w11, -ncell / w10, -ncell / w01, ncell / w00)
         } else { // reg: same treated terms; control terms scaled by the
@@ -294,8 +296,11 @@ object AttGt {
         "raise maxDriverCellRows")
 
     val byCell = collected.groupBy(_.getInt(0))
-    val est: RcCellEstimator = customRc.getOrElse(
-      if (estMethod == "dr") CellEstimators.DrDidRc else CellEstimators.RegDidRc)
+    val est: RcCellEstimator = customRc.getOrElse(estMethod match {
+      case "reg" => CellEstimators.RegDidRc
+      case "ipw" => CellEstimators.IpwDidRc
+      case _ => CellEstimators.DrDidRc
+    })
 
     val att = Array.fill(cells.length)(0.0)
     val post = Array.fill(cells.length)(0)
@@ -376,9 +381,11 @@ object AttGt {
       s"panel path collects per-cell arrays (${collected.length} rows)")
     val byCell = collected.groupBy(_.getInt(0))
 
-    val est: PanelCellEstimator =
-      if (estMethod == "reg") CellEstimators.RegDidPanel
-      else CellEstimators.DrDidPanel
+    val est: PanelCellEstimator = estMethod match {
+      case "reg" => CellEstimators.RegDidPanel
+      case "ipw" => CellEstimators.IpwDidPanel
+      case _ => CellEstimators.DrDidPanel
+    }
 
     val att = Array.fill(cells.length)(0.0)
     val post = Array.fill(cells.length)(0)

@@ -261,6 +261,100 @@ object CellEstimators {
     }
   }
 
+  /** Hajek (standardized) IPW DiD, repeated cross sections — EXTENSION:
+    * the reference prints an `'ipw'` banner but never wires the method
+    * (`csdids/utils_aggte.py:184-187`, SURVEY.md §7.5e). Abadie-style
+    * propensity weighting of the four (D, post) buckets; the influence
+    * function carries the propensity estimation effect via the identity
+    * `d(w_cont)/d(gamma) = w_cont * X` (odds weights are exp(X gamma)),
+    * so `d eta_C / d gamma = E[w_C X (y - eta_C)] / E[w_C]` — which
+    * vanishes for intercept-only X (the distributed closed form in AttGt
+    * is exact there). */
+  object IpwDidRc extends RcCellEstimator {
+    def estimate(cell: RcCell): (Double, Array[Double]) = {
+      val n = cell.n
+      val x = cell.cov
+      val y = DenseVector(cell.y)
+      val d = DenseVector(cell.d)
+      val post = DenseVector(cell.post)
+      val iw = DenseVector(cell.w) /:/ meanOf(DenseVector(cell.w))
+      val one = DenseVector.ones[Double](n)
+
+      val gamma = logisticIrls(x, d, iw)
+      val ps = (x * gamma).map(e =>
+        math.min(1.0 / (1.0 + math.exp(-e)), 1 - 1e-16))
+      val psOdds = ps /:/ (one - ps)
+
+      val wTreatPre = iw *:* d *:* (one - post)
+      val wTreatPost = iw *:* d *:* post
+      val wContPre = iw *:* psOdds *:* (one - d) *:* (one - post)
+      val wContPost = iw *:* psOdds *:* (one - d) *:* post
+
+      def etaOf(wv: DenseVector[Double]): Double =
+        meanOf(wv *:* y) / meanOf(wv)
+      val etaTPre = etaOf(wTreatPre); val etaTPost = etaOf(wTreatPost)
+      val etaCPre = etaOf(wContPre); val etaCPost = etaOf(wContPost)
+      val att = (etaTPost - etaTPre) - (etaCPost - etaCPre)
+
+      val psScoreRows = x(::, *) *:* (iw *:* (d - ps))
+      val psHessInv = inv(
+        x.t * (x(::, *) *:* (iw *:* ps *:* (one - ps))) /:/ n.toDouble)
+      val repPs = psScoreRows * psHessInv
+
+      def colMeansW(wv: DenseVector[Double]): DenseVector[Double] = {
+        val m = x(::, *) *:* wv
+        bsum(m(::, *)).t /:/ n.toDouble
+      }
+      def infOf(wv: DenseVector[Double], etaV: Double,
+          psCorrected: Boolean): DenseVector[Double] = {
+        val base = (wv *:* (y - etaV)) /:/ meanOf(wv)
+        if (!psCorrected) base
+        else base + (repPs * (colMeansW(wv *:* (y - etaV)) /:/ meanOf(wv)))
+      }
+      val inf =
+        infOf(wTreatPost, etaTPost, psCorrected = false) -
+        infOf(wTreatPre, etaTPre, psCorrected = false) -
+        (infOf(wContPost, etaCPost, psCorrected = true) -
+         infOf(wContPre, etaCPre, psCorrected = true))
+      (att, inf.toArray)
+    }
+  }
+
+  /** Hajek IPW DiD, balanced panel — EXTENSION, see [[IpwDidRc]]. */
+  object IpwDidPanel extends PanelCellEstimator {
+    def estimate(cell: PanelCell): (Double, Array[Double]) = {
+      val n = cell.n
+      val x = cell.cov
+      val d = DenseVector(cell.d)
+      val dy = DenseVector(cell.yPost) - DenseVector(cell.yPre)
+      val iw = DenseVector(cell.w) /:/ meanOf(DenseVector(cell.w))
+      val one = DenseVector.ones[Double](n)
+
+      val gamma = logisticIrls(x, d, iw)
+      val ps = (x * gamma).map(e =>
+        math.min(1.0 / (1.0 + math.exp(-e)), 1 - 1e-16))
+      val wTreat = iw *:* d
+      val wCont = iw *:* (ps /:/ (one - ps)) *:* (one - d)
+
+      val etaT = meanOf(wTreat *:* dy) / meanOf(wTreat)
+      val etaC = meanOf(wCont *:* dy) / meanOf(wCont)
+      val att = etaT - etaC
+
+      val psScoreRows = x(::, *) *:* (iw *:* (d - ps))
+      val psHessInv = inv(
+        x.t * (x(::, *) *:* (iw *:* ps *:* (one - ps))) /:/ n.toDouble)
+      val repPs = psScoreRows * psHessInv
+      def colMeansW(wv: DenseVector[Double]): DenseVector[Double] = {
+        val m = x(::, *) *:* wv
+        bsum(m(::, *)).t /:/ n.toDouble
+      }
+      val infT = (wTreat *:* (dy - etaT)) /:/ meanOf(wTreat)
+      val infC = ((wCont *:* (dy - etaC)) /:/ meanOf(wCont)) +
+        (repPs * (colMeansW(wCont *:* (dy - etaC)) /:/ meanOf(wCont)))
+      (att, (infT - infC).toArray)
+    }
+  }
+
   /** Doubly-robust DiD, balanced panel (`drdid.drdid_panel`, the
     * reference's intended-but-broken panel path — SURVEY.md §7.5a). */
   object DrDidPanel extends PanelCellEstimator {

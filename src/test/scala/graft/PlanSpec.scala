@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions over real testdata — the scale
+  * properties the DataFrame code is designed for (filters reach the
+  * parquet scan, projections prune the read schema, small sides
+  * broadcast, hot paths stay inside whole-stage codegen). Guards
+  * against silent plan regressions the value-level tests can't see. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Build + render the physical plan with AQE off: the adaptive
+    * wrapper hides scan/codegen nodes until execution, and the static
+    * plan is what these shape assertions are about (production keeps
+    * AQE on). */
+  private def withStaticPlan[T](f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushes into the parquet scan") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q1_lineitem_agg")(spark, dir))
+      assert(plan.contains(
+        "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+        s"no pushed filter in:\n$plan")
+    }
+  }
+
+  test("q1: read schema is pruned to the referenced columns") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q1_lineitem_agg")(spark, dir)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      val readCols = scans.head.requiredSchema.fieldNames.toSet
+      assert(readCols == Set("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_shipdate"),
+        s"scan reads $readCols")
+    }
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q1_lineitem_agg")(spark, dir))
+      // "*(n)" prefixes mark whole-stage-codegen'd spans
+      assert(plan.contains("*(1)") && plan.contains("*(2)"),
+        s"no codegen stars in:\n$plan")
+      assert(plan.contains("HashAggregate"))
+      assert(plan.contains("partial_"), "no map-side partial aggregate")
+    }
+  }
+
+  test("cell-means grid join broadcasts the tiny (g,t) grid") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_cell_means_2x2")(spark, dir))
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"no broadcast in:\n$plan")
+    }
+  }
+
+  test("panel view aggregates with a partial (map-side) aggregate") {
+    withStaticPlan {
+      val plan = planOf(PanelView.of(spark, dir))
+      assert(plan.contains("partial_"), s"no partial agg in:\n$plan")
+    }
+  }
+
+  test("sessionization has no global sort") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_sessionize")(spark, dir))
+      // window sorts are within user_id partitions; a global Sort
+      // (global=true) would be a scale bug
+      assert(!plan.contains("Sort ["  + "] true") &&
+        !plan.matches("(?s).*Sort \\[[^\\]]+\\], true,.*"),
+        s"global sort found in:\n$plan")
+    }
+  }
+
+  test("jaccard prefix self-join is an equi-join on the shingle hash") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_ngram_jaccard")(spark, dir))
+      // candidate generation must hash-join on h, never nested-loop the
+      // full corpus against itself
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"), s"no hash join in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), "cartesian product!")
+    }
+  }
+}

@@ -65,6 +65,39 @@ class RegimesSpec extends AnyFunSuite with SparkSpec {
     fit.unpersist(); pp.unpersist()
   }
 
+  test("ipw: intercept-only distributed form equals the collected IpwDidRc") {
+    val pp = Preprocess.run(staggered(spark, nUnits = 150), cfg)
+    val dist = AttGt.fit(pp, estMethod = "ipw")
+    val coll = AttGt.fit(pp, estMethod = "ipw",
+      customRc = Some(CellEstimators.IpwDidRc))
+    dist.att.indices.foreach { i =>
+      assert(math.abs(dist.att(i) - coll.att(i)) < 1e-8)
+      assert(math.abs(dist.seAnalytic(i) - coll.seAnalytic(i)) < 1e-8,
+        s"se cell $i: ${dist.seAnalytic(i)} vs ${coll.seAnalytic(i)}")
+    }
+    dist.unpersist(); coll.unpersist(); pp.unpersist()
+  }
+
+  test("ipw with covariates recovers DGP truth (rc and panel paths)") {
+    val data = staggered(spark, nUnits = 300, noise = 0.05)
+    for (balanced <- Seq(false, true)) {
+      val pp = Preprocess.run(data,
+        cfg.copy(xfmla = Some("y ~ x1 + x2"),
+          allowUnbalancedPanel = !balanced))
+      val fit = AttGt.fit(pp, estMethod = "ipw")
+      fit.cells.indices.foreach { i =>
+        val c = fit.cells(i)
+        val truth = if (c.g <= c.tn) c.tn - c.g + 1.0 else 0.0
+        assert(math.abs(fit.att(i) - truth) < 0.08,
+          s"balanced=$balanced cell (g=${c.g}, t=${c.tn}): ${fit.att(i)} vs $truth")
+        if (!fit.skipped(i))
+          assert(fit.seAnalytic(i) > 0 &&
+            java.lang.Double.isFinite(fit.seAnalytic(i)))
+      }
+      fit.unpersist(); pp.unpersist()
+    }
+  }
+
   test("est_method callable: custom estimator drives the surface") {
     val pp = Preprocess.run(staggered(spark, nUnits = 120), cfg)
     // difference-in-means estimator with zero influence (degenerate SEs)
