@@ -88,6 +88,11 @@ object AttGt {
         fitPanelCollect(pp, cells, estMethod, customRc, maxDriverCellRows)
       else if (pp.config.interceptOnly && customRc.isEmpty)
         fitRcDistributed(pp, cells, estMethod)
+      else if (customRc.isEmpty &&
+          DistributedRc.supports(estMethod, pp.config.covariates.length))
+        // covariate scale path: Gram/moment aggregations + broadcast
+        // constants, nothing O(rows) at the driver (DistributedRc)
+        DistributedRc.fit(pp, cells, estMethod, longForm(pp, cells))
       else
         fitRcCollect(pp, cells, estMethod, customRc, maxDriverCellRows)
     val (att, post, skipped, ifTable) = fitres

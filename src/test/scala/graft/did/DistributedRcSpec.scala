@@ -1,0 +1,52 @@
+package graft.did
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed covariate path must reproduce the collect-path
+  * estimators (Breeze on raw arrays) exactly: same ATT, same analytic
+  * SEs, cell by cell. `customRc` forces the collect path. */
+class DistributedRcSpec extends AnyFunSuite with SparkSpec {
+  import TestPanels._
+
+  private lazy val pp = Preprocess.run(
+    staggered(spark, nUnits = 200, noise = 0.1),
+    cfg.copy(xfmla = Some("y ~ x1 + x2")))
+
+  for (m <- Seq("dr", "reg", "ipw")) {
+    test(s"$m with covariates: distributed == collected to 1e-8") {
+      val est = m match {
+        case "dr" => CellEstimators.DrDidRc
+        case "reg" => CellEstimators.RegDidRc
+        case _ => CellEstimators.IpwDidRc
+      }
+      val dist = AttGt.fit(pp, estMethod = m)
+      val coll = AttGt.fit(pp, estMethod = m, customRc = Some(est))
+      dist.att.indices.foreach { i =>
+        assert(dist.skipped(i) == coll.skipped(i), s"skip mismatch cell $i")
+        if (!dist.skipped(i)) {
+          assert(math.abs(dist.att(i) - coll.att(i)) < 1e-8,
+            s"$m att cell $i: ${dist.att(i)} vs ${coll.att(i)}")
+          assert(math.abs(dist.seAnalytic(i) - coll.seAnalytic(i)) < 1e-8,
+            s"$m se cell $i: ${dist.seAnalytic(i)} vs ${coll.seAnalytic(i)}")
+        }
+      }
+      dist.unpersist(); coll.unpersist()
+    }
+  }
+
+  test("weighted run: distributed == collected with sampling weights") {
+    val ppW = Preprocess.run(staggered(spark, nUnits = 200, noise = 0.1),
+      cfg.copy(xfmla = Some("y ~ x1"), weightsName = Some("wgt")))
+    val dist = AttGt.fit(ppW, estMethod = "dr")
+    val coll = AttGt.fit(ppW, estMethod = "dr",
+      customRc = Some(CellEstimators.DrDidRc))
+    dist.att.indices.foreach { i =>
+      if (!dist.skipped(i)) {
+        assert(math.abs(dist.att(i) - coll.att(i)) < 1e-8)
+        assert(math.abs(dist.seAnalytic(i) - coll.seAnalytic(i)) < 1e-8)
+      }
+    }
+    dist.unpersist(); coll.unpersist(); ppW.unpersist()
+  }
+}
