@@ -178,6 +178,28 @@ object SparkEntry {
         .select(col("group").as("g"), col("time").as("t"),
           round(col("att"), 4).as("att"))),
 
+    // §2.7 covariate (xfmla) doubly-robust run via the distributed
+    // Gram/moment path (DistributedRc) — customer balance as covariate;
+    // rows-only (IRLS is not SQL-expressible; parity is pinned by
+    // DistributedRcSpec against the Breeze collect path)
+    "q_att_gt_cov" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"),
+          (col("c_acctbal") / 1000.0).as("x1"))
+      val panel = pv(s, dir).join(broadcast(cust), "id")
+      val pp = Preprocess.run(panel,
+        PanelView.config.copy(xfmla = Some("y ~ x1")))
+      val f = AttGt.fit(pp)
+      import s.implicits._
+      val out = f.cells.indices.filterNot(f.skipped).map { i =>
+        (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(f.att(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(f.seAnalytic(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("g", "t", "att", "se")
+      f.unpersist(); pp.unpersist()
+      out
+    }),
+
     // §2.9 simple aggregation — overall ATT (SQL-expressible weights)
     "q_aggte_simple" -> ((s, dir) =>
       singleValue(s, "att", Aggte.simple(prepFor(s, dir)).overallAtt)),

@@ -36,9 +36,18 @@ object Aggte {
       pgByCohort: Map[Double, Double], // original cohort -> pg
       pg: Array[Double],     // per-cell pg
       origCohortOfCell: Array[Double],
-      n: Long)
+      n: Long,
+      cellIds: Array[Int],   // position -> ifTable cell id (na_rm shifts)
+      attCell: Array[Double],
+      naRm: Boolean) {
+    def att(k: Int): Double = attCell(k)
+  }
 
-  def prepare(fit: AttGtFit): Prep = {
+  /** `naRm` drops cells whose ATT estimate is NaN before aggregating
+    * (`csdids/ATTgt.py:565-590`); without it any NaN raises, like the
+    * reference. Skipped-degenerate cells carry att=0 (reference
+    * `add_att_data()` default) and are NOT pruned. */
+  def prepare(fit: AttGtFit, naRm: Boolean = false): Prep = {
     val pp = fit.pp
     // Per-unit weights and cohort (`csdids/ATTgt.py:591-601`).
     val units0 =
@@ -51,14 +60,22 @@ object Aggte {
           .agg(avg("w1").as("wbar"), avg("gg").as("gbar"))
     val units = units0.persist()
 
+    // na_rm pruning (`csdids/ATTgt.py:565-590`) or NaN rejection.
+    val keep = fit.cells.indices.filter(i => !fit.att(i).isNaN).toArray
+    if (!naRm && keep.length != fit.cells.length)
+      throw new IllegalArgumentException(
+        "Missing values at att_gt found. If you want to remove these, set naRm = true.")
+
     // orig2t recode (`csdids/ATTgt.py:604-629`).
-    val origCohort = fit.cells.map(_.g).toArray
-    val origT = fit.cells.map(_.tn).toArray
+    val origCohort = keep.map(i => fit.cells(i).g)
+    val origT = keep.map(i => fit.cells(i).tn)
+    val attCell = keep.map(fit.att)
     val gtlist = (pp.tlist ++ pp.glist).distinct.sorted
     val orig2t = gtlist.zipWithIndex.map { case (v, i) => v -> i.toDouble }.toMap
     val group = origCohort.map(orig2t)
     val t = origT.map(orig2t)
-    val glist = pp.glist.map(orig2t).toArray
+    val keptCohorts = origCohort.distinct.sorted.toSeq
+    val glist = pp.glist.filter(keptCohorts.contains).map(orig2t).toArray
     val tlistR = t.distinct.sorted
 
     // pg: cohort probability weights pg[g] = mean(wbar * 1{gbar==g})
@@ -70,9 +87,10 @@ object Aggte {
     val pgByCohort = pp.glist.zipWithIndex
       .map { case (g, i) => g -> row.getDouble(i) / n }.toMap
     val pg = origCohort.map(pgByCohort)
+    val origGlist = pp.glist.filter(keptCohorts.contains).toArray
 
-    Prep(fit, units, group, t, glist, tlistR, pp.glist.toArray,
-      pgByCohort, pg, origCohort, n)
+    Prep(fit, units, group, t, glist, tlistR, origGlist,
+      pgByCohort, pg, origCohort, n, keep, attCell, naRm)
   }
 
   /** wif coefficients for one aggregation over `keepers`
@@ -83,9 +101,9 @@ object Aggte {
   private def wifCoefFor(p: Prep, keepers: Seq[Int]): Map[Double, Double] = {
     val s = keepers.map(p.pg).sum
     val byG = keepers.groupBy(k => p.origCohortOfCell(k))
-    val c2 = keepers.map(k => p.fit.att(k) * p.pg(k)).sum / (s * s)
+    val c2 = keepers.map(k => p.att(k) * p.pg(k)).sum / (s * s)
     byG.map { case (g, ks) =>
-      g -> (ks.map(k => p.fit.att(k)).sum / s - c2 * ks.size)
+      g -> (ks.map(k => p.att(k)).sum / s - c2 * ks.size)
     }
   }
 
@@ -100,7 +118,9 @@ object Aggte {
       : DataFrame = {
     val spark = p.fit.ifTable.sparkSession
     import spark.implicits._
-    val wdf = cellWts.toDF("cell", "midx", "wt")
+    // positions -> ifTable cell ids (differ after na_rm pruning)
+    val wdf = cellWts.map { case (k, m, w) => (p.cellIds(k), m, w) }
+      .toDF("cell", "midx", "wt")
     val base = p.fit.ifTable.join(broadcast(wdf), "cell")
       .groupBy("rowid", "midx").agg(sum(col("inf") * col("wt")).as("v"))
       .select("rowid", "midx", "v")
@@ -142,7 +162,7 @@ object Aggte {
     val keepers = p.group.indices
       .filter(i => p.group(i) <= p.t(i) && p.t(i) <= p.group(i) + maxE)
     val s = keepers.map(p.pg).sum
-    val att = keepers.map(k => p.fit.att(k) * p.pg(k)).sum / s
+    val att = keepers.map(k => p.att(k) * p.pg(k)).sum / s
     val fam = familyIF(p,
       keepers.map(k => (k, 0, p.pg(k) / s)),
       wifCoefFor(p, keepers).toSeq.map { case (g, c) => (0, g, c) })
@@ -168,7 +188,7 @@ object Aggte {
       (gi, which, which.map(p.pg).sum)
     }
     val attEgt = perG.map { case (_, which, _) =>
-      which.map(p.fit.att).sum / which.size
+      which.map(p.att).sum / which.size
     }.toArray
 
     // overall member nG: pgg-weighted mean of cohort IFs + cohort-level
@@ -222,7 +242,7 @@ object Aggte {
     val perT = calT.map { t1 =>
       val which = p.t.indices.filter(i => p.t(i) == t1 && p.group(i) <= p.t(i))
       val s = which.map(p.pg).sum
-      val att = which.map(k => p.fit.att(k) * p.pg(k)).sum / s
+      val att = which.map(k => p.att(k) * p.pg(k)).sum / s
       (t1, which, s, att)
     }
 
@@ -280,7 +300,7 @@ object Aggte {
       val which = p.t.indices.filter(i =>
         p.t(i) - p.group(i) == e && e >= minE && e <= maxE)
       val s = which.map(p.pg).sum
-      val att = which.map(k => p.fit.att(k) * p.pg(k)).sum / s
+      val att = which.map(k => p.att(k) * p.pg(k)).sum / s
       (e, which, s, att)
     }
     val post = perE.filter(_._1 >= 0)

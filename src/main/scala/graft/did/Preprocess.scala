@@ -112,17 +112,16 @@ object Preprocess {
     // warning (:199-216) without three more jobs.
     def cohortStats(d: DataFrame)
         : (Map[Double, (Long, Long)], Long, Long) = {
-      val rows = d.rollup("gg")
-        .agg(count(lit(1)).as("cnt"),
-          count_distinct(col(idname)).as("uids"),
-          grouping(col("gg")).as("istot"))
+      // NB: rollup(gg) + count_distinct would do this in one job, but
+      // Spark's ambiguous-self-join check misfires on rollup's Expand
+      // whenever the input lineage contains ANY join — two plain
+      // aggregations on the cached frame instead.
+      val per = d.groupBy("gg")
+        .agg(count(lit(1)).as("cnt"), count_distinct(col(idname)).as("uids"))
         .collect()
-      def istot(r: org.apache.spark.sql.Row): Int =
-        r.getAs[Number](3).intValue
-      val per = rows.filter(istot(_) == 0)
         .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val tot = rows.find(istot(_) == 1).get
-      (per, tot.getLong(1), tot.getLong(2))
+      val tot = d.agg(count(lit(1)), count_distinct(col(idname))).first()
+      (per, tot.getLong(0), tot.getLong(1))
     }
     var (perCohort, totRows, totUnits) = cohortStats(df)
 

@@ -3,6 +3,27 @@ package graft.did
 import graft.SparkSpec
 import org.scalatest.funsuite.AnyFunSuite
 
+class NaRmSpec extends AnyFunSuite with SparkSpec {
+  import TestPanels._
+
+  test("NaN cells: prepare raises without naRm, prunes with it") {
+    val pp = Preprocess.run(staggered(spark, nUnits = 150), cfg)
+    val fit = AttGt.fit(pp)
+    val poisoned = fit.copy(att = fit.att.updated(0, Double.NaN))
+    intercept[IllegalArgumentException] { Aggte.prepare(poisoned) }
+    val p = Aggte.prepare(poisoned, naRm = true)
+    assert(p.attCell.length == fit.cells.length - 1)
+    assert(!p.attCell.exists(_.isNaN))
+    // cell ids still address the IF table correctly
+    val r = Aggte.simple(p)
+    assert(!r.overallAtt.isNaN && !r.overallSe.isNaN)
+    // group aggregation drops cohorts left without post cells
+    val rg = Aggte.group(p)
+    assert(rg.egt.nonEmpty && !rg.overallAtt.isNaN)
+    fit.unpersist(); pp.unpersist()
+  }
+}
+
 class AggteSpec extends AnyFunSuite with SparkSpec {
   import TestPanels._
 
