@@ -84,7 +84,10 @@ object AttGt {
 
     val cells = buildCells(pp, basePeriod)
     val fitres =
-      if (pp.panel)
+      if (pp.panel && customRc.isEmpty &&
+          DistributedPanel.supports(estMethod, pp.config.covariates.length))
+        DistributedPanel.fit(pp, cells, estMethod, panelWide(pp, cells))
+      else if (pp.panel)
         fitPanelCollect(pp, cells, estMethod, customRc, maxDriverCellRows)
       else if (pp.config.interceptOnly && customRc.isEmpty)
         fitRcDistributed(pp, cells, estMethod)
@@ -349,17 +352,14 @@ object AttGt {
     * cell (the reference's is broken — SURVEY.md §7.5a), then the panel
     * estimators with the reference's n/n1 influence rescale
     * (`csdids/ATTgt.py:374-376`). */
-  private def fitPanelCollect(
-      pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
-      customRc: Option[RcCellEstimator], maxRows: Long)
-      : (Array[Double], Array[Int], Array[Boolean], DataFrame) = {
+  /** Wide per-(cell, unit) frame: one pass builds pre/post outcomes for
+    * every cell via conditional aggregation — the scalable pivot
+    * (SURVEY.md §2.3). Columns: cell, rid, y1, y0, gg, w1, cg, covs. */
+  private def panelWide(pp: PreprocessedPanel, cells: Vector[CellDef])
+      : DataFrame = {
     val spark = pp.df.sparkSession
     import spark.implicits._
     val covNames = pp.config.covariates
-    val n = pp.n
-
-    // wide per-(cell, unit): one pass builds pre/post outcomes for every
-    // cell via conditional aggregation — the scalable pivot (SURVEY.md §2.3)
     val nyt = pp.config.controlGroup == "notyettreated"
     val grid = cells.filterNot(_.zeroCell)
       .map(c => (c.idx, c.g, c.tn, c.tpre, c.n2val))
@@ -368,7 +368,7 @@ object AttGt {
       if (nyt) (col("gg") === 0.0) ||
         ((col("gg") > col("cn2")) && (col("gg") =!= col("cg")))
       else col("gg") === 0.0
-    val wide = pp.df.join(broadcast(grid),
+    pp.df.join(broadcast(grid),
         (col("tt") === col("ctn")) || (col("tt") === col("ctpre")))
       .filter((col("gg") === col("cg")) || cCond)
       .groupBy(col("cell"), col("rowid").cast("string").as("rid"))
@@ -380,7 +380,18 @@ object AttGt {
           first("cg").as("cg")) ++
           covNames.map(c => first(col(c)).as(c))): _*)
       .na.drop(Seq("y1", "y0"))
+  }
 
+  private def fitPanelCollect(
+      pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
+      customRc: Option[RcCellEstimator], maxRows: Long)
+      : (Array[Double], Array[Int], Array[Boolean], DataFrame) = {
+    val spark = pp.df.sparkSession
+    import spark.implicits._
+    val covNames = pp.config.covariates
+    val n = pp.n
+
+    val wide = panelWide(pp, cells)
     val collected = wide.collect()
     require(collected.length <= maxRows,
       s"panel path collects per-cell arrays (${collected.length} rows)")

@@ -1,0 +1,251 @@
+package graft.did
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import breeze.linalg.{inv, DenseMatrix, DenseVector}
+
+/** Distributed covariate estimation for the balanced-panel regime —
+  * companion to [[DistributedRc]] (see its scaladoc for the design).
+  * Operates on the wide per-(cell, unit) frame (y1/y0 pivot) built in
+  * AttGt: one IRLS Gram pass per Newton step for the propensity, one
+  * pass for the control Δy regression, one moment pass, then the
+  * per-row influence function as a closed-form column expression. The
+  * reference's n/n1 influence rescale is folded into the final
+  * expression. Parity with [[CellEstimators.DrDidPanel]] /
+  * [[CellEstimators.RegDidPanel]] / [[CellEstimators.IpwDidPanel]] is
+  * asserted in DistributedRcSpec. */
+private[did] object DistributedPanel {
+
+  def supports(estMethod: String, p: Int): Boolean =
+    DistributedRc.supports(estMethod, p)
+
+  /** `wide` columns: cell, rid, y1, y0, gg, w1, cg, <covariates>. */
+  def fit(pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
+      wide: DataFrame)
+      : (Array[Double], Array[Int], Array[Boolean], DataFrame) = {
+    val spark = pp.df.sparkSession
+    import spark.implicits._
+    val covs = pp.config.covariates
+    val p = covs.length
+    val nCells = cells.length
+    val nTotal = pp.n
+
+    val lf = wide.select(Seq(col("cell"), col("rid").as("rowid"),
+      (col("y1") - col("y0")).as("dy"),
+      when(col("gg") === col("cg"), 1.0).otherwise(0.0).as("dd"),
+      col("w1")) ++ covs.map(col): _*)
+
+    def xj(j: Int): Column = col(covs(j))
+
+    // ---- pass 0: counts, treated/control presence, mean weight --------
+    val p0 = lf.groupBy("cell").agg(
+        count(lit(1)).as("n1"), sum("w1").as("sw"),
+        sum(col("dd")).as("nT"),
+        sum(lit(1.0) - col("dd")).as("nc"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    val att = Array.fill(nCells)(0.0)
+    val post = Array.fill(nCells)(0)
+    val skipped = Array.fill(nCells)(false)
+    val n1 = Array.fill(nCells)(0L)
+    val meanW = Array.fill(nCells)(1.0)
+    val live = cells.filterNot(_.zeroCell).map(_.idx).filter { i =>
+      p0.get(i) match {
+        case None => skipped(i) = true; false
+        case Some(r) =>
+          n1(i) = r.getLong(1)
+          meanW(i) = r.getDouble(2) / r.getLong(1)
+          val bad = r.getDouble(3) == 0.0 || r.getDouble(4) == 0.0
+          if (bad) skipped(i) = true
+          !bad
+      }
+    }
+    if (live.isEmpty)
+      return (att, post, skipped,
+        Seq.empty[(String, Int, Double)].toDF("rowid", "cell", "inf"))
+
+    def constDF(colsMap: Seq[(String, Int => Any)]): DataFrame = {
+      val rows = live.map(i => Row.fromSeq(i +: colsMap.map(_._2(i))))
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType) +:
+        colsMap.map { case (nm, fn) =>
+          val dt = fn(live.head) match {
+            case _: Double => org.apache.spark.sql.types.DoubleType
+            case _: Seq[_] => org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)
+            case o => throw new IllegalStateException(o.getClass.toString)
+          }
+          org.apache.spark.sql.types.StructField(nm, dt)
+        })
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+    def dotArr(arr: Column): Column =
+      (0 until p).map(j => xj(j) * element_at(arr, j + 1)).reduce(_ + _)
+
+    // ---- IRLS propensity (dr, ipw) ------------------------------------
+    val gamma = Array.fill(nCells)(DenseVector.zeros[Double](p))
+    var psHessInv: Map[Int, DenseMatrix[Double]] = Map.empty
+    if (estMethod != "reg") {
+      var iter = 0
+      var maxStep = Double.MaxValue
+      var lastHess: Map[Int, DenseMatrix[Double]] = Map.empty
+      while (iter < 50 && maxStep > 1e-10) {
+        val cdf = constDF(Seq("mw" -> (i => meanW(i)),
+          "gam" -> (i => gamma(i).toArray.toSeq)))
+        val iw = col("w1") / col("mw")
+        val mu = lit(1.0) / (lit(1.0) + exp(-dotArr(col("gam"))))
+        val s = iw * mu * (lit(1.0) - mu)
+        val z = iw * (col("dd") - mu)
+        val aggs =
+          (for (j <- 0 until p; k <- j until p)
+            yield sum(s * xj(j) * xj(k)).as(s"h_${j}_$k")) ++
+          (0 until p).map(j => sum(z * xj(j)).as(s"g_$j"))
+        val rows = lf.join(broadcast(cdf), "cell")
+          .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+          .collect().map(r => r.getInt(0) -> r).toMap
+        maxStep = 0.0
+        val hb = Map.newBuilder[Int, DenseMatrix[Double]]
+        live.foreach { i =>
+          val r = rows(i)
+          val h = DenseMatrix.zeros[Double](p, p)
+          var idx = 1
+          for (j <- 0 until p; k <- j until p) {
+            val v = if (j == k) math.max(r.getDouble(idx), 1e-12)
+              else r.getDouble(idx)
+            h(j, k) = v; h(k, j) = v; idx += 1
+          }
+          val g = DenseVector.tabulate(p)(j => r.getDouble(idx + j))
+          val step = h \ g
+          gamma(i) = gamma(i) + step
+          hb += i -> h
+          maxStep = math.max(maxStep, breeze.linalg.max(step.map(math.abs)))
+        }
+        lastHess = hb.result()
+        iter += 1
+      }
+      psHessInv = lastHess.map { case (i, h) => i -> inv(h /:/ n1(i).toDouble) }
+    }
+
+    // ---- control Δy regression Grams ----------------------------------
+    val bDelta = Array.fill(nCells)(DenseVector.zeros[Double](p))
+    val xtxInvC = Array.fill(nCells)(DenseMatrix.zeros[Double](p, p))
+    locally {
+      val cdf = constDF(Seq("mw" -> (i => meanW(i))))
+      val iw = col("w1") / col("mw")
+      val wv = iw * (lit(1.0) - col("dd"))
+      val aggs =
+        (for (j <- 0 until p; k <- j until p)
+          yield sum(wv * xj(j) * xj(k)).as(s"x_${j}_$k")) ++
+        (0 until p).map(j => sum(wv * xj(j) * col("dy")).as(s"y_$j"))
+      val rows = lf.join(broadcast(cdf), "cell")
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      live.foreach { i =>
+        val r = rows(i)
+        val xtx = DenseMatrix.zeros[Double](p, p)
+        var idx = 1
+        for (j <- 0 until p; k <- j until p) {
+          xtx(j, k) = r.getDouble(idx); xtx(k, j) = r.getDouble(idx); idx += 1
+        }
+        val xty = DenseVector.tabulate(p)(j => r.getDouble(idx + j))
+        bDelta(i) = xtx \ xty
+        xtxInvC(i) = inv(xtx /:/ n1(i).toDouble)
+      }
+    }
+
+    // ---- moment pass ---------------------------------------------------
+    val momCdf = constDF(Seq("mw" -> (i => meanW(i)),
+      "gam" -> (i => gamma(i).toArray.toSeq),
+      "bDel" -> (i => bDelta(i).toArray.toSeq)))
+    val iw = col("w1") / col("mw")
+    val one = lit(1.0)
+    def ps: Column =
+      least(one / (one + exp(-dotArr(col("gam")))), lit(1 - 1e-16))
+    def outDelta: Column = dotArr(col("bDel"))
+    def wTreat: Column = iw * col("dd")
+    def wCont: Column = estMethod match {
+      case "reg" => iw * col("dd")
+      case _ => iw * (ps / (one - ps)) * (one - col("dd"))
+    }
+    def contTarget: Column = estMethod match {
+      case "reg" => outDelta
+      case "ipw" => col("dy")
+      case _ => col("dy") - outDelta
+    }
+    def treatTarget: Column = estMethod match {
+      case "dr" => col("dy") - outDelta
+      case _ => col("dy")
+    }
+    val momAggs = Seq(
+      sum(wTreat).as("mwT"), sum(wCont).as("mwC"),
+      sum(wTreat * treatTarget).as("numT"),
+      sum(wCont * contTarget).as("numC")) ++
+      (0 until p).flatMap(j => Seq(
+        sum(wTreat * xj(j)).as(s"mT_$j"),
+        sum(wCont * xj(j)).as(s"mC_$j"),
+        sum(wCont * contTarget * xj(j)).as(s"mCt_$j")))
+    val momRows = lf.join(broadcast(momCdf), "cell")
+      .groupBy("cell").agg(momAggs.head, momAggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    final case class K(etaT: Double, etaC: Double, mwT: Double, mwC: Double,
+        uWols: Seq[Double], uPs: Seq[Double])
+    val z = Seq.fill(p)(0.0)
+    val kk = Array.fill(nCells)(K(0, 0, 1, 1, z, z))
+    live.foreach { i =>
+      val r = momRows(i)
+      val nc = n1(i).toDouble
+      def d(ix: Int): Double = r.getDouble(ix) / nc
+      val mwT = d(1); val mwC = d(2)
+      val etaT = d(3) / mwT; val etaC = d(4) / mwC
+      att(i) = etaT - etaC
+      post(i) = cells(i).postTreat
+      def vec(off: Int): DenseVector[Double] =
+        DenseVector.tabulate(p)(j => r.getDouble(5 + 3 * j + off) / nc)
+      val mT = vec(0); val mC = vec(1); val mCt = vec(2)
+      estMethod match {
+        case "dr" =>
+          val uWols = xtxInvC(i) * ((mT *:* (-1.0 / mwT)) + (mC *:* (1.0 / mwC)))
+          val m2 = mCt - (mC *:* etaC)
+          val uPs = psHessInv(i) * (m2 *:* (-1.0 / mwC))
+          kk(i) = K(etaT, etaC, mwT, mwC,
+            uWols.toArray.toSeq, uPs.toArray.toSeq)
+        case "ipw" =>
+          val m = mCt - (mC *:* etaC)
+          val uPs = psHessInv(i) * (m *:* (-1.0 / mwC))
+          kk(i) = K(etaT, etaC, mwT, mwC, z, uPs.toArray.toSeq)
+        case _ => // reg: repWols coeff = -colMeansW(wCont)/mwC
+          val uWols = xtxInvC(i) * (mC *:* (-1.0 / mwC))
+          kk(i) = K(etaT, etaC, mwT, mwC, uWols.toArray.toSeq, z)
+      }
+    }
+
+    // ---- final pass: per-row IF (with the n/n1 rescale) ----------------
+    val cdf = constDF(Seq(
+      "mw" -> (i => meanW(i)),
+      "gam" -> (i => gamma(i).toArray.toSeq),
+      "bDel" -> (i => bDelta(i).toArray.toSeq),
+      "etaT" -> (i => kk(i).etaT), "etaC" -> (i => kk(i).etaC),
+      "mwT" -> (i => kk(i).mwT), "mwC" -> (i => kk(i).mwC),
+      "uWols" -> (i => kk(i).uWols), "uPs" -> (i => kk(i).uPs),
+      "scale" -> (i => nTotal.toDouble / n1(i))))
+
+    val wolsScore = iw * (one - col("dd")) * (col("dy") - outDelta)
+    val psScore = iw * (col("dd") - ps)
+    val infBase =
+      (wTreat * (treatTarget - col("etaT"))) / col("mwT") -
+      (wCont * (contTarget - col("etaC"))) / col("mwC")
+    val infNuis = estMethod match {
+      case "dr" => wolsScore * dotArr(col("uWols")) + psScore * dotArr(col("uPs"))
+      case "ipw" => psScore * dotArr(col("uPs"))
+      case _ => wolsScore * dotArr(col("uWols"))
+    }
+    val ifRows = lf.join(broadcast(cdf), "cell")
+      .select(col("rowid"), col("cell"),
+        ((infBase + infNuis) * col("scale")).as("inf"))
+      .groupBy("rowid", "cell").agg(sum("inf").as("inf"))
+
+    (att, post, skipped, ifRows)
+  }
+}

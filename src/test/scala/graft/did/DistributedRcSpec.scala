@@ -35,6 +35,29 @@ class DistributedRcSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  for (m <- Seq("dr", "reg", "ipw")) {
+    test(s"balanced panel, $m with covariates: distributed == collected") {
+      val ppP = Preprocess.run(staggered(spark, nUnits = 200, noise = 0.1),
+        cfg.copy(xfmla = Some("y ~ x1 + x2"), allowUnbalancedPanel = false))
+      assert(ppP.panel)
+      val dist = AttGt.fit(ppP, estMethod = m)
+      // passing any customRc routes the panel regime to the collect
+      // path (which uses the estMethod panel estimators)
+      val coll = AttGt.fit(ppP, estMethod = m,
+        customRc = Some(CellEstimators.DrDidRc))
+      dist.att.indices.foreach { i =>
+        assert(dist.skipped(i) == coll.skipped(i))
+        if (!dist.skipped(i)) {
+          assert(math.abs(dist.att(i) - coll.att(i)) < 1e-8,
+            s"$m att cell $i: ${dist.att(i)} vs ${coll.att(i)}")
+          assert(math.abs(dist.seAnalytic(i) - coll.seAnalytic(i)) < 1e-8,
+            s"$m se cell $i: ${dist.seAnalytic(i)} vs ${coll.seAnalytic(i)}")
+        }
+      }
+      dist.unpersist(); coll.unpersist(); ppP.unpersist()
+    }
+  }
+
   test("weighted run: distributed == collected with sampling weights") {
     val ppW = Preprocess.run(staggered(spark, nUnits = 200, noise = 0.1),
       cfg.copy(xfmla = Some("y ~ x1"), weightsName = Some("wgt")))
