@@ -311,6 +311,15 @@ object SparkEntry {
         nPlanes = 4)
     }),
 
+    // similarity: IVF (k-means inverted-file) approximate top-k — the
+    // FAISS-style scale path; rows-only (recall vs brute force and
+    // full-probe exactness are asserted in SimilarityEventsSpec)
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
+        nLists = 8, nProbe = 3)
+    }),
+
     // events: tumbling event-time hourly window aggregation
     "q_event_hourly" -> ((s, dir) =>
       Events.hourlyByType(events(s, dir))

@@ -118,6 +118,61 @@ object Similarity {
     s
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nLists` cells; each query probes only
+    * its `nProbe` nearest cells, so scored candidates shrink by
+    * ~nProbe/nLists while recall stays high for clustered data. The
+    * centroid table is tiny (nLists x dim) and rides to the driver;
+    * the corpus is assigned distributed by the model and joined by
+    * list id — the standard FAISS-style IVF layout expressed as an
+    * equi-join. Queries must be small (collected for probe
+    * assignment, same contract as bruteForceTopK's broadcast). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val feats = corpus.select(col(idCol).as("cid"),
+      col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("fv"))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list")
+      .fit(feats)
+    val assigned = model.transform(feats).select("cid", "cv", "list")
+
+    val centers = model.clusterCenters.map(_.toArray)
+    val probes = queries.select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        centers.indices
+          .sortBy { c =>
+            var s = 0.0; var j = 0
+            val cv = centers(c)
+            while (j < qv.length) {
+              val dd = qv(j) - cv(j); s += dd * dd; j += 1
+            }
+            s
+          }
+          .take(nProbe)
+          .map(list => (qid, qv.map(_.toFloat), list))
+      }.toSeq.toDF("qid", "qv", "list")
+
+    assigned.join(broadcast(probes), "list")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos")
+  }
+
   /** Deterministic random hyperplanes (seeded driver-side, inlined as
     * plan literals — tiny: nPlanes x dim doubles). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {

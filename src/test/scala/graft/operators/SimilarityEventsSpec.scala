@@ -52,6 +52,23 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     lsh.foreach { case (q, c) => brute(q) shouldBe c }
     lsh.keySet should not be empty
   }
+
+  test("ivfTopK: probing all lists is exact; partial probe keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("cid").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(
+      Similarity.bruteForceTopK(emb, qs, 3).toDF("qid", "cid", "cos"))
+    val exact = asSet(
+      Similarity.ivfTopK(emb, qs, 3, nLists = 4, nProbe = 4))
+    exact shouldBe brute
+    val approx = asSet(
+      Similarity.ivfTopK(emb, qs, 3, nLists = 8, nProbe = 2))
+    approx.size shouldBe 15 // 5 queries x k=3
+    (approx intersect brute).size.toDouble / brute.size should be >= 0.5
+  }
 }
 
 class EventsSpec extends AnyFunSuite with Matchers with SparkSpec {
