@@ -118,6 +118,15 @@ object SparkEntry {
     "q_distinct_periods" -> ((s, dir) =>
       pv(s, dir).select("t").distinct().sort("t")),
 
+    // §2.4/§2.6 batched scalar aggregates: the reference's ~13 separate
+    // count()/sort-then-first calls as ONE agg pass
+    "q_scalar_stats" -> ((s, dir) =>
+      pv(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("id")).as("n_units"),
+        min("t").as("t_min"), max("t").as("t_max"),
+        round(sum("y"), 2).as("sum_y"))),
+
     // §2.4 group count: cohort sizes in observation rows
     "q_group_count" -> ((s, dir) =>
       pv(s, dir).groupBy("g").agg(count(lit(1)).as("cnt"))),
@@ -293,6 +302,11 @@ object SparkEntry {
     "q_simhash_sig" -> ((s, dir) =>
       Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")),
 
+    // dedup: SimHash banded near-dup pairs, Hamming <= 3 (rows-only —
+    // signature hash is engine-specific; banding recall proven in spec)
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")),
+
     // similarity: exact brute-force cosine top-3 for 10 query vectors
     "q_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -437,6 +451,11 @@ object SparkEntry {
 
     "q_distinct_periods" ->
       withPanelCte("SELECT DISTINCT t FROM panel ORDER BY t"),
+
+    "q_scalar_stats" -> withPanelCte(
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT id) AS n_units,
+        |  MIN(t) AS t_min, MAX(t) AS t_max, ROUND(SUM(y), 2) AS sum_y
+        |FROM panel""".stripMargin),
 
     "q_group_count" ->
       withPanelCte("SELECT g, COUNT(*) AS cnt FROM panel GROUP BY g"),
