@@ -278,6 +278,17 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
 
+    // text analysis: stopword ratio (natural-text quality signal)
+    "q_stopword_ratio" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("sw_ratio"))),
+
+    // text analysis: rolling (order-sensitive) token-chain fingerprint
+    // (engine-specific hash; rows-only)
+    "q_rolling_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("rfp"))),
+
     // text analysis: md5 document fingerprint of normalized text
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -604,6 +615,18 @@ object SparkEntry {
          |    $caseArms
          |    ELSE 'und' END AS lang_pred
          |FROM b""".stripMargin
+    },
+
+    "q_stopword_ratio" -> {
+      val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ROUND(CAST(len(list_filter(toks, x -> x IN ($swList))) AS DOUBLE)
+         |        / len(toks), 6) AS sw_ratio
+         |FROM t""".stripMargin
     },
 
     "q_fingerprint" ->

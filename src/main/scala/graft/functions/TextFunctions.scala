@@ -78,10 +78,31 @@ object TextFunctions {
     }
   }
 
+  /** Common English stopwords (tiny, inlined into the plan). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "for", "on", "with", "as", "at", "by", "that", "this")
+
+  /** Fraction of whitespace tokens that are stopwords — the classic
+    * natural-text-vs-noise quality signal. */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(t, x => array_contains(sw, x))).cast("double") / size(t)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. Stable across engines (md5 is md5 everywhere). */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Rolling (chained) 64-bit token fingerprint: fold of
+    * `h := xxhash64(h, token)` over the token stream — order-sensitive
+    * (unlike a bag-of-words hash) and ANSI-overflow-safe (no raw long
+    * multiply). Engine-specific values: use `fingerprint` when a
+    * cross-engine-comparable digest is needed. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(17L), (acc, tok) => xxhash64(acc, tok))
 
   /** Distinct word n-gram shingles (empty array when too few tokens). */
   def wordShingles(c: Column, n: Int): Column = {

@@ -43,6 +43,20 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     one(TextFunctions.langId(col("t")), "xyzzy plugh") shouldBe "und"
   }
 
+  test("stopwordRatio counts stopword share of tokens") {
+    one(TextFunctions.stopwordRatio(col("t")), "the cat sat on the mat") shouldBe
+      (3.0 / 6.0) // the, on, the
+    one(TextFunctions.stopwordRatio(col("t")), "zebra quagga") shouldBe 0.0
+  }
+
+  test("rollingFingerprint is order-sensitive and deterministic") {
+    val a = one(TextFunctions.rollingFingerprint(col("t")), "alpha beta gamma")
+    val b = one(TextFunctions.rollingFingerprint(col("t")), "alpha beta gamma")
+    val c = one(TextFunctions.rollingFingerprint(col("t")), "gamma beta alpha")
+    a shouldBe b
+    a should not be c
+  }
+
   test("fingerprint is whitespace/case-insensitive md5") {
     val a = one(TextFunctions.fingerprint(col("t")), "Hello   World")
     val b = one(TextFunctions.fingerprint(col("t")), "hello world")
