@@ -34,7 +34,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — bit-identical to the HOF
+    * formulation `dot(a,b)/(norm(a)*norm(b))` but a single fused
+    * primitive loop instead of per-element lambda evaluation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus is scanned
