@@ -88,9 +88,9 @@ private[did] object DistributedPanel {
     var psHessInv: Map[Int, DenseMatrix[Double]] = Map.empty
     if (estMethod != "reg") {
       var iter = 0
-      var maxStep = Double.MaxValue
       var lastHess: Map[Int, DenseMatrix[Double]] = Map.empty
-      while (iter < 50 && maxStep > 1e-10) {
+      var pending: Seq[Int] = live
+      while (iter < 50 && pending.nonEmpty) {
         val cdf = constDF(Seq("mw" -> (i => meanW(i)),
           "gam" -> (i => gamma(i).toArray.toSeq)))
         val iw = col("w1") / col("mw")
@@ -101,12 +101,15 @@ private[did] object DistributedPanel {
           (for (j <- 0 until p; k <- j until p)
             yield sum(s * xj(j) * xj(k)).as(s"h_${j}_$k")) ++
           (0 until p).map(j => sum(z * xj(j)).as(s"g_$j"))
-        val rows = lf.join(broadcast(cdf), "cell")
+        val lfIter =
+          if (pending.size == live.size) lf
+          else lf.filter(col("cell").isin(pending: _*))
+        val rows = lfIter.join(broadcast(cdf), "cell")
           .groupBy("cell").agg(aggs.head, aggs.tail: _*)
           .collect().map(r => r.getInt(0) -> r).toMap
-        maxStep = 0.0
         val hb = Map.newBuilder[Int, DenseMatrix[Double]]
-        live.foreach { i =>
+        val still = Seq.newBuilder[Int]
+        pending.foreach { i =>
           val r = rows(i)
           val h = DenseMatrix.zeros[Double](p, p)
           var idx = 1
@@ -119,9 +122,10 @@ private[did] object DistributedPanel {
           val step = h \ g
           gamma(i) = gamma(i) + step
           hb += i -> h
-          maxStep = math.max(maxStep, breeze.linalg.max(step.map(math.abs)))
+          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
         }
-        lastHess = hb.result()
+        lastHess = lastHess ++ hb.result()
+        pending = still.result()
         iter += 1
       }
       psHessInv = lastHess.map { case (i, h) => i -> inv(h /:/ n1(i).toDouble) }

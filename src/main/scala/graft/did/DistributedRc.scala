@@ -115,9 +115,11 @@ private[did] object DistributedRc {
     var psHessInv: Map[Int, DenseMatrix[Double]] = Map.empty
     if (estMethod != "reg") {
       var iter = 0
-      var maxStep = Double.MaxValue
       var lastHess: Map[Int, DenseMatrix[Double]] = Map.empty
-      while (iter < 50 && maxStep > 1e-10) {
+      // cells drop out of later Newton passes once their step converges
+      // (the scan narrows to the straggler cells' rows)
+      var pending: Seq[Int] = live
+      while (iter < 50 && pending.nonEmpty) {
         val cdf = constDF(Seq(
           "mw" -> (i => meanW(i)),
           "gam" -> (i => gamma(i).toArray.toSeq)))
@@ -129,12 +131,15 @@ private[did] object DistributedRc {
           (for (j <- 0 until p; k <- j until p)
             yield sum(s * xj(j) * xj(k)).as(s"h_${j}_$k")) ++
           (0 until p).map(j => sum(z * xj(j)).as(s"g_$j"))
-        val rows = lf.join(broadcast(cdf), "cell")
+        val lfIter =
+          if (pending.size == live.size) lf
+          else lf.filter(col("cell").isin(pending: _*))
+        val rows = lfIter.join(broadcast(cdf), "cell")
           .groupBy("cell").agg(aggs.head, aggs.tail: _*)
           .collect().map(r => r.getInt(0) -> r).toMap
-        maxStep = 0.0
         val hessB = Map.newBuilder[Int, DenseMatrix[Double]]
-        live.foreach { i =>
+        val still = Seq.newBuilder[Int]
+        pending.foreach { i =>
           val r = rows(i)
           val h = DenseMatrix.zeros[Double](p, p)
           var idx = 1
@@ -146,9 +151,10 @@ private[did] object DistributedRc {
           val step = h \ g
           gamma(i) = gamma(i) + step
           hessB += i -> h
-          maxStep = math.max(maxStep, breeze.linalg.max(step.map(math.abs)))
+          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
         }
-        lastHess = hessB.result()
+        lastHess = lastHess ++ hessB.result()
+        pending = still.result()
         iter += 1
       }
       psHessInv = lastHess.map { case (i, h) =>
