@@ -359,6 +359,24 @@ object SparkEntry {
           col("sess_end").cast("long").as("end_epoch"),
           col("n_events"), col("sum_value"))),
 
+    // streaming: the Structured Streaming windowed-counts transform run
+    // on the batch frame (watermark is a no-op in batch — one code path
+    // for backfill and live stream); oracle = hourly tumbling windows
+    "q_stream_hourly" -> ((s, dir) =>
+      graft.streaming.StreamingOps.windowedCounts(events(s, dir))
+        .select(col("win").cast("long").as("hour_epoch"),
+          col("event_type"), col("cnt"), col("sum_value"))),
+
+    // multimodal: frame-sample fan-out plan for video payloads
+    "q_frame_sample" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "video")
+          .when(col("doc_id") % 3 === 1, "image").otherwise("audio")
+          .as("kind"))
+      Multimodal.frameSamplePlan(media, totalFrames = 30, everyNth = 10)
+    }),
+
     // multimodal: binary-payload decode plumbing (STUB decoder, real
     // partition-batch execution; rows-only)
     "q_media_features" -> ((s, dir) => {
@@ -666,6 +684,16 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS cnt, ROUND(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS cnt, ROUND(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id, u.f AS frame_no
+        |FROM documents, UNNEST([0, 10, 20]) AS u(f)
+        |WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (
