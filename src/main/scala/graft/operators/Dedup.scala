@@ -174,10 +174,14 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Per-doc 64-bit SimHash signatures. Shuffle-free projection. */
+  /** Per-doc 64-bit SimHash signatures, computed after a did-keyed
+    * repartition (small inputs arrive as one partition — see
+    * ngramJaccardPairs). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String)
       : DataFrame =
-    df.select(col(idCol).as("did"), simhash64(col(textCol)).as("simhash"))
+    df.select(col(idCol).as("did"), col(textCol).as("txt"))
+      .repartition(par(df), col("did"))
+      .select(col("did"), simhash64(col("txt")).as("simhash"))
 
   /** SimHash near-dup candidates with Hamming distance <= maxDist,
     * banded into 4 x 16-bit chunks (any doc pair within Hamming 3 shares
@@ -185,7 +189,10 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only to 3")
+    // the extra did-keyed exchange is reused by both sides of the
+    // banded self-join, so signatures are computed once
     val sig = simhashSignatures(df, idCol, textCol)
+      .repartition(par(df), col("did"))
     val banded = sig.select(col("did"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
