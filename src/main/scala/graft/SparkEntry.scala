@@ -254,6 +254,21 @@ object SparkEntry {
         .toDF("g", "t", "se")
     }),
 
+    // §2.8 clustered multiplier bootstrap (intended semantics — the
+    // reference's own cluster path raises; SURVEY.md §2.8): cluster-mean
+    // IF over id-mod-100 clusters, bootstrap over clusters; rows-only
+    "q_mboot_cluster_se" -> ((s, dir) => {
+      import s.implicits._
+      val f = fitFor(s, dir)
+      val cfg = f.pp.config
+      val clusters = f.ifTable.select("rowid").distinct()
+        .withColumn("cluster", pmod(col("rowid").cast("long"), lit(100)))
+      val b = MBoot.runClustered(f.ifTable, clusters, f.cells.length,
+        cfg.biters, cfg.alp, cfg.seed)
+      f.cells.indices.map(i => (f.cells(i).g, f.cells(i).tn, b.se(i)))
+        .toDF("g", "t", "se")
+    }),
+
     // §2.7 influence-function store: per-cell IF sum-of-squares (feeds
     // the analytic SE); rows-only (IF algebra not SQL-expressible)
     "q_if_norms" -> ((s, dir) =>
@@ -297,6 +312,11 @@ object SparkEntry {
     // dedup: exact groups by fingerprint
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+
+    // dedup: materialized survivors (one row per distinct text)
+    "q_dedup_keep" -> ((s, dir) =>
+      Dedup.dedupExact(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "source")),
 
     // dedup: word-3-gram Jaccard near-dup pairs (exact inverted index)
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -656,6 +676,14 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_keep" ->
+      """WITH k AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN k ON d.doc_id = k.doc_id""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql(0.8),
     "q_minhash_neardup" -> ngramJaccardSql(0.8),

@@ -11,13 +11,14 @@ import graft.functions.TextFunctions._
   *
   *  - exact: one hash-aggregate shuffle keyed by fingerprint, never by
   *    full text (the md5 keeps shuffle rows small);
-  *  - n-gram Jaccard: shingle-inverted-index self-join with a
-  *    document-frequency cap so stop-shingles cannot create quadratic
-  *    skew;
+  *  - n-gram Jaccard: EXACT pairs via PPJoin prefix filtering over
+  *    64-bit shingle hashes (rarest-first prefixes join, full sets
+  *    verify), with an optional document-frequency cap as the
+  *    stop-shingle guard;
   *  - MinHash+LSH: k min-hash aggregates in ONE pass (k columns, all
   *    codegen'd), banded into buckets so candidate generation is an
   *    equi-join, then exact-Jaccard verification of candidates only;
-  *  - SimHash: 64-bit signature per doc in one shuffle-free pass, then
+  *  - SimHash: native 64-bit signature expression in one pass, then
   *    banded (4 x 16-bit) equi-join for Hamming-near candidates.
   */
 object Dedup {
