@@ -78,6 +78,19 @@ object Preprocess {
     // ONE pass for both distinct lists; max(t) for the never-treated
     // recode (ATTgt.py:111-118) falls out of tlist, and the recode is
     // applied to glist driver-side (the column recode stays lazy).
+    // Cardinality guard FIRST: collect_set of a continuous-valued
+    // time/cohort column would OOM the driver before any later check —
+    // the staggered-DiD grid is only meaningful for small |tlist|x|glist|
+    // anyway (the reference's small-group guards assume it too).
+    val MaxPeriods = 10000L
+    locally {
+      val card = df.agg(approx_count_distinct("tt"),
+        approx_count_distinct("gg")).first()
+      require(card.getLong(0) <= MaxPeriods && card.getLong(1) <= MaxPeriods,
+        s"'$tname'/'$gname' look continuous (~${card.getLong(0)}/" +
+          s"${card.getLong(1)} distinct values); ATT(g,t) needs ordinal " +
+          "periods and cohorts")
+    }
     def distinctLists(d: DataFrame): (Vector[Double], Vector[Double]) = {
       val row = d.agg(collect_set("tt"), collect_set("gg")).first()
       val t = row.getSeq[Double](0).toVector.sorted
