@@ -710,12 +710,12 @@ object SparkEntry {
 
     "q_event_hourly" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
-        |  event_type, count(*) AS cnt, ROUND(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_stream_hourly" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
-        |  event_type, count(*) AS cnt, ROUND(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_frame_sample" ->
@@ -737,13 +737,14 @@ object SparkEntry {
         |  FROM o),
         |s AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sess_no
         |  FROM f)
         |SELECT user_id, sess_no,
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
-        |  count(*) AS n_events, ROUND(sum(value), 2) AS sum_value
+        |  count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
   )
 

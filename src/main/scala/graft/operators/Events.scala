@@ -19,7 +19,15 @@ object Events {
     events.groupBy(
         window(col("ts"), "1 hour").getField("start").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), exactValueSum)
+
+  /** Order-independent money sum: `value` is 2-decimal by construction,
+    * so summing as decimal(18,2) is exact regardless of partial-agg
+    * order. A plain `round(sum(double), 2)` is nondeterministic at .xx5
+    * boundaries — the FP accumulation order varies with partitioning and
+    * can flip the last rounded digit between runs/engines. */
+  private[graft] def exactValueSum =
+    sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
 
   /** Gap-based sessionization: a new session starts after `gapMinutes`
     * of per-user inactivity. One shuffle (by user), two window passes
@@ -40,6 +48,6 @@ object Events {
         min("ts").as("sess_start"),
         max("ts").as("sess_end"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"))
+        exactValueSum)
   }
 }

@@ -27,7 +27,8 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).getField("start").as("win"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Events.exactValueSum)
 
   /** Streaming dedup on a key column bounded by the watermark window —
     * the streaming analogue of `Dedup.dedupExact`. */
