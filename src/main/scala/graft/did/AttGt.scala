@@ -82,6 +82,24 @@ object AttGt {
     require(Set("dr", "reg", "ipw").contains(estMethod) || customRc.nonEmpty,
       s"estMethod must be dr|reg|ipw or provide customRc: $estMethod")
 
+    // Every internal query here aggregates to K = #cells rows, and the
+    // only join is a broadcast of the tiny grid — AQE has nothing to
+    // re-plan but adds a planning round + extra jobs to each of the
+    // ~(IRLS iters + 5) passes. Scoped off and restored.
+    val spark = pp.df.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try fitInner(pp, estMethod, basePeriod, bstrap, customRc, maxDriverCellRows)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def fitInner(
+      pp: PreprocessedPanel,
+      estMethod: String,
+      basePeriod: String,
+      bstrap: Boolean,
+      customRc: Option[RcCellEstimator],
+      maxDriverCellRows: Long): AttGtFit = {
     val cells = buildCells(pp, basePeriod)
     val fitres =
       if (pp.panel && customRc.isEmpty &&

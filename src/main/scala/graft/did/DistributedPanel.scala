@@ -2,6 +2,7 @@ package graft.did
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import breeze.linalg.{inv, DenseMatrix, DenseVector}
 
 /** Distributed covariate estimation for the balanced-panel regime —
@@ -30,10 +31,14 @@ private[did] object DistributedPanel {
     val nCells = cells.length
     val nTotal = pp.n
 
+    // Persisted for the same reason as DistributedRc's lf: every IRLS
+    // step plus the Gram/moment/IF passes scan this frame, and `wide`
+    // carries a grid join + pivot aggregation in its lineage.
     val lf = wide.select(Seq(col("cell"), col("rid").as("rowid"),
       (col("y1") - col("y0")).as("dy"),
       when(col("gg") === col("cg"), 1.0).otherwise(0.0).as("dd"),
       col("w1")) ++ covs.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     def xj(j: Int): Column = col(covs(j))
 
@@ -60,9 +65,11 @@ private[did] object DistributedPanel {
           !bad
       }
     }
-    if (live.isEmpty)
+    if (live.isEmpty) {
+      lf.unpersist()
       return (att, post, skipped,
         Seq.empty[(String, Int, Double)].toDF("rowid", "cell", "inf"))
+    }
 
     def constDF(colsMap: Seq[(String, Int => Any)]): DataFrame = {
       val rows = live.map(i => Row.fromSeq(i +: colsMap.map(_._2(i))))
@@ -245,10 +252,14 @@ private[did] object DistributedPanel {
       case "ipw" => psScore * dotArr(col("uPs"))
       case _ => wolsScore * dotArr(col("uWols"))
     }
+    // Materialize off the cached lf before dropping it (see DistributedRc).
     val ifRows = lf.join(broadcast(cdf), "cell")
       .select(col("rowid"), col("cell"),
         ((infBase + infNuis) * col("scale")).as("inf"))
       .groupBy("rowid", "cell").agg(sum("inf").as("inf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ifRows.count()
+    lf.unpersist()
 
     (att, post, skipped, ifRows)
   }

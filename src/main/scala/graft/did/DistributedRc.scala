@@ -2,6 +2,7 @@ package graft.did
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import breeze.linalg.{inv, DenseMatrix, DenseVector}
 
 /** Fully distributed covariate estimation for the repeated-cross-section
@@ -49,10 +50,15 @@ private[did] object DistributedRc {
     val p = covs.length
     val nCells = cells.length
 
+    // Every pass below (bucket counts, each IRLS Newton step, the WLS
+    // Grams, the moment pass, the final IF pass) scans this frame; without
+    // the persist each scan re-executes the broadcast grid join and
+    // projection from pp.df — ~(iters + 4) redundant executions.
     val lf = lf0.select(Seq(col("cell"),
       col("rowid").cast("string").as("rowid"), col("w1"), col("yy"),
       col("d").cast("double").as("dd"),
       col("pst").cast("double").as("pp")) ++ covs.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     def xj(j: Int): Column = col(covs(j))
 
@@ -83,6 +89,7 @@ private[did] object DistributedRc {
     }
 
     if (live.isEmpty) {
+      lf.unpersist()
       val empty = Seq.empty[(String, Int, Double)]
         .toDF("rowid", "cell", "inf")
       return (att, post, skipped, empty)
@@ -439,9 +446,15 @@ private[did] object DistributedRc {
         infTreat - infCont + nuis
     }
 
+    // Materialize the IF table off the cached `lf` before dropping it —
+    // the caller's persist of ifTable is lazy, so unpersisting first
+    // would force one more uncached grid-join execution.
     val ifRows = lf.join(broadcast(cdf), "cell")
       .select(col("rowid"), col("cell"), infCol.as("inf"))
       .groupBy("rowid", "cell").agg(sum("inf").as("inf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ifRows.count()
+    lf.unpersist()
 
     (att, post, skipped, ifRows)
   }

@@ -39,6 +39,16 @@ object Preprocess {
 
   def run(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
     val spark = data.sparkSession
+    // Same rationale as AttGt.fit: every action here returns K rows or a
+    // scalar; AQE only adds a planning round per job.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runInner(data, cfg)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def runInner(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
+    val spark = data.sparkSession
     import cfg._
 
     // Project role columns; synthesize _w / _intercept (ATTgt.py:74-98).
@@ -54,13 +64,24 @@ object Preprocess {
       .select((roleCols.map(col) :+ col("w")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE action: total rows + all-null rows (the `na.drop('all')`
-    // diagnostic, ATTgt.py:98-102) — also materializes the cache.
+    // diagnostic, ATTgt.py:98-102) + the time/cohort cardinality guard —
+    // also materializes the cache.
     val allNull = (roleCols.map(c => col(c).isNull) :+ col("w").isNull)
       .reduce(_ && _)
     val cntRow = projected.agg(count(lit(1)),
-      count(when(allNull, 1))).first()
+      count(when(allNull, 1)),
+      approx_count_distinct(col(tname).cast("double")),
+      approx_count_distinct(col(gname).cast("double"))).first()
     val nPre = cntRow.getLong(0)
     val nDropped = cntRow.getLong(1)
+    // Cardinality guard BEFORE any collect_set: collecting a
+    // continuous-valued time/cohort column would OOM the driver, and the
+    // staggered-DiD grid is only meaningful for small |tlist|x|glist|.
+    val MaxPeriods = 10000L
+    require(cntRow.getLong(2) <= MaxPeriods && cntRow.getLong(3) <= MaxPeriods,
+      s"'$tname'/'$gname' look continuous (~${cntRow.getLong(2)}/" +
+        s"${cntRow.getLong(3)} distinct values); ATT(g,t) needs ordinal " +
+        "periods and cohorts")
     if (nDropped != 0)
       System.err.println(
         s"[graft.did] Dropped $nDropped rows from original data due to missing data")
@@ -78,19 +99,6 @@ object Preprocess {
     // ONE pass for both distinct lists; max(t) for the never-treated
     // recode (ATTgt.py:111-118) falls out of tlist, and the recode is
     // applied to glist driver-side (the column recode stays lazy).
-    // Cardinality guard FIRST: collect_set of a continuous-valued
-    // time/cohort column would OOM the driver before any later check —
-    // the staggered-DiD grid is only meaningful for small |tlist|x|glist|
-    // anyway (the reference's small-group guards assume it too).
-    val MaxPeriods = 10000L
-    locally {
-      val card = df.agg(approx_count_distinct("tt"),
-        approx_count_distinct("gg")).first()
-      require(card.getLong(0) <= MaxPeriods && card.getLong(1) <= MaxPeriods,
-        s"'$tname'/'$gname' look continuous (~${card.getLong(0)}/" +
-          s"${card.getLong(1)} distinct values); ATT(g,t) needs ordinal " +
-          "periods and cohorts")
-    }
     def distinctLists(d: DataFrame): (Vector[Double], Vector[Double]) = {
       val row = d.agg(collect_set("tt"), collect_set("gg")).first()
       val t = row.getSeq[Double](0).toVector.sorted
