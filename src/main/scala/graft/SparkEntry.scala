@@ -255,18 +255,21 @@ object SparkEntry {
     }),
 
     // §2.8 clustered multiplier bootstrap (intended semantics — the
-    // reference's own cluster path raises; SURVEY.md §2.8): cluster-mean
-    // IF over id-mod-100 clusters, bootstrap over clusters; rows-only
+    // reference's own cluster path raises; SURVEY.md §2.8), driven end to
+    // end by config.clustervar: the cluster column rides through
+    // Preprocess and AttGt.fit routes the bootstrap to
+    // MBoot.runClustered (id-mod-100 clusters); rows-only
     "q_mboot_cluster_se" -> ((s, dir) => {
       import s.implicits._
-      val f = fitFor(s, dir)
-      val cfg = f.pp.config
-      val clusters = f.ifTable.select("rowid").distinct()
-        .withColumn("cluster", pmod(col("rowid").cast("long"), lit(100)))
-      val b = MBoot.runClustered(f.ifTable, clusters, f.cells.length,
-        cfg.biters, cfg.alp, cfg.seed)
-      f.cells.indices.map(i => (f.cells(i).g, f.cells(i).tn, b.se(i)))
-        .toDF("g", "t", "se")
+      val panel = pv(s, dir)
+        .withColumn("clust", pmod(col("id"), lit(100)))
+      val pp = Preprocess.run(panel,
+        PanelView.config.copy(clustervar = Some("clust")))
+      val f = AttGt.fit(pp, bstrap = true)
+      val out = f.cells.indices.map(i =>
+        (f.cells(i).g, f.cells(i).tn, f.se(i))).toDF("g", "t", "se")
+      f.unpersist(); pp.unpersist()
+      out
     }),
 
     // §2.7 influence-function store: per-cell IF sum-of-squares (feeds

@@ -76,11 +76,24 @@ object AttGt {
       basePeriod: String = "varying",
       bstrap: Boolean = false,
       customRc: Option[RcCellEstimator] = None,
+      customPanel: Option[PanelCellEstimator] = None,
       maxDriverCellRows: Long = 10L * 1000 * 1000): AttGtFit = {
     require(basePeriod == "varying" || basePeriod == "universal",
       s"basePeriod must be varying|universal: $basePeriod")
-    require(Set("dr", "reg", "ipw").contains(estMethod) || customRc.nonEmpty,
-      s"estMethod must be dr|reg|ipw or provide customRc: $estMethod")
+    require(Set("dr", "reg", "ipw").contains(estMethod) ||
+      customRc.nonEmpty || customPanel.nonEmpty,
+      s"estMethod must be dr|reg|ipw or provide customRc/customPanel: $estMethod")
+    // A custom estimator must match the regime — silently falling back to
+    // the built-in (and labeling its output as the user's estimator)
+    // would be worse than an error.
+    require(!pp.panel || customRc.isEmpty,
+      "customRc is a repeated-cross-section estimator but this fit runs " +
+        "in the balanced-panel regime; pass customPanel instead or set " +
+        "allowUnbalancedPanel=true")
+    require(pp.panel || customPanel.isEmpty,
+      "customPanel is a balanced-panel estimator but this fit runs in " +
+        "the repeated-cross-section regime; pass customRc instead or set " +
+        "allowUnbalancedPanel=false")
 
     // Every internal query here aggregates to K = #cells rows, and the
     // only join is a broadcast of the tiny grid — AQE has nothing to
@@ -89,7 +102,8 @@ object AttGt {
     val spark = pp.df.sparkSession
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try fitInner(pp, estMethod, basePeriod, bstrap, customRc, maxDriverCellRows)
+    try fitInner(pp, estMethod, basePeriod, bstrap, customRc, customPanel,
+      maxDriverCellRows)
     finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
@@ -99,14 +113,15 @@ object AttGt {
       basePeriod: String,
       bstrap: Boolean,
       customRc: Option[RcCellEstimator],
+      customPanel: Option[PanelCellEstimator],
       maxDriverCellRows: Long): AttGtFit = {
     val cells = buildCells(pp, basePeriod)
     val fitres =
-      if (pp.panel && customRc.isEmpty &&
+      if (pp.panel && customPanel.isEmpty &&
           DistributedPanel.supports(estMethod, pp.config.covariates.length))
         DistributedPanel.fit(pp, cells, estMethod, panelWide(pp, cells))
       else if (pp.panel)
-        fitPanelCollect(pp, cells, estMethod, customRc, maxDriverCellRows)
+        fitPanelCollect(pp, cells, estMethod, customPanel, maxDriverCellRows)
       else if (pp.config.interceptOnly && customRc.isEmpty)
         fitRcDistributed(pp, cells, estMethod)
       else if (customRc.isEmpty &&
@@ -131,8 +146,29 @@ object AttGt {
 
     val (se, crit) =
       if (bstrap) {
-        val b = MBoot.run(ifTable, cells.length, n, pp.config.biters,
-          pp.config.alp, pp.config.seed)
+        val cfg = pp.config
+        // `clustervar == idname` degrades to the unclustered bootstrap
+        // (the reference drops idname from clustervars,
+        // csdids/mboot.py:88-90).
+        val b = cfg.clustervar.filter(_ != cfg.idname) match {
+          case Some(cv) =>
+            val cl = pp.df
+              .select(col("rowid").cast("string").as("rowid"),
+                col(cv).cast("string").as("cluster"))
+              .distinct()
+            // Time-invariance check (csdids/mboot.py:99-104): a unit
+            // mapping to >1 cluster value cannot be cluster-bootstrapped.
+            val timeVarying = cl.groupBy("rowid")
+              .agg(count(lit(1)).as("nclust"))
+              .filter(col("nclust") > 1).limit(1).count()
+            require(timeVarying == 0,
+              s"Can't handle time-varying cluster variables: '$cv' varies " +
+                "within unit")
+            MBoot.runClustered(ifTable, cl, cells.length, cfg.biters,
+              cfg.alp, cfg.seed)
+          case None =>
+            MBoot.run(ifTable, cells.length, n, cfg.biters, cfg.alp, cfg.seed)
+        }
         (b.se, b.critVal)
       } else (Array.fill(cells.length)(0.0), 0.0)
 
@@ -402,7 +438,7 @@ object AttGt {
 
   private def fitPanelCollect(
       pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
-      customRc: Option[RcCellEstimator], maxRows: Long)
+      customPanel: Option[PanelCellEstimator], maxRows: Long)
       : (Array[Double], Array[Int], Array[Boolean], DataFrame) = {
     val spark = pp.df.sparkSession
     import spark.implicits._
@@ -415,11 +451,11 @@ object AttGt {
       s"panel path collects per-cell arrays (${collected.length} rows)")
     val byCell = collected.groupBy(_.getInt(0))
 
-    val est: PanelCellEstimator = estMethod match {
+    val est: PanelCellEstimator = customPanel.getOrElse(estMethod match {
       case "reg" => CellEstimators.RegDidPanel
       case "ipw" => CellEstimators.IpwDidPanel
       case _ => CellEstimators.DrDidPanel
-    }
+    })
 
     val att = Array.fill(cells.length)(0.0)
     val post = Array.fill(cells.length)(0)

@@ -41,10 +41,13 @@ class DistributedRcSpec extends AnyFunSuite with SparkSpec {
         cfg.copy(xfmla = Some("y ~ x1 + x2"), allowUnbalancedPanel = false))
       assert(ppP.panel)
       val dist = AttGt.fit(ppP, estMethod = m)
-      // passing any customRc routes the panel regime to the collect
-      // path (which uses the estMethod panel estimators)
-      val coll = AttGt.fit(ppP, estMethod = m,
-        customRc = Some(CellEstimators.DrDidRc))
+      // the matching customPanel estimator forces the collect path
+      val estP = m match {
+        case "dr" => CellEstimators.DrDidPanel
+        case "reg" => CellEstimators.RegDidPanel
+        case _ => CellEstimators.IpwDidPanel
+      }
+      val coll = AttGt.fit(ppP, estMethod = m, customPanel = Some(estP))
       dist.att.indices.foreach { i =>
         assert(dist.skipped(i) == coll.skipped(i))
         if (!dist.skipped(i)) {

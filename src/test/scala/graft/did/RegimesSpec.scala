@@ -65,6 +65,60 @@ class RegimesSpec extends AnyFunSuite with SparkSpec {
     fit.unpersist(); pp.unpersist()
   }
 
+  test("config.clustervar routes fit's bootstrap to the clustered path") {
+    val panel = staggered(spark, nUnits = 200, noise = 0.1)
+      .withColumn("clust", pmod(col("id"), lit(10)))
+    val ccfg = cfg.copy(clustervar = Some("clust"), biters = 199)
+    val pp = Preprocess.run(panel, ccfg)
+    val fit = AttGt.fit(pp, estMethod = "dr", bstrap = true)
+    // ground truth: the same clustered bootstrap invoked directly
+    val clusters = pp.df
+      .select(col("rowid").cast("string").as("rowid"),
+        col("clust").cast("string").as("cluster"))
+      .distinct()
+    val direct = MBoot.runClustered(fit.ifTable, clusters, fit.cells.length,
+      biters = 199, alp = ccfg.alp, seed = ccfg.seed)
+    fit.se.indices.foreach { i =>
+      // last-ulp tolerance: the per-cluster IF sums aggregate in
+      // different partition orders across the two invocations
+      assert((fit.se(i).isNaN && direct.se(i).isNaN) ||
+        math.abs(fit.se(i) - direct.se(i)) <= 1e-12 * math.abs(direct.se(i)),
+        s"cell $i: ${fit.se(i)} vs ${direct.se(i)}")
+    }
+    // and it differs from the unclustered bootstrap (clustering is live)
+    val unclust = MBoot.run(fit.ifTable, fit.cells.length, pp.n,
+      biters = 199, alp = ccfg.alp, seed = ccfg.seed)
+    assert(fit.se.indices.exists(i =>
+      !fit.se(i).isNaN && !unclust.se(i).isNaN &&
+        math.abs(fit.se(i) - unclust.se(i)) > 1e-12))
+    fit.unpersist(); pp.unpersist()
+  }
+
+  test("time-varying clustervar is rejected loudly") {
+    val panel = staggered(spark, nUnits = 60, noise = 0.1)
+      .withColumn("clust", pmod(col("period"), lit(2)))
+    val pp = Preprocess.run(panel,
+      cfg.copy(clustervar = Some("clust"), biters = 49))
+    val e = intercept[IllegalArgumentException] {
+      AttGt.fit(pp, bstrap = true)
+    }
+    assert(e.getMessage.contains("time-varying cluster"))
+    pp.unpersist()
+  }
+
+  test("clustervar == idname degrades to the unclustered bootstrap") {
+    val pp = Preprocess.run(staggered(spark, nUnits = 100, noise = 0.1),
+      cfg.copy(clustervar = Some("id"), biters = 99))
+    val fit = AttGt.fit(pp, bstrap = true)
+    val plain = MBoot.run(fit.ifTable, fit.cells.length, pp.n,
+      biters = 99, alp = cfg.alp, seed = cfg.seed)
+    fit.se.indices.foreach { i =>
+      assert(fit.se(i) == plain.se(i) ||
+        (fit.se(i).isNaN && plain.se(i).isNaN))
+    }
+    fit.unpersist(); pp.unpersist()
+  }
+
   test("ipw: intercept-only distributed form equals the collected IpwDidRc") {
     val pp = Preprocess.run(staggered(spark, nUnits = 150), cfg)
     val dist = AttGt.fit(pp, estMethod = "ipw")
@@ -96,6 +150,43 @@ class RegimesSpec extends AnyFunSuite with SparkSpec {
       }
       fit.unpersist(); pp.unpersist()
     }
+  }
+
+  test("custom estimators are regime-checked; customPanel drives the panel surface") {
+    val data = staggered(spark, nUnits = 120)
+    val ppP = Preprocess.run(data, cfg.copy(allowUnbalancedPanel = false))
+    assert(ppP.panel)
+    // an rc estimator in the panel regime is rejected, not silently
+    // swapped for the built-in
+    val e1 = intercept[IllegalArgumentException] {
+      AttGt.fit(ppP, customRc = Some(CellEstimators.DrDidRc))
+    }
+    assert(e1.getMessage.contains("balanced-panel regime"))
+    // and vice versa
+    val ppRc = Preprocess.run(data, cfg)
+    val e2 = intercept[IllegalArgumentException] {
+      AttGt.fit(ppRc, customPanel = Some(CellEstimators.DrDidPanel))
+    }
+    assert(e2.getMessage.contains("repeated-cross-section regime"))
+    // a custom panel estimator actually drives the results: unweighted
+    // diff-in-means of Δy == dr intercept-only on the all-1-weight panel
+    val custom = new PanelCellEstimator {
+      def estimate(cell: PanelCell): (Double, Array[Double]) = {
+        val dy = cell.yPost.indices.map(i => cell.yPost(i) - cell.yPre(i))
+        val t = dy.indices.filter(i => cell.d(i) == 1.0)
+        val c = dy.indices.filter(i => cell.d(i) == 0.0)
+        (t.map(dy).sum / t.size - c.map(dy).sum / c.size,
+          Array.fill(dy.length)(0.0))
+      }
+    }
+    val fit = AttGt.fit(ppP, customPanel = Some(custom))
+    val ref = AttGt.fit(ppP, estMethod = "dr")
+    fit.att.indices.foreach { i =>
+      if (!fit.skipped(i) && !ref.skipped(i))
+        assert(math.abs(fit.att(i) - ref.att(i)) < 1e-8,
+          s"cell $i: ${fit.att(i)} vs ${ref.att(i)}")
+    }
+    fit.unpersist(); ref.unpersist(); ppP.unpersist(); ppRc.unpersist()
   }
 
   test("est_method callable: custom estimator drives the surface") {
