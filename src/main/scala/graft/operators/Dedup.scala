@@ -75,19 +75,24 @@ object Dedup {
           x => xxhash64(x))).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(par(df), col("did"))
-    val idx0 = shH.select(col("did"), explode(col("sh")).as("h"))
+    // nsh rides along from size(sh) — no count().over(did) window pass
+    // over the exploded index (the per-doc size is already known before
+    // the explode). Only the maxDf branch must recount post-cap.
+    val idx0 = shH.select(col("did"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("h"))
     val idx = maxDf match {
       case None => idx0
       case Some(cap) =>
         val hot = idx0.groupBy("h").agg(count(lit(1)).as("hdf"))
           .filter(col("hdf") > cap).select("h")
-        idx0.join(hot, Seq("h"), "left_anti")
+        val kept = idx0.drop("nsh").join(hot, Seq("h"), "left_anti")
+        kept.join(
+          kept.groupBy("did").agg(count(lit(1)).as("nsh")), "did")
     }
-    // one shuffle by did: per-doc (post-cap) set size + rarest-first rank
+    // one shuffle by did for the rarest-first rank
     val dfCounts = idx.groupBy("h").agg(count(lit(1)).as("dfq"))
     val wDid = Window.partitionBy("did")
     val ranked = idx.join(dfCounts, "h")
-      .withColumn("nsh", count(lit(1)).over(wDid))
       .withColumn("rn",
         row_number().over(wDid.orderBy(col("dfq"), col("h"))))
     val prefix = ranked
@@ -117,20 +122,30 @@ object Dedup {
     * pass (k codegen'd min columns, no array-UDAF). Any fixed total order
     * works as the permutation order, so signed-long min is fine:
     * P(min_a == min_b) = Jaccard still holds. Returns (id, h0..h{k-1}). */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64): DataFrame = {
-    // repartition by id first (small files arrive as one partition —
-    // see ngramJaccardPairs); the k min-aggregates then run partial
-    // map-side and the final groupBy(did) needs no extra shuffle
-    val idx = df
-      .select(col(idCol).as("did"), col(textCol).as("txt"))
+  /** Shingled frame (did, sh) behind a did-keyed exchange that downstream
+    * branches can share: the first repartition spreads raw text across
+    * cores BEFORE tokenization, the second sits above it so every
+    * consumer reuses one tokenization via exchange reuse (the
+    * ngramJaccardPairs pattern). */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("did"), col(textCol).as("txt"))
       .repartition(par(df), col("did"))
-      .select(col("did"), explode(wordShingles(col("txt"), n)).as("s"))
+      .select(col("did"), wordShingles(col("txt"), n).as("sh"))
+      .repartition(par(df), col("did"))
+
+  private def minhashFromShingles(shH: DataFrame, k: Int): DataFrame = {
+    val idx = shH
+      .select(col("did"), explode(col("sh")).as("s"))
       .select(col("did"), xxhash64(col("s")).as("h"))
     val mins = (0 until k).map(j =>
       min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     idx.groupBy("did").agg(mins.head, mins.tail: _*)
   }
+
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame =
+    minhashFromShingles(shingled(df, idCol, textCol, n), k)
 
   /** LSH candidate pairs from banded minhash signatures (`bands` bands of
     * `k/bands` rows): docs sharing any band bucket. One explode + one
@@ -161,13 +176,14 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8)
       : DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    // ONE shingled frame feeds both the signature pass and the two
+    // verification joins — the corpus is tokenized once, not twice
+    val shH = shingled(df, idCol, textCol, n)
+    val sig = minhashFromShingles(shH, k)
     val cand = minhashCandidates(sig, k, bands)
-    val idx = df.select(col(idCol).as("did"),
-      wordShingles(col(textCol), n).as("sh"))
     cand
-      .join(idx.select(col("did").as("id_a"), col("sh").as("sha")), "id_a")
-      .join(idx.select(col("did").as("id_b"), col("sh").as("shb")), "id_b")
+      .join(shH.select(col("did").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(shH.select(col("did").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("ic", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(
         col("ic") / (size(col("sha")) + size(col("shb")) - col("ic")), 6))
