@@ -79,13 +79,14 @@ object Aggte {
     val tlistR = t.distinct.sorted
 
     // pg: cohort probability weights pg[g] = mean(wbar * 1{gbar==g})
-    // (`csdids/ATTgt.py:637-646`) — one aggregation pass.
+    // (`csdids/ATTgt.py:637-646`) — one groupBy pass. One generated agg
+    // column per cohort would be the same single pass but blows up
+    // codegen at many cohorts (10k cohorts = 10k expressions).
     val n = pp.n
-    val aggCols = pp.glist.map(g =>
-      sum(when(col("gbar") === g, col("wbar")).otherwise(0.0)).as(s"pg_$g"))
-    val row = units.agg(aggCols.head, aggCols.tail: _*).first()
-    val pgByCohort = pp.glist.zipWithIndex
-      .map { case (g, i) => g -> row.getDouble(i) / n }.toMap
+    val sums = units.groupBy("gbar").agg(sum("wbar").as("sw")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val pgByCohort =
+      pp.glist.map(g => g -> sums.getOrElse(g, 0.0) / n).toMap
     val pg = origCohort.map(pgByCohort)
     val origGlist = pp.glist.filter(keptCohorts.contains).toArray
 
@@ -171,6 +172,30 @@ object Aggte {
       Stats.normPpf(1 - p.fit.pp.config.alp / 2), p.fit.pp.config.alp)
   }
 
+  /** Sup-t critical-value clamps, reference parity
+    * (`csdids/ATTgt.py:727-740`): NaN/inf -> pointwise, below-pointwise ->
+    * pointwise, and >= 7 kept but flagged as unreliable. */
+  private[did] def clampCritVal(c: Double, z: Double): Double =
+    if (c.isNaN || c.isInfinite) {
+      System.err.println(
+        "[graft.did] Simultaneous critical value is NA (std errors may be " +
+          "NA); reporting pointwise confidence intervals.")
+      z
+    } else if (c < z) {
+      System.err.println(
+        "[graft.did] Simultaneous conf. band is smaller than the pointwise " +
+          "one; reporting pointwise confidence intervals.")
+      z
+    } else {
+      if (c >= 7)
+        System.err.println(
+          "[graft.did] Simultaneous critical value is arguably 'too large' " +
+            "to be reliable. This usually happens when the number of " +
+            "observations per group is small and/or there is not much " +
+            "variation in outcomes.")
+      c
+    }
+
   def group(p: Prep, maxE: Double = Double.PositiveInfinity,
       bstrap: Option[Boolean] = None, cband: Option[Boolean] = None)
       : AggteResult = {
@@ -219,8 +244,7 @@ object Aggte {
         .select(col("rowid"), col("midx").as("cell"), col("v").as("inf"))
       val c = MBoot.run(asCells, nG, p.n, cfg.biters, cfg.alp, cfg.seed)
         .critVal
-      if (!c.isNaN && !c.isInfinite && c >= Stats.normPpf(1 - cfg.alp / 2))
-        critEgt = c
+      critEgt = clampCritVal(c, Stats.normPpf(1 - cfg.alp / 2))
     }
     fam.unpersist()
     AggteResult("group", overallAtt, se, p.origGlist.toSeq, attEgt.toSeq,
@@ -273,8 +297,7 @@ object Aggte {
         .select(col("rowid"), col("midx").as("cell"), col("v").as("inf"))
       val c = MBoot.run(asCells, nT, p.n, cfg.biters, cfg.alp, cfg.seed)
         .critVal
-      if (!c.isNaN && !c.isInfinite && c >= Stats.normPpf(1 - cfg.alp / 2))
-        critEgt = c
+      critEgt = clampCritVal(c, Stats.normPpf(1 - cfg.alp / 2))
     }
     fam.unpersist()
 

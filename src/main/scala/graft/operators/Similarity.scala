@@ -131,21 +131,33 @@ object Similarity {
     * the corpus is assigned distributed by the model and joined by
     * list id — the standard FAISS-style IVF layout expressed as an
     * equi-join. Queries must be small (collected for probe
-    * assignment, same contract as bruteForceTopK's broadcast). */
+    * assignment, same contract as bruteForceTopK's broadcast).
+    *
+    * `trainFraction` < 1 fits the coarse quantizer on a seeded sample —
+    * the scale path: k-means needs only enough points to place nLists
+    * centroids (FAISS trains on ~39*nLists..256*nLists points), so at
+    * 100 TB the fit must NOT iterate over the full corpus. Assignment
+    * stays exact over all rows regardless. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1]: $trainFraction")
 
     val feats = corpus.select(col(idCol).as("cid"),
       col(vecCol).as("cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("fv"))
+    val trainSet =
+      if (trainFraction >= 1.0) feats
+      else feats.sample(withReplacement = false, trainFraction, seed)
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("list")
-      .fit(feats)
+      .fit(trainSet)
     val assigned = model.transform(feats).select("cid", "cv", "list")
 
     val centers = model.clusterCenters.map(_.toArray)

@@ -78,4 +78,19 @@ class AggteSpec extends AnyFunSuite with SparkSpec {
       else assert(math.abs(a) < 0.1, s"placebo e=$e: $a")
     }
   }
+
+  test("crit-val clamps: NaN/inf/below-z -> pointwise, >= 7 kept + warned") {
+    val z = Stats.normPpf(0.975)
+    assert(Aggte.clampCritVal(Double.NaN, z) == z)
+    assert(Aggte.clampCritVal(Double.PositiveInfinity, z) == z)
+    assert(Aggte.clampCritVal(1.0, z) == z)
+    assert(Aggte.clampCritVal(2.5, z) == 2.5)
+    // >= 7 warns (csdids/ATTgt.py:737-740) but keeps the value
+    val err = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    System.setErr(new java.io.PrintStream(err))
+    try assert(Aggte.clampCritVal(8.0, z) == 8.0)
+    finally System.setErr(saved)
+    assert(err.toString.contains("too large"))
+  }
 }

@@ -69,6 +69,25 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     approx.size shouldBe 15 // 5 queries x k=3
     (approx intersect brute).size.toDouble / brute.size should be >= 0.5
   }
+
+  test("ivfTopK: sample-trained quantizer keeps full-probe exactness") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("cid").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(
+      Similarity.bruteForceTopK(emb, qs, 3).toDF("qid", "cid", "cos"))
+    // train on half the corpus: with nProbe == nLists every candidate is
+    // still scored exactly, so sampling the TRAINING set changes nothing
+    val sampled = asSet(Similarity.ivfTopK(emb, qs, 3,
+      nLists = 4, nProbe = 4, trainFraction = 0.5))
+    sampled shouldBe brute
+    // partial probe on a sampled quantizer still recalls
+    val approx = asSet(Similarity.ivfTopK(emb, qs, 3,
+      nLists = 8, nProbe = 3, trainFraction = 0.5))
+    (approx intersect brute).size.toDouble / brute.size should be >= 0.5
+  }
 }
 
 class EventsSpec extends AnyFunSuite with Matchers with SparkSpec {
