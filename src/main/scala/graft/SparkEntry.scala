@@ -272,11 +272,22 @@ object SparkEntry {
       out
     }),
 
-    // §2.7 influence-function store: per-cell IF sum-of-squares (feeds
-    // the analytic SE); rows-only (IF algebra not SQL-expressible)
-    "q_if_norms" -> ((s, dir) =>
-      fitFor(s, dir).ifTable.groupBy("cell")
-        .agg(round(sum(col("inf") * col("inf")), 6).as("ss"))),
+    // §2.7 influence-function store: per-cell analytic SE
+    // sqrt(sum IF^2)/n off the sparse IF table. For the intercept-only
+    // closed form the per-row IF is 2x2-means algebra, so the whole
+    // pipeline (long form -> bucket constants -> per-unit IF -> SE) is
+    // ANSI-expressible and hash-checked against DuckDB
+    "q_if_norms" -> ((s, dir) => {
+      import s.implicits._
+      val f = fitFor(s, dir)
+      val cellMap = f.cells.filterNot(c => c.zeroCell || f.skipped(c.idx))
+        .map(c => (c.idx, c.g, c.tn)).toDF("cell", "g", "t")
+      f.ifTable.groupBy("cell")
+        .agg(sum(col("inf") * col("inf")).as("ss"))
+        .join(broadcast(cellMap), "cell")
+        .select(col("g"), col("t"),
+          round(sqrt(col("ss")) / f.pp.n, 4).as("se"))
+    }),
 
     // ---- training-data-pipeline extensions (SURVEY.md §7.7) ----------
 
@@ -538,6 +549,49 @@ object SparkEntry {
          |FROM m""".stripMargin),
 
     "q_att_gt" -> attGtSql,
+
+    // intercept-only dr closed form: long form -> 2x2 bucket constants
+    // (k_dp = +/- ncell/w_dp) -> per-unit IF sums -> sqrt(sum IF^2)/n,
+    // mirroring AttGt.fitRcDistributed cell by cell
+    "q_if_norms" -> withPanelCte(
+      """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+        |         FROM (SELECT DISTINCT t FROM panel)),
+        |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+        |cells AS (
+        |  SELECT gs.g, tl.t AS tn,
+        |    CASE WHEN gs.g <= tl.t
+        |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
+        |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+        |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+        |lf AS (
+        |  SELECT c.g, c.tn, p.id, p.y,
+        |    CASE WHEN p.g = c.g THEN 1 ELSE 0 END AS d,
+        |    CASE WHEN p.t = c.tn THEN 1 ELSE 0 END AS pst
+        |  FROM cells c JOIN panel p
+        |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)),
+        |k AS (
+        |  SELECT g, tn, COUNT(*) AS ncell,
+        |    SUM(CASE WHEN d=1 AND pst=1 THEN 1 ELSE 0 END) AS w11,
+        |    AVG(CASE WHEN d=1 AND pst=1 THEN y END) AS mu11,
+        |    SUM(CASE WHEN d=1 AND pst=0 THEN 1 ELSE 0 END) AS w10,
+        |    AVG(CASE WHEN d=1 AND pst=0 THEN y END) AS mu10,
+        |    SUM(CASE WHEN d=0 AND pst=1 THEN 1 ELSE 0 END) AS w01,
+        |    AVG(CASE WHEN d=0 AND pst=1 THEN y END) AS mu01,
+        |    SUM(CASE WHEN d=0 AND pst=0 THEN 1 ELSE 0 END) AS w00,
+        |    AVG(CASE WHEN d=0 AND pst=0 THEN y END) AS mu00
+        |  FROM lf GROUP BY g, tn),
+        |r AS (
+        |  SELECT lf.g, lf.tn, lf.id,
+        |    CASE WHEN d=1 AND pst=1 THEN  (k.ncell * 1.0 / k.w11) * (lf.y - k.mu11)
+        |         WHEN d=1 AND pst=0 THEN -(k.ncell * 1.0 / k.w10) * (lf.y - k.mu10)
+        |         WHEN d=0 AND pst=1 THEN -(k.ncell * 1.0 / k.w01) * (lf.y - k.mu01)
+        |         ELSE (k.ncell * 1.0 / k.w00) * (lf.y - k.mu00) END AS infr
+        |  FROM lf JOIN k ON lf.g = k.g AND lf.tn = k.tn
+        |  WHERE k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0 AND k.w00 > 0),
+        |u AS (SELECT g, tn, id, SUM(infr) AS inf FROM r GROUP BY 1, 2, 3),
+        |nn AS (SELECT COUNT(DISTINCT id) AS n FROM panel)
+        |SELECT u.g, u.tn AS t, ROUND(sqrt(SUM(inf * inf)) / nn.n, 4) AS se
+        |FROM u, nn GROUP BY u.g, u.tn, nn.n""".stripMargin),
 
     "q_aggte_simple" -> withPanelCte(
       s""", $cellMeansCte,
