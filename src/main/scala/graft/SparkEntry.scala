@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Events, Similarity}
+import graft.operators.{Dedup, Events, Similarity, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -75,6 +75,18 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, Aggte.Prep]
   private def prepFor(s: SparkSession, dir: String): Aggte.Prep =
     prepCache.getOrElseUpdate(dir, Aggte.prepare(fitFor(s, dir)))
+  /** Separate cache for the clustervar-configured bootstrap fit (its
+    * preprocessed frame carries the cluster column, so it cannot share
+    * fitCache). */
+  private val clusterFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, AttGtFit]
+  private def clusterFitFor(s: SparkSession, dir: String): AttGtFit =
+    clusterFitCache.getOrElseUpdate(dir, {
+      val panel = pv(s, dir).withColumn("clust", pmod(col("id"), lit(100)))
+      val pp = Preprocess.run(panel,
+        PanelView.config.copy(clustervar = Some("clust")))
+      AttGt.fit(pp, bstrap = true)
+    })
 
   private def singleValue(s: SparkSession, name: String, v: Double): DataFrame = {
     import s.implicits._
@@ -261,15 +273,9 @@ object SparkEntry {
     // MBoot.runClustered (id-mod-100 clusters); rows-only
     "q_mboot_cluster_se" -> ((s, dir) => {
       import s.implicits._
-      val panel = pv(s, dir)
-        .withColumn("clust", pmod(col("id"), lit(100)))
-      val pp = Preprocess.run(panel,
-        PanelView.config.copy(clustervar = Some("clust")))
-      val f = AttGt.fit(pp, bstrap = true)
-      val out = f.cells.indices.map(i =>
+      val f = clusterFitFor(s, dir)
+      f.cells.indices.map(i =>
         (f.cells(i).g, f.cells(i).tn, f.se(i))).toDF("g", "t", "se")
-      f.unpersist(); pp.unpersist()
-      out
     }),
 
     // §2.7 influence-function store: per-cell analytic SE
@@ -306,6 +312,10 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // text analysis: Gopher-style repetition/shape quality signals
+    "q_gopher_quality" -> ((s, dir) =>
+      TextQuality.gopherSignals(docs(s, dir), "doc_id", "text")),
 
     // text analysis: stopword ratio (natural-text quality signal)
     "q_stopword_ratio" -> ((s, dir) =>
@@ -401,6 +411,23 @@ object SparkEntry {
         .select(col("win").cast("long").as("hour_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
+    // streaming: the stateful flatMapGroupsWithState sessionizer run in
+    // batch mode (emitOpen closes the trailing sessions) — must equal
+    // the window-based Events.sessionize, so it shares that oracle
+    "q_stream_sessionize_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.SessionEvent]
+      graft.streaming.StreamingOps
+        .sessionizeStateful(ev, gapMinutes = 30, emitOpen = true)
+        .toDF()
+        .select(col("user_id"), col("sess_no"),
+          col("sess_start").cast("long").as("start_epoch"),
+          col("sess_end").cast("long").as("end_epoch"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // multimodal: frame-sample fan-out plan for video payloads
     "q_frame_sample" -> ((s, dir) => {
       val media = docs(s, dir).select(
@@ -490,7 +517,7 @@ object SparkEntry {
       |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
       |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = withSharedOracles(Map(
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -670,6 +697,29 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_btok
         |FROM documents""".stripMargin,
 
+    "q_gopher_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END AS bi
+        |  FROM d)
+        |SELECT doc_id,
+        |  ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6)
+        |    AS mean_word_len,
+        |  ROUND(CASE WHEN len(bi) > 0
+        |        THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+        |        ELSE 0.0 END, 6) AS dup_bigram_frac,
+        |  ROUND(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |        / len(t), 6) AS alpha_token_frac,
+        |  ROUND(CAST(list_max(list_transform(list_distinct(t),
+        |          x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+        |        / len(t), 6) AS top_token_frac
+        |FROM sig""".stripMargin,
+
     "q_quality_score" ->
       """WITH c AS (
         |  SELECT doc_id, text,
@@ -803,7 +853,12 @@ object SparkEntry {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
         |  count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
-  )
+  ))
+
+  /** The stateful sessionizer must reproduce the window formulation, so
+    * it shares q_sessionize's oracle verbatim. */
+  private def withSharedOracles(m: Map[String, String]): Map[String, String] =
+    m + ("q_stream_sessionize_state" -> m("q_sessionize"))
 
   /** Exact word-3-gram Jaccard pairs oracle (shared by the exact and the
     * LSH-verified query — LSH recall at j>=0.8 with 16x4 bands is

@@ -9,7 +9,43 @@ import scala.util.hashing.MurmurHash3
 final case class MBootResult(
     bres: Array[Array[Double]], // biters x K
     se: Array[Double],          // per-dim; NaN on degenerate dims
-    critVal: Double)
+    critVal: Double) {
+
+  /** Bootstrap covariance matrix over ALL K dims (`np.cov(bres,
+    * rowvar=False)` with ddof=1, `csdids/mboot.py:125`) — a
+    * returned-but-unused diagnostic in the reference, exposed here
+    * lazily so callers that ignore it pay nothing. Degenerate dims
+    * simply carry (near-)zero rows/columns. */
+  lazy val cov: Array[Array[Double]] = {
+    val b = bres.length
+    val k = if (b == 0) 0 else bres(0).length
+    val mean = Array.tabulate(k)(j => bres.iterator.map(_(j)).sum / b)
+    val v = Array.ofDim[Double](k, k)
+    var i = 0
+    while (i < b) {
+      val row = bres(i)
+      var p = 0
+      while (p < k) {
+        val dp = row(p) - mean(p)
+        var q = p
+        while (q < k) { v(p)(q) += dp * (row(q) - mean(q)); q += 1 }
+        p += 1
+      }
+      i += 1
+    }
+    var p = 0
+    while (p < k) {
+      var q = p
+      while (q < k) {
+        val c = v(p)(q) / (b - 1)
+        v(p)(q) = c; v(q)(p) = c
+        q += 1
+      }
+      p += 1
+    }
+    v
+  }
+}
 
 /** Rademacher multiplier bootstrap with sup-t simultaneous critical value
   * (`csdids/mboot.py:63-143`).

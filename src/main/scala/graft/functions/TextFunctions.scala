@@ -91,6 +91,32 @@ object TextFunctions {
     size(filter(t, x => array_contains(sw, x))).cast("double") / size(t)
   }
 
+  /** Word n-grams WITHOUT dedup (repetition analysis needs the raw
+    * multiset; `wordShingles` distincts for set-similarity). */
+  def rawWordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: fraction of duplicate word n-grams
+    * (1 - distinct/total). High values flag boilerplate/spam. */
+  def dupNgramFrac(c: Column, n: Int): Column = {
+    val r = rawWordShingles(c, n)
+    when(size(r) > 0,
+      lit(1.0) - size(array_distinct(r)).cast("double") / size(r))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of tokens containing at least one letter (Gopher's
+    * "words with an alphabetic character" rule). */
+  def alphaTokenFrac(c: Column): Column = {
+    val t = tokens(c)
+    size(filter(t, x => x.rlike("[a-z]"))).cast("double") / size(t)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. Stable across engines (md5 is md5 everywhere). */
   def fingerprint(c: Column): Column =

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Gopher-style document-quality signals (Rae et al. 2021, "Scaling
+  * Language Models: ... Gopher", table A1 repetition/shape rules) for
+  * training-data curation at corpus scale.
+  *
+  * Everything is one projection over codegen'd built-ins except
+  * top-token dominance, which uses the scalable explode -> two-level
+  * aggregation (partial map-side combine on (doc, token), then a K-row
+  * per-doc agg) instead of an O(tokens^2) per-row HOF — the formulation
+  * that survives a 100 TB corpus. */
+object TextQuality {
+
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+  /** Per-document signals: mean word length, duplicate-bigram fraction,
+    * alphabetic-token fraction, top-token dominance (most frequent
+    * token's share of all tokens). All 6dp-rounded, ANSI-oracle-checked
+    * (`q_gopher_quality`). */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // numbered did-keyed repartition: small parquet arrives as one
+    // partition and the per-row HOFs would serialize onto one core
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .repartition(par(df), col("doc_id"))
+    val shape = base.select(col("doc_id"),
+      round(meanTokenLen(col("txt")), 6).as("mean_word_len"),
+      round(dupNgramFrac(col("txt"), 2), 6).as("dup_bigram_frac"),
+      round(alphaTokenFrac(col("txt")), 6).as("alpha_token_frac"))
+    val top = base
+      .select(col("doc_id"), explode(tokens(col("txt"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 6)
+        .as("top_token_frac"))
+    shape.join(top, "doc_id")
+  }
+}

@@ -1,7 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row for the stateful sessionizer. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+
+/** One closed (or final open) session. */
+final case class SessionRow(user_id: Long, sess_no: Long,
+    sess_start: java.sql.Timestamp, sess_end: java.sql.Timestamp,
+    n_events: Long, sum_value: Double)
+
+/** Per-user open-session state: `sumCents` keeps the money sum exact
+  * (`value` is 2-decimal by construction — see Events.exactValueSum). */
+final case class OpenSession(sessNo: Long, startUs: Long, lastUs: Long,
+    n: Long, sumCents: Long)
 
 /** Structured Streaming surface. The reference has no streaming at all
   * (SURVEY.md §2.10); this is the engine extension for event streams:
@@ -36,4 +51,84 @@ object StreamingOps {
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stateful gap-based sessionization over `KeyValueGroupedDataset`
+    * custom state — the streaming counterpart of `Events.sessionize`
+    * (same gap rule, same session numbering, exact money sums).
+    *
+    * Streaming (`emitOpen = false`): per micro-batch, each user's open
+    * session lives in `GroupState`; sessions close either when a later
+    * event arrives past the gap, or when the event-time watermark passes
+    * `last_ts + gap` (event-time timeout) — state is bounded by one open
+    * session per active user. Late events older than the open session's
+    * last timestamp are folded in best-effort (they extend the current
+    * session, never reopen a closed one — closed sessions are final in
+    * append mode).
+    *
+    * Batch (`emitOpen = true`): one pass per user over the complete
+    * history, emitting every session including the final open one —
+    * byte-identical to `Events.sessionize` (oracle-checked as
+    * `q_stream_sessionize_state`). */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      emitOpen: Boolean = false): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    // gap rule in floor-seconds, exactly like Events.sessionize
+    // (ts.cast("long") diffs) and its ANSI oracle (epoch() diffs)
+    val gapSec = gapMinutes * 60L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent],
+            state: GroupState[OpenSession]) =>
+          // helpers are local so the closure stays self-contained
+          // (no capture of the non-serializable enclosing object)
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          def tsOf(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000)
+            t.setNanos(((us % 1000000) * 1000).toInt)
+            t
+          }
+          def cents(v: Double): Long = math.round(v * 100.0)
+          def secOf(us: Long): Long = Math.floorDiv(us, 1000000L)
+          def close(u: Long, s: OpenSession): SessionRow =
+            SessionRow(u, s.sessNo, tsOf(s.startUs), tsOf(s.lastUs), s.n,
+              s.sumCents / 100.0)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            // group iterators are unordered; sessionization needs time order
+            val evs = it.toArray.sortBy(e => (usOf(e.ts), e.value))
+            val out = Vector.newBuilder[SessionRow]
+            var open = state.getOption
+            evs.foreach { e =>
+              val us = usOf(e.ts)
+              open match {
+                case Some(s) if secOf(us) - secOf(s.lastUs) <= gapSec =>
+                  open = Some(s.copy(lastUs = math.max(s.lastUs, us),
+                    n = s.n + 1, sumCents = s.sumCents + cents(e.value)))
+                case Some(s) =>
+                  out += close(uid, s)
+                  open = Some(OpenSession(s.sessNo + 1, us, us, 1L,
+                    cents(e.value)))
+                case None =>
+                  open = Some(OpenSession(1L, us, us, 1L, cents(e.value)))
+              }
+            }
+            if (emitOpen) {
+              open.foreach(s => out += close(uid, s))
+            } else {
+              open.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(
+                  (secOf(s.lastUs) + gapSec + 1) * 1000L)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

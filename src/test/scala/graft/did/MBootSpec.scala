@@ -33,6 +33,23 @@ class MBootSpec extends AnyFunSuite with SparkSpec {
     assert(r1.critVal != r3.critVal || r1.se.toSeq != r3.se.toSeq)
   }
 
+  test("bootstrap covariance matches np.cov(bres, rowvar=False) by hand") {
+    // bres = [[1,2],[3,4],[5,9]]: means (3,5); ddof=1 =>
+    // var0 = 4, cov01 = 7, var1 = 13
+    val r = MBootResult(Array(Array(1.0, 2.0), Array(3.0, 4.0),
+      Array(5.0, 9.0)), Array(0.0, 0.0), 0.0)
+    assert(r.cov(0)(0) == 4.0)
+    assert(r.cov(0)(1) == 7.0 && r.cov(1)(0) == 7.0)
+    assert(r.cov(1)(1) == 13.0)
+    // diagonal of the real bootstrap covariance ~ bSigma-free variance:
+    // positive and finite on non-degenerate dims
+    val real = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n, 199, 0.05, 1L)
+    real.se.indices.foreach { i =>
+      if (!real.se(i).isNaN)
+        assert(real.cov(i)(i) > 0 && java.lang.Double.isFinite(real.cov(i)(i)))
+    }
+  }
+
   test("distributed path agrees distributionally with driver path") {
     val driver = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n,
       999, 0.05, 5L)

@@ -88,6 +88,19 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select(TextFunctions.hamming64(col("a"), col("b")))
       .first().getInt(0) shouldBe 3
   }
+
+  test("gopherSignals: hand-computed repetition/shape values") {
+    // tokens: aa bb aa bb cc -> bigrams (aa bb, bb aa, aa bb, bb cc):
+    // 4 total / 3 distinct -> dup 0.25; top token 2/5 = 0.4; mwl 2.0
+    val d = Seq((1L, "aa bb aa bb cc"), (2L, "x1 9")).toDF("doc_id", "text")
+    val m = TextQuality.gopherSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    m(1L) shouldBe ((2.0, 0.25, 1.0, 0.4))
+    // "x1 9": no duplicate bigram, one non-alpha token, ties at top 1/2
+    m(2L) shouldBe ((1.5, 0.0, 0.5, 0.5))
+  }
 }
 
 class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {

@@ -44,6 +44,59 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     StreamingOps.windowedCounts(batch).count() shouldBe 1L
   }
 
+  test("sessionizeStateful closes sessions across micro-batches on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val src = mem.toDF().withWatermark("ts", "0 seconds")
+      .as[SessionEvent]
+    val q = StreamingOps.sessionizeStateful(src, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessstate")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events of user 7 in one session, one of user 9
+      mem.addData(
+        SessionEvent(7L, ts("2026-01-01 10:00:00"), 1.0),
+        SessionEvent(7L, ts("2026-01-01 10:10:00"), 2.0),
+        SessionEvent(9L, ts("2026-01-01 10:05:00"), 16.0))
+      q.processAllAvailable()
+      // nothing closed yet: sessions are still open
+      spark.table("sessstate").count() shouldBe 0L
+      // batch 2: user 7 comes back past the gap -> session 1 closes
+      // inline; the watermark jump also times out user 9's session
+      mem.addData(SessionEvent(7L, ts("2026-01-01 12:00:00"), 8.0))
+      q.processAllAvailable()
+      // one more empty batch so the timeout (watermark from batch 2)
+      // fires for user 9
+      mem.addData(SessionEvent(5L, ts("2026-01-01 12:00:01"), 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("sessstate")
+        .select("user_id", "sess_no", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      rows should contain((7L, 1L, 2L, 3.0))
+      rows should contain((9L, 1L, 1L, 16.0))
+    } finally q.stop()
+  }
+
+  test("sessionizeStateful in batch mode equals the window formulation") {
+    val ev = Seq(
+      SessionEvent(7L, ts("2026-01-01 10:05:00"), 1.0),
+      SessionEvent(7L, ts("2026-01-01 10:25:00"), 2.0),
+      SessionEvent(7L, ts("2026-01-01 10:50:00"), 4.0),
+      SessionEvent(7L, ts("2026-01-01 13:00:00"), 8.0),
+      SessionEvent(9L, ts("2026-01-01 10:10:00"), 16.0)).toDS()
+    val stateful = StreamingOps.sessionizeStateful(ev, 30, emitOpen = true)
+      .collect().map(r =>
+        (r.user_id, r.sess_no, r.sess_start.toString, r.sess_end.toString,
+          r.n_events, r.sum_value)).toSet
+    val window = graft.operators.Events.sessionize(
+        ev.toDF().withColumn("event_type", lit("x")), 30)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+          r.getTimestamp(3).toString, r.getLong(4), r.getDouble(5))).toSet
+    stateful shouldBe window
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
