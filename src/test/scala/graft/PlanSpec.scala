@@ -97,4 +97,44 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!plan.contains("CartesianProduct"), "cartesian product!")
     }
   }
+
+  test("minhash near-dup tokenizes the corpus once (exchange reuse)") {
+    withStaticPlan {
+      val plan = planOf(
+        SparkEntry.queries("q_minhash_neardup")(spark, dir))
+      // the shingled frame feeds the signature pass AND both
+      // verification joins through one did-keyed exchange
+      assert(plan.contains("ReusedExchange"),
+        s"tokenizer exchange not reused in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), "cartesian product!")
+    }
+  }
+
+  test("gopher signals: no window, no cartesian, partial aggregation") {
+    withStaticPlan {
+      val plan = planOf(
+        SparkEntry.queries("q_gopher_quality")(spark, dir))
+      assert(!plan.contains("Window"), s"window op in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), "cartesian product!")
+      // top-token dominance: two-level hash agg with map-side partials
+      assert(plan.contains("partial_"), "no map-side partial aggregate")
+    }
+  }
+
+  test("stateful sessionizer shuffles once by user, no global sort") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_stream_sessionize_state")(spark, dir)
+      val plan = planOf(df)
+      // batch mode lowers flatMapGroupsWithState to MapGroups
+      assert(plan.contains("MapGroups"), s"no group-state operator in:\n$plan")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1, s"expected one shuffle:\n$plan")
+      val globalSorts = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, "global sort leaked into the plan")
+    }
+  }
 }
