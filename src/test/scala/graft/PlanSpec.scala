@@ -98,14 +98,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("minhash near-dup tokenizes the corpus once (exchange reuse)") {
+  test("minhash near-dup tokenizes the corpus once (cached shingles)") {
     withStaticPlan {
-      val plan = planOf(
-        SparkEntry.queries("q_minhash_neardup")(spark, dir))
-      // the shingled frame feeds the signature pass AND both
-      // verification joins through one did-keyed exchange
-      assert(plan.contains("ReusedExchange"),
-        s"tokenizer exchange not reused in:\n$plan")
+      val df = SparkEntry.queries("q_minhash_neardup")(spark, dir)
+      val plan = planOf(df)
+      // the persisted shingle frame feeds the signature pass AND both
+      // verification joins
+      val cacheScans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(cacheScans.length >= 3, s"expected >=3 shingle-cache scans:\n$plan")
+      // filter pushdown must NOT substitute the tokenizer into the
+      // parquet scan (it would run single-core on the one input split)
+      val fileScans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      fileScans.foreach { s =>
+        assert(!s.dataFilters.mkString.contains("split("),
+          s"tokenizer pushed into the parquet scan:\n$plan")
+      }
       assert(!plan.contains("CartesianProduct"), "cartesian product!")
     }
   }
