@@ -8,9 +8,11 @@ import breeze.linalg.{inv, DenseMatrix, DenseVector}
 /** Distributed covariate estimation for the balanced-panel regime —
   * companion to [[DistributedRc]] (see its scaladoc for the design).
   * Operates on the wide per-(cell, unit) frame (y1/y0 pivot) built in
-  * AttGt: one IRLS Gram pass per Newton step for the propensity, one
-  * pass for the control Δy regression, one moment pass, then the
-  * per-row influence function as a closed-form column expression. The
+  * AttGt: pass 0 carries the counts PLUS every gamma-independent block
+  * (control Δy regression Grams and the first IRLS Newton step at
+  * gamma=0), then one Gram pass per remaining Newton step, one moment
+  * pass, and the per-row influence function as a closed-form column
+  * expression. The
   * reference's n/n1 influence rescale is folded into the final
   * expression. Parity with [[CellEstimators.DrDidPanel]] /
   * [[CellEstimators.RegDidPanel]] / [[CellEstimators.IpwDidPanel]] is
@@ -42,12 +44,35 @@ private[did] object DistributedPanel {
 
     def xj(j: Int): Column = col(covs(j))
 
-    // ---- pass 0: counts, treated/control presence, mean weight --------
-    val p0 = lf.groupBy("cell").agg(
-        count(lit(1)).as("n1"), sum("w1").as("sw"),
-        sum(col("dd")).as("nT"),
-        sum(lit(1.0) - col("dd")).as("nc"))
+    // ---- pass 0: counts, treated/control presence, mean weight, AND
+    // the gamma-independent Gram/moment blocks (control Δy regression +
+    // first IRLS Newton step at gamma=0) — see DistributedRc's pass 0.
+    val wT = col("w1") * col("dd")
+    val wC = col("w1") * (lit(1.0) - col("dd"))
+    val p0Aggs = Seq(
+      count(lit(1)).as("n1"), sum("w1").as("sw"),
+      sum(col("dd")).as("nT"),
+      sum(lit(1.0) - col("dd")).as("nc")) ++
+      (for (j <- 0 until p; k <- j until p)
+        yield sum(wT * xj(j) * xj(k)).as(s"gxT_${j}_$k")) ++
+      (for (j <- 0 until p; k <- j until p)
+        yield sum(wC * xj(j) * xj(k)).as(s"gxC_${j}_$k")) ++
+      (0 until p).map(j => sum(wC * xj(j) * col("dy")).as(s"gyC_$j")) ++
+      (0 until p).map(j => sum(wT * xj(j)).as(s"gvT_$j")) ++
+      (0 until p).map(j => sum(wC * xj(j)).as(s"gvC_$j"))
+    val p0 = lf.groupBy("cell").agg(p0Aggs.head, p0Aggs.tail: _*)
       .collect().map(r => r.getInt(0) -> r).toMap
+    def p0d(i: Int, name: String): Double =
+      p0(i).getDouble(p0(i).fieldIndex(name))
+    def p0Gram(i: Int, prefix: String): DenseMatrix[Double] = {
+      val m = DenseMatrix.zeros[Double](p, p)
+      for (j <- 0 until p; k <- j until p) {
+        val v = p0d(i, s"${prefix}_${j}_$k"); m(j, k) = v; m(k, j) = v
+      }
+      m
+    }
+    def p0Vec(i: Int, prefix: String): DenseVector[Double] =
+      DenseVector.tabulate(p)(j => p0d(i, s"${prefix}_$j"))
 
     val att = Array.fill(nCells)(0.0)
     val post = Array.fill(nCells)(0)
@@ -94,9 +119,26 @@ private[did] object DistributedPanel {
     val gamma = Array.fill(nCells)(DenseVector.zeros[Double](p))
     var psHessInv: Map[Int, DenseMatrix[Double]] = Map.empty
     if (estMethod != "reg") {
-      var iter = 0
+      var iter = 1 // first Newton step folded into pass 0 (gamma=0)
       var lastHess: Map[Int, DenseMatrix[Double]] = Map.empty
       var pending: Seq[Int] = live
+      locally {
+        val hb = Map.newBuilder[Int, DenseMatrix[Double]]
+        val still = Seq.newBuilder[Int]
+        live.foreach { i =>
+          val mw = meanW(i)
+          val h = (p0Gram(i, "gxT") + p0Gram(i, "gxC")) *:* (0.25 / mw)
+          for (j <- 0 until p) h(j, j) = math.max(h(j, j), 1e-12)
+          val g = (p0Vec(i, "gvT") - ((p0Vec(i, "gvT") + p0Vec(i, "gvC"))
+            *:* 0.5)) /:/ mw
+          val step = h \ g
+          gamma(i) = step
+          hb += i -> h
+          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
+        }
+        lastHess = hb.result()
+        pending = still.result()
+      }
       while (iter < 50 && pending.nonEmpty) {
         val cdf = constDF(Seq("mw" -> (i => meanW(i)),
           "gam" -> (i => gamma(i).toArray.toSeq)))
@@ -138,31 +180,16 @@ private[did] object DistributedPanel {
       psHessInv = lastHess.map { case (i, h) => i -> inv(h /:/ n1(i).toDouble) }
     }
 
-    // ---- control Δy regression Grams ----------------------------------
+    // ---- control Δy regression, from pass-0 Grams (no extra scan;
+    // the iw = w1/mw scaling cancels in the solve)
     val bDelta = Array.fill(nCells)(DenseVector.zeros[Double](p))
     val xtxInvC = Array.fill(nCells)(DenseMatrix.zeros[Double](p, p))
-    locally {
-      val cdf = constDF(Seq("mw" -> (i => meanW(i))))
-      val iw = col("w1") / col("mw")
-      val wv = iw * (lit(1.0) - col("dd"))
-      val aggs =
-        (for (j <- 0 until p; k <- j until p)
-          yield sum(wv * xj(j) * xj(k)).as(s"x_${j}_$k")) ++
-        (0 until p).map(j => sum(wv * xj(j) * col("dy")).as(s"y_$j"))
-      val rows = lf.join(broadcast(cdf), "cell")
-        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
-        .collect().map(r => r.getInt(0) -> r).toMap
-      live.foreach { i =>
-        val r = rows(i)
-        val xtx = DenseMatrix.zeros[Double](p, p)
-        var idx = 1
-        for (j <- 0 until p; k <- j until p) {
-          xtx(j, k) = r.getDouble(idx); xtx(k, j) = r.getDouble(idx); idx += 1
-        }
-        val xty = DenseVector.tabulate(p)(j => r.getDouble(idx + j))
-        bDelta(i) = xtx \ xty
-        xtxInvC(i) = inv(xtx /:/ n1(i).toDouble)
-      }
+    live.foreach { i =>
+      val mw = meanW(i)
+      val xtx = p0Gram(i, "gxC") *:* (1.0 / mw)
+      val xty = p0Vec(i, "gyC") /:/ mw
+      bDelta(i) = xtx \ xty
+      xtxInvC(i) = inv(xtx /:/ n1(i).toDouble)
     }
 
     // ---- moment pass ---------------------------------------------------

@@ -15,9 +15,11 @@ import breeze.linalg.{inv, DenseMatrix, DenseVector}
   *  - per-cell logistic propensity by IRLS where each Newton step is ONE
   *    `groupBy(cell)` pass computing the p x p Hessian and p-gradient as
   *    sum-of-product columns (all cells step together; p = #covariates
-  *    is small, so p(p+1)/2 + p agg columns are cheap);
-  *  - the four (D, post) outcome regressions as one Gram/moment pass,
-  *    solved driver-side (p x p normal equations per cell);
+  *    is small, so p(p+1)/2 + p agg columns are cheap). The FIRST step
+  *    needs no gamma (mu = 1/2) and folds into pass 0;
+  *  - the four (D, post) outcome regressions from pass-0 Gram blocks,
+  *    solved driver-side (p x p normal equations per cell, no extra
+  *    scan — the iw scaling cancels in the solve);
   *  - eta numerators/denominators and every estimation-effect moment
   *    vector in one more pass (M-vectors expand linearly so no
   *    eta-dependency cycle);
@@ -62,14 +64,41 @@ private[did] object DistributedRc {
 
     def xj(j: Int): Column = col(covs(j))
 
-    // ---- pass 0: per-cell counts, bucket counts, mean weight ----------
+    // ---- pass 0: counts, bucket counts, mean weight, AND the four
+    // (D,post)-bucket Gram/moment blocks. The WLS normal equations are
+    // gamma-independent, and so is the FIRST IRLS Newton step (gamma=0
+    // => mu=1/2 makes Hessian/gradient pure bucket moments), so both
+    // fold into this single pass — two fewer scans of lf. Raw w1-weighted
+    // sums suffice: the iw = w1/mw scaling is applied driver-side.
+    val subsP0 = Seq(("T1", 1, 1), ("T0", 1, 0), ("C1", 0, 1), ("C0", 0, 0))
+    def ind(dv: Int, pv: Int): Column =
+      when(col("dd") === dv && col("pp") === pv, col("w1")).otherwise(0.0)
     val bucketAggs = Seq(
       count(lit(1)).as("ncell"), sum(col("w1")).as("sw")) ++
       (for (dv <- 1 to 0 by -1; pv <- 1 to 0 by -1)
         yield sum(when(col("dd") === dv && col("pp") === pv, 1L)
-          .otherwise(0L)).as(s"c$dv$pv"))
+          .otherwise(0L)).as(s"c$dv$pv")) ++
+      subsP0.flatMap { case (nm, dv, pv) =>
+        (for (j <- 0 until p; k <- j until p)
+          yield sum(ind(dv, pv) * xj(j) * xj(k)).as(s"gx_${nm}_${j}_$k")) ++
+        (0 until p).map(j =>
+          sum(ind(dv, pv) * xj(j) * col("yy")).as(s"gy_${nm}_$j")) ++
+        (0 until p).map(j =>
+          sum(ind(dv, pv) * xj(j)).as(s"gv_${nm}_$j"))
+      }
     val p0 = lf.groupBy("cell").agg(bucketAggs.head, bucketAggs.tail: _*)
       .collect().map(r => r.getInt(0) -> r).toMap
+    def p0d(i: Int, name: String): Double =
+      p0(i).getDouble(p0(i).fieldIndex(name))
+    def p0Gram(i: Int, nm: String): DenseMatrix[Double] = {
+      val m = DenseMatrix.zeros[Double](p, p)
+      for (j <- 0 until p; k <- j until p) {
+        val v = p0d(i, s"gx_${nm}_${j}_$k"); m(j, k) = v; m(k, j) = v
+      }
+      m
+    }
+    def p0Vec(i: Int, prefix: String, nm: String): DenseVector[Double] =
+      DenseVector.tabulate(p)(j => p0d(i, s"${prefix}_${nm}_$j"))
 
     val att = Array.fill(nCells)(0.0)
     val post = Array.fill(nCells)(0)
@@ -121,11 +150,34 @@ private[did] object DistributedRc {
     val gamma = Array.fill(nCells)(DenseVector.zeros[Double](p))
     var psHessInv: Map[Int, DenseMatrix[Double]] = Map.empty
     if (estMethod != "reg") {
-      var iter = 0
+      var iter = 1 // the first Newton step was folded into pass 0
       var lastHess: Map[Int, DenseMatrix[Double]] = Map.empty
-      // cells drop out of later Newton passes once their step converges
-      // (the scan narrows to the straggler cells' rows)
       var pending: Seq[Int] = live
+      // First Newton step from pass-0 moments: at gamma=0, mu=1/2, so
+      // H = (1/4) sum_buckets Gram / mw and grad_j =
+      // (sum_{treated} gv_j - (1/2) sum_all gv_j) / mw.
+      locally {
+        val hb = Map.newBuilder[Int, DenseMatrix[Double]]
+        val still = Seq.newBuilder[Int]
+        live.foreach { i =>
+          val mw = meanW(i)
+          val h = (subsP0.map { case (nm, _, _) => p0Gram(i, nm) }
+            .reduce(_ + _)) *:* (0.25 / mw)
+          for (j <- 0 until p)
+            h(j, j) = math.max(h(j, j), 1e-12)
+          val gvAll = subsP0.map { case (nm, _, _) => p0Vec(i, "gv", nm) }
+            .reduce(_ + _)
+          val gvTreat = p0Vec(i, "gv", "T1") + p0Vec(i, "gv", "T0")
+          val g = (gvTreat - (gvAll *:* 0.5)) /:/ mw
+          val step = h \ g
+          gamma(i) = step
+          hb += i -> h
+          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
+        }
+        lastHess = hb.result()
+        pending = still.result()
+      }
+      // remaining Newton passes scan only the straggler cells' rows
       while (iter < 50 && pending.nonEmpty) {
         val cdf = constDF(Seq(
           "mw" -> (i => meanW(i)),
@@ -169,44 +221,24 @@ private[did] object DistributedRc {
       }
     }
 
-    // ---- one pass: WLS Grams for the four (D,post) subsamples ---------
-    // (reg needs only the two control fits; harmless to compute all)
-    val subs = Seq(("T1", 1, 1), ("T0", 1, 0), ("C1", 0, 1), ("C0", 0, 0))
+    // ---- WLS fits for the four (D,post) subsamples, from pass-0 Grams
+    // (no extra scan; the iw = w1/mw scaling cancels in the solve and
+    // is applied explicitly for the inverse's nC normalization)
+    val subs = subsP0
     val beta = Array.fill(nCells)(Map.empty[String, DenseVector[Double]])
     val xtxInvSub =
       Array.fill(nCells)(Map.empty[String, DenseMatrix[Double]])
-    locally {
-      val cdf = constDF(Seq("mw" -> (i => meanW(i))))
-      val iw = col("w1") / col("mw")
-      val aggs = subs.flatMap { case (nm, dv, pv) =>
-        val ind = when(col("dd") === dv && col("pp") === pv, 1.0)
-          .otherwise(0.0)
-        val wv = iw * ind
-        (for (j <- 0 until p; k <- j until p)
-          yield sum(wv * xj(j) * xj(k)).as(s"x_${nm}_${j}_$k")) ++
-        (0 until p).map(j => sum(wv * xj(j) * col("yy")).as(s"y_${nm}_$j"))
+    live.foreach { i =>
+      val mw = meanW(i)
+      val bm = Map.newBuilder[String, DenseVector[Double]]
+      val xm = Map.newBuilder[String, DenseMatrix[Double]]
+      subs.foreach { case (nm, _, _) =>
+        val xtx = p0Gram(i, nm) *:* (1.0 / mw)
+        val xty = p0Vec(i, "gy", nm) /:/ mw
+        bm += nm -> (xtx \ xty)
+        xm += nm -> inv(xtx /:/ nC(i).toDouble)
       }
-      val rows = lf.join(broadcast(cdf), "cell")
-        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
-        .collect().map(r => r.getInt(0) -> r).toMap
-      live.foreach { i =>
-        val r = rows(i)
-        var idx = 1
-        val bm = Map.newBuilder[String, DenseVector[Double]]
-        val xm = Map.newBuilder[String, DenseMatrix[Double]]
-        subs.foreach { case (nm, _, _) =>
-          val xtx = DenseMatrix.zeros[Double](p, p)
-          for (j <- 0 until p; k <- j until p) {
-            xtx(j, k) = r.getDouble(idx); xtx(k, j) = r.getDouble(idx)
-            idx += 1
-          }
-          val xty = DenseVector.tabulate(p)(j => r.getDouble(idx + j))
-          idx += p
-          bm += nm -> (xtx \ xty)
-          xm += nm -> inv(xtx /:/ nC(i).toDouble)
-        }
-        beta(i) = bm.result(); xtxInvSub(i) = xm.result()
-      }
+      beta(i) = bm.result(); xtxInvSub(i) = xm.result()
     }
 
     // ---- shared row-level building blocks -----------------------------
