@@ -309,19 +309,41 @@ object Aggte {
   /** Event-study aggregation — EXTENSION: validated-but-unimplemented in
     * the reference (`csdids/ATTgt.py:559-560`, SURVEY.md §2.9). R `did`
     * semantics: per event time e = t - g, pg-weighted mean of ATT(g,t);
-    * overall = unweighted mean over e >= 0. */
+    * overall = unweighted mean over e >= 0.
+    *
+    * `balanceE` (R `did`'s balance_e): restrict to cohorts observed for
+    * at least `balanceE` post-treatment periods and clip the event
+    * window to e <= balanceE — the post-treatment composition is then
+    * constant across event times, so the dynamic profile is not
+    * confounded by cohorts entering/leaving the sample.
+    * `cband` draws the sup-t simultaneous band over event times with
+    * the reference's crit-val clamps. */
   def dynamic(p: Prep, minE: Double = Double.NegativeInfinity,
       maxE: Double = Double.PositiveInfinity,
-      bstrap: Option[Boolean] = None): AggteResult = {
+      balanceE: Option[Double] = None,
+      bstrap: Option[Boolean] = None,
+      cband: Option[Boolean] = None): AggteResult = {
     val cfg = p.fit.pp.config
     val bs = bstrap.getOrElse(p.fit.bstrap)
+    val cb = cband.getOrElse(p.fit.pp.cband)
 
-    val eAll = p.t.indices.map(i => p.t(i) - p.group(i))
-    val eseq = eAll.distinct.sorted.filter(e => e >= minE && e <= maxE)
+    // balanced-composition restriction: cohorts whose last observed
+    // event time reaches balanceE, window clipped to [minE', balanceE]
+    val (keepIdx, effMaxE) = balanceE match {
+      case None => (p.t.indices.toIndexedSeq, maxE)
+      case Some(be) =>
+        val lastE = p.t.indices.groupBy(i => p.group(i))
+          .map { case (g, is) => g -> is.map(i => p.t(i) - p.group(i)).max }
+        val keep = p.t.indices.filter(i => lastE(p.group(i)) >= be)
+        (keep.toIndexedSeq, math.min(maxE, be))
+    }
+
+    val eAll = keepIdx.map(i => p.t(i) - p.group(i))
+    val eseq = eAll.distinct.sorted.filter(e => e >= minE && e <= effMaxE)
     val nE = eseq.length
+    require(nE > 0, "no event times left after minE/maxE/balanceE")
     val perE = eseq.map { e =>
-      val which = p.t.indices.filter(i =>
-        p.t(i) - p.group(i) == e && e >= minE && e <= maxE)
+      val which = keepIdx.filter(i => p.t(i) - p.group(i) == e)
       val s = which.map(p.pg).sum
       val att = which.map(k => p.att(k) * p.pg(k)).sum / s
       (e, which, s, att)
@@ -341,10 +363,18 @@ object Aggte {
     } ++ wifCoefFor(p, wOverall.keys.toSeq)
       .toSeq.map { case (g, c) => (nE, g, c) }
 
-    val fam = familyIF(p, cellWts, wifCoefs)
+    val fam = familyIF(p, cellWts, wifCoefs).persist()
     val ses = familySe(p, fam, nE + 1, bs)
+    var critEgt = Stats.normPpf(1 - cfg.alp / 2)
+    if (cb) {
+      val asCells = fam.filter(col("midx") < nE)
+        .select(col("rowid"), col("midx").as("cell"), col("v").as("inf"))
+      val c = MBoot.run(asCells, nE, p.n, cfg.biters, cfg.alp, cfg.seed)
+        .critVal
+      critEgt = clampCritVal(c, Stats.normPpf(1 - cfg.alp / 2))
+    }
+    fam.unpersist()
     AggteResult("dynamic", overallAtt, ses(nE), perE.map(_._1),
-      perE.map(_._4), ses.take(nE).toSeq,
-      Stats.normPpf(1 - cfg.alp / 2), cfg.alp)
+      perE.map(_._4), ses.take(nE).toSeq, critEgt, cfg.alp)
   }
 }

@@ -79,6 +79,24 @@ class AggteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dynamic balanceE: constant composition window, truth preserved") {
+    // cohorts {3,4,5} over 6 periods: last event times 3/2/1. With
+    // balanceE=2 only cohorts 3 and 4 qualify and e is clipped to <= 2.
+    val r = Aggte.dynamic(prep, balanceE = Some(2.0))
+    assert(r.egt.max == 2.0, s"egt=${r.egt}")
+    r.egt.zip(r.attEgt).foreach { case (e, a) =>
+      if (e >= 0) assert(math.abs(a - (e + 1)) < 0.1, s"e=$e: $a")
+    }
+    // unbalanced run reaches e=3 (cohort-3-only tail)
+    assert(Aggte.dynamic(prep).egt.max == 3.0)
+  }
+
+  test("dynamic cband: simultaneous crit val >= pointwise z") {
+    val r = Aggte.dynamic(prep, bstrap = Some(true), cband = Some(true))
+    assert(r.critValEgt >= Stats.normPpf(1 - r.alp / 2))
+    assert(r.critValEgt < 7.0)
+  }
+
   test("crit-val clamps: NaN/inf/below-z -> pointwise, >= 7 kept + warned") {
     val z = Stats.normPpf(0.975)
     assert(Aggte.clampCritVal(Double.NaN, z) == z)
