@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Events, Similarity, TextQuality}
+import graft.operators.{Dedup, Embeddings, Events, Similarity, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -316,6 +316,11 @@ object SparkEntry {
     // text analysis: Gopher-style repetition/shape quality signals
     "q_gopher_quality" -> ((s, dir) =>
       TextQuality.gopherSignals(docs(s, dir), "doc_id", "text")),
+
+    // embeddings: int8 quantization digest (norm, scale, exact
+    // quantized sum, reconstruction MSE) — the SQ8 storage path
+    "q_embed_quant" -> ((s, dir) =>
+      Embeddings.quantDigest(emb(s, dir))),
 
     // text analysis: stopword ratio (natural-text quality signal)
     "q_stopword_ratio" -> ((s, dir) =>
@@ -696,6 +701,26 @@ object SparkEntry {
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_btok
         |FROM documents""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+        |  FROM e)
+        |SELECT vec_id,
+        |  ROUND(nrm, 6) AS norm,
+        |  ROUND(sc, 9) AS scale,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> CAST(ROUND(x / sc, 0) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  ROUND(list_sum(list_transform(v,
+        |    x -> pow(x - CAST(ROUND(x / sc, 0) AS BIGINT) * sc, 2)))
+        |    / len(v), 12) AS mse
+        |FROM s""".stripMargin,
 
     "q_gopher_quality" ->
       """WITH d AS (
