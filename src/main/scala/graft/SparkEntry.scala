@@ -443,15 +443,15 @@ object SparkEntry {
       Multimodal.frameSamplePlan(media, totalFrames = 30, everyNth = 10)
     }),
 
-    // multimodal: binary-payload decode plumbing (STUB decoder, real
-    // partition-batch execution; rows-only)
+    // multimodal: REAL image decode — synthesize one PNG per document
+    // (javax.imageio round-trip), decode it back with ImageIO, and pin
+    // the extracted width/height/channels/mean-intensity to the DuckDB
+    // oracle that predicts them from the synthesis contract.
     "q_media_features" -> ((s, dir) => {
-      val media = docs(s, dir).select(
-        col("doc_id").as("media_id"),
-        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
-        col("text").cast("binary").as("bytes"),
-        map(lit("source"), col("source")).as("meta"))
-      Multimodal.decodeFeatures(media)
+      val ids = docs(s, dir).select(col("doc_id").as("media_id"))
+      Multimodal.decodeFeatures(Multimodal.synthesizeImages(ids))
+        .select("media_id", "kind", "width", "height", "channels",
+          "mean_intensity")
     }),
   )
 
@@ -854,6 +854,16 @@ object SparkEntry {
       """SELECT doc_id AS media_id, u.f AS frame_no
         |FROM documents, UNNEST([0, 10, 20]) AS u(f)
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    // Predicts Multimodal.synthesizeImages' PNG contract: dims and the
+    // uniform gray fill (= exact mean intensity) derive from media_id.
+    "q_media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(8 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id // 32) % 32 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
+        |FROM documents""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (

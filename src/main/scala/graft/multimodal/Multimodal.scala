@@ -8,14 +8,19 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * The DECODE step is a clearly-marked STUB (`fakeDecode`): the real
-  * codec libraries are not available in this environment, so it derives
-  * deterministic pseudo-features from the bytes. Everything around it —
-  * schema, partition-batch iteration, output shape — is the real
-  * distributed plumbing and is tested: swapping `fakeDecode` for a JNI
-  * or library decoder changes one function.
+  * IMAGE decode is REAL: `javax.imageio` (JDK-only, no external codecs)
+  * parses PNG/JPEG/GIF/BMP payloads into width/height/channels and a
+  * mean pixel intensity. Payloads ImageIO cannot decode — and the
+  * `audio`/`video` kinds, whose codecs are genuinely absent from the
+  * JDK — fall back to the clearly-marked `fakeDecode` STUB, which
+  * derives deterministic pseudo-features from the bytes so the
+  * partition-batch plumbing stays testable end-to-end.
   */
 object Multimodal {
+
+  // ImageIO's default stream cache writes temp FILES per decode; this is
+  // per-record executor work, so keep it purely in-memory.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Canonical media schema: id + kind + raw payload + source metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -34,9 +39,68 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("mean_intensity", DoubleType, nullable = false)))
 
-  /** STUB decoder — replace with a real codec. Deterministic in the
-    * payload bytes so tests and reruns are stable: "dimensions" come
-    * from a byte-sum hash, "intensity" is the mean byte value. */
+  /** Real image decode via the JDK's ImageIO: returns
+    * (width, height, channels, meanIntensity) or None when the bytes are
+    * not a decodable image format. Mean intensity averages every raster
+    * sample (all bands, all pixels) on the 0..255 scale. */
+  private[multimodal] def imageDecode(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val raster = im.getRaster
+      val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)
+      var sum = 0.0
+      val row = new Array[Int](w * bands)
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var i = 0
+        while (i < row.length) { sum += row(i); i += 1 }
+        y += 1
+      }
+      (w, h, bands, sum / (w.toLong * h * bands))
+    }
+  }
+
+  /** Encode a real single-color PNG (RGB, all bands = `gray`) — used by
+    * tests and the synthetic driver tables to exercise the real ImageIO
+    * decode path with exactly predictable features. */
+  def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = im.createGraphics()
+    g2.setColor(new java.awt.Color(gray, gray, gray))
+    g2.fillRect(0, 0, width, height)
+    g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic media frame of REAL PNG payloads keyed by `media_id`:
+    * width = 8 + id % 32, height = 8 + (id / 32) % 32,
+    * gray level (= exact mean intensity) = id % 256. The derivation is
+    * the contract the DuckDB oracle for `q_media_features` predicts. */
+  def synthesizeImages(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = syntheticPng(
+            8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt, (id % 256).toInt)
+          Row(id, "image", bytes, null)
+        }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** STUB decoder for the codec-less kinds (`audio`/`video`) and for
+    * image payloads ImageIO rejects. Deterministic in the payload bytes
+    * so tests and reruns are stable: "dimensions" come from a byte-sum
+    * hash, "intensity" is the mean byte value. */
   private[multimodal] def fakeDecode(kind: String, bytes: Array[Byte])
       : (Int, Int, Int, Double) = {
     val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))
@@ -55,7 +119,9 @@ object Multimodal {
 
   /** Per-partition batch decode: the Spark-side pattern for expensive
     * per-record native work — one iterator pass, no driver collect, no
-    * shuffle; output is a fresh DataFrame with `featureSchema`. */
+    * shuffle; output is a fresh DataFrame with `featureSchema`. Images
+    * go through the real ImageIO decoder; audio/video (and undecodable
+    * image bytes) take the deterministic stub. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select("media_id", "kind", "bytes").rdd.mapPartitions {
@@ -64,7 +130,9 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val (w, h, ch, mean) = fakeDecode(kind, bytes)
+          val (w, h, ch, mean) =
+            (if (kind == "image") imageDecode(bytes) else None)
+              .getOrElse(fakeDecode(kind, bytes))
           Row(id, kind, bytes.length, w, h, ch,
             math.rint(mean * 1e6) / 1e6)
         }

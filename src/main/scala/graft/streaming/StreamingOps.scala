@@ -14,7 +14,11 @@ final case class SessionRow(user_id: Long, sess_no: Long,
     n_events: Long, sum_value: Double)
 
 /** Per-user open-session state: `sumCents` keeps the money sum exact
-  * (`value` is 2-decimal by construction — see Events.exactValueSum). */
+  * (`value` is 2-decimal by construction — see Events.exactValueSum).
+  * `n == 0` marks a TOMBSTONE: the session `sessNo` has already been
+  * closed and emitted; the record only preserves the numbering so the
+  * user's next session is `sessNo + 1` (kept for a bounded retention,
+  * then dropped). */
 final case class OpenSession(sessNo: Long, startUs: Long, lastUs: Long,
     n: Long, sumCents: Long)
 
@@ -68,13 +72,23 @@ object StreamingOps {
     * Batch (`emitOpen = true`): one pass per user over the complete
     * history, emitting every session including the final open one —
     * byte-identical to `Events.sessionize` (oracle-checked as
-    * `q_stream_sessionize_state`). */
+    * `q_stream_sessionize_state`).
+    *
+    * Session numbering survives event-time timeouts: a closed session
+    * leaves a zero-size tombstone carrying its `sessNo`, so the user's
+    * next session continues the count (no duplicate `(user_id, sess_no)`
+    * keys downstream). Tombstones expire after `numberingRetentionHours`
+    * of event-time inactivity, so state stays bounded by the ACTIVE user
+    * set, not all users ever seen; a user idle past the retention
+    * restarts at `sess_no = 1` — the documented trade-off. */
   def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30,
-      emitOpen: Boolean = false): Dataset[SessionRow] = {
+      emitOpen: Boolean = false,
+      numberingRetentionHours: Int = 24 * 7): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
     // gap rule in floor-seconds, exactly like Events.sessionize
     // (ts.cast("long") diffs) and its ANSI oracle (epoch() diffs)
     val gapSec = gapMinutes * 60L
+    val retentionSec = numberingRetentionHours * 3600L
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionRow](
@@ -95,15 +109,34 @@ object StreamingOps {
           def close(u: Long, s: OpenSession): SessionRow =
             SessionRow(u, s.sessNo, tsOf(s.startUs), tsOf(s.lastUs), s.n,
               s.sumCents / 100.0)
+          // A late event may extend an old session, putting the natural
+          // timeout at/behind the advanced watermark — Spark rejects
+          // that, so clamp every timeout just past the watermark.
+          def armTimeout(atMs: Long): Unit =
+            state.setTimeoutTimestamp(
+              math.max(atMs, state.getCurrentWatermarkMs() + 1))
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator.single(close(uid, s))
+            if (s.n == 0L) {
+              // tombstone retention expired: forget the numbering
+              state.remove()
+              Iterator.empty
+            } else {
+              // close the open session, keep a tombstone so the user's
+              // next session continues at sessNo + 1
+              state.update(s.copy(n = 0L, sumCents = 0L))
+              armTimeout((secOf(s.lastUs) + retentionSec) * 1000L)
+              Iterator.single(close(uid, s))
+            }
           } else {
             // group iterators are unordered; sessionization needs time order
             val evs = it.toArray.sortBy(e => (usOf(e.ts), e.value))
             val out = Vector.newBuilder[SessionRow]
-            var open = state.getOption
+            val prior = state.getOption
+            // a tombstone contributes only its numbering watermark
+            var open = prior.filter(_.n > 0L)
+            val lastClosedNo = prior.filter(_.n == 0L).map(_.sessNo)
+              .getOrElse(0L)
             evs.foreach { e =>
               val us = usOf(e.ts)
               open match {
@@ -115,7 +148,8 @@ object StreamingOps {
                   open = Some(OpenSession(s.sessNo + 1, us, us, 1L,
                     cents(e.value)))
                 case None =>
-                  open = Some(OpenSession(1L, us, us, 1L, cents(e.value)))
+                  open = Some(OpenSession(lastClosedNo + 1L, us, us, 1L,
+                    cents(e.value)))
               }
             }
             if (emitOpen) {
@@ -123,8 +157,7 @@ object StreamingOps {
             } else {
               open.foreach { s =>
                 state.update(s)
-                state.setTimeoutTimestamp(
-                  (secOf(s.lastUs) + gapSec + 1) * 1000L)
+                armTimeout((secOf(s.lastUs) + gapSec + 1) * 1000L)
               }
             }
             out.result().iterator

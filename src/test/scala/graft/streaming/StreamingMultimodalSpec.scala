@@ -75,6 +75,27 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
           r.getDouble(3))).toSet
       rows should contain((7L, 1L, 2L, 3.0))
       rows should contain((9L, 1L, 1L, 16.0))
+      // batch 4: user 9 returns AFTER its session timed out — the
+      // tombstone must carry the numbering forward (sess_no = 2, not a
+      // duplicate sess_no = 1)
+      mem.addData(SessionEvent(9L, ts("2026-01-01 13:00:00"), 32.0))
+      q.processAllAvailable()
+      // batch 5: far-future event advances the watermark past every
+      // open session's gap, closing them via timeout
+      mem.addData(SessionEvent(5L, ts("2026-01-01 16:00:00"), 0.25))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(5L, ts("2026-01-01 16:00:01"), 0.125))
+      q.processAllAvailable()
+      val later = spark.table("sessstate")
+        .select("user_id", "sess_no", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      later should contain((9L, 2L, 1L, 32.0))
+      later should contain((7L, 2L, 1L, 8.0))
+      // no duplicate (user, sess_no) keys anywhere in the output
+      val keys = spark.table("sessstate").select("user_id", "sess_no")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      keys.length shouldBe keys.toSet.size
     } finally q.stop()
   }
 
@@ -136,6 +157,31 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     // deterministic across runs
     f1(3L).toSeq shouldBe f2(3L).toSeq
     Multimodal.decodeFeatures(media).schema shouldBe Multimodal.featureSchema
+  }
+
+  test("syntheticPng emits real PNG bytes that ImageIO decodes exactly") {
+    val bytes = Multimodal.syntheticPng(20, 11, 137)
+    // real PNG magic, not a pseudo-payload
+    Array(bytes(0) & 0xFF, bytes(1) & 0xFF, bytes(2) & 0xFF,
+      bytes(3) & 0xFF) shouldBe Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)
+    val media = Seq((1L, "image")).toDF("media_id", "kind")
+      .select(col("media_id"), col("kind"), lit(bytes).as("bytes"),
+        map(lit("k"), lit("v")).as("meta"))
+    val r = Multimodal.decodeFeatures(media).collect().head
+    (r.getInt(3), r.getInt(4), r.getInt(5)) shouldBe ((20, 11, 3))
+    r.getDouble(6) shouldBe 137.0 +- 1e-9
+  }
+
+  test("decodeFeatures extracts real dimensions from synthesized PNGs") {
+    val ids = Seq(0L, 31L, 40L, 255L, 1000L).toDF("media_id")
+    val feats = Multimodal.decodeFeatures(Multimodal.synthesizeImages(ids))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6)))).toMap
+    feats.keySet shouldBe Set(0L, 31L, 40L, 255L, 1000L)
+    for (id <- feats.keySet) {
+      feats(id) shouldBe ((8 + (id % 32).toInt, 8 + ((id / 32) % 32).toInt,
+        3, (id % 256).toDouble))
+    }
   }
 
   test("frameSamplePlan fans out every Nth frame for videos only") {
