@@ -390,8 +390,11 @@ object SparkEntry {
     // full-probe exactness are asserted in SimilarityEventsSpec)
     "q_ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
+      // trainFraction < 1 exercises the sampled quantizer fit — the
+      // 100 TB path (k-means must never iterate the full corpus);
+      // assignment stays exact over all rows.
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
-        nLists = 8, nProbe = 3)
+        nLists = 8, nProbe = 3, trainFraction = 0.25)
     }),
 
     // events: tumbling event-time hourly window aggregation

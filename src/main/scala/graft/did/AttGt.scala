@@ -99,6 +99,10 @@ object AttGt {
     // only join is a broadcast of the tiny grid — AQE has nothing to
     // re-plan but adds a planning round + extra jobs to each of the
     // ~(IRLS iters + 5) passes. Scoped off and restored.
+    // NOT THREAD-SAFE: the toggle mutates the shared session conf, so
+    // concurrent queries on this SparkSession run with AQE off, and
+    // interleaved fits can restore a stale value. Run parallel fits on
+    // spark.newSession() clones (independent confs over one context).
     val spark = pp.df.sparkSession
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -339,6 +343,30 @@ object AttGt {
   /** Collect-based rc path for covariate / custom-estimator runs — parity
     * with the reference's own per-cell collection (`csdids/ATTgt.py:391-432`)
     * but batched into ONE Spark pass for all cells. */
+  /** Pre-collect guard for the driver parity paths: counts the frame
+    * BEFORE materializing it and fails with the ESTIMATED DRIVER BYTES,
+    * not just a row count — 10M rows of wide covariates can be multiple
+    * GiB of boxed Rows. The byte budget is what `maxRows` rows of the
+    * default 8-column frame would occupy, so narrow frames are row-capped
+    * and wide frames byte-capped by the same knob. Costs one extra
+    * count() job — acceptable on a parity path that is about to collect
+    * the same frame anyway. */
+  private def guardedCollect(df: DataFrame, maxRows: Long, path: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val nCols = df.schema.length
+    val nRows = df.count()
+    // ~48 B Row overhead + ~24 B per boxed field (header + pointer)
+    val estBytes = nRows * (48L + 24L * nCols)
+    val maxBytes = maxRows * (48L + 24L * 8)
+    require(nRows <= maxRows && estBytes <= maxBytes,
+      f"$path path collects per-cell arrays to the driver: $nRows rows x " +
+        f"$nCols cols ~= ${estBytes / 1048576.0}%.0f MiB (cap " +
+        f"${maxBytes / 1048576.0}%.0f MiB / $maxRows rows). Use " +
+        "intercept-only xfmla (or p <= 16 with a built-in est_method) for " +
+        "the distributed path, or raise maxDriverCellRows")
+    df.collect()
+  }
+
   private def fitRcCollect(
       pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
       customRc: Option[RcCellEstimator], maxRows: Long)
@@ -351,11 +379,7 @@ object AttGt {
         col("w1"), col("yy"), col("d"), col("pst")) ++
         covNames.map(col): _*)
 
-    val collected = lf.collect()
-    require(collected.length <= maxRows,
-      s"covariate path collects per-cell arrays (${collected.length} rows > " +
-        s"$maxRows); use intercept-only xfmla for the distributed path or " +
-        "raise maxDriverCellRows")
+    val collected = guardedCollect(lf, maxRows, "covariate")
 
     val byCell = collected.groupBy(_.getInt(0))
     val est: RcCellEstimator = customRc.getOrElse(estMethod match {
@@ -446,9 +470,7 @@ object AttGt {
     val n = pp.n
 
     val wide = panelWide(pp, cells)
-    val collected = wide.collect()
-    require(collected.length <= maxRows,
-      s"panel path collects per-cell arrays (${collected.length} rows)")
+    val collected = guardedCollect(wide, maxRows, "panel")
     val byCell = collected.groupBy(_.getInt(0))
 
     val est: PanelCellEstimator = customPanel.getOrElse(estMethod match {

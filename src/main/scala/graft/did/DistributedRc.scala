@@ -215,7 +215,13 @@ private[did] object DistributedRc {
         lastHess = lastHess ++ hessB.result()
         pending = still.result()
         iter += 1
+        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+          System.err.println(
+            s"[irls] pass $iter: ${pending.size}/${live.size} cells pending")
       }
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        System.err.println(s"[irls] converged after $iter Newton passes " +
+          s"(${live.size} cells, p=$p)")
       psHessInv = lastHess.map { case (i, h) =>
         i -> inv(h /:/ nC(i).toDouble)
       }

@@ -18,7 +18,9 @@ final case class MBootResult(
     * simply carry (near-)zero rows/columns. */
   lazy val cov: Array[Array[Double]] = {
     val b = bres.length
-    val k = if (b == 0) 0 else bres(0).length
+    require(b >= 2,
+      s"bootstrap covariance needs biters >= 2 (ddof=1), got $b")
+    val k = bres(0).length
     val mean = Array.tabulate(k)(j => bres.iterator.map(_(j)).sum / b)
     val v = Array.ofDim[Double](k, k)
     var i = 0

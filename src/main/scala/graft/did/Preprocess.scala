@@ -40,7 +40,9 @@ object Preprocess {
   def run(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
     val spark = data.sparkSession
     // Same rationale as AttGt.fit: every action here returns K rows or a
-    // scalar; AQE only adds a planning round per job.
+    // scalar; AQE only adds a planning round per job. Like AttGt.fit,
+    // NOT thread-safe (mutates the shared session conf) — run parallel
+    // preprocesses on spark.newSession() clones.
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try runInner(data, cfg)

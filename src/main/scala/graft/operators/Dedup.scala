@@ -30,6 +30,32 @@ object Dedup {
   private def par(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
+  /** Every shingle frame this object persists, so long-lived drivers can
+    * release them: Spark's cache manager dedupes ENTRIES by plan
+    * identity, but calls over distinct corpora legitimately add distinct
+    * entries that would otherwise live until session end. */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Release every shingle cache the dedup operators have created.
+    * Call after the terminal action on the returned frames — the
+    * persists are load-bearing for performance while a returned plan is
+    * still being consumed (they stop filter pushdown re-running the
+    * tokenizer in the scan), but results stay correct either way. */
+  def releaseCaches(blocking: Boolean = false): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      df = trackedCaches.poll()
+    }
+  }
+
   /** Exact duplicate groups: fingerprint -> canonical (min) id + count.
     * One shuffle keyed by the 32-char md5. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -68,12 +94,12 @@ object Dedup {
     // pushdown from substituting the tokenizer into the scan (see
     // `shingled`) and every downstream branch (explode, both
     // verification joins) reads one tokenization, already did-hashed.
-    val shH = df.select(col(idCol).as("did"), col(textCol).as("txt"))
-      .repartition(par(df), col("did"))
-      .select(col("did"),
-        array_distinct(transform(wordShingles(col("txt"), n),
-          x => xxhash64(x))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shH = persistTracked(
+      df.select(col(idCol).as("did"), col(textCol).as("txt"))
+        .repartition(par(df), col("did"))
+        .select(col("did"),
+          array_distinct(transform(wordShingles(col("txt"), n),
+            x => xxhash64(x))).as("sh")))
       .filter(size(col("sh")) > 0)
     // nsh rides along from size(sh) — no count().over(did) window pass
     // over the exploded index (the per-doc size is already known before
@@ -138,11 +164,10 @@ object Dedup {
     * Spark's cache manager dedupes the entry by plan identity across
     * calls, so repeated invocations reuse rather than grow the cache. */
   private def shingled(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = persistTracked(
     df.select(col(idCol).as("did"), col(textCol).as("txt"))
       .repartition(par(df), col("did"))
-      .select(col("did"), wordShingles(col("txt"), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("did"), wordShingles(col("txt"), n).as("sh")))
 
   private def minhashFromShingles(shH: DataFrame, k: Int): DataFrame = {
     val idx = shH

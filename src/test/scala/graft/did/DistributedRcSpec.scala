@@ -61,6 +61,15 @@ class DistributedRcSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("driver-collect guard trips BEFORE collect with a byte estimate") {
+    val ex = intercept[IllegalArgumentException] {
+      AttGt.fit(pp, estMethod = "dr",
+        customRc = Some(CellEstimators.DrDidRc), maxDriverCellRows = 10)
+    }
+    assert(ex.getMessage.contains("MiB"), ex.getMessage)
+    assert(ex.getMessage.contains("maxDriverCellRows"), ex.getMessage)
+  }
+
   test("weighted run: distributed == collected with sampling weights") {
     val ppW = Preprocess.run(staggered(spark, nUnits = 200, noise = 0.1),
       cfg.copy(xfmla = Some("y ~ x1"), weightsName = Some("wgt")))

@@ -50,6 +50,12 @@ class MBootSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cov refuses biters < 2 instead of dividing by zero") {
+    val r = MBootResult(Array(Array(1.0, 2.0)), Array(0.0, 0.0), 0.0)
+    val ex = intercept[IllegalArgumentException](r.cov)
+    assert(ex.getMessage.contains("biters"))
+  }
+
   test("distributed path agrees distributionally with driver path") {
     val driver = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n,
       999, 0.05, 5L)

@@ -158,4 +158,21 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.1, maxDf = Some(1)).count() shouldBe 0
   }
+
+  test("releaseCaches frees shingle caches across distinct corpora") {
+    Dedup.releaseCaches(blocking = true) // drop leftovers from other tests
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val other = Seq(
+      (10L, "a wholly different corpus sentence repeated here twice over"),
+      (11L, "a wholly different corpus sentence repeated here twice over"))
+      .toDF("doc_id", "text")
+    // distinct inputs => distinct cache entries (plan-identity dedupe
+    // cannot collapse them)
+    Dedup.minhashNearDupPairs(docs, "doc_id", "text", n = 3).count()
+    Dedup.minhashNearDupPairs(other, "doc_id", "text", n = 3).count()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3).count()
+    spark.sparkContext.getPersistentRDDs.size should be > before
+    Dedup.releaseCaches(blocking = true)
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
 }
