@@ -120,33 +120,48 @@ object AttGt {
       customPanel: Option[PanelCellEstimator],
       maxDriverCellRows: Long): AttGtFit = {
     val cells = buildCells(pp, basePeriod)
-    val fitres =
+    // the two distributed paths fold the SE aggregation into their
+    // IF-materializing action and return the per-cell sum of squares
+    val fitres: (Array[Double], Array[Int], Array[Boolean], DataFrame,
+        Option[Array[Double]]) =
       if (pp.panel && customPanel.isEmpty &&
           DistributedPanel.supports(estMethod, pp.config.covariates.length))
         DistributedPanel.fit(pp, cells, estMethod, panelWide(pp, cells))
-      else if (pp.panel)
-        fitPanelCollect(pp, cells, estMethod, customPanel, maxDriverCellRows)
-      else if (pp.config.interceptOnly && customRc.isEmpty)
-        fitRcDistributed(pp, cells, estMethod)
-      else if (customRc.isEmpty &&
+      else if (pp.panel) {
+        val r = fitPanelCollect(pp, cells, estMethod, customPanel,
+          maxDriverCellRows)
+        (r._1, r._2, r._3, r._4, None)
+      } else if (pp.config.interceptOnly && customRc.isEmpty) {
+        val r = fitRcDistributed(pp, cells, estMethod)
+        (r._1, r._2, r._3, r._4, None)
+      } else if (customRc.isEmpty &&
           DistributedRc.supports(estMethod, pp.config.covariates.length))
         // covariate scale path: Gram/moment aggregations + broadcast
         // constants, nothing O(rows) at the driver (DistributedRc)
         DistributedRc.fit(pp, cells, estMethod, longForm(pp, cells))
-      else
-        fitRcCollect(pp, cells, estMethod, customRc, maxDriverCellRows)
-    val (att, post, skipped, ifTable) = fitres
+      else {
+        val r = fitRcCollect(pp, cells, estMethod, customRc,
+          maxDriverCellRows)
+        (r._1, r._2, r._3, r._4, None)
+      }
+    val (att, post, skipped, ifTable, seSSPre) = fitres
 
     ifTable.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Analytic per-cell SE: sqrt(mean(IF^2)/n) over all n units (absent
-    // units contribute IF=0, so one aggregation over the sparse table).
+    // units contribute IF=0, so one aggregation over the sparse table) —
+    // precomputed by the distributed paths, one aggregation otherwise.
     val n = pp.n
     val seA = Array.fill(cells.length)(0.0)
-    ifTable.groupBy("cell").agg(sum(col("inf") * col("inf")).as("ss"))
-      .collect().foreach { r =>
-        seA(r.getInt(0)) = math.sqrt(r.getDouble(1)) / n
-      }
+    seSSPre match {
+      case Some(ss) =>
+        ss.indices.foreach(i => seA(i) = math.sqrt(ss(i)) / n)
+      case None =>
+        ifTable.groupBy("cell").agg(sum(col("inf") * col("inf")).as("ss"))
+          .collect().foreach { r =>
+            seA(r.getInt(0)) = math.sqrt(r.getDouble(1)) / n
+          }
+    }
 
     val (se, crit) =
       if (bstrap) {

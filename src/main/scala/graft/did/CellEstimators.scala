@@ -57,7 +57,8 @@ object CellEstimators {
     * LogisticRegression is NOT a substitute). */
   private[did] def logisticIrls(
       x: DenseMatrix[Double], d: DenseVector[Double], w: DenseVector[Double],
-      maxIter: Int = 100, tol: Double = 1e-10): DenseVector[Double] = {
+      maxIter: Int = 100,
+      tol: Double = DistributedRc.IrlsTol): DenseVector[Double] = {
     val p = x.cols
     var beta = DenseVector.zeros[Double](p)
     var iter = 0

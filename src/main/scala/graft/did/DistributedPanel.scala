@@ -25,7 +25,8 @@ private[did] object DistributedPanel {
   /** `wide` columns: cell, rid, y1, y0, gg, w1, cg, <covariates>. */
   def fit(pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
       wide: DataFrame)
-      : (Array[Double], Array[Int], Array[Boolean], DataFrame) = {
+      : (Array[Double], Array[Int], Array[Boolean], DataFrame,
+         Option[Array[Double]]) = {
     val spark = pp.df.sparkSession
     import spark.implicits._
     val covs = pp.config.covariates
@@ -93,7 +94,8 @@ private[did] object DistributedPanel {
     if (live.isEmpty) {
       lf.unpersist()
       return (att, post, skipped,
-        Seq.empty[(String, Int, Double)].toDF("rowid", "cell", "inf"))
+        Seq.empty[(String, Int, Double)].toDF("rowid", "cell", "inf"),
+        Some(Array.fill(nCells)(0.0)))
     }
 
     def constDF(colsMap: Seq[(String, Int => Any)]): DataFrame = {
@@ -134,7 +136,7 @@ private[did] object DistributedPanel {
           val step = h \ g
           gamma(i) = step
           hb += i -> h
-          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
+          if (breeze.linalg.max(step.map(math.abs)) > DistributedRc.IrlsTol) still += i
         }
         lastHess = hb.result()
         pending = still.result()
@@ -171,7 +173,7 @@ private[did] object DistributedPanel {
           val step = h \ g
           gamma(i) = gamma(i) + step
           hb += i -> h
-          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
+          if (breeze.linalg.max(step.map(math.abs)) > DistributedRc.IrlsTol) still += i
         }
         lastHess = lastHess ++ hb.result()
         pending = still.result()
@@ -279,15 +281,18 @@ private[did] object DistributedPanel {
       case "ipw" => psScore * dotArr(col("uPs"))
       case _ => wolsScore * dotArr(col("uWols"))
     }
-    // Materialize off the cached lf before dropping it (see DistributedRc).
+    // Materialize off the cached lf before dropping it (see DistributedRc);
+    // the materializing action doubles as the analytic-SE aggregation.
     val ifRows = lf.join(broadcast(cdf), "cell")
       .select(col("rowid"), col("cell"),
         ((infBase + infNuis) * col("scale")).as("inf"))
       .groupBy("rowid", "cell").agg(sum("inf").as("inf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ifRows.count()
+    val seSS = Array.fill(nCells)(0.0)
+    ifRows.groupBy("cell").agg(sum(col("inf") * col("inf")).as("ss"))
+      .collect().foreach(r => seSS(r.getInt(0)) = r.getDouble(1))
     lf.unpersist()
 
-    (att, post, skipped, ifRows)
+    (att, post, skipped, ifRows, Some(seSS))
   }
 }

@@ -41,11 +41,33 @@ private[did] object DistributedRc {
   def supports(estMethod: String, p: Int): Boolean =
     Set("dr", "reg", "ipw").contains(estMethod) && p <= MaxP
 
+  // profiling aid, active only under SPARK_GRAFT_DEBUG
+  private val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+  private def timed[T](name: String)(f: => T): T =
+    if (!debug) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[rc] $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   // ---------------------------------------------------------------------
+
+  /** IRLS stops when the just-APPLIED Newton step is below this. Newton
+    * is quadratically convergent here, so a step of size s means the
+    * remaining error is O(s^2): stopping at 1e-7 leaves gamma within
+    * ~1e-14 of the MLE — far inside the 1e-8 parity bar — and typically
+    * saves one full scan versus 1e-10 (measured: the 1e-10 run's extra
+    * pass produced steps of 1e-16..1e-18, pure noise). Must match
+    * [[CellEstimators.logisticIrls]]'s default so the distributed and
+    * collect paths run identical iterates. */
+  private[did] val IrlsTol = 1e-7
 
   def fit(pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
       lf0: DataFrame)
-      : (Array[Double], Array[Int], Array[Boolean], DataFrame) = {
+      : (Array[Double], Array[Int], Array[Boolean], DataFrame,
+         Option[Array[Double]]) = {
     val spark = pp.df.sparkSession
     import spark.implicits._
     val covs = pp.config.covariates
@@ -61,6 +83,7 @@ private[did] object DistributedRc {
       col("d").cast("double").as("dd"),
       col("pst").cast("double").as("pp")) ++ covs.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (debug) System.err.println(s"[rc] lf rows: ${timed("lf-mat")(lf.count())}")
 
     def xj(j: Int): Column = col(covs(j))
 
@@ -86,8 +109,9 @@ private[did] object DistributedRc {
         (0 until p).map(j =>
           sum(ind(dv, pv) * xj(j)).as(s"gv_${nm}_$j"))
       }
-    val p0 = lf.groupBy("cell").agg(bucketAggs.head, bucketAggs.tail: _*)
-      .collect().map(r => r.getInt(0) -> r).toMap
+    val p0 = timed("pass0")(
+      lf.groupBy("cell").agg(bucketAggs.head, bucketAggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap)
     def p0d(i: Int, name: String): Double =
       p0(i).getDouble(p0(i).fieldIndex(name))
     def p0Gram(i: Int, nm: String): DenseMatrix[Double] = {
@@ -121,7 +145,7 @@ private[did] object DistributedRc {
       lf.unpersist()
       val empty = Seq.empty[(String, Int, Double)]
         .toDF("rowid", "cell", "inf")
-      return (att, post, skipped, empty)
+      return (att, post, skipped, empty, Some(Array.fill(nCells)(0.0)))
     }
 
     // constants joined per cell; `iw` is the mean-normalized weight
@@ -172,7 +196,7 @@ private[did] object DistributedRc {
           val step = h \ g
           gamma(i) = step
           hb += i -> h
-          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
+          if (breeze.linalg.max(step.map(math.abs)) > IrlsTol) still += i
         }
         lastHess = hb.result()
         pending = still.result()
@@ -193,9 +217,10 @@ private[did] object DistributedRc {
         val lfIter =
           if (pending.size == live.size) lf
           else lf.filter(col("cell").isin(pending: _*))
-        val rows = lfIter.join(broadcast(cdf), "cell")
-          .groupBy("cell").agg(aggs.head, aggs.tail: _*)
-          .collect().map(r => r.getInt(0) -> r).toMap
+        val rows = timed(s"irls#$iter")(
+          lfIter.join(broadcast(cdf), "cell")
+            .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+            .collect().map(r => r.getInt(0) -> r).toMap)
         val hessB = Map.newBuilder[Int, DenseMatrix[Double]]
         val still = Seq.newBuilder[Int]
         pending.foreach { i =>
@@ -210,7 +235,9 @@ private[did] object DistributedRc {
           val step = h \ g
           gamma(i) = gamma(i) + step
           hessB += i -> h
-          if (breeze.linalg.max(step.map(math.abs)) > 1e-10) still += i
+          val sz = breeze.linalg.max(step.map(math.abs))
+          if (debug) System.err.println(f"[irls] cell $i step $sz%.3e")
+          if (sz > IrlsTol) still += i
         }
         lastHess = lastHess ++ hessB.result()
         pending = still.result()
@@ -319,7 +346,7 @@ private[did] object DistributedRc {
           Moment(s"m1_$j", wD * col("pp") * xj(j)),
           Moment(s"m2_$j", wD * (one - col("pp")) * xj(j))))
     }
-    val momRows = locally {
+    val momRows = timed("moments") {
       val cdf = constants(Nil)
       val aggs = moments.map(m => sum(m.c).as(m.name))
       lf.join(broadcast(cdf), "cell").groupBy("cell")
@@ -486,14 +513,19 @@ private[did] object DistributedRc {
 
     // Materialize the IF table off the cached `lf` before dropping it —
     // the caller's persist of ifTable is lazy, so unpersisting first
-    // would force one more uncached grid-join execution.
+    // would force one more uncached grid-join execution. The
+    // materializing action doubles as the analytic-SE aggregation
+    // (sum of squared IFs per cell), so the caller pays no extra pass.
     val ifRows = lf.join(broadcast(cdf), "cell")
       .select(col("rowid"), col("cell"), infCol.as("inf"))
       .groupBy("rowid", "cell").agg(sum("inf").as("inf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ifRows.count()
+    val seSS = Array.fill(nCells)(0.0)
+    timed("if+se")(
+      ifRows.groupBy("cell").agg(sum(col("inf") * col("inf")).as("ss"))
+        .collect().foreach(r => seSS(r.getInt(0)) = r.getDouble(1)))
     lf.unpersist()
 
-    (att, post, skipped, ifRows)
+    (att, post, skipped, ifRows, Some(seSS))
   }
 }

@@ -133,25 +133,31 @@ object Preprocess {
     // the grand totals. Feeds the already-treated-at-first-period drop
     // (ATTgt.py:135-156), the unit count n (:188), and the small-group
     // warning (:199-216) without three more jobs.
-    def cohortStats(d: DataFrame)
-        : (Map[Double, (Long, Long)], Long, Long) = {
-      // NB: rollup(gg) + count_distinct would do this in one job, but
-      // Spark's ambiguous-self-join check misfires on rollup's Expand
-      // whenever the input lineage contains ANY join — two plain
-      // aggregations on the cached frame instead.
+    def cohortStats(d: DataFrame, firstPeriod: Double)
+        : (Map[Double, (Long, Long, Long)], Long, Long) = {
+      // ONE aggregation job. The grand totals derive driver-side from
+      // the per-cohort rows: gg is a function of the unit (its
+      // first-treated period), so the per-cohort distinct-unit counts
+      // partition the unit set and sum to the total. (rollup(gg) would
+      // also do it in one job, but Spark's ambiguous-self-join check
+      // misfires on rollup's Expand whenever the input lineage contains
+      // ANY join.) Also carries the per-cohort first-period row count so
+      // the balanced-panel unit count n needs no extra job.
       val per = d.groupBy("gg")
-        .agg(count(lit(1)).as("cnt"), count_distinct(col(idname)).as("uids"))
+        .agg(count(lit(1)).as("cnt"), count_distinct(col(idname)).as("uids"),
+          sum(when(col("tt") === firstPeriod, 1L).otherwise(0L)).as("fpc"))
         .collect()
-        .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val tot = d.agg(count(lit(1)), count_distinct(col(idname))).first()
-      (per, tot.getLong(0), tot.getLong(1))
+        .map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      (per, per.values.iterator.map(_._1).sum,
+        per.values.iterator.map(_._2).sum)
     }
-    var (perCohort, totRows, totUnits) = cohortStats(df)
+    var (perCohort, totRows, totUnits) = cohortStats(df, fp)
 
     // Drop units already treated in the first period (ATTgt.py:135-156).
-    def firstPeriodTreated(per: Map[Double, (Long, Long)]): Long =
+    def firstPeriodTreated(per: Map[Double, (Long, Long, Long)]): Long =
       per.collect {
-        case (g, (cnt, uids)) if g != 0.0 && g <= fp =>
+        case (g, (cnt, uids, _)) if g != 0.0 && g <= fp =>
           if (panel && !allowUnbalancedPanel) cnt else uids
       }.sum
     val nFirstPeriod = firstPeriodTreated(perCohort)
@@ -164,7 +170,7 @@ object Preprocess {
       tlist = lists._1
       fp = tlist.head
       glist = lists._2.filter(g => g > 0 && g > fp + anticipation)
-      val stats = cohortStats(df)
+      val stats = cohortStats(df, fp)
       perCohort = stats._1; totRows = stats._2; totUnits = stats._3
     }
 
@@ -187,10 +193,11 @@ object Preprocess {
     df = df.withColumn("w1", col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Unit count n (ATTgt.py:188): derived from the rollup stats — only
-    // the balanced-panel regime needs its own first-period row count.
+    // Unit count n (ATTgt.py:188): every regime's count now derives from
+    // the single cohort-stats aggregation — the balanced-panel regime
+    // reads the per-cohort first-period row counts (cnt at tt == fp).
     val n =
-      if (effPanel) df.filter(col("tt") === fp).count()
+      if (effPanel) perCohort.values.iterator.map(_._3).sum
       else if (trueRcs) totRows // every row is its own unit
       else totUnits
 
@@ -204,7 +211,7 @@ object Preprocess {
     val nCov = cfg.covariates.length
     val reqSize = nCov + 5
     val small = perCohort.collect {
-      case (g, (cnt, _)) if cnt.toDouble / tlist.length < reqSize => g
+      case (g, (cnt, _, _)) if cnt.toDouble / tlist.length < reqSize => g
     }.toSeq.sorted
     if (small.nonEmpty) {
       System.err.println(
@@ -214,8 +221,11 @@ object Preprocess {
           "Never-treated group is too small, try controlGroup='notyettreated'.")
     }
 
-    // final df is persisted and materialized (by the `n`/small-group
-    // actions above); the intermediate projection can go
+    // Materialize the final cache in one pass BEFORE dropping the
+    // intermediate projection it derives from (recomputing from source
+    // would redo the caller's input plan), and to pin rowid in the
+    // trueRcs regime (monotonically_increasing_id must never recompute).
+    df.count()
     projected.unpersist()
 
     PreprocessedPanel(df, tlist, glist, n, glist.length, tlist.length,
