@@ -127,11 +127,10 @@ object Similarity {
     * partitions the corpus into `nLists` cells; each query probes only
     * its `nProbe` nearest cells, so scored candidates shrink by
     * ~nProbe/nLists while recall stays high for clustered data. The
-    * centroid table is tiny (nLists x dim) and rides to the driver;
-    * the corpus is assigned distributed by the model and joined by
-    * list id — the standard FAISS-style IVF layout expressed as an
-    * equi-join. Queries must be small (collected for probe
-    * assignment, same contract as bruteForceTopK's broadcast).
+    * centroid table is tiny (nLists x dim): fit driver-side on a bounded
+    * sample, broadcast, assign per-partition, join by list id — the
+    * standard FAISS-style IVF layout. Queries must be small (collected
+    * for probe assignment, same contract as bruteForceTopK's broadcast).
     *
     * `trainFraction` < 1 fits the coarse quantizer on a seeded sample —
     * the scale path: k-means needs only enough points to place nLists
@@ -142,25 +141,46 @@ object Similarity {
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1]: $trainFraction")
 
-    val feats = corpus.select(col(idCol).as("cid"),
-      col(vecCol).as("cv"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("fv"))
+    val feats = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val trainSet =
       if (trainFraction >= 1.0) feats
       else feats.sample(withReplacement = false, trainFraction, seed)
-    val model = new KMeans().setK(nLists).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("list")
-      .fit(trainSet)
-    val assigned = model.transform(feats).select("cid", "cv", "list")
 
-    val centers = model.clusterCenters.map(_.toArray)
+    // FAISS-style coarse-quantizer fit: the TRAINING SAMPLE is collected
+    // and Lloyd runs driver-side — k-means needs only enough points to
+    // place nLists centroids (FAISS trains on ~39..256 x nLists), so the
+    // sample is driver-sized BY CONTRACT (capped below) even when the
+    // corpus is 100 TB; a distributed fit over the full corpus would
+    // spend ~2 jobs per Lloyd iteration routing probes no better.
+    // Assignment over ALL rows stays distributed (mapPartitions with
+    // broadcast centroids, primitive loops).
+    val maxTrainPoints = 262144
+    val trainVecs = trainSet.select(col("cv").cast("array<double>"))
+      .limit(maxTrainPoints).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(trainVecs.length >= nLists,
+      s"need at least nLists=$nLists training vectors, " +
+        s"got ${trainVecs.length} — raise trainFraction")
+    val centers = lloyd(trainVecs, nLists, seed, iters = 10)
+
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val assigned = {
+      val rdd = feats.rdd.mapPartitions { rows =>
+        val cs = bcCenters.value
+        rows.map { r =>
+          val v = r.getSeq[Float](1).toArray
+          org.apache.spark.sql.Row(r.get(0), r.get(1), nearestCenter(cs, v))
+        }
+      }
+      spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(
+        feats.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "list", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    }
     val probes = queries.select(col(idCol).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("qv"))
       .collect()
@@ -188,6 +208,103 @@ object Similarity {
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))))
       .filter(col("rk") <= k)
       .select("qid", "cid", "cos")
+  }
+
+  /** Driver-side Lloyd for the IVF coarse quantizer: seeded k-means++
+    * init (D^2 sampling — random init places notably worse routing
+    * centroids on near-uniform embeddings), empty clusters keep their
+    * previous center. O(iters * n * k * dim) on a sample bounded by
+    * `ivfTopK`'s `maxTrainPoints` — milliseconds where a distributed
+    * k-means pays ~2 Spark jobs per iteration for centroids that only
+    * route probes. */
+  private[operators] def lloyd(xs: Array[Array[Double]], k: Int,
+      seed: Long, iters: Int): Array[Array[Double]] = {
+    val dim = xs(0).length
+    val rng = new Random(seed)
+    // k-means++ seeding
+    val centers = new Array[Array[Double]](k)
+    centers(0) = xs(rng.nextInt(xs.length)).clone
+    val minD = Array.fill(xs.length)(Double.MaxValue)
+    var ci = 1
+    while (ci < k) {
+      val prev = centers(ci - 1)
+      var i = 0
+      var total = 0.0
+      while (i < xs.length) {
+        val x = xs(i)
+        var d = 0.0; var j = 0
+        while (j < dim) { val dd = x(j) - prev(j); d += dd * dd; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      var pick = rng.nextDouble() * total
+      var sel = xs.length - 1
+      i = 0
+      var acc = 0.0
+      while (i < xs.length && sel == xs.length - 1) {
+        acc += minD(i)
+        if (acc >= pick) sel = i
+        i += 1
+      }
+      centers(ci) = xs(sel).clone
+      ci += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val cnts = new Array[Long](k)
+      var i = 0
+      while (i < xs.length) {
+        val x = xs(i)
+        val c = nearestCenterD(centers, x)
+        val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += x(j); j += 1 }
+        cnts(c) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0) {
+          val s = sums(c)
+          var j = 0
+          while (j < dim) { s(j) /= cnts(c); j += 1 }
+          centers(c) = s
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def nearestCenterD(cs: Array[Array[Double]], v: Array[Double])
+      : Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0.0; var j = 0
+      while (j < v.length) { val dd = v(j) - ctr(j); d += dd * dd; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[operators] def nearestCenter(cs: Array[Array[Double]],
+      v: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0.0; var j = 0
+      while (j < v.length) { val dd = v(j) - ctr(j); d += dd * dd; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Deterministic random hyperplanes (seeded driver-side, inlined as
