@@ -338,6 +338,19 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    // text analysis: intra-document repetition removal (order-preserving
+    // token dedup) + repetition share — map-only, no shuffle
+    "q_token_dedup" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.dedupTokens(col("text")).as("clean"),
+        TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))),
+
+    // text analysis: top-k TF-IDF terms per document (keyword
+    // extraction): explode -> (doc,term) counts -> vocab-sized df join
+    // -> one per-doc top-k window
+    "q_tfidf_top" -> ((s, dir) =>
+      TextQuality.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)),
+
     // dedup: exact groups by fingerprint
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
@@ -435,6 +448,13 @@ object SparkEntry {
           col("sess_end").cast("long").as("end_epoch"),
           col("n_events"), col("sum_value"))
     }),
+
+    // streaming: key dedup (dropDuplicatesWithinWatermark in streams,
+    // unbounded dropDuplicates in batch) projected to the key set so the
+    // output is deterministic and ANSI-oracle-checkable
+    "q_stream_dedup_keys" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupStream(events(s, dir), "user_id")
+        .select("user_id")),
 
     // multimodal: frame-sample fan-out plan for video payloads
     "q_frame_sample" -> ((s, dir) => {
@@ -806,6 +826,46 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "q_token_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |    generate_subscripts(string_split(text, ' '), 1) AS ord
+        |  FROM documents),
+        |firsts AS (
+        |  SELECT doc_id, term, min(ord) AS mn FROM toks GROUP BY 1, 2),
+        |clean AS (
+        |  SELECT doc_id, string_agg(term, ' ' ORDER BY mn) AS clean
+        |  FROM firsts GROUP BY doc_id),
+        |rep AS (
+        |  SELECT doc_id,
+        |    ROUND(1.0 - CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*), 6)
+        |      AS rep_ratio
+        |  FROM toks GROUP BY doc_id)
+        |SELECT c.doc_id, c.clean, r.rep_ratio
+        |FROM clean c JOIN rep r USING (doc_id)""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS score
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "q_stream_dedup_keys" ->
+      "SELECT DISTINCT user_id FROM events",
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -32,6 +32,22 @@ object TextFunctions {
     ((length(c) - length(call_function("replace", c, lit(pat), lit("")))) /
       pat.length).cast("int")
 
+  /** Order-preserving exact token dedup — intra-document repetition
+    * removal, the doc-level analogue of corpus dedup: keeps the FIRST
+    * occurrence of each token (`array_distinct` preserves encounter
+    * order). Map-only, no shuffle. */
+  def dedupTokens(c: Column): Column =
+    concat_ws(" ", array_distinct(split(c, " ")))
+
+  /** Share of tokens that are repeats of an earlier token —
+    * `1 - distinct/total`, a Gopher-style repetition signal at exact
+    * token granularity. */
+  def repetitionRatio(c: Column): Column = {
+    val t = split(c, " ")
+    round(lit(1.0) -
+      size(array_distinct(t)).cast("double") / size(t), 6)
+  }
+
   /** Mean token length. */
   def meanTokenLen(c: Column): Column = {
     val t = tokens(c)

@@ -41,4 +41,31 @@ object TextQuality {
         .as("top_token_frac"))
     shape.join(top, "doc_id")
   }
+
+  /** Top-k TF-IDF terms per document — the standard corpus-analysis /
+    * keyword-extraction pass. Scale shape: explode -> partial-combined
+    * (doc, term) counts, a vocabulary-sized document-frequency aggregate
+    * joined back by term (equi-join; vocabulary << corpus), and ONE
+    * per-doc window for the top-k. Scores are `tf * ln(N/df)` rounded to
+    * 6dp BEFORE ranking so the (score desc, term asc) order is
+    * engine-stable for the DuckDB oracle. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int)
+      : DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .repartition(par(df), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("txt"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ndocs = df.select(countDistinct(col(idCol)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+  }
 }

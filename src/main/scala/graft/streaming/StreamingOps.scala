@@ -50,11 +50,16 @@ object StreamingOps {
         graft.operators.Events.exactValueSum)
 
   /** Streaming dedup on a key column bounded by the watermark window —
-    * the streaming analogue of `Dedup.dedupExact`. */
+    * the streaming analogue of `Dedup.dedupExact`. Batch frames take the
+    * unbounded `dropDuplicates` (Spark rejects the watermark variant in
+    * batch), so one code path serves backfill and the live stream with
+    * the same keep-one-row-per-key contract. */
   def dedupStream(events: DataFrame, keyCol: String,
       watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCol)
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCol)
+    else events.dropDuplicates(keyCol)
 
   /** Stateful gap-based sessionization over `KeyValueGroupedDataset`
     * custom state — the streaming counterpart of `Events.sessionize`

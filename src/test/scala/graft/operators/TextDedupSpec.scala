@@ -89,6 +89,31 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .first().getInt(0) shouldBe 3
   }
 
+  test("dedupTokens keeps first occurrences in order; repetitionRatio") {
+    one(TextFunctions.dedupTokens(col("t")),
+      "aa bb aa cc bb aa") shouldBe "aa bb cc"
+    one(TextFunctions.repetitionRatio(col("t")),
+      "aa bb aa cc bb aa") shouldBe 0.5 // 3 distinct of 6
+    one(TextFunctions.repetitionRatio(col("t")), "x y z") shouldBe 0.0
+  }
+
+  test("tfidfTopTerms: hand-computed scores and deterministic ranking") {
+    // 'rare' appears only in doc 1 (idf = ln 2); 'common' in both (idf 0)
+    val d = Seq((1L, "rare common rare"), (2L, "common common other"))
+      .toDF("doc_id", "text")
+    val rows = TextQuality.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3)))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    doc1.head._3 shouldBe "rare" // tf=2 * ln(2) = 1.386294
+    doc1.head._4 shouldBe 1.386294 +- 1e-9
+    val doc2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    doc2.head._3 shouldBe "other" // tf=1 * ln(2) beats common's 0.0
+    doc2.head._4 shouldBe 0.693147 +- 1e-9
+    doc2(1)._3 shouldBe "common"
+    doc2(1)._4 shouldBe 0.0
+  }
+
   test("gopherSignals: hand-computed repetition/shape values") {
     // tokens: aa bb aa bb cc -> bigrams (aa bb, bb aa, aa bb, bb cc):
     // 4 total / 3 distinct -> dup 0.25; top token 2/5 = 0.4; mwl 2.0

@@ -118,6 +118,14 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     stateful shouldBe window
   }
 
+  test("dedupStream runs on batch frames via unbounded dropDuplicates") {
+    val batch = Seq(
+      Ev(ts("2026-01-01 10:05:00"), "click", 1.0),
+      Ev(ts("2026-01-01 10:06:00"), "click", 2.0),
+      Ev(ts("2026-01-01 10:07:00"), "buy", 3.0)).toDF()
+    StreamingOps.dedupStream(batch, "event_type").count() shouldBe 2L
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
