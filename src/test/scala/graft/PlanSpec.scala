@@ -132,6 +132,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("token dedup is map-only: no exchange, no window") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_token_dedup")(spark, dir)
+      val plan = planOf(df)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"shuffle in a map-only op:\n$plan")
+      assert(!plan.contains("Window"), s"window op in:\n$plan")
+    }
+  }
+
+  test("tfidf: hash aggs with partials, one per-doc window, no global sort") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_tfidf_top")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("partial_"), "no map-side partial aggregate")
+      // the single-row ndocs side rides in as a broadcast, never a
+      // shuffled cartesian against the corpus
+      assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+      val globalSorts = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, "global sort leaked into the plan")
+    }
+  }
+
   test("stateful sessionizer shuffles once by user, no global sort") {
     withStaticPlan {
       val df = SparkEntry.queries("q_stream_sessionize_state")(spark, dir)
