@@ -327,6 +327,29 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         round(TextFunctions.stopwordRatio(col("text")), 6).as("sw_ratio"))),
 
+    // embeddings: per-source centroids in long form — class centroids
+    // for clustering diagnostics / IVF warm starts; one hash-agg keyed
+    // by (source, pos), shuffle carries groups x dim doubles only
+    "q_embed_centroid" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id").as("vec_id"),
+        col("source"))
+      Embeddings.groupCentroids(emb(s, dir).join(src, "vec_id"), "source")
+        .select(col("grp").as("source"), col("pos"), col("centroid_val"))
+    }),
+
+    // corpus stats: per-source doc counts and exact token-count
+    // percentiles (p50/p95) — the distribution snapshot a curation
+    // pipeline monitors; exact percentile matches quantile_cont
+    "q_source_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("tc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("tc"), 6).as("mean_tokens"),
+          round(expr("percentile(tc, 0.5)"), 6).as("p50_tokens"),
+          round(expr("percentile(tc, 0.95)"), 6).as("p95_tokens"))),
+
     // text analysis: rolling (order-sensitive) token-chain fingerprint
     // (engine-specific hash; rows-only)
     "q_rolling_fp" -> ((s, dir) =>
@@ -866,6 +889,31 @@ object SparkEntry {
 
     "q_stream_dedup_keys" ->
       "SELECT DISTINCT user_id FROM events",
+
+    // 0-based pos matches Spark's posexplode
+    "q_embed_centroid" ->
+      """WITH j AS (
+        |  SELECT d.source, e.embedding
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |x AS (
+        |  SELECT source, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM j)
+        |SELECT source, CAST(pos AS INTEGER) AS pos,
+        |  ROUND(AVG(CAST(x AS DOUBLE)), 6) AS centroid_val
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_source_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+        |      AS tc
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(AVG(tc), 6) AS mean_tokens,
+        |  ROUND(quantile_cont(tc, 0.5), 6) AS p50_tokens,
+        |  ROUND(quantile_cont(tc, 0.95), 6) AS p95_tokens
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

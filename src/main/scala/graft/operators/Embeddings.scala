@@ -44,6 +44,19 @@ object Embeddings {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Per-group embedding centroids in LONG FORM (group, pos,
+    * centroid_val) — class/source centroids for clustering diagnostics
+    * and IVF warm starts. posexplode -> one hash-agg keyed by
+    * (group, pos): the shuffle carries groups x dim doubles with full
+    * map-side partial aggregation, never whole vectors; long-form output
+    * avoids float-array equality pitfalls in downstream sinks. */
+  def groupCentroids(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(toD(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("grp", "pos")
+      .agg(round(avg("x"), 6).as("centroid_val"))
+
   /** Scalar quantization digest per vector: the norm, the scale, the
     * quantized-component sum, and the reconstruction MSE — the values a
     * quality gate monitors, and all ANSI-expressible for the oracle

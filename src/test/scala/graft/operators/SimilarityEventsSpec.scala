@@ -90,6 +90,21 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 }
 
+class EmbeddingsSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  test("groupCentroids: hand-computed per-group means in long form") {
+    val df = Seq(
+      ("a", Array(1f, 2f)), ("a", Array(3f, 6f)), ("b", Array(10f, 0f)))
+      .toDF("src", "embedding")
+    val rows = Embeddings.groupCentroids(df, "src")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    rows shouldBe Set(
+      ("a", 0, 2.0), ("a", 1, 4.0), ("b", 0, 10.0), ("b", 1, 0.0))
+  }
+}
+
 class EventsSpec extends AnyFunSuite with Matchers with SparkSpec {
   import spark.implicits._
 
