@@ -479,6 +479,15 @@ object SparkEntry {
       graft.streaming.StreamingOps.dedupStream(events(s, dir), "user_id")
         .select("user_id")),
 
+    // multimodal: REAL audio decode — synthesize one PCM-16 WAV per
+    // document (javax.sound round-trip), parse it back, and pin the
+    // extracted format fields + exact mean amplitude to the DuckDB
+    // oracle that predicts them from the synthesis contract.
+    "q_audio_features" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id").as("media_id"))
+      Multimodal.audioFeatures(Multimodal.synthesizeAudio(ids))
+    }),
+
     // multimodal: frame-sample fan-out plan for video payloads
     "q_frame_sample" -> ((s, dir) => {
       val media = docs(s, dir).select(
@@ -965,6 +974,17 @@ object SparkEntry {
       """SELECT doc_id AS media_id, u.f AS frame_no
         |FROM documents, UNNEST([0, 10, 20]) AS u(f)
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    // Predicts Multimodal.synthesizeAudio's WAV contract: format fields
+    // and the constant sample value (= exact mean |amplitude|).
+    "q_audio_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(400 + doc_id % 100 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 2000 AS DOUBLE) AS mean_abs
+        |FROM documents""".stripMargin,
 
     // Predicts Multimodal.synthesizeImages' PNG contract: dims and the
     // uniform gray fill (= exact mean intensity) derive from media_id.

@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: `javax.imageio` (JDK-only, no external codecs)
   * parses PNG/JPEG/GIF/BMP payloads into width/height/channels and a
-  * mean pixel intensity. Payloads ImageIO cannot decode — and the
-  * `audio`/`video` kinds, whose codecs are genuinely absent from the
-  * JDK — fall back to the clearly-marked `fakeDecode` STUB, which
+  * mean pixel intensity. AUDIO decode is REAL: `javax.sound.sampled`
+  * parses WAV/AIFF/AU containers into format fields + mean amplitude.
+  * Only `video` (no JDK demuxer exists) and payloads the JDK decoders
+  * reject fall back to the clearly-marked `fakeDecode` STUB, which
   * derives deterministic pseudo-features from the bytes so the
   * partition-batch plumbing stays testable end-to-end.
   */
@@ -97,10 +98,112 @@ object Multimodal {
     spark.createDataFrame(out, mediaSchema)
   }
 
-  /** STUB decoder for the codec-less kinds (`audio`/`video`) and for
-    * image payloads ImageIO rejects. Deterministic in the payload bytes
-    * so tests and reruns are stable: "dimensions" come from a byte-sum
-    * hash, "intensity" is the mean byte value. */
+  /** Extracted audio-feature schema produced by `audioFeatures`. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("mean_abs", DoubleType, nullable = false)))
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM payloads — no external codec libs): container
+    * format fields plus the mean absolute 16-bit sample amplitude.
+    * None when the bytes are not a parseable audio container. */
+  private[multimodal] def audioDecode(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val data = ais.readAllBytes()
+        var sum = 0.0
+        var n = 0
+        val le = !f.isBigEndian
+        var i = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (le) ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+            else ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+          sum += math.abs(s.toInt)
+          n += 1
+          i += 2
+        }
+        Some((f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, nFrames,
+          if (n == 0) 0.0 else sum / n))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Encode a real PCM-16 WAV whose every sample is the constant
+    * `value` — used by tests and the synthetic driver tables to exercise
+    * the real javax.sound decode with exactly predictable features. */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int,
+      value: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < pcm.length) {
+      pcm(i) = (value & 0xFF).toByte
+      pcm(i + 1) = ((value >> 8) & 0xFF).toByte
+      i += 2
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic media frame of REAL WAV payloads keyed by `media_id`:
+    * sample_rate = 8000 + (id % 8) * 1000, channels = 1 + id % 2,
+    * n_frames = 400 + id % 100, constant sample value (= exact mean_abs)
+    * = id % 2000. The derivation is the contract the DuckDB oracle for
+    * `q_audio_features` predicts. */
+  def synthesizeAudio(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = syntheticWav(8000 + (id % 8).toInt * 1000,
+            1 + (id % 2).toInt, 400 + (id % 100).toInt, (id % 2000).toShort)
+          Row(id, "audio", bytes, null)
+        }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Per-partition batch audio decode — same distributed shape as
+    * `decodeFeatures`, real `javax.sound` parsing. Undecodable payloads
+    * are dropped (None). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        audioDecode(bytes).map { case (sr, ch, bits, nf, mean) =>
+          Row(id, sr, ch, bits, nf, math.rint(mean * 1e6) / 1e6)
+        }
+      }
+    }
+    spark.createDataFrame(out, audioFeatureSchema)
+  }
+
+  /** STUB decoder for the remaining codec-less kind (`video`; MP4/webm
+    * demuxing has no JDK decoder) and for image payloads ImageIO
+    * rejects. Deterministic in the payload bytes so tests and reruns are
+    * stable: "dimensions" come from a byte-sum hash, "intensity" is the
+    * mean byte value. */
   private[multimodal] def fakeDecode(kind: String, bytes: Array[Byte])
       : (Int, Int, Int, Double) = {
     val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))

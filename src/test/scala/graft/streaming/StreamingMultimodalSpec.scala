@@ -192,6 +192,28 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("syntheticWav round-trips through the real javax.sound decoder") {
+    val ids = Seq(0L, 7L, 123L, 1999L).toDF("media_id")
+    val feats = Multimodal.audioFeatures(Multimodal.synthesizeAudio(ids))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    feats.keySet shouldBe Set(0L, 7L, 123L, 1999L)
+    for (id <- feats.keySet) {
+      feats(id) shouldBe ((8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt,
+        16, 400L + id % 100, (id % 2000).toDouble))
+    }
+  }
+
+  test("audioFeatures drops undecodable payloads instead of faking them") {
+    val junk = Seq((1L, "audio", "not-a-wav"))
+      .toDF("media_id", "kind", "payload")
+      .select(col("media_id"), col("kind"),
+        col("payload").cast("binary").as("bytes"),
+        map(lit("k"), lit("v")).as("meta"))
+    Multimodal.audioFeatures(junk).count() shouldBe 0L
+  }
+
   test("frameSamplePlan fans out every Nth frame for videos only") {
     val frames = Multimodal.frameSamplePlan(media, totalFrames = 10, everyNth = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
