@@ -472,6 +472,14 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // streaming: sliding (hopping) windows — every event lands in
+    // windowLen/slide overlapping windows; oracle replays the window
+    // expansion with an UNNEST over the hop offsets
+    "q_stream_sliding" -> ((s, dir) =>
+      graft.streaming.StreamingOps.slidingCounts(events(s, dir))
+        .select(col("win").cast("long").as("win_epoch"),
+          col("event_type"), col("cnt"), col("sum_value"))),
+
     // streaming: key dedup (dropDuplicatesWithinWatermark in streams,
     // unbounded dropDuplicates in batch) projected to the key set so the
     // output is deterministic and ANSI-oracle-checkable
@@ -486,6 +494,14 @@ object SparkEntry {
     "q_audio_features" -> ((s, dir) => {
       val ids = docs(s, dir).select(col("doc_id").as("media_id"))
       Multimodal.audioFeatures(Multimodal.synthesizeAudio(ids))
+    }),
+
+    // multimodal: REAL MP4 container parse — synthesize one minimal
+    // ISO-BMFF file per document, walk its boxes back (ftyp/moov/mvhd),
+    // and pin timescale/duration against the synthesis-contract oracle.
+    "q_video_meta" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id").as("media_id"))
+      Multimodal.videoMeta(Multimodal.synthesizeVideos(ids))
     }),
 
     // multimodal: frame-sample fan-out plan for video payloads
@@ -899,6 +915,20 @@ object SparkEntry {
     "q_stream_dedup_keys" ->
       "SELECT DISTINCT user_id FROM events",
 
+    // hop expansion: 1h windows sliding by 30min => each event belongs
+    // to the 2 windows starting at ep - ep%1800 - {0,1}*1800
+    "q_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value
+        |  FROM events),
+        |x AS (
+        |  SELECT ep - (ep % 1800) - u.i * 1800 AS win_epoch,
+        |    event_type, value
+        |  FROM e, UNNEST([0, 1]) AS u(i))
+        |SELECT win_epoch, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
     // 0-based pos matches Spark's posexplode
     "q_embed_centroid" ->
       """WITH j AS (
@@ -974,6 +1004,15 @@ object SparkEntry {
       """SELECT doc_id AS media_id, u.f AS frame_no
         |FROM documents, UNNEST([0, 10, 20]) AS u(f)
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    // Predicts Multimodal.synthesizeVideos' MP4 contract.
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(600 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+        |  CAST(1200 + doc_id % 600 AS BIGINT) AS duration_ticks,
+        |  ROUND(CAST(1200 + doc_id % 600 AS DOUBLE)
+        |    / (600 + (doc_id % 10) * 100), 6) AS duration_sec
+        |FROM documents""".stripMargin,
 
     // Predicts Multimodal.synthesizeAudio's WAV contract: format fields
     // and the constant sample value (= exact mean |amplitude|).

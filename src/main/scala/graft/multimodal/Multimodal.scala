@@ -199,11 +199,117 @@ object Multimodal {
     spark.createDataFrame(out, audioFeatureSchema)
   }
 
-  /** STUB decoder for the remaining codec-less kind (`video`; MP4/webm
-    * demuxing has no JDK decoder) and for image payloads ImageIO
-    * rejects. Deterministic in the payload bytes so tests and reruns are
-    * stable: "dimensions" come from a byte-sum hash, "intensity" is the
-    * mean byte value. */
+  /** Extracted video-container-metadata schema (`videoMeta`). */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration_ticks", LongType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false)))
+
+  /** REAL ISO-BMFF (MP4) container parse — pure byte walking, no codec:
+    * top-level boxes are [size:u32][type:4cc][payload]; `moov`/`mvhd`
+    * (version 0) carries the movie timescale and duration. Returns
+    * (timescale, durationTicks) or None when the bytes are not a
+    * parseable MP4 container. Frame DECODE stays out of reach without a
+    * demuxer+codec; container metadata is what a 100 TB ingest pipeline
+    * extracts per row anyway (duration filters, sampling plans). */
+  private[multimodal] def mp4Meta(bytes: Array[Byte])
+      : Option[(Long, Long)] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      var off = 0
+      while (off + 8 <= bytes.length) {
+        val size = u32(off)
+        val typ = fourcc(off + 4)
+        if (size < 8 || off + size > bytes.length) return None
+        if (typ == "moov") {
+          var in = off + 8
+          val end = off + size.toInt
+          while (in + 8 <= end) {
+            val s2 = u32(in)
+            if (s2 < 8 || in + s2 > end) return None
+            if (fourcc(in + 4) == "mvhd" && in + 8 + 20 <= end) {
+              // mvhd v0: ver/flags(4) ctime(4) mtime(4) timescale(4) dur(4)
+              return Some((u32(in + 8 + 12), u32(in + 8 + 16)))
+            }
+            in += s2.toInt
+          }
+          return None
+        }
+        off += size.toInt
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Encode a REAL minimal MP4 (ftyp + moov/mvhd v0) with the given
+    * movie timescale and duration — structurally valid ISO-BMFF any
+    * demuxer can probe, used to exercise `mp4Meta` with exactly
+    * predictable metadata. */
+  def syntheticMp4(timescale: Int, durationTicks: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(24 + 8 + 108)
+    def cc(s: String): Unit =
+      out.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(24); cc("ftyp"); cc("isom"); out.putInt(0); cc("isomiso2")
+    out.putInt(8 + 108); cc("moov")
+    out.putInt(108); cc("mvhd")
+    out.putInt(0) // version 0 + flags
+    out.putInt(0); out.putInt(0) // ctime, mtime
+    out.putInt(timescale); out.putInt(durationTicks)
+    out.putInt(0x00010000) // rate 1.0
+    out.putShort(0x0100.toShort); out.putShort(0) // volume + reserved
+    out.putInt(0); out.putInt(0) // reserved
+    // unity matrix
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(out.putInt)
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(2) // next_track_ID
+    out.array()
+  }
+
+  /** Deterministic media frame of REAL minimal MP4 payloads keyed by
+    * `media_id`: timescale = 600 + (id % 10) * 100, duration ticks =
+    * 1200 + id % 600. The DuckDB oracle for `q_video_meta` predicts
+    * these plus duration_sec = ticks / timescale rounded to 6dp. */
+  def synthesizeVideos(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = syntheticMp4(600 + (id % 10).toInt * 100,
+            1200 + (id % 600).toInt)
+          Row(id, "video", bytes, null)
+        }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Per-partition batch MP4-container parse — real `mp4Meta`,
+    * undecodable payloads dropped. */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        mp4Meta(r.getAs[Array[Byte]](1)).map { case (ts, dur) =>
+          Row(id, ts, dur,
+            math.rint(dur.toDouble / ts * 1e6) / 1e6)
+        }
+      }
+    }
+    spark.createDataFrame(out, videoMetaSchema)
+  }
+
+  /** STUB decoder for video FRAME features (pixel decode needs a
+    * demuxer+codec the JDK lacks — container metadata is real, see
+    * `mp4Meta`) and for image payloads ImageIO rejects. Deterministic in
+    * the payload bytes so tests and reruns are stable: "dimensions" come
+    * from a byte-sum hash, "intensity" is the mean byte value. */
   private[multimodal] def fakeDecode(kind: String, bytes: Array[Byte])
       : (Int, Int, Int, Double) = {
     val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))

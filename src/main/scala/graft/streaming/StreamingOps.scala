@@ -49,6 +49,21 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"),
         graft.operators.Events.exactValueSum)
 
+  /** Sliding (hopping) per-type counts: each event lands in
+    * `windowLen / slide` overlapping windows — rolling rates without a
+    * self-join (Spark's window() expands to the window set, then one
+    * hash-agg). Same batch/stream duality as `windowedCounts`. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), windowLen, slide).getField("start").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.operators.Events.exactValueSum)
+
   /** Streaming dedup on a key column bounded by the watermark window —
     * the streaming analogue of `Dedup.dedupExact`. Batch frames take the
     * unbounded `dropDuplicates` (Spark rejects the watermark variant in

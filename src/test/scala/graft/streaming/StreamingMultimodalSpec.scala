@@ -44,6 +44,18 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     StreamingOps.windowedCounts(batch).count() shouldBe 1L
   }
 
+  test("slidingCounts: each event lands in windowLen/slide windows") {
+    val batch = Seq(Ev(ts("2026-01-01 10:05:00"), "click", 1.5)).toDF()
+    val wins = StreamingOps.slidingCounts(batch)
+      .select(col("win").cast("string"), col("cnt"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // 1h window hopping 30min: starts 09:30 and 10:00 both cover 10:05
+    wins shouldBe Set(
+      ("2026-01-01 09:30:00", 1L, 1.5),
+      ("2026-01-01 10:00:00", 1L, 1.5))
+  }
+
   test("sessionizeStateful closes sessions across micro-batches on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
@@ -212,6 +224,27 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
         col("payload").cast("binary").as("bytes"),
         map(lit("k"), lit("v")).as("meta"))
     Multimodal.audioFeatures(junk).count() shouldBe 0L
+  }
+
+  test("syntheticMp4 round-trips through the real box parser") {
+    val ids = Seq(0L, 9L, 123L, 599L).toDF("media_id")
+    val meta = Multimodal.videoMeta(Multimodal.synthesizeVideos(ids))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    meta.keySet shouldBe Set(0L, 9L, 123L, 599L)
+    for (id <- meta.keySet) {
+      val ts = 600L + (id % 10) * 100
+      val dur = 1200L + id % 600
+      meta(id)._1 shouldBe ts
+      meta(id)._2 shouldBe dur
+      meta(id)._3 shouldBe (dur.toDouble / ts) +- 1e-6
+    }
+    // junk bytes are rejected, not faked
+    Multimodal.videoMeta(
+      Seq((7L, "video", "not-an-mp4")).toDF("media_id", "kind", "payload")
+        .select(col("media_id"), col("kind"),
+          col("payload").cast("binary").as("bytes"),
+          map(lit("k"), lit("v")).as("meta"))).count() shouldBe 0L
   }
 
   test("frameSamplePlan fans out every Nth frame for videos only") {
