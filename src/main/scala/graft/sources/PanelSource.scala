@@ -30,4 +30,29 @@ object PanelSource {
     * as Parquet; the reference has no sinks at all — SURVEY.md §2.1). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** JSON-Lines ingest — the lingua franca of training-data corpora.
+    * ALWAYS pass a schema at scale: without one Spark runs a full
+    * inference scan, and a single corrupt line can silently widen
+    * columns to string. Corrupt records land in `_corrupt_record`
+    * (PERMISSIVE) instead of failing the 100 TB job. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[String] = None): DataFrame = {
+    val base = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    schema match {
+      case Some(ddl) =>
+        base.schema(ddl + ", _corrupt_record STRING").json(path)
+      case None => base.json(path)
+    }
+  }
+
+  /** JSONL sink, one object per line (interchange with Python tooling);
+    * `compress` writes gzip part files. */
+  def writeJsonl(df: DataFrame, path: String,
+      compress: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
 }

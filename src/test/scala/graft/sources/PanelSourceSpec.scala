@@ -27,6 +27,30 @@ class PanelSourceSpec extends AnyFunSuite with SparkSpec {
     f1.unpersist(); f2.unpersist()
   }
 
+  test("JSONL roundtrip with explicit schema; corrupt lines quarantined") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val docs = spark.range(5).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"))
+    PanelSource.writeJsonl(docs, s"$dir/docs")
+    // Spark disallows queries touching ONLY _corrupt_record on raw
+    // files — cache the parsed frame first (documented restriction)
+    val back = PanelSource.readJsonl(spark, s"$dir/docs",
+      Some("doc_id BIGINT, text STRING")).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
+    assert(back.select("doc_id", "text").collect().toSet ==
+      docs.collect().toSet)
+    back.unpersist()
+    // a corrupt line lands in _corrupt_record, not in a job failure
+    Files.write(java.nio.file.Paths.get(s"$dir/docs/zz_bad.json"),
+      "{not json\n".getBytes)
+    val mixed = PanelSource.readJsonl(spark, s"$dir/docs",
+      Some("doc_id BIGINT, text STRING")).cache()
+    assert(mixed.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(mixed.filter(col("_corrupt_record").isNull).count() == 5)
+    mixed.unpersist()
+  }
+
   test("parquet write/read roundtrip preserves the result table") {
     val dir = Files.createTempDirectory("graft-pq").toString
     val pp = Preprocess.run(TestPanels.staggered(spark, nUnits = 60),
