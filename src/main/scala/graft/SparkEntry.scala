@@ -199,6 +199,40 @@ object SparkEntry {
         .select(col("group").as("g"), col("time").as("t"),
           round(col("att"), 4).as("att"))),
 
+    // §2.9/§3.2 basePeriod="universal": every (g, t) cell measured
+    // against the cohort's FIXED pre-treatment base period; the base
+    // period itself is an ATT=0 row by construction. Oracle replays the
+    // fixed-base 2x2 algebra.
+    "q_att_gt_universal" -> ((s, dir) => {
+      import s.implicits._
+      val pp = Preprocess.run(pv(s, dir), PanelView.config)
+      val f = AttGt.fit(pp, basePeriod = "universal")
+      val out = f.cells.indices.filterNot(f.skipped).map { i =>
+        (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(f.att(i))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("g", "t", "att")
+      f.unpersist(); pp.unpersist()
+      out
+    }),
+
+    // §3.1 controlGroup="notyettreated": controls are the never-treated
+    // PLUS cohorts not yet treated at the cell's period. Oracle replays
+    // the widened-control 2x2 algebra.
+    "q_att_gt_nyt" -> ((s, dir) => {
+      import s.implicits._
+      val pp = Preprocess.run(pv(s, dir),
+        PanelView.config.copy(controlGroup = "notyettreated"))
+      val f = AttGt.fit(pp)
+      val out = f.cells.indices.filterNot(f.skipped).map { i =>
+        (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(f.att(i))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("g", "t", "att")
+      f.unpersist(); pp.unpersist()
+      out
+    }),
+
     // §2.7 covariate (xfmla) doubly-robust run via the distributed
     // Gram/moment path (DistributedRc) — customer balance as covariate;
     // rows-only (IRLS is not SQL-expressible; parity is pinned by
@@ -593,7 +627,61 @@ object SparkEntry {
       |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
       |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
 
+  /** Universal base: every (g, t) pair is a cell against the cohort's
+    * FIXED base (last period before g); the base-period cell itself
+    * subtracts identical means and lands at exactly 0. */
+  private val attGtUniversalSql: String = withPanelCte(
+    """, tl AS (SELECT DISTINCT t FROM panel),
+      |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+      |cells AS (
+      |  SELECT gs.g, tl.t AS tn,
+      |    (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g) AS tpre
+      |  FROM gs CROSS JOIN tl),
+      |m AS (
+      |  SELECT c.g, c.tn,
+      |    AVG(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.y END) AS mu11,
+      |    AVG(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.y END) AS mu10,
+      |    AVG(CASE WHEN p.g = 0 AND p.t = c.tn THEN p.y END) AS mu01,
+      |    AVG(CASE WHEN p.g = 0 AND p.t = c.tpre THEN p.y END) AS mu00
+      |  FROM cells c JOIN panel p
+      |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)
+      |  GROUP BY c.g, c.tn)
+      |SELECT g, tn AS t, ROUND((mu11 - mu10) - (mu01 - mu00), 4) AS att
+      |FROM m
+      |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
+      |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
+
+  /** Not-yet-treated controls: never-treated PLUS cohorts with
+    * g' > tn (untreated at the cell's period), g' != g. Varying base
+    * grid identical to attGtSql. */
+  private val attGtNytSql: String = withPanelCte(
+    """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+      |         FROM (SELECT DISTINCT t FROM panel)),
+      |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+      |cells AS (
+      |  SELECT gs.g, tl.t AS tn,
+      |    CASE WHEN gs.g <= tl.t
+      |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
+      |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+      |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+      |m AS (
+      |  SELECT c.g, c.tn,
+      |    AVG(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.y END) AS mu11,
+      |    AVG(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.y END) AS mu10,
+      |    AVG(CASE WHEN (p.g = 0 OR (p.g > c.tn AND p.g <> c.g))
+      |             AND p.t = c.tn THEN p.y END) AS mu01,
+      |    AVG(CASE WHEN (p.g = 0 OR (p.g > c.tn AND p.g <> c.g))
+      |             AND p.t = c.tpre THEN p.y END) AS mu00
+      |  FROM cells c JOIN panel p ON (p.t = c.tn OR p.t = c.tpre)
+      |  GROUP BY c.g, c.tn)
+      |SELECT g, tn AS t, ROUND((mu11 - mu10) - (mu01 - mu00), 4) AS att
+      |FROM m
+      |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
+      |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
+
   def oracleSql: Map[String, String] = withSharedOracles(Map(
+    "q_att_gt_universal" -> attGtUniversalSql,
+    "q_att_gt_nyt" -> attGtNytSql,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
