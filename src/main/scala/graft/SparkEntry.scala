@@ -233,6 +233,42 @@ object SparkEntry {
       out
     }),
 
+    // §3.1 anticipation = 1: post-cell base periods shift one period
+    // earlier (last t with t + 1 < g); pre cells keep the varying
+    // previous-period base. Oracle replays the shifted-base algebra.
+    "q_att_gt_anticipation" -> ((s, dir) => {
+      import s.implicits._
+      val pp = Preprocess.run(pv(s, dir),
+        PanelView.config.copy(anticipation = 1))
+      val f = AttGt.fit(pp)
+      val out = f.cells.indices.filterNot(f.skipped).map { i =>
+        (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(f.att(i))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("g", "t", "att")
+      f.unpersist(); pp.unpersist()
+      out
+    }),
+
+    // §2.2/§2.7 sampling weights wired end-to-end: w = 1 + id % 3;
+    // intercept-only dr collapses to weighted 2x2 means, so the oracle
+    // is SUM(w*y)/SUM(w) algebra.
+    "q_att_gt_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val panel = pv(s, dir)
+        .withColumn("w", (lit(1) + pmod(col("id"), lit(3))).cast("double"))
+      val pp = Preprocess.run(panel,
+        PanelView.config.copy(weightsName = Some("w")))
+      val f = AttGt.fit(pp)
+      val out = f.cells.indices.filterNot(f.skipped).map { i =>
+        (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(f.att(i))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("g", "t", "att")
+      f.unpersist(); pp.unpersist()
+      out
+    }),
+
     // §2.7 covariate (xfmla) doubly-robust run via the distributed
     // Gram/moment path (DistributedRc) — customer balance as covariate;
     // rows-only (IRLS is not SQL-expressible; parity is pinned by
@@ -679,9 +715,67 @@ object SparkEntry {
       |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
       |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
 
+  /** Anticipation = 1: post-cell base = last period with t + 1 < g. */
+  private val attGtAnticipationSql: String = withPanelCte(
+    """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+      |         FROM (SELECT DISTINCT t FROM panel)),
+      |gs AS (SELECT DISTINCT g FROM panel
+      |       WHERE g > 0 AND g > (SELECT min(t) + 1 FROM panel)),
+      |cells AS (
+      |  SELECT gs.g, tl.t AS tn,
+      |    CASE WHEN gs.g <= tl.t
+      |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t + 1 < gs.g)
+      |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+      |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+      |m AS (
+      |  SELECT c.g, c.tn,
+      |    AVG(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.y END) AS mu11,
+      |    AVG(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.y END) AS mu10,
+      |    AVG(CASE WHEN p.g = 0 AND p.t = c.tn THEN p.y END) AS mu01,
+      |    AVG(CASE WHEN p.g = 0 AND p.t = c.tpre THEN p.y END) AS mu00
+      |  FROM cells c JOIN panel p
+      |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)
+      |  GROUP BY c.g, c.tn)
+      |SELECT g, tn AS t, ROUND((mu11 - mu10) - (mu01 - mu00), 4) AS att
+      |FROM m
+      |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
+      |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
+
+  /** Sampling weights w = 1 + id % 3: weighted 2x2 means. */
+  private val attGtWeightedSql: String = withPanelCte(
+    """, pw AS (SELECT *, CAST(1 + id % 3 AS DOUBLE) AS w FROM panel),
+      |tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+      |       FROM (SELECT DISTINCT t FROM pw)),
+      |gs AS (SELECT DISTINCT g FROM pw WHERE g > 0),
+      |cells AS (
+      |  SELECT gs.g, tl.t AS tn,
+      |    CASE WHEN gs.g <= tl.t
+      |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
+      |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+      |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+      |m AS (
+      |  SELECT c.g, c.tn,
+      |    SUM(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.w * p.y END)
+      |      / SUM(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.w END) AS mu11,
+      |    SUM(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.w * p.y END)
+      |      / SUM(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.w END) AS mu10,
+      |    SUM(CASE WHEN p.g = 0 AND p.t = c.tn THEN p.w * p.y END)
+      |      / SUM(CASE WHEN p.g = 0 AND p.t = c.tn THEN p.w END) AS mu01,
+      |    SUM(CASE WHEN p.g = 0 AND p.t = c.tpre THEN p.w * p.y END)
+      |      / SUM(CASE WHEN p.g = 0 AND p.t = c.tpre THEN p.w END) AS mu00
+      |  FROM cells c JOIN pw p
+      |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)
+      |  GROUP BY c.g, c.tn)
+      |SELECT g, tn AS t, ROUND((mu11 - mu10) - (mu01 - mu00), 4) AS att
+      |FROM m
+      |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
+      |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
+
   def oracleSql: Map[String, String] = withSharedOracles(Map(
     "q_att_gt_universal" -> attGtUniversalSql,
     "q_att_gt_nyt" -> attGtNytSql,
+    "q_att_gt_anticipation" -> attGtAnticipationSql,
+    "q_att_gt_weighted" -> attGtWeightedSql,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
