@@ -122,18 +122,22 @@ object Aggte {
     // positions -> ifTable cell ids (differ after na_rm pruning)
     val wdf = cellWts.map { case (k, m, w) => (p.cellIds(k), m, w) }
       .toDF("cell", "midx", "wt")
+    // ONE shuffle keyed (rowid, midx): the raw weighted-IF rows union
+    // the wif rows BEFORE the aggregation — a pre-aggregated base would
+    // shuffle the same data twice on the same keys.
     val base = p.fit.ifTable.join(broadcast(wdf), "cell")
-      .groupBy("rowid", "midx").agg(sum(col("inf") * col("wt")).as("v"))
+      .select(col("rowid"), col("midx"), (col("inf") * col("wt")).as("v"))
+    val rows =
+      if (wifCoefs.isEmpty) base
+      else {
+        val cdf = wifCoefs.toDF("midx", "cg", "coef")
+        val wifRows = p.units.join(broadcast(cdf), col("gbar") === col("cg"))
+          .select(col("rowid"), col("midx"),
+            (col("wbar") * col("coef")).as("v"))
+        base.union(wifRows)
+      }
+    rows.groupBy("rowid", "midx").agg(sum("v").as("v"))
       .select("rowid", "midx", "v")
-    if (wifCoefs.isEmpty) base
-    else {
-      val cdf = wifCoefs.toDF("midx", "cg", "coef")
-      val wifRows = p.units.join(broadcast(cdf), col("gbar") === col("cg"))
-        .select(col("rowid"), col("midx"),
-          (col("wbar") * col("coef")).as("v"))
-      base.union(wifRows).groupBy("rowid", "midx").agg(sum("v").as("v"))
-        .select("rowid", "midx", "v")
-    }
   }
 
   /** Per-member SEs from a familyIF frame (`get_se`,
