@@ -111,7 +111,11 @@ object Dedup {
       case Some(cap) =>
         val hot = idx0.groupBy("h").agg(count(lit(1)).as("hdf"))
           .filter(col("hdf") > cap).select("h")
-        val kept = idx0.drop("nsh").join(hot, Seq("h"), "left_anti")
+        // persist: the capped index feeds both its own recount and the
+        // join — uncached it would run the anti-join (and the shingle
+        // explode above it) twice
+        val kept = persistTracked(
+          idx0.drop("nsh").join(hot, Seq("h"), "left_anti"))
         kept.join(
           kept.groupBy("did").agg(count(lit(1)).as("nsh")), "did")
     }
