@@ -55,4 +55,19 @@ object PanelSource {
     val w = df.write.mode("overwrite")
     (if (compress) w.option("compression", "gzip") else w).json(path)
   }
+
+  /** Bucketed parquet table: rows are hash-clustered (and sorted) by
+    * `keyCol` into `nBuckets` files per partition at WRITE time, so
+    * every later equi-join or aggregation on that key is exchange-free —
+    * the storage layout that turns the repeated 100 TB fact-to-fact join
+    * from a shuffle into a local merge. Registered in the session
+    * catalog (bucket metadata lives there, not in parquet footers);
+    * read back with `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, path: String, name: String,
+      keyCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(name)
 }

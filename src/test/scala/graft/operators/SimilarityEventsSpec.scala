@@ -105,6 +105,31 @@ class EmbeddingsSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 }
 
+class SkewSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    // 90% of fact rows share key 1 (the hot key)
+    val big = spark.range(1000).select(
+      when(col("id") < 900, 1L).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val small = Seq((1L, "hot"), (950L, "cold"), (2L, "unmatched-side"))
+      .toDF("k", "label")
+    val plain = big.join(small, "k")
+      .select("k", "payload", "label").collect().toSet
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "label").collect().toSet
+    salted shouldBe plain
+    plain.count(_.getLong(0) == 1L) shouldBe 900 // hot key fully matched
+  }
+
+  test("saltedJoin with salts=1 degrades to the plain join") {
+    val big = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val small = Seq((1L, "a")).toDF("k", "s")
+    Skew.saltedJoin(big, small, "k", 1).count() shouldBe 1L
+  }
+}
+
 class EventsSpec extends AnyFunSuite with Matchers with SparkSpec {
   import spark.implicits._
 

@@ -51,6 +51,41 @@ class PanelSourceSpec extends AnyFunSuite with SparkSpec {
     mixed.unpersist()
   }
 
+  test("bucketed tables join and aggregate with ZERO shuffles") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val facts = spark.range(1000).select(col("id"),
+      (col("id") % 7).as("v"))
+    val dims = spark.range(1000).select(col("id"),
+      (col("id") % 5).as("w"))
+    PanelSource.writeBucketed(facts, s"$dir/facts", "b_facts", "id", 4)
+    PanelSource.writeBucketed(dims, s"$dir/dims", "b_dims", "id", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "id")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join shuffled:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 1000)
+      // aggregation on the bucket key is exchange-free too
+      val agg = spark.table("b_facts").groupBy("id").agg(sum("v"))
+      val aggEx = agg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(aggEx.isEmpty, "bucketed aggregation shuffled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("parquet write/read roundtrip preserves the result table") {
     val dir = Files.createTempDirectory("graft-pq").toString
     val pp = Preprocess.run(TestPanels.staggered(spark, nUnits = 60),
