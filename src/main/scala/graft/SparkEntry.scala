@@ -393,6 +393,13 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
 
+    // the one-call curation pass: quality floor -> repetition ceiling ->
+    // exact dedup survivors; every stage ANSI-pinned, so the composed
+    // pipeline hash-checks end to end
+    "q_curate" -> ((s, dir) =>
+      TextQuality.curate(docs(s, dir), "doc_id", "text",
+        minQuality = 0.7, maxRepetition = 0.5)),
+
     // text analysis: Gopher-style repetition/shape quality signals
     "q_gopher_quality" -> ((s, dir) =>
       TextQuality.gopherSignals(docs(s, dir), "doc_id", "text")),
@@ -1025,6 +1032,32 @@ object SparkEntry {
         |        (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
         |        (1.0 - least(pr * 5.0, 1.0)) * 0.3, 6) AS score
         |FROM f""".stripMargin,
+
+    "q_curate" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t,
+        |    string_split(text, ' ') AS rawtoks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    ROUND(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |              / len(t) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      (1.0 - least(CAST(len(text) -
+        |          len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / len(text) * 5.0, 1.0)) * 0.3, 6) AS quality,
+        |    ROUND(1.0 - CAST(len(list_distinct(rawtoks)) AS DOUBLE)
+        |      / len(rawtoks), 6) AS rep_ratio
+        |  FROM c),
+        |kept AS (
+        |  SELECT * FROM f WHERE quality >= 0.7 AND rep_ratio <= 0.5),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |SELECT s.doc_id, k.quality, k.rep_ratio
+        |FROM surv s JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_lang_id" -> {
       def occ(m: String) =

@@ -42,6 +42,25 @@ object TextQuality {
     shape.join(top, "doc_id")
   }
 
+  /** The standard curation pass in one call: quality-score floor,
+    * repetition ceiling, then exact dedup (min-id survivor per
+    * normalized text) — filter BEFORE dedup so the hash-agg shuffles
+    * only the kept fingerprints. Output: surviving doc ids with their
+    * signals; every stage is an ANSI-pinned building block, so the whole
+    * pipeline is oracle-checkable (`q_curate`). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5, maxRepetition: Double = 0.9): DataFrame = {
+    val scored = df.select(col(idCol).as("doc_id"),
+      col(textCol).as("txt"),
+      qualityScore(col(textCol)).as("quality"),
+      repetitionRatio(col(textCol)).as("rep_ratio"))
+    val kept = scored
+      .filter(col("quality") >= minQuality &&
+        col("rep_ratio") <= maxRepetition)
+    Dedup.dedupExact(kept, "doc_id", "txt")
+      .select("doc_id", "quality", "rep_ratio")
+  }
+
   /** Top-k TF-IDF terms per document — the standard corpus-analysis /
     * keyword-extraction pass. Scale shape: explode -> partial-combined
     * (doc, term) counts, a vocabulary-sized document-frequency aggregate

@@ -114,6 +114,20 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     doc2(1)._4 shouldBe 0.0
   }
 
+  test("curate: quality floor, repetition ceiling, dedup survivors") {
+    val good = (0 until 120).map(i => s"word$i").mkString(" ") // varied
+    val docs = Seq(
+      (1L, good),
+      (2L, good),                  // exact dup of 1 -> dropped, 1 survives
+      (3L, "aa aa aa aa aa aa aa aa aa aa aa aa"), // pure repetition
+      (4L, "?! ?! ?!")             // punct noise -> low quality
+    ).toDF("doc_id", "text")
+    val out = TextQuality.curate(docs, "doc_id", "text",
+      minQuality = 0.6, maxRepetition = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L)
+  }
+
   test("gopherSignals: hand-computed repetition/shape values") {
     // tokens: aa bb aa bb cc -> bigrams (aa bb, bb aa, aa bb, bb cc):
     // 4 total / 3 distinct -> dup 0.25; top token 2/5 = 0.4; mwl 2.0
