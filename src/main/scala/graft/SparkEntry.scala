@@ -88,6 +88,23 @@ object SparkEntry {
       : DataFrame =
     attVariantCache.getOrElseUpdate(s"$dir|$key", build)
 
+  /** Shared tail of the `q_att_gt_*` config variants: fit the prepared
+    * panel, drop skipped cells, round to the oracle's scale (HALF_UP =
+    * DuckDB ROUND), and release the fit's and panel's caches — one
+    * definition so the variants can't drift. */
+  private def attCellTable(s: SparkSession, pp: PreprocessedPanel,
+      basePeriod: String = "varying"): DataFrame = {
+    import s.implicits._
+    val f = AttGt.fit(pp, basePeriod = basePeriod)
+    val out = f.cells.indices.filterNot(f.skipped).map { i =>
+      (f.cells(i).g, f.cells(i).tn,
+        BigDecimal(f.att(i))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("g", "t", "att")
+    f.unpersist(); pp.unpersist()
+    out
+  }
+
   private val clusterFitCache =
     scala.collection.concurrent.TrieMap.empty[String, AttGtFit]
   private def clusterFitFor(s: SparkSession, dir: String): AttGtFit =
@@ -214,69 +231,34 @@ object SparkEntry {
     // period itself is an ATT=0 row by construction. Oracle replays the
     // fixed-base 2x2 algebra.
     "q_att_gt_universal" -> ((s, dir) => attVariant(dir, "q_att_gt_universal") {
-      import s.implicits._
-      val pp = Preprocess.run(pv(s, dir), PanelView.config)
-      val f = AttGt.fit(pp, basePeriod = "universal")
-      val out = f.cells.indices.filterNot(f.skipped).map { i =>
-        (f.cells(i).g, f.cells(i).tn,
-          BigDecimal(f.att(i))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("g", "t", "att")
-      f.unpersist(); pp.unpersist()
-      out
+      attCellTable(s, Preprocess.run(pv(s, dir), PanelView.config),
+        basePeriod = "universal")
     }),
 
     // §3.1 controlGroup="notyettreated": controls are the never-treated
     // PLUS cohorts not yet treated at the cell's period. Oracle replays
     // the widened-control 2x2 algebra.
     "q_att_gt_nyt" -> ((s, dir) => attVariant(dir, "q_att_gt_nyt") {
-      import s.implicits._
-      val pp = Preprocess.run(pv(s, dir),
-        PanelView.config.copy(controlGroup = "notyettreated"))
-      val f = AttGt.fit(pp)
-      val out = f.cells.indices.filterNot(f.skipped).map { i =>
-        (f.cells(i).g, f.cells(i).tn,
-          BigDecimal(f.att(i))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("g", "t", "att")
-      f.unpersist(); pp.unpersist()
-      out
+      attCellTable(s, Preprocess.run(pv(s, dir),
+        PanelView.config.copy(controlGroup = "notyettreated")))
     }),
 
     // §3.1 anticipation = 1: post-cell base periods shift one period
     // earlier (last t with t + 1 < g); pre cells keep the varying
     // previous-period base. Oracle replays the shifted-base algebra.
     "q_att_gt_anticipation" -> ((s, dir) => attVariant(dir, "q_att_gt_anticipation") {
-      import s.implicits._
-      val pp = Preprocess.run(pv(s, dir),
-        PanelView.config.copy(anticipation = 1))
-      val f = AttGt.fit(pp)
-      val out = f.cells.indices.filterNot(f.skipped).map { i =>
-        (f.cells(i).g, f.cells(i).tn,
-          BigDecimal(f.att(i))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("g", "t", "att")
-      f.unpersist(); pp.unpersist()
-      out
+      attCellTable(s, Preprocess.run(pv(s, dir),
+        PanelView.config.copy(anticipation = 1)))
     }),
 
     // §2.2/§2.7 sampling weights wired end-to-end: w = 1 + id % 3;
     // intercept-only dr collapses to weighted 2x2 means, so the oracle
     // is SUM(w*y)/SUM(w) algebra.
     "q_att_gt_weighted" -> ((s, dir) => attVariant(dir, "q_att_gt_weighted") {
-      import s.implicits._
       val panel = pv(s, dir)
         .withColumn("w", (lit(1) + pmod(col("id"), lit(3))).cast("double"))
-      val pp = Preprocess.run(panel,
-        PanelView.config.copy(weightsName = Some("w")))
-      val f = AttGt.fit(pp)
-      val out = f.cells.indices.filterNot(f.skipped).map { i =>
-        (f.cells(i).g, f.cells(i).tn,
-          BigDecimal(f.att(i))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("g", "t", "att")
-      f.unpersist(); pp.unpersist()
-      out
+      attCellTable(s, Preprocess.run(panel,
+        PanelView.config.copy(weightsName = Some("w"))))
     }),
 
     // §2.7 covariate (xfmla) doubly-robust run via the distributed

@@ -368,6 +368,16 @@ object AttGt {
     * the same frame anyway. */
   private def guardedCollect(df: DataFrame, maxRows: Long, path: String)
       : Array[org.apache.spark.sql.Row] = {
+    // persist so the guard's count() and the collect() share one
+    // computation of the long-form plan instead of running it twice
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    try guardedCollectPinned(pinned, maxRows, path)
+    finally pinned.unpersist()
+  }
+
+  private def guardedCollectPinned(df: DataFrame, maxRows: Long,
+      path: String): Array[org.apache.spark.sql.Row] = {
     val nCols = df.schema.length
     val nRows = df.count()
     // ~48 B Row overhead + ~24 B per boxed field (header + pointer)

@@ -242,11 +242,11 @@ private[did] object DistributedRc {
         lastHess = lastHess ++ hessB.result()
         pending = still.result()
         iter += 1
-        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        if (debug)
           System.err.println(
             s"[irls] pass $iter: ${pending.size}/${live.size} cells pending")
       }
-      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      if (debug)
         System.err.println(s"[irls] converged after $iter Newton passes " +
           s"(${live.size} cells, p=$p)")
       psHessInv = lastHess.map { case (i, h) =>

@@ -46,9 +46,13 @@ object Multimodal {
     * sample (all bands, all pixels) on the 0..255 scale. */
   private[multimodal] def imageDecode(bytes: Array[Byte])
       : Option[(Int, Int, Int, Double)] = {
+    // NonFatal, not just IOException: ImageIO plugin readers throw
+    // IllegalArgumentException / ArrayIndexOutOfBounds / NegativeArraySize
+    // on malformed payloads — a corrupt record must degrade to the stub,
+    // not kill the job after 4 task retries.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val raster = im.getRaster
       val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)
@@ -108,9 +112,15 @@ object Multimodal {
     StructField("mean_abs", DoubleType, nullable = false)))
 
   /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
-    * containers, PCM payloads — no external codec libs): container
-    * format fields plus the mean absolute 16-bit sample amplitude.
-    * None when the bytes are not a parseable audio container. */
+    * containers — no external codec libs): container format fields plus
+    * the mean absolute sample amplitude on the 16-bit scale. The
+    * amplitude loop honors the ACTUAL encoding — 16-bit PCM is read
+    * directly; 8-bit PCM (signed or unsigned) per byte; any other
+    * parseable encoding (a-law/u-law/float) is converted to PCM16 by the
+    * JDK before measuring, so `mean_abs` is never garbage from
+    * misinterpreted byte pairs. Reported `bits` stays the CONTAINER's
+    * sample size. None when the bytes are not a parseable container or
+    * the payload can't be converted. */
   private[multimodal] def audioDecode(bytes: Array[Byte])
       : Option[(Int, Int, Int, Long, Double)] =
     try {
@@ -119,25 +129,47 @@ object Multimodal {
       try {
         val f = ais.getFormat
         val nFrames = ais.getFrameLength
-        val data = ais.readAllBytes()
-        var sum = 0.0
-        var n = 0
-        val le = !f.isBigEndian
-        var i = 0
-        while (i + 1 < data.length) {
-          val s =
-            if (le) ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
-            else ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
-          sum += math.abs(s.toInt)
-          n += 1
-          i += 2
+        val enc = f.getEncoding
+        val pcmS = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val pcmU = javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        def mean16(data: Array[Byte], bigEndian: Boolean): Double = {
+          var sum = 0.0; var n = 0; var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+            sum += math.abs(s.toInt); n += 1; i += 2
+          }
+          if (n == 0) 0.0 else sum / n
         }
+        val meanAbs =
+          if (enc == pcmS && f.getSampleSizeInBits == 16)
+            mean16(ais.readAllBytes(), f.isBigEndian)
+          else if ((enc == pcmS || enc == pcmU) &&
+              f.getSampleSizeInBits == 8) {
+            val data = ais.readAllBytes()
+            var sum = 0.0; var i = 0
+            while (i < data.length) {
+              val s = if (enc == pcmS) data(i).toInt else (data(i) & 0xFF) - 128
+              // scale 8-bit amplitude to the 16-bit reporting scale
+              sum += math.abs(s) * 256.0; i += 1
+            }
+            if (data.length == 0) 0.0 else sum / data.length
+          } else {
+            // a-law / u-law / float / 24-bit …: JDK-convert to PCM16
+            val target = new javax.sound.sampled.AudioFormat(
+              f.getSampleRate, 16, f.getChannels, true, false)
+            val conv =
+              javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+            try mean16(conv.readAllBytes(), bigEndian = false)
+            finally conv.close()
+          }
         Some((f.getSampleRate.toInt, f.getChannels,
-          f.getSampleSizeInBits, nFrames,
-          if (n == 0) 0.0 else sum / n))
+          f.getSampleSizeInBits, nFrames, meanAbs))
       } finally ais.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: IllegalArgumentException => None // no PCM16 conversion path
       case _: java.io.IOException => None
     }
 
@@ -223,11 +255,20 @@ object Multimodal {
     try {
       var off = 0
       while (off + 8 <= bytes.length) {
-        val size = u32(off)
+        val size32 = u32(off)
         val typ = fourcc(off + 4)
-        if (size < 8 || off + size > bytes.length) return None
+        // ISO-BMFF size encodings: 1 → 64-bit largesize follows the type
+        // (standard for >4 GiB mdat); 0 → box extends to end of file
+        // (legal for a final box). Both are valid, not corruption.
+        val (hdrLen, size): (Int, Long) =
+          if (size32 == 1L) {
+            if (off + 16 > bytes.length) return None
+            (16, (u32(off + 8) << 32) | u32(off + 12))
+          } else if (size32 == 0L) (8, (bytes.length - off).toLong)
+          else (8, size32)
+        if (size < hdrLen || off + size > bytes.length) return None
         if (typ == "moov") {
-          var in = off + 8
+          var in = off + hdrLen
           val end = off + size.toInt
           while (in + 8 <= end) {
             val s2 = u32(in)

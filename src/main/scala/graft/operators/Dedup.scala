@@ -38,9 +38,21 @@ object Dedup {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
   private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trackedCaches.add(p)
-    p
+    // idempotent per plan: repeated calls over the SAME corpus (Bench /
+    // Verify reps) reuse the cache entry the first call registered —
+    // re-adding a handle per call would grow the queue (and its retained
+    // analyzed plans) monotonically even though the cache itself dedupes
+    // classic.Dataset is the only runtime Dataset in a JVM-local session
+    val cached = df.sparkSession.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
+    if (cached) df
+    else {
+      val p =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      trackedCaches.add(p)
+      p
+    }
   }
 
   /** Release every shingle cache the dedup operators have created.

@@ -146,7 +146,11 @@ object Similarity {
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1]: $trainFraction")
 
-    val feats = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // cast pins the element type: the per-partition assignment below
+    // reads getSeq[Float], which would ClassCastException on an
+    // array<double> input (e.g. l2Normalize output) without it
+    val feats = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<float>").as("cv"))
     val trainSet =
       if (trainFraction >= 1.0) feats
       else feats.sample(withReplacement = false, trainFraction, seed)

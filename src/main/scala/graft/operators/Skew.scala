@@ -28,16 +28,24 @@ object Skew {
       salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1: $salts")
     val spark = big.sparkSession
+    // internal column must not collide with (or silently clobber) a
+    // user column on EITHER side — withColumn replaces same-named
+    // columns and a duplicate name makes the join ambiguous
+    val saltCol = {
+      val existing = (big.columns ++ small.columns).toSet
+      Iterator.from(0).map(i => s"__graft_salt_$i")
+        .find(!existing.contains(_)).get
+    }
     // Any row->salt assignment yields the same join OUTPUT; the hash of
     // a per-row id just spreads a hot key's rows evenly. (Partition
     // recompute under failure may re-salt a row — harmless for the same
     // reason.)
-    val salted = big.withColumn("_salt",
+    val salted = big.withColumn(saltCol,
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
         .cast("int"))
     val replicas = spark.range(salts)
-      .select(col("id").cast("int").as("_salt"))
+      .select(col("id").cast("int").as(saltCol))
     val replicated = small.crossJoin(broadcast(replicas))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

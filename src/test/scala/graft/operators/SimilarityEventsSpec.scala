@@ -70,6 +70,17 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     (approx intersect brute).size.toDouble / brute.size should be >= 0.5
   }
 
+  test("ivfTopK accepts array<double> embeddings (l2Normalize output)") {
+    // regression: the per-partition assignment read getSeq[Float] and
+    // threw ClassCastException on double-typed vectors
+    val dv = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val got = Similarity.ivfTopK(dv, dv.filter($"vec_id" === 1), 2,
+        nLists = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.head shouldBe ((1L, 2L)) // same answer as the float path
+  }
+
   test("ivfTopK: sample-trained quantizer keeps full-probe exactness") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 5)
@@ -127,6 +138,23 @@ class SkewSpec extends AnyFunSuite with Matchers with SparkSpec {
     val big = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
     val small = Seq((1L, "a")).toDF("k", "s")
     Skew.saltedJoin(big, small, "k", 1).count() shouldBe 1L
+  }
+
+  test("saltedJoin preserves user columns named _salt on either side") {
+    // regression: the internal salt column was literally "_salt", so a
+    // same-named user column was silently clobbered (big side) or made
+    // the join ambiguous (small side)
+    val big = Seq((1L, "keep-me"), (2L, "me-too")).toDF("k", "_salt")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "label")
+    val out = Skew.saltedJoin(big, small, "k", salts = 4)
+      .select("k", "_salt", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    out shouldBe Set((1L, "keep-me", "a"), (2L, "me-too", "b"))
+    val small2 = Seq((1L, "x")).toDF("k", "_salt")
+    Skew.saltedJoin(big.toDF("k", "payload"), small2, "k", 4)
+      .select("k", "payload", "_salt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe Set((1L, "keep-me", "x"))
   }
 }
 

@@ -247,6 +247,61 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
           map(lit("k"), lit("v")).as("meta"))).count() shouldBe 0L
   }
 
+  test("audioFeatures honors 8-bit PCM instead of misreading byte pairs") {
+    // regression: mean_abs was always computed as 16-bit byte pairs, so
+    // an 8-bit WAV produced garbage amplitude with no error
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+      /*signed=*/ false, false) // WAV 8-bit is unsigned by spec
+    val pcm = Array.fill[Byte](400)(192.toByte) // 64 above the midpoint
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 400L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val media = Seq((1L, "audio")).toDF("media_id", "kind")
+      .select(col("media_id"), col("kind"), lit(out.toByteArray).as("bytes"),
+        map(lit("k"), lit("v")).as("meta"))
+    val r = Multimodal.audioFeatures(media).collect().head
+    r.getInt(3) shouldBe 8 // container sample size is reported as-is
+    // amplitude 64 on the 16-bit reporting scale
+    r.getDouble(5) shouldBe (64 * 256.0) +- 1e-9
+  }
+
+  test("mp4Meta accepts 64-bit largesize and size-0 final boxes") {
+    val base = Multimodal.syntheticMp4(700, 1400)
+    def metaOf(bytes: Array[Byte]): Seq[(Long, Long)] = {
+      val media = Seq((1L, "video")).toDF("media_id", "kind")
+        .select(col("media_id"), col("kind"), lit(bytes).as("bytes"),
+          map(lit("k"), lit("v")).as("meta"))
+      Multimodal.videoMeta(media).collect().toSeq
+        .map(r => (r.getLong(1), r.getLong(2)))
+    }
+    // re-encode ftyp (24 bytes) in the size==1 + 64-bit largesize form
+    val bb = java.nio.ByteBuffer.allocate(base.length + 8)
+    bb.putInt(1)
+    bb.put("ftyp".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putLong(32L) // 16-byte header + the original 16-byte payload
+    bb.put(base, 8, 16)
+    bb.put(base, 24, base.length - 24)
+    metaOf(bb.array()) shouldBe Seq((700L, 1400L))
+    // size==0: the final box (moov, at offset 24) extends to end of file
+    val zeroTail = base.clone()
+    zeroTail(24) = 0; zeroTail(25) = 0; zeroTail(26) = 0; zeroTail(27) = 0
+    metaOf(zeroTail) shouldBe Seq((700L, 1400L))
+  }
+
+  test("decodeFeatures degrades truncated image payloads to the stub") {
+    // regression: only IOException was caught, so plugin RuntimeExceptions
+    // on malformed payloads could kill the task instead of falling back
+    val truncated = Multimodal.syntheticPng(20, 11, 137).take(30)
+    val media = Seq((1L, "image")).toDF("media_id", "kind")
+      .select(col("media_id"), col("kind"), lit(truncated).as("bytes"),
+        map(lit("k"), lit("v")).as("meta"))
+    val rows = Multimodal.decodeFeatures(media).collect()
+    rows should have length 1 // row survives, features from the stub
+    rows.head.getInt(2) shouldBe 30
+  }
+
   test("frameSamplePlan fans out every Nth frame for videos only") {
     val frames = Multimodal.frameSamplePlan(media, totalFrames = 10, everyNth = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
