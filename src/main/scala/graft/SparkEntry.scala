@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Embeddings, Events, Similarity, TextQuality}
+import graft.operators.{Dedup, Embeddings, Events, Graph, Similarity, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -456,6 +456,23 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.8)),
+
+    // dedup: transitive near-dup clusters — connected components over
+    // the exact Jaccard pair graph (A~B, B~C => one cluster); component
+    // = min doc id. Oracle: recursive reachability closure.
+    "q_dup_components" -> ((s, dir) =>
+      Graph.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8))
+        .select(col("id").as("doc_id"), col("comp").as("component"))),
+
+    // dedup: corpus survivors after TRANSITIVE near-dup clustering (the
+    // min-id member of each component survives; singletons untouched)
+    "q_dedup_transitive" -> ((s, dir) =>
+      Graph.dedupByComponents(docs(s, dir),
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8), "doc_id")
+        .select("doc_id", "source")),
 
     // dedup: MinHash+LSH candidates, exact-verified — same oracle as the
     // exact pairs (banded 64x16 signature recall at j>=0.8 is ~1-2e-4)
@@ -1176,6 +1193,8 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> ngramJaccardSql(0.8),
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
+    "q_dup_components" -> dupComponentsSql(0.8),
+    "q_dedup_transitive" -> dedupTransitiveSql(0.8),
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1276,8 +1295,10 @@ object SparkEntry {
     * LSH-verified query — LSH recall at j>=0.8 with 16x4 bands is
     * 1-2e-4 on adversarial 0.8-Jaccard pairs and ~1-1e-15 on the
     * planted ~0.97 near-dups). */
-  private def ngramJaccardSql(threshold: Double): String =
-    s"""WITH toks AS (
+  /** Word-3-gram Jaccard CTE chain ending in `jac(id_a, id_b, jaccard)`
+    * — shared by the pair oracle and the component/transitive oracles. */
+  private def jaccardCtes(threshold: Double): String =
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
        |  FROM documents),
        |sh AS (
@@ -1288,11 +1309,39 @@ object SparkEntry {
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |  ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = id_a
-       |JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) >= $threshold""".stripMargin
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) >= $threshold)""".stripMargin
+
+  private def ngramJaccardSql(threshold: Double): String =
+    s"""WITH ${jaccardCtes(threshold)}
+       |SELECT id_a, id_b, jaccard FROM jac""".stripMargin
+
+  /** Reachability-closure components over the Jaccard pair graph —
+    * `comp(id, component)`, component = min doc id in the cluster. */
+  private def componentCtes(threshold: Double): String =
+    s"""${jaccardCtes(threshold)},
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM jac
+       |  UNION SELECT id_b, id_a FROM jac),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a),
+       |comp AS (
+       |  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private def dupComponentsSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${componentCtes(threshold)}
+       |SELECT id AS doc_id, component FROM comp""".stripMargin
+
+  private def dedupTransitiveSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${componentCtes(threshold)}
+       |SELECT d.doc_id, d.source FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph primitives for the curation pipeline — the missing
+  * link between pairwise near-dup DETECTION (`Dedup.ngramJaccardPairs`,
+  * `minhashNearDupPairs`, `simhashNearDupPairs`, cosine pairs) and
+  * corpus-level dedup: near-duplication is transitive in practice
+  * (A~B, B~C ⇒ one cluster), so survivors must be chosen per CONNECTED
+  * COMPONENT of the pair graph, not per pair.
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list: one output row
+    * `(id, comp)` per node appearing in `edges`, `comp` = the smallest
+    * node id in its component (the canonical representative).
+    *
+    * Min-label propagation with pointer jumping: each round
+    * (1) pulls the minimum neighbor label across edges, then
+    * (2) jumps each label through the label table (`comp := comp(comp)`),
+    * so long chains collapse geometrically (the alternating-star idea of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) instead of one hop per round — O(log n) rounds on a path
+    * graph. Every round is two key shuffles plus one K=1 convergence
+    * action (the changed-label count, which doubles as the action that
+    * materializes the round's persisted label table); nothing is ever
+    * collected. Dup-cluster graphs (tiny components) converge in 2-3
+    * rounds.
+    *
+    * `maxIter` bounds the rounds; the propagation is monotone
+    * (labels only decrease, floored at the component minimum), so a
+    * capped run still yields valid — just possibly unmerged — clusters.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // (1) pull: comp(v) := min(comp(v), min over neighbors comp(u))
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")),
+          "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("dcomp").as("nmin"))
+      val pulled = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // (2) jump: comp(v) := comp(comp(v)) — collapses pointer chains
+      val jumped = pulled.as("l")
+        .join(pulled.select(col("id").as("cid"), col("comp").as("ccomp"))
+          .as("p"), col("l.comp") === col("p.cid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("p.ccomp"), col("l.comp")))
+            .as("comp"))
+      // eager localCheckpoint TRUNCATES LINEAGE — each round's plan
+      // references the previous round's twice, so without truncation the
+      // logical plan grows ~4^iter and planning itself OOMs after a few
+      // rounds (measured on a 40-node path). Blocks are executor-local
+      // (freed by the ContextCleaner once unreferenced); a fault-lossy
+      // recompute restarts the monotone propagation, which is safe.
+      val next = jumped.localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Transitive near-dup survivors: keep every row of `df` except
+    * non-representative members of a pair-graph component (the min-id
+    * member survives, mirroring `Dedup.dedupExact`'s min-id rule).
+    * Rows with no near-dup pair are untouched. */
+  def dedupByComponents(df: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)], maxIter: Int = 25) =
+    Graph.connectedComponents(edges.toDF("id_a", "id_b"), maxIter = maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two separate components resolve to their min ids") {
+    comps(Seq((5L, 3L), (3L, 9L), (20L, 30L))) shouldBe
+      Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L)
+  }
+
+  test("a long path collapses (pointer jumping beats one-hop rounds)") {
+    // path 1-2-3-...-40: plain one-hop propagation needs 39 rounds;
+    // with pointer jumping the default budget is ample
+    val path = (1L until 40L).map(i => (i, i + 1))
+    val c = comps(path)
+    c.values.toSet shouldBe Set(1L)
+    c.keySet shouldBe (1L to 40L).toSet
+  }
+
+  test("a cycle and self-contained triangle merge fully") {
+    comps(Seq((2L, 4L), (4L, 6L), (6L, 2L), (7L, 8L), (8L, 9L), (9L, 7L)))
+      .shouldBe(Map(2L -> 2L, 4L -> 2L, 6L -> 2L,
+        7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("capped iterations still yield valid (monotone) labels") {
+    val c = comps((1L until 10L).map(i => (i, i + 1)), maxIter = 1)
+    // after one round labels are partial but every label is a real node
+    // id from the same component, never crossing components
+    c.values.foreach(v => assert(v >= 1L && v <= 10L))
+  }
+
+  test("dedupByComponents keeps the min-id representative per cluster") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Graph.dedupByComponents(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 2L, 3L) // 4 and 5 fold into 2's cluster
+  }
+}
