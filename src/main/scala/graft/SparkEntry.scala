@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Embeddings, Events, Graph, Similarity, TextQuality}
+import graft.operators.{Dedup, Embeddings, Events, Graph, Sampling, Similarity, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -472,6 +472,20 @@ object SparkEntry {
       Graph.dedupByComponents(docs(s, dir),
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8), "doc_id")
+        .select("doc_id", "source")),
+
+    // sampling: deterministic 25% Bernoulli by doc_id hash — map-only,
+    // engine-independent (md5), reproducible under recompute/resume
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), "doc_id", 0.25)
+        .select("doc_id", "source")),
+
+    // sampling: per-source training-mix rates with a default — the
+    // domain-reweighting operator (zero joins, literal when-chain)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
         .select("doc_id", "source")),
 
     // dedup: MinHash+LSH candidates, exact-verified — same oracle as the
@@ -1195,6 +1209,18 @@ object SparkEntry {
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
     "q_dup_components" -> dupComponentsSql(0.8),
     "q_dedup_transitive" -> dedupTransitiveSql(0.8),
+
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'"""
+        .stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
+        |       WHEN 'src2' THEN '40000000' ELSE '19999999' END"""
+        .stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

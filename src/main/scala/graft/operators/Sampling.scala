@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-mix construction.
+  *
+  * `df.sample()` is partition-RNG-based: the kept set changes with the
+  * partitioning, the Spark version, and every recompute under failure —
+  * unacceptable for a 100 TB curation run that must be reproducible and
+  * resumable. These operators decide per ROW from a hash of a stable
+  * key: keep iff the first 8 hex chars of `md5(key || salt)` — a
+  * uniform 32-bit value — fall below `rate * 2^32`. Properties:
+  *
+  *  - map-only: no shuffle, no RNG state, survives recompute/resume;
+  *  - engine-independent: md5 is standardized, so the SAME rows are
+  *    kept by any engine (the DuckDB oracles replay it exactly);
+  *  - seedable: `salt` re-randomizes the kept set (disjoint-ish samples
+  *    from the same corpus for train/eval splits);
+  *  - consistent across tables: sampling two tables by the same join
+  *    key keeps ALIGNED rows (the classic hash-sampling join trick).
+  *
+  * The threshold comparison is done on the lowercase-hex STRING
+  * (8 chars), which orders identically to the numeric value — no
+  * unsigned-conversion pitfalls on either engine.
+  */
+object Sampling {
+
+  /** Lowercase 8-hex-char threshold for `rate` ∈ [0, 1]:
+    * floor(rate * 2^32) zero-padded — "00000000" keeps nothing,
+    * rate = 1 keeps everything (capped sentinel above every hash). */
+  private[operators] def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    val n = math.floor(rate * 4294967296.0).toLong
+    if (n >= 4294967296L) "g" // lexicographically above every hex char
+    else f"$n%08x"
+  }
+
+  /** The 8-hex-char hash bucket of a key column (+ salt). */
+  private def bucket(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+
+  /** Deterministic Bernoulli sample: keep each row iff
+    * hash(key || salt) < rate. Map-only; same rows on every engine,
+    * partitioning, and rerun. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame =
+    df.filter(bucket(col(keyCol), salt) < lit(hexThreshold(rate)))
+
+  /** Per-stratum deterministic sampling — the training-mix operator:
+    * each stratum (e.g. source/domain/language) keeps its own fraction;
+    * strata absent from `rates` keep `defaultRate`. The rate lookup is a
+    * literal when-chain (rates maps are config-sized), so the whole
+    * operator stays map-only with zero joins. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultRate))) { case (acc, (stratum, rate)) =>
+      when(col(stratumCol) === stratum, lit(hexThreshold(rate)))
+        .otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol), salt) < thr)
+  }
+}

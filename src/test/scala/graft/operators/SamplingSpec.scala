@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private val rows = (0L until 2000L).map(i => (i, s"s${i % 4}"))
+    .toDF("id", "stratum")
+
+  test("rate 0 keeps nothing; rate 1 keeps everything") {
+    Sampling.hashSample(rows, "id", 0.0).count() shouldBe 0L
+    Sampling.hashSample(rows, "id", 1.0).count() shouldBe 2000L
+  }
+
+  test("kept set is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(rows, "id", 0.3)
+      .select("id").as[Long].collect().sorted
+    val b = Sampling.hashSample(rows.repartition(13), "id", 0.3)
+      .select("id").as[Long].collect().sorted
+    a shouldBe b
+    // observed fraction tracks the rate (md5 is uniform)
+    a.length.toDouble / 2000 shouldBe 0.3 +- 0.05
+  }
+
+  test("salt re-randomizes the kept set") {
+    val a = Sampling.hashSample(rows, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows, "id", 0.3, salt = "v2")
+      .select("id").as[Long].collect().toSet
+    a should not be b
+    // overlap ~ rate^2, far below either set's size
+    (a intersect b).size should be < (a.size min b.size)
+  }
+
+  test("consistent sampling aligns across tables sharing the key") {
+    val other = rows.select(col("id"), lit("x").as("payload"))
+    val a = Sampling.hashSample(rows, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(other, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    a shouldBe b
+  }
+
+  test("stratifiedSample applies per-stratum rates and the default") {
+    val got = Sampling.stratifiedSample(rows, "id", "stratum",
+      Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.4)
+    val bySt = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySt("s0") shouldBe 500L // rate 1: the whole stratum
+    bySt.get("s1") shouldBe None // rate 0: gone
+    bySt("s2").toDouble / 500 shouldBe 0.4 +- 0.07 // default rate
+    bySt("s3").toDouble / 500 shouldBe 0.4 +- 0.07
+  }
+
+  test("hexThreshold edge values") {
+    Sampling.hexThreshold(0.0) shouldBe "00000000"
+    Sampling.hexThreshold(0.25) shouldBe "40000000"
+    Sampling.hexThreshold(0.5) shouldBe "80000000"
+    Sampling.hexThreshold(1.0) shouldBe "g"
+    an[IllegalArgumentException] should be thrownBy Sampling.hexThreshold(1.5)
+  }
+}
