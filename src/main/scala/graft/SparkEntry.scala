@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Embeddings, Events, Graph, Sampling, Similarity, TextQuality}
+import graft.operators.{Chunking, Dedup, Embeddings, Events, Graph, Sampling, Similarity, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -473,6 +473,12 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8), "doc_id")
         .select("doc_id", "source")),
+
+    // chunking: 64-token context windows with 16-token overlap — the
+    // training-sequence fan-out (tokenize once, map-only explode)
+    "q_chunk_tokens" -> ((s, dir) =>
+      Chunking.chunkTokens(docs(s, dir), "doc_id", "text",
+        size = 64, overlap = 16)),
 
     // sampling: deterministic 25% Bernoulli by doc_id hash — map-only,
     // engine-independent (md5), reproducible under recompute/resume
@@ -1209,6 +1215,18 @@ object SparkEntry {
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
     "q_dup_components" -> dupComponentsSql(0.8),
     "q_dedup_transitive" -> dedupTransitiveSql(0.8),
+
+    "q_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM toks)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |  CAST(LEAST(64, n - i*48) AS INT) AS n_tokens,
+        |  array_to_string(t[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)], ' ') AS chunk_text
+        |FROM n, UNNEST(range(0,
+        |  GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)"""
+        .stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents

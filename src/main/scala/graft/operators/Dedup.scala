@@ -30,43 +30,20 @@ object Dedup {
   private def par(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
-  /** Every shingle frame this object persists, so long-lived drivers can
-    * release them: Spark's cache manager dedupes ENTRIES by plan
-    * identity, but calls over distinct corpora legitimately add distinct
-    * entries that would otherwise live until session end. */
-  private val trackedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  /** Shingle-frame persists are registered with the shared
+    * [[TrackedCaches]] (idempotent per plan), so long-lived drivers can
+    * release them. */
+  private def persistTracked(df: DataFrame): DataFrame =
+    TrackedCaches.persist(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    // idempotent per plan: repeated calls over the SAME corpus (Bench /
-    // Verify reps) reuse the cache entry the first call registered —
-    // re-adding a handle per call would grow the queue (and its retained
-    // analyzed plans) monotonically even though the cache itself dedupes
-    // classic.Dataset is the only runtime Dataset in a JVM-local session
-    val cached = df.sparkSession.sharedState.cacheManager
-      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-      .isDefined
-    if (cached) df
-    else {
-      val p =
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      trackedCaches.add(p)
-      p
-    }
-  }
-
-  /** Release every shingle cache the dedup operators have created.
-    * Call after the terminal action on the returned frames — the
-    * persists are load-bearing for performance while a returned plan is
-    * still being consumed (they stop filter pushdown re-running the
-    * tokenizer in the scan), but results stay correct either way. */
-  def releaseCaches(blocking: Boolean = false): Unit = {
-    var df = trackedCaches.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      df = trackedCaches.poll()
-    }
-  }
+  /** Release every tokenizer cache the operators have created (shared
+    * registry — also covers Chunking). Call after the terminal action on
+    * the returned frames — the persists are load-bearing for performance
+    * while a returned plan is still being consumed (they stop filter
+    * pushdown re-running the tokenizer in the scan), but results stay
+    * correct either way. */
+  def releaseCaches(blocking: Boolean = false): Unit =
+    TrackedCaches.releaseAll(blocking)
 
   /** Exact duplicate groups: fingerprint -> canonical (min) id + count.
     * One shuffle keyed by the 32-char md5. */

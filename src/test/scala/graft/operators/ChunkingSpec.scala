@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class ChunkingSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private def chunks(text: String, size: Int, overlap: Int) =
+    Chunking.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size, overlap)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+
+  test("short document emits exactly one whole chunk") {
+    chunks("a b c", size = 10, overlap = 2) shouldBe
+      Array((0, 3, "a b c"))
+  }
+
+  test("overlapping windows share exactly `overlap` tokens") {
+    val toks = (1 to 10).map(i => s"w$i").mkString(" ")
+    chunks(toks, size = 4, overlap = 2) shouldBe Array(
+      (0, 4, "w1 w2 w3 w4"),
+      (1, 4, "w3 w4 w5 w6"),
+      (2, 4, "w5 w6 w7 w8"),
+      (3, 4, "w7 w8 w9 w10"))
+  }
+
+  test("a trailing remainder becomes a shorter final chunk") {
+    val toks = (1 to 9).map(i => s"w$i").mkString(" ")
+    chunks(toks, size = 4, overlap = 2) shouldBe Array(
+      (0, 4, "w1 w2 w3 w4"),
+      (1, 4, "w3 w4 w5 w6"),
+      (2, 4, "w5 w6 w7 w8"),
+      (3, 3, "w7 w8 w9")) // shares 2 with the previous, adds 1 new
+  }
+
+  test("no chunk fully contained in the previous (n barely past size)") {
+    // n = 5, size = 4, overlap = 2, stride = 2: ceil(3/2) = 2 chunks
+    chunks("a b c d e", size = 4, overlap = 2) shouldBe Array(
+      (0, 4, "a b c d"),
+      (1, 3, "c d e"))
+  }
+
+  test("empty and whitespace-only documents emit nothing") {
+    Chunking.chunkTokens(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 1).count() shouldBe 0L
+  }
+
+  test("zero overlap partitions the tokens exactly") {
+    val toks = (1 to 6).map(i => s"w$i").mkString(" ")
+    chunks(toks, size = 2, overlap = 0).map(_._3) shouldBe
+      Array("w1 w2", "w3 w4", "w5 w6")
+  }
+
+  test("invalid size/overlap rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.chunkTokens(Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4)
+  }
+}
