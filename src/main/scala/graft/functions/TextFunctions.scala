@@ -133,6 +133,47 @@ object TextFunctions {
     size(filter(t, x => x.rlike("[a-z]"))).cast("double") / size(t)
   }
 
+  /** PII patterns, restricted to syntax that means the same thing in
+    * Java regex (Spark) and RE2 (DuckDB/Go scanners): character
+    * classes, bounded repeats, `\d`/`\s`, ASCII `\b`. Order of
+    * application matters — emails before phones (digits in hostnames),
+    * SSN/IP before the greedy phone pattern. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  /** Per-type PII occurrence counts (email, ssn, ip, phone), counted in
+    * REDACTION ORDER — each class is counted on the text with the
+    * previous classes already redacted, so a match never counts twice
+    * (the greedy phone pattern would otherwise also count SSNs and
+    * IPs). Each count equals the number of replacements that class's
+    * pass makes in [[redactPii]]. */
+  def piiCounts(c: Column, replacement: String = "<PII>")
+      : (Column, Column, Column, Column) = {
+    val r = lit(replacement)
+    val afterE = regexp_replace(c, lit(piiEmailRe), r)
+    val afterS = regexp_replace(afterE, lit(piiSsnRe), r)
+    val afterI = regexp_replace(afterS, lit(piiIpRe), r)
+    (regexp_count(c, lit(piiEmailRe)),
+      regexp_count(afterE, lit(piiSsnRe)),
+      regexp_count(afterS, lit(piiIpRe)),
+      regexp_count(afterI, lit(piiPhoneRe)))
+  }
+
+  /** Redact all four PII classes, applied in dependency order. A pure
+    * chain of codegen'd regexp_replace calls — map-only at any scale. */
+  def redactPii(c: Column, replacement: String = "<PII>"): Column = {
+    val r = lit(replacement)
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, lit(piiEmailRe), r),
+          lit(piiSsnRe), r),
+        lit(piiIpRe), r),
+      lit(piiPhoneRe), r)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. Stable across engines (md5 is md5 everywhere). */
   def fingerprint(c: Column): Column =

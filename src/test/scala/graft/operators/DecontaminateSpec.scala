@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class DecontaminateSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely unrelated training text about spark engines"),
+    (3L, "quick brown fox appears here too with extra words")
+  ).toDF("doc_id", "text")
+
+  // shares the 3-grams "the quick brown", "quick brown fox" with doc 1
+  // and "quick brown fox" with doc 3
+  private val benchmark = Seq(
+    (100L, "the quick brown fox answered the benchmark question")
+  ).toDF("doc_id", "text")
+
+  test("overlapCounts counts distinct colliding n-grams per doc") {
+    val got = Decontaminate.overlapCounts(corpus, benchmark,
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1: "the quick brown", "quick brown fox", "brown fox jumps"?
+    // benchmark 3-grams: {the quick brown, quick brown fox,
+    //   brown fox answered, fox answered the, answered the benchmark,
+    //   the benchmark question}
+    got(1L) shouldBe 2L
+    got(3L) shouldBe 1L // "quick brown fox"
+    got.get(2L) shouldBe None // clean doc: no row
+  }
+
+  test("decontaminate drops every doc with any collision by default") {
+    Decontaminate.decontaminate(corpus, benchmark, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(2L)
+  }
+
+  test("maxOverlap tolerates bounded collisions") {
+    Decontaminate.decontaminate(corpus, benchmark, "doc_id", "text",
+        n = 3, maxOverlap = 1L)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 3L)
+  }
+}
+
+class PiiSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val rows = Seq(
+    (1L, "contact alice.smith+work@example.co.uk for details"),
+    (2L, "ssn 123-45-6789 leaked with host 10.0.255.3 today"),
+    (3L, "call +1 (415) 555-0100 now"),
+    (4L, "nothing sensitive here at all")
+  ).toDF("doc_id", "text")
+
+  test("piiCounts finds each planted class exactly once") {
+    val (e, s, i, p) = TextFunctions.piiCounts(col("text"))
+    val got = rows.select(col("doc_id"), e.as("e"), s.as("s"),
+        i.as("i"), p.as("p"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    got(1L) shouldBe ((1, 0, 0, 0))
+    got(2L) shouldBe ((0, 1, 1, 0))
+    got(3L) shouldBe ((0, 0, 0, 1))
+    got(4L) shouldBe ((0, 0, 0, 0))
+  }
+
+  test("redactPii removes every planted identifier") {
+    val red = rows.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    red(1L) shouldBe "contact <PII> for details"
+    red(2L) shouldBe "ssn <PII> leaked with host <PII> today"
+    red(3L) shouldBe "call <PII> now"
+    red(4L) shouldBe "nothing sensitive here at all"
+    red.values.foreach { t =>
+      t should not include "@"
+      t should not include "123-45"
+      t should not include "10.0.255"
+      t should not include "555-0100"
+    }
+  }
+}
