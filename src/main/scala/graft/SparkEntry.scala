@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, Graph, Sampling, Similarity, TextQuality}
+import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, Graph, Sampling, Search, Similarity, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -486,6 +486,12 @@ object SparkEntry {
       docs(s, dir).join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
     }),
+
+    // search: Okapi BM25 top-10 for a 3-term query — query-side term
+    // filter before any agg, K=1 corpus stats broadcast
+    "q_bm25" -> ((s, dir) =>
+      Search.bm25TopK(docs(s, dir), "doc_id", "text",
+        "spark join merge", topK = 10)),
 
     // decontamination: per-doc count of 3-gram collisions with the
     // benchmark slice (doc_id % 20 == 0 plays the eval set); broadcast
@@ -1258,6 +1264,31 @@ object SparkEntry {
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
     "q_dup_components" -> dupComponentsSql(0.8),
     "q_dedup_transitive" -> dedupTransitiveSql(0.8),
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |n AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, u.tok, count(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(tok)
+        |  WHERE u.tok IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln((n.n - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1) *
+        |        tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))) AS s
+        |  FROM tf
+        |  JOIN dfq USING (tok)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT doc_id, ROUND(s, 6) AS bm25 FROM sc
+        |QUALIFY row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) <= 10"""
+        .stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_keep" ->
