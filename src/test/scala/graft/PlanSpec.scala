@@ -159,6 +159,56 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hash sampling is map-only: the filter reaches the scan stage") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_sample_hash")(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"shuffle in a map-only op:\n${planOf(df)}")
+      assert(planOf(df).contains("md5"), "hash filter missing")
+    }
+  }
+
+  test("chunking has no shuffle besides the pinned repartition") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_chunk_tokens")(spark, dir)
+      val plan = planOf(df)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // exactly the tokenize-spreading repartition below the cache; the
+      // explode itself adds nothing
+      assert(exchanges.length <= 1, s"extra shuffles:\n$plan")
+      assert(!plan.contains("Window"), s"window op in:\n$plan")
+      assert(plan.contains("Generate"), "no explode in the chunk fan-out")
+    }
+  }
+
+  test("decontamination broadcasts the benchmark shingles, no cartesian") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_decontaminate")(spark, dir))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"benchmark join not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), "cartesian product!")
+    }
+  }
+
+  test("bm25: query-sized sides broadcast, partial aggs, no global sort " +
+      "before top-k") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_bm25")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"stats/df sides not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), "cartesian product!")
+      assert(plan.contains("partial_"), "no map-side partial aggregate")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k did not fuse into TakeOrdered:\n$plan")
+    }
+  }
+
   test("stateful sessionizer shuffles once by user, no global sort") {
     withStaticPlan {
       val df = SparkEntry.queries("q_stream_sessionize_state")(spark, dir)
