@@ -24,10 +24,10 @@ object Graph {
     * Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) instead of one hop per round — O(log n) rounds on a path
     * graph. Every round is two key shuffles plus one K=1 convergence
-    * action (the changed-label count, which doubles as the action that
-    * materializes the round's persisted label table); nothing is ever
-    * collected. Dup-cluster graphs (tiny components) converge in 2-3
-    * rounds.
+    * aggregate: labels only ever decrease, so an unchanged `sum(comp)`
+    * proves convergence without joining against the previous round.
+    * Nothing is ever collected. Dup-cluster graphs (tiny components)
+    * converge in 2-3 rounds.
     *
     * `maxIter` bounds the rounds; the propagation is monotone
     * (labels only decrease, floored at the component minimum), so a
@@ -45,6 +45,13 @@ object Graph {
       .distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever DECREASE (monotone min propagation), so the label
+    // table changed iff sum(comp) changed — a join-free convergence
+    // check. decimal(38,0) keeps the sum exact for 64-bit ids at any
+    // count (ANSI mode would throw on a long overflow).
+    def compSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = compSum(labels) // doubles as the persist materializer
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -71,12 +78,11 @@ object Graph {
       // (freed by the ContextCleaner once unreferenced); a fault-lossy
       // recompute restarts the monotone propagation, which is safe.
       val next = jumped.localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      val sumNow = compSum(next) // also the action that seals the round
       labels.unpersist()
       labels = next
-      converged = changed == 0L
+      converged = sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
       iter += 1
     }
     sym.unpersist()
