@@ -523,6 +523,12 @@ object SparkEntry {
         md5(TextFunctions.redactPii(col("text"))).as("clean_fp"))
     }),
 
+    // sampling: fixed 5 docs per source under hash order — bounded
+    // eval-set construction (deterministic, engine-identical)
+    "q_sample_topk" -> ((s, dir) =>
+      Sampling.topKPerStratum(docs(s, dir), "doc_id", "source", k = 5)
+        .select("doc_id", "source")),
+
     // chunking: 64-token context windows with 16-token overlap — the
     // training-sequence fan-out (tokenize once, map-only explode)
     "q_chunk_tokens" -> ((s, dir) =>
@@ -1313,6 +1319,12 @@ object SparkEntry {
          |  len(regexp_extract_all(t3, '${TextFunctions.piiPhoneRe}')) AS n_phone,
          |  md5(t4) AS clean_fp
          |FROM r4""".stripMargin,
+
+    "q_sample_topk" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) <= 5"""
+        .stripMargin,
 
     "q_chunk_tokens" ->
       """WITH toks AS (

@@ -62,4 +62,22 @@ object Sampling {
     }
     df.filter(bucket(col(keyCol), salt) < thr)
   }
+
+  /** Fixed-SIZE deterministic sample per stratum: the first `k` rows of
+    * each stratum under hash order (ties broken by the key) — bounded
+    * eval/calibration-set construction, where a fixed COUNT matters more
+    * than a fixed rate. One shuffle keyed by stratum + an in-partition
+    * window; a hot stratum concentrates on one reducer, so for
+    * rate-style downsampling of huge strata use [[stratifiedSample]]
+    * (map-only) and reserve this for bounded-k selections. */
+  def topKPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(bucket(col(keyCol), salt), col(keyCol))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -57,6 +57,19 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     bySt("s3").toDouble / 500 shouldBe 0.4 +- 0.07
   }
 
+  test("topKPerStratum takes exactly k deterministic rows per stratum") {
+    val a = Sampling.topKPerStratum(rows, "id", "stratum", k = 7)
+      .select("id").as[Long].collect().sorted
+    a should have length 28 // 4 strata x 7
+    // deterministic and partitioning-independent
+    val b = Sampling.topKPerStratum(rows.repartition(11), "id", "stratum",
+      k = 7).select("id").as[Long].collect().sorted
+    a shouldBe b
+    // k beyond the stratum size returns the whole stratum
+    Sampling.topKPerStratum(rows, "id", "stratum", k = 1000)
+      .count() shouldBe 2000L
+  }
+
   test("hexThreshold edge values") {
     Sampling.hexThreshold(0.0) shouldBe "00000000"
     Sampling.hexThreshold(0.25) shouldBe "40000000"
