@@ -89,9 +89,9 @@ object SparkEntry {
     attVariantCache.getOrElseUpdate(s"$dir|$key", build)
 
   /** Component table over the Jaccard-0.8 pair graph, cached per sfDir:
-    * the iterative CC loop materializes via localCheckpoint, so the
-    * returned frame is reusable data, not a plan — both component
-    * queries and every Verify/Bench rep share ONE computation. */
+    * the CC loop returns a persisted flat-plan frame (recompute-capable
+    * RDD lineage), so both component queries and every Verify/Bench rep
+    * share ONE computation. */
   private val componentsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def componentsFor(s: SparkSession, dir: String): DataFrame =

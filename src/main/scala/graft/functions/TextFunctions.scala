@@ -141,7 +141,12 @@ object TextFunctions {
   val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val piiSsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val piiPhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+  // Structured phone shape (optional country code, optional parens,
+  // single separators, 3-3-4 digit groups): a permissive
+  // digits-and-separators run would also swallow floats ("3.14159") and
+  // adjacent number sequences in scientific/financial text.
+  val piiPhoneRe =
+    "(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b"
 
   /** Per-type PII occurrence counts (email, ssn, ip, phone), counted in
     * REDACTION ORDER — each class is counted on the text with the

@@ -22,12 +22,14 @@ object Decontaminate {
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // wordShingles is already distinct; hashing keeps distinctness
+    // (64-bit collisions are the accepted shingle-hash contract)
     TrackedCaches.persist(
       df.select(col(idCol).as("did"), col(textCol).as("txt"))
         .repartition(par, col("did"))
         .select(col("did"),
-          array_distinct(transform(wordShingles(col("txt"), n),
-            x => xxhash64(x))).as("sh")))
+          transform(wordShingles(col("txt"), n), x => xxhash64(x))
+            .as("sh")))
       .select(col("did"), explode(col("sh")).as("h"))
   }
 
@@ -37,8 +39,8 @@ object Decontaminate {
   def overlapCounts(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
     val bench = benchmark
-      .select(explode(array_distinct(transform(
-        wordShingles(col(textCol), n), x => xxhash64(x)))).as("h"))
+      .select(explode(transform(
+        wordShingles(col(textCol), n), x => xxhash64(x))).as("h"))
       .distinct()
     shingleHashes(corpus, idCol, textCol, n)
       .join(broadcast(bench), "h")

@@ -48,12 +48,17 @@ object Graph {
     // labels only ever DECREASE (monotone min propagation), so the label
     // table changed iff sum(comp) changed — a join-free convergence
     // check. decimal(38,0) keeps the sum exact for 64-bit ids at any
-    // count (ANSI mode would throw on a long overflow).
-    def compSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
+    // count (ANSI mode would throw on a long overflow). Empty frame →
+    // null sum → normalized to 0 (an empty edge list is a legitimate
+    // input: a clean corpus has no pairs).
+    def compSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = compSum(labels) // doubles as the persist materializer
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no nodes: already done
     while (!converged && iter < maxIter) {
       // (1) pull: comp(v) := min(comp(v), min over neighbors comp(u))
       val nbrMin = sym
@@ -71,14 +76,19 @@ object Graph {
         .select(col("l.id").as("id"),
           least(col("l.comp"), coalesce(col("p.ccomp"), col("l.comp")))
             .as("comp"))
-      // eager localCheckpoint TRUNCATES LINEAGE — each round's plan
-      // references the previous round's twice, so without truncation the
-      // logical plan grows ~4^iter and planning itself OOMs after a few
-      // rounds (measured on a 40-node path). Blocks are executor-local
-      // (freed by the ContextCleaner once unreferenced); a fault-lossy
-      // recompute restarts the monotone propagation, which is safe.
-      val next = jumped.localCheckpoint()
-      val sumNow = compSum(next) // also the action that seals the round
+      // CUT THE SQL PLAN each round: the round's plan references the
+      // previous round's twice, so without a cut the logical plan grows
+      // ~4^iter and planning itself OOMs after a few rounds (measured on
+      // a 40-node path). Rebuilding the frame from its RDD flattens the
+      // SQL plan to a LogicalRDD while KEEPING RDD lineage — unlike
+      // localCheckpoint, a lost/evicted block recomputes through the
+      // persisted parents instead of killing every later consumer. The
+      // per-round persist is a real cacheManager entry, so the previous
+      // round's unpersist actually frees its blocks.
+      val next = jumped.sparkSession
+        .createDataFrame(jumped.rdd, jumped.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sumNow = compSum(next) // the action that seals the round
       labels.unpersist()
       labels = next
       converged = sumNow.compareTo(prevSum) == 0

@@ -28,8 +28,12 @@ object Search {
     val terms = query.toLowerCase.trim.split("\\s+").distinct.toSeq
     require(terms.nonEmpty && terms.head.nonEmpty, "empty query")
 
-    val toked = docs.select(col(idCol).as("did"),
-      tokens(col(textCol)).as("t"))
+    // cache boundary: toked feeds both the doc-length branch and the
+    // tf explode — without it the corpus tokenizes twice AND the
+    // explode-inferred size(t)>0 filter pushes the tokenizer into the
+    // parquet scan (the documented InferFiltersFromGenerate trap)
+    val toked = TrackedCaches.persist(
+      docs.select(col(idCol).as("did"), tokens(col(textCol)).as("t")))
     val dl = toked.select(col("did"), size(col("t")).as("dl"))
     // corpus stats: a single K=1 aggregate, broadcast into the score
     val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))

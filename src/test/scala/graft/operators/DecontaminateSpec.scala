@@ -70,6 +70,22 @@ class PiiSpec extends AnyFunSuite with Matchers with SparkSpec {
     got(4L) shouldBe ((0, 0, 0, 0))
   }
 
+  test("numeric prose is NOT phone-matched (floats, number runs)") {
+    // regression: a permissive digits-and-separators pattern swallowed
+    // scientific/financial text into <PII>
+    val clean = Seq(
+      (1L, "pi is 3.14159 and e is 2.71828"),
+      (2L, "revenue 1200 1300 1400 by quarter"),
+      (3L, "version 10.2.33 released 2026-08-12")).toDF("doc_id", "text")
+    val (e, s2, i, p) = TextFunctions.piiCounts(col("text"))
+    val counts = clean.select(col("doc_id"), e + s2 + i + p)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    counts shouldBe Map(1L -> 0, 2L -> 0, 3L -> 0)
+    clean.select(TextFunctions.redactPii(col("text")))
+      .collect().map(_.getString(0))
+      .foreach(_ should not include "<PII>")
+  }
+
   test("redactPii removes every planted identifier") {
     val red = rows.select(col("doc_id"),
         TextFunctions.redactPii(col("text")).as("t"))

@@ -39,6 +39,14 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     c.values.foreach(v => assert(v >= 1L && v <= 10L))
   }
 
+  test("empty edge list yields an empty component table (clean corpus)") {
+    comps(Seq.empty) shouldBe Map.empty
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Graph.dedupByComponents(docs, noPairs, "doc_id")
+      .count() shouldBe 2L // corpus unchanged
+  }
+
   test("dedupByComponents keeps the min-id representative per cluster") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
       .toDF("doc_id", "text")
