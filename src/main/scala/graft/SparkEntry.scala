@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, Graph, Sampling, Search, Similarity, TextQuality}
+import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, Graph, Pipeline, Sampling, Search, Similarity, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -485,6 +485,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
       docs(s, dir).join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
+    }),
+
+    // THE PIPELINE: curate -> decontaminate -> transitive dedup ->
+    // stratified sample -> chunk, one call, one composed oracle
+    "q_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Pipeline.prepareTrainingData(
+        corpus = d.filter(col("doc_id") % 20 =!= 0),
+        benchmark = d.filter(col("doc_id") % 20 === 0),
+        idCol = "doc_id", textCol = "text", stratumCol = "source",
+        minQuality = 0.6, maxRepetition = 0.6,
+        nContamination = 3, nJaccard = 3, jaccardThreshold = 0.8,
+        rates = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5),
+        defaultRate = 0.5, chunkSize = 64, overlap = 16)
     }),
 
     // search: Okapi BM25 top-10 for a 3-term query — query-side term
@@ -1270,6 +1284,85 @@ object SparkEntry {
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
     "q_dup_components" -> dupComponentsSql(0.8),
     "q_dedup_transitive" -> dedupTransitiveSql(0.8),
+
+    // the full pipeline, stage by stage in SQL: curate (quality +
+    // repetition + exact dedup) -> decontaminate (3-gram vs the %20
+    // benchmark slice) -> transitive near-dup dedup (recursive closure)
+    // -> stratified md5 sampling -> 64/16 chunking
+    "q_pipeline" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t,
+        |    string_split(text, ' ') AS rawtoks
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |f AS (
+        |  SELECT doc_id, source, text,
+        |    ROUND(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |              / len(t) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      (1.0 - least(CAST(len(text) -
+        |          len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / len(text) * 5.0, 1.0)) * 0.3, 6) AS quality,
+        |    ROUND(1.0 - CAST(len(list_distinct(rawtoks)) AS DOUBLE)
+        |      / len(rawtoks), 6) AS rep_ratio
+        |  FROM c),
+        |kept AS (SELECT * FROM f WHERE quality >= 0.6 AND rep_ratio <= 0.6),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |toksall AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |shall AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toksall, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |benchsh AS (SELECT DISTINCT s FROM shall WHERE doc_id % 20 = 0),
+        |dirty AS (
+        |  SELECT DISTINCT sh.doc_id FROM shall sh JOIN benchsh b USING (s)
+        |  JOIN surv p ON p.doc_id = sh.doc_id),
+        |poolB AS (
+        |  SELECT doc_id FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |shB AS (SELECT * FROM shall
+        |  WHERE doc_id IN (SELECT doc_id FROM poolB)),
+        |sizesB AS (SELECT doc_id, count(*) AS n FROM shB GROUP BY 1),
+        |interB AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+        |  FROM shB a JOIN shB b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jacB AS (
+        |  SELECT id_a, id_b FROM interB
+        |  JOIN sizesB sa ON sa.doc_id = id_a
+        |  JOIN sizesB sb ON sb.doc_id = id_b
+        |  WHERE ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) >= 0.8),
+        |edgesB AS (SELECT id_a AS a, id_b AS b FROM jacB
+        |  UNION SELECT id_b, id_a FROM jacB),
+        |reachB(id, r) AS (
+        |  SELECT a, b FROM edgesB
+        |  UNION
+        |  SELECT x.id, e.b FROM reachB x JOIN edgesB e ON x.r = e.a),
+        |compB AS (
+        |  SELECT id, LEAST(id, MIN(r)) AS component FROM reachB GROUP BY id),
+        |poolC AS (
+        |  SELECT doc_id FROM poolB
+        |  WHERE doc_id NOT IN (SELECT id FROM compB WHERE id <> component)),
+        |poolD AS (
+        |  SELECT d.doc_id FROM documents d JOIN poolC USING (doc_id)
+        |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |    CASE d.source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'g'
+        |         WHEN 'src2' THEN '80000000' ELSE '80000000' END),
+        |toksD AS (
+        |  SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS t
+        |  FROM documents d JOIN poolD USING (doc_id)
+        |  WHERE length(trim(d.text)) > 0),
+        |nD AS (SELECT doc_id, t, len(t) AS n FROM toksD)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |  CAST(LEAST(64, n - i*48) AS INT) AS n_tokens,
+        |  array_to_string(t[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)], ' ') AS chunk_text
+        |FROM nD, UNNEST(range(0,
+        |  GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)"""
+        .stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (
