@@ -1122,30 +1122,9 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     "q_curate" ->
-      """WITH c AS (
-        |  SELECT doc_id, text,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t,
-        |    string_split(text, ' ') AS rawtoks
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, text,
-        |    ROUND(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-        |      (CASE WHEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-        |              / len(t) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
-        |      (1.0 - least(CAST(len(text) -
-        |          len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-        |        / len(text) * 5.0, 1.0)) * 0.3, 6) AS quality,
-        |    ROUND(1.0 - CAST(len(list_distinct(rawtoks)) AS DOUBLE)
-        |      / len(rawtoks), 6) AS rep_ratio
-        |  FROM c),
-        |kept AS (
-        |  SELECT * FROM f WHERE quality >= 0.7 AND rep_ratio <= 0.5),
-        |surv AS (
-        |  SELECT min(doc_id) AS doc_id
-        |  FROM kept
-        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
-        |SELECT s.doc_id, k.quality, k.rep_ratio
-        |FROM surv s JOIN kept k USING (doc_id)""".stripMargin,
+      s"""WITH ${curateCtes("", 0.7, 0.5)}
+         |SELECT s.doc_id, k.quality, k.rep_ratio
+         |FROM surv s JOIN kept k USING (doc_id)""".stripMargin,
 
     "q_lang_id" -> {
       def occ(m: String) =
@@ -1290,78 +1269,37 @@ object SparkEntry {
     // benchmark slice) -> transitive near-dup dedup (recursive closure)
     // -> stratified md5 sampling -> 64/16 chunking
     "q_pipeline" ->
-      """WITH RECURSIVE c AS (
-        |  SELECT doc_id, source, text,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t,
-        |    string_split(text, ' ') AS rawtoks
-        |  FROM documents WHERE doc_id % 20 <> 0),
-        |f AS (
-        |  SELECT doc_id, source, text,
-        |    ROUND(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-        |      (CASE WHEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-        |              / len(t) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
-        |      (1.0 - least(CAST(len(text) -
-        |          len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-        |        / len(text) * 5.0, 1.0)) * 0.3, 6) AS quality,
-        |    ROUND(1.0 - CAST(len(list_distinct(rawtoks)) AS DOUBLE)
-        |      / len(rawtoks), 6) AS rep_ratio
-        |  FROM c),
-        |kept AS (SELECT * FROM f WHERE quality >= 0.6 AND rep_ratio <= 0.6),
-        |surv AS (
-        |  SELECT min(doc_id) AS doc_id FROM kept
-        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
-        |toksall AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |shall AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toksall, UNNEST(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |benchsh AS (SELECT DISTINCT s FROM shall WHERE doc_id % 20 = 0),
-        |dirty AS (
-        |  SELECT DISTINCT sh.doc_id FROM shall sh JOIN benchsh b USING (s)
-        |  JOIN surv p ON p.doc_id = sh.doc_id),
-        |poolB AS (
-        |  SELECT doc_id FROM surv
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-        |shB AS (SELECT * FROM shall
-        |  WHERE doc_id IN (SELECT doc_id FROM poolB)),
-        |sizesB AS (SELECT doc_id, count(*) AS n FROM shB GROUP BY 1),
-        |interB AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
-        |  FROM shB a JOIN shB b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jacB AS (
-        |  SELECT id_a, id_b FROM interB
-        |  JOIN sizesB sa ON sa.doc_id = id_a
-        |  JOIN sizesB sb ON sb.doc_id = id_b
-        |  WHERE ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) >= 0.8),
-        |edgesB AS (SELECT id_a AS a, id_b AS b FROM jacB
-        |  UNION SELECT id_b, id_a FROM jacB),
-        |reachB(id, r) AS (
-        |  SELECT a, b FROM edgesB
-        |  UNION
-        |  SELECT x.id, e.b FROM reachB x JOIN edgesB e ON x.r = e.a),
-        |compB AS (
-        |  SELECT id, LEAST(id, MIN(r)) AS component FROM reachB GROUP BY id),
-        |poolC AS (
-        |  SELECT doc_id FROM poolB
-        |  WHERE doc_id NOT IN (SELECT id FROM compB WHERE id <> component)),
-        |poolD AS (
-        |  SELECT d.doc_id FROM documents d JOIN poolC USING (doc_id)
-        |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
-        |    CASE d.source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'g'
-        |         WHEN 'src2' THEN '80000000' ELSE '80000000' END),
-        |toksD AS (
-        |  SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS t
-        |  FROM documents d JOIN poolD USING (doc_id)
-        |  WHERE length(trim(d.text)) > 0),
-        |nD AS (SELECT doc_id, t, len(t) AS n FROM toksD)
-        |SELECT doc_id, CAST(i AS INT) AS chunk_no,
-        |  CAST(LEAST(64, n - i*48) AS INT) AS n_tokens,
-        |  array_to_string(t[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)], ' ') AS chunk_text
-        |FROM nD, UNNEST(range(0,
-        |  GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)"""
+      s"""WITH RECURSIVE ${curateCtes("WHERE doc_id % 20 <> 0", 0.6, 0.6)},
+         |$shingleCtes,
+         |benchsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |dirty AS (
+         |  SELECT DISTINCT sh.doc_id FROM sh JOIN benchsh b USING (s)
+         |  JOIN surv p ON p.doc_id = sh.doc_id),
+         |poolB AS (
+         |  SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |shB AS (SELECT * FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM poolB)),
+         |${jaccardChain("shB", 0.8)},
+         |$closureChain,
+         |poolC AS (
+         |  SELECT doc_id FROM poolB
+         |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+         |poolD AS (
+         |  SELECT d.doc_id FROM documents d JOIN poolC USING (doc_id)
+         |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+         |    CASE d.source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'g'
+         |         WHEN 'src2' THEN '80000000' ELSE '80000000' END),
+         |toksD AS (
+         |  SELECT d.doc_id, string_split_regex(trim(d.text), '\\s+') AS t
+         |  FROM documents d JOIN poolD USING (doc_id)
+         |  WHERE length(trim(d.text)) > 0),
+         |nD AS (SELECT doc_id, t, len(t) AS n FROM toksD)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_no,
+         |  CAST(LEAST(64, n - i*48) AS INT) AS n_tokens,
+         |  array_to_string(t[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)], ' ') AS chunk_text
+         |FROM nD, UNNEST(range(0,
+         |  GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)"""
         .stripMargin,
 
     "q_bm25" ->
@@ -1542,20 +1480,25 @@ object SparkEntry {
     * LSH-verified query — LSH recall at j>=0.8 with 16x4 bands is
     * 1-2e-4 on adversarial 0.8-Jaccard pairs and ~1-1e-15 on the
     * planted ~0.97 near-dups). */
-  /** Word-3-gram Jaccard CTE chain ending in `jac(id_a, id_b, jaccard)`
-    * — shared by the pair oracle and the component/transitive oracles. */
-  private def jaccardCtes(threshold: Double): String =
-    s"""toks AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-       |  FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-       |  WHERE len(t) >= 3),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  /** Word-3-gram shingle CTEs over ALL documents: `sh(doc_id, s)` —
+    * the ONE tokenization every n-gram oracle builds on (jaccard,
+    * components, decontamination, the pipeline). */
+  private val shingleCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  /** Jaccard chain over shingle relation `rel(doc_id, s)` ending in
+    * `jac(id_a, id_b, jaccard)`. */
+  private def jaccardChain(rel: String, threshold: Double): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM $rel GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM $rel a JOIN $rel b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |jac AS (
        |  SELECT id_a, id_b,
@@ -1565,22 +1508,63 @@ object SparkEntry {
        |  JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) >= $threshold)""".stripMargin
 
+  private def jaccardCtes(threshold: Double): String =
+    s"""$shingleCtes,
+       |${jaccardChain("sh", threshold)}""".stripMargin
+
+  /** Recursive reachability closure over `jac` ending in
+    * `comp(id, component)`, component = min doc id in the cluster. */
+  private val closureChain: String =
+    """edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM jac
+      |  UNION SELECT id_b, id_a FROM jac),
+      |reach(id, r) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a),
+      |comp AS (
+      |  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)"""
+      .stripMargin
+
+  /** Quality/repetition curation chain over `documents $where`, ending
+    * in `kept` (scored survivors of the filters) and `surv` (exact-dedup
+    * min-id winners) — shared by q_curate and the pipeline oracle. */
+  private def curateCtes(where: String, minQuality: Double,
+      maxRepetition: Double): String =
+    s"""c AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t,
+       |    string_split(text, ' ') AS rawtoks
+       |  FROM documents $where),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    ROUND(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      (CASE WHEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+       |              / len(t) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+       |      (1.0 - least(CAST(len(text) -
+       |          len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / len(text) * 5.0, 1.0)) * 0.3, 6) AS quality,
+       |    ROUND(1.0 - CAST(len(list_distinct(rawtoks)) AS DOUBLE)
+       |      / len(rawtoks), 6) AS rep_ratio
+       |  FROM c),
+       |kept AS (
+       |  SELECT * FROM f
+       |  WHERE quality >= $minQuality AND rep_ratio <= $maxRepetition),
+       |surv AS (
+       |  SELECT min(doc_id) AS doc_id FROM kept
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))"""
+      .stripMargin
+
   /** Shared decontamination CTEs ending in `hits(doc_id, n_overlap)`:
     * corpus = doc_id % 20 != 0, benchmark = doc_id % 20 == 0. */
   private val decontaminateCtes: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-      |  WHERE len(t) >= 3),
-      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
-      |hits AS (
-      |  SELECT doc_id, count(*) AS n_overlap
-      |  FROM sh JOIN bench USING (s)
-      |  WHERE doc_id % 20 <> 0
-      |  GROUP BY 1)""".stripMargin
+    s"""$shingleCtes,
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_overlap
+       |  FROM sh JOIN bench USING (s)
+       |  WHERE doc_id % 20 <> 0
+       |  GROUP BY 1)""".stripMargin
 
   private val decontaminateSql: String =
     s"""WITH $decontaminateCtes
@@ -1594,15 +1578,7 @@ object SparkEntry {
     * `comp(id, component)`, component = min doc id in the cluster. */
   private def componentCtes(threshold: Double): String =
     s"""${jaccardCtes(threshold)},
-       |edges AS (
-       |  SELECT id_a AS a, id_b AS b FROM jac
-       |  UNION SELECT id_b, id_a FROM jac),
-       |reach(id, r) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a),
-       |comp AS (
-       |  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)""".stripMargin
+       |$closureChain""".stripMargin
 
   private def dupComponentsSql(threshold: Double): String =
     s"""WITH RECURSIVE ${componentCtes(threshold)}

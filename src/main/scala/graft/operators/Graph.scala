@@ -96,7 +96,9 @@ object Graph {
       iter += 1
     }
     sym.unpersist()
-    labels
+    // the returned table stays persisted for its consumers; register it
+    // so long-lived drivers can free it via Dedup.releaseCaches()
+    TrackedCaches.track(labels)
   }
 
   /** Transitive near-dup survivors: keep every row of `df` except

@@ -30,8 +30,12 @@ object Pipeline {
       .curate(corpus, idCol, textCol, minQuality, maxRepetition)
       .select(col("doc_id").as(idCol))
     val base = corpus.join(curatedIds, Seq(idCol), "left_semi")
-    val cleaned = Decontaminate.decontaminate(base, benchmark,
-      idCol, textCol, nContamination)
+    // cleaned feeds THREE consumers (pair generation, the dedup
+    // anti-join, and the sample->chunk tail): the cache boundary runs
+    // the curate scoring + exact-dedup + decontamination anti-join once
+    val cleaned = TrackedCaches.persist(
+      Decontaminate.decontaminate(base, benchmark,
+        idCol, textCol, nContamination))
     val pairs = Dedup.ngramJaccardPairs(cleaned, idCol, textCol,
       nJaccard, jaccardThreshold)
     val deduped = Graph.dedupByComponents(cleaned, pairs, idCol)

@@ -36,6 +36,13 @@ private[graft] object TrackedCaches {
     }
   }
 
+  /** Register an ALREADY-persisted frame (e.g. the CC loop's final
+    * label table) so `releaseAll` covers it too. */
+  def track(df: DataFrame): DataFrame = {
+    entries.add(df)
+    df
+  }
+
   def releaseAll(blocking: Boolean = false): Unit = {
     var df = entries.poll()
     while (df != null) {
