@@ -209,6 +209,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pipeline composition: no cartesian, chunk fan-out present, " +
+      "anti-joins stay hash/broadcast") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_pipeline")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+      assert(plan.contains("Generate"), "no chunk explode in the tail")
+      // dedup/sample anti-join sides resolve to broadcast or hash joins
+      assert(plan.contains("Join LeftAnti") ||
+        plan.contains("BroadcastHashJoin") ||
+        plan.contains("SortMergeJoin"),
+        s"missing join machinery:\n$plan")
+    }
+  }
+
   test("stateful sessionizer shuffles once by user, no global sort") {
     withStaticPlan {
       val df = SparkEntry.queries("q_stream_sessionize_state")(spark, dir)
