@@ -537,6 +537,12 @@ object SparkEntry {
         md5(TextFunctions.redactPii(col("text"))).as("clean_fp"))
     }),
 
+    // sampling: deterministic 10% eval holdout — complementary and
+    // covering by construction (one hash, one threshold)
+    "q_train_eval_split" -> ((s, dir) =>
+      Sampling.trainEvalSplit(docs(s, dir), "doc_id", 0.1)
+        .select("doc_id", "source", "split")),
+
     // sampling: fixed 5 docs per source under hash order — bounded
     // eval-set construction (deterministic, engine-identical)
     "q_sample_topk" -> ((s, dir) =>
@@ -1350,6 +1356,12 @@ object SparkEntry {
          |  len(regexp_extract_all(t3, '${TextFunctions.piiPhoneRe}')) AS n_phone,
          |  md5(t4) AS clean_fp
          |FROM r4""".stripMargin,
+
+    "q_train_eval_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+        |       THEN 'eval' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
 
     "q_sample_topk" ->
       """SELECT doc_id, source FROM documents

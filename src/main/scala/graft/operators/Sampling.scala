@@ -63,6 +63,18 @@ object Sampling {
     df.filter(bucket(col(keyCol), salt) < thr)
   }
 
+  /** Deterministic train/eval split: labels every row 'eval' when its
+    * hash bucket falls below `evalFraction`, else 'train' — the two
+    * sets are complementary and covering BY CONSTRUCTION (one hash, one
+    * threshold), unlike two independent sample() calls which overlap
+    * and leak. Same key → same side on every engine, partitioning, and
+    * rerun; `salt` derives an independent split (e.g. per fold). */
+  def trainEvalSplit(df: DataFrame, keyCol: String, evalFraction: Double,
+      salt: String = "", splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(bucket(col(keyCol), salt) < lit(hexThreshold(evalFraction)),
+        "eval").otherwise("train"))
+
   /** Fixed-SIZE deterministic sample per stratum: the first `k` rows of
     * each stratum under hash order (ties broken by the key) — bounded
     * eval/calibration-set construction, where a fixed COUNT matters more

@@ -57,6 +57,21 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     bySt("s3").toDouble / 500 shouldBe 0.4 +- 0.07
   }
 
+  test("trainEvalSplit is complementary, covering, and hash-consistent") {
+    val split = Sampling.trainEvalSplit(rows, "id", 0.25)
+    split.count() shouldBe 2000L // covering: every row labeled
+    val eval = split.filter(col("split") === "eval")
+      .select("id").as[Long].collect().toSet
+    eval.size.toDouble / 2000 shouldBe 0.25 +- 0.05
+    // complementary with hashSample at the same rate: identical kept set
+    eval shouldBe Sampling.hashSample(rows, "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    // a salted split is independent of the unsalted one
+    val eval2 = Sampling.trainEvalSplit(rows, "id", 0.25, salt = "fold2")
+      .filter(col("split") === "eval").select("id").as[Long].collect().toSet
+    eval2 should not be eval
+  }
+
   test("topKPerStratum takes exactly k deterministic rows per stratum") {
     val a = Sampling.topKPerStratum(rows, "id", "stratum", k = 7)
       .select("id").as[Long].collect().sorted
