@@ -543,6 +543,12 @@ object SparkEntry {
       Sampling.trainEvalSplit(docs(s, dir), "doc_id", 0.1)
         .select("doc_id", "source", "split")),
 
+    // sampling: 5-fold partition of the corpus (disjoint + covering
+    // hash-range buckets — a true partition, unlike salted splits)
+    "q_kfold" -> ((s, dir) =>
+      Sampling.kFold(docs(s, dir), "doc_id", k = 5)
+        .select("doc_id", "source", "fold")),
+
     // sampling: fixed 5 docs per source under hash order — bounded
     // eval-set construction (deterministic, engine-identical)
     "q_sample_topk" -> ((s, dir) =>
@@ -1361,6 +1367,15 @@ object SparkEntry {
       """SELECT doc_id, source,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         |       THEN 'eval' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_kfold" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 0
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '66666666' THEN 1
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '99999999' THEN 2
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 3
+        |       ELSE 4 END AS fold
         |FROM documents""".stripMargin,
 
     "q_sample_topk" ->

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *  - map-only: no shuffle, no RNG state, survives recompute/resume;
   *  - engine-independent: md5 is standardized, so the SAME rows are
   *    kept by any engine (the DuckDB oracles replay it exactly);
-  *  - seedable: `salt` re-randomizes the kept set (disjoint-ish samples
-  *    from the same corpus for train/eval splits);
+  *  - seedable: `salt` re-randomizes the kept set (an INDEPENDENT
+  *    draw — salted sets overlap by ~rate², so for train/eval or folds
+  *    use [[trainEvalSplit]]/[[kFold]], which partition one hash);
   *  - consistent across tables: sampling two tables by the same join
   *    key keeps ALIGNED rows (the classic hash-sampling join trick).
   *
@@ -68,12 +69,30 @@ object Sampling {
     * sets are complementary and covering BY CONSTRUCTION (one hash, one
     * threshold), unlike two independent sample() calls which overlap
     * and leak. Same key → same side on every engine, partitioning, and
-    * rerun; `salt` derives an independent split (e.g. per fold). */
+    * rerun. `salt` derives an INDEPENDENT split — independent splits
+    * overlap, so they are NOT folds; use [[kFold]] for a partition. */
   def trainEvalSplit(df: DataFrame, keyCol: String, evalFraction: Double,
       salt: String = "", splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol,
       when(bucket(col(keyCol), salt) < lit(hexThreshold(evalFraction)),
         "eval").otherwise("train"))
+
+  /** k-fold assignment: fold `i` = rows whose hash bucket falls in the
+    * i-th of `k` equal intervals of the 32-bit range — the folds are
+    * DISJOINT and COVERING by construction (a true partition of the
+    * corpus), which salted independent splits are not (they overlap
+    * pairwise by ~fraction² and leave rows in no eval set). Fold 0 of
+    * `kFold(k)` equals the eval side of `trainEvalSplit(1.0 / k)`. */
+  def kFold(df: DataFrame, keyCol: String, k: Int, salt: String = "",
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 4096, s"need 2 <= k <= 4096: $k")
+    val b = bucket(col(keyCol), salt)
+    val first = when(b < lit(hexThreshold(1.0 / k)), 0)
+    val chain = (2 until k).foldLeft(first) { (acc, i) =>
+      acc.when(b < lit(hexThreshold(i.toDouble / k)), i - 1)
+    }
+    df.withColumn(foldCol, chain.otherwise(k - 1))
+  }
 
   /** Fixed-SIZE deterministic sample per stratum: the first `k` rows of
     * each stratum under hash order (ties broken by the key) — bounded

@@ -72,6 +72,21 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     eval2 should not be eval
   }
 
+  test("kFold partitions the corpus; fold 0 == trainEvalSplit eval") {
+    val folded = Sampling.kFold(rows, "id", k = 10)
+    folded.count() shouldBe 2000L // covering
+    val byFold = folded.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byFold.keySet shouldBe (0 until 10).toSet
+    byFold.values.foreach(n => n.toDouble / 200 shouldBe 1.0 +- 0.35)
+    // the same hash+thresholds: fold 0 equals the 10% eval holdout
+    val fold0 = folded.filter(col("fold") === 0)
+      .select("id").as[Long].collect().toSet
+    val eval10 = Sampling.trainEvalSplit(rows, "id", 0.1)
+      .filter(col("split") === "eval").select("id").as[Long].collect().toSet
+    fold0 shouldBe eval10
+  }
+
   test("topKPerStratum takes exactly k deterministic rows per stratum") {
     val a = Sampling.topKPerStratum(rows, "id", "stratum", k = 7)
       .select("id").as[Long].collect().sorted
