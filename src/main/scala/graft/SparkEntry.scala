@@ -674,6 +674,37 @@ object SparkEntry {
       graft.streaming.StreamingOps.dedupStream(events(s, dir), "user_id")
         .select("user_id")),
 
+    // skew-salted equi-join (operators/Skew.scala): orders (big, hot
+    // custkeys at 100 TB) x customer (mid-size dim). The salt column
+    // must be invisible in the result — the oracle is the PLAIN join.
+    "q_skew_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("mktsegment"))
+      operators.Skew.saltedJoin(orders, cust, "custkey", salts = 8)
+        .groupBy("mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum("price").cast("double").as("total"))
+    }),
+
+    // bucketed fact-to-fact join (sources/PanelSource.writeBucketed):
+    // lineitem x orders pre-clustered on the order key so the join is
+    // exchange-free (asserted in PanelSourceSpec); the bucketing must be
+    // invisible in the result — the oracle is the PLAIN join.
+    "q_bucketed_join" -> ((s, dir) => {
+      val (factTbl, dimTbl) = bucketedFor(s, dir)
+      s.table(factTbl)
+        .join(s.table(dimTbl),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+    }),
+
     // multimodal: REAL audio decode — synthesize one PCM-16 WAV per
     // document (javax.sound round-trip), parse it back, and pin the
     // extracted format fields + exact mean amplitude to the DuckDB
@@ -715,6 +746,32 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Bucketed lineitem/orders tables written once per (session, sfDir) —
+    * the WRITE is the operator under test (hash-clustered layout), the
+    * query reads them back catalog-registered so the join is
+    * exchange-free. Keyed on the session too: a table registered in a
+    * stopped session's catalog is useless to its successor. */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir", {
+      val tag = (scala.util.hashing.MurmurHash3.stringHash(dir)
+        & 0x7fffffff).toHexString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      val fact = s"graft_b_lineitem_$tag"
+      val dim = s"graft_b_orders_$tag"
+      graft.sources.PanelSource.writeBucketed(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"),
+        s"$base/lineitem", fact, "l_orderkey", nBuckets = 8)
+      graft.sources.PanelSource.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_orderpriority"),
+        s"$base/orders", dim, "o_orderkey", nBuckets = 8)
+      (fact, dim)
+    })
 
   /** Events table with nanosecond timestamps normalized to TimestampType
     * (Spark cannot scan TIMESTAMP(NANOS) parquet directly — read as long
@@ -1496,6 +1553,20 @@ object SparkEntry {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
         |  count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // salting is pure routing — the oracle is the un-salted join
+    "q_skew_join" ->
+      """SELECT c_mktsegment AS mktsegment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // bucketing is pure layout — the oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority AS priority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
   ))
 
   /** The stateful sessionizer must reproduce the window formulation, so
