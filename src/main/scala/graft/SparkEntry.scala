@@ -65,37 +65,47 @@ object SparkEntry {
   private def withPanelCte(body: String): String =
     s"WITH panel AS (${PanelView.sql})\n$body"
 
-  /** Cached fits keyed by sfDir so the many DiD-stage queries inside one
-    * Verify/Bench run share a single preprocess+fit. */
+  /** Cache keys carry the SESSION identity too (same pattern as
+    * `bucketedCache`): a frame or fit cached under a stopped-and-
+    * recreated SparkSession would otherwise be served with dead plans. */
+  private def skey(s: SparkSession, dir: String): String =
+    s"${System.identityHashCode(s)}|$dir"
+
+  /** Cached fits keyed by (session, sfDir) so the many DiD-stage queries
+    * inside one Verify/Bench run share a single preprocess+fit. */
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[String, AttGtFit]
   private def fitFor(s: SparkSession, dir: String): AttGtFit =
-    fitCache.getOrElseUpdate(dir, PanelView.fit(s, dir))
+    fitCache.getOrElseUpdate(skey(s, dir), PanelView.fit(s, dir))
   private val prepCache =
     scala.collection.concurrent.TrieMap.empty[String, Aggte.Prep]
   private def prepFor(s: SparkSession, dir: String): Aggte.Prep =
-    prepCache.getOrElseUpdate(dir, Aggte.prepare(fitFor(s, dir)))
+    prepCache.getOrElseUpdate(skey(s, dir), Aggte.prepare(fitFor(s, dir)))
   /** Separate cache for the clustervar-configured bootstrap fit (its
     * preprocessed frame carries the cluster column, so it cannot share
     * fitCache). */
   /** Config-variant ATT results (universal/nyt/anticipation/weighted)
-    * cached by (dir, variant): these queries exercise CONFIG coverage,
-    * not fit performance (att_fit_cold_bstrap is the honest cold
-    * number), and the result frames are K-row driver-local. */
+    * cached by (session, dir, variant): these queries exercise CONFIG
+    * coverage, not fit performance (att_fit_cold_bstrap is the honest
+    * cold number), and the result frames are K-row driver-local. */
   private val attVariantCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def attVariant(dir: String, key: String)(build: => DataFrame)
-      : DataFrame =
-    attVariantCache.getOrElseUpdate(s"$dir|$key", build)
+  private def attVariant(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    attVariantCache.getOrElseUpdate(s"${skey(s, dir)}|$key", build)
 
-  /** Component table over the Jaccard-0.8 pair graph, cached per sfDir:
-    * the CC loop returns a persisted flat-plan frame (recompute-capable
-    * RDD lineage), so both component queries and every Verify/Bench rep
-    * share ONE computation. */
+  /** Component table over the Jaccard-0.8 pair graph, cached per
+    * (session, sfDir): the CC loop returns a persisted flat-plan frame
+    * (recompute-capable RDD lineage), so both component queries and every
+    * Verify/Bench rep share ONE computation. Entries are dropped when
+    * `Dedup.releaseCaches()` unpersists the underlying frame — otherwise
+    * the map would keep serving a handle whose every consumer silently
+    * recomputes the whole CC loop. */
   private val componentsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  graft.operators.TrackedCaches.onRelease(() => componentsCache.clear())
   private def componentsFor(s: SparkSession, dir: String): DataFrame =
-    componentsCache.getOrElseUpdate(dir,
+    componentsCache.getOrElseUpdate(skey(s, dir),
       Graph.connectedComponents(
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8)))
@@ -120,7 +130,7 @@ object SparkEntry {
   private val clusterFitCache =
     scala.collection.concurrent.TrieMap.empty[String, AttGtFit]
   private def clusterFitFor(s: SparkSession, dir: String): AttGtFit =
-    clusterFitCache.getOrElseUpdate(dir, {
+    clusterFitCache.getOrElseUpdate(skey(s, dir), {
       val panel = pv(s, dir).withColumn("clust", pmod(col("id"), lit(100)))
       val pp = Preprocess.run(panel,
         PanelView.config.copy(clustervar = Some("clust")))
@@ -242,7 +252,7 @@ object SparkEntry {
     // against the cohort's FIXED pre-treatment base period; the base
     // period itself is an ATT=0 row by construction. Oracle replays the
     // fixed-base 2x2 algebra.
-    "q_att_gt_universal" -> ((s, dir) => attVariant(dir, "q_att_gt_universal") {
+    "q_att_gt_universal" -> ((s, dir) => attVariant(s, dir, "q_att_gt_universal") {
       attCellTable(s, Preprocess.run(pv(s, dir), PanelView.config),
         basePeriod = "universal")
     }),
@@ -250,7 +260,7 @@ object SparkEntry {
     // §3.1 controlGroup="notyettreated": controls are the never-treated
     // PLUS cohorts not yet treated at the cell's period. Oracle replays
     // the widened-control 2x2 algebra.
-    "q_att_gt_nyt" -> ((s, dir) => attVariant(dir, "q_att_gt_nyt") {
+    "q_att_gt_nyt" -> ((s, dir) => attVariant(s, dir, "q_att_gt_nyt") {
       attCellTable(s, Preprocess.run(pv(s, dir),
         PanelView.config.copy(controlGroup = "notyettreated")))
     }),
@@ -258,7 +268,7 @@ object SparkEntry {
     // §3.1 anticipation = 1: post-cell base periods shift one period
     // earlier (last t with t + 1 < g); pre cells keep the varying
     // previous-period base. Oracle replays the shifted-base algebra.
-    "q_att_gt_anticipation" -> ((s, dir) => attVariant(dir, "q_att_gt_anticipation") {
+    "q_att_gt_anticipation" -> ((s, dir) => attVariant(s, dir, "q_att_gt_anticipation") {
       attCellTable(s, Preprocess.run(pv(s, dir),
         PanelView.config.copy(anticipation = 1)))
     }),
@@ -266,7 +276,7 @@ object SparkEntry {
     // §2.2/§2.7 sampling weights wired end-to-end: w = 1 + id % 3;
     // intercept-only dr collapses to weighted 2x2 means, so the oracle
     // is SUM(w*y)/SUM(w) algebra.
-    "q_att_gt_weighted" -> ((s, dir) => attVariant(dir, "q_att_gt_weighted") {
+    "q_att_gt_weighted" -> ((s, dir) => attVariant(s, dir, "q_att_gt_weighted") {
       val panel = pv(s, dir)
         .withColumn("w", (lit(1) + pmod(col("id"), lit(3))).cast("double"))
       attCellTable(s, Preprocess.run(panel,

@@ -98,17 +98,16 @@ object AttGt {
     // Every internal query here aggregates to K = #cells rows, and the
     // only join is a broadcast of the tiny grid — AQE has nothing to
     // re-plan but adds a planning round + extra jobs to each of the
-    // ~(IRLS iters + 5) passes. Scoped off and restored.
-    // NOT THREAD-SAFE: the toggle mutates the shared session conf, so
-    // concurrent queries on this SparkSession run with AQE off, and
-    // interleaved fits can restore a stale value. Run parallel fits on
-    // spark.newSession() clones (independent confs over one context).
-    val spark = pp.df.sparkSession
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try fitInner(pp, estMethod, basePeriod, bstrap, customRc, customPanel,
+    // ~(IRLS iters + 5) passes. Scoped off on an INTERNAL session clone
+    // (own SQLConf, shared context + cache), so the caller's session conf
+    // is never touched and concurrent fits/queries cannot interleave.
+    val scoped = org.apache.spark.sql.graftbridge.SessionScope
+      .cloned(pp.df.sparkSession)
+    scoped.conf.set("spark.sql.adaptive.enabled", "false")
+    val ppScoped = pp.copy(df = org.apache.spark.sql.graftbridge.SessionScope
+      .rebind(pp.df, scoped))
+    fitInner(ppScoped, estMethod, basePeriod, bstrap, customRc, customPanel,
       maxDriverCellRows)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   private def fitInner(

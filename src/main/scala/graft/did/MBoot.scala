@@ -77,6 +77,9 @@ object MBoot {
 
   def run(ifTable: DataFrame, k: Int, n: Long, biters: Int, alp: Double,
       seed: Long, maxDriverEntries: Long = 20L * 1000 * 1000): MBootResult = {
+    // fail at the configuration site, not lazily at first .cov access
+    require(biters >= 2,
+      s"mboot needs biters >= 2 (SE and ddof=1 covariance), got $biters")
     val nnz = ifTable.count()
     val outMat: Array[Array[Double]] =
       if (nnz <= maxDriverEntries) driverBoot(ifTable, k, n, biters, seed)

@@ -38,15 +38,16 @@ final case class PreprocessedPanel(
 object Preprocess {
 
   def run(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
-    val spark = data.sparkSession
     // Same rationale as AttGt.fit: every action here returns K rows or a
-    // scalar; AQE only adds a planning round per job. Like AttGt.fit,
-    // NOT thread-safe (mutates the shared session conf) — run parallel
-    // preprocesses on spark.newSession() clones.
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try runInner(data, cfg)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // scalar; AQE only adds a planning round per job. Scoped off on an
+    // internal session clone (own SQLConf, shared context + cache), so
+    // the caller's conf is never mutated and concurrent runs can't
+    // interleave.
+    val scoped = org.apache.spark.sql.graftbridge.SessionScope
+      .cloned(data.sparkSession)
+    scoped.conf.set("spark.sql.adaptive.enabled", "false")
+    runInner(
+      org.apache.spark.sql.graftbridge.SessionScope.rebind(data, scoped), cfg)
   }
 
   private def runInner(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {

@@ -96,6 +96,12 @@ object Graph {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      System.err.println(
+        s"[graph] connectedComponents hit maxIter=$maxIter before the " +
+          "convergence check passed: labels are valid but components may " +
+          "be under-merged (downstream dedup would under-dedup). " +
+          "Raise maxIter for deep chain graphs.")
     // the returned table stays persisted for its consumers; register it
     // so long-lived drivers can free it via Dedup.releaseCaches()
     TrackedCaches.track(labels)

@@ -64,18 +64,48 @@ object Similarity {
     * block pairs fan out across executors, and each task runs a tight
     * primitive dot-product loop over its two blocks. Total shuffle is
     * O(n * nBlocks) vector copies (each block meets every other block),
-    * the classic all-pairs triangle: pick nBlocks ~ sqrt(#tasks wanted).
-    * Per-element arithmetic is float->double cast then sequential double
-    * accumulation — bit-identical to the DuckDB oracle's
-    * list_dot_product. Use LSH banding instead when n^2 itself is the
-    * problem. */
+    * the classic all-pairs triangle. Per-element arithmetic is
+    * float->double cast then sequential double accumulation —
+    * bit-identical to the DuckDB oracle's list_dot_product. Use LSH
+    * banding instead when n^2 itself is the problem.
+    *
+    * Each task materializes TWO whole blocks on-heap, so block size is a
+    * hard memory bound, enforced rather than documented: `nBlocks <= 0`
+    * (default) derives the block count from a one-pass count x dim
+    * estimate so per-task bytes stay under `maxTaskBlockBytes` (and task
+    * count ~ cluster parallelism); an explicit `nBlocks` that would
+    * exceed the budget is rejected with the estimated bytes, like
+    * `AttGt.guardedCollect`. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nBlocks: Int = 8): DataFrame = {
+      nBlocks: Int = 0, maxTaskBlockBytes: Long = 512L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // one cheap pruned pass: row count + vector width (the O(n^2) body
+    // dwarfs it). Raw payload = n * dim doubles; a block-pair task holds
+    // two blocks => per-task bytes ~ 2 * payload / nBlocks.
+    val probe = df.agg(count(lit(1)), max(size(col(vecCol)))).first()
+    val n = probe.getLong(0)
+    val dim = if (probe.isNullAt(1)) 0 else probe.getInt(1)
+    val payloadBytes = n * dim.toLong * 8
+    val blks =
+      if (nBlocks > 0) {
+        val perTask = 2L * payloadBytes / nBlocks
+        require(perTask <= maxTaskBlockBytes,
+          s"cosineNearDupPairs: nBlocks=$nBlocks puts ~$perTask bytes of " +
+            s"vectors in one task (n=$n, dim=$dim), over the " +
+            s"$maxTaskBlockBytes budget - raise nBlocks to at least " +
+            s"${math.ceil(2.0 * payloadBytes / maxTaskBlockBytes).toLong} " +
+            "or use LSH banding")
+        nBlocks
+      } else {
+        val forMem = math.ceil(2.0 * payloadBytes / maxTaskBlockBytes).toLong
+        val forPar = math.ceil(math.sqrt(
+          2.0 * spark.sparkContext.defaultParallelism)).toLong
+        math.max(1L, math.max(forMem, forPar)).toInt
+      }
     val blocks = df
-      .select(pmod(hash(col(idCol)), lit(nBlocks)).as("blk"),
+      .select(pmod(hash(col(idCol)), lit(blks)).as("blk"),
         col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .as[(Int, Long, Array[Double])]

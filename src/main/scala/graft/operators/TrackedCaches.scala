@@ -43,11 +43,19 @@ private[graft] object TrackedCaches {
     df
   }
 
+  /** Hooks run on every `releaseAll` — for driver-side maps that hold
+    * handles to frames this registry is about to unpersist (a cached
+    * handle to an unpersisted frame silently recomputes per consumer). */
+  private val releaseHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
+  def onRelease(hook: () => Unit): Unit = releaseHooks.add(hook)
+
   def releaseAll(blocking: Boolean = false): Unit = {
     var df = entries.poll()
     while (df != null) {
       df.unpersist(blocking)
       df = entries.poll()
     }
+    releaseHooks.forEach(h => h())
   }
 }

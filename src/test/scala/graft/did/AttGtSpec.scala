@@ -33,6 +33,48 @@ class AttGtSpec extends AnyFunSuite with SparkSpec {
     pp.unpersist()
   }
 
+  test("fit never mutates the caller's session conf; concurrent fits agree") {
+    // the AQE toggle runs on an internal session clone — the caller's
+    // conf must read `true` at every instant, including mid-fit
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    @volatile var watching = true
+    val watcher = new Thread(() => {
+      while (watching) {
+        observed.add(spark.conf.get("spark.sql.adaptive.enabled"))
+        Thread.sleep(5)
+      }
+    })
+    watcher.start()
+    val seq = {
+      val pp = Preprocess.run(staggered(spark, nUnits = 120), cfg)
+      val f = AttGt.fit(pp, estMethod = "dr")
+      val a = f.att.toVector
+      f.unpersist(); pp.unpersist(); a
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val futs = (1 to 2).map { _ =>
+      Future {
+        val pp = Preprocess.run(staggered(spark, nUnits = 120), cfg)
+        val f = AttGt.fit(pp, estMethod = "dr")
+        val a = f.att.toVector
+        f.unpersist(); pp.unpersist(); a
+      }
+    }
+    val concurrent = Await.result(Future.sequence(futs), 5.minutes)
+    watching = false
+    watcher.join()
+    assert(observed.stream().allMatch(_ == "true"),
+      "caller session conf was mutated during fit: " +
+        observed.toArray.distinct.mkString(","))
+    concurrent.foreach { a =>
+      assert(a.size == seq.size)
+      a.indices.foreach(i => assert(math.abs(a(i) - seq(i)) < 1e-12))
+    }
+  }
+
   test("DGP truth recovery: post cells match tau, pre cells are placebo") {
     val pp = Preprocess.run(
       staggered(spark, nUnits = 400, noise = 0.05), cfg)

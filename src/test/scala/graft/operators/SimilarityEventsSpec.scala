@@ -41,6 +41,27 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     pairs shouldBe Set((1L, 2L), (3L, 4L))
   }
 
+  test("cosineNearDupPairs rejects an explicit nBlocks over the byte budget") {
+    // 5 vectors x 3 dims x 8 B = 120 payload bytes; two blocks per task
+    // with nBlocks=1 => 240 B, over a 100 B budget
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, 0.9, nBlocks = 1,
+        maxTaskBlockBytes = 100L)
+    }
+    ex.getMessage should include("budget")
+    ex.getMessage should include("nBlocks")
+  }
+
+  test("cosineNearDupPairs auto-derives enough blocks for a tiny budget") {
+    // auto path must SPLIT (not reject) under the same budget, and the
+    // result must match the unconstrained run exactly
+    val tight = Similarity.cosineNearDupPairs(vecs, 0.9,
+        maxTaskBlockBytes = 100L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    tight shouldBe Set((1L, 2L), (3L, 4L))
+  }
+
   test("lshTopK: same-bucket neighbors rank exactly (recall vs brute force)") {
     val brute = Similarity.bruteForceTopK(vecs, vecs, 1,
       idCol = "vec_id").collect()
