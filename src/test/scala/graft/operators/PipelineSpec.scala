@@ -47,6 +47,36 @@ class PipelineSpec extends AnyFunSuite with Matchers with SparkSpec {
     first.getString(3) shouldBe prose(1).split(" ").take(16).mkString(" ")
   }
 
+  test("idempotence: two runs (second on a fresh session) hash identical") {
+    // guards the seeded-determinism discipline end-to-end: hash
+    // sampling thresholds, connected-component label choice, chunk
+    // boundaries — none may depend on partitioning, run order, or
+    // session state
+    val rows = (0L until 30L).map(i => (i, s"s${i % 3}", prose(i.toInt)))
+    val bench = Seq((99L, "eval", "zz yy xx ww vv uu"))
+    def run(s: org.apache.spark.sql.SparkSession): Map[String, Long] = {
+      val sq = s.implicits
+      import sq._
+      val out = Pipeline.prepareTrainingData(
+        rows.toDF("doc_id", "source", "text"),
+        bench.toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", minQuality = 0.0, maxRepetition = 1.0,
+        nJaccard = 3, jaccardThreshold = 0.5,
+        rates = Map("s0" -> 0.6, "s1" -> 0.3), defaultRate = 0.5,
+        chunkSize = 16, overlap = 4)
+      val m = out.collect()
+        .map(r => s"${r.getLong(0)}#${r.getInt(1)}" ->
+          (r.getString(3).hashCode.toLong + 31L * r.getInt(2)))
+        .toMap
+      TrackedCaches.releaseAll()
+      m
+    }
+    val first = run(spark)
+    val second = run(spark.newSession())
+    second shouldBe first
+    first should not be empty
+  }
+
   test("sampling stage thins the surviving pool deterministically") {
     val corpus = (0L until 40L).map(i => (i, s"s${i % 2}", prose(i.toInt)))
       .toSeq.toDF("doc_id", "source", "text")
