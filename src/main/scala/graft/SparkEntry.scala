@@ -441,11 +441,12 @@ object SparkEntry {
           round(expr("percentile(tc, 0.5)"), 6).as("p50_tokens"),
           round(expr("percentile(tc, 0.95)"), 6).as("p95_tokens"))),
 
-    // text analysis: rolling (order-sensitive) token-chain fingerprint
-    // (engine-specific hash; rows-only)
+    // text analysis: rolling (order-sensitive) token-chain fingerprint,
+    // md5-keyed so the fold is reproducible in DuckDB via list_reduce
+    // (the xxhash64-keyed fast flavor stays spec-pinned)
     "q_rolling_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        TextFunctions.rollingFingerprint(col("text")).as("rfp"))),
+        TextFunctions.rollingFingerprintMd5(col("text")).as("rfp"))),
 
     // text analysis: md5 document fingerprint of normalized text
     "q_fingerprint" -> ((s, dir) =>
@@ -591,9 +592,14 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.8)),
 
-    // dedup: 64-bit SimHash signatures (engine-specific hash; rows-only)
+    // dedup: SimHash signatures, md5-bit oracle flavor — the per-bit
+    // vote/sign-pack transform is pinned by DuckDB reproducing the same
+    // 64-char bit string from md5 hex nibbles (production near-dup path
+    // stays on the native XXH64 SimHash64Expr, exercised by
+    // q_simhash_neardup and the recall spec)
     "q_simhash_sig" -> ((s, dir) =>
-      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")),
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.simhashMd5(col("text")).as("sig"))),
 
     // dedup: SimHash banded near-dup pairs, Hamming <= 3 (rows-only —
     // signature hash is engine-specific; banding recall proven in spec)
@@ -730,6 +736,18 @@ object SparkEntry {
     "q_video_meta" -> ((s, dir) => {
       val ids = docs(s, dir).select(col("doc_id").as("media_id"))
       Multimodal.videoMeta(Multimodal.synthesizeVideos(ids))
+    }),
+
+    // multimodal: REAL video frame decode — synthesize frame-bearing
+    // MP4s (real PNG frames in mdat, indexed by correct stsz/stco
+    // tables), box-walk the sample table back, slice each frame's byte
+    // range, ImageIO-decode it, and pin per-frame dims/intensity to the
+    // synthesis-contract oracle. fakeDecode is unreachable here — every
+    // sample is a decodable PNG.
+    "q_frame_features" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id").as("media_id"))
+      Multimodal.videoFrameFeatures(
+        Multimodal.synthesizeVideosWithFrames(ids))
     }),
 
     // multimodal: frame-sample fan-out plan for video payloads
@@ -1246,6 +1264,32 @@ object SparkEntry {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
 
+    "q_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend('graft',
+        |      string_split_regex(lower(trim(text)), '\s+')),
+        |    (a, b) -> md5(a || '|' || b)) AS rfp
+        |FROM documents""".stripMargin,
+
+    "q_simhash_sig" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN
+        |      ((strpos('0123456789abcdef',
+        |          substr(md5(tok), b // 4 + 1, 1)) - 1)
+        |        >> (3 - b % 4)) & 1 = 1
+        |      THEN 1 ELSE -1 END) AS v
+        |  FROM toks, range(64) r(b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |             ORDER BY b) AS sig
+        |FROM votes GROUP BY doc_id""".stripMargin,
+
     "q_token_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -1509,6 +1553,17 @@ object SparkEntry {
       """SELECT doc_id AS media_id, u.f AS frame_no
         |FROM documents, UNNEST([0, 10, 20]) AS u(f)
         |WHERE doc_id % 3 = 0""".stripMargin,
+
+    // Predicts Multimodal.synthesizeVideosWithFrames' contract: per-doc
+    // frame count and each frame's PNG dims / uniform gray fill.
+    "q_frame_features" ->
+      """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_no,
+        |  CAST(8 + (doc_id + k) % 16 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id + 2 * k) % 16 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST((doc_id + 37 * k) % 256 AS DOUBLE) AS mean_intensity
+        |FROM documents, range(6) r(k)
+        |WHERE k < 3 + doc_id % 4""".stripMargin,
 
     // Predicts Multimodal.synthesizeVideos' MP4 contract.
     "q_video_meta" ->

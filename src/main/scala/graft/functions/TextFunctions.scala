@@ -192,6 +192,19 @@ object TextFunctions {
   def rollingFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(17L), (acc, tok) => xxhash64(acc, tok))
 
+  /** Cross-engine rolling fingerprint: chained md5 fold
+    * `h := md5(h || '|' || token)` seeded with "graft" — order-sensitive
+    * like [[rollingFingerprint]] but reproducible on any SQL engine with
+    * `md5(text) -> hex` (DuckDB `list_reduce`), so the oracle harness
+    * pins it. Use the xxhash64 flavor when throughput matters (no
+    * per-token digest allocation). */
+  def rollingFingerprintMd5(c: Column): Column =
+    aggregate(tokens(c), lit("graft"),
+      (acc, tok) => md5(concat(acc, lit("|"), tok)))
+
+  /** Cross-engine SimHash bit-string flavor (see [[SimHashMd5Expr]]). */
+  def simhashMd5(c: Column): Column = SimHashMd5Expr.simhashMd5(tokens(c))
+
   /** Distinct word n-gram shingles (empty array when too few tokens). */
   def wordShingles(c: Column, n: Int): Column = {
     val t = tokens(c)

@@ -346,11 +346,219 @@ object Multimodal {
     spark.createDataFrame(out, videoMetaSchema)
   }
 
-  /** STUB decoder for video FRAME features (pixel decode needs a
-    * demuxer+codec the JDK lacks — container metadata is real, see
-    * `mp4Meta`) and for image payloads ImageIO rejects. Deterministic in
-    * the payload bytes so tests and reruns are stable: "dimensions" come
-    * from a byte-sum hash, "intensity" is the mean byte value. */
+  // ---- MP4 sample tables: real stsz/stco-driven frame extraction ------
+
+  /** Big-endian box writer: children are byte arrays, the wrapper
+    * prepends [size:u32][type:4cc]. */
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val total = 8 + payload.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+    out.putInt(total)
+    out.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    payload.foreach(out.put)
+    out.array()
+  }
+  private def be32(vs: Int*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(b.putInt)
+    b.array()
+  }
+  private def be16(vs: Int*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 * vs.length)
+    vs.foreach(v => b.putShort(v.toShort))
+    b.array()
+  }
+
+  /** Encode a REAL ISO-BMFF MP4 whose `mdat` carries the given frame
+    * payloads (one sample per chunk) indexed by CORRECT `stsz`/`stco`
+    * sample tables, with the full standard box path
+    * ftyp | mdat | moov( mvhd, trak( tkhd, mdia( mdhd, hdlr,
+    * minf( vmhd, dinf/dref, stbl( stsd['png '], stts, stsc, stsz,
+    * stco ))))). Layout is mdat-before-moov (the classic non-faststart
+    * file order) so chunk offsets are known before the index is
+    * written. Any box-walking demuxer can locate and extract the
+    * samples; ours does in [[videoFrameFeatures]]. */
+  def syntheticMp4WithFrames(timescale: Int, durationTicks: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes, be32(0), "isomiso2".getBytes)
+    val mdat = mp4Box("mdat", frames: _*)
+    // absolute file offset of each sample: ftyp + mdat header + cumsum
+    val offsets = frames.scanLeft(ftyp.length + 8L)(_ + _.length).init
+    val n = frames.length
+    val mvhd = mp4Box("mvhd", be32(0, 0, 0, timescale, durationTicks,
+      0x00010000), be16(0x0100, 0), be32(0, 0),
+      be32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      be32(0, 0, 0, 0, 0, 0), be32(2))
+    // nominal track/codec dims: real dims live in each frame's own
+    // payload (PNG IHDR); demuxers treat these as presentation hints
+    val nomDim = 16
+    val tkhd = mp4Box("tkhd", be32(0x000007, 0, 0, 1, 0, durationTicks),
+      be32(0, 0), be16(0, 0, 0, 0),
+      be32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      be32(nomDim << 16, nomDim << 16))
+    val mdhd = mp4Box("mdhd", be32(0, 0, 0, timescale, durationTicks),
+      be16(0x55C4, 0)) // language 'und'
+    val hdlr = mp4Box("hdlr", be32(0, 0), "vide".getBytes,
+      be32(0, 0, 0), Array[Byte](0))
+    val vmhd = mp4Box("vmhd", be32(0x000001), be16(0, 0, 0, 0))
+    val dinf = mp4Box("dinf", mp4Box("dref", be32(0, 1),
+      mp4Box("url ", be32(0x000001)))) // self-contained
+    val sampleEntry = mp4Box("png ",
+      Array.fill[Byte](6)(0), be16(1), // reserved + data_ref_index
+      be16(0, 0), be32(0, 0, 0), // pre_defined/reserved
+      be16(nomDim, nomDim), be32(0x00480000, 0x00480000, 0), be16(1),
+      Array.fill[Byte](32)(0), be16(0x0018, -1)) // depth 24, pre_defined
+    val stsd = mp4Box("stsd", be32(0, 1), sampleEntry)
+    val stts = mp4Box("stts", be32(0, 1, n,
+      if (n == 0) 0 else durationTicks / n))
+    val stsc = mp4Box("stsc", be32(0, 1, 1, 1, 1))
+    val stsz = mp4Box("stsz", be32(0 +: 0 +: n +:
+      frames.map(_.length): _*))
+    val stco = mp4Box("stco", be32(0 +: n +:
+      offsets.map(_.toInt): _*))
+    val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = mp4Box("minf", vmhd, dinf, stbl)
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val moov = mp4Box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** REAL MP4 sample-table parse: descends
+    * moov → trak → mdia → minf → stbl, reads `stsz` (per-sample byte
+    * sizes) and `stco` (absolute chunk offsets; one-sample-per-chunk
+    * and multi-sample chunks both resolve since sizes are cumulative
+    * within a chunk only when stsc says so — here we support the
+    * one-sample-per-chunk layout every synthesized file uses and the
+    * common case stco.count == stsz.count). Returns per-sample
+    * (offset, size) or None when the container carries no parseable
+    * sample table. */
+  private[multimodal] def frameTable(bytes: Array[Byte])
+      : Option[Array[(Long, Int)]] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // find the first child box of `typ` within [from, to)
+    def child(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val size32 = u32(off)
+        val (hdrLen, size): (Int, Long) =
+          if (size32 == 1L) {
+            if (off + 16 > to) return None
+            (16, (u32(off + 8) << 32) | u32(off + 12))
+          } else if (size32 == 0L) (8, (to - off).toLong)
+          else (8, size32)
+        if (size < hdrLen || off + size > to) return None
+        if (fourcc(off + 4) == typ)
+          return Some((off + hdrLen, off + size.toInt))
+        off += size.toInt
+      }
+      None
+    }
+    try {
+      val stbl = for {
+        moov <- child(0, bytes.length, "moov")
+        trak <- child(moov._1, moov._2, "trak")
+        mdia <- child(trak._1, trak._2, "mdia")
+        minf <- child(mdia._1, mdia._2, "minf")
+        stbl <- child(minf._1, minf._2, "stbl")
+      } yield stbl
+      stbl.flatMap { case (s0, s1) =>
+        for {
+          sz <- child(s0, s1, "stsz")
+          co <- child(s0, s1, "stco")
+          fixed = u32(sz._1 + 4) // nonzero => constant sample size
+          nSz = u32(sz._1 + 8).toInt
+          nCo = u32(co._1 + 4).toInt
+          if nSz == nCo && nSz >= 0 && co._1 + 8 + 4L * nCo <= co._2 &&
+            (fixed != 0L || sz._1 + 12 + 4L * nSz <= sz._2)
+        } yield Array.tabulate(nSz) { i =>
+          val size =
+            if (fixed != 0L) fixed.toInt else u32(sz._1 + 12 + 4 * i).toInt
+          (u32(co._1 + 8 + 4 * i), size)
+        }
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Extracted per-frame feature schema (`videoFrameFeatures`). */
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false)))
+
+  /** REAL video frame-feature extraction: box-walk the MP4's
+    * `stsz`/`stco` sample tables ([[frameTable]]), slice each sample's
+    * byte range out of `mdat`, and decode it with the SAME ImageIO path
+    * image payloads use. Frames whose payloads carry a compressed video
+    * codec ImageIO cannot decode (H.264 etc. — the JDK ships no codec)
+    * degrade per-frame to the labeled [[fakeDecode]] stub; files with
+    * no parseable sample table yield no rows. Per-partition batch, no
+    * shuffle, no collect — same distributed shape as
+    * [[decodeFeatures]]. */
+  def videoFrameFeatures(media: DataFrame, everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val spark = media.sparkSession
+    val out = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        frameTable(bytes).toSeq.flatMap { samples =>
+          samples.indices.by(everyNth).flatMap { k =>
+            val (off, len) = samples(k)
+            if (off < 0 || off + len > bytes.length) None
+            else {
+              val frame = java.util.Arrays.copyOfRange(
+                bytes, off.toInt, off.toInt + len)
+              val (w, h, ch, mean) = imageDecode(frame)
+                .getOrElse(fakeDecode("video", frame))
+              Some(Row(id, k, w, h, ch, math.rint(mean * 1e6) / 1e6))
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, frameFeatureSchema)
+  }
+
+  /** Deterministic media frame of REAL frame-bearing MP4 payloads keyed
+    * by `media_id`: n_frames = 3 + id % 4; frame k is a uniform-gray PNG
+    * with width = 8 + (id + k) % 16, height = 8 + (id + 2k) % 16, gray
+    * (= exact mean intensity) = (id + 37k) % 256; movie timescale /
+    * duration follow [[synthesizeVideos]]'s contract. The derivation is
+    * what the DuckDB oracle for `q_frame_features` predicts. */
+  def synthesizeVideosWithFrames(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val frames = (0 until (3 + (id % 4)).toInt).map { k =>
+            syntheticPng(8 + ((id + k) % 16).toInt,
+              8 + ((id + 2 * k) % 16).toInt, ((id + 37 * k) % 256).toInt)
+          }
+          val bytes = syntheticMp4WithFrames(600 + (id % 10).toInt * 100,
+            1200 + (id % 600).toInt, frames)
+          Row(id, "video", bytes, null)
+        }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** STUB decoder for video FRAME payloads that carry a compressed
+    * codec (H.264 etc. — the JDK ships no video codec; PNG/JPEG frames
+    * indexed by real sample tables decode for real, see
+    * [[videoFrameFeatures]]) and for image payloads ImageIO rejects.
+    * Deterministic in the payload bytes so tests and reruns are stable:
+    * "dimensions" come from a byte-sum hash, "intensity" is the mean
+    * byte value. */
   private[multimodal] def fakeDecode(kind: String, bytes: Array[Byte])
       : (Int, Int, Int, Double) = {
     val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))
@@ -370,8 +578,11 @@ object Multimodal {
   /** Per-partition batch decode: the Spark-side pattern for expensive
     * per-record native work — one iterator pass, no driver collect, no
     * shuffle; output is a fresh DataFrame with `featureSchema`. Images
-    * go through the real ImageIO decoder; audio/video (and undecodable
-    * image bytes) take the deterministic stub. */
+    * go through the real ImageIO decoder; video payloads with a
+    * parseable sample table report their FIRST frame's real features
+    * (the pipeline-level thumbnail/probe convention); only
+    * codec-bearing frames and undecodable payloads take the
+    * deterministic stub. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select("media_id", "kind", "bytes").rdd.mapPartitions {
@@ -380,9 +591,18 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val (w, h, ch, mean) =
-            (if (kind == "image") imageDecode(bytes) else None)
-              .getOrElse(fakeDecode(kind, bytes))
+          val real = kind match {
+            case "image" => imageDecode(bytes)
+            case "video" =>
+              frameTable(bytes).filter(_.nonEmpty).flatMap { samples =>
+                val (off, len) = samples(0)
+                if (off < 0 || off + len > bytes.length) None
+                else imageDecode(java.util.Arrays.copyOfRange(
+                  bytes, off.toInt, off.toInt + len))
+              }
+            case _ => None
+          }
+          val (w, h, ch, mean) = real.getOrElse(fakeDecode(kind, bytes))
           Row(id, kind, bytes.length, w, h, ch,
             math.rint(mean * 1e6) / 1e6)
         }

@@ -57,6 +57,33 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     a should not be c
   }
 
+  test("rollingFingerprintMd5 matches an independent md5 chain fold") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Seq("alpha", "beta", "gamma")
+      .foldLeft("graft")((acc, tok) => md5hex(acc + "|" + tok))
+    one(TextFunctions.rollingFingerprintMd5(col("t")),
+      "Alpha  beta\tGAMMA") shouldBe expected
+    one(TextFunctions.rollingFingerprintMd5(col("t")), "gamma beta alpha")
+      .asInstanceOf[String] should not be expected
+  }
+
+  test("simhashMd5: single token sig = first 64 md5 bits; bag-invariant") {
+    def md5bits64(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 64).map(b => (d(b >> 3) >> (7 - (b & 7))) & 1).mkString
+    }
+    // one token: every bit's vote is +-1, so sig IS the token's hash bits
+    one(TextFunctions.simhashMd5(col("t")), "Spark")
+      .shouldBe(md5bits64("spark"))
+    val ab = one(TextFunctions.simhashMd5(col("t")), "alpha beta")
+    ab shouldBe one(TextFunctions.simhashMd5(col("t")), "beta alpha")
+    ab.asInstanceOf[String] should have length 64
+    ab.asInstanceOf[String] should fullyMatch regex "[01]{64}"
+  }
+
   test("fingerprint is whitespace/case-insensitive md5") {
     val a = one(TextFunctions.fingerprint(col("t")), "Hello   World")
     val b = one(TextFunctions.fingerprint(col("t")), "hello world")

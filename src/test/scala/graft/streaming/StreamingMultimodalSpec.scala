@@ -247,6 +247,83 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
           map(lit("k"), lit("v")).as("meta"))).count() shouldBe 0L
   }
 
+  private def mediaOf(id: Long, kind: String, bytes: Array[Byte]) =
+    Seq(id).toDF("media_id")
+      .select(col("media_id"), lit(kind).as("kind"),
+        lit(bytes).as("bytes"), map(lit("k"), lit("v")).as("meta"))
+
+  test("syntheticMp4WithFrames: stsz/stco index real PNG frames that " +
+      "decode back exactly") {
+    val frames = Seq(
+      Multimodal.syntheticPng(10, 7, 40),
+      Multimodal.syntheticPng(12, 9, 200),
+      Multimodal.syntheticPng(8, 8, 0))
+    val mp4 = Multimodal.syntheticMp4WithFrames(700, 2100, frames)
+    // container metadata still parses through the mvhd walker
+    val meta = Multimodal.videoMeta(mediaOf(5L, "video", mp4))
+      .collect().head
+    (meta.getLong(1), meta.getLong(2)) shouldBe ((700L, 2100L))
+    // per-frame decode is the REAL ImageIO path: exact dims + gray of
+    // each PNG prove the stsz/stco slicing is byte-exact (one corrupt
+    // boundary byte would break the PNG CRC and fall to the stub)
+    val feats = Multimodal.videoFrameFeatures(mediaOf(5L, "video", mp4))
+      .orderBy("frame_no").collect()
+    feats.map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getDouble(5))).toSeq shouldBe Seq(
+      (0, 10, 7, 3, 40.0), (1, 12, 9, 3, 200.0), (2, 8, 8, 3, 0.0))
+  }
+
+  test("videoFrameFeatures: everyNth sampling; no table => no rows") {
+    val frames = (0 until 6).map(g => Multimodal.syntheticPng(8, 8, g * 10))
+    val mp4 = Multimodal.syntheticMp4WithFrames(600, 1200, frames)
+    val sampled = Multimodal
+      .videoFrameFeatures(mediaOf(1L, "video", mp4), everyNth = 2)
+      .orderBy("frame_no").collect()
+    sampled.map(_.getInt(1)).toSeq shouldBe Seq(0, 2, 4)
+    sampled.map(_.getDouble(5)).toSeq shouldBe Seq(0.0, 20.0, 40.0)
+    // metadata-only MP4 (no trak/stbl) and junk both yield zero rows
+    val metaOnly = Multimodal.syntheticMp4(600, 1200)
+    Multimodal.videoFrameFeatures(mediaOf(2L, "video", metaOnly))
+      .count() shouldBe 0L
+    Multimodal.videoFrameFeatures(
+      mediaOf(3L, "video", "junk".getBytes)).count() shouldBe 0L
+  }
+
+  test("videoFrameFeatures: codec-bearing samples degrade to the stub") {
+    val codecFrame = Array.tabulate[Byte](64)(i => (i * 7).toByte) // no PNG magic
+    val mp4 = Multimodal.syntheticMp4WithFrames(600, 600, Seq(codecFrame))
+    val r = Multimodal.videoFrameFeatures(mediaOf(4L, "video", mp4))
+      .collect()
+    r.length shouldBe 1
+    r.head.getInt(1) shouldBe 0
+    // the stub's "intensity" is the mean byte value of the frame payload
+    r.head.getDouble(5) shouldBe
+      (codecFrame.map(b => (b & 0xFF).toDouble).sum / 64 +- 1e-4)
+  }
+
+  test("decodeFeatures reports the first frame's REAL features for video") {
+    val frames = Seq(Multimodal.syntheticPng(14, 6, 99),
+      Multimodal.syntheticPng(8, 8, 1))
+    val mp4 = Multimodal.syntheticMp4WithFrames(600, 1200, frames)
+    val r = Multimodal.decodeFeatures(mediaOf(9L, "video", mp4))
+      .collect().head
+    (r.getInt(3), r.getInt(4), r.getInt(5)) shouldBe ((14, 6, 3))
+    r.getDouble(6) shouldBe 99.0 +- 1e-9
+  }
+
+  test("synthesizeVideosWithFrames honors the oracle contract") {
+    val ids = Seq(0L, 5L, 123L).toDF("media_id")
+    val feats = Multimodal.videoFrameFeatures(
+      Multimodal.synthesizeVideosWithFrames(ids)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    for (id <- Seq(0L, 5L, 123L); k <- 0 until (3 + (id % 4)).toInt) {
+      feats((id, k)) shouldBe ((8 + ((id + k) % 16).toInt,
+        8 + ((id + 2 * k) % 16).toInt, 3, ((id + 37 * k) % 256).toDouble))
+    }
+    feats.size shouldBe Seq(0L, 5L, 123L).map(id => 3 + (id % 4)).sum
+  }
+
   test("audioFeatures honors 8-bit PCM instead of misreading byte pairs") {
     // regression: mean_abs was always computed as 16-bit byte pairs, so
     // an 8-bit WAV produced garbage amplitude with no error
