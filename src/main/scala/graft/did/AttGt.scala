@@ -273,6 +273,12 @@ object AttGt {
     import spark.implicits._
     val lf = longForm(pp, cells)
 
+    // the stat pass reduces to K = #cells rows — a handful of reduce
+    // partitions is right at any scale (internal session clone;
+    // restored before the rowid-level IF aggregation below)
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
     def bucket(dv: Int, pv: Int): Column =
       (col("d") === dv) && (col("pst") === pv)
     def wsum(dv: Int, pv: Int): Column =
@@ -335,21 +341,33 @@ object AttGt {
       if (!c.zeroCell && !seen(c.idx)) skipped(c.idx) = true
     }
 
-    val constDF = cells.filterNot(c => c.zeroCell || skipped(c.idx)).map { c =>
-      val (m11, m10, m01, m00, k11, k10, k01, k00) = consts(c.idx)
-      (c.idx, m11, m10, m01, m00, k11, k10, k01, k00)
-    }.toDF("cell", "m11", "m10", "m01", "m00", "k11", "k10", "k01", "k00")
+    val liveCells = cells.filterNot(c => c.zeroCell || skipped(c.idx))
+      .map(_.idx)
+    val constMap: Seq[(String, Int => Any)] = Seq(
+      "m11" -> (i => consts(i)._1), "m10" -> (i => consts(i)._2),
+      "m01" -> (i => consts(i)._3), "m00" -> (i => consts(i)._4),
+      "k11" -> (i => consts(i)._5), "k10" -> (i => consts(i)._6),
+      "k01" -> (i => consts(i)._7), "k00" -> (i => consts(i)._8))
 
-    val ifRows = lf.join(broadcast(constDF), "cell")
-      .withColumn("inf",
-        col("w1") * (
-          when(bucket(1, 1), col("k11") * (col("yy") - col("m11")))
-            .when(bucket(1, 0), col("k10") * (col("yy") - col("m10")))
-            .when(bucket(0, 1), col("k01") * (col("yy") - col("m01")))
-            .otherwise(col("k00") * (col("yy") - col("m00")))))
-      .groupBy(col("rowid").cast("string").as("rowid"), col("cell"))
-      .agg(sum("inf").as("inf"))
-      .select("rowid", "cell", "inf")
+    spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+
+    // The groupBy is REAL aggregation, not dedup: in the default
+    // unbalanced-panel-as-RC regime rowid := unit id, so a unit's pre-
+    // and post-period rows in the same cell must SUM into one unit-level
+    // IF entry (n = #units; sum(inf^2) SEs depend on it).
+    val ifRows =
+      if (liveCells.isEmpty)
+        Seq.empty[(String, Int, Double)].toDF("rowid", "cell", "inf")
+      else CellConsts.withConsts(lf, liveCells, constMap)
+        .withColumn("inf",
+          col("w1") * (
+            when(bucket(1, 1), col("k11") * (col("yy") - col("m11")))
+              .when(bucket(1, 0), col("k10") * (col("yy") - col("m10")))
+              .when(bucket(0, 1), col("k01") * (col("yy") - col("m01")))
+              .otherwise(col("k00") * (col("yy") - col("m00")))))
+        .groupBy(col("rowid").cast("string").as("rowid"), col("cell"))
+        .agg(sum("inf").as("inf"))
+        .select("rowid", "cell", "inf")
 
     (att, post, skipped, ifRows)
   }

@@ -63,6 +63,14 @@ private[did] object DistributedPanel {
       (0 until p).map(j => sum(wC * xj(j)).as(s"gvC_$j"))
     val p0 = lf.groupBy("cell").agg(p0Aggs.head, p0Aggs.tail: _*)
       .collect().map(r => r.getInt(0) -> r).toMap
+    // Every remaining pass reduces to K = #cells rows; a handful of
+    // reduce partitions is right at any scale (map-side partial aggs do
+    // the work; AQE would coalesce, but it's off here). Set only AFTER
+    // pass 0 — ITS action also materializes `lf`, whose lineage carries
+    // the rowid-level pivot shuffle that needs data-sized partitioning.
+    // The session is the fit's internal clone; restored before return.
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     def p0d(i: Int, name: String): Double =
       p0(i).getDouble(p0(i).fieldIndex(name))
     def p0Gram(i: Int, prefix: String): DenseMatrix[Double] = {
@@ -93,27 +101,14 @@ private[did] object DistributedPanel {
     }
     if (live.isEmpty) {
       lf.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
       return (att, post, skipped,
         Seq.empty[(String, Int, Double)].toDF("rowid", "cell", "inf"),
         Some(Array.fill(nCells)(0.0)))
     }
 
-    def constDF(colsMap: Seq[(String, Int => Any)]): DataFrame = {
-      val rows = live.map(i => Row.fromSeq(i +: colsMap.map(_._2(i))))
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType) +:
-        colsMap.map { case (nm, fn) =>
-          val dt = fn(live.head) match {
-            case _: Double => org.apache.spark.sql.types.DoubleType
-            case _: Seq[_] => org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)
-            case o => throw new IllegalStateException(o.getClass.toString)
-          }
-          org.apache.spark.sql.types.StructField(nm, dt)
-        })
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    }
+    // per-cell constants ride the plan as literal maps (CellConsts):
+    // no broadcast job per pass
     def dotArr(arr: Column): Column =
       (0 until p).map(j => xj(j) * element_at(arr, j + 1)).reduce(_ + _)
 
@@ -142,8 +137,6 @@ private[did] object DistributedPanel {
         pending = still.result()
       }
       while (iter < 50 && pending.nonEmpty) {
-        val cdf = constDF(Seq("mw" -> (i => meanW(i)),
-          "gam" -> (i => gamma(i).toArray.toSeq)))
         val iw = col("w1") / col("mw")
         val mu = lit(1.0) / (lit(1.0) + exp(-dotArr(col("gam"))))
         val s = iw * mu * (lit(1.0) - mu)
@@ -152,10 +145,9 @@ private[did] object DistributedPanel {
           (for (j <- 0 until p; k <- j until p)
             yield sum(s * xj(j) * xj(k)).as(s"h_${j}_$k")) ++
           (0 until p).map(j => sum(z * xj(j)).as(s"g_$j"))
-        val lfIter =
-          if (pending.size == live.size) lf
-          else lf.filter(col("cell").isin(pending: _*))
-        val rows = lfIter.join(broadcast(cdf), "cell")
+        val rows = CellConsts.withConsts(lf, pending, Seq(
+            "mw" -> (i => meanW(i)),
+            "gam" -> (i => gamma(i).toArray.toSeq)))
           .groupBy("cell").agg(aggs.head, aggs.tail: _*)
           .collect().map(r => r.getInt(0) -> r).toMap
         val hb = Map.newBuilder[Int, DenseMatrix[Double]]
@@ -195,9 +187,10 @@ private[did] object DistributedPanel {
     }
 
     // ---- moment pass ---------------------------------------------------
-    val momCdf = constDF(Seq("mw" -> (i => meanW(i)),
+    val momConsts: Seq[(String, Int => Any)] = Seq(
+      "mw" -> (i => meanW(i)),
       "gam" -> (i => gamma(i).toArray.toSeq),
-      "bDel" -> (i => bDelta(i).toArray.toSeq)))
+      "bDel" -> (i => bDelta(i).toArray.toSeq))
     val iw = col("w1") / col("mw")
     val one = lit(1.0)
     def ps: Column =
@@ -225,7 +218,7 @@ private[did] object DistributedPanel {
         sum(wTreat * xj(j)).as(s"mT_$j"),
         sum(wCont * xj(j)).as(s"mC_$j"),
         sum(wCont * contTarget * xj(j)).as(s"mCt_$j")))
-    val momRows = lf.join(broadcast(momCdf), "cell")
+    val momRows = CellConsts.withConsts(lf, live, momConsts)
       .groupBy("cell").agg(momAggs.head, momAggs.tail: _*)
       .collect().map(r => r.getInt(0) -> r).toMap
 
@@ -262,14 +255,12 @@ private[did] object DistributedPanel {
     }
 
     // ---- final pass: per-row IF (with the n/n1 rescale) ----------------
-    val cdf = constDF(Seq(
-      "mw" -> (i => meanW(i)),
-      "gam" -> (i => gamma(i).toArray.toSeq),
-      "bDel" -> (i => bDelta(i).toArray.toSeq),
+    val ifConsts: Seq[(String, Int => Any)] = momConsts ++ Seq[
+        (String, Int => Any)](
       "etaT" -> (i => kk(i).etaT), "etaC" -> (i => kk(i).etaC),
       "mwT" -> (i => kk(i).mwT), "mwC" -> (i => kk(i).mwC),
       "uWols" -> (i => kk(i).uWols), "uPs" -> (i => kk(i).uPs),
-      "scale" -> (i => nTotal.toDouble / n1(i))))
+      "scale" -> (i => nTotal.toDouble / n1(i)))
 
     val wolsScore = iw * (one - col("dd")) * (col("dy") - outDelta)
     val psScore = iw * (col("dd") - ps)
@@ -283,15 +274,19 @@ private[did] object DistributedPanel {
     }
     // Materialize off the cached lf before dropping it (see DistributedRc);
     // the materializing action doubles as the analytic-SE aggregation.
-    val ifRows = lf.join(broadcast(cdf), "cell")
+    // (rowid, cell) is UNIQUE here — panelWide already pivoted to one
+    // row per (unit, cell) — so the IF table is a pure projection; a
+    // groupBy(rowid, cell) would be an identity aggregation costing a
+    // full O(rows) shuffle.
+    val ifRows = CellConsts.withConsts(lf, live, ifConsts)
       .select(col("rowid"), col("cell"),
         ((infBase + infNuis) * col("scale")).as("inf"))
-      .groupBy("rowid", "cell").agg(sum("inf").as("inf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seSS = Array.fill(nCells)(0.0)
     ifRows.groupBy("cell").agg(sum(col("inf") * col("inf")).as("ss"))
       .collect().foreach(r => seSS(r.getInt(0)) = r.getDouble(1))
     lf.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
 
     (att, post, skipped, ifRows, Some(seSS))
   }

@@ -74,6 +74,17 @@ private[did] object DistributedRc {
     val p = covs.length
     val nCells = cells.length
 
+    // Every stat pass below reduces to K = #cells rows; map-side partial
+    // aggregation does the real work, so a handful of reduce partitions
+    // is right at ANY input scale — 32 mostly-empty reducers just add
+    // task-launch latency per pass (AQE would coalesce them, but it's
+    // off here for its per-job planning cost). The session is the fit's
+    // internal clone (single-threaded by construction), so the toggle
+    // can't leak: restored before the rowid-level IF aggregation, which
+    // DOES need data-sized partitioning.
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
     // Every pass below (bucket counts, each IRLS Newton step, the WLS
     // Grams, the moment pass, the final IF pass) scans this frame; without
     // the persist each scan re-executes the broadcast grid join and
@@ -83,7 +94,8 @@ private[did] object DistributedRc {
       col("d").cast("double").as("dd"),
       col("pst").cast("double").as("pp")) ++ covs.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (debug) System.err.println(s"[rc] lf rows: ${timed("lf-mat")(lf.count())}")
+    if (debug) System.err.println(s"[rc] lf rows: ${timed("lf-mat")(lf.count())} " +
+      s"partitions: ${lf.rdd.getNumPartitions}")
 
     def xj(j: Int): Column = col(covs(j))
 
@@ -143,29 +155,14 @@ private[did] object DistributedRc {
 
     if (live.isEmpty) {
       lf.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
       val empty = Seq.empty[(String, Int, Double)]
         .toDF("rowid", "cell", "inf")
       return (att, post, skipped, empty, Some(Array.fill(nCells)(0.0)))
     }
 
-    // constants joined per cell; `iw` is the mean-normalized weight
-    def constDF(colsMap: Seq[(String, Int => Any)]): DataFrame = {
-      val rows = live.map(i => Row.fromSeq(i +: colsMap.map(_._2(i))))
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType) +:
-        colsMap.map { case (nm, fn) =>
-          val dt = fn(live.head) match {
-            case _: Double => org.apache.spark.sql.types.DoubleType
-            case _: Seq[_] => org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)
-            case other => throw new IllegalStateException(other.getClass.toString)
-          }
-          org.apache.spark.sql.types.StructField(nm, dt)
-        })
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-    }
+    // per-cell constants ride the plan as literal maps (CellConsts):
+    // no broadcast job per pass; `iw` is the mean-normalized weight
 
     def dotArr(arr: Column): Column =
       (0 until p).map(j => xj(j) * element_at(arr, j + 1)).reduce(_ + _)
@@ -203,9 +200,6 @@ private[did] object DistributedRc {
       }
       // remaining Newton passes scan only the straggler cells' rows
       while (iter < 50 && pending.nonEmpty) {
-        val cdf = constDF(Seq(
-          "mw" -> (i => meanW(i)),
-          "gam" -> (i => gamma(i).toArray.toSeq)))
         val iw = col("w1") / col("mw")
         val mu = lit(1.0) / (lit(1.0) + exp(-dotArr(col("gam"))))
         val s = iw * mu * (lit(1.0) - mu)
@@ -214,11 +208,10 @@ private[did] object DistributedRc {
           (for (j <- 0 until p; k <- j until p)
             yield sum(s * xj(j) * xj(k)).as(s"h_${j}_$k")) ++
           (0 until p).map(j => sum(z * xj(j)).as(s"g_$j"))
-        val lfIter =
-          if (pending.size == live.size) lf
-          else lf.filter(col("cell").isin(pending: _*))
         val rows = timed(s"irls#$iter")(
-          lfIter.join(broadcast(cdf), "cell")
+          CellConsts.withConsts(lf, pending, Seq(
+              "mw" -> (i => meanW(i)),
+              "gam" -> (i => gamma(i).toArray.toSeq)))
             .groupBy("cell").agg(aggs.head, aggs.tail: _*)
             .collect().map(r => r.getInt(0) -> r).toMap)
         val hessB = Map.newBuilder[Int, DenseMatrix[Double]]
@@ -275,14 +268,15 @@ private[did] object DistributedRc {
     }
 
     // ---- shared row-level building blocks -----------------------------
-    def constants(extra: Seq[(String, Int => Any)]): DataFrame =
-      constDF(Seq[(String, Int => Any)](
+    def constants(extra: Seq[(String, Int => Any)])
+        : Seq[(String, Int => Any)] =
+      Seq[(String, Int => Any)](
         "mw" -> (i => meanW(i)),
         "gam" -> (i => gamma(i).toArray.toSeq),
         "bT1" -> (i => beta(i)("T1").toArray.toSeq),
         "bT0" -> (i => beta(i)("T0").toArray.toSeq),
         "bC1" -> (i => beta(i)("C1").toArray.toSeq),
-        "bC0" -> (i => beta(i)("C0").toArray.toSeq)) ++ extra)
+        "bC0" -> (i => beta(i)("C0").toArray.toSeq)) ++ extra
 
     val iw = col("w1") / col("mw")
     val one = lit(1.0)
@@ -347,9 +341,8 @@ private[did] object DistributedRc {
           Moment(s"m2_$j", wD * (one - col("pp")) * xj(j))))
     }
     val momRows = timed("moments") {
-      val cdf = constants(Nil)
       val aggs = moments.map(m => sum(m.c).as(m.name))
-      lf.join(broadcast(cdf), "cell").groupBy("cell")
+      CellConsts.withConsts(lf, live, constants(Nil)).groupBy("cell")
         .agg(aggs.head, aggs.tail: _*)
         .collect().map(r => r.getInt(0) -> r).toMap
     }
@@ -516,7 +509,15 @@ private[did] object DistributedRc {
     // would force one more uncached grid-join execution. The
     // materializing action doubles as the analytic-SE aggregation
     // (sum of squared IFs per cell), so the caller pays no extra pass.
-    val ifRows = lf.join(broadcast(cdf), "cell")
+    // rowid-level shuffle ahead: back to data-sized partitioning (also
+    // inherited by the bootstrap's downstream scans of ifRows)
+    spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+
+    // The groupBy is REAL aggregation, not dedup: in the default
+    // unbalanced-panel-as-RC regime rowid := unit id, so a unit's pre-
+    // and post-period rows in the same cell must SUM into one
+    // unit-level IF entry (sum(inf^2) SEs depend on it).
+    val ifRows = CellConsts.withConsts(lf, live, cdf)
       .select(col("rowid"), col("cell"), infCol.as("inf"))
       .groupBy("rowid", "cell").agg(sum("inf").as("inf"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -53,6 +53,11 @@ object Preprocess {
   private def runInner(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
     val spark = data.sparkSession
     import cfg._
+    // NOTE: no shuffle-partition toggle here, deliberately — the
+    // caller's input plan may carry shuffles (e.g. a window-built panel
+    // view), and the FIRST action below materializes the projected
+    // cache, which would pin that lineage at the reduced partition
+    // count and serialize every downstream pass over pp.df.
 
     // Project role columns; synthesize _w / _intercept (ATTgt.py:74-98).
     // Persist the projected frame IMMEDIATELY: every subsequent action

@@ -61,6 +61,22 @@ class DistributedRcSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("balanced-panel IF table is a projection: unique (rowid, cell)") {
+    // DistributedPanel skips the groupBy(rowid, cell) on the strength
+    // of panelWide's pivot (one row per unit per cell); a duplicate
+    // would silently break sum(inf^2) analytic SEs. (The RC regime is
+    // the opposite: rowid := unit id there, a unit's pre+post rows MUST
+    // aggregate — its groupBy stays.)
+    val ppP = Preprocess.run(staggered(spark, nUnits = 150, noise = 0.1),
+      cfg.copy(xfmla = Some("y ~ x1 + x2"), allowUnbalancedPanel = false))
+    val fit = AttGt.fit(ppP)
+    val dups = fit.ifTable.groupBy("rowid", "cell")
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count()
+    assert(dups == 0L, s"$dups duplicate (rowid, cell) IF entries")
+    fit.unpersist(); ppP.unpersist()
+  }
+
   test("driver-collect guard trips BEFORE collect with a byte estimate") {
     val ex = intercept[IllegalArgumentException] {
       AttGt.fit(pp, estMethod = "dr",
