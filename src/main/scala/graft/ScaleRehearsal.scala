@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.did.{AttGt, Preprocess}
+import graft.operators.{Dedup, Graph}
+
+/** Fresh-DGP scale rehearsal (VERDICT r3 #7): measures the dedup suite
+  * and the cold DiD fit on a SEEDED synthetic corpus generated at two
+  * scales (1x ~ sf0.1-sized, 10x ~ sf1-sized) and prints per-operator
+  * wall times plus scaling exponents log10(t10/t1).
+  *
+  * Unlike the r3 rehearsal (sf0.1 replicated 10x under a bijective word
+  * substitution — exact structure preservation, but document-frequency
+  * mass identical per copy), this corpus is drawn fresh from a DGP with
+  * realistic distributions:
+  *
+  *  - vocabulary hit by an inverse-CDF log-uniform draw (P(k) ~ 1/k,
+  *    i.e. Zipf s=1): a stopword-like head shared by all topics plus a
+  *    topic-local tail, so shingle document frequencies have the heavy
+  *    skew PPJoin's prefix filter and maxDf cap are designed for;
+  *  - lognormal document lengths (median ~75 tokens, capped 20..400);
+  *  - 3% exact duplicates and 4% near-duplicates with token-mutation
+  *    rates drawn from [3%, 15%], so pair Jaccard straddles the 0.8
+  *    threshold instead of clustering at one value;
+  *  - a staggered DiD panel (10 periods, 4 cohorts + never-treated,
+  *    unit/time effects + noise) sized 80k rows at 1x, 800k at 10x.
+  *
+  * Every row derives from a splitmix64 stream keyed by its id — fully
+  * deterministic, partition-invariant, no driver-side generation. Run:
+  * `sbt "runMain graft.ScaleRehearsal"` (args: custom doc counts).
+  */
+object ScaleRehearsal {
+
+  // splitmix64: the id-keyed seed scrambler (public-domain constant)
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private final class Rng(seed: Long) {
+    private var s = seed
+    def nextLong(): Long = { s += 0x9E3779B97F4A7C15L; mix(s) }
+    def nextDouble(): Double = (nextLong() >>> 11) / (1L << 53).toDouble
+    def nextInt(n: Int): Int = ((nextLong() >>> 1) % n).toInt
+    def nextGaussian(): Double = {
+      // Box-Muller on two uniforms — no state pairing needed here
+      val u1 = math.max(nextDouble(), 1e-300)
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * nextDouble())
+    }
+  }
+
+  /** log-uniform index in [1, v]: P(k) ~ 1/k (Zipf s=1). */
+  private def zipf(r: Rng, v: Int): Int =
+    math.min(v, math.exp(r.nextDouble() * math.log(v.toDouble)).toInt.max(1))
+
+  private def baseText(id: Long): String = {
+    val r = new Rng(mix(id) ^ 0x5DEECE66DL)
+    val len = math.min(400, math.max(20,
+      math.exp(r.nextGaussian() * 0.6 + 4.3).toInt))
+    val topic = r.nextInt(200)
+    val sb = new StringBuilder(len * 8)
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(' ')
+      if (r.nextDouble() < 0.4) sb.append("g").append(zipf(r, 2000))
+      else sb.append("t").append(topic).append("x").append(zipf(r, 400))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Corpus: ids [0, nBase) fresh; 3% exact dups; 4% near-dups with
+    * mutation rate in [3%, 15%]. Dup sources re-derive the base text by
+    * pure function — no join, no driver data. */
+  def documents(spark: SparkSession, nDocs: Long): DataFrame = {
+    val nBase = (nDocs * 0.93).toLong
+    val nExact = (nDocs * 0.03).toLong
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    val rows = spark.range(nDocs).rdd.mapPartitions { it =>
+      it.map { idBoxed =>
+        val id: Long = idBoxed
+        val text =
+          if (id < nBase) baseText(id)
+          else if (id < nBase + nExact)
+            baseText(java.lang.Math.floorMod(mix(id), nBase))
+          else {
+            val rng = new Rng(mix(id) ^ 0xA5A5A5A5L)
+            val src = java.lang.Math.floorMod(mix(id ^ 0x77L), nBase)
+            val rate = 0.03 + 0.12 * rng.nextDouble()
+            baseText(src).split(' ').map { tok =>
+              if (rng.nextDouble() < rate) "m" + rng.nextInt(1000000) else tok
+            }.mkString(" ")
+          }
+        Row(id, text, "s" + (id % 20))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Staggered panel: 10 periods (2000..2009), cohorts 0 (never
+    * treated, 40%) and 2003..2006; y = unit + time + 2.0 x post + eps. */
+  def panel(spark: SparkSession, nUnits: Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("t", DoubleType, nullable = false),
+      StructField("g", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false)))
+    val rows = spark.range(nUnits).rdd.mapPartitions { it =>
+      it.flatMap { uBoxed =>
+        val u: Long = uBoxed
+        val rng = new Rng(mix(u) ^ 0x1234567L)
+        val g = (u % 10) match {
+          case 0 | 1 | 2 | 3 => 0.0 // 40% never treated
+          case k => 2003.0 + (k % 4) // cohorts 2003..2006
+        }
+        val uEff = rng.nextGaussian() * 2.0
+        (2000 to 2009).map { t =>
+          val y = uEff + 0.3 * (t - 2000) +
+            (if (g > 0 && t >= g) 2.0 else 0.0) +
+            rng.nextGaussian() * 0.5
+          Row(u, t.toDouble, g, y)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales: Seq[(String, Long, Long)] =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        val Array(nm, d, u) = a.split(":"); (nm, d.toLong, u.toLong) }
+      else Seq(("1x", 5000L, 8000L), ("10x", 50000L, 80000L))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+
+    val results = scales.map { case (nm, nDocs, nUnits) =>
+      val docs = documents(spark, nDocs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pan = panel(spark, nUnits).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[$nm] docs=${docs.count()} panelRows=${pan.count()}")
+
+      def timed(op: String)(f: => Long): (String, Double, Long) = {
+        var out = 0L
+        val t = (1 to reps).map { _ =>
+          Dedup.releaseCaches(blocking = true)
+          val t0 = System.nanoTime()
+          out = f
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[$nm] $op%-22s $t%7.2f s  out=$out")
+        (op, t, out)
+      }
+
+      val ops = Seq(
+        timed("dedup_exact")(
+          Dedup.dedupExact(docs, "doc_id", "text").count()),
+        timed("ngram_jaccard")(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count()),
+        timed("minhash_neardup")(
+          Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            n = 3, k = 64, bands = 16, threshold = 0.8).count()),
+        timed("simhash_neardup")(
+          Dedup.simhashNearDupPairs(docs, "doc_id", "text").count()),
+        timed("transitive_dedup") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.dedupByComponents(docs, pairs, "doc_id").count()
+        },
+        timed("att_fit_cold_bstrap") {
+          val pp = Preprocess.run(pan, PanelView.config)
+          val fit = AttGt.fit(pp, bstrap = true)
+          val n = fit.resultDF.count()
+          fit.unpersist(); pp.unpersist()
+          n
+        })
+      docs.unpersist(); pan.unpersist()
+      nm -> ops
+    }
+
+    if (results.size == 2) {
+      val m1 = results.head._2.map(o => o._1 -> o).toMap
+      println("op,t1,t10,ratio,exponent,out1,out10")
+      results(1)._2.foreach { case (op, t10, out10) =>
+        val (_, t1, out1) = m1(op)
+        println(f"$op,$t1%.2f,$t10%.2f,${t10 / t1}%.2f," +
+          f"${math.log(t10 / t1) / math.log(10)}%.2f,$out1,$out10")
+      }
+    }
+    spark.stop()
+  }
+}
