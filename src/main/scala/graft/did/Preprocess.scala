@@ -37,18 +37,27 @@ final case class PreprocessedPanel(
   */
 object Preprocess {
 
-  def run(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
-    // Same rationale as AttGt.fit: every action here returns K rows or a
-    // scalar; AQE only adds a planning round per job. Scoped off on an
-    // internal session clone (own SQLConf, shared context + cache), so
-    // the caller's conf is never mutated and concurrent runs can't
-    // interleave.
-    val scoped = org.apache.spark.sql.graftbridge.SessionScope
-      .cloned(data.sparkSession)
-    scoped.conf.set("spark.sql.adaptive.enabled", "false")
-    runInner(
-      org.apache.spark.sql.graftbridge.SessionScope.rebind(data, scoped), cfg)
-  }
+  def run(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel =
+    // Runs directly on the caller's session, mutating NO conf — so no
+    // session scoping is needed (AttGt.fit clones because it genuinely
+    // toggles confs mid-fit). AQE is deliberately left at the caller's
+    // setting: unlike the fit's K-row internal passes, preprocess
+    // actions execute the CALLER's input plan, which often carries real
+    // shuffles (e.g. a groupBy-built panel view), and AQE's post-shuffle
+    // coalescing measurably helps there — forcing it off cost ~35% per
+    // action at sf0.1 (BENCH_NOTES r4). Thread-safe by virtue of
+    // touching nothing session-global.
+    runInner(data, cfg)
+
+  private val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+  private def timed[T](name: String)(f: => T): T =
+    if (!debug) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[pp] $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
   private def runInner(data: DataFrame, cfg: AttGtConfig): PreprocessedPanel = {
     val spark = data.sparkSession
@@ -76,10 +85,10 @@ object Preprocess {
     // also materializes the cache.
     val allNull = (roleCols.map(c => col(c).isNull) :+ col("w").isNull)
       .reduce(_ && _)
-    val cntRow = projected.agg(count(lit(1)),
+    val cntRow = timed("cntRow")(projected.agg(count(lit(1)),
       count(when(allNull, 1)),
       approx_count_distinct(col(tname).cast("double")),
-      approx_count_distinct(col(gname).cast("double"))).first()
+      approx_count_distinct(col(gname).cast("double"))).first())
     val nPre = cntRow.getLong(0)
     val nDropped = cntRow.getLong(1)
     // Cardinality guard BEFORE any collect_set: collecting a
@@ -108,7 +117,7 @@ object Preprocess {
     // recode (ATTgt.py:111-118) falls out of tlist, and the recode is
     // applied to glist driver-side (the column recode stays lazy).
     def distinctLists(d: DataFrame): (Vector[Double], Vector[Double]) = {
-      val row = d.agg(collect_set("tt"), collect_set("gg")).first()
+      val row = timed("lists")(d.agg(collect_set("tt"), collect_set("gg")).first())
       val t = row.getSeq[Double](0).toVector.sorted
       val g = row.getSeq[Double](1).toVector.sorted
       (t, g)
@@ -149,12 +158,12 @@ object Preprocess {
       // misfires on rollup's Expand whenever the input lineage contains
       // ANY join.) Also carries the per-cohort first-period row count so
       // the balanced-panel unit count n needs no extra job.
-      val per = d.groupBy("gg")
+      val per = timed("cohorts")(d.groupBy("gg")
         .agg(count(lit(1)).as("cnt"), count_distinct(col(idname)).as("uids"),
           sum(when(col("tt") === firstPeriod, 1L).otherwise(0L)).as("fpc"))
         .collect()
         .map(r => r.getDouble(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap)
       (per, per.values.iterator.map(_._1).sum,
         per.values.iterator.map(_._2).sum)
     }
@@ -231,7 +240,7 @@ object Preprocess {
     // intermediate projection it derives from (recomputing from source
     // would redo the caller's input plan), and to pin rowid in the
     // trueRcs regime (monotonically_increasing_id must never recompute).
-    df.count()
+    timed("pin")(df.count())
     projected.unpersist()
 
     PreprocessedPanel(df, tlist, glist, n, glist.length, tlist.length,

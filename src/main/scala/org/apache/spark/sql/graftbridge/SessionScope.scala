@@ -4,12 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.classic
 
 /** Minimal bridge to two `private[sql]` Spark APIs the engine needs for
-  * CONF ISOLATION: driver-orchestrated phases (AttGt.fit, Preprocess.run)
-  * run dozens of K-row jobs for which AQE only adds a planning round per
-  * job, so they disable it — but mutating the caller's session conf is a
-  * race for any concurrent query on the same session. The fix is to run
-  * the phase on a full session clone (own SQLConf, shared SparkContext,
-  * shared cache manager) with the input frame rebound onto the clone.
+  * CONF ISOLATION: the driver-orchestrated fit (AttGt.fit) runs dozens
+  * of K-row jobs for which AQE only adds a planning round per job, and
+  * right-sizes shuffle partitions per phase — but mutating the caller's
+  * session conf is a race for any concurrent query on the same session.
+  * The fix is to run the fit on a full session clone (own SQLConf,
+  * shared SparkContext, shared cache manager) with the input frame
+  * rebound onto the clone. (Preprocess.run needs no scoping — it
+  * mutates no conf; see its scaladoc.)
   *
   * Placed under `org.apache.spark.sql` solely because `cloneSession` and
   * `Dataset.ofRows` are `private[sql]`; both are stable internals used
