@@ -379,7 +379,8 @@ object Multimodal {
     * written. Any box-walking demuxer can locate and extract the
     * samples; ours does in [[videoFrameFeatures]]. */
   def syntheticMp4WithFrames(timescale: Int, durationTicks: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]], samplesPerChunk: Int = 1): Array[Byte] = {
+    require(samplesPerChunk >= 1, s"samplesPerChunk: $samplesPerChunk")
     val ftyp = mp4Box("ftyp",
       "isom".getBytes, be32(0), "isomiso2".getBytes)
     val mdat = mp4Box("mdat", frames: _*)
@@ -412,11 +413,20 @@ object Multimodal {
     val stsd = mp4Box("stsd", be32(0, 1), sampleEntry)
     val stts = mp4Box("stts", be32(0, 1, n,
       if (n == 0) 0 else durationTicks / n))
-    val stsc = mp4Box("stsc", be32(0, 1, 1, 1, 1))
+    // chunking: every chunk carries samplesPerChunk samples; a short
+    // final chunk gets its own stsc run (the standard encoding)
+    val nChunks = if (n == 0) 0 else (n + samplesPerChunk - 1) / samplesPerChunk
+    val rem = if (n == 0) 0 else n % samplesPerChunk
+    val stscRuns: Seq[Int] =
+      if (rem == 0 || nChunks == 1) Seq(1, samplesPerChunk.min(n.max(1)), 1)
+      else Seq(1, samplesPerChunk, 1, nChunks, rem, 1)
+    val stsc = mp4Box("stsc", be32(0 +: (stscRuns.length / 3) +:
+      stscRuns: _*))
     val stsz = mp4Box("stsz", be32(0 +: 0 +: n +:
       frames.map(_.length): _*))
-    val stco = mp4Box("stco", be32(0 +: n +:
-      offsets.map(_.toInt): _*))
+    val chunkOffsets = (0 until nChunks).map(c => offsets(c * samplesPerChunk))
+    val stco = mp4Box("stco", be32(0 +: nChunks +:
+      chunkOffsets.map(_.toInt): _*))
     val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
     val minf = mp4Box("minf", vmhd, dinf, stbl)
     val mdia = mp4Box("mdia", mdhd, hdlr, minf)
@@ -429,11 +439,12 @@ object Multimodal {
     * moov → trak → mdia → minf → stbl, reads `stsz` (per-sample byte
     * sizes) and `stco` (absolute chunk offsets; one-sample-per-chunk
     * and multi-sample chunks both resolve since sizes are cumulative
-    * within a chunk only when stsc says so — here we support the
-    * one-sample-per-chunk layout every synthesized file uses and the
-    * common case stco.count == stsz.count). Returns per-sample
-    * (offset, size) or None when the container carries no parseable
-    * sample table. */
+    * within a chunk per `stsc`'s chunk-to-sample runs). Both chunk
+    * offset flavors are read — 32-bit `stco` and 64-bit `co64` — and
+    * multi-sample chunks resolve each sample's offset as chunk offset +
+    * cumulative size of its predecessors in the chunk, exactly the
+    * demuxer algorithm. Returns per-sample (offset, size) or None when
+    * the container carries no parseable sample table. */
   private[multimodal] def frameTable(bytes: Array[Byte])
       : Option[Array[(Long, Int)]] = {
     def u32(off: Int): Long =
@@ -468,19 +479,69 @@ object Multimodal {
         stbl <- child(minf._1, minf._2, "stbl")
       } yield stbl
       stbl.flatMap { case (s0, s1) =>
+        val stco = child(s0, s1, "stco")
+        val co64 = child(s0, s1, "co64")
         for {
           sz <- child(s0, s1, "stsz")
-          co <- child(s0, s1, "stco")
+          co <- stco.orElse(co64)
+          wide = stco.isEmpty // co64: 8-byte offsets
           fixed = u32(sz._1 + 4) // nonzero => constant sample size
           nSz = u32(sz._1 + 8).toInt
           nCo = u32(co._1 + 4).toInt
-          if nSz == nCo && nSz >= 0 && co._1 + 8 + 4L * nCo <= co._2 &&
+          if nSz >= 0 && nCo >= 0 &&
+            co._1 + 8 + (if (wide) 8L else 4L) * nCo <= co._2 &&
             (fixed != 0L || sz._1 + 12 + 4L * nSz <= sz._2)
-        } yield Array.tabulate(nSz) { i =>
-          val size =
-            if (fixed != 0L) fixed.toInt else u32(sz._1 + 12 + 4 * i).toInt
-          (u32(co._1 + 8 + 4 * i), size)
-        }
+          samples <- {
+            def sampleSize(i: Int): Int =
+              if (fixed != 0L) fixed.toInt else u32(sz._1 + 12 + 4 * i).toInt
+            def chunkOffset(c: Int): Long =
+              if (wide) (u32(co._1 + 8 + 8 * c) << 32) |
+                u32(co._1 + 8 + 8 * c + 4)
+              else u32(co._1 + 8 + 4 * c)
+            // stsc: (first_chunk, samples_per_chunk) runs; absent or
+            // empty => one sample per chunk (requires nSz == nCo)
+            val spcRuns: Option[Array[(Int, Int)]] =
+              child(s0, s1, "stsc").flatMap { case (c0, c1) =>
+                val n = u32(c0 + 4).toInt
+                if (n < 0 || c0 + 8 + 12L * n > c1) None
+                else Some(Array.tabulate(n)(k =>
+                  (u32(c0 + 8 + 12 * k).toInt, u32(c0 + 12 + 12 * k).toInt)))
+              }
+            spcRuns match {
+              case None | Some(Array()) =>
+                if (nSz != nCo) None
+                else Some(Array.tabulate(nSz)(i =>
+                  (chunkOffset(i), sampleSize(i))))
+              case Some(runs) =>
+                // walk chunks, expanding each run's samples_per_chunk;
+                // sample offset = chunk offset + sizes before it
+                val out = new Array[(Long, Int)](nSz)
+                var sample = 0
+                var chunk = 0
+                var run = 0
+                var ok = true
+                while (sample < nSz && chunk < nCo && ok) {
+                  while (run + 1 < runs.length &&
+                    chunk + 1 >= runs(run + 1)._1) run += 1
+                  val spc = runs(run)._2
+                  if (spc <= 0) ok = false
+                  else {
+                    var within = 0L
+                    var k = 0
+                    while (k < spc && sample < nSz) {
+                      val size = sampleSize(sample)
+                      out(sample) = (chunkOffset(chunk) + within, size)
+                      within += size
+                      sample += 1
+                      k += 1
+                    }
+                    chunk += 1
+                  }
+                }
+                if (ok && sample == nSz) Some(out) else None
+            }
+          }
+        } yield samples
       }
     } catch { case _: IndexOutOfBoundsException => None }
   }

@@ -289,6 +289,21 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       mediaOf(3L, "video", "junk".getBytes)).count() shouldBe 0L
   }
 
+  test("multi-sample chunks: stsc walk resolves intra-chunk offsets") {
+    // 7 frames packed 3-per-chunk (chunks of 3,3,1 — short final chunk
+    // gets its own stsc run); sample offsets inside a chunk are
+    // cumulative, so one wrong size would shift every later frame and
+    // break its PNG decode
+    val frames = (0 until 7).map(g =>
+      Multimodal.syntheticPng(8 + g, 8, g * 30 % 256))
+    val mp4 = Multimodal.syntheticMp4WithFrames(600, 4200, frames,
+      samplesPerChunk = 3)
+    val feats = Multimodal.videoFrameFeatures(mediaOf(6L, "video", mp4))
+      .orderBy("frame_no").collect()
+    feats.map(r => (r.getInt(1), r.getInt(2), r.getDouble(5))).toSeq shouldBe
+      (0 until 7).map(g => (g, 8 + g, (g * 30 % 256).toDouble))
+  }
+
   test("videoFrameFeatures: codec-bearing samples degrade to the stub") {
     val codecFrame = Array.tabulate[Byte](64)(i => (i * 7).toByte) // no PNG magic
     val mp4 = Multimodal.syntheticMp4WithFrames(600, 600, Seq(codecFrame))
