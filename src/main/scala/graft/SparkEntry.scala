@@ -601,8 +601,12 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.simhashMd5(col("text")).as("sig"))),
 
-    // dedup: SimHash banded near-dup pairs, Hamming <= 3 (rows-only —
-    // signature hash is engine-specific; banding recall proven in spec)
+    // dedup: SimHash banded near-dup pairs, Hamming <= 3. Rows-only BY
+    // CHOICE: this query pins the PRODUCTION XXH64 signature path (the
+    // native SimHash64Expr DuckDB cannot reproduce); the simhash
+    // transform itself — tokenize, per-bit vote, sign pack — IS
+    // oracle-pinned via q_simhash_sig's md5-bit flavor, and the 4x16
+    // pigeonhole banding recall is proven in TextDedupSpec.
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")),
 
