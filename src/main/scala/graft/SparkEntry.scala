@@ -574,6 +574,16 @@ object SparkEntry {
 
     // sampling: deterministic 25% Bernoulli by doc_id hash — map-only,
     // engine-independent (md5), reproducible under recompute/resume
+    // packing: concat-and-cut sequence assembly over the chunk stream —
+    // md5 hash buckets packed independently (one shuffle + window
+    // cumsum per bucket), chunk order inside a bucket = md5 hex of the
+    // chunk key, so DuckDB replays the exact same sequences
+    "q_pack_sequences" -> ((s, dir) =>
+      Chunking.packSequences(
+        Chunking.chunkTokens(docs(s, dir), "doc_id", "text",
+          size = 64, overlap = 16),
+        "doc_id", "chunk_no", "n_tokens", maxTokens = 256, nBuckets = 16)),
+
     "q_sample_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 0.25)
         .select("doc_id", "source")),
@@ -1510,6 +1520,33 @@ object SparkEntry {
         |FROM n, UNNEST(range(0,
         |  GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)"""
         .stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |    CAST(LEAST(64, n - i*48) AS INT) AS n_tokens
+        |  FROM n, UNNEST(range(0,
+        |    GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)),
+        |h AS (
+        |  SELECT *, md5(doc_id || '#' || chunk_no) AS hkey FROM c),
+        |b AS (
+        |  SELECT *,
+        |    CAST(('0x' || substr(hkey, 1, 4))::BIGINT % 16 AS INT) AS bucket
+        |  FROM h),
+        |s AS (
+        |  SELECT *,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY hkey)
+        |      - n_tokens AS start_tok
+        |  FROM b)
+        |SELECT doc_id, chunk_no, n_tokens, bucket,
+        |  CAST(bucket AS BIGINT) * 1000000000
+        |    + CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 256 AS INT) AS seq_offset
+        |FROM s""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Context-window chunking: split each document into fixed-size token
@@ -49,5 +50,41 @@ object Chunking {
         array_join(
           slice(col("t"), col("chunk_no") * stride + 1, lit(size)), " ")
           .as("chunk_text"))
+  }
+
+  /** Concat-and-cut sequence packing — the step after chunking in a
+    * pretraining pipeline: lay the chunks end to end in a deterministic
+    * order and cut every `maxTokens`, assigning each chunk the sequence
+    * its FIRST token lands in (`seq_id`) and its offset inside that
+    * sequence (`seq_offset`; a chunk whose tokens overrun the cut
+    * continues into the next sequence, the standard GPT-style packing).
+    *
+    * Scale shape: a single global concatenation would serialize on one
+    * ordered partition, so the stream is first split into `nBuckets`
+    * md5-derived hash buckets and packed independently per bucket —
+    * one shuffle, then a per-bucket window cumulative sum; `seq_id`
+    * namespaces the bucket. Order within a bucket is the md5 hex of
+    * the chunk key: stable across engines, partitionings, and reruns
+    * (and the DuckDB oracle replays it exactly — no RNG, no
+    * row_number over ties). */
+  def packSequences(chunks: DataFrame, idCol: String, chunkNoCol: String,
+      nTokensCol: String, maxTokens: Int, nBuckets: Int = 64,
+      salt: String = ""): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val hkey = md5(concat(col(idCol).cast("string"), lit("#"),
+      col(chunkNoCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy("bucket").orderBy("hkey")
+    chunks
+      .withColumn("hkey", hkey)
+      .withColumn("bucket",
+        (conv(substring(col("hkey"), 1, 4), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+      .withColumn("start_tok",
+        sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      .select(col(idCol), col(chunkNoCol), col(nTokensCol), col("bucket"),
+        (col("bucket") * 1000000000L +
+          floor(col("start_tok") / maxTokens)).as("seq_id"),
+        (col("start_tok") % maxTokens).cast("int").as("seq_offset"))
   }
 }

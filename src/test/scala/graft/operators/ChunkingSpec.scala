@@ -62,4 +62,51 @@ class ChunkingSpec extends AnyFunSuite with Matchers with SparkSpec {
       Chunking.chunkTokens(Seq((1L, "a")).toDF("doc_id", "text"),
         "doc_id", "text", 4, 4)
   }
+
+  private def packed(nBuckets: Int = 4, maxTokens: Int = 10) = {
+    val docs = (1L to 30L)
+      .map(i => (i, (1 to (3 + (i % 7)).toInt).map(k => s"d${i}w$k")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    Chunking.packSequences(
+      Chunking.chunkTokens(docs, "doc_id", "text", size = 4, overlap = 0),
+      "doc_id", "chunk_no", "n_tokens", maxTokens, nBuckets)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))
+  }
+
+  test("packSequences: concat-and-cut invariants hold per bucket") {
+    val rows = packed()
+    rows should not be empty
+    // offsets stay inside the window; seq_id encodes its bucket
+    rows.foreach { case (_, _, n, bucket, seqId, off) =>
+      off should be >= 0
+      off should be < 10
+      (seqId / 1000000000L).toInt shouldBe bucket
+      n should be > 0
+    }
+    // within a bucket, cumulative layout: sorted by (seq_id, offset),
+    // each chunk starts exactly where the previous one ended
+    rows.groupBy(_._4).foreach { case (bucket, rs) =>
+      val ordered = rs.sortBy(r => (r._5, r._6))
+      ordered.head._5 shouldBe bucket * 1000000000L
+      ordered.head._6 shouldBe 0
+      ordered.sliding(2).foreach {
+        case Array((_, _, n1, _, s1, o1), (_, _, _, _, s2, o2)) =>
+          val globalEnd = (s1 % 1000000000L) * 10 + o1 + n1
+          (s2 % 1000000000L) * 10 + o2 shouldBe globalEnd
+        case _ =>
+      }
+    }
+    // token mass is conserved (a pure relabeling, nothing dropped)
+    rows.map(_._3).sum shouldBe
+      (1L to 30L).map(i => 3 + (i % 7)).sum
+  }
+
+  test("packSequences is deterministic under repartitioning") {
+    val a = packed().sortBy(r => (r._1, r._2)).toSeq
+    val b = packed().sortBy(r => (r._1, r._2)).toSeq
+    a shouldBe b
+  }
 }
