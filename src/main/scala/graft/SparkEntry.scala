@@ -574,6 +574,19 @@ object SparkEntry {
 
     // sampling: deterministic 25% Bernoulli by doc_id hash — map-only,
     // engine-independent (md5), reproducible under recompute/resume
+    // mixture: token-BUDGET sampling — mixtures are specified in tokens,
+    // not documents; per-source keep rates derive from one token-totals
+    // pass (B = min tokens_s/share_s keeps the scarcest source whole),
+    // then the same md5-threshold rule as q_sample_hash. The oracle
+    // recomputes the rates from the same integers and replays the
+    // thresholds via printf('%08x').
+    "q_token_mix" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("tc"))
+      Sampling.tokenBudgetMix(d, "doc_id", "source", "tc",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15, "src3" -> 0.1))
+    }),
+
     // packing: concat-and-cut sequence assembly over the chunk stream —
     // md5 hash buckets packed independently (one shuffle + window
     // cumsum per bucket), chunk order inside a bucket = md5 hex of the
@@ -1519,6 +1532,33 @@ object SparkEntry {
         |  array_to_string(t[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)], ' ') AS chunk_text
         |FROM n, UNNEST(range(0,
         |  GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)"""
+        .stripMargin,
+
+    "q_token_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+        |      AS tc
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |shares(source, share) AS (VALUES
+        |  ('src0', 0.5::DOUBLE), ('src1', 0.25::DOUBLE),
+        |  ('src2', 0.15::DOUBLE), ('src3', 0.1::DOUBLE)),
+        |tot AS (
+        |  SELECT source, CAST(sum(tc) AS DOUBLE) AS tok FROM d GROUP BY 1),
+        |b AS (
+        |  SELECT min(tok / share) AS budget
+        |  FROM tot JOIN shares USING (source)),
+        |t AS (
+        |  SELECT source,
+        |    CASE WHEN LEAST(1.0, (share * budget) / tok) >= 1 THEN 'g'
+        |      ELSE printf('%08x', CAST(floor(
+        |        LEAST(1.0, (share * budget) / tok) * 4294967296) AS BIGINT))
+        |      END AS thr
+        |  FROM tot JOIN shares USING (source), b)
+        |SELECT d.doc_id, d.source, d.tc
+        |FROM d JOIN t USING (source)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""
         .stripMargin,
 
     "q_pack_sequences" ->

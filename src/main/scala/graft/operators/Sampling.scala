@@ -111,4 +111,40 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Token-budget mixture: downsample each stratum so the KEPT corpus
+    * hits `targetShares` of the training-token budget — mixtures are
+    * specified in tokens, not documents, so per-doc rates must derive
+    * from each stratum's token mass.
+    *
+    * The largest feasible budget without upsampling is
+    * `B = min_s tokens_s / share_s` (the scarcest stratum relative to
+    * its target is kept whole); stratum `s` then keeps rate
+    * `share_s * B / tokens_s` of its docs by the same deterministic
+    * md5-threshold rule as [[hashSample]], so the expected kept token
+    * mass is `share_s * B`. Strata absent from `targetShares` are
+    * dropped. Cost: ONE aggregation pass for the per-stratum token
+    * totals (K rows to the driver), then the map-only filter — no
+    * second shuffle, deterministic, engine-replayable. */
+  def tokenBudgetMix(df: DataFrame, keyCol: String, stratumCol: String,
+      nTokensCol: String, targetShares: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must not be empty")
+    require(targetShares.values.forall(s => s > 0 && s <= 1),
+      s"shares must be in (0, 1]: $targetShares")
+    val tot = targetShares.values.sum
+    require(math.abs(tot - 1.0) < 1e-9, s"shares must sum to 1: $tot")
+    val totals = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(stratumCol).agg(sum(col(nTokensCol)).as("tok"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val missing = targetShares.keySet -- totals.keySet
+    require(missing.isEmpty,
+      s"strata with a target share but no rows: ${missing.mkString(",")}")
+    val budget = targetShares.map { case (s, share) => totals(s) / share }.min
+    val rates = targetShares.map { case (s, share) =>
+      s -> math.min(1.0, share * budget / totals(s))
+    }
+    stratifiedSample(df, keyCol, stratumCol, rates, defaultRate = 0.0, salt)
+  }
 }

@@ -100,6 +100,42 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count() shouldBe 2000L
   }
 
+  test("tokenBudgetMix hits target token shares; scarcest kept whole") {
+    // s0 is token-poor relative to its 50% target -> kept whole; the
+    // others downsample toward share_s * B with B = tokens_s0 / 0.5
+    val docs = (0L until 3000L)
+      .map(i => (i, s"s${i % 3}", if (i % 3 == 0) 10 else 40))
+      .toDF("doc_id", "source", "tc")
+    val shares = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    val kept = Sampling.tokenBudgetMix(docs, "doc_id", "source", "tc",
+      shares)
+    val keptTok = kept.groupBy("source").agg(sum("tc").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget B = 10,000 / 0.5 = 20,000
+    keptTok("s0") shouldBe 10000L // rate 1.0: every s0 doc kept
+    // expected s1 = 0.3 * 20000 = 6000, s2 = 0.2 * 20000 = 4000; the
+    // md5 draw is deterministic (one fixed realization, not re-rollable),
+    // so the slack must cover its actual binomial deviation (~25%)
+    keptTok("s1").toDouble shouldBe 6000.0 +- 1500.0
+    keptTok("s2").toDouble shouldBe 4000.0 +- 1000.0
+    // deterministic
+    Sampling.tokenBudgetMix(docs, "doc_id", "source", "tc", shares)
+      .agg(sum("tc")).first().getLong(0) shouldBe
+      kept.agg(sum("tc")).first().getLong(0)
+    // strata without a target share are dropped entirely
+    kept.select("source").distinct().count() shouldBe 3L
+  }
+
+  test("tokenBudgetMix rejects bad shares and missing strata") {
+    val docs = Seq((1L, "a", 5)).toDF("doc_id", "source", "tc")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudgetMix(docs, "doc_id", "source", "tc",
+        Map("a" -> 0.5)) // shares don't sum to 1
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudgetMix(docs, "doc_id", "source", "tc",
+        Map("a" -> 0.5, "ghost" -> 0.5)) // stratum absent from the data
+  }
+
   test("hexThreshold edge values") {
     Sampling.hexThreshold(0.0) shouldBe "00000000"
     Sampling.hexThreshold(0.25) shouldBe "40000000"
