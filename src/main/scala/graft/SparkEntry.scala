@@ -615,6 +615,18 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.8)),
 
+    // dedup: cross-corpus near-dup pairs — new-crawl (%5 != 0) docs
+    // near-duplicating a previous snapshot (%5 == 0); prefix-filtered
+    // AllPairs with the shingle order shared across both relations,
+    // oracle = the exact cross Jaccard join
+    "q_cross_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossNearDupPairs(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, threshold = 0.8)
+    }),
+
     // dedup: SimHash signatures, md5-bit oracle flavor — the per-bit
     // vote/sign-pack transform is pinned by DuckDB reproducing the same
     // 64-char bit string from md5 hex nibbles (production near-dup path
@@ -1410,6 +1422,23 @@ object SparkEntry {
         |FROM documents d JOIN k ON d.doc_id = k.doc_id""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql(0.8),
+    "q_cross_neardup" ->
+      s"""WITH $shingleCtes,
+         |sa AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0),
+         |sb AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0),
+         |na AS (SELECT doc_id, count(*) AS n FROM sa GROUP BY 1),
+         |nb AS (SELECT doc_id, count(*) AS n FROM sb GROUP BY 1),
+         |inter AS (
+         |  SELECT sa.doc_id AS corpus_id, sb.doc_id AS ref_id,
+         |    count(*) AS ic
+         |  FROM sa JOIN sb ON sa.s = sb.s GROUP BY 1, 2)
+         |SELECT corpus_id, ref_id,
+         |  ROUND(ic * 1.0 / (na.n + nb.n - ic), 6) AS jaccard
+         |FROM inter
+         |JOIN na ON na.doc_id = corpus_id
+         |JOIN nb ON nb.doc_id = ref_id
+         |WHERE ROUND(ic * 1.0 / (na.n + nb.n - ic), 6) >= 0.8"""
+        .stripMargin,
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
     "q_dup_components" -> dupComponentsSql(0.8),
     "q_dedup_transitive" -> dedupTransitiveSql(0.8),

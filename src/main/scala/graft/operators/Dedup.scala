@@ -133,6 +133,70 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-dup pairs: corpus docs whose word-n-gram Jaccard
+    * with ANY reference doc >= threshold — deduplicating a new crawl
+    * against previous snapshots (the near-dup analogue of
+    * [[Decontaminate]]'s exact-shingle flagging). Same EXACT
+    * prefix-filtered AllPairs shape as [[ngramJaccardPairs]], with one
+    * cross-relation requirement: document frequencies and the
+    * rarest-first shingle order are computed over the UNION of both
+    * sides — the prefix guarantee only holds when both relations rank
+    * their shingles by one shared total order. Output:
+    * (corpus_id, ref_id, jaccard). */
+  def crossNearDupPairs(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    def prep(df: DataFrame): DataFrame = persistTracked(
+      df.select(col(idCol).as("did"), col(textCol).as("txt"))
+        .repartition(par(df), col("did"))
+        .select(col("did"),
+          array_distinct(transform(wordShingles(col("txt"), n),
+            x => xxhash64(x))).as("sh")))
+      .filter(size(col("sh")) > 0)
+    val shA = prep(corpus)
+    val shB = prep(reference)
+    def index(sh: DataFrame): DataFrame =
+      sh.select(col("did"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("h"))
+    val idxA = index(shA)
+    val idxB = index(shB)
+    val dfCounts = idxA.select("h").unionAll(idxB.select("h"))
+      .groupBy("h").agg(count(lit(1)).as("dfq"))
+    def prefix(idx: DataFrame): DataFrame =
+      idx.join(dfCounts, "h")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("did").orderBy(col("dfq"), col("h"))))
+        .filter(col("rn") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+        .select("did", "h", "nsh")
+    val cand = prefix(idxA).as("a").join(prefix(idxB).as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.nsh") >= col("b.nsh") * threshold &&
+          col("b.nsh") >= col("a.nsh") * threshold)
+      .select(col("a.did").as("corpus_id"), col("b.did").as("ref_id"))
+      .distinct()
+    cand
+      .join(shA.select(col("did").as("corpus_id"), col("sh").as("sha")),
+        "corpus_id")
+      .join(shB.select(col("did").as("ref_id"), col("sh").as("shb")),
+        "ref_id")
+      .withColumn("ic", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(
+        col("ic") / (size(col("sha")) + size(col("shb")) - col("ic")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "ref_id", "jaccard")
+  }
+
+  /** Corpus rows with NO near-duplicate in the reference corpus —
+    * the keep-side wrapper over [[crossNearDupPairs]] (anti-join on
+    * flagged ids; reference rows are never emitted). */
+  def dedupAgainst(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    corpus.join(
+      crossNearDupPairs(corpus, reference, idCol, textCol, n, threshold)
+        .select(col("corpus_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** MinHash signature: each shingle is string-hashed ONCE (xxhash64),
     * then the k "permutations" are fixed-width long re-hashes
     * `xxhash64(j, h)` of that 64-bit value — k 16-byte hashes per shingle

@@ -219,6 +219,41 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     pairs should contain((1L, 5L))
   }
 
+  test("crossNearDupPairs matches the exact cross Jaccard; dedupAgainst " +
+      "drops exactly the flagged corpus docs") {
+    val corpus = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id").isin(1L, 3L, 4L))
+    val ref = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id").isin(2L, 5L))
+    val pairs = Dedup.crossNearDupPairs(corpus, ref, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 1 duplicates refs 2 and 5 exactly; doc 3 is a near dup of
+    // both (same text family); doc 4 matches nothing
+    pairs((1L, 2L)) shouldBe 1.0
+    pairs((1L, 5L)) shouldBe 1.0
+    assert(pairs((3L, 2L)) > 0.5 && pairs((3L, 2L)) < 1.0)
+    pairs.keys.map(_._1).toSet should not contain 4L
+    // exactness vs the unfiltered cross join: every corpus-ref pair at
+    // J >= 0.5 is found (brute force over this tiny corpus)
+    val brute = for {
+      a <- Seq(1L, 3L, 4L); b <- Seq(2L, 5L)
+      ja = {
+        def sh(id: Long) = docs.filter(col("doc_id") === id)
+          .select(graft.functions.TextFunctions
+            .wordShingles(col("text"), 3).as("s"))
+          .first().getSeq[String](0).toSet
+        val (x, y) = (sh(a), sh(b))
+        x.intersect(y).size.toDouble / x.union(y).size
+      } if ja >= 0.5
+    } yield (a, b)
+    pairs.keySet shouldBe brute.toSet
+    val kept = Dedup.dedupAgainst(corpus, ref, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(4L)
+  }
+
   test("ngramJaccard maxDf cap drops stop-shingle pairs (scale guard)") {
     // with a df cap of 1 every shared shingle is dropped => no pairs
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
