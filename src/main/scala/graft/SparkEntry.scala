@@ -67,9 +67,13 @@ object SparkEntry {
 
   /** Cache keys carry the SESSION identity too (same pattern as
     * `bucketedCache`): a frame or fit cached under a stopped-and-
-    * recreated SparkSession would otherwise be served with dead plans. */
+    * recreated SparkSession would otherwise be served with dead plans.
+    * Keyed by the session UUID — unique and never reused, where an
+    * identity hash can recur after GC and resurrect a dead entry.
+    * Entries for stopped sessions stay in the map (bounded by the
+    * number of sessions an app ever creates) but can never be served. */
   private def skey(s: SparkSession, dir: String): String =
-    s"${System.identityHashCode(s)}|$dir"
+    s"${org.apache.spark.sql.graftbridge.SessionScope.uuid(s)}|$dir"
 
   /** Cached fits keyed by (session, sfDir) so the many DiD-stage queries
     * inside one Verify/Bench run share a single preprocess+fit. */
@@ -822,11 +826,22 @@ object SparkEntry {
   private val bucketedCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def bucketedFor(s: SparkSession, dir: String): (String, String) =
-    bucketedCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir", {
+    bucketedCache.getOrElseUpdate(skey(s, dir), {
       val tag = (scala.util.hashing.MurmurHash3.stringHash(dir)
         & 0x7fffffff).toHexString
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-bucketed").toString
+      val base = {
+        val p = java.nio.file.Files.createTempDirectory("graft-bucketed")
+        // best-effort cleanup: repeated sessions against the same dir
+        // would otherwise accumulate orphaned bucket files on disk
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(p.toFile)
+        }
+        p.toString
+      }
       val fact = s"graft_b_lineitem_$tag"
       val dim = s"graft_b_orders_$tag"
       graft.sources.PanelSource.writeBucketed(
@@ -1612,7 +1627,7 @@ object SparkEntry {
         |      - n_tokens AS start_tok
         |  FROM b)
         |SELECT doc_id, chunk_no, n_tokens, bucket,
-        |  CAST(bucket AS BIGINT) * 1000000000
+        |  CAST(bucket AS BIGINT) * 1099511627776
         |    + CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
         |  CAST(start_tok % 256 AS INT) AS seq_offset
         |FROM s""".stripMargin,

@@ -161,8 +161,9 @@ private[did] object DistributedRc {
       return (att, post, skipped, empty, Some(Array.fill(nCells)(0.0)))
     }
 
-    // per-cell constants ride the plan as literal maps (CellConsts):
-    // no broadcast job per pass; `iw` is the mean-normalized weight
+    // per-cell constants join as a broadcast LocalRelation (CellConsts:
+    // no collect job per pass, one hash probe per row); `iw` is the
+    // mean-normalized weight
 
     def dotArr(arr: Column): Column =
       (0 until p).map(j => xj(j) * element_at(arr, j + 1)).reduce(_ + _)

@@ -379,7 +379,8 @@ object Multimodal {
     * written. Any box-walking demuxer can locate and extract the
     * samples; ours does in [[videoFrameFeatures]]. */
   def syntheticMp4WithFrames(timescale: Int, durationTicks: Int,
-      frames: Seq[Array[Byte]], samplesPerChunk: Int = 1): Array[Byte] = {
+      frames: Seq[Array[Byte]], samplesPerChunk: Int = 1,
+      forceCo64: Boolean = false): Array[Byte] = {
     require(samplesPerChunk >= 1, s"samplesPerChunk: $samplesPerChunk")
     val ftyp = mp4Box("ftyp",
       "isom".getBytes, be32(0), "isomiso2".getBytes)
@@ -425,8 +426,18 @@ object Multimodal {
     val stsz = mp4Box("stsz", be32(0 +: 0 +: n +:
       frames.map(_.length): _*))
     val chunkOffsets = (0 until nChunks).map(c => offsets(c * samplesPerChunk))
-    val stco = mp4Box("stco", be32(0 +: nChunks +:
-      chunkOffsets.map(_.toInt): _*))
+    // 64-bit offsets need co64 — silently truncating to 32-bit stco
+    // would corrupt the index for payloads past 2 GiB (the reader
+    // handles both flavors)
+    val stco =
+      if (!forceCo64 && chunkOffsets.forall(_ <= Int.MaxValue))
+        mp4Box("stco", be32(0 +: nChunks +: chunkOffsets.map(_.toInt): _*))
+      else {
+        val b = java.nio.ByteBuffer.allocate(8 + 8 * nChunks)
+        b.putInt(0); b.putInt(nChunks)
+        chunkOffsets.foreach(b.putLong)
+        mp4Box("co64", b.array())
+      }
     val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
     val minf = mp4Box("minf", vmhd, dinf, stbl)
     val mdia = mp4Box("mdia", mdhd, hdlr, minf)
@@ -488,7 +499,12 @@ object Multimodal {
           fixed = u32(sz._1 + 4) // nonzero => constant sample size
           nSz = u32(sz._1 + 8).toInt
           nCo = u32(co._1 + 4).toInt
-          if nSz >= 0 && nCo >= 0 &&
+          // plausibility: samples are >= 1 byte each, so a count beyond
+          // the file length is corrupt — without this, a fixed-size stsz
+          // with a forged huge count would allocate the sample array
+          // unchecked (the per-sample branch is implicitly bounded by
+          // its own table-fits-in-box check)
+          if nSz >= 0 && nCo >= 0 && nSz <= bytes.length &&
             co._1 + 8 + (if (wide) 8L else 4L) * nCo <= co._2 &&
             (fixed != 0L || sz._1 + 12 + 4L * nSz <= sz._2)
           samples <- {

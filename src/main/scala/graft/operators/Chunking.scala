@@ -82,8 +82,11 @@ object Chunking {
           % nBuckets).cast("int"))
       .withColumn("start_tok",
         sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      // seq_id = bucket << 40 | seq-within-bucket: 2^40 sequences per
+      // bucket (~4e14 tokens at maxTokens=512) before collision, vs a
+      // decimal-billion namespace that overflows at corpus scale
       .select(col(idCol), col(chunkNoCol), col(nTokensCol), col("bucket"),
-        (col("bucket") * 1000000000L +
+        (col("bucket").cast("long") * (1L << 40) +
           floor(col("start_tok") / maxTokens)).as("seq_id"),
         (col("start_tok") % maxTokens).cast("int").as("seq_offset"))
   }

@@ -137,10 +137,16 @@ object Sampling {
     val totals = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
       .groupBy(stratumCol).agg(sum(col(nTokensCol)).as("tok"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)).toMap
     val missing = targetShares.keySet -- totals.keySet
     require(missing.isEmpty,
       s"strata with a target share but no rows: ${missing.mkString(",")}")
+    // a zero-token stratum would zero the whole budget (and make its
+    // own rate NaN) — fail here with the actual cause, not downstream
+    val empty = totals.collect { case (s, t) if t <= 0 => s }
+    require(empty.isEmpty,
+      s"strata with a target share but zero tokens: ${empty.mkString(",")}")
     val budget = targetShares.map { case (s, share) => totals(s) / share }.min
     val rates = targetShares.map { case (s, share) =>
       s -> math.min(1.0, share * budget / totals(s))

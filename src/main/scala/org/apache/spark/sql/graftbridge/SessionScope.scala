@@ -33,4 +33,11 @@ object SessionScope {
   def rebind(df: DataFrame, to: SparkSession): DataFrame =
     classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession],
       df.asInstanceOf[classic.Dataset[_]].queryExecution.logical)
+
+  /** The session's UUID — unique per session instance and NEVER reused,
+    * unlike `System.identityHashCode`, which a later session can be
+    * assigned after the original is GC'd (a session-keyed cache would
+    * then serve frames bound to a stopped context). */
+  def uuid(s: SparkSession): String =
+    s.asInstanceOf[classic.SparkSession].sessionUUID
 }

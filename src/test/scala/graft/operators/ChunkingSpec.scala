@@ -83,19 +83,19 @@ class ChunkingSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.foreach { case (_, _, n, bucket, seqId, off) =>
       off should be >= 0
       off should be < 10
-      (seqId / 1000000000L).toInt shouldBe bucket
+      (seqId >> 40).toInt shouldBe bucket
       n should be > 0
     }
     // within a bucket, cumulative layout: sorted by (seq_id, offset),
     // each chunk starts exactly where the previous one ended
     rows.groupBy(_._4).foreach { case (bucket, rs) =>
       val ordered = rs.sortBy(r => (r._5, r._6))
-      ordered.head._5 shouldBe bucket * 1000000000L
+      ordered.head._5 shouldBe bucket.toLong << 40
       ordered.head._6 shouldBe 0
       ordered.sliding(2).foreach {
         case Array((_, _, n1, _, s1, o1), (_, _, _, _, s2, o2)) =>
-          val globalEnd = (s1 % 1000000000L) * 10 + o1 + n1
-          (s2 % 1000000000L) * 10 + o2 shouldBe globalEnd
+          val globalEnd = (s1 & ((1L << 40) - 1)) * 10 + o1 + n1
+          (s2 & ((1L << 40) - 1)) * 10 + o2 shouldBe globalEnd
         case _ =>
       }
     }

@@ -304,6 +304,18 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
       (0 until 7).map(g => (g, 8 + g, (g * 30 % 256).toDouble))
   }
 
+  test("co64 chunk offsets resolve like stco (64-bit path)") {
+    val frames = Seq(Multimodal.syntheticPng(9, 5, 77),
+      Multimodal.syntheticPng(8, 8, 3))
+    val mp4 = Multimodal.syntheticMp4WithFrames(600, 1200, frames,
+      forceCo64 = true)
+    new String(mp4) should include("co64")
+    val feats = Multimodal.videoFrameFeatures(mediaOf(8L, "video", mp4))
+      .orderBy("frame_no").collect()
+    feats.map(r => (r.getInt(2), r.getInt(3), r.getDouble(5))).toSeq shouldBe
+      Seq((9, 5, 77.0), (8, 8, 3.0))
+  }
+
   test("videoFrameFeatures: codec-bearing samples degrade to the stub") {
     val codecFrame = Array.tabulate[Byte](64)(i => (i * 7).toByte) // no PNG magic
     val mp4 = Multimodal.syntheticMp4WithFrames(600, 600, Seq(codecFrame))
