@@ -185,6 +185,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sequence packing: one bucket exchange + one window, no sort " +
+      "beyond the bucket, no join") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_pack_sequences")(spark, dir)
+      val plan = planOf(df)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the chunker's pinned repartition + the bucket exchange for the
+      // per-bucket window — a GLOBAL concat-and-cut would instead show
+      // a single-partition exchange here
+      assert(exchanges.length <= 2, s"extra shuffles:\n$plan")
+      assert(plan.contains("Window"), "per-bucket window cumsum missing")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("SortMergeJoin"), s"join in a relabeling op:\n$plan")
+      assert(!exchanges.exists(_.outputPartitioning.numPartitions == 1),
+        s"global single-partition exchange (serialized packing):\n$plan")
+    }
+  }
+
+  test("token mix: the kept-set filter is map-only over the scan") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_token_mix")(spark, dir)
+      val plan = planOf(df)
+      // the totals pass already ran (driver-side rates); the RETURNED
+      // frame must be a pure md5-threshold filter — no exchange, no join
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"shuffle in the map-only filter:\n$plan")
+      assert(plan.contains("md5"), "hash-threshold filter missing")
+    }
+  }
+
+  test("cross near-dedup: equi-joins only, no cartesian product") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_cross_neardup")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join in the cross candidate generation:\n$plan")
+    }
+  }
+
   test("decontamination broadcasts the benchmark shingles, no cartesian") {
     withStaticPlan {
       val plan = planOf(SparkEntry.queries("q_decontaminate")(spark, dir))
