@@ -113,20 +113,46 @@ object Preprocess {
       .withColumn("yy", col(yname).cast("double"))
       .withColumn("gg", col(gname).cast("double"))
 
-    // ONE pass for both distinct lists; max(t) for the never-treated
-    // recode (ATTgt.py:111-118) falls out of tlist, and the recode is
-    // applied to glist driver-side (the column recode stays lazy).
-    def distinctLists(d: DataFrame): (Vector[Double], Vector[Double]) = {
-      val row = timed("lists")(d.agg(collect_set("tt"), collect_set("gg")).first())
-      val t = row.getSeq[Double](0).toVector.sorted
-      val g = row.getSeq[Double](1).toVector.sorted
-      (t, g)
+    // ONE pass for the distinct lists AND the per-cohort stats: the
+    // group keys ARE the cohort list, the union of the per-cohort
+    // period sets IS tlist (each set bounded by the cardinality guard
+    // above), and the counts feed the first-period drop (ATTgt.py:
+    // 135-156), the unit count n (:188), and the small-group warning
+    // (:199-216). The reference runs ~5 separate actions for these; the
+    // r3 engine ran 2 (lists + stats); this is 1 scan. The grand totals
+    // derive driver-side — gg is a function of the unit, so per-cohort
+    // distinct-unit counts partition the unit set. (rollup(gg) would
+    // fold the totals in-engine, but Spark's ambiguous-self-join check
+    // misfires on rollup's Expand whenever the input lineage contains
+    // ANY join.)
+    def cohortScan(d: DataFrame)
+        : (Vector[Double], Map[Double, (Long, Long)]) = {
+      val rows = timed("cohorts")(d
+        .filter(col("gg").isNotNull && col("tt").isNotNull)
+        .groupBy("gg")
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col(idname)).as("uids"),
+          collect_set("tt").as("tts"))
+        .collect())
+      val t = rows.iterator.flatMap(_.getSeq[Double](3))
+        .toVector.distinct.sorted
+      (t, rows.map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2))).toMap)
     }
-    var (tlist, glistRaw) = distinctLists(df)
+    // never-treated recode (ATTgt.py:111-118) applied to scan results:
+    // cohorts past maxT merge into 0.0 — their unit sets are disjoint
+    // (gg is unit-level), so counts add
+    def recoded(per: Map[Double, (Long, Long)], mt: Double)
+        : Map[Double, (Long, Long)] =
+      per.groupMapReduce { case (g, _) => if (g > mt) 0.0 else g }(_._2) {
+        case ((c1, u1), (c2, u2)) => (c1 + c2, u1 + u2)
+      }
+
+    var (tlist, perRaw) = cohortScan(df)
     val maxT = tlist.last
     df = df.withColumn("gg", when(col("gg") > maxT, 0.0).otherwise(col("gg")))
-    var glistAll =
-      glistRaw.map(g => if (g > maxT) 0.0 else g).distinct.sorted
+    var perCohort = recoded(perRaw, maxT)
+    var glistAll = perCohort.keys.toVector.sorted
 
     // No never-treated units (ATTgt.py:120-128).
     if (!glistAll.contains(0.0)) {
@@ -135,58 +161,37 @@ object Preprocess {
           "There is no available never-treated group; set controlGroup='notyettreated'")
       val cut = glistAll.max - anticipation
       df = df.filter(col("tt") < cut)
-      val lists = distinctLists(df)
-      tlist = lists._1
-      // tlist_glist(_filter=True): drop cohorts >= max cohort (utils.py:41-43)
-      glistAll = lists._2.filter(_ < lists._2.max)
+      val scan = cohortScan(df)
+      tlist = scan._1
+      perCohort = recoded(scan._2, maxT) // no-op remap: gg already recoded
+      // tlist_glist(_filter=True): drop cohorts >= max cohort
+      // (utils.py:41-43) from the GRID list; the stats keep every
+      // cohort, as the post-branch stats pass always did
+      glistAll = perCohort.keys.toVector.filter(_ < perCohort.keys.max)
+        .sorted
     }
 
     var fp = tlist.head
     var glist = glistAll.filter(g => g > 0 && g > fp + anticipation)
-
-    // ONE rollup pass: per-cohort row counts + distinct-unit counts and
-    // the grand totals. Feeds the already-treated-at-first-period drop
-    // (ATTgt.py:135-156), the unit count n (:188), and the small-group
-    // warning (:199-216) without three more jobs.
-    def cohortStats(d: DataFrame, firstPeriod: Double)
-        : (Map[Double, (Long, Long, Long)], Long, Long) = {
-      // ONE aggregation job. The grand totals derive driver-side from
-      // the per-cohort rows: gg is a function of the unit (its
-      // first-treated period), so the per-cohort distinct-unit counts
-      // partition the unit set and sum to the total. (rollup(gg) would
-      // also do it in one job, but Spark's ambiguous-self-join check
-      // misfires on rollup's Expand whenever the input lineage contains
-      // ANY join.) Also carries the per-cohort first-period row count so
-      // the balanced-panel unit count n needs no extra job.
-      val per = timed("cohorts")(d.groupBy("gg")
-        .agg(count(lit(1)).as("cnt"), count_distinct(col(idname)).as("uids"),
-          sum(when(col("tt") === firstPeriod, 1L).otherwise(0L)).as("fpc"))
-        .collect()
-        .map(r => r.getDouble(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap)
-      (per, per.values.iterator.map(_._1).sum,
-        per.values.iterator.map(_._2).sum)
-    }
-    var (perCohort, totRows, totUnits) = cohortStats(df, fp)
+    def totRows: Long = perCohort.values.iterator.map(_._1).sum
+    def totUnits: Long = perCohort.values.iterator.map(_._2).sum
 
     // Drop units already treated in the first period (ATTgt.py:135-156).
-    def firstPeriodTreated(per: Map[Double, (Long, Long, Long)]): Long =
-      per.collect {
-        case (g, (cnt, uids, _)) if g != 0.0 && g <= fp =>
-          if (panel && !allowUnbalancedPanel) cnt else uids
-      }.sum
-    val nFirstPeriod = firstPeriodTreated(perCohort)
+    val nFirstPeriod = perCohort.collect {
+      case (g, (cnt, uids)) if g != 0.0 && g <= fp =>
+        if (panel && !allowUnbalancedPanel) cnt else uids
+    }.sum
     if (nFirstPeriod > 0) {
       System.err.println(
         s"[graft.did] Dropped $nFirstPeriod units that were already treated in the first period.")
       val keep = glist :+ 0.0
       df = df.filter(col("gg").isin(keep: _*))
-      val lists = distinctLists(df)
-      tlist = lists._1
+      val scan = cohortScan(df)
+      tlist = scan._1
       fp = tlist.head
-      glist = lists._2.filter(g => g > 0 && g > fp + anticipation)
-      val stats = cohortStats(df, fp)
-      perCohort = stats._1; totRows = stats._2; totUnits = stats._3
+      perCohort = recoded(scan._2, maxT)
+      glist = perCohort.keys.toVector.sorted
+        .filter(g => g > 0 && g > fp + anticipation)
     }
 
     // Regime selection (ATTgt.py:158-188). Default flags downgrade
@@ -208,11 +213,12 @@ object Preprocess {
     df = df.withColumn("w1", col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Unit count n (ATTgt.py:188): every regime's count now derives from
-    // the single cohort-stats aggregation — the balanced-panel regime
-    // reads the per-cohort first-period row counts (cnt at tt == fp).
+    // Unit count n (ATTgt.py:188): the default regimes read the single
+    // cohort-scan's totals; only the NON-default balanced-panel regime
+    // pays one extra count action (rows at the first period), which
+    // doubles as the final-cache materializer there.
     val n =
-      if (effPanel) perCohort.values.iterator.map(_._3).sum
+      if (effPanel) df.filter(col("tt") === fp).count()
       else if (trueRcs) totRows // every row is its own unit
       else totUnits
 
@@ -226,7 +232,7 @@ object Preprocess {
     val nCov = cfg.covariates.length
     val reqSize = nCov + 5
     val small = perCohort.collect {
-      case (g, (cnt, _, _)) if cnt.toDouble / tlist.length < reqSize => g
+      case (g, (cnt, _)) if cnt.toDouble / tlist.length < reqSize => g
     }.toSeq.sorted
     if (small.nonEmpty) {
       System.err.println(
