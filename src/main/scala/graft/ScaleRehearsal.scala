@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.did.{AttGt, Preprocess}
-import graft.operators.{Dedup, Graph}
+import graft.operators.{Chunking, Dedup, Graph, Sampling}
 
 /** Fresh-DGP scale rehearsal (VERDICT r3 #7): measures the dedup suite
   * and the cold DiD fit on a SEEDED synthetic corpus generated at two
@@ -180,6 +180,28 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.dedupByComponents(docs, pairs, "doc_id").count()
         },
+        timed("cross_neardup") {
+          // new crawl (93% fresh+mutated) vs snapshot slice
+          Dedup.crossNearDupPairs(
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7
+              =!= 0),
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7
+              === 0),
+            "doc_id", "text", n = 3, threshold = 0.8).count()
+        },
+        timed("pack_sequences")(
+          Chunking.packSequences(
+            Chunking.chunkTokens(docs, "doc_id", "text", 256, 32),
+            "doc_id", "chunk_no", "n_tokens", maxTokens = 2048,
+            nBuckets = 64).count()),
+        timed("token_mix")(
+          Sampling.tokenBudgetMix(
+            docs.select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("source"),
+              graft.functions.TextFunctions.tokenCount(
+                org.apache.spark.sql.functions.col("text")).as("tc")),
+            "doc_id", "source", "tc",
+            Map("s0" -> 0.4, "s1" -> 0.3, "s2" -> 0.3)).count()),
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)
