@@ -643,11 +643,19 @@ object SparkEntry {
     // dedup: SimHash banded near-dup pairs, Hamming <= 3. Rows-only BY
     // CHOICE: this query pins the PRODUCTION XXH64 signature path (the
     // native SimHash64Expr DuckDB cannot reproduce); the simhash
-    // transform itself — tokenize, per-bit vote, sign pack — IS
-    // oracle-pinned via q_simhash_sig's md5-bit flavor, and the 4x16
+    // transform is oracle-pinned via q_simhash_sig, the banded join
+    // shape end-to-end via q_simhash_neardup_md5, and the 4x16
     // pigeonhole banding recall is proven in TextDedupSpec.
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")),
+
+    // dedup: the SAME banded near-dup join shape, run on the md5-flavor
+    // signature so the WHOLE pipeline (per-token md5 bits -> vote ->
+    // sign pack -> 4x16 banding -> Hamming verify) is DuckDB-replayable
+    // and hash-checked; q_simhash_neardup above stays the XXH64
+    // production sibling
+    "q_simhash_neardup_md5" -> ((s, dir) =>
+      Dedup.simhashNearDupPairsMd5(docs(s, dir), "doc_id", "text")),
 
     // similarity: exact brute-force cosine top-3 for 10 query vectors
     "q_cosine_topk" -> ((s, dir) => {
@@ -668,8 +676,10 @@ object SparkEntry {
     }),
 
     // similarity: IVF (k-means inverted-file) approximate top-k — the
-    // FAISS-style scale path; rows-only (recall vs brute force and
-    // full-probe exactness are asserted in SimilarityEventsSpec)
+    // FAISS-style scale path; rows-only BY CHOICE (nProbe < nLists is
+    // approximate): recall vs brute force is asserted in
+    // SimilarityEventsSpec, and the same code path at nProbe = nLists
+    // is DuckDB-oracle-checked via q_ann_ivf_fullprobe below
     "q_ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       // trainFraction < 1 exercises the sampled quantizer fit — the
@@ -677,6 +687,17 @@ object SparkEntry {
       // assignment stays exact over all rows.
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
         nLists = 8, nProbe = 3, trainFraction = 0.25)
+    }),
+
+    // similarity: IVF with nProbe = nLists — the REAL IVF code path
+    // (sampled k-means++ quantizer fit, distributed assignment, probe of
+    // EVERY list) whose result is provably the exact top-k, so the ANN
+    // machinery itself is DuckDB-oracle-checked; q_ann_ivf_topk above
+    // stays the documented-approximate partial-probe sibling
+    "q_ann_ivf_fullprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
+        nLists = 8, nProbe = 8, trainFraction = 0.25)
     }),
 
     // events: tumbling event-time hourly window aggregation
@@ -1344,6 +1365,37 @@ object SparkEntry {
         |             ORDER BY b) AS sig
         |FROM votes GROUP BY doc_id""".stripMargin,
 
+    // full banded near-dup replay on the md5-flavor signature: sig CTE =
+    // q_simhash_sig verbatim; banding = 16-char substr; Hamming = char
+    // mismatches over the bit strings (DuckDB hamming())
+    "q_simhash_neardup_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN
+        |      ((strpos('0123456789abcdef',
+        |          substr(md5(tok), b // 4 + 1, 1)) - 1)
+        |        >> (3 - b % 4)) & 1 = 1
+        |      THEN 1 ELSE -1 END) AS v
+        |  FROM toks, range(64) r(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |               ORDER BY b) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sig, r.b AS band,
+        |    substr(sig, r.b * 16 + 1, 16) AS chunk
+        |  FROM sig, range(4) r(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  hamming(a.sig, b.sig) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |WHERE hamming(a.sig, b.sig) <= 3""".stripMargin,
+
     "q_token_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -1645,6 +1697,18 @@ object SparkEntry {
         .stripMargin,
 
     "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT qid, cid, ROUND(cos, 6) AS cos FROM p
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) <= 3""".stripMargin,
+
+    // exact top-k: with nProbe = nLists every candidate is scored, so the
+    // IVF path must reproduce the brute-force oracle bit-for-bit
+    "q_ann_ivf_fullprobe" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

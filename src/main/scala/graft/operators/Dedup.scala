@@ -292,6 +292,47 @@ object Dedup {
       .repartition(par(df), col("did"))
       .select(col("did"), simhash64(col("txt")).as("simhash"))
 
+  /** SimHash near-dup pairs over the MD5-flavor signature
+    * ([[graft.functions.SimHashMd5Expr]] — 64-char '0'/'1' bit string):
+    * the ORACLE-CHECKED twin of [[simhashNearDupPairs]]. Same 4-band
+    * pigeonhole (any pair within Hamming 3 shares one exact 16-bit
+    * chunk), same exact verification — but every step (md5 per-token
+    * bits, banding via substr, Hamming via chunk-XOR popcount) is
+    * reproducible by an ANSI SQL engine, so the banded near-dup JOIN
+    * SHAPE itself gets a DuckDB oracle row, not just the signature.
+    * Production stays on the XXH64 flavor (~20x cheaper per token). */
+  def simhashNearDupPairsMd5(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only to 3")
+    val sig = df.select(col(idCol).as("did"), col(textCol).as("txt"))
+      .repartition(par(df), col("did"))
+      .select(col("did"), simhashMd5(col("txt")).as("sig"))
+      .repartition(par(df), col("did"))
+    val banded = sig.select(col("did"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("sig"), b * 16 + 1, 16).as("chunk"))): _*))
+          .as("bb"))
+      .select(col("did"), col("sig"), col("bb.band"), col("bb.chunk"))
+    // Hamming over the bit strings = sum of per-16-bit-chunk XOR
+    // popcounts (conv base-2 -> long is exact at 16 bits)
+    val ham = (0 until 4).map { b =>
+      bit_count(
+        conv(substring(col("a.sig"), b * 16 + 1, 16), 2, 10).cast("long")
+          .bitwiseXOR(
+            conv(substring(col("b.sig"), b * 16 + 1, 16), 2, 10)
+              .cast("long")))
+    }.reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** SimHash near-dup candidates with Hamming distance <= maxDist,
     * banded into 4 x 16-bit chunks (any doc pair within Hamming 3 shares
     * at least one exact chunk — pigeonhole), verified exactly. */
