@@ -1671,7 +1671,7 @@ object SparkEntry {
         |  SELECT *, md5(doc_id || '#' || chunk_no) AS hkey FROM c),
         |b AS (
         |  SELECT *,
-        |    CAST(('0x' || substr(hkey, 1, 4))::BIGINT % 16 AS INT) AS bucket
+        |    CAST(('0x' || substr(hkey, 1, 8))::BIGINT % 16 AS INT) AS bucket
         |  FROM h),
         |s AS (
         |  SELECT *,

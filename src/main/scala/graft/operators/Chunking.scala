@@ -66,20 +66,53 @@ object Chunking {
     * namespaces the bucket. Order within a bucket is the md5 hex of
     * the chunk key: stable across engines, partitionings, and reruns
     * (and the DuckDB oracle replays it exactly — no RNG, no
-    * row_number over ties). */
+    * row_number over ties).
+    *
+    * Each bucket's cumulative sum runs on ONE reducer, so bucket count
+    * — not corpus size — bounds the packing stage. `nBuckets = 0` (the
+    * default) derives the count from a one-pass token total against
+    * `maxBucketTokens` (floored at cluster parallelism), the same
+    * enforced-guard shape as `Similarity.cosineNearDupPairs`; pass an
+    * explicit `nBuckets` to pin the seq_id layout across corpora. */
   def packSequences(chunks: DataFrame, idCol: String, chunkNoCol: String,
-      nTokensCol: String, maxTokens: Int, nBuckets: Int = 64,
-      salt: String = ""): DataFrame = {
+      nTokensCol: String, maxTokens: Int, nBuckets: Int = 0,
+      salt: String = "", maxBucketTokens: Long = 1L << 30): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
-    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(nBuckets >= 0, s"nBuckets must be >= 0 (0 = auto): $nBuckets")
+    require(maxBucketTokens >= 1,
+      s"maxBucketTokens must be >= 1: $maxBucketTokens")
+    val derived =
+      if (nBuckets > 0) nBuckets.toLong
+      else {
+        // one cheap single-column agg (the shuffle + window that follow
+        // dwarf it): total token mass / per-reducer budget, floored at
+        // parallelism so small corpora still spread across the cluster
+        val total = chunks.agg(sum(col(nTokensCol).cast("long")))
+          .first() match {
+            case r if r.isNullAt(0) => 0L
+            case r                  => r.getLong(0)
+          }
+        val forMem = math.ceil(total.toDouble / maxBucketTokens).toLong
+        val forPar =
+          chunks.sparkSession.sparkContext.defaultParallelism.toLong
+        math.max(1L, math.max(forMem, forPar))
+      }
+    // the seq_id namespace is bucket << 40: 23 bits of bucket headroom
+    require(derived < (1L << 23),
+      s"nBuckets=$derived overflows the bucket<<40 seq_id namespace " +
+        s"(max ${(1L << 23) - 1}) — raise maxBucketTokens")
+    val blks = derived.toInt
     val hkey = md5(concat(col(idCol).cast("string"), lit("#"),
       col(chunkNoCol).cast("string"), lit(salt)))
     val w = Window.partitionBy("bucket").orderBy("hkey")
     chunks
       .withColumn("hkey", hkey)
+      // 8 hex chars = 32 hash bits: a 4-char key would silently cap the
+      // effective bucket count at 65536, under the ~100k buckets a
+      // 100 TB corpus needs at the default budget
       .withColumn("bucket",
-        (conv(substring(col("hkey"), 1, 4), 16, 10).cast("long")
-          % nBuckets).cast("int"))
+        (conv(substring(col("hkey"), 1, 8), 16, 10).cast("long")
+          % blks).cast("int"))
       .withColumn("start_tok",
         sum(col(nTokensCol)).over(w) - col(nTokensCol))
       // seq_id = bucket << 40 | seq-within-bucket: 2^40 sequences per

@@ -109,4 +109,33 @@ class ChunkingSpec extends AnyFunSuite with Matchers with SparkSpec {
     val b = packed().sortBy(r => (r._1, r._2)).toSeq
     a shouldBe b
   }
+
+  test("packSequences auto-derives bucket count from the token budget") {
+    val docs = (1L to 30L)
+      .map(i => (i, (1 to (3 + (i % 7)).toInt).map(k => s"d${i}w$k")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = Chunking.chunkTokens(docs, "doc_id", "text",
+      size = 4, overlap = 0)
+    def run(nBuckets: Int, budget: Long) =
+      Chunking.packSequences(ch, "doc_id", "chunk_no", "n_tokens",
+        maxTokens = 10, nBuckets = nBuckets, maxBucketTokens = budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getInt(5)))
+        .sortBy(r => (r._1, r._2)).toSeq
+    // total token mass = 177, budget 5 => ceil(177/5) = 36 buckets,
+    // above the local[4] parallelism floor — and the auto run is
+    // IDENTICAL to explicitly passing the derived count
+    val auto = run(nBuckets = 0, budget = 5)
+    auto shouldBe run(nBuckets = 36, budget = 5)
+    auto.map(_._4).distinct.size should be > 4
+    // a roomy budget floors at cluster parallelism (local[4] => 4)
+    run(nBuckets = 0, budget = 1L << 30) shouldBe
+      run(nBuckets = 4, budget = 5)
+    // namespace guard: bucket << 40 leaves 23 bits of bucket headroom
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.packSequences(ch, "doc_id", "chunk_no", "n_tokens",
+        maxTokens = 10, nBuckets = 1 << 23)
+  }
 }
