@@ -366,6 +366,40 @@ object SparkEntry {
         (f.cells(i).g, f.cells(i).tn, f.se(i))).toDF("g", "t", "se")
     }),
 
+    // §2.8 md5-flavor bootstrap draw matrix — engine-replayable signs
+    // (top bit of md5("unit#draw#")) make the distributed Rademacher
+    // contraction itself DuckDB-hash-checkable; production keeps the
+    // cheaper murmur3 signs (q_mboot_se above, pinned by MBootSpec
+    // driver/distributed parity)
+    "q_mboot_draws_md5" -> ((s, dir) => {
+      import s.implicits._
+      val f = fitFor(s, dir)
+      val cellMap = f.cells.filterNot(c => c.zeroCell || f.skipped(c.idx))
+        .map(c => (c.idx, c.g, c.tn)).toDF("cell", "g", "t")
+      MBoot.drawMatrixMd5(f.ifTable, f.pp.n, biters = 64)
+        .join(broadcast(cellMap), "cell")
+        .select(col("g"), col("t"), col("draw").cast("long").as("draw"),
+          // 2dp: bres magnitude is ~1e5 (raw-y influence sums), so finer
+          // rounding would demand ~1e-12 RELATIVE cross-engine agreement
+          // on a 4500-term float sum — knife-edge territory
+          round(col("bres"), 2).as("bres"))
+    }),
+
+    // §2.8 md5-flavor bootstrap SE, through the SAME finish() as
+    // production (sqrt(n) scale, degenerate drop, type-1 IQR quantiles)
+    // — DuckDB replays the draws AND the inverted-cdf rank selection
+    "q_mboot_se_md5" -> ((s, dir) => {
+      import s.implicits._
+      val f = fitFor(s, dir)
+      val b = MBoot.runMd5(f.ifTable, f.cells.length, f.pp.n, biters = 64,
+        f.pp.config.alp)
+      f.cells.indices.filter(i => !b.se(i).isNaN)
+        .map(i => (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(b.se(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toDF("g", "t", "se")
+    }),
+
     // §2.7 influence-function store: per-cell analytic SE
     // sqrt(sum IF^2)/n off the sparse IF table. For the intercept-only
     // closed form the per-row IF is 2x2-means algebra, so the whole
@@ -1048,6 +1082,61 @@ object SparkEntry {
       |WHERE mu11 IS NOT NULL AND mu10 IS NOT NULL
       |  AND mu01 IS NOT NULL AND mu00 IS NOT NULL""".stripMargin)
 
+  /** Shared oracle CTE: per-unit influence table rebuilt from the raw
+    * panel (long form -> 2x2 bucket constants -> per-unit IF sums) plus
+    * the unit count — the SQL mirror of AttGt's sparse ifTable. Used by
+    * q_if_norms and both md5-bootstrap oracles. */
+  private val ifUnitCte: String =
+    """tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+      |         FROM (SELECT DISTINCT t FROM panel)),
+      |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+      |cells AS (
+      |  SELECT gs.g, tl.t AS tn,
+      |    CASE WHEN gs.g <= tl.t
+      |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
+      |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+      |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+      |lf AS (
+      |  SELECT c.g, c.tn, p.id, p.y,
+      |    CASE WHEN p.g = c.g THEN 1 ELSE 0 END AS d,
+      |    CASE WHEN p.t = c.tn THEN 1 ELSE 0 END AS pst
+      |  FROM cells c JOIN panel p
+      |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)),
+      |k AS (
+      |  SELECT g, tn, COUNT(*) AS ncell,
+      |    SUM(CASE WHEN d=1 AND pst=1 THEN 1 ELSE 0 END) AS w11,
+      |    AVG(CASE WHEN d=1 AND pst=1 THEN y END) AS mu11,
+      |    SUM(CASE WHEN d=1 AND pst=0 THEN 1 ELSE 0 END) AS w10,
+      |    AVG(CASE WHEN d=1 AND pst=0 THEN y END) AS mu10,
+      |    SUM(CASE WHEN d=0 AND pst=1 THEN 1 ELSE 0 END) AS w01,
+      |    AVG(CASE WHEN d=0 AND pst=1 THEN y END) AS mu01,
+      |    SUM(CASE WHEN d=0 AND pst=0 THEN 1 ELSE 0 END) AS w00,
+      |    AVG(CASE WHEN d=0 AND pst=0 THEN y END) AS mu00
+      |  FROM lf GROUP BY g, tn),
+      |r AS (
+      |  SELECT lf.g, lf.tn, lf.id,
+      |    CASE WHEN d=1 AND pst=1 THEN  (k.ncell * 1.0 / k.w11) * (lf.y - k.mu11)
+      |         WHEN d=1 AND pst=0 THEN -(k.ncell * 1.0 / k.w10) * (lf.y - k.mu10)
+      |         WHEN d=0 AND pst=1 THEN -(k.ncell * 1.0 / k.w01) * (lf.y - k.mu01)
+      |         ELSE (k.ncell * 1.0 / k.w00) * (lf.y - k.mu00) END AS infr
+      |  FROM lf JOIN k ON lf.g = k.g AND lf.tn = k.tn
+      |  WHERE k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0 AND k.w00 > 0),
+      |u AS (SELECT g, tn, id, SUM(infr) AS inf FROM r GROUP BY 1, 2, 3),
+      |nn AS (SELECT COUNT(DISTINCT id) AS n FROM panel)""".stripMargin
+
+  /** md5-signed draw matrix over [[ifUnitCte]]'s `u`: 64 Rademacher
+    * draws, sign = top bit of md5("unit#draw#"), bres = contraction /
+    * sqrt(n) — the SQL replay of MBoot.drawMatrixMd5. */
+  private val mbootDmCte: String =
+    """dm AS (
+      |  SELECT u.g, u.tn, r.b AS draw,
+      |    SUM(u.inf * CASE WHEN strpos('01234567',
+      |          substr(md5(CAST(u.id AS VARCHAR) || '#' ||
+      |                     CAST(r.b AS VARCHAR) || '#'), 1, 1)) > 0
+      |        THEN 1.0 ELSE -1.0 END) / sqrt(nn.n) AS bres
+      |  FROM u, range(64) r(b), nn
+      |  GROUP BY u.g, u.tn, r.b, nn.n)""".stripMargin
+
   def oracleSql: Map[String, String] = withSharedOracles(Map(
     "q_att_gt_universal" -> attGtUniversalSql,
     "q_att_gt_nyt" -> attGtNytSql,
@@ -1116,44 +1205,36 @@ object SparkEntry {
     // (k_dp = +/- ncell/w_dp) -> per-unit IF sums -> sqrt(sum IF^2)/n,
     // mirroring AttGt.fitRcDistributed cell by cell
     "q_if_norms" -> withPanelCte(
-      """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
-        |         FROM (SELECT DISTINCT t FROM panel)),
-        |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
-        |cells AS (
-        |  SELECT gs.g, tl.t AS tn,
-        |    CASE WHEN gs.g <= tl.t
-        |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
-        |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
-        |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
-        |lf AS (
-        |  SELECT c.g, c.tn, p.id, p.y,
-        |    CASE WHEN p.g = c.g THEN 1 ELSE 0 END AS d,
-        |    CASE WHEN p.t = c.tn THEN 1 ELSE 0 END AS pst
-        |  FROM cells c JOIN panel p
-        |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)),
-        |k AS (
-        |  SELECT g, tn, COUNT(*) AS ncell,
-        |    SUM(CASE WHEN d=1 AND pst=1 THEN 1 ELSE 0 END) AS w11,
-        |    AVG(CASE WHEN d=1 AND pst=1 THEN y END) AS mu11,
-        |    SUM(CASE WHEN d=1 AND pst=0 THEN 1 ELSE 0 END) AS w10,
-        |    AVG(CASE WHEN d=1 AND pst=0 THEN y END) AS mu10,
-        |    SUM(CASE WHEN d=0 AND pst=1 THEN 1 ELSE 0 END) AS w01,
-        |    AVG(CASE WHEN d=0 AND pst=1 THEN y END) AS mu01,
-        |    SUM(CASE WHEN d=0 AND pst=0 THEN 1 ELSE 0 END) AS w00,
-        |    AVG(CASE WHEN d=0 AND pst=0 THEN y END) AS mu00
-        |  FROM lf GROUP BY g, tn),
-        |r AS (
-        |  SELECT lf.g, lf.tn, lf.id,
-        |    CASE WHEN d=1 AND pst=1 THEN  (k.ncell * 1.0 / k.w11) * (lf.y - k.mu11)
-        |         WHEN d=1 AND pst=0 THEN -(k.ncell * 1.0 / k.w10) * (lf.y - k.mu10)
-        |         WHEN d=0 AND pst=1 THEN -(k.ncell * 1.0 / k.w01) * (lf.y - k.mu01)
-        |         ELSE (k.ncell * 1.0 / k.w00) * (lf.y - k.mu00) END AS infr
-        |  FROM lf JOIN k ON lf.g = k.g AND lf.tn = k.tn
-        |  WHERE k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0 AND k.w00 > 0),
-        |u AS (SELECT g, tn, id, SUM(infr) AS inf FROM r GROUP BY 1, 2, 3),
-        |nn AS (SELECT COUNT(DISTINCT id) AS n FROM panel)
+      s""", $ifUnitCte
         |SELECT u.g, u.tn AS t, ROUND(sqrt(SUM(inf * inf)) / nn.n, 4) AS se
         |FROM u, nn GROUP BY u.g, u.tn, nn.n""".stripMargin),
+
+    // md5-flavor bootstrap draw matrix: per-unit IF rebuilt from raw
+    // panel (same chain as q_if_norms), signs = top md5 bit of
+    // "unit#draw#", contraction replayed per (cell, draw)
+    "q_mboot_draws_md5" -> withPanelCte(
+      s""", $ifUnitCte, $mbootDmCte
+        |SELECT g, tn AS t, draw, ROUND(bres, 2) AS bres FROM dm""".stripMargin),
+
+    // md5-flavor bootstrap SE: type-1 (inverted-cdf) quantiles of the 64
+    // draws selected by explicit rank (ceil(p*64) = 48/16), IQR scaled
+    // by 2*z_{0.75}, over sqrt(n) — the engine's finish() replayed
+    "q_mboot_se_md5" -> withPanelCte(
+      s""", $ifUnitCte, $mbootDmCte,
+        |rk AS (
+        |  SELECT g, tn, bres,
+        |    row_number() OVER (PARTITION BY g, tn ORDER BY bres) AS rn
+        |  FROM dm),
+        |qq AS (
+        |  SELECT g, tn,
+        |    MAX(CASE WHEN rn = 48 THEN bres END) AS q75,
+        |    MAX(CASE WHEN rn = 16 THEN bres END) AS q25,
+        |    SUM(bres * bres) AS ss
+        |  FROM rk GROUP BY g, tn)
+        |SELECT qq.g, qq.tn AS t,
+        |  ROUND((qq.q75 - qq.q25) / ${2 * Stats.normPpf(0.75)}
+        |        / sqrt(nn.n), 4) AS se
+        |FROM qq, nn WHERE qq.ss > ${Stats.DegenerateTol}""".stripMargin),
 
     "q_aggte_simple" -> withPanelCte(
       s""", $cellMeansCte,

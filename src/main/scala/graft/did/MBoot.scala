@@ -1,6 +1,6 @@
 package graft.did
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.commons.math3.random.MersenneTwister
@@ -172,6 +172,47 @@ object MBoot {
       while (b < biters) { out(b)(cell) = sums(b) / n; b += 1 }
     }
     out
+  }
+
+  /** Engine-replayable (md5-keyed) Rademacher sign for (unit, draw):
+    * +1 iff the top bit of md5("rowid#draw#salt") is 0 (first hex char
+    * in 0..7) — derivable by any SQL engine with an md5(), unlike the
+    * production murmur3 [[sign]]. Pure column function: the same draw
+    * for a unit on every partition, no RNG state. */
+  def md5Sign(rowid: Column, draw: Column, salt: String = ""): Column =
+    when(conv(substring(md5(concat(rowid.cast("string"), lit("#"),
+      draw.cast("string"), lit("#"), lit(salt))), 1, 1), 16, 10) < 8,
+      1.0).otherwise(-1.0)
+
+  /** md5-flavor draw matrix (cell, draw, bres): one distributed
+    * explode + groupBy pass, bres = sum(inf * sign) / sqrt(n) — exactly
+    * the scaled per-draw statistic [[finish]] consumes (`bres` rows of
+    * `csdids/mboot.py:106`). This is the DuckDB-oracle twin of
+    * [[distributedBoot]]: same sparse-IF contraction, signs replayable
+    * in SQL so the bootstrap numbers themselves get hash-checked. */
+  def drawMatrixMd5(ifTable: DataFrame, n: Long, biters: Int,
+      salt: String = ""): DataFrame =
+    ifTable
+      .select(col("rowid"), col("cell"), col("inf"),
+        explode(sequence(lit(0), lit(biters - 1))).as("draw"))
+      .groupBy("cell", "draw")
+      .agg((sum(col("inf") * md5Sign(col("rowid"), col("draw"), salt))
+        / math.sqrt(n.toDouble)).as("bres"))
+
+  /** Full bootstrap over md5 draws, through the SAME [[finish]] as
+    * production (sqrt(n) scale, degenerate drop, type-1 IQR SE, sup-t
+    * critical value). */
+  def runMd5(ifTable: DataFrame, k: Int, n: Long, biters: Int, alp: Double,
+      salt: String = ""): MBootResult = {
+    require(biters >= 2,
+      s"mboot needs biters >= 2 (SE and ddof=1 covariance), got $biters")
+    val sqrtN = math.sqrt(n.toDouble)
+    val out = Array.ofDim[Double](biters, k)
+    drawMatrixMd5(ifTable, n, biters, salt).collect().foreach { r =>
+      // finish() expects the un-scaled per-draw mean (sum / n)
+      out(r.getInt(1))(r.getInt(0)) = r.getDouble(2) / sqrtN
+    }
+    finish(out, k, n, alp)
   }
 
   /** `sqrt(n)` scale, degenerate-dim drop, IQR-based SE and sup-t critical

@@ -68,4 +68,43 @@ class MBootSpec extends AnyFunSuite with SparkSpec {
     }
     assert(math.abs(driver.critVal - dist.critVal) / driver.critVal < 0.25)
   }
+
+  test("md5 draw matrix matches an independent driver-side replay") {
+    val biters = 16
+    val dm = MBoot.drawMatrixMd5(fit.ifTable, fit.pp.n, biters)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // independent replay: MessageDigest over the same key, top bit rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = scala.collection.mutable.Map
+      .empty[(Int, Int), Double].withDefaultValue(0.0)
+    fit.ifTable.collect().foreach { r =>
+      val rowid = r.get(0).toString
+      val cell = r.getInt(1)
+      val inf = r.getDouble(2)
+      (0 until biters).foreach { b =>
+        md.reset()
+        val d = md.digest(s"$rowid#$b#".getBytes("UTF-8"))
+        val sgn = if ((d(0) & 0x80) == 0) 1.0 else -1.0
+        expected((cell, b)) += inf * sgn
+      }
+    }
+    val sqrtN = math.sqrt(fit.pp.n.toDouble)
+    assert(dm.nonEmpty)
+    dm.foreach { case (key, v) =>
+      val e = expected(key) / sqrtN
+      assert(math.abs(v - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"$key: engine $v vs replay $e")
+    }
+    // md5 flavor through finish() lands near the production bootstrap
+    val md5se = MBoot.runMd5(fit.ifTable, fit.cells.length, fit.pp.n,
+      199, 0.05).se
+    val prod = MBoot.run(fit.ifTable, fit.cells.length, fit.pp.n,
+      199, 0.05, 5L).se
+    prod.indices.filterNot(i => prod(i).isNaN || md5se(i).isNaN)
+      .foreach { i =>
+        assert(math.abs(prod(i) - md5se(i)) / prod(i) < 0.3,
+          s"dim $i: prod ${prod(i)} vs md5 ${md5se(i)}")
+      }
+  }
 }
