@@ -32,9 +32,19 @@ object Graph {
     * `maxIter` bounds the rounds; the propagation is monotone
     * (labels only decrease, floored at the component minimum), so a
     * capped run still yields valid — just possibly unmerged — clusters.
-    */
+    *
+    * `checkpointEvery` (default 0 = off) additionally TRUNCATES RDD
+    * lineage every that-many rounds: the per-round plan cut below keeps
+    * lineage on purpose (block-loss recovery), but over a deep run the
+    * chain itself becomes the failure cost — an executor lost in round
+    * 18 recomputes every previous round. Opt in at scale to bound the
+    * recompute depth: a reliable `checkpoint()` when the context has a
+    * checkpoint dir (survives executor loss), `localCheckpoint()`
+    * otherwise (no DFS write, trades executor-loss tolerance). Labels
+    * are identical either way — only the recovery story changes. */
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 25,
+      checkpointEvery: Int = 0): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"),
@@ -85,8 +95,16 @@ object Graph {
       // persisted parents instead of killing every later consumer. The
       // per-round persist is a real cacheManager entry, so the previous
       // round's unpersist actually frees its blocks.
-      val next = jumped.sparkSession
-        .createDataFrame(jumped.rdd, jumped.schema)
+      val ckptNow = checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0
+      val next = (if (ckptNow) {
+          // checkpoint() and localCheckpoint() both flatten the SQL plan
+          // to a LogicalRDD themselves, so they replace (not compose
+          // with) the createDataFrame cut on their rounds
+          if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            jumped.checkpoint(eager = true)
+          else jumped.localCheckpoint(eager = true)
+        } else jumped.sparkSession
+          .createDataFrame(jumped.rdd, jumped.schema))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val sumNow = compSum(next) // the action that seals the round
       labels.unpersist()

@@ -55,4 +55,28 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     kept shouldBe Set(1L, 2L, 3L) // 4 and 5 fold into 2's cluster
   }
+
+  test("checkpoint cadence leaves the labels unchanged") {
+    // deep-ish chain plus a disjoint triangle: several rounds, both
+    // cadence-hit and cadence-miss rounds exercised
+    val edges = (1L until 30L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val plain = comps(edges)
+    val ckpt = Graph.connectedComponents(edges.toDF("id_a", "id_b"),
+        maxIter = 25, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ckpt shouldBe plain
+    // with a reliable checkpoint dir set, the checkpoint() branch runs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      Graph.connectedComponents(edges.toDF("id_a", "id_b"),
+          maxIter = 25, checkpointEvery = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap shouldBe plain
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
 }
