@@ -581,8 +581,10 @@ object SparkEntry {
     // (map-only regexp chain; patterns are Java/RE2-portable)
     "q_pii_scrub" -> ((s, dir) => {
       val (ne, ns, ni, np) = TextFunctions.piiCounts(col("text"))
-      docs(s, dir).select(col("doc_id"), ne.as("n_email"),
-        ns.as("n_ssn"), ni.as("n_ip"), np.as("n_phone"),
+      // long casts pin the dtype to DuckDB's len() (BIGINT)
+      docs(s, dir).select(col("doc_id"), ne.cast("long").as("n_email"),
+        ns.cast("long").as("n_ssn"), ni.cast("long").as("n_ip"),
+        np.cast("long").as("n_phone"),
         md5(TextFunctions.redactPii(col("text"))).as("clean_fp"))
     }),
 

@@ -274,10 +274,11 @@ object AttGt {
     val lf = longForm(pp, cells)
 
     // the stat pass reduces to K = #cells rows — a handful of reduce
-    // partitions is right at any scale (internal session clone;
-    // restored before the rowid-level IF aggregation below)
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // partitions is right at any scale. Restored on every exit: early
+    // on success (the rowid-level IF aggregation below needs data-sized
+    // partitioning), by the finally on exceptions.
+    val shuffleNarrow = new ShuffleNarrow(spark, 4)
+    try {
 
     def bucket(dv: Int, pv: Int): Column =
       (col("d") === dv) && (col("pst") === pv)
@@ -349,7 +350,7 @@ object AttGt {
       "k11" -> (i => consts(i)._5), "k10" -> (i => consts(i)._6),
       "k01" -> (i => consts(i)._7), "k00" -> (i => consts(i)._8))
 
-    spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+    shuffleNarrow.restore()
 
     // The groupBy is REAL aggregation, not dedup: in the default
     // unbalanced-panel-as-RC regime rowid := unit id, so a unit's pre-
@@ -370,6 +371,7 @@ object AttGt {
         .select("rowid", "cell", "inf")
 
     (att, post, skipped, ifRows)
+    } finally shuffleNarrow.restore() // no-op unless an exception skipped it
   }
 
   /** Collect-based rc path for covariate / custom-estimator runs — parity

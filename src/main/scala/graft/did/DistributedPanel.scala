@@ -68,9 +68,10 @@ private[did] object DistributedPanel {
     // the work; AQE would coalesce, but it's off here). Set only AFTER
     // pass 0 — ITS action also materializes `lf`, whose lineage carries
     // the rowid-level pivot shuffle that needs data-sized partitioning.
-    // The session is the fit's internal clone; restored before return.
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // Restored on every exit: early on success (the trailing shuffle
+    // needs data-sized partitioning), by the finally on exceptions.
+    val shuffleNarrow = new ShuffleNarrow(spark, 4)
+    try {
     def p0d(i: Int, name: String): Double =
       p0(i).getDouble(p0(i).fieldIndex(name))
     def p0Gram(i: Int, prefix: String): DenseMatrix[Double] = {
@@ -101,7 +102,7 @@ private[did] object DistributedPanel {
     }
     if (live.isEmpty) {
       lf.unpersist()
-      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+      shuffleNarrow.restore()
       return (att, post, skipped,
         Seq.empty[(String, Int, Double)].toDF("rowid", "cell", "inf"),
         Some(Array.fill(nCells)(0.0)))
@@ -286,8 +287,9 @@ private[did] object DistributedPanel {
     ifRows.groupBy("cell").agg(sum(col("inf") * col("inf")).as("ss"))
       .collect().foreach(r => seSS(r.getInt(0)) = r.getDouble(1))
     lf.unpersist()
-    spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+    shuffleNarrow.restore()
 
     (att, post, skipped, ifRows, Some(seSS))
+    } finally shuffleNarrow.restore() // no-op unless an exception skipped it
   }
 }

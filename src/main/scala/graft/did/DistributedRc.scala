@@ -82,8 +82,10 @@ private[did] object DistributedRc {
     // internal clone (single-threaded by construction), so the toggle
     // can't leak: restored before the rowid-level IF aggregation, which
     // DOES need data-sized partitioning.
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // Restored on every exit: early on success (the trailing shuffle
+    // needs data-sized partitioning), by the finally on exceptions.
+    val shuffleNarrow = new ShuffleNarrow(spark, 4)
+    try {
 
     // Every pass below (bucket counts, each IRLS Newton step, the WLS
     // Grams, the moment pass, the final IF pass) scans this frame; without
@@ -155,7 +157,7 @@ private[did] object DistributedRc {
 
     if (live.isEmpty) {
       lf.unpersist()
-      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+      shuffleNarrow.restore()
       val empty = Seq.empty[(String, Int, Double)]
         .toDF("rowid", "cell", "inf")
       return (att, post, skipped, empty, Some(Array.fill(nCells)(0.0)))
@@ -512,7 +514,7 @@ private[did] object DistributedRc {
     // (sum of squared IFs per cell), so the caller pays no extra pass.
     // rowid-level shuffle ahead: back to data-sized partitioning (also
     // inherited by the bootstrap's downstream scans of ifRows)
-    spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+    shuffleNarrow.restore()
 
     // The groupBy is REAL aggregation, not dedup: in the default
     // unbalanced-panel-as-RC regime rowid := unit id, so a unit's pre-
@@ -529,5 +531,6 @@ private[did] object DistributedRc {
     lf.unpersist()
 
     (att, post, skipped, ifRows, Some(seSS))
+    } finally shuffleNarrow.restore() // no-op unless an exception skipped it
   }
 }

@@ -127,8 +127,14 @@ object Preprocess {
     // ANY join.)
     def cohortScan(d: DataFrame)
         : (Vector[Double], Map[Double, (Long, Long)]) = {
+      // null-cohort rows STAY in the scan: their periods belong in
+      // tlist (the reference's tlist_glist is distinct() over all
+      // rows), so a period appearing only on missing-cohort rows must
+      // still shift maxT and the never-treated recode. groupBy keeps
+      // the null gg as its own group; only the per-cohort stats map
+      // skips it below.
       val rows = timed("cohorts")(d
-        .filter(col("gg").isNotNull && col("tt").isNotNull)
+        .filter(col("tt").isNotNull)
         .groupBy("gg")
         .agg(count(lit(1)).as("cnt"),
           count_distinct(col(idname)).as("uids"),
@@ -136,7 +142,7 @@ object Preprocess {
         .collect())
       val t = rows.iterator.flatMap(_.getSeq[Double](3))
         .toVector.distinct.sorted
-      (t, rows.map(r => r.getDouble(0) ->
+      (t, rows.filter(!_.isNullAt(0)).map(r => r.getDouble(0) ->
         (r.getLong(1), r.getLong(2))).toMap)
     }
     // never-treated recode (ATTgt.py:111-118) applied to scan results:

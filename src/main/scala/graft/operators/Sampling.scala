@@ -125,7 +125,15 @@ object Sampling {
     * mass is `share_s * B`. Strata absent from `targetShares` are
     * dropped. Cost: ONE aggregation pass for the per-stratum token
     * totals (K rows to the driver), then the map-only filter — no
-    * second shuffle, deterministic, engine-replayable. */
+    * second shuffle, deterministic, engine-replayable.
+    *
+    * Shares are hit in EXPECTATION over doc-level Bernoulli keeps, not
+    * exactly: stratum `s`'s realized kept-token mass has standard
+    * deviation `sqrt(rate_s (1 - rate_s) * sum_i len_i^2)`, so its
+    * RELATIVE error shrinks as `~ sqrt(E[len^2] / E[len]^2) / sqrt(n_s)`
+    * — negligible at corpus scale, but heavy-tailed doc lengths widen
+    * it (the `E[len^2]` factor); chunk first (near-uniform lengths) when
+    * the realized mix must be tight on a small corpus. */
   def tokenBudgetMix(df: DataFrame, keyCol: String, stratumCol: String,
       nTokensCol: String, targetShares: Map[String, Double],
       salt: String = ""): DataFrame = {
@@ -134,11 +142,15 @@ object Sampling {
       s"shares must be in (0, 1]: $targetShares")
     val tot = targetShares.values.sum
     require(math.abs(tot - 1.0) < 1e-9, s"shares must sum to 1: $tot")
+    // explicit casts: a non-string stratum or a double-typed token
+    // column would otherwise throw an opaque ClassCastException at the
+    // driver-side collect
     val totals = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
-      .groupBy(stratumCol).agg(sum(col(nTokensCol)).as("tok"))
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(sum(col(nTokensCol).cast("double")).as("tok"))
       .collect()
       .map(r => r.getString(0) ->
-        (if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)).toMap
+        (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
     val missing = targetShares.keySet -- totals.keySet
     require(missing.isEmpty,
       s"strata with a target share but no rows: ${missing.mkString(",")}")

@@ -24,6 +24,26 @@ class PreprocessSpec extends AnyFunSuite with SparkSpec {
     (0 until 6).flatMap(i => Seq(
       Obs(idBase + i, 1, 1.0, gv, 0, 0, 1), Obs(idBase + i, 2, 2.0, gv, 0, 0, 1)))
 
+  test("periods seen only on missing-cohort rows still enter tlist") {
+    import spark.implicits._
+    // period 3 exists ONLY on rows whose cohort is missing; it must
+    // still be in tlist and push maxT to 3, so cohort g=3 stays a real
+    // cohort instead of being recoded to never-treated
+    // 9 units per cohort: with period 3 only on the null-cohort rows,
+    // nT = 3 makes the small-group guard bound count/3 >= 5
+    val nineOf = (gv: Int, idBase: Int) => (0 until 9).flatMap(i => Seq(
+      Obs(idBase + i, 1, 1.0, gv, 0, 0, 1),
+      Obs(idBase + i, 2, 2.0, gv, 0, 0, 1)))
+    val base = (nineOf(3, 1) ++ nineOf(0, 21)).toDF()
+    val nullG = (0 until 6)
+      .map(i => (40 + i, 3, 3.0, Option.empty[Int], 0.0, 0.0, 1.0))
+      .toDF("id", "period", "y", "g", "x1", "x2", "wgt")
+    val pp = Preprocess.run(base.unionByName(nullG), cfg)
+    assert(pp.tlist == Vector(1.0, 2.0, 3.0))
+    assert(pp.glist == Vector(3.0))
+    pp.unpersist()
+  }
+
   test("cohorts beyond max(t) are recoded to never-treated") {
     import spark.implicits._
     val df = (sixOf(9, 1) ++ sixOf(2, 11) ++ sixOf(0, 21)).toDF() // g=9 > max t=2

@@ -126,6 +126,44 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     kept.select("source").distinct().count() shouldBe 3L
   }
 
+  test("tokenBudgetMix realized shares stay in the variance-derived band") {
+    // heavy-tailed (truncated-Pareto) doc lengths: the realized token
+    // share is expectation-only; its deviation must stay within the
+    // band the scaladoc formula derives from the ACTUAL lengths —
+    // 4 sd, with sd_s = sqrt(rate_s (1 - rate_s) * sum len_i^2)
+    val rng = new scala.util.Random(7L)
+    val lens = (0L until 4000L).map { i =>
+      val u = math.max(rng.nextDouble(), 1e-6)
+      (i, s"s${i % 2}", math.min(5.0 / math.pow(u, 0.7), 1000.0).toInt + 1)
+    }
+    val docs = lens.toDF("doc_id", "source", "tc")
+    val shares = Map("s0" -> 0.7, "s1" -> 0.3)
+    val byS = lens.groupBy(_._2)
+    val tok = byS.view.mapValues(_.map(_._3.toLong).sum).toMap
+    val budget = shares.map { case (s, sh) => tok(s) / sh }.min
+    val kept = Sampling.tokenBudgetMix(docs, "doc_id", "source", "tc",
+        shares)
+      .groupBy("source").agg(sum("tc").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.foreach { case (s, sh) =>
+      val rate = math.min(1.0, sh * budget / tok(s))
+      val sd = math.sqrt(rate * (1 - rate) *
+        byS(s).map(d => d._3.toDouble * d._3).sum)
+      val expect = sh * budget
+      assert(math.abs(kept(s) - expect) <= math.max(4 * sd, 1.0),
+        s"$s: kept ${kept(s)} vs expected $expect (sd $sd)")
+    }
+  }
+
+  test("tokenBudgetMix accepts a double-typed token column") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 2}", 10.5))
+      .toDF("doc_id", "source", "tc")
+    val kept = Sampling.tokenBudgetMix(docs, "doc_id", "source", "tc",
+      Map("s0" -> 0.5, "s1" -> 0.5))
+    kept.filter(col("source") === "s0").count() shouldBe 150L
+    assert(kept.filter(col("source") === "s1").count() <= 150L)
+  }
+
   test("tokenBudgetMix rejects bad shares and missing strata") {
     val docs = Seq((1L, "a", 5)).toDF("doc_id", "source", "tc")
     an[IllegalArgumentException] should be thrownBy
