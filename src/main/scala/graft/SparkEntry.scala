@@ -425,6 +425,17 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
         TextFunctions.regexTokenCount(col("text")).cast("long").as("n_btok"))),
 
+    // text analysis: REAL byte-level BPE token counts (GPT-2 algorithm
+    // over the committed merge table). BPE itself is not
+    // SQL-expressible; the oracle joins the committed fixture CSV —
+    // generated by an INDEPENDENT Python implementation — on md5(text),
+    // so an unfixtured or miscounted text shows up as a row/hash
+    // mismatch. BpeSpec pins the algorithm against a second in-JVM
+    // naive replay and hand-computed chains.
+    "q_bpe_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.bpeCount(col("text")).as("n_bpe"))),
+
     // text analysis: composite quality score
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1314,6 +1325,18 @@ object SparkEntry {
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_btok
         |FROM documents""".stripMargin,
+
+    // fixture join (BPE is not SQL-expressible): counts precomputed by
+    // an independent Python implementation of the same public
+    // algorithm, keyed by md5(text) — an inner join, so any text the
+    // fixture misses fails the row-count compare
+    "q_bpe_count" ->
+      """SELECT d.doc_id, f.n_bpe
+        |FROM documents d
+        |JOIN read_csv('/root/repo/src/test/resources/bpe_counts.csv',
+        |       header = true,
+        |       columns = {'fp': 'VARCHAR', 'n_bpe': 'BIGINT'}) f
+        |  ON md5(d.text) = f.fp""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (

@@ -26,6 +26,12 @@ object TextFunctions {
   def regexTokenCount(c: Column): Column =
     regexp_count(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
 
+  /** REAL byte-level BPE token count ([[Bpe]]: GPT-2 algorithm over the
+    * committed merge table) — token-exact budgets for pipelines that
+    * need a true subword tokenizer; the whitespace flavor above stays
+    * the engine default. */
+  def bpeCount(c: Column): Column = BpeCountExpr.bpeCount(c)
+
   /** Number of non-overlapping occurrences of `pat` in `c` via the
     * length-difference trick (identical semantics in any SQL engine). */
   def occurrences(c: Column, pat: String): Column =
