@@ -432,9 +432,13 @@ object SparkEntry {
     // so an unfixtured or miscounted text shows up as a row/hash
     // mismatch. BpeSpec pins the algorithm against a second in-JVM
     // naive replay and hand-computed chains.
+    // null texts are filtered on BOTH sides: the fixture's md5(text)
+    // inner join could never match them, and a NULL-count row here
+    // would fail the row compare even though the engine is right
     "q_bpe_count" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.bpeCount(col("text")).as("n_bpe"))),
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.bpeCount(col("text")).as("n_bpe"))),
 
     // text analysis: composite quality score
     "q_quality_score" -> ((s, dir) =>
@@ -1329,14 +1333,18 @@ object SparkEntry {
     // fixture join (BPE is not SQL-expressible): counts precomputed by
     // an independent Python implementation of the same public
     // algorithm, keyed by md5(text) — an inner join, so any text the
-    // fixture misses fails the row-count compare
+    // fixture misses fails the row-count compare. The fixture path is
+    // resolved from the JVM's working directory when the oracle map is
+    // dumped (Verify runs at the repo root), so the SQL works for any
+    // checkout location, not just this machine's.
     "q_bpe_count" ->
-      """SELECT d.doc_id, f.n_bpe
+      s"""SELECT d.doc_id, f.n_bpe
         |FROM documents d
-        |JOIN read_csv('/root/repo/src/test/resources/bpe_counts.csv',
+        |JOIN read_csv('${new java.io.File(
+             "src/test/resources/bpe_counts.csv").getAbsolutePath}',
         |       header = true,
         |       columns = {'fp': 'VARCHAR', 'n_bpe': 'BIGINT'}) f
-        |  ON md5(d.text) = f.fp""".stripMargin,
+        |  ON d.text IS NOT NULL AND md5(d.text) = f.fp""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (

@@ -26,10 +26,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 object Bpe {
 
   /** GPT-2 pre-tokenizer (contractions, space-prefixed word/number/
-    * punct runs, trailing/other whitespace). */
+    * punct runs, trailing/other whitespace). UNICODE_CHARACTER_CLASS:
+    * Java's bare \s is ASCII-only, but the fixture generator (Python)
+    * and the original GPT-2 pattern treat \s as Unicode whitespace —
+    * without the flag, NBSP/U+2028 fall into the punctuation branch and
+    * the pre-token boundaries silently diverge cross-implementation. */
   private val preTok = Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
-      "|\\s+(?!\\S)|\\s+")
+      "|\\s+(?!\\S)|\\s+",
+    Pattern.UNICODE_CHARACTER_CLASS)
 
   /** (left, right) -> rank, lower merges first. */
   lazy val ranks: Map[(String, String), Int] = {

@@ -72,8 +72,12 @@ object Chunking {
     * — not corpus size — bounds the packing stage. `nBuckets = 0` (the
     * default) derives the count from a one-pass token total against
     * `maxBucketTokens` (floored at cluster parallelism), the same
-    * enforced-guard shape as `Similarity.cosineNearDupPairs`; pass an
-    * explicit `nBuckets` to pin the seq_id layout across corpora. */
+    * enforced-guard shape as `Similarity.cosineNearDupPairs`. The
+    * determinism contract is per bucket COUNT: auto mode's floor makes
+    * the derived count (hence seq_id/seq_offset values) depend on
+    * cluster parallelism — pass an explicit `nBuckets` when the layout
+    * must reproduce across environments, not just across reruns and
+    * partitionings within one. */
   def packSequences(chunks: DataFrame, idCol: String, chunkNoCol: String,
       nTokensCol: String, maxTokens: Int, nBuckets: Int = 0,
       salt: String = "", maxBucketTokens: Long = 1L << 30): DataFrame = {
@@ -100,7 +104,8 @@ object Chunking {
     // the seq_id namespace is bucket << 40: 23 bits of bucket headroom
     require(derived < (1L << 23),
       s"nBuckets=$derived overflows the bucket<<40 seq_id namespace " +
-        s"(max ${(1L << 23) - 1}) — raise maxBucketTokens")
+        s"(max ${(1L << 23) - 1}) — " +
+        (if (nBuckets > 0) "lower nBuckets" else "raise maxBucketTokens"))
     val blks = derived.toInt
     val hkey = md5(concat(col(idCol).cast("string"), lit("#"),
       col(chunkNoCol).cast("string"), lit(salt)))

@@ -69,6 +69,10 @@ object Graph {
     var prevSum = compSum(labels) // doubles as the persist materializer
     var iter = 0
     var converged = labels.isEmpty // no nodes: already done
+    // live localCheckpoint RDD of the CURRENT labels (cadence rounds
+    // only): freed when the next round supersedes it; if the loop ends
+    // on one, its blocks ARE the returned table's storage and stay
+    var ckptRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged && iter < maxIter) {
       // (1) pull: comp(v) := min(comp(v), min over neighbors comp(u))
       val nbrMin = sym
@@ -96,18 +100,35 @@ object Graph {
       // per-round persist is a real cacheManager entry, so the previous
       // round's unpersist actually frees its blocks.
       val ckptNow = checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0
-      val next = (if (ckptNow) {
-          // checkpoint() and localCheckpoint() both flatten the SQL plan
-          // to a LogicalRDD themselves, so they replace (not compose
-          // with) the createDataFrame cut on their rounds
-          if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            jumped.checkpoint(eager = true)
-          else jumped.localCheckpoint(eager = true)
+      val reliable = jumped.sparkSession.sparkContext.getCheckpointDir
+        .isDefined
+      var roundRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+      val next =
+        if (ckptNow && reliable)
+          // checkpoint() flattens the SQL plan itself; the persist keeps
+          // consumers off repeated DFS reads of the checkpoint files.
+          // File cleanup is the app's policy knob
+          // (spark.cleaner.referenceTracking.cleanCheckpoints)
+          jumped.checkpoint(eager = true)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        else if (ckptNow) {
+          // localCheckpoint STORES the RDD itself (its blocks become the
+          // new lineage), so a second Dataset-level persist would hold a
+          // duplicate columnar copy; instead keep the RDD handle and
+          // free its blocks when the round is superseded
+          val r = jumped.rdd
+          r.localCheckpoint()
+          roundRdd = Some(r)
+          jumped.sparkSession.createDataFrame(r, jumped.schema)
         } else jumped.sparkSession
-          .createDataFrame(jumped.rdd, jumped.schema))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          .createDataFrame(jumped.rdd, jumped.schema)
+          .persist(StorageLevel.MEMORY_AND_DISK)
       val sumNow = compSum(next) // the action that seals the round
       labels.unpersist()
+      // a superseded cadence round's localCheckpoint blocks are dead
+      // weight the Dataset-level unpersist can't reach
+      ckptRdd.foreach(_.unpersist(blocking = false))
+      ckptRdd = roundRdd
       labels = next
       converged = sumNow.compareTo(prevSum) == 0
       prevSum = sumNow

@@ -144,13 +144,15 @@ object Sampling {
     require(math.abs(tot - 1.0) < 1e-9, s"shares must sum to 1: $tot")
     // explicit casts: a non-string stratum or a double-typed token
     // column would otherwise throw an opaque ClassCastException at the
-    // driver-side collect
+    // driver-side collect. decimal(38,6), not double: the sum stays
+    // exact (partition-merge-order-independent) for integral counts far
+    // past 2^53, so the derived md5 thresholds never wobble run-to-run
     val totals = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
       .groupBy(col(stratumCol).cast("string").as("__s"))
-      .agg(sum(col(nTokensCol).cast("double")).as("tok"))
+      .agg(sum(col(nTokensCol).cast("decimal(38,6)")).as("tok"))
       .collect()
       .map(r => r.getString(0) ->
-        (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+        (if (r.isNullAt(1)) 0.0 else r.getDecimal(1).doubleValue())).toMap
     val missing = targetShares.keySet -- totals.keySet
     require(missing.isEmpty,
       s"strata with a target share but no rows: ${missing.mkString(",")}")

@@ -40,7 +40,8 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSpec {
   private def naiveCount(text: String): Long = {
     val m = java.util.regex.Pattern
       .compile("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
-        "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+        "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+        java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
       .matcher(text)
     var n = 0L
     while (m.find())
@@ -72,7 +73,7 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSpec {
   test("matches the independent replay on generated corpora") {
     val words = Vector("the", "and", "for", "that", "with", "example",
       "tokens", "pipeline", "données", "zqx", "a1b2", "don't", "...",
-      "COVID-19", "été")
+      "COVID-19", "été", "nb\u00A0sp", "ls\u2028br")
     val rng = new scala.util.Random(11L)
     val docs = (0 until 60).map { _ =>
       (0 until (1 + rng.nextInt(30)))
