@@ -400,6 +400,29 @@ object SparkEntry {
         .toDF("g", "t", "se")
     }),
 
+    // §2.8 clustered md5-flavor bootstrap SE: cluster-mean influence
+    // (rowid := cluster, inf summed then divided by cluster size), signs
+    // keyed by the CLUSTER id — DuckDB rebuilds the clusters (id % 100),
+    // the sizing, the draws, and the type-1 quantile selection, so the
+    // clustered bootstrap numbers are cross-engine-pinned like the
+    // unclustered flavor; q_mboot_cluster_se keeps the production
+    // murmur3 path
+    "q_mboot_cluster_se_md5" -> ((s, dir) => {
+      import s.implicits._
+      val f = clusterFitFor(s, dir)
+      val cl = f.pp.df
+        .select(col("rowid").cast("string").as("rowid"),
+          col("clust").cast("string").as("cluster"))
+        .distinct()
+      val b = MBoot.runClusteredMd5(f.ifTable, cl, f.cells.length,
+        biters = 64, f.pp.config.alp)
+      f.cells.indices.filter(i => !b.se(i).isNaN)
+        .map(i => (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(b.se(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toDF("g", "t", "se")
+    }),
+
     // §2.7 influence-function store: per-cell analytic SE
     // sqrt(sum IF^2)/n off the sparse IF table. For the intercept-only
     // closed form the per-row IF is 2x2-means algebra, so the whole
@@ -718,8 +741,18 @@ object SparkEntry {
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)),
 
-    // similarity: LSH-bucketed approximate top-k (scale path; rows-only —
-    // recall vs brute force is asserted in SimilaritySpec)
+    // similarity: the LSH bucket TRANSFORM, oracle-checked — the seeded
+    // hyperplanes are driver-side literals, so the SQL replays the
+    // signed projections exactly (list_dot_product over the same
+    // inlined plane vectors, sequential fold order on both engines)
+    "q_ann_lsh_buckets" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), nPlanes = 4, dim = 64,
+          seed = 42L).as("bkt"))),
+
+    // similarity: LSH-bucketed approximate top-k (scale path; rows-only
+    // BY CHOICE — recall vs brute force is asserted in SimilaritySpec,
+    // and the bucket transform itself is oracle-checked just above)
     "q_ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3,
@@ -1236,6 +1269,42 @@ object SparkEntry {
     // md5-flavor bootstrap SE: type-1 (inverted-cdf) quantiles of the 64
     // draws selected by explicit rank (ceil(p*64) = 48/16), IQR scaled
     // by 2*z_{0.75}, over sqrt(n) — the engine's finish() replayed
+    // clustered md5 bootstrap: clusters = id % 100 rebuilt from panel,
+    // cluster-mean influence (sum / cluster unit count), signs keyed by
+    // the cluster id, sqrt(nClusters) scaling, type-1 quantiles at
+    // rank ceil(p*64)
+    "q_mboot_cluster_se_md5" -> withPanelCte(
+      s""", $ifUnitCte,
+        |cs AS (SELECT id % 100 AS cluster, COUNT(DISTINCT id) AS csize
+        |       FROM panel GROUP BY 1),
+        |nc AS (SELECT COUNT(*) AS n FROM cs),
+        |cu AS (
+        |  SELECT u.g, u.tn, u.id % 100 AS cluster, SUM(u.inf) AS inf
+        |  FROM u GROUP BY 1, 2, 3),
+        |cdm AS (
+        |  SELECT cu.g, cu.tn, r.b AS draw,
+        |    SUM(cu.inf / cs.csize * CASE WHEN strpos('01234567',
+        |          substr(md5(CAST(cu.cluster AS VARCHAR) || '#' ||
+        |                     CAST(r.b AS VARCHAR) || '#'), 1, 1)) > 0
+        |        THEN 1.0 ELSE -1.0 END) / sqrt(nc.n) AS bres
+        |  FROM cu, cs, range(64) r(b), nc
+        |  WHERE cu.cluster = cs.cluster
+        |  GROUP BY cu.g, cu.tn, r.b, nc.n),
+        |crk AS (
+        |  SELECT g, tn, bres,
+        |    row_number() OVER (PARTITION BY g, tn ORDER BY bres) AS rn
+        |  FROM cdm),
+        |cqq AS (
+        |  SELECT g, tn,
+        |    MAX(CASE WHEN rn = 48 THEN bres END) AS q75,
+        |    MAX(CASE WHEN rn = 16 THEN bres END) AS q25,
+        |    SUM(bres * bres) AS ss
+        |  FROM crk GROUP BY g, tn)
+        |SELECT cqq.g, cqq.tn AS t,
+        |  ROUND((cqq.q75 - cqq.q25) / ${2 * Stats.normPpf(0.75)}
+        |        / sqrt(nc.n), 4) AS se
+        |FROM cqq, nc WHERE cqq.ss > ${Stats.DegenerateTol}""".stripMargin),
+
     "q_mboot_se_md5" -> withPanelCte(
       s""", $ifUnitCte, $mbootDmCte,
         |rk AS (
@@ -1819,6 +1888,20 @@ object SparkEntry {
         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT qid, cid, ROUND(cos, 6) AS cos FROM p
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) <= 3""".stripMargin,
+
+    // signed-random-projection buckets: the SAME seeded plane literals
+    // the engine inlines, replayed via list_dot_product (both engines
+    // fold the dot product sequentially, so the sign bits agree
+    // bit-for-bit)
+    "q_ann_lsh_buckets" -> {
+      val terms = graft.operators.Similarity.planes(4, 64, 42L)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id, CAST($terms AS BIGINT) AS bkt FROM e""".stripMargin
+    },
 
     // exact top-k: with nProbe = nLists every candidate is scored, so the
     // IVF path must reproduce the brute-force oracle bit-for-bit

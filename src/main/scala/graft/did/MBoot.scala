@@ -251,12 +251,10 @@ object MBoot {
     MBootResult(bres, se, critVal)
   }
 
-  /** Cluster bootstrap, intended semantics (the reference's own cluster
-    * path is pandas-on-Spark and raises — SURVEY.md §2.8): cluster-mean
-    * influence, then bootstrap over clusters. `clusterOf` maps rowid ->
-    * cluster id; built distributed by the caller. */
-  def runClustered(ifTable: DataFrame, clusters: DataFrame, k: Int,
-      biters: Int, alp: Double, seed: Long): MBootResult = {
+  /** Cluster-mean influence table (rowid := cluster id) plus the
+    * cluster count — the shared front half of both clustered flavors. */
+  private def clusterSized(ifTable: DataFrame, clusters: DataFrame)
+      : (DataFrame, Long) = {
     val clustered = ifTable.join(clusters, "rowid")
       .groupBy("cluster", "cell").agg(sum("inf").as("inf"))
     val nClusters = clusters.select("cluster").distinct().count()
@@ -265,6 +263,25 @@ object MBoot {
         "cluster")
       .select(col("cluster").as("rowid"), col("cell"),
         (col("inf") / col("csize")).as("inf"))
+    (sized, nClusters)
+  }
+
+  /** Cluster bootstrap, intended semantics (the reference's own cluster
+    * path is pandas-on-Spark and raises — SURVEY.md §2.8): cluster-mean
+    * influence, then bootstrap over clusters. `clusterOf` maps rowid ->
+    * cluster id; built distributed by the caller. */
+  def runClustered(ifTable: DataFrame, clusters: DataFrame, k: Int,
+      biters: Int, alp: Double, seed: Long): MBootResult = {
+    val (sized, nClusters) = clusterSized(ifTable, clusters)
     run(sized, k, nClusters, biters, alp, seed)
+  }
+
+  /** Clustered bootstrap over md5 draws (signs keyed by the CLUSTER id)
+    * — the oracle-checkable twin of [[runClustered]], same
+    * cluster-mean sizing, same [[finish]]. */
+  def runClusteredMd5(ifTable: DataFrame, clusters: DataFrame, k: Int,
+      biters: Int, alp: Double, salt: String = ""): MBootResult = {
+    val (sized, nClusters) = clusterSized(ifTable, clusters)
+    runMd5(sized, k, nClusters, biters, alp, salt)
   }
 }

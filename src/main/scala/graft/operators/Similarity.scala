@@ -342,8 +342,11 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (seeded driver-side, inlined as
-    * plan literals — tiny: nPlanes x dim doubles). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    * plan literals — tiny: nPlanes x dim doubles). `private[graft]` so
+    * the oracle harness can inline the SAME plane values into its SQL
+    * (q_ann_lsh_buckets replays the signed projections in DuckDB). */
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long)
+      : Seq[Array[Double]] = {
     val rng = new Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
