@@ -284,4 +284,54 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(globalSorts.isEmpty, "global sort leaked into the plan")
     }
   }
+
+  test("bpe count is map-only: no exchange, expression at the scan stage") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_bpe_count")(spark, dir)
+      val plan = planOf(df)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"bpe count should not shuffle:\n$plan")
+      assert(plan.contains("bpecountexpr"), s"expression missing:\n$plan")
+      // the null-text guard reaches the parquet scan
+      assert(plan.contains("PushedFilters: [IsNotNull(text)]"),
+        s"null filter not pushed:\n$plan")
+    }
+  }
+
+  test("simhash md5 near-dup: banded equi-join, no cartesian") {
+    withStaticPlan {
+      val plan = planOf(
+        SparkEntry.queries("q_simhash_neardup_md5")(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"), s"no equi-join in:\n$plan")
+    }
+  }
+
+  test("md5 draw matrix: one aggregation pass over the exploded draws") {
+    withStaticPlan {
+      val f = SparkEntry.queries("q_mboot_draws_md5")(spark, dir)
+      val plan = planOf(f)
+      assert(plan.contains("Generate explode"), s"no draw fan-out:\n$plan")
+      assert(plan.contains("partial_sum") || plan.contains("partial_"),
+        s"no map-side partial aggregate:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    }
+  }
+
+  test("lsh buckets are computed map-only at the scan") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_ann_lsh_buckets")(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucket projection should not shuffle:\n${planOf(df)}")
+    }
+  }
 }
