@@ -463,6 +463,18 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.bpeCount(col("text")).as("n_bpe"))),
 
+    // text analysis: CCNet-style bigram-LM quality score — reference
+    // model from the %5==0 snapshot docs, every other doc scored by
+    // mean negative log probability (threshold on exp(nlp) = perplexity
+    // to curate); model + scoring fully replayed by the oracle
+    "q_ngram_ppl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextQuality.ngramLogProb(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+    }),
+
     // text analysis: composite quality score
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1398,6 +1410,34 @@ object SparkEntry {
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_btok
         |FROM documents""".stripMargin,
+
+    // bigram LM replay: reference bigram/context counts, vocabulary
+    // size, add-0.5 smoothing, per-doc mean of -ln P
+    "q_ngram_ppl" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+        |  FROM tok, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) u(p)
+        |  WHERE len(ts) >= 2),
+        |refbg AS (
+        |  SELECT w1, w2, COUNT(*) AS c2 FROM bg
+        |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |refctx AS (SELECT w1, SUM(c2) AS c1 FROM refbg GROUP BY 1),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ts) AS w FROM tok WHERE doc_id % 5 = 0))
+        |SELECT b.doc_id,
+        |  ROUND(AVG(-ln((COALESCE(r.c2, 0) + 0.5) /
+        |                (COALESCE(x.c1, 0) + 0.5 * vocab.v))), 6) AS nlp
+        |FROM bg b
+        |LEFT JOIN refbg r ON b.w1 = r.w1 AND b.w2 = r.w2
+        |LEFT JOIN refctx x ON b.w1 = x.w1
+        |CROSS JOIN vocab
+        |WHERE b.doc_id % 5 <> 0
+        |GROUP BY b.doc_id""".stripMargin,
 
     // fixture join (BPE is not SQL-expressible): counts precomputed by
     // an independent Python implementation of the same public

@@ -87,4 +87,55 @@ object TextQuality {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
   }
+
+  /** CCNet-style n-gram LM quality score (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): fit an add-alpha-smoothed bigram model on a REFERENCE
+    * corpus, then score each document by the mean negative log
+    * probability of its bigrams — lower = more reference-like; `exp`
+    * of it is the perplexity that curation pipelines threshold on.
+    *
+    * `P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * |V|)` with
+    * `c(w1)` the context count (occurrences of w1 followed by anything)
+    * and `|V|` the reference vocabulary size; an unseen context scores
+    * the uniform `1/|V|`.
+    *
+    * Scale shape: the model is two bounded aggregations over the
+    * reference (bigram + context counts — vocabulary-bounded dim
+    * tables at ANY corpus size, so Spark can broadcast them when small
+    * and equi-join otherwise); scoring is one join of document bigrams
+    * against the model plus a per-doc mean. No driver loops, no UDFs.
+    * Documents with fewer than 2 tokens emit nothing (no bigram to
+    * score). Output: (doc_id, nlp) at 6dp. */
+  def ngramLogProb(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    def bigrams(df: DataFrame): DataFrame =
+      df.filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col(textCol)).as("ts"))
+        .repartition(par(df), col("doc_id"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val refBg = bigrams(reference)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val refCtx = refBg.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = reference.filter(length(trim(col(textCol))) > 0)
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams(docs)
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((coalesce(col("c2"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + col("v") * alpha))).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 6).as("nlp"))
+  }
 }

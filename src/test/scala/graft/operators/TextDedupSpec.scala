@@ -276,4 +276,22 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     Dedup.releaseCaches(blocking = true)
     spark.sparkContext.getPersistentRDDs.size shouldBe before
   }
+
+  test("ngram LM score matches hand-computed smoothed probabilities") {
+    // reference "a b a c": bigrams (a,b) (b,a) (a,c); ctx a=2 b=1; V=3
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b"),   // P(b|a) = (1+.5)/(2+1.5)  -> nlp = ln(3.5/1.5)
+      (2L, "c z"),   // unseen ctx: P = .5/1.5   -> nlp = ln 3
+      (3L, "solo"),  // < 2 tokens: no row
+      (4L, "a b a")) // mean of ln(3.5/1.5) and P(a|b)=(1+.5)/(1+1.5)
+      .toDF("doc_id", "text")
+    val got = TextQuality.ngramLogProb(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.keySet shouldBe Set(1L, 2L, 4L)
+    got(1L) shouldBe (math.log(3.5 / 1.5) +- 1e-6)
+    got(2L) shouldBe (math.log(3.0) +- 1e-6)
+    got(4L) shouldBe
+      ((math.log(3.5 / 1.5) + math.log(2.5 / 1.5)) / 2 +- 1e-6)
+  }
 }
