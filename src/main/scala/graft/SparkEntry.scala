@@ -850,6 +850,21 @@ object SparkEntry {
       graft.streaming.StreamingOps.dedupStream(events(s, dir), "user_id")
         .select("user_id")),
 
+    // streaming: stream-static enrichment join (events x customer dim,
+    // broadcast) rolled into hourly per-segment windows — the canonical
+    // enrich-then-window stream shape; oracle = the plain batch join
+    "q_stream_enrich" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.StreamingOps
+        .enrichWithDim(events(s, dir), cust, "user_id", "c_custkey")
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").cast("long")
+            .as("hour_epoch"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), Events.exactValueSum)
+    }),
+
     // skew-salted equi-join (operators/Skew.scala): orders (big, hot
     // custkeys at 100 TB) x customer (mid-size dim). The salt column
     // must be invisible in the result — the oracle is the PLAIN join.
@@ -1658,6 +1673,13 @@ object SparkEntry {
 
     "q_stream_dedup_keys" ->
       "SELECT DISTINCT user_id FROM events",
+
+    "q_stream_enrich" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', e.ts))) AS BIGINT) AS hour_epoch,
+        |  c.c_mktsegment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // hop expansion: 1h windows sliding by 30min => each event belongs
     // to the 2 windows starting at ep - ep%1800 - {0,1}*1800

@@ -56,6 +56,17 @@ object PanelSource {
     (if (compress) w.option("compression", "gzip") else w).json(path)
   }
 
+  /** ORC scan — the other columnar interchange format Spark ships a
+    * vectorized reader for; same pushdown/pruning behavior as parquet
+    * (predicate pushdown into ORC's row-group indexes). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (zlib by Spark default; columnar round-trip preserves
+    * types exactly, unlike CSV). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Bucketed parquet table: rows are hash-clustered (and sorted) by
     * `keyCol` into `nBuckets` files per partition at WRITE time, so
     * every later equi-join or aggregation on that key is exchange-free —

@@ -64,6 +64,17 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"),
         graft.operators.Events.exactValueSum)
 
+  /** Stream-static enrichment: attach dimension attributes to an event
+    * stream — the canonical stream-static join (Spark re-evaluates the
+    * static side per micro-batch; the broadcast hint keeps it off the
+    * shuffle path when the dimension is small, which a dimension table
+    * should be). Inner join: events with no dimension row are dropped.
+    * Identical semantics on a batch frame, so backfill and the live
+    * stream share the code path like every operator here. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Streaming dedup on a key column bounded by the watermark window —
     * the streaming analogue of `Dedup.dedupExact`. Batch frames take the
     * unbounded `dropDuplicates` (Spark rejects the watermark variant in

@@ -96,4 +96,23 @@ class PanelSourceSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == fit.cells.length)
     fit.unpersist(); pp.unpersist()
   }
+
+  test("ORC roundtrip preserves rows, schema, and filter pushdown") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = (1L to 100L).map(i => (i, s"doc$i", i * 1.5))
+      .toDF("id", "name", "score")
+    PanelSource.writeOrc(df, s"$dir/t")
+    val back = PanelSource.readOrc(spark, s"$dir/t")
+    // file formats read back nullable; names and types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // predicate reaches the ORC scan (pushdown parity with parquet)
+    val plan = back.filter($"id" > 90L).queryExecution.executedPlan
+      .toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"no pushed filter in:\n$plan")
+  }
 }

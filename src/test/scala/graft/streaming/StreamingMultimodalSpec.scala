@@ -153,6 +153,33 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       spark.table("dedupstream").count() shouldBe 2L
     } finally q.stop()
   }
+
+  test("enrichWithDim joins a live stream against the static dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "web"), ("buy", "checkout"))
+      .toDF("etype", "surface")
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithDim(mem.toDF(), dim,
+        "event_type", "etype")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts("2026-01-01 10:05:00"), "click", 1.0),
+        Ev(ts("2026-01-01 10:06:00"), "scroll", 2.0), // no dim row
+        Ev(ts("2026-01-01 10:07:00"), "buy", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_type", "surface")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      rows shouldBe Set(("click", "web"), ("buy", "checkout"))
+      // batch parity: same operator, same result shape
+      val batch = Seq(Ev(ts("2026-01-01 10:05:00"), "click", 1.0)).toDF()
+      StreamingOps.enrichWithDim(batch, dim, "event_type", "etype")
+        .select("surface").as[String].collect().toSeq shouldBe Seq("web")
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
