@@ -202,6 +202,20 @@ object ScaleRehearsal {
                 org.apache.spark.sql.functions.col("text")).as("tc")),
             "doc_id", "source", "tc",
             Map("s0" -> 0.4, "s1" -> 0.3, "s2" -> 0.3)).count()),
+        // first().getLong forces the sum: an ungrouped agg + count()
+        // lets Catalyst prune the BPE column entirely (1 row either way)
+        timed("bpe_count")(
+          docs.select(graft.functions.TextFunctions.bpeCount(
+            org.apache.spark.sql.functions.col("text")).as("n"))
+            .agg(org.apache.spark.sql.functions.sum("n"))
+            .first().getLong(0)),
+        timed("ngram_ppl")(
+          graft.operators.TextQuality.ngramLogProb(
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5
+              =!= 0),
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5
+              === 0),
+            "doc_id", "text").count()),
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)
