@@ -475,6 +475,21 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // corpus stats: exact discrete-quantile (type-1) length-band
+    // filter P10..P90 — drops fragment/concatenation outliers; one
+    // bounded-state percentile agg + broadcast + map-only filter
+    "q_length_band" -> ((s, dir) =>
+      TextQuality.lengthBand(docs(s, dir), "doc_id", "text", 0.1, 0.9)),
+
+    // corpus stats: quality-score decile binning via broadcast exact
+    // quantile thresholds — the scale-correct ntile (ties share bins,
+    // no single-reducer global sort)
+    "q_quality_bins" -> ((s, dir) =>
+      TextQuality.scoreBins(
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("score")),
+        "doc_id", "score", k = 10)),
+
     // text analysis: composite quality score
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1512,6 +1527,45 @@ object SparkEntry {
         |          x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
         |        / len(t), 6) AS top_token_frac
         |FROM sig""".stripMargin,
+
+    "q_length_band" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT quantile_disc(n_tok, 0.1) AS lo,
+        |             quantile_disc(n_tok, 0.9) AS hi FROM n)
+        |SELECT n.doc_id, n.n_tok FROM n, b
+        |WHERE n.n_tok >= b.lo AND n.n_tok <= b.hi""".stripMargin,
+
+    // bin = 1 + #thresholds strictly below the score; quantile_disc is
+    // the same type-1 inverted CDF as Spark's percentile_disc, and the
+    // thresholds are actual score values — exact on both engines
+    "q_quality_bins" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS DOUBLE) AS tc,
+        |    CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS mwl,
+        |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / len(text) AS pr
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id,
+        |    ROUND(least(tc / 100.0, 1.0) * 0.4 +
+        |          (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |          (1.0 - least(pr * 5.0, 1.0)) * 0.3, 6) AS score
+        |  FROM f),
+        |th AS (
+        |  SELECT quantile_disc(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
+        |  FROM s)
+        |SELECT s.doc_id, s.score,
+        |  CAST(1 + len(list_filter(th.ts, x -> s.score > x)) AS INT) AS bin
+        |FROM s, th""".stripMargin,
 
     "q_quality_score" ->
       """WITH c AS (

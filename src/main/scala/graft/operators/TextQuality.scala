@@ -88,6 +88,62 @@ object TextQuality {
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
   }
 
+  /** Keep documents whose token count lies inside the corpus's
+    * [loQ, hiQ] quantile band — the standard outlier-length filter
+    * (too-short fragments, too-long concatenation junk). Quantiles are
+    * DISCRETE (type-1 inverted CDF, `percentile_disc` ==
+    * DuckDB `quantile_disc`): the thresholds are actual data values,
+    * so comparisons carry no interpolation float noise — an
+    * interpolated threshold differs across engines by an ulp exactly
+    * when a data value sits ON it (observed, 3.4% of bins flipped).
+    * One bounded-state aggregation, then a map-only filter. Output:
+    * (doc_id, n_tok) for the kept docs. */
+  def lengthBand(df: DataFrame, idCol: String, textCol: String,
+      loQ: Double = 0.1, hiQ: Double = 0.9): DataFrame = {
+    require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"bad band [$loQ, $hiQ]")
+    val counted = df.select(col(idCol).as("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("n_tok"))
+    val bounds = counted.agg(
+      expr(s"percentile_disc($loQ) WITHIN GROUP (ORDER BY n_tok)")
+        .as("lo"),
+      expr(s"percentile_disc($hiQ) WITHIN GROUP (ORDER BY n_tok)")
+        .as("hi"))
+    counted.crossJoin(broadcast(bounds))
+      .filter(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+      .select("doc_id", "n_tok")
+  }
+
+  /** Quantile-threshold score binning — the scale-correct alternative
+    * to `ntile(k) OVER (ORDER BY score)`: a global ntile funnels the
+    * whole corpus through ONE ordered reducer, while here the k-1 exact
+    * quantile thresholds come from one bounded aggregation and the bin
+    * assignment is a map-only comparison against the broadcast
+    * thresholds. Bin = 1 + number of thresholds strictly below the
+    * score (ties land in the lower bin on the threshold itself), so
+    * equal scores always share a bin — unlike ntile, which splits ties
+    * by arbitrary row order. Thresholds are DISCRETE (type-1) quantiles
+    * — actual score values, exact on every engine, where interpolated
+    * ones differ by an ulp precisely when a score sits on them.
+    * Output: (doc_id, score, bin 1..k). */
+  def scoreBins(df: DataFrame, idCol: String, scoreCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 2, s"need k >= 2 bins: $k")
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $scoreCol)")
+        .as(s"t$i")
+    }
+    val thresholds = df.agg(aggs.head, aggs.tail: _*)
+      .select(array(qs.indices.map(i => col(s"t$i")): _*).as("ts"))
+    df.select(col(idCol).as("doc_id"), col(scoreCol).as("score"))
+      .crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("score"),
+        (lit(1) + aggregate(col("ts"), lit(0),
+          (acc, t) => acc + when(col("score") > t, 1).otherwise(0)))
+          .as("bin"))
+  }
+
   /** CCNet-style n-gram LM quality score (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): fit an add-alpha-smoothed bigram model on a REFERENCE

@@ -294,4 +294,32 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     got(4L) shouldBe
       ((math.log(3.5 / 1.5) + math.log(2.5 / 1.5)) / 2 +- 1e-6)
   }
+
+  test("scoreBins: ties share a bin; bins are monotone in score") {
+    // 12 docs, scores 1..4 with heavy ties: quartile thresholds are
+    // actual score values (type-1), equal scores MUST share a bin
+    val df = Seq.tabulate(12)(i => (i.toLong, (i % 4 + 1).toDouble))
+      .toDF("doc_id", "score")
+    val bins = TextQuality.scoreBins(df, "doc_id", "score", k = 4)
+      .collect().map(r => (r.getDouble(1), r.getInt(2)))
+    bins.groupBy(_._1).foreach { case (s, bs) =>
+      withClue(s"score $s: ") {
+        bs.map(_._2).distinct.length shouldBe 1
+      }
+    }
+    val byScore = bins.toMap
+    byScore(1.0) should be < byScore(2.0)
+    byScore(2.0) should be < byScore(3.0)
+    byScore(3.0) should be < byScore(4.0)
+  }
+
+  test("lengthBand keeps exactly the docs inside the quantile band") {
+    // token counts 1..10; type-1 P20 of [1..10] = 2, P80 = 8
+    val df = Seq.tabulate(10)(i =>
+      (i.toLong, (1 to i + 1).map(k => s"w$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = TextQuality.lengthBand(df, "doc_id", "text", 0.2, 0.8)
+      .collect().map(_.getLong(1)).sorted
+    kept shouldBe (2L to 8L).toArray
+  }
 }
