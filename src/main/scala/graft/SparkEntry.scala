@@ -475,6 +475,19 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // corpus stats: source x language PIVOT report (the DataFrame
+    // reshape surface — groupBy().pivot() with an EXPLICIT value list,
+    // which skips the extra distinct-values job and pins the output
+    // schema; oracle = conditional aggregation)
+    "q_source_lang_pivot" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          TextFunctions.langId(col("text")).as("lang"))
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "es", "fr", "und"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // corpus stats: exact discrete-quantile (type-1) length-band
     // filter P10..P90 — drops fragment/concatenation outliers; one
     // bounded-state percentile agg + broadcast + map-only filter
@@ -1612,6 +1625,39 @@ object SparkEntry {
          |    $caseArms
          |    ELSE 'und' END AS lang_pred
          |FROM b""".stripMargin
+    },
+
+    // same language-id chain, reshaped: conditional counts replay the
+    // pivot (COUNT(CASE...) keeps BIGINT parity with Spark's count)
+    "q_source_lang_pivot" -> {
+      def occ(m: String) =
+        s"CAST((len(p) - len(replace(p, '$m', ''))) / ${m.length} AS INT)"
+      def score(lang: String) =
+        TextFunctions.langMarkers(lang).map(occ).mkString(" + ")
+      val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+      val scoreCols = langs.map(l => s"(${score(l)}) AS s_$l").mkString(",\n    ")
+      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.map(l =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString("\n    ")
+      val cnt = (langs :+ "und").map(l =>
+        s"COUNT(CASE WHEN lang = '$l' THEN 1 END) AS $l").mkString(",\n  ")
+      s"""WITH p AS (
+         |  SELECT doc_id, source, ' ' || lower(text) || ' ' AS p
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    $scoreCols
+         |  FROM p),
+         |b AS (SELECT *, $bestExpr AS best FROM s),
+         |l AS (
+         |  SELECT source,
+         |    CASE
+         |      $caseArms
+         |      ELSE 'und' END AS lang
+         |  FROM b)
+         |SELECT source,
+         |  $cnt
+         |FROM l GROUP BY source""".stripMargin
     },
 
     "q_stopword_ratio" -> {
