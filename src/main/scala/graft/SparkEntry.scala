@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, Graph, Pipeline, Sampling, Search, Similarity, TextQuality}
+import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, Graph, Pipeline, Sampling, Search, Similarity, Temporal, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -829,6 +829,52 @@ object SparkEntry {
       Events.hourlyByType(events(s, dir))
         .select(col("hour").cast("long").as("hour_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))),
+
+    // temporal: AS-OF join — every event tagged with the same user's
+    // most recent purchase at-or-before it (inclusive, DuckDB ASOF
+    // semantics; events before the first purchase keep nulls). Engine
+    // = union + ONE window pass (single shuffle on user_id, no
+    // inequality join); oracle = declarative argmax over the
+    // inequality join, so the decomposition is checked against the
+    // spec, not against itself
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      Temporal.asofJoin(
+        e.select("event_id", "user_id", "ts"), purchases,
+        "user_id", "user_id", "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+        // no-match rows are REAL nulls from the operator; sentinel
+        // them only for the cross-engine hash (NaN==NaN is undefined
+        // territory in the row compare)
+        .select(col("event_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+    }),
+
+    // temporal: point-in-interval RANGE join — events inside each
+    // 1-hour error window of the same user, aggregated per window.
+    // Engine = time-bucket expansion -> equi-join on (user, bucket) ->
+    // residual filter (no nested loop); oracle = the plain inequality
+    // join
+    "q_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val windows = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("win_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      Temporal.rangeJoin(
+        e.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        windows, "user_id", "user_id", "ts", "w_start", "w_end",
+        Seq("win_id"), bucketSeconds = 1800L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_in"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
 
     // events: gap-based sessionization (30 min)
     "q_sessionize" -> ((s, dir) =>
@@ -2142,6 +2188,38 @@ object SparkEntry {
         |  CAST(3 AS INTEGER) AS channels,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
         |FROM documents""".stripMargin,
+
+    // as-of spec as a declarative argmax: rank each event's prior
+    // purchases (ts DESC, id DESC — the engine's max-id instant
+    // tiebreak) and left-join rank 1 back onto all events
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT e.event_id, p.purchase_id, p.purchase_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts DESC, p.purchase_id DESC) AS rn
+        |  FROM events e JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts)
+        |SELECT e.event_id,
+        |  COALESCE(c.purchase_id, -1) AS purchase_id,
+        |  COALESCE(c.purchase_value, -1.0) AS purchase_value
+        |FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  ON c.event_id = e.event_id""".stripMargin,
+
+    // bucketing is pure candidate routing — the oracle is the plain
+    // inequality join the operator decomposes
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id AS win_id, ts AS w_start,
+        |    ts + INTERVAL 1 HOUR AS w_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT w.win_id, count(*) AS n_in,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w JOIN events e
+        |  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY w.win_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (

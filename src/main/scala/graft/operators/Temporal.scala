@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no built-in operator for: the as-of join
+  * (each left row picks the most recent right row at-or-before its
+  * timestamp, per key) and the point-in-interval range join.
+  *
+  * Both are composed from existing relational operators rather than a
+  * custom SparkPlan, because the declarative decompositions below
+  * already hit the right physical shape:
+  *
+  *  - as-of: a sort-merge-free formulation would need a custom
+  *    co-partitioned zip; the UNION + window formulation gets the same
+  *    effect from ONE hash shuffle on the key followed by an in-
+  *    partition sort — exactly what a dedicated physical operator would
+  *    do, but Catalyst/AQE keep optimizing around it.
+  *  - range: the naive `ON key = key AND ts BETWEEN lo AND hi` plans as
+  *    a broadcast-nested-loop (or a per-key cartesian under sort-merge)
+  *    — quadratic in the hot key. Bucketing the time axis turns it into
+  *    a plain equi-join on (key, bucket) plus a residual filter, which
+  *    shuffles once and scales linearly in (rows x buckets-per-
+  *    interval).
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach `payloadCols` from the
+    * right row with the same `key` and the greatest `rightTs <=
+    * leftTs` (inclusive match — DuckDB/ASOF `>=` semantics). Left rows
+    * with no prior right row keep null payloads (left-outer).
+    *
+    * Right rows sharing an exact (key, ts) instant are tie-broken by
+    * the LARGEST `payloadCols.head` value — callers put a unique id
+    * first to make the result deterministic.
+    *
+    * Physical shape: tag both sides, union, and run one window pass
+    * `last(payload, ignoreNulls)` ordered by (ts, side, tiebreak) per
+    * key. One shuffle on `key`, an in-partition sort, zero joins — at
+    * 100 TB the cost is the same single exchange a groupBy(key) pays.
+    * A pathologically hot key serializes its partition's sort; salt by
+    * coarse time range first if one key dominates the stream.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val existing = left.columns.toSet
+    def internal(base: String): String =
+      Iterator.from(0).map(i => s"__graft_${base}_$i")
+        .find(!existing.contains(_)).get
+    val (kc, tc, sc, pc) =
+      (internal("k"), internal("ts"), internal("side"), internal("p"))
+
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(rightKey).as(kc), col(rightTs).as(tc),
+        lit(0).as(sc), struct(payloadCols.map(col): _*).as(pc))
+    val l = left.select(
+      col(leftKey).as(kc) +: col(leftTs).as(tc) +: lit(1).as(sc) +:
+        left.columns.map(col): _*)
+
+    // union-by-name: left rows get a null payload struct, right rows
+    // null left columns; the window then threads the last non-null
+    // payload forward in (ts, side, tiebreak) order. side=0 sorts
+    // right rows before left rows at an equal instant => inclusive
+    // (<=) match; the ascending tiebreak makes the LAST same-instant
+    // right row the max-payloadCols.head one.
+    val u = r.unionByName(l.withColumn(pc,
+      lit(null).cast(r.schema(pc).dataType)), allowMissingColumns = true)
+    val w = Window.partitionBy(kc)
+      .orderBy(col(tc).asc, col(sc).asc, col(pc)(payloadCols.head).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(pc, last(col(pc), ignoreNulls = true).over(w))
+      .filter(col(sc) === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(pc)(c).as(c)): _*)
+  }
+
+  /** Point-in-interval range join: every left row whose `leftTs` falls
+    * in `[startCol, endCol)` of a same-`key` right interval produces
+    * one output row (left columns + `intervalCols`). A point meets a
+    * covering interval exactly once — the equi-join fires only on the
+    * single bucket containing the point, so no post-join dedup.
+    *
+    * `bucketSeconds` trades replication for selectivity: each interval
+    * is exploded into ceil(len/bucket)+1 bucket rows, each point into
+    * one. Pick it near the TYPICAL interval length — intervals then
+    * expand ~2x while the residual filter discards few candidates. At
+    * 100 TB this is one equi-join shuffle on (key, bucket) with
+    * interval-side replication bounded by that factor, versus the
+    * nested-loop the naive predicate plans to.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointKey: String, intervalKey: String,
+      tsCol: String, startCol: String, endCol: String,
+      intervalCols: Seq[String], bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    val existing = points.columns.toSet
+    def internal(base: String): String =
+      Iterator.from(0).map(i => s"__graft_${base}_$i")
+        .find(!existing.contains(_)).get
+    val (kc, bc, ic) = (internal("k"), internal("b"), internal("iv"))
+    def bucketOf(ts: Column): Column =
+      floor(unix_timestamp(ts) / bucketSeconds).cast("long")
+
+    val p = points.withColumn(kc, col(pointKey))
+      .withColumn(bc, bucketOf(col(tsCol)))
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .select(col(intervalKey).as(kc),
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol))))
+          .as(bc),
+        struct((startCol +: endCol +: intervalCols).distinct.map(col): _*)
+          .as(ic))
+    p.join(iv, Seq(kc, bc))
+      .filter(col(tsCol) >= col(ic)(startCol) &&
+        col(tsCol) < col(ic)(endCol))
+      .select(points.columns.map(col) ++
+        intervalCols.map(c => col(ic)(c).as(c)): _*)
+  }
+}
