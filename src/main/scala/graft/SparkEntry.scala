@@ -591,6 +591,13 @@ object SparkEntry {
       Dedup.dedupExact(docs(s, dir), "doc_id", "text")
         .select("doc_id", "source")),
 
+    // dedup: C4-style SEGMENT-level exact dedup — fixed 10-token
+    // segments (no newlines in the corpus, so segmentation stands in
+    // for line boundaries), first occurrence wins anywhere in the
+    // corpus, documents reassembled from survivors in order
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(docs(s, dir), "doc_id", "text", segTokens = 10)),
+
     // dedup: word-3-gram Jaccard near-dup pairs (exact inverted index)
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -1878,6 +1885,28 @@ object SparkEntry {
         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN k ON d.doc_id = k.doc_id""".stripMargin,
+
+    // engine keys the keeper election by md5(segment); the oracle
+    // groups by the segment itself — identical partition semantics
+    "q_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |seg AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS seg_no,
+        |    t FROM toks),
+        |segs AS (
+        |  SELECT doc_id, seg_no,
+        |    array_to_string(t[seg_no*10+1 : seg_no*10+10], ' ') AS seg
+        |  FROM seg),
+        |keep AS (
+        |  SELECT doc_id, seg_no, seg,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, seg_no) AS rn
+        |  FROM segs)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS text_dedup
+        |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql(0.8),
     "q_cross_neardup" ->

@@ -358,4 +358,48 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** C4/RefinedWeb-style SEGMENT-level exact dedup. The corpus is cut
+    * into fixed `segTokens`-token segments (the deterministic stand-in
+    * for line/paragraph boundaries — any boundary function slots in),
+    * every segment duplicated ANYWHERE in the corpus keeps only its
+    * first occurrence (min (id, seg_no)), and each document is
+    * reassembled from its surviving segments in order, single-space
+    * joined. Documents whose every segment loses disappear, like C4's
+    * emptied pages. Null texts are dropped.
+    *
+    * Scale shape: segments shuffle ONCE keyed by md5(segment) for the
+    * window-min keeper election (no self-join, and the full corpus
+    * never rides a shuffle as one blob — segments do), then once by id
+    * for reassembly; both are plain hash exchanges. A pathologically
+    * hot segment (the empty segment, boilerplate) concentrates its
+    * occurrences on one reducer but carries only (id, seg_no) pairs
+    * per row, not text.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1: $segTokens")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("did"), tokens(col(textCol)).as("t"))
+    val segs = base
+      .select(col("did"),
+        explode(sequence(lit(0),
+          (ceil(size(col("t")) / lit(segTokens.toDouble)) - 1).cast("int")))
+          .as("seg_no"),
+        col("t"))
+      .select(col("did"), col("seg_no"),
+        array_join(
+          slice(col("t"), col("seg_no") * segTokens + 1, lit(segTokens)),
+          " ").as("seg"))
+    val w = Window.partitionBy(md5(col("seg")))
+    segs
+      .withColumn("keeper", min(struct(col("did"), col("seg_no"))).over(w))
+      .filter(col("keeper.did") === col("did") &&
+        col("keeper.seg_no") === col("seg_no"))
+      .groupBy("did")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("seg_no"), col("seg")))),
+          s => s("seg")), " ").as("text_dedup"))
+      .select(col("did").as(idCol), col("text_dedup"))
+  }
 }

@@ -322,4 +322,44 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(_.getLong(1)).sorted
     kept shouldBe (2L to 8L).toArray
   }
+
+  private def segDedup(rows: Seq[(Long, String)], k: Int) =
+    Dedup.segmentDedup(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("segmentDedup removes repeated segments, first occurrence wins") {
+    val out = segDedup(Seq(
+      (1L, "a b c d"),   // segs: "a b", "c d"
+      (2L, "a b x y"),   // "a b" repeats -> only "x y" survives
+      (3L, "c d")),      // fully duplicated -> doc vanishes
+      k = 2)
+    out shouldBe Map(1L -> "a b c d", 2L -> "x y")
+  }
+
+  test("segmentDedup reassembles surviving segments in document order") {
+    val out = segDedup(Seq(
+      (1L, "m m"),
+      (2L, "p q m m r s")), // middle segment "m m" removed
+      k = 2)
+    out(2L) shouldBe "p q r s"
+  }
+
+  test("segmentDedup: a trailing short segment dedups like any other") {
+    val out = segDedup(Seq(
+      (1L, "a b c"), // segs "a b", "c"
+      (2L, "x y c")), // trailing short "c" loses to doc 1's
+      k = 2)
+    out shouldBe Map(1L -> "a b c", 2L -> "x y")
+  }
+
+  test("segmentDedup: within-document repeats also collapse") {
+    val out = segDedup(Seq((1L, "a b a b a b")), k = 2)
+    out shouldBe Map(1L -> "a b")
+  }
+
+  test("segmentDedup drops null texts and keeps unique docs intact") {
+    val rows = Seq((1L, "u v w x"), (2L, null.asInstanceOf[String]))
+    val out = segDedup(rows, k = 2)
+    out shouldBe Map(1L -> "u v w x")
+  }
 }
