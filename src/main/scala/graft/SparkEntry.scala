@@ -797,6 +797,13 @@ object SparkEntry {
         Similarity.lshBucket(col("embedding"), nPlanes = 4, dim = 64,
           seed = 42L).as("bkt"))),
 
+    // similarity: SemDeDup-style semantic dedup — LSH buckets partition
+    // the space, exact cosine within buckets, min-id survivor per
+    // neighborhood; buckets AND the kill rule replay in SQL (planes
+    // inlined, cosine rounded 6dp before thresholding on both engines)
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), threshold = 0.4, nPlanes = 4)),
+
     // similarity: LSH-bucketed approximate top-k (scale path; rows-only
     // BY CHOICE — recall vs brute force is asserted in SimilaritySpec,
     // and the bucket transform itself is oracle-checked just above)
@@ -2138,6 +2145,29 @@ object SparkEntry {
         }.mkString(" + ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT vec_id, CAST($terms AS BIGINT) AS bkt FROM e""".stripMargin
+    },
+
+    // SemDeDup replay: same inlined planes as q_ann_lsh_buckets, exact
+    // within-bucket cosine (rounded 6dp pre-threshold), greedy min-id
+    // kill rule, survivors by anti-join
+    "q_semantic_dedup" -> {
+      val terms = graft.operators.Similarity.planes(4, 64, 42L)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    CAST($terms AS BIGINT) AS bkt
+         |  FROM embeddings),
+         |removed AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) *
+         |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+         |SELECT vec_id, bkt FROM e
+         |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
     },
 
     // exact top-k: with nProbe = nLists every candidate is scored, so the

@@ -120,6 +120,44 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
       nLists = 8, nProbe = 3, trainFraction = 0.5))
     (approx intersect brute).size.toDouble / brute.size should be >= 0.5
   }
+
+  test("semanticDedup equals the greedy min-id replay on real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val survivors = Similarity.semanticDedup(emb, threshold = 0.4,
+      nPlanes = 4).collect().map(_.getLong(0)).toSet
+    // replay: bucket + exact cosine, kill anything with a smaller-id
+    // bucket-mate at rounded cosine >= threshold
+    val rows = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 4, 64, 42L).as("bkt"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.filter { case (id, bkt, v) =>
+      !rows.exists { case (id2, bkt2, v2) =>
+        id2 < id && bkt2 == bkt &&
+          BigDecimal(cos(v2, v)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+      }
+    }.map(_._1).toSet
+    survivors shouldBe expected
+    survivors.size should be < rows.length // something was removed
+  }
+
+  test("semanticDedup candidate generation is an equi-join, no cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.semanticDedup(emb, threshold = 0.4, nPlanes = 4)
+      .queryExecution.executedPlan.toString
+    plan should not include "Cartesian"
+    plan should not include "BroadcastNestedLoop"
+  }
 }
 
 class EmbeddingsSpec extends AnyFunSuite with Matchers with SparkSpec {
