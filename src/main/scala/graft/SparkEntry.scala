@@ -503,6 +503,15 @@ object SparkEntry {
           TextFunctions.qualityScore(col("text")).as("score")),
         "doc_id", "score", k = 10)),
 
+    // text analysis: the committed linear quality CLASSIFIER
+    // (fasttext-style logistic model over six interpretable signals;
+    // weights are engine constants, the oracle rebuilds the identical
+    // left-fold logit and sigmoid)
+    "q_quality_classifier" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextFunctions.qualityClassifier(col("text")).as("p_keep"))
+        .withColumn("keep", (col("p_keep") >= 0.5).cast("int"))),
+
     // text analysis: composite quality score
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1718,6 +1727,46 @@ object SparkEntry {
          |SELECT source,
          |  $cnt
          |FROM l GROUP BY source""".stripMargin
+    },
+
+    // the classifier oracle folds the SAME (feature, weight) constants
+    // in the SAME order as TextFunctions.classifierLogit — summation
+    // order is part of the contract (float + is not associative)
+    "q_quality_classifier" -> {
+      val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+      val fExpr = Map(
+        "log_tokens" -> "ln(len(t) + 1.0)",
+        "mean_word_len" ->
+          "CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)",
+        "stopword_ratio" ->
+          s"CAST(len(list_filter(t, x -> x IN ($swList))) AS DOUBLE) / len(t)",
+        "alpha_token_frac" ->
+          "CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t)",
+        "punct_ratio" ->
+          ("CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)" +
+            " / length(text)"),
+        "dup_bigram_frac" ->
+          "CASE WHEN len(bi) > 0 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi) ELSE 0.0 END")
+      val logit = TextFunctions.classifierWeights
+        .foldLeft(TextFunctions.classifierBias.toString) {
+          case (acc, (n, w)) => s"($acc + (${fExpr(n)}) * $w)"
+        }
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, t,
+         |    CASE WHEN len(t) >= 2
+         |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END AS bi
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id,
+         |    ROUND(1.0 / (1.0 + exp(-($logit))), 6) AS p_keep
+         |  FROM b)
+         |SELECT doc_id, p_keep, CAST(p_keep >= 0.5 AS INT) AS keep
+         |FROM p""".stripMargin
     },
 
     "q_stopword_ratio" -> {

@@ -185,6 +185,43 @@ object TextFunctions {
       lit(piiPhoneRe), r)
   }
 
+  /** Committed linear quality model — a fasttext-style classifier
+    * distilled to six interpretable signals. The weights ship with the
+    * engine as model constants; the OPERATOR is the scoring pass
+    * (map-only, codegen'd, ANSI-replayable), and any retrained
+    * (feature, weight) table slots straight in. Feature order is the
+    * summation order on both engines (float addition is not
+    * associative — the oracle must fold identically). */
+  val classifierBias: Double = -6.9
+  val classifierWeights: Seq[(String, Double)] = Seq(
+    "log_tokens" -> 0.9, // volume (log-saturating)
+    "mean_word_len" -> 0.30, // natural word shape
+    "stopword_ratio" -> 2.5, // function-word density
+    "alpha_token_frac" -> 2.0, // alphabetic share
+    "punct_ratio" -> -6.0, // symbol noise
+    "dup_bigram_frac" -> -2.5) // boilerplate repetition
+
+  private def classifierFeature(c: Column, name: String): Column =
+    name match {
+      case "log_tokens" => log(tokenCount(c).cast("double") + 1.0)
+      case "mean_word_len" => meanTokenLen(c)
+      case "stopword_ratio" => stopwordRatio(c)
+      case "alpha_token_frac" => alphaTokenFrac(c)
+      case "punct_ratio" => punctRatio(c)
+      case "dup_bigram_frac" => dupNgramFrac(c, 2)
+    }
+
+  /** Linear-model logit over the committed weights (left fold in
+    * declaration order). */
+  def classifierLogit(c: Column): Column =
+    classifierWeights.foldLeft(lit(classifierBias): Column) {
+      case (acc, (name, w)) => acc + classifierFeature(c, name) * w
+    }
+
+  /** Logistic keep-probability of the committed quality model, 6dp. */
+  def qualityClassifier(c: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(c))), 6)
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. Stable across engines (md5 is md5 everywhere). */
   def fingerprint(c: Column): Column =

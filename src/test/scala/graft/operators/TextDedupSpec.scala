@@ -35,6 +35,27 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     one(TextFunctions.punctRatio(col("t")), "ab!?") shouldBe 0.5
   }
 
+  test("qualityClassifier matches a hand-computed logistic score") {
+    // "the cat sat": tokens 3 -> log(4); mwl (3+3+3)/3 = 3; stopword
+    // 1/3; alpha 1; punct 0; dup-bigram 0 (both bigrams distinct)
+    val z = TextFunctions.classifierBias +
+      math.log(4.0) * 0.9 + 3.0 * 0.30 + (1.0 / 3.0) * 2.5 +
+      1.0 * 2.0 + 0.0 * -6.0 + 0.0 * -2.5
+    val want = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    one(TextFunctions.qualityClassifier(col("t")),
+      "the cat sat") shouldBe want
+  }
+
+  test("qualityClassifier penalizes punctuation noise and repetition") {
+    def p(s: String): Double =
+      one(TextFunctions.qualityClassifier(col("t")), s)
+        .asInstanceOf[Double]
+    p("the cat sat on the mat") should be > p("!!! ??? %%% cat !!!")
+    p("a fine sentence with the varied words here") should be >
+      p("spam spam spam spam spam spam spam spam")
+  }
+
   test("langId picks marker-majority language, 'und' when silent") {
     one(TextFunctions.langId(col("t")),
       "the cat and the dog is here") shouldBe "en"
