@@ -591,6 +591,13 @@ object SparkEntry {
     "q_tfidf_top" -> ((s, dir) =>
       TextQuality.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)),
 
+    // corpus stats: top-50 adjacent-token collocations by PMI (count
+    // floor 5) — vocab-sized joins over pre-aggregated counts, fixed
+    // arithmetic order, TakeOrdered top-k
+    "q_token_pmi" -> ((s, dir) =>
+      TextQuality.pmiTopPairs(docs(s, dir), "doc_id", "text",
+        minCount = 5L, topK = 50)),
+
     // dedup: exact groups by fingerprint
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
@@ -1860,6 +1867,32 @@ object SparkEntry {
         |  FROM toks GROUP BY doc_id)
         |SELECT c.doc_id, c.clean, r.rep_ratio
         |FROM clean c JOIN rep r USING (doc_id)""".stripMargin,
+
+    // PMI replay: same unigram/pair counts, same multiply/divide order
+    // inside the ln, ties at the top-k cut broken by (tok_a, tok_b)
+    "q_token_pmi" ->
+      """WITH d AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |toks AS (SELECT unnest(t) AS tok FROM d),
+        |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |nt AS (SELECT sum(c) AS n_tok FROM uni),
+        |bi AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |  FROM d WHERE len(t) >= 2),
+        |pc AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+        |np AS (SELECT sum(c_ab) AS n_pair FROM pc),
+        |j AS (
+        |  SELECT pc.a AS tok_a, pc.b AS tok_b, pc.c_ab,
+        |    ROUND(LN((CAST(pc.c_ab AS DOUBLE) * nt.n_tok * nt.n_tok) /
+        |      (CAST(np.n_pair AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        |  FROM pc
+        |  JOIN uni ua ON ua.tok = pc.a
+        |  JOIN uni ub ON ub.tok = pc.b
+        |  CROSS JOIN nt CROSS JOIN np
+        |  WHERE pc.c_ab >= 5)
+        |SELECT tok_a, tok_b, c_ab, pmi FROM j
+        |QUALIFY row_number() OVER (ORDER BY pmi DESC, tok_a, tok_b) <= 50""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH toks AS (

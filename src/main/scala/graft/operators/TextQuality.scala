@@ -163,6 +163,48 @@ object TextQuality {
     * against the model plus a per-doc mean. No driver loops, no UDFs.
     * Documents with fewer than 2 tokens emit nothing (no bigram to
     * score). Output: (doc_id, nlp) at 6dp. */
+  /** Corpus collocations: top-k adjacent-token pairs by pointwise
+    * mutual information, `pmi = ln(P(a,b) / (P(a) P(b)))` with unigram
+    * probabilities over all tokens and pair probabilities over all
+    * adjacent pairs. `minCount` floors the pair count (PMI of rare
+    * pairs is noise — the classic Church & Hanks caveat).
+    *
+    * Scale shape: tokens and pairs are aggregated FIRST (map-side
+    * partial combine), so the joins run vocab-sized x vocab-sized, not
+    * corpus-sized; the two corpus totals ride in as one-row broadcast
+    * cross joins; the final top-k is TakeOrdered (no global sort). The
+    * PMI arithmetic fixes the multiply/divide order so both engines
+    * produce bit-identical doubles before the 6dp round. */
+  def pmiTopPairs(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    val unigrams = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nTok = broadcast(unigrams.agg(sum("c").as("n_tok")))
+    val pairCounts = df
+      .select(explode(rawWordShingles(col(textCol), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+    // the pair total is over ALL adjacent pairs (true P(a,b)), not just
+    // the ones surviving the count floor
+    val nPair = broadcast(pairCounts.agg(sum("c_ab").as("n_pair")))
+    val pairs = pairCounts
+      .filter(col("c_ab") >= minCount)
+      .select(split(col("pair"), " ").getItem(0).as("tok_a"),
+        split(col("pair"), " ").getItem(1).as("tok_b"), col("c_ab"))
+    pairs
+      .join(unigrams.withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("c", "c_a"), "tok_a")
+      .join(unigrams.withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("c", "c_b"), "tok_b")
+      .crossJoin(nTok).crossJoin(nPair)
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+            (col("n_pair").cast("double") * col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
   def ngramLogProb(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive: $alpha")

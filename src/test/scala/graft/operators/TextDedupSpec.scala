@@ -344,6 +344,33 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     kept shouldBe (2L to 8L).toArray
   }
 
+  test("pmiTopPairs matches hand-computed PMI and respects the floor") {
+    // tokens: a x3, b x2, c x1 (N=6); pairs: (a,b) x2, (b,a), (a,c) (N=4)
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextQuality.pmiTopPairs(df, "doc_id", "text",
+        minCount = 1L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log(cab.toDouble * 6 * 6 / (4.0 * ca * cb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(("a", "b")) shouldBe ((2L, pmi(2, 3, 2)))
+    got(("b", "a")) shouldBe ((1L, pmi(1, 2, 3)))
+    got(("a", "c")) shouldBe ((1L, pmi(1, 3, 1)))
+    got.size shouldBe 3
+    // the count floor prunes singletons
+    TextQuality.pmiTopPairs(df, "doc_id", "text", minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("a", "b"))
+  }
+
+  test("pmiTopPairs top-k runs as TakeOrdered, not a global sort") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val plan = TextQuality.pmiTopPairs(df, "doc_id", "text", 1L, 5)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
+
   private def segDedup(rows: Seq[(Long, String)], k: Int) =
     Dedup.segmentDedup(rows.toDF("doc_id", "text"), "doc_id", "text", k)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
