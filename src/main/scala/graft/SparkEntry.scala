@@ -598,6 +598,16 @@ object SparkEntry {
       TextQuality.pmiTopPairs(docs(s, dir), "doc_id", "text",
         minCount = 5L, topK = 50)),
 
+    // sources: hive-style partitioned layout — documents written
+    // partitioned by lang, read back through a partition filter (the
+    // scan lists ONE directory; pruning is asserted in
+    // PanelSourceSpec). Oracle = the same aggregate over the flat table
+    "q_partition_prune" -> ((s, dir) =>
+      s.read.parquet(partitionedFor(s, dir))
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))),
+
     // dedup: exact groups by fingerprint
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
@@ -1089,6 +1099,29 @@ object SparkEntry {
           .select("o_orderkey", "o_orderpriority"),
         s"$base/orders", dim, "o_orderkey", nBuckets = 8)
       (fact, dim)
+    })
+
+  /** Lang-partitioned documents layout written once per (session,
+    * sfDir) — the WRITE is the operator under test (hive-style
+    * directory-per-value layout); the query reads it back through a
+    * partition filter, so pruning (not post-scan filtering) produces
+    * the rows. */
+  private val partitionedCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def partitionedFor(s: SparkSession, dir: String): String =
+    partitionedCache.getOrElseUpdate(skey(s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft-partitioned")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      val path = s"$p/documents"
+      graft.sources.PanelSource.writePartitioned(
+        s.read.parquet(s"$dir/documents.parquet"), path, Seq("lang"))
+      path
     })
 
   /** Events table with nanosecond timestamps normalized to TimestampType
@@ -1961,6 +1994,14 @@ object SparkEntry {
         |  ROUND(quantile_cont(tc, 0.5), 6) AS p50_tokens,
         |  ROUND(quantile_cont(tc, 0.95), 6) AS p95_tokens
         |FROM t GROUP BY 1""".stripMargin,
+
+    // partition layout is pure routing — the oracle is the flat-table
+    // aggregate
+    "q_partition_prune" ->
+      """SELECT source, count(*) AS cnt,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

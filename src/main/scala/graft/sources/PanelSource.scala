@@ -67,6 +67,18 @@ object PanelSource {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partCols` (`path/lang=en/...`). A filter on a partition column
+    * prunes at the DIRECTORY listing — the scan never opens the other
+    * partitions' files, so a one-language query over a 100 TB corpus
+    * reads only that language's bytes. Partition columns must be
+    * LOW-cardinality (languages, dates, sources in the hundreds): each
+    * distinct value is a directory, and a high-cardinality partition
+    * key degenerates into millions of small files. */
+  def writePartitioned(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
   /** Bucketed parquet table: rows are hash-clustered (and sorted) by
     * `keyCol` into `nBuckets` files per partition at WRITE time, so
     * every later equi-join or aggregation on that key is exchange-free —

@@ -115,4 +115,36 @@ class PanelSourceSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
       s"no pushed filter in:\n$plan")
   }
+
+  test("partitioned layout: filter becomes a partition PRUNE, not a scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = (1L to 90L).map(i => (i, s"g${i % 3}", i * 2))
+      .toDF("id", "grp", "v")
+    PanelSource.writePartitioned(df, s"$dir/t", Seq("grp"))
+    val back = spark.read.parquet(s"$dir/t")
+    // content survives the layout (partition column round-trips)
+    assert(back.count() == 90)
+    val g1 = back.filter($"grp" === "g1")
+    // the filter must land in PartitionFilters (directory pruning),
+    // leaving no data filter at all, and the scan must read 1 of the
+    // 3 partition directories
+    val scan = g1.queryExecution.executedPlan.collectLeaves().head
+      .toString
+    assert(scan.contains("PartitionFilters:") &&
+      scan.replaceAll("(?s).*PartitionFilters:", "").contains("g1"),
+      s"no partition filter in:\n$scan")
+    val proj = g1.select("id")
+    assert(proj.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 90L).filter(_ % 3 == 1).toSeq)
+    // the executed scan read exactly the g1 directory's files (the
+    // relation's inputFiles lists ALL files — the numFiles metric is
+    // what pruning actually touched)
+    val g1Files = new java.io.File(s"$dir/t/grp=g1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val scanned = proj.queryExecution.executedPlan.collectLeaves().head
+      .metrics("numFiles").value
+    assert(scanned == g1Files && g1Files > 0,
+      s"scan read $scanned files, g1 dir has $g1Files")
+  }
 }
