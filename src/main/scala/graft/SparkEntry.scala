@@ -957,6 +957,19 @@ object SparkEntry {
         .select(col("win").cast("long").as("win_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
+    // streaming: stream-stream attribution join (clicks x purchases
+    // within 30 min, same user) run on the batch frame — the streaming
+    // path is the watermarked state join (parity spec-pinned), the
+    // batch path the bucketed range join; oracle = plain inequality
+    // join
+    "q_stream_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.streaming.StreamingOps.attributionJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        windowMinutes = 30)
+    }),
+
     // streaming: key dedup (dropDuplicatesWithinWatermark in streams,
     // unbounded dropDuplicates in batch) projected to the key set so the
     // output is deterministic and ANSI-oracle-checkable
@@ -2402,6 +2415,14 @@ object SparkEntry {
         |FROM w JOIN events e
         |  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY w.win_id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (

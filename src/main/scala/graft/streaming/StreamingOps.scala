@@ -75,6 +75,50 @@ object StreamingOps {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey))
 
+  /** Stream-stream ATTRIBUTION join: each left event ("click") meets
+    * every same-key right event ("purchase") inside
+    * `[left.ts, left.ts + windowMinutes)`.
+    *
+    * Streaming: both sides carry watermarks and the join carries the
+    * time-range predicate, which is exactly what lets Spark's
+    * symmetric stateful join EVICT buffered rows once the watermark
+    * passes `ts + window` — bounded state, the one formulation of a
+    * stream-stream join that survives an unbounded stream. Append-mode
+    * inner join; late events beyond the watermark drop.
+    *
+    * Batch: the same contract runs through [[graft.operators.Temporal.rangeJoin]]
+    * (bucketed equi-join + residual filter) — in batch the raw
+    * inequality predicate would plan as a nested loop, while the
+    * micro-batch state join amortizes it incrementally. One contract,
+    * each mode on its scalable plan (parity spec-pinned, oracle
+    * `q_stream_join`).
+    */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      windowMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val win = expr(s"INTERVAL $windowMinutes MINUTES")
+    if (left.isStreaming || right.isStreaming) {
+      val c = left.select(col(idCol).as("click_id"), col(keyCol).as("__lk"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", watermark)
+      val p = right.select(col(idCol).as("purchase_id"),
+          col(keyCol).as("__rk"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", watermark)
+      c.join(p, col("__lk") === col("__rk") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") < col("c_ts") + win)
+        .select(col("click_id"), col("purchase_id"), col("__lk").as(keyCol))
+    } else {
+      val intervals = left.select(col(idCol).as("click_id"), col(keyCol),
+        col("ts").as("w_start"), (col("ts") + win).as("w_end"))
+      val points = right.select(col(idCol).as("purchase_id"), col(keyCol),
+        col("ts"))
+      graft.operators.Temporal.rangeJoin(points, intervals, keyCol, keyCol,
+          "ts", "w_start", "w_end", Seq("click_id"),
+          bucketSeconds = windowMinutes.toLong * 60L)
+        .select("click_id", "purchase_id", keyCol)
+    }
+  }
+
   /** Streaming dedup on a key column bounded by the watermark window —
     * the streaming analogue of `Dedup.dedupExact`. Batch frames take the
     * unbounded `dropDuplicates` (Spark rejects the watermark variant in

@@ -154,6 +154,44 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin: streaming state join equals the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user_id, ts) with event_type split into two streams
+    val clicks = Seq(
+      (1L, 7L, ts("2026-01-01 10:00:00")),
+      (2L, 7L, ts("2026-01-01 11:00:00")),
+      (3L, 8L, ts("2026-01-01 10:10:00")))
+    val purchases = Seq(
+      (10L, 7L, ts("2026-01-01 10:20:00")), // in click 1's window
+      (11L, 7L, ts("2026-01-01 10:31:00")), // outside (>= +30min)
+      (12L, 8L, ts("2026-01-01 10:10:00")), // exact-instant match
+      (13L, 9L, ts("2026-01-01 10:15:00"))) // no click for user 9
+    def df(rows: Seq[(Long, Long, Timestamp)]) =
+      rows.toDF("event_id", "user_id", "ts")
+    val expected = Set((1L, 10L, 7L), (3L, 12L, 8L))
+
+    val batch = StreamingOps.attributionJoin(df(clicks), df(purchases))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    batch shouldBe expected
+
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingOps.attributionJoin(
+        cMem.toDF().toDF("event_id", "user_id", "ts"),
+        pMem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      cMem.addData(clicks: _*)
+      pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      spark.table("attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet shouldBe expected
+    } finally q.stop()
+  }
+
   test("enrichWithDim joins a live stream against the static dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
