@@ -475,6 +475,33 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // corpus stats: ROLLUP report — (source, lang), per-source, and
+    // grand-total levels in one multi-dimensional aggregate (one
+    // shuffle; Spark expands grouping sets map-side). Subtotal NULL
+    // markers are coalesced to 'ALL' on both engines (no source/lang is
+    // named 'ALL'), keeping the cross-engine hash null-free
+    "q_corpus_rollup" -> ((s, dir) =>
+      docs(s, dir)
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("cnt"), col("sum_chars"))),
+
+    // corpus stats: per-source exact type-1 length quantiles (the
+    // bounded-state percentile agg per group — no global sort, no
+    // per-group collect)
+    "q_source_quantiles" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("p90"))),
+
     // corpus stats: source x language PIVOT report (the DataFrame
     // reshape surface — groupBy().pivot() with an EXPLICIT value list,
     // which skips the extra distinct-values job and pins the output
@@ -2007,6 +2034,20 @@ object SparkEntry {
         |  ROUND(quantile_cont(tc, 0.5), 6) AS p50_tokens,
         |  ROUND(quantile_cont(tc, 0.95), 6) AS p95_tokens
         |FROM t GROUP BY 1""".stripMargin,
+
+    "q_corpus_rollup" ->
+      """SELECT COALESCE(source, 'ALL') AS source,
+        |  COALESCE(lang, 'ALL') AS lang,
+        |  count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "q_source_quantiles" ->
+      """SELECT source,
+        |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+        |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+        |FROM documents GROUP BY source""".stripMargin,
 
     // partition layout is pure routing — the oracle is the flat-table
     // aggregate

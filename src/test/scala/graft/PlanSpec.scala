@@ -334,4 +334,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"bucket projection should not shuffle:\n${planOf(df)}")
     }
   }
+
+  test("rollup report: grouping sets expand map-side, ONE shuffle") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_corpus_rollup")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("Expand"), s"no grouping-set expand in:\n$plan")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        s"rollup should shuffle exactly once:\n$plan")
+    }
+  }
+
+  test("temporal joins: asof has no join operator, range join no " +
+      "nested loop") {
+    withStaticPlan {
+      val asof = planOf(SparkEntry.queries("q_asof_join")(spark, dir))
+      assert(!asof.contains("Join"), s"asof should window, not join:\n$asof")
+      val range = planOf(SparkEntry.queries("q_range_join")(spark, dir))
+      assert(!range.contains("BroadcastNestedLoop") &&
+        !range.contains("Cartesian"),
+        s"range join must stay an equi-join:\n$range")
+    }
+  }
 }
