@@ -663,6 +663,18 @@ object SparkEntry {
       componentsFor(s, dir)
         .select(col("id").as("doc_id"), col("comp").as("component"))),
 
+    // graph: PageRank centrality over the near-dup pair graph (crawl-
+    // style link scoring run on the similarity graph the engine already
+    // builds). 5 fixed iterations; every rank/contribution rounds 8dp
+    // and per-node sums fold in sorted order, so the SQL oracle replays
+    // the iteration bit-for-bit
+    "q_pagerank" -> ((s, dir) =>
+      Graph.pageRank(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        iterations = 5)
+        .select(col("id").as("doc_id"), col("rank"))),
+
     // dedup: corpus survivors after TRANSITIVE near-dup clustering (the
     // min-id member of each component survives; singletons untouched) —
     // shares the cached component table with q_dup_components
@@ -2112,6 +2124,37 @@ object SparkEntry {
         .stripMargin,
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
     "q_dup_components" -> dupComponentsSql(0.8),
+
+    // PageRank replay: 5 unrolled iterations over the jaccard pair
+    // graph; (1.0 - 0.85) and every ROUND(x, 8) evaluate on the same
+    // doubles in the same order as the engine (sorted contribution
+    // folds, left-assoc, 0-seeded on the engine side == first-element
+    // seed here since 0.0 + x is exact)
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (
+           |  SELECT adj.dst, ROUND(r${i - 1}.rank / adj.deg, 8) AS contrib
+           |  FROM adj JOIN r${i - 1} ON adj.src = r${i - 1}.id),
+           |r$i AS (
+           |  SELECT dst AS id,
+           |    ROUND(base.b + 0.85 *
+           |      list_reduce(list_sort(list(contrib)), (a, c) -> a + c), 8)
+           |      AS rank
+           |  FROM c$i CROSS JOIN base GROUP BY dst, base.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${jaccardCtes(0.8)},
+         |und AS (SELECT id_a AS src, id_b AS dst FROM jac
+         |  UNION SELECT id_b, id_a FROM jac),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+         |adj AS (SELECT und.src, und.dst, deg.deg FROM und JOIN deg USING (src)),
+         |n AS (SELECT count(*) AS c FROM deg),
+         |base AS (SELECT ROUND((1.0 - 0.85) / c, 8) AS b,
+         |                ROUND(1.0 / c, 8) AS r_init FROM n),
+         |r0 AS (SELECT src AS id, base.r_init AS rank
+         |       FROM deg CROSS JOIN base),
+         |$iters
+         |SELECT id AS doc_id, rank FROM r5""".stripMargin
+    },
     "q_dedup_transitive" -> dedupTransitiveSql(0.8),
 
     // the full pipeline, stage by stage in SQL: curate (quality +

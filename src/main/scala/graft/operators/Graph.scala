@@ -146,6 +146,70 @@ object Graph {
     TrackedCaches.track(labels)
   }
 
+  /** Distributed PageRank over an undirected pair graph (edges are
+    * symmetrized; every node has degree >= 1, so there are no dangling
+    * nodes). Fixed iteration count, damping d:
+    * `r'(v) = (1-d)/N + d * sum over neighbors u of r(u)/deg(u)`.
+    *
+    * Cross-engine/cross-partitioning DETERMINISM is engineered in:
+    * every rank and contribution rounds to 8dp (digits chosen by value
+    * magnitude — ranks are O(1/N)), and each node's neighbor sum folds
+    * its contributions in SORTED order, so the float additions happen
+    * in one canonical order no matter how Spark partitions the
+    * groupBy. Two runs — or Spark vs the SQL oracle — produce
+    * bit-identical ranks.
+    *
+    * Scale shape: one persisted adjacency table; per iteration one
+    * equi-join on src and one groupBy(dst). The per-node
+    * `sort_array(collect_list)` is degree-bounded — fine on sparse
+    * similarity/link graphs; a power-law web graph would want the
+    * tree-aggregate formulation instead (documented trade). The SQL
+    * plan is cut per round exactly like [[connectedComponents]]
+    * (lineage kept, logical plan flattened). */
+  def pageRank(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    val sym = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // one scalar to the driver (node count)
+    val spark = edges.sparkSession
+    if (n == 0) {
+      adj.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    def r8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = r8((1.0 - damping) / n)
+    var ranks = deg.select(col("src"), lit(r8(1.0 / n)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = adj.join(ranks, "src")
+        .select(col("dst"), round(col("rank") / col("deg"), 8).as("contrib"))
+      val next = contribs.groupBy(col("dst").as("src"))
+        .agg(round(lit(base) + lit(damping) *
+          aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+            (acc, c) => acc + c), 8).as("rank"))
+      // plan cut (see connectedComponents): flatten the logical plan,
+      // keep RDD lineage
+      ranks = spark.createDataFrame(next.rdd, next.schema)
+    }
+    val out = ranks.select(col("src").as("id"), col("rank"))
+    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    adj.unpersist()
+    TrackedCaches.track(out)
+  }
+
   /** Transitive near-dup survivors: keep every row of `df` except
     * non-representative members of a pair-graph component (the min-id
     * member survives, mirroring `Dedup.dedupExact`'s min-id rule).

@@ -79,4 +79,57 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
+
+  // independent single-machine PageRank with the operator's exact
+  // rounding contract (8dp, sorted contribution folds)
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val und = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size).toMap
+    val n = nbrs.size
+    val base = r8((1.0 - d) / n)
+    var r = nbrs.keys.map(_ -> r8(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      r = nbrs.map { case (v, ns) =>
+        val contribs = ns.map(u => r8(r(u) / deg(u))).sorted
+        v -> r8(base + d * contribs.foldLeft(0.0)(_ + _))
+      }
+    }
+    r
+  }
+
+  test("pageRank matches an independent replay on a triangle+pendant") {
+    // 1-2-3 triangle with pendant 4 on 3: rank(3) highest, 4 lowest
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = Graph.pageRank(edges.toDF("id_a", "id_b"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got shouldBe refPageRank(edges, 5, 0.85)
+    got(3L) should be > got(1L)
+    got(1L) shouldBe got(2L) // symmetric positions
+    got(4L) should be < got(1L)
+    // probability mass is conserved up to rounding
+    got.values.sum shouldBe 1.0 +- 1e-6
+  }
+
+  test("pageRank is invariant to input partitioning (sorted folds)") {
+    val rng = new scala.util.Random(11)
+    val edges = Seq.tabulate(60)(_ =>
+      (rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("id_a", "id_b")
+    val a = Graph.pageRank(df, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(df.repartition(7), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a shouldBe b
+    a shouldBe refPageRank(edges, 4, 0.85)
+  }
+
+  test("pageRank on an empty edge list yields an empty rank table") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Graph.pageRank(empty, iterations = 3).count() shouldBe 0L
+  }
 }
