@@ -170,17 +170,22 @@ object Graph {
       bCol: String = "id_b", iterations: Int = 5,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    // persist the symmetrized edges BEFORE the node count: the edge
+    // input may itself be an expensive pipeline (the near-dup pair
+    // graph), and without this cache it would run twice — once for the
+    // scalar count, once when the adjacency table materializes
     val sym = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // one scalar to the driver (node count)
     val spark = edges.sparkSession
     if (n == 0) {
-      adj.unpersist()
+      sym.unpersist(); adj.unpersist()
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -206,7 +211,7 @@ object Graph {
     }
     val out = ranks.select(col("src").as("id"), col("rank"))
     out.persist(StorageLevel.MEMORY_AND_DISK).count()
-    adj.unpersist()
+    sym.unpersist(); adj.unpersist()
     TrackedCaches.track(out)
   }
 
