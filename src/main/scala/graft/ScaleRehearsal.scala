@@ -105,6 +105,56 @@ object ScaleRehearsal {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Clustered 64-dim embeddings: 32 seeded centroids + gaussian noise
+    * (clusters give semanticDedup real in-bucket near-neighbors, like a
+    * real embedding space); 3% of vectors are jittered near-copies. */
+  def embeddings(spark: SparkSession, nVecs: Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val rows = spark.range(nVecs).rdd.mapPartitions { it =>
+      it.map { idBoxed =>
+        val id: Long = idBoxed
+        val nearDup = id % 33 == 32
+        val srcId = if (nearDup) id - 1 else id
+        val cRng = new Rng(mix(srcId % 32) ^ 0xC3C3C3L)
+        val vRng = new Rng(mix(srcId) ^ 0xE1E1E1L)
+        val jRng = new Rng(mix(id) ^ 0x7F7F7FL)
+        val v = Array.fill(64)(
+          (cRng.nextGaussian() * 2.0 + vRng.nextGaussian() * 0.7 +
+            (if (nearDup) jRng.nextGaussian() * 0.05 else 0.0)).toFloat)
+        Row(id, v.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Event stream: ~50 events per user over 30 days, 5 types. */
+  def events(spark: SparkSession, nEvents: Long): DataFrame = {
+    val nUsers = math.max(1L, nEvents / 50L)
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val t0 = 1735689600000000L // 2025-01-01 UTC, micros
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val rows = spark.range(nEvents).rdd.mapPartitions { it =>
+      it.map { idBoxed =>
+        val id: Long = idBoxed
+        val r = new Rng(mix(id) ^ 0xBEEFL)
+        val us = t0 + (r.nextDouble() * 30L * 86400L * 1000000L).toLong
+        Row(id, java.lang.Math.floorMod(mix(id ^ 0x99L), nUsers),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            us / 1000000L, (us % 1000000L) * 1000L)),
+          types(r.nextInt(5)), r.nextGaussian() * 10.0 + 50.0)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Staggered panel: 10 periods (2000..2009), cohorts 0 (never
     * treated, 40%) and 2003..2006; y = unit + time + 2.0 x post + eps. */
   def panel(spark: SparkSession, nUnits: Long): DataFrame = {
@@ -152,7 +202,12 @@ object ScaleRehearsal {
       val docs = documents(spark, nDocs)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val pan = panel(spark, nUnits).persist(StorageLevel.MEMORY_AND_DISK)
-      println(s"[$nm] docs=${docs.count()} panelRows=${pan.count()}")
+      val emb = embeddings(spark, nDocs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val evs = events(spark, nDocs * 4)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[$nm] docs=${docs.count()} panelRows=${pan.count()} " +
+        s"vecs=${emb.count()} events=${evs.count()}")
 
       def timed(op: String)(f: => Long): (String, Double, Long) = {
         var out = 0L
@@ -216,6 +271,39 @@ object ScaleRehearsal {
             docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5
               === 0),
             "doc_id", "text").count()),
+        timed("segment_dedup")(
+          Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 10)
+            .count()),
+        timed("semantic_dedup")(
+          graft.operators.Similarity.semanticDedupAuto(emb,
+            threshold = 0.4, targetOccupancy = 128).count()),
+        timed("pagerank") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.pageRank(pairs, iterations = 5).count()
+        },
+        timed("token_pmi")(
+          graft.operators.TextQuality.pmiTopPairs(docs, "doc_id", "text",
+            minCount = 5L, topK = 50).count()),
+        timed("asof_join") {
+          import org.apache.spark.sql.functions.col
+          graft.operators.Temporal.asofJoin(
+            evs.select(col("event_id"), col("user_id"), col("ts")),
+            evs.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"),
+                col("event_id").as("pid"), col("value").as("pv")),
+            "user_id", "user_id", "ts", "ts", Seq("pid", "pv")).count()
+        },
+        timed("range_join") {
+          import org.apache.spark.sql.functions.{col, expr}
+          graft.operators.Temporal.rangeJoin(
+            evs.select(col("event_id"), col("user_id"), col("ts")),
+            evs.filter(col("event_type") === "error")
+              .select(col("user_id"), col("event_id").as("win_id"),
+                col("ts").as("w_start"),
+                (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end")),
+            "user_id", "user_id", "ts", "w_start", "w_end",
+            Seq("win_id"), bucketSeconds = 1800L).count()
+        },
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)
@@ -223,7 +311,7 @@ object ScaleRehearsal {
           fit.unpersist(); pp.unpersist()
           n
         })
-      docs.unpersist(); pan.unpersist()
+      docs.unpersist(); pan.unpersist(); emb.unpersist(); evs.unpersist()
       nm -> ops
     }
 

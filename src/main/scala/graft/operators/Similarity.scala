@@ -404,6 +404,26 @@ object Similarity {
     * the accepted SemDeDup trade). Misses only cross-bucket neighbors,
     * exactly like the cluster-local comparison in the SemDeDup paper.
     */
+  /** [[semanticDedup]] with `nPlanes` DERIVED from a cheap corpus count
+    * so expected bucket occupancy stays near `targetOccupancy`: the
+    * within-bucket work is O(sum of occupancy^2), so a FIXED plane
+    * count turns quadratic as the corpus grows (measured: exponent
+    * ~1.0 at 10x with 8 planes on clustered vectors) while a bounded
+    * occupancy keeps per-vector work constant. Same auto-sizing shape
+    * as the cosine block guard and packSequences' bucket derivation.
+    * Cluster-shaped data still skews occupancy (SemDeDup's accepted
+    * trade); the bound is in expectation over a balanced split. */
+  def semanticDedupAuto(df: DataFrame, threshold: Double,
+      targetOccupancy: Int = 128, dim: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(targetOccupancy >= 1, s"bad targetOccupancy: $targetOccupancy")
+    val n = df.count()
+    val nPlanes = math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+    semanticDedup(df, threshold, nPlanes, dim, seed, idCol, vecCol)
+  }
+
   def semanticDedup(df: DataFrame, threshold: Double, nPlanes: Int = 4,
       dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -151,6 +151,20 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     survivors.size should be < rows.length // something was removed
   }
 
+  test("semanticDedupAuto derives the plane count from corpus size") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    // 500 vectors, occupancy 128 -> ceil(log2(500/128)) = 2, floored
+    // at 4 planes: must equal the explicit 4-plane run
+    ids(Similarity.semanticDedupAuto(emb, 0.4, targetOccupancy = 128)) shouldBe
+      ids(Similarity.semanticDedup(emb, 0.4, nPlanes = 4))
+    // occupancy 1 -> ceil(log2(500)) = 9 planes: more buckets, and the
+    // result must equal the explicit 9-plane run
+    ids(Similarity.semanticDedupAuto(emb, 0.4, targetOccupancy = 1)) shouldBe
+      ids(Similarity.semanticDedup(emb, 0.4, nPlanes = 9))
+  }
+
   test("semanticDedup candidate generation is an equi-join, no cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = Similarity.semanticDedup(emb, threshold = 0.4, nPlanes = 4)
