@@ -177,11 +177,19 @@ object TextQuality {
     * produce bit-identical doubles before the 6dp round. */
   def pmiTopPairs(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L, topK: Int = 50): DataFrame = {
-    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    // tokenize ONCE: unigram and bigram explodes both feed off the
+    // cached token arrays instead of re-parsing the text per branch
+    val tk = TrackedCaches.persist(
+      df.select(tokens(col(textCol)).as("t")))
+    val toks = tk.select(explode(col("t")).as("tok"))
     val unigrams = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val nTok = broadcast(unigrams.agg(sum("c").as("n_tok")))
-    val pairCounts = df
-      .select(explode(rawWordShingles(col(textCol), 2)).as("pair"))
+    val bi = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", slice(col("t"), i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val pairCounts = tk
+      .select(explode(bi).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c_ab"))
     // the pair total is over ALL adjacent pairs (true P(a,b)), not just
     // the ones surviving the count floor
