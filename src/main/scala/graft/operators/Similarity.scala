@@ -387,23 +387,6 @@ object Similarity {
       .select("qid", "cid", "cos")
   }
 
-  /** SemDeDup-style semantic dedup: signed-projection buckets partition
-    * the embedding space (shuffle-free transform), then EXACT cosine is
-    * computed only within a bucket, and a vector is removed when a
-    * SMALLER-id bucket-mate sits at cosine >= threshold (greedy min-id
-    * survivor — the usual SemDeDup keep-one-per-neighborhood rule, not
-    * a transitive closure). Returns survivors as (id, bucket).
-    *
-    * Cosines are rounded to 6dp BEFORE thresholding so the keep/kill
-    * decision never rides float summation order.
-    *
-    * Scale shape: candidate generation is an equi-join on the bucket id
-    * — the only quadratic work is per-bucket, which `nPlanes` controls
-    * (expected bucket occupancy n / 2^nPlanes for centered data; raise
-    * nPlanes as the corpus grows, recall crossing bucket boundaries is
-    * the accepted SemDeDup trade). Misses only cross-bucket neighbors,
-    * exactly like the cluster-local comparison in the SemDeDup paper.
-    */
   /** [[semanticDedup]] with `nPlanes` DERIVED from a cheap corpus count
     * so expected bucket occupancy stays near `targetOccupancy`: the
     * within-bucket work is O(sum of occupancy^2), so a FIXED plane
@@ -424,11 +407,32 @@ object Similarity {
     semanticDedup(df, threshold, nPlanes, dim, seed, idCol, vecCol)
   }
 
+  /** SemDeDup-style semantic dedup: signed-projection buckets partition
+    * the embedding space (shuffle-free transform), then EXACT cosine is
+    * computed only within a bucket, and a vector is removed when a
+    * SMALLER-id bucket-mate sits at cosine >= threshold (greedy min-id
+    * survivor — the usual SemDeDup keep-one-per-neighborhood rule, not
+    * a transitive closure). Returns survivors as (id, bucket).
+    *
+    * Cosines are rounded to 6dp BEFORE thresholding so the keep/kill
+    * decision never rides float summation order.
+    *
+    * Scale shape: candidate generation is an equi-join on the bucket id
+    * — the only quadratic work is per-bucket, which `nPlanes` controls
+    * (expected bucket occupancy n / 2^nPlanes for centered data; raise
+    * nPlanes as the corpus grows, recall crossing bucket boundaries is
+    * the accepted SemDeDup trade). Misses only cross-bucket neighbors,
+    * exactly like the cluster-local comparison in the SemDeDup paper.
+    */
   def semanticDedup(df: DataFrame, threshold: Double, nPlanes: Int = 4,
       dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bkt", lshBucket(col("v"), nPlanes, dim, seed))
+    // the bucketed projection feeds three plan branches (both sides of
+    // the self-join + the anti-join) — cache it or the scan and the
+    // nPlanes x dim projections run three times
+    val b = TrackedCaches.persist(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bkt", lshBucket(col("v"), nPlanes, dim, seed)))
     val removed = b.as("a").join(b.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
       .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)

@@ -54,7 +54,11 @@ object Temporal {
     val (kc, tc, sc, pc) =
       (internal("k"), internal("ts"), internal("side"), internal("p"))
 
-    val r = right.filter(col(rightTs).isNotNull)
+    // NULL keys must never match (SQL equi-join semantics — the
+    // window's partitionBy would otherwise group left and right NULL
+    // keys together); left rows with a NULL key still come back with
+    // null payloads via the left-outer contract
+    val r = right.filter(col(rightTs).isNotNull && col(rightKey).isNotNull)
       .select(col(rightKey).as(kc), col(rightTs).as(tc),
         lit(0).as(sc), struct(payloadCols.map(col): _*).as(pc))
     val l = left.select(

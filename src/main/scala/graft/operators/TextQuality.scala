@@ -163,6 +163,38 @@ object TextQuality {
     * against the model plus a per-doc mean. No driver loops, no UDFs.
     * Documents with fewer than 2 tokens emit nothing (no bigram to
     * score). Output: (doc_id, nlp) at 6dp. */
+  def ngramLogProb(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    def bigrams(df: DataFrame): DataFrame =
+      df.filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id"),
+          graft.functions.TextFunctions.tokens(col(textCol)).as("ts"))
+        .repartition(par(df), col("doc_id"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val refBg = bigrams(reference)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val refCtx = refBg.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = reference.filter(length(trim(col(textCol))) > 0)
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams(docs)
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((coalesce(col("c2"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + col("v") * alpha))).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 6).as("nlp"))
+  }
+
   /** Corpus collocations: top-k adjacent-token pairs by pointwise
     * mutual information, `pmi = ln(P(a,b) / (P(a) P(b)))` with unigram
     * probabilities over all tokens and pair probabilities over all
@@ -211,37 +243,5 @@ object TextQuality {
           .as("pmi"))
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
-  }
-
-  def ngramLogProb(docs: DataFrame, reference: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.5): DataFrame = {
-    require(alpha > 0, s"alpha must be positive: $alpha")
-    def bigrams(df: DataFrame): DataFrame =
-      df.filter(length(trim(col(textCol))) > 0)
-        .select(col(idCol).as("doc_id"),
-          graft.functions.TextFunctions.tokens(col(textCol)).as("ts"))
-        .repartition(par(df), col("doc_id"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val refBg = bigrams(reference)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val refCtx = refBg.groupBy("w1").agg(sum("c2").as("c1"))
-    val vocab = reference.filter(length(trim(col(textCol))) > 0)
-      .select(explode(
-        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
-    bigrams(docs)
-      .join(refBg, Seq("w1", "w2"), "left")
-      .join(refCtx, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
-        (-log((coalesce(col("c2"), lit(0L)) + alpha) /
-          (coalesce(col("c1"), lit(0L)) + col("v") * alpha))).as("lp"))
-      .groupBy("doc_id")
-      .agg(round(avg(col("lp")), 6).as("nlp"))
   }
 }

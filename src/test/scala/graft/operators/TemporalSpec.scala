@@ -44,6 +44,27 @@ class TemporalSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(1L) shouldBe (None, None)
   }
 
+  test("asof: NULL keys never match (SQL equi-join semantics)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("key", LongType), StructField("t", TimestampType)))
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, null, ts(100L)), Row(2L, 7L, ts(100L)))), schema)
+    val rSchema = StructType(Seq(StructField("key", LongType),
+      StructField("t", TimestampType), StructField("rid", LongType),
+      StructField("rv", DoubleType)))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, ts(50L), 10L, 1.0), Row(7L, ts(50L), 20L, 2.0))), rSchema)
+    val out = Temporal.asofJoin(l, r, "key", "key", "t", "t",
+        Seq("rid", "rv"))
+      .collect().map(row => row.getLong(0) -> Option(row.get(3))).toMap
+    out(1L) shouldBe None // NULL left key matches nothing
+    out(2L) shouldBe Some(20L) // and never sees the NULL-key right row
+  }
+
   test("asof ties on an exact right instant break to the max head payload") {
     val out = asof(
       left = Seq((1L, 7L, 100L)),
