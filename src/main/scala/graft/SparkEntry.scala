@@ -644,6 +644,21 @@ object SparkEntry {
       Dedup.dedupExact(docs(s, dir), "doc_id", "text")
         .select("doc_id", "source")),
 
+    // corpus management: snapshot diff of the current crawl vs a
+    // simulated previous snapshot (ids ending 3 mod 11 are new;
+    // doc_id % 7 == 0 texts were edited; %13 == 0 ids existed only in
+    // the old snapshot) — added/removed/changed/unchanged per id
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val previous = d.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(d, previous, "doc_id", "text")
+    }),
+
     // dedup: C4-style SEGMENT-level exact dedup — fixed 10-token
     // segments (no newlines in the corpus, so segmentation stands in
     // for line boundaries), first occurrence wins anywhere in the
@@ -954,6 +969,12 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
     }),
+
+    // events: trailing 24h RANGE-frame window per user (value-based
+    // frame over epoch seconds — the rolling-stats surface tumbling
+    // windows can't express)
+    "q_rolling_window" -> ((s, dir) =>
+      Events.rollingWindow(events(s, dir), windowSeconds = 86400L)),
 
     // events: gap-based sessionization (30 min)
     "q_sessionize" -> ((s, dir) =>
@@ -2082,6 +2103,32 @@ object SparkEntry {
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN k ON d.doc_id = k.doc_id""".stripMargin,
 
+    // the diff rule replayed: same simulated previous snapshot, same
+    // whitespace-normalized md5 fingerprints
+    "q_corpus_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM prev)
+        |SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+        |  CASE WHEN p.fp IS NULL THEN 'added'
+        |       WHEN c.fp IS NULL THEN 'removed'
+        |       WHEN c.fp <> p.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM c FULL OUTER JOIN p ON c.doc_id = p.doc_id""".stripMargin,
+
     // engine keys the keeper election by md5(segment); the oracle
     // groups by the segment itself — identical partition semantics
     "q_segment_dedup" ->
@@ -2499,6 +2546,19 @@ object SparkEntry {
         |FROM w JOIN events e
         |  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY w.win_id""".stripMargin,
+
+    "q_rolling_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events)
+        |SELECT event_id, user_id, es,
+        |  count(*) OVER w AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_window
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,

@@ -359,6 +359,28 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Corpus snapshot diff — the crawl-refresh bookkeeping pass:
+    * classify every document id across two corpus versions as
+    * `added` (only in current), `removed` (only in previous),
+    * `changed` (same id, different content fingerprint), or
+    * `unchanged`. One full-outer equi-join on the id over
+    * (id, md5 fingerprint) projections — document text never rides
+    * the shuffle, so the diff costs two fingerprint scans plus one
+    * id-keyed exchange at any corpus size. */
+  def snapshotDiff(current: DataFrame, previous: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val c = current.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("c_fp"))
+    val p = previous.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("p_fp"))
+    c.join(p, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("p_fp").isNull, "added")
+          .when(col("c_fp").isNull, "removed")
+          .when(col("c_fp") =!= col("p_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** C4/RefinedWeb-style SEGMENT-level exact dedup. The corpus is cut
     * into fixed `segTokens`-token segments (the deterministic stand-in
     * for line/paragraph boundaries — any boundary function slots in),

@@ -33,6 +33,28 @@ object Events {
     * of per-user inactivity. One shuffle (by user), two window passes
     * over user-local data — the classic scalable formulation (running
     * sum over new-session flags). */
+  /** Trailing event-time window stats per key: for every event, the
+    * count and exact money sum over the same user's events in
+    * `[ts - windowSeconds, ts]` — a RANGE (value-based) window frame
+    * over epoch seconds, not a ROWS frame, so gaps and bursts are
+    * handled correctly. One shuffle on the key + an in-partition sort;
+    * the frame slides incrementally inside each partition (no per-row
+    * rescans). Epoch-second granularity: events sharing a second are
+    * all in-frame together. */
+  def rollingWindow(events: DataFrame,
+      windowSeconds: Long = 86400L): DataFrame = {
+    require(windowSeconds > 0, s"bad windowSeconds: $windowSeconds")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es"))
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .withColumn("es", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"), col("es"),
+        count(lit(1)).over(w).as("n_window"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("sum_window"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val flagged = events

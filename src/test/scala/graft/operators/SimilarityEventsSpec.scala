@@ -259,4 +259,29 @@ class EventsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     sess shouldBe Set((7L, 1L, 3L), (7L, 2L, 1L), (9L, 1L, 1L))
   }
+
+  test("rollingWindow: trailing RANGE frame per user, inclusive bounds") {
+    // 30-minute window: event 2 sees 1+2; event 3 sees 2+3 (event 1 is
+    // 45 min back, outside); event 4 sees only itself; user 9 isolated
+    val got = Events.rollingWindow(ev, windowSeconds = 1800L)
+      .select("event_id", "n_window", "sum_window").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got(1L) shouldBe ((1L, 1.0))
+    got(2L) shouldBe ((2L, 3.0))
+    got(3L) shouldBe ((2L, 6.0))
+    got(4L) shouldBe ((1L, 8.0))
+    got(5L) shouldBe ((1L, 16.0))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val cur = Seq((1L, "same text"), (2L, "new version"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val prev = Seq((1L, "same  text"), // whitespace-normalized: unchanged
+      (2L, "old version"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    Dedup.snapshotDiff(cur, prev, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+        4L -> "added")
+  }
 }
