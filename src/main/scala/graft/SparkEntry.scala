@@ -475,6 +475,17 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // sampling: DSIR importance log-weights — raw corpus (doc_id % 5
+    // != 0) scored toward the reference slice (% 5 == 0) via hashed
+    // unigram bucket models; resample by exp(logw) to shift domains
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirLogWeights(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", nBuckets = 1024, alpha = 0.5)
+    }),
+
     // corpus stats: ROLLUP report — (source, lang), per-source, and
     // grand-total levels in one multi-dimensional aggregate (one
     // shuffle; Spark expands grouping sets map-side). Subtotal NULL
@@ -2067,6 +2078,40 @@ object SparkEntry {
         |  ROUND(quantile_cont(tc, 0.5), 6) AS p50_tokens,
         |  ROUND(quantile_cont(tc, 0.95), 6) AS p95_tokens
         |FROM t GROUP BY 1""".stripMargin,
+
+    // DSIR replay: same md5-hex buckets, same smoothing constants and
+    // ln-difference order, per-doc sum as exact decimals
+    "q_dsir_weights" ->
+      """WITH tkr AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |tkt AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |br AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 4))::BIGINT % 1024 AS b FROM tkr),
+        |bt AS (SELECT
+        |    ('0x' || substr(md5(tok), 1, 4))::BIGINT % 1024 AS b FROM tkt),
+        |ct AS (SELECT b, count(*) AS ct FROM bt GROUP BY b),
+        |cr AS (SELECT b, count(*) AS cr FROM br GROUP BY b),
+        |nt AS (SELECT sum(ct) AS n_t FROM ct),
+        |nr AS (SELECT sum(cr) AS n_r FROM cr),
+        |dom AS (SELECT unnest(range(1024)) AS b),
+        |model AS (
+        |  SELECT dom.b,
+        |    ROUND(
+        |      LN((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 0.5) /
+        |         (CAST(nt.n_t AS DOUBLE) + 0.5 * 1024)) -
+        |      LN((CAST(COALESCE(cr.cr, 0) AS DOUBLE) + 0.5) /
+        |         (CAST(nr.n_r AS DOUBLE) + 0.5 * 1024)), 8) AS term
+        |  FROM dom LEFT JOIN ct ON ct.b = dom.b
+        |  LEFT JOIN cr ON cr.b = dom.b
+        |  CROSS JOIN nt CROSS JOIN nr)
+        |SELECT br.doc_id,
+        |  CAST(SUM(CAST(model.term AS DECIMAL(20,8))) AS DOUBLE) AS logw
+        |FROM br JOIN model ON model.b = br.b
+        |GROUP BY br.doc_id""".stripMargin,
 
     "q_corpus_rollup" ->
       """SELECT COALESCE(source, 'ALL') AS source,

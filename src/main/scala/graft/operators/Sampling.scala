@@ -167,4 +167,61 @@ object Sampling {
     }
     stratifiedSample(df, keyCol, stratumCol, rates, defaultRate = 0.0, salt)
   }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by `log w(d) = sum over tokens of
+    * ln p_target(b) - ln p_raw(b)`, where `b` is the token's hashed
+    * feature bucket and the two bucket models are add-alpha-smoothed
+    * unigram distributions of the target (reference) corpus and the
+    * raw corpus being scored. Resample by `exp(logw)` (or keep the
+    * top quantile) to shift the raw corpus toward the target domain.
+    *
+    * Buckets come from the first 4 hex chars of md5(token) mod
+    * `nBuckets` — deterministic and replayable on any SQL engine.
+    *
+    * Scale shape: both models are ONE aggregation each, completed over
+    * the full bucket domain (spark.range) so absent buckets smooth to
+    * alpha rather than vanish; the per-bucket log-ratio table is
+    * `nBuckets` rows and BROADCAST to the token stream; the per-doc
+    * reduction sums 8dp-rounded terms as exact decimals, so the total
+    * is independent of partitioning and engine. No driver loops.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 1024,
+      alpha: Double = 0.5): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"need 2 <= nBuckets <= 65536: $nBuckets")
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    import graft.functions.TextFunctions.tokens
+    val spark = raw.sparkSession
+    def bucketOf(tok: Column): Column =
+      pmod(conv(substring(md5(tok), 1, 4), 16, 10).cast("long"),
+        lit(nBuckets.toLong))
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(bucketOf(col("tok")).as("b"))
+        .agg(count(lit(1)).as("c"))
+    val tC = bucketCounts(target).withColumnRenamed("c", "ct")
+    val rC = bucketCounts(raw).withColumnRenamed("c", "cr")
+    val nT = broadcast(tC.agg(sum("ct").as("n_t")))
+    val nR = broadcast(rC.agg(sum("cr").as("n_r")))
+    val dom = spark.range(nBuckets).select(col("id").as("b"))
+    def smoothed(c: Column, n: Column): Column =
+      (c.cast("double") + alpha) / (n.cast("double") + alpha * nBuckets)
+    val model = broadcast(dom
+      .join(tC, Seq("b"), "left").join(rC, Seq("b"), "left")
+      .crossJoin(nT).crossJoin(nR)
+      .select(col("b"),
+        round(log(smoothed(coalesce(col("ct"), lit(0L)), col("n_t"))) -
+          log(smoothed(coalesce(col("cr"), lit(0L)), col("n_r"))), 8)
+          .as("term")))
+    raw.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), bucketOf(col("tok")).as("b"))
+      .join(model, "b")
+      .groupBy("doc_id")
+      .agg(sum(col("term").cast("decimal(20,8)")).cast("double")
+        .as("logw"))
+  }
 }

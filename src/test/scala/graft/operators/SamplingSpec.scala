@@ -181,4 +181,32 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     Sampling.hexThreshold(1.0) shouldBe "g"
     an[IllegalArgumentException] should be thrownBy Sampling.hexThreshold(1.5)
   }
+
+  test("dsirLogWeights favors documents that look like the target") {
+    // target talks about "alpha beta"; raw docs 1-2 match the target
+    // vocabulary, 3-4 are off-domain — their log-weights must be lower
+    val target = Seq((100L, "alpha beta alpha beta gamma"),
+      (101L, "alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // on-domain
+      (2L, "alpha gamma"),
+      (3L, "zork quux blorp fnord"), // off-domain
+      (4L, "zork zork quux"))
+      .toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeights(raw, target, "doc_id", "text",
+        nBuckets = 64, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    w.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    w(1L) should be > w(3L)
+    w(1L) should be > w(4L)
+    w(2L) should be > w(3L)
+    // per-token additivity: doubling a doc's tokens doubles its weight
+    val doubled = Sampling.dsirLogWeights(
+      Seq((9L, "alpha beta"), (10L, "alpha beta alpha beta"))
+        .toDF("doc_id", "text"),
+      target, "doc_id", "text", nBuckets = 64, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    doubled(10L) shouldBe (2 * doubled(9L) +- 1e-9)
+  }
 }
