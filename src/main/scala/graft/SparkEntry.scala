@@ -817,6 +817,15 @@ object SparkEntry {
       Sampling.hashSample(docs(s, dir), "doc_id", 0.25)
         .select("doc_id", "source")),
 
+    // sampling: quality-WEIGHTED top-100 without replacement
+    // (Efraimidis-Spirakis A-Res; u from md5, so the whole draw is
+    // engine-replayable — no seed, no shuffle)
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("w")),
+        "doc_id", "w", k = 100)),
+
     // sampling: per-source training-mix rates with a default — the
     // domain-reweighting operator (zero joins, literal when-chain)
     "q_sample_stratified" -> ((s, dir) =>
@@ -2426,6 +2435,31 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'"""
+        .stripMargin,
+
+    // A-Res replay: same md5-derived uniform, same ln(u)/w score at
+    // 6dp, same (score desc, id) cut
+    "q_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |              / len(t) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      (1.0 - least(CAST(len(text) -
+        |          len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / len(text) * 5.0, 1.0)) * 0.3, 6) AS w
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, w,
+        |    ROUND(LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        + 1.0) / 4294967296.0) / w, 6) AS score
+        |  FROM q WHERE w > 0)
+        |SELECT doc_id, w, score FROM s
+        |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 100"""
         .stripMargin,
 
     "q_sample_stratified" ->

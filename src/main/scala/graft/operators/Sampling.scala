@@ -168,6 +168,29 @@ object Sampling {
     stratifiedSample(df, keyCol, stratumCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006 A-Res): each row draws its uniform u from the md5
+    * of (key || salt) and ranks by `u^(1/w)` — taking the top-k gives
+    * every row inclusion odds proportional to its weight, with the
+    * classic reservoir guarantee. Ranking happens on
+    * `score = ln(u)/w` (monotone in u^(1/w)), rounded 6dp so the
+    * cut is engine-stable; ties break on the key.
+    *
+    * Scale shape: map-only scoring (no shuffle — the hash IS the
+    * randomness, so no seed exchange either) + one TakeOrdered top-k.
+    * Rows with non-positive weight are excluded. Same key + salt =>
+    * same sample on every engine, partitioning, and rerun. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(salt))), 1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("score", round(log(u) / col(weightCol), 6))
+      .orderBy(col("score").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every document by `log w(d) = sum over tokens of

@@ -182,6 +182,33 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     an[IllegalArgumentException] should be thrownBy Sampling.hexThreshold(1.5)
   }
 
+  test("weightedSample: inclusion tracks weight; deterministic; " +
+      "non-positive weights excluded") {
+    // 200 rows, half weight 1.0 and half 0.05: across 20 salts the
+    // heavy rows must dominate the k=40 sample
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, if (i % 2 == 0) 1.0 else 0.05)).toDF("id", "w")
+    val heavyShare = (1 to 20).map { s =>
+      val kept = Sampling.weightedSample(df, "id", "w", k = 40,
+        salt = s"s$s").collect().map(_.getLong(0))
+      kept.count(_ % 2 == 0).toDouble / kept.length
+    }
+    (heavyShare.sum / heavyShare.size) should be > 0.8
+    // same salt => identical sample
+    def ids(salt: String) = Sampling.weightedSample(df, "id", "w", 40,
+      salt).collect().map(_.getLong(0)).toSeq
+    ids("x") shouldBe ids("x")
+    // zero/negative weights never appear
+    val withBad = df.union(Seq((900L, 0.0), (901L, -1.0)).toDF("id", "w"))
+    Sampling.weightedSample(withBad, "id", "w", k = 300)
+      .collect().map(_.getLong(0)).toSet
+      .intersect(Set(900L, 901L)) shouldBe Set.empty
+    // top-k plans as TakeOrdered (no global sort materialization)
+    Sampling.weightedSample(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString should
+      include("TakeOrderedAndProject")
+  }
+
   test("dsirLogWeights favors documents that look like the target") {
     // target talks about "alpha beta"; raw docs 1-2 match the target
     // vocabulary, 3-4 are off-domain — their log-weights must be lower
