@@ -348,6 +348,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rolling window: ONE shuffle on the key, RANGE frame in plan") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_rolling_window")(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        s"rolling window should shuffle once:\n${planOf(df)}")
+      assert(planOf(df).contains("RangeFrame"),
+        s"expected a RANGE frame:\n${planOf(df)}")
+    }
+  }
+
+  test("dsir: bucket model broadcasts to the token stream, no " +
+      "corpus-sized join build") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_dsir_weights")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"model join should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    }
+  }
+
+  test("stream join (batch path): equi-join on (key, bucket), no " +
+      "nested loop") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_stream_join")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("Cartesian"),
+        s"batch attribution must stay an equi-join:\n$plan")
+    }
+  }
+
   test("temporal joins: asof has no join operator, range join no " +
       "nested loop") {
     withStaticPlan {
