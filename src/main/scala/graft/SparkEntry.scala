@@ -658,7 +658,9 @@ object SparkEntry {
     // corpus management: snapshot diff of the current crawl vs a
     // simulated previous snapshot (ids ending 3 mod 11 are new;
     // doc_id % 7 == 0 texts were edited; %13 == 0 ids existed only in
-    // the old snapshot) — added/removed/changed/unchanged per id
+    // the old snapshot — NEGATED so the synthetic old-only ids can
+    // never collide with a real doc_id at any corpus size) —
+    // added/removed/changed/unchanged per id
     "q_corpus_diff" -> ((s, dir) => {
       val d = docs(s, dir)
       val previous = d.filter(col("doc_id") % 11 =!= 3)
@@ -666,7 +668,7 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
             .otherwise(col("text")).as("text"))
         .unionByName(d.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
       Dedup.snapshotDiff(d, previous, "doc_id", "text")
     }),
 
@@ -2166,15 +2168,17 @@ object SparkEntry {
         |      AS text
         |  FROM documents WHERE doc_id % 11 <> 3
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  SELECT -doc_id - 1 AS doc_id, text
         |  FROM documents WHERE doc_id % 13 = 0),
         |c AS (
         |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |      '__null_text__') AS fp
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |      '__null_text__') AS fp
         |  FROM prev)
         |SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
         |  CASE WHEN p.fp IS NULL THEN 'added'

@@ -369,10 +369,12 @@ object Dedup {
     * id-keyed exchange at any corpus size. */
   def snapshotDiff(current: DataFrame, previous: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val c = current.select(col(idCol).as("id"),
-      fingerprint(col(textCol)).as("c_fp"))
-    val p = previous.select(col(idCol).as("id"),
-      fingerprint(col(textCol)).as("p_fp"))
+    // a NULL text must still read as "row present" — without the
+    // sentinel its NULL fingerprint is indistinguishable from row
+    // absence and a doc present in both snapshots reports added/removed
+    val fp = coalesce(fingerprint(col(textCol)), lit("__null_text__"))
+    val c = current.select(col(idCol).as("id"), fp.as("c_fp"))
+    val p = previous.select(col(idCol).as("id"), fp.as("p_fp"))
     c.join(p, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
         when(col("p_fp").isNull, "added")

@@ -29,18 +29,18 @@ object Events {
   private[graft] def exactValueSum =
     sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
 
-  /** Gap-based sessionization: a new session starts after `gapMinutes`
-    * of per-user inactivity. One shuffle (by user), two window passes
-    * over user-local data — the classic scalable formulation (running
-    * sum over new-session flags). */
   /** Trailing event-time window stats per key: for every event, the
     * count and exact money sum over the same user's events in
     * `[ts - windowSeconds, ts]` — a RANGE (value-based) window frame
     * over epoch seconds, not a ROWS frame, so gaps and bursts are
-    * handled correctly. One shuffle on the key + an in-partition sort;
-    * the frame slides incrementally inside each partition (no per-row
-    * rescans). Epoch-second granularity: events sharing a second are
-    * all in-frame together. */
+    * handled correctly. One shuffle on the key + an in-partition sort.
+    * NOTE Spark's sliding frame has no aggregate retraction: each
+    * row's frame is re-accumulated from scratch, so a user with n
+    * events inside one window costs O(n) per row — fine for
+    * human-scale activity, but for machine-dense keys pre-bucket to
+    * coarse intervals (tumbling agg + a short ROWS frame) instead.
+    * Epoch-second granularity: events sharing a second are all
+    * in-frame together. */
   def rollingWindow(events: DataFrame,
       windowSeconds: Long = 86400L): DataFrame = {
     require(windowSeconds > 0, s"bad windowSeconds: $windowSeconds")
@@ -55,6 +55,10 @@ object Events {
           .as("sum_window"))
   }
 
+  /** Gap-based sessionization: a new session starts after `gapMinutes`
+    * of per-user inactivity. One shuffle (by user), two window passes
+    * over user-local data — the classic scalable formulation (running
+    * sum over new-session flags). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val flagged = events

@@ -183,8 +183,10 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
-        lit(salt))), 1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    // the SAME 8-hex-char hash every sampler here uses — one
+    // parity-critical definition, not a second copy
+    val u = (conv(bucket(col(keyCol), salt), 16, 10).cast("double") + 1.0) /
+      4294967296.0
     df.filter(col(weightCol) > 0)
       .withColumn("score", round(log(u) / col(weightCol), 6))
       .orderBy(col("score").desc, col(keyCol))
@@ -221,12 +223,19 @@ object Sampling {
     def bucketOf(tok: Column): Column =
       pmod(conv(substring(md5(tok), 1, 4), 16, 10).cast("long"),
         lit(nBuckets.toLong))
+    // the raw side is tokenized + hashed ONCE: the cached (doc, bucket)
+    // stream feeds both the raw model counts and the final scoring join
+    // (without the cache the dominant per-token md5 work runs twice)
+    val rawBuckets = graft.operators.TrackedCaches.persist(
+      raw.select(col(idCol).as("doc_id"),
+          explode(tokens(col(textCol))).as("tok"))
+        .select(col("doc_id"), bucketOf(col("tok")).as("b")))
     def bucketCounts(df: DataFrame): DataFrame =
       df.select(explode(tokens(col(textCol))).as("tok"))
         .groupBy(bucketOf(col("tok")).as("b"))
         .agg(count(lit(1)).as("c"))
     val tC = bucketCounts(target).withColumnRenamed("c", "ct")
-    val rC = bucketCounts(raw).withColumnRenamed("c", "cr")
+    val rC = rawBuckets.groupBy("b").agg(count(lit(1)).as("cr"))
     val nT = broadcast(tC.agg(sum("ct").as("n_t")))
     val nR = broadcast(rC.agg(sum("cr").as("n_r")))
     val dom = spark.range(nBuckets).select(col("id").as("b"))
@@ -239,9 +248,7 @@ object Sampling {
         round(log(smoothed(coalesce(col("ct"), lit(0L)), col("n_t"))) -
           log(smoothed(coalesce(col("cr"), lit(0L)), col("n_r"))), 8)
           .as("term")))
-    raw.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), bucketOf(col("tok")).as("b"))
+    rawBuckets
       .join(model, "b")
       .groupBy("doc_id")
       .agg(sum(col("term").cast("decimal(20,8)")).cast("double")

@@ -274,14 +274,16 @@ class EventsSpec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
-    val cur = Seq((1L, "same text"), (2L, "new version"), (4L, "brand new"))
+    val cur = Seq((1L, "same text"), (2L, "new version"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String])) // NULL text is still PRESENT
       .toDF("doc_id", "text")
     val prev = Seq((1L, "same  text"), // whitespace-normalized: unchanged
-      (2L, "old version"), (3L, "gone"))
+      (2L, "old version"), (3L, "gone"),
+      (5L, "was text"))
       .toDF("doc_id", "text")
     Dedup.snapshotDiff(cur, prev, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
       Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
-        4L -> "added")
+        4L -> "added", 5L -> "changed")
   }
 }
