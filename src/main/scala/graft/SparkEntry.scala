@@ -463,6 +463,21 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.bpeCount(col("text")).as("n_bpe"))),
 
+    // text analysis: tokenizer FERTILITY per language — BPE tokens per
+    // whitespace token, the standard multilingual-tokenizer health
+    // metric (high fertility = the vocab fragments that language).
+    // Oracle joins the independent-Python BPE fixture per doc, so the
+    // per-language sums cross-check the real tokenizer end to end
+    "q_bpe_fertility" -> ((s, dir) =>
+      docs(s, dir).filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(sum(TextFunctions.bpeCount(col("text"))).as("n_bpe"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_ws"))
+        .select(col("lang"), col("n_bpe"), col("n_ws"),
+          round(col("n_bpe").cast("double") / col("n_ws"), 6)
+            .as("fertility"))),
+
     // text analysis: CCNet-style bigram-LM quality score — reference
     // model from the %5==0 snapshot docs, every other doc scored by
     // mean negative log probability (threshold on exp(nlp) = perplexity
@@ -1701,6 +1716,22 @@ object SparkEntry {
         |       header = true,
         |       columns = {'fp': 'VARCHAR', 'n_bpe': 'BIGINT'}) f
         |  ON d.text IS NOT NULL AND md5(d.text) = f.fp""".stripMargin,
+
+    "q_bpe_fertility" ->
+      s"""WITH b AS (
+        |  SELECT d.lang, f.n_bpe,
+        |    CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+        |      AS BIGINT) AS n_ws
+        |  FROM documents d
+        |  JOIN read_csv('${new java.io.File(
+             "src/test/resources/bpe_counts.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'fp': 'VARCHAR', 'n_bpe': 'BIGINT'}) f
+        |    ON d.text IS NOT NULL AND md5(d.text) = f.fp)
+        |SELECT lang, CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+        |  CAST(SUM(n_ws) AS BIGINT) AS n_ws,
+        |  ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility
+        |FROM b GROUP BY lang""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (

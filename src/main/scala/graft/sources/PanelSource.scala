@@ -67,6 +67,43 @@ object PanelSource {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Whole-file binary ingest (images/audio/video payload directories):
+    * one row per file with (path, modificationTime, length, content).
+    * The content column is the same opaque `binary` the multimodal
+    * decoders consume. `pathGlob` prunes at the LISTING (e.g.
+    * "*.png"); `maxBytes` guards the row size — binaryFile loads whole
+    * files into single rows, so a stray multi-GB object would OOM an
+    * executor without the filter (length is file metadata: the filter
+    * prunes BEFORE content is read). */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      pathGlob: String = "*", maxBytes: Long = 256L << 20): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .filter(org.apache.spark.sql.functions.col("length") <= maxBytes)
+
+  /** Small-files compaction — the 100 TB hygiene pass: a directory
+    * written by many tasks (or streamed micro-batches) accumulates
+    * thousands of KB-size part files, and every later scan pays a task
+    * per file. Rewrites `inPath` to `outPath` in ~`targetFileBytes`
+    * files: file count derives from the ACTUAL input bytes (Hadoop
+    * content summary — works on any FileSystem), and rows are
+    * round-robin repartitioned so output files are uniform. Returns
+    * the file count written. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, s"bad targetFileBytes: $targetFileBytes")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L,
+      math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Hive-style partitioned parquet layout: one directory per value of
     * `partCols` (`path/lang=en/...`). A filter on a partition column
     * prunes at the DIRECTORY listing — the scan never opens the other

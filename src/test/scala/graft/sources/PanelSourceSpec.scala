@@ -116,6 +116,48 @@ class PanelSourceSpec extends AnyFunSuite with SparkSpec {
       s"no pushed filter in:\n$plan")
   }
 
+  test("binaryFile ingest: one row per file, bytes intact, glob prunes") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    for (i <- 1 to 3)
+      Files.write(java.nio.file.Paths.get(s"$dir/img$i.png"),
+        Array.tabulate[Byte](10 * i)(_.toByte))
+    Files.write(java.nio.file.Paths.get(s"$dir/notes.txt"),
+      "skip me".getBytes)
+    val rows = PanelSource.readBinaryFiles(spark, dir, pathGlob = "*.png")
+      .select("path", "length", "content")
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("img1.png", "img2.png", "img3.png"))
+    assert(rows.map(_._2).toSeq == Seq(10L, 20L, 30L))
+    assert(rows(2)._3.toSeq == Array.tabulate[Byte](30)(_.toByte).toSeq)
+    // the byte guard prunes oversized files by metadata
+    assert(PanelSource.readBinaryFiles(spark, dir, "*.png", maxBytes = 15L)
+      .count() == 1L)
+  }
+
+  test("compactParquet rewrites a many-file table into few uniform files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartition(40) // simulate a 40-task small-files write
+      .write.parquet(s"$dir/in")
+    val before = new java.io.File(s"$dir/in").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 40, s"setup wrote $before files")
+    val inBytes = new java.io.File(s"$dir/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the input bytes -> exactly 2 output files
+    val n = PanelSource.compactParquet(spark, s"$dir/in", s"$dir/out",
+      targetFileBytes = (inBytes + 1) / 2)
+    assert(n == 2, s"derived $n files")
+    assert(new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    // content survives the rewrite
+    assert(spark.read.parquet(s"$dir/out").orderBy("id").collect().toSeq ==
+      spark.read.parquet(s"$dir/in").orderBy("id").collect().toSeq)
+  }
+
   test("partitioned layout: filter becomes a partition PRUNE, not a scan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-part").toString
