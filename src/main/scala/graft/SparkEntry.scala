@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.did._
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, Graph, Pipeline, Sampling, Search, Similarity, Temporal, TextQuality}
+import graft.operators.{Chunking, Decontaminate, Dedup, Embeddings, Events, GlobalOrder, Graph, Pipeline, Profile, Sampling, Search, Similarity, Temporal, TextQuality}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -1120,6 +1120,91 @@ object SparkEntry {
             .cast("double").as("sum_qty"))
     }),
 
+    // classic star-schema shipping-priority query (TPC-H Q3 shape):
+    // filtered dims reduce under broadcast hints (customer inside
+    // orders, their join result inside lineitem), so the fact table
+    // never shuffles — the plan is scan -> broadcast probes -> partial
+    // agg -> TakeOrdered. Revenue in decimal so both engines sum the
+    // same exact rationals.
+    "q_ship_priority" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority").as("priority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey"))
+        .limit(10)
+    }),
+
+    // regional-revenue rollup (TPC-H Q5 shape, 6-way join): region ->
+    // nation -> customer fold into ONE broadcast dim chain, supplier
+    // broadcasts with the nation-equality residual, and only the
+    // lineitem x filtered-orders join is left to the optimizer (AQE
+    // broadcasts it at this SF; at 100 TB it is the one legitimate
+    // shuffle, keyed on the order key).
+    "q_region_revenue" -> ((s, dir) => {
+      val natAsia = s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(natAsia), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_custkey")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+    }),
+
+    // deterministic global training order: every doc's 1-based position
+    // under the md5(id#salt) total order, computed with a SHARDED
+    // window (prefix-of-key shards + exact offsets), never a
+    // single-reducer global sort
+    "q_global_order" -> ((s, dir) =>
+      GlobalOrder.globalRowNumber(docs(s, dir), "doc_id", salt = "order")),
+
+    // graded contamination: per-doc benchmark 3-gram overlap fraction
+    // (GPT-3-style tau rule needs the zeros too, hence LEFT probe)
+    "q_contam_frac" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlapFraction(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
+    // one-pass column profiler over lineitem (nulls/distincts/extremes/
+    // decimal-exact sums, long format, unpivoted engine-side)
+    "q_profile_lineitem" -> ((s, dir) =>
+      Profile.profile(s.read.parquet(s"$dir/lineitem.parquet"),
+        lineitemProfileCols.map(_._1))),
+
     // multimodal: REAL audio decode — synthesize one PCM-16 WAV per
     // document (javax.sound round-trip), parse it back, and pin the
     // extracted format fields + exact mean amplitude to the DuckDB
@@ -1173,6 +1258,16 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** lineitem columns + profile kinds, shared by `q_profile_lineitem`
+    * and its oracle; Profile.profile classifies from the live Spark
+    * schema, so ProfileSpec pins this static list against it. */
+  private[graft] val lineitemProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "other")
 
   /** Bucketed lineitem/orders tables written once per (session, sfDir) —
     * the WRITE is the operator under test (hash-clustered layout), the
@@ -2719,6 +2814,66 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // broadcast hints are pure physical planning — the oracle is the
+    // plain 3-way join
+    "q_ship_priority" ->
+      """SELECT l_orderkey AS orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority AS priority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT n_name, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND s_nationkey = c_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY 1""".stripMargin,
+
+    // the sharded-window formulation is pure physical planning — the
+    // oracle is the one-window global row_number
+    "q_global_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#order'), doc_id)
+        |  AS BIGINT) AS global_pos
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q_contam_frac" ->
+      s"""WITH $shingleCtes,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |tot AS (
+         |  SELECT doc_id, count(*) AS n_shingles FROM sh
+         |  WHERE doc_id % 20 <> 0 GROUP BY 1),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM sh JOIN bench USING (s)
+         |  WHERE doc_id % 20 <> 0
+         |  GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         |  COALESCE(h.n_overlap, 0) AS n_overlap,
+         |  ROUND(COALESCE(h.n_overlap, 0) / (t.n_shingles * 1.0), 6)
+         |    AS frac
+         |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q_profile_lineitem" ->
+      Profile.oracleSql("lineitem", lineitemProfileCols),
   ))
 
   /** The stateful sessionizer must reproduce the window formulation, so

@@ -48,6 +48,30 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Per-document overlap FRACTION against the benchmark set — the
+    * GPT-3-style graded contamination signal (drop when > tau) rather
+    * than [[decontaminate]]'s any-hit rule: (idCol, n_shingles,
+    * n_overlap, frac) for every corpus doc with at least one shingle,
+    * frac = n_overlap / n_shingles rounded to 6dp. Same single
+    * shingle pass as [[overlapCounts]], but the benchmark probe is a
+    * broadcast LEFT join folded into the per-doc count agg — docs with
+    * zero hits keep a row (the threshold decision needs them). */
+  def overlapFraction(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val bench = benchmark
+      .select(explode(transform(
+        wordShingles(col(textCol), n), x => xxhash64(x))).as("h"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    shingleHashes(corpus, idCol, textCol, n)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("did").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("__hit"), lit(0L)).as("n_overlap"))
+      .withColumn("frac",
+        round(col("n_overlap") / col("n_shingles"), 6))
+  }
+
   /** Corpus rows whose benchmark n-gram overlap is <= `maxOverlap`
     * (default: any hit contaminates). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,

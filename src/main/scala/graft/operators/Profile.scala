@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass column profiler — the "what is in this 100 TB directory"
+  * first touch of any ingest: per column null count, exact distinct
+  * count, and type-appropriate extremes/totals, long-format
+  * (col_name, metric, value). The reference's equivalent is pandas
+  * `describe()`-style driver peeking; here the whole profile is ONE
+  * wide aggregate over one scan, unpivoted engine-side (no collect).
+  *
+  * Metrics by column kind:
+  *   - every column: `n_null`, `n_distinct`
+  *   - numeric: `min_val`, `max_val` (exact), `sum_val`
+  *     (decimal(28,4)-summed, so cross-engine exact, then double)
+  *   - string: `min_len`, `max_len`, `sum_len`
+  *   - anything else (dates, binaries, …): the two universal metrics
+  *
+  * Scale note: multiple exact `count_distinct`s in one aggregate make
+  * Catalyst plan an Expand — the scan's rows are replicated once per
+  * distinct-counted column before the partial agg. That is the price
+  * of exactness and it is map-side-combined, but at 100 TB × many
+  * columns prefer `approxDistinct = true` (HLL sketch, no Expand,
+  * ±2%) — the flag swaps only the distinct expression, everything
+  * else stays exact. */
+object Profile {
+
+  /** Kind tag shared with oracle-SQL generation: "num", "str", "other". */
+  def kindOf(dt: DataType): String = dt match {
+    case _: NumericType => "num"
+    case StringType => "str"
+    case _ => "other"
+  }
+
+  private def metricExprs(c: String, kind: String, approxDistinct: Boolean)
+      : Seq[(String, Column)] = {
+    val universal = Seq(
+      "n_null" -> (count(lit(1)) - count(col(c))).cast("double"),
+      "n_distinct" -> (if (approxDistinct) approx_count_distinct(col(c))
+                       else count_distinct(col(c))).cast("double"))
+    val typed = kind match {
+      case "num" => Seq(
+        "min_val" -> min(col(c)).cast("double"),
+        "max_val" -> max(col(c)).cast("double"),
+        "sum_val" -> sum(col(c).cast("decimal(28,4)")).cast("double"))
+      case "str" => Seq(
+        "min_len" -> min(length(col(c))).cast("double"),
+        "max_len" -> max(length(col(c))).cast("double"),
+        "sum_len" -> sum(length(col(c)).cast("long")).cast("double"))
+      case _ => Seq.empty
+    }
+    universal ++ typed
+  }
+
+  /** Long-format profile of `cols` (default: all), one scan. */
+  def profile(df: DataFrame, cols: Seq[String] = Seq.empty,
+      approxDistinct: Boolean = false): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
+    val kinds = names.map(c => c -> kindOf(df.schema(c).dataType))
+    val aggs = kinds.flatMap { case (c, k) =>
+      metricExprs(c, k, approxDistinct).map { case (m, e) =>
+        e.as(s"${c}__$m") }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single row engine-side
+    val cells = kinds.flatMap { case (c, k) =>
+      metricExprs(c, k, approxDistinct).map { case (m, _) =>
+        struct(lit(c).as("col_name"), lit(m).as("metric"),
+          col(s"${c}__$m").as("value")) }
+    }
+    wide.select(explode(array(cells: _*)).as("cell"))
+      .select(col("cell.col_name").as("col_name"),
+        col("cell.metric").as("metric"), col("cell.value").as("value"))
+  }
+
+  /** DuckDB oracle for [[profile]] (exact-distinct flavor) over
+    * `table`, given the same (column, kind) list — one UNION ALL arm
+    * per metric, each arithmetic mirrored exactly. */
+  def oracleSql(table: String, cols: Seq[(String, String)]): String = {
+    def arms(c: String, kind: String): Seq[(String, String)] = {
+      val universal = Seq(
+        "n_null" -> s"CAST(COUNT(*) - COUNT($c) AS DOUBLE)",
+        "n_distinct" -> s"CAST(COUNT(DISTINCT $c) AS DOUBLE)")
+      val typed = kind match {
+        case "num" => Seq(
+          "min_val" -> s"CAST(MIN($c) AS DOUBLE)",
+          "max_val" -> s"CAST(MAX($c) AS DOUBLE)",
+          "sum_val" -> s"CAST(SUM(CAST($c AS DECIMAL(28,4))) AS DOUBLE)")
+        case "str" => Seq(
+          "min_len" -> s"CAST(MIN(len($c)) AS DOUBLE)",
+          "max_len" -> s"CAST(MAX(len($c)) AS DOUBLE)",
+          "sum_len" -> s"CAST(SUM(len($c)) AS DOUBLE)")
+        case _ => Seq.empty
+      }
+      universal ++ typed
+    }
+    cols.flatMap { case (c, k) => arms(c, k).map { case (m, e) =>
+      s"SELECT '$c' AS col_name, '$m' AS metric, $e AS value FROM $table" }
+    }.mkString("\nUNION ALL ")
+  }
+}

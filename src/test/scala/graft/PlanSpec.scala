@@ -394,4 +394,84 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"range join must stay an equi-join:\n$range")
     }
   }
+
+  test("ship priority (Q3 shape): fact never shuffles for a join — " +
+      "dims broadcast, one agg exchange, TakeOrdered not global sort") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_ship_priority")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"fact-side shuffle join leaked in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1, s"only the agg should shuffle:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k should be TakeOrdered, not sort+limit:\n$plan")
+    }
+  }
+
+  test("region revenue (Q5 shape): every dim broadcasts; at most the " +
+      "fact-fact join shuffles") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_region_revenue")(spark, dir)
+      val plan = planOf(df)
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n$plan")
+      val smj = "SortMergeJoin".r.findAllIn(plan).length +
+        "ShuffledHashJoin".r.findAllIn(plan).length
+      assert(smj <= 1, s"more than the lineitem-orders shuffle join:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"nation-equality residual must ride the equi-join:\n$plan")
+    }
+  }
+
+  test("global order: sharded window — no single-partition exchange, " +
+      "no global sort, offsets ride a broadcast") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_global_order")(spark, dir)
+      val plan = planOf(df)
+      val globalSorts = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"global sort leaked in:\n$plan")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(!exchanges.exists(_.outputPartitioning.numPartitions == 1),
+        s"single-reducer exchange (serialized ordering):\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"offset join should broadcast:\n$plan")
+    }
+  }
+
+  test("contamination fraction: benchmark probes as a broadcast left " +
+      "join, corpus never shuffles for it") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_contam_frac")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"bench probe should broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus-side shuffle join:\n$plan")
+    }
+  }
+
+  test("profiler: single scan fans into one aggregate (Expand is the " +
+      "exact-distinct price, counted once)") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_profile_lineitem")(spark, dir)
+      val plan = planOf(df)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.length == 1, s"profile must be one pass:\n$plan")
+      assert(plan.contains("Expand"),
+        "exact multi-column distinct should plan an Expand")
+      assert(plan.contains("partial_"), "no map-side partial aggregate")
+    }
+  }
 }

@@ -44,6 +44,26 @@ class DecontaminateSpec extends AnyFunSuite with Matchers with SparkSpec {
         n = 3, maxOverlap = 1L)
       .select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 3L)
   }
+
+  test("overlapFraction keeps zero-hit docs and matches overlapCounts") {
+    val got = Decontaminate.overlapFraction(corpus, benchmark,
+        "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc1 has 7 distinct 3-grams ("the quick brown" ... "the lazy dog"),
+    // 2 of them in the benchmark set
+    got(1L) shouldBe ((7L, 2L, BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    got(3L)._2 shouldBe 1L
+    got(2L)._2 shouldBe 0L // clean doc keeps its row, frac 0
+    got(2L)._3 shouldBe 0.0
+    // n_overlap agrees with the any-hit operator wherever it reports
+    val counts = Decontaminate.overlapCounts(corpus, benchmark,
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (id, c) => got(id)._2 shouldBe c }
+  }
 }
 
 class PiiSpec extends AnyFunSuite with Matchers with SparkSpec {

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkEntry, SparkSpec}
+
+class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some(2.5), Some("ab"), Some(Date.valueOf("2020-01-01"))),
+    (Some(2L), None, Some("xyz"), None),
+    (Some(2L), Some(-1.0), None, Some(Date.valueOf("2020-01-02"))),
+    (None, Some(4.0), Some(""), Some(Date.valueOf("2020-01-02"))))
+    .toDF("k", "v", "s", "d")
+
+  private def prof(cols: String*): Map[(String, String), Double] =
+    Profile.profile(df, cols)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  test("numeric metrics: nulls, exact distinct, extremes, decimal sum") {
+    val m = prof("k", "v")
+    m(("k", "n_null")) shouldBe 1.0
+    m(("k", "n_distinct")) shouldBe 2.0
+    m(("k", "min_val")) shouldBe 1.0
+    m(("k", "max_val")) shouldBe 2.0
+    m(("k", "sum_val")) shouldBe 5.0
+    m(("v", "n_null")) shouldBe 1.0
+    m(("v", "n_distinct")) shouldBe 3.0
+    m(("v", "min_val")) shouldBe -1.0
+    m(("v", "max_val")) shouldBe 4.0
+    m(("v", "sum_val")) shouldBe 5.5
+  }
+
+  test("string metrics are length-based; other kinds get the universal two") {
+    val m = prof("s", "d")
+    m(("s", "n_null")) shouldBe 1.0
+    m(("s", "n_distinct")) shouldBe 3.0
+    m(("s", "min_len")) shouldBe 0.0
+    m(("s", "max_len")) shouldBe 3.0
+    m(("s", "sum_len")) shouldBe 5.0
+    m(("d", "n_null")) shouldBe 1.0
+    m(("d", "n_distinct")) shouldBe 2.0
+    m.keySet.filter(_._1 == "d").map(_._2) shouldBe
+      Set("n_null", "n_distinct")
+  }
+
+  test("one scan feeds the whole profile") {
+    // AQE off: the adaptive wrapper hides the scan nodes pre-execution
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val plan = Profile.profile(li, Seq("l_orderkey", "l_quantity",
+        "l_returnflag")).queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.length shouldBe 1
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("approx distinct swaps only the distinct expression") {
+    val exact = prof("k", "v")
+    val m = Profile.profile(df, Seq("k", "v"), approxDistinct = true)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // tiny cardinalities: the HLL sketch is exact here
+    m(("k", "n_distinct")) shouldBe 2.0
+    (m - (("k", "n_distinct")) - (("v", "n_distinct"))) shouldBe
+      (exact - (("k", "n_distinct")) - (("v", "n_distinct")))
+  }
+
+  test("the static lineitem kind list matches the live Spark schema") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    SparkEntry.lineitemProfileCols.foreach { case (c, k) =>
+      Profile.kindOf(li.schema(c).dataType) shouldBe k
+    }
+    li.schema.fieldNames.toSet shouldBe
+      SparkEntry.lineitemProfileCols.map(_._1).toSet
+  }
+}
