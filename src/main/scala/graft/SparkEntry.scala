@@ -1205,6 +1205,30 @@ object SparkEntry {
       Profile.profile(s.read.parquet(s"$dir/lineitem.parquet"),
         lineitemProfileCols.map(_._1))),
 
+    // token-balanced shard assignment: exclusive running token total in
+    // the deterministic global order (sharded-window prefix sum, same
+    // machinery as q_global_order), bin = floor(cum_before / budget)
+    "q_shard_assign" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      GlobalOrder.globalPrefixSum(d, "doc_id", "n_tok", salt = "order")
+        .withColumn("shard",
+          floor(col("cum_before") / lit(5000L)).cast("long"))
+    }),
+
+    // per-domain cap (C4/CCNet megadomain guard): top-10 largest docs
+    // per source, rank filter -> WindowGroupLimit pre-trim (PlanSpec)
+    "q_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(docs(s, dir), "source", "n_chars", "doc_id",
+          maxPer = 10)
+        .select("doc_id", "source", "n_chars")),
+
+    // per-source z-score calibration of doc length (decimal-exact
+    // moments, corpus never shuffles — K-row stats broadcast back)
+    "q_source_zscore" -> ((s, dir) =>
+      Profile.zscoreBy(docs(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars")),
+
     // multimodal: REAL audio decode — synthesize one PCM-16 WAV per
     // document (javax.sound round-trip), parse it back, and pin the
     // extracted format fields + exact mean amplitude to the DuckDB
@@ -2874,6 +2898,49 @@ object SparkEntry {
 
     "q_profile_lineitem" ->
       Profile.oracleSql("lineitem", lineitemProfileCols),
+
+    // the sharded prefix-sum is pure physical planning — the oracle is
+    // the one-window running total in the same md5 order
+    "q_shard_assign" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR) || '#order') AS k
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+        |      AS global_pos,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, global_pos, cum_before,
+        |  CAST(FLOOR(cum_before / 5000) AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
+
+    "q_source_zscore" ->
+      """WITH g AS (
+        |  SELECT source, COUNT(n_chars) AS n,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s2
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN g.n >= 2
+        |        AND (g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1) > 0
+        |    THEN ROUND((CAST(d.n_chars AS DOUBLE) - g.s1 / g.n) /
+        |      sqrt((g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1)), 6)
+        |  END AS zscore
+        |FROM documents d JOIN g USING (source)""".stripMargin,
   ))
 
   /** The stateful sessionizer must reproduce the window formulation, so

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * sequence packing / shard writing in a pre-training pipeline
   * (cf. the data-order sections of the GPT-3 / Gopher data cards; the
   * reference engine has no ordering op at all, its pandas frames are
-  * driver-local).
+  * driver-local). [[globalPrefixSum]] generalizes the same machinery
+  * from row numbers to running token totals, which is exactly what
+  * token-balanced shard assignment needs.
   *
   * Why not `orderBy(key)` + `row_number` over an empty window: a global
   * window funnels the whole corpus through ONE reducer. And why not
@@ -22,15 +24,15 @@ import org.apache.spark.sql.functions._
   *   1. shard = the first `hexPrefixLen` hex chars of the md5 key, so
   *      shard order is a PREFIX of the total order (sorting by
   *      (shard, key) == sorting by key);
-  *   2. one map-side-combined count pass at the finest granularity
+  *   2. one map-side-combined count/sum pass at the finest granularity
   *      (4 hex chars = 65,536 shards, a bounded driver collect) gives
   *      exact per-shard offsets — and, when `hexPrefixLen = 0` (auto),
   *      picks the smallest prefix whose largest shard fits
   *      `maxRowsPerShard` (same auto-sizing contract as
   *      `Chunking.packSequences` / the cosine block guard);
-  *   3. `row_number` over a window PARTITIONED by shard (corpus/16^P
-  *      rows per reducer, not corpus) plus the broadcast offset join
-  *      yields the global position.
+  *   3. a window PARTITIONED by shard (corpus/16^P rows per reducer,
+  *      not corpus) plus the broadcast offset join yields the global
+  *      running value.
   * Two shuffles total: the tiny count agg and the window exchange.
   * 100 TB at ~5 KB/doc is ~2e10 rows; auto lands on P=4 (≈300 k rows
   * per reducer) without tuning.
@@ -52,10 +54,14 @@ object GlobalOrder {
         .valuesIterator.maxOption.getOrElse(0L) <= maxRowsPerShard
     }.getOrElse(FinestPrefix)
 
-  /** (idCol, global_pos): 1-based position of every non-null-id row
-    * under the total order (md5(id + "#" + salt), id). */
-  def globalRowNumber(df: DataFrame, idCol: String, salt: String = "order",
-      hexPrefixLen: Int = 0, maxRowsPerShard: Long = 1L << 22): DataFrame = {
+  /** Shared core: key + shard the rows, compute exact per-shard
+    * EXCLUSIVE offsets of `count(*)` and (optionally) `sum(valueCol)`
+    * driver-side, and return the keyed frame joined to its broadcast
+    * offsets: columns = input + __key, __shard, __offset
+    * (+ __voffset when `valueCol` is set). */
+  private def shardedWithOffsets(df: DataFrame, idCol: String,
+      salt: String, hexPrefixLen: Int, maxRowsPerShard: Long,
+      valueCol: Option[String]): DataFrame = {
     require(hexPrefixLen >= 0 && hexPrefixLen <= FinestPrefix,
       s"hexPrefixLen must be in 0..$FinestPrefix (0 = auto): $hexPrefixLen")
     require(maxRowsPerShard >= 1,
@@ -63,42 +69,79 @@ object GlobalOrder {
     val spark = df.sparkSession
 
     val keyed = df.filter(col(idCol).isNotNull)
-      .select(col(idCol),
-        md5(concat(col(idCol).cast("string"), lit("#" + salt))).as("__key"))
+      .withColumn("__key",
+        md5(concat(col(idCol).cast("string"), lit("#" + salt))))
 
-    // one count pass at the finest granularity; coarser prefixes fold
-    // driver-side (16^4 rows bounds the collect at ANY corpus size)
-    val p4Counts = keyed
+    // one count/sum pass at the finest granularity; coarser prefixes
+    // fold driver-side (16^4 rows bounds the collect at ANY corpus size)
+    val valueAgg = valueCol.map(v =>
+      sum(coalesce(col(v).cast("long"), lit(0L))).as("__vsum"))
+    val p4 = keyed
       .groupBy(substring(col("__key"), 1, FinestPrefix).as("__s4"))
-      .agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(count(lit(1)).as("__cnt"), valueAgg.toSeq: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (valueCol.isDefined) r.getLong(2) else 0L))
+      .toMap
 
     val p = if (hexPrefixLen > 0) hexPrefixLen
-            else choosePrefix(p4Counts, maxRowsPerShard)
+            else choosePrefix(p4.view.mapValues(_._1).toMap, maxRowsPerShard)
 
     // exclusive cumulative offsets in shard (= key-prefix) order
-    val offsets = p4Counts.toSeq
-      .groupMapReduce { case (k, _) => k.take(p) }(_._2)(_ + _)
+    val offsets = p4.toSeq
+      .groupMapReduce { case (k, _) => k.take(p) }(_._2) {
+        case ((c1, v1), (c2, v2)) => (c1 + c2, v1 + v2)
+      }
       .toSeq.sortBy(_._1)
-      .scanLeft(("", 0L)) { case ((_, acc), (s, c)) => (s, acc + c) }
+      .scanLeft(("", (0L, 0L))) { case ((_, (ca, va)), (s, (c, v))) =>
+        (s, (ca + c, va + v))
+      }
       .sliding(2).collect { case Seq((_, acc), (s, _)) => (s, acc) }
       .toSeq
     // LocalRelation (no job, single-probe broadcast join) — NOT a
     // typedlit map: CollapseProject inlines those per reference site
     import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
     val offsetDf = spark.createDataFrame(
-      offsets.map { case (s, o) => Row(s, o) }.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__shard",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__offset",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      offsets.map { case (s, (c, v)) => Row(s, c, v) }.asJava,
+      StructType(Seq(
+        StructField("__shard", StringType, nullable = false),
+        StructField("__offset", LongType, nullable = false),
+        StructField("__voffset", LongType, nullable = false))))
 
-    val w = Window.partitionBy("__shard").orderBy(col("__key"), col(idCol))
     keyed
       .withColumn("__shard", substring(col("__key"), 1, p))
       .join(broadcast(offsetDf), "__shard")
-      .withColumn("global_pos", col("__offset") + row_number().over(w))
+  }
+
+  private def orderWindow(idCol: String) =
+    Window.partitionBy("__shard").orderBy(col("__key"), col(idCol))
+
+  /** (idCol, global_pos): 1-based position of every non-null-id row
+    * under the total order (md5(id + "#" + salt), id). */
+  def globalRowNumber(df: DataFrame, idCol: String, salt: String = "order",
+      hexPrefixLen: Int = 0, maxRowsPerShard: Long = 1L << 22): DataFrame =
+    shardedWithOffsets(df, idCol, salt, hexPrefixLen, maxRowsPerShard, None)
+      .withColumn("global_pos",
+        col("__offset") + row_number().over(orderWindow(idCol)))
       .select(col(idCol), col("global_pos"))
+
+  /** (idCol, global_pos, cum_before): [[globalRowNumber]] plus the
+    * EXCLUSIVE running sum of `valueCol` (e.g. token counts) in global
+    * order — `cum_before` is the total strictly before this row, so
+    * `floor(cum_before / binSize)` is this row's token-balanced bin.
+    * `valueCol` must be integral (cast to long; nulls count as 0). */
+  def globalPrefixSum(df: DataFrame, idCol: String, valueCol: String,
+      salt: String = "order", hexPrefixLen: Int = 0,
+      maxRowsPerShard: Long = 1L << 22): DataFrame = {
+    val w = orderWindow(idCol)
+    shardedWithOffsets(df, idCol, salt, hexPrefixLen, maxRowsPerShard,
+        Some(valueCol))
+      .withColumn("global_pos", col("__offset") + row_number().over(w))
+      .withColumn("cum_before",
+        col("__voffset") +
+          coalesce(sum(coalesce(col(valueCol).cast("long"), lit(0L)))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(idCol), col("global_pos"), col("cum_before"))
   }
 }

@@ -75,6 +75,33 @@ object Profile {
         col("cell.metric").as("metric"), col("cell.value").as("value"))
   }
 
+  /** Per-group z-score of an integral column — per-domain score
+    * calibration (a source's "long doc" means nothing next to another
+    * source's until normalized). Exactness across engines: the group
+    * moments are DECIMAL sums of exact integers, and the remaining
+    * arithmetic is a fixed double-op sequence both engines replay
+    * bit-identically, so `round(z, 6)` oracle-matches. Sample variance
+    * (n-1); degenerate groups (n < 2 or zero variance) get a null z.
+    *
+    * Shape: one tiny grouped agg (K rows) broadcast-joined back — the
+    * corpus itself never shuffles. */
+  def zscoreBy(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast("long")
+    val stats = df.groupBy(groupCol).agg(
+      count(x).as("__n"),
+      sum(x.cast("decimal(38,0)")).cast("double").as("__s1"),
+      sum((x * x).cast("decimal(38,0)")).cast("double").as("__s2"))
+    val mean = col("__s1") / col("__n")
+    val varS = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+      (col("__n") - 1)
+    df.join(broadcast(stats), groupCol)
+      .withColumn("zscore",
+        when(col("__n") >= 2 && varS > 0,
+          round((x.cast("double") - mean) / sqrt(varS), 6)))
+      .drop("__n", "__s1", "__s2")
+  }
+
   /** DuckDB oracle for [[profile]] (exact-distinct flavor) over
     * `table`, given the same (column, kind) list — one UNION ALL arm
     * per metric, each arithmetic mirrored exactly. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-mix construction.
@@ -253,5 +254,26 @@ object Sampling {
       .groupBy("doc_id")
       .agg(sum(col("term").cast("decimal(20,8)")).cast("double")
         .as("logw"))
+  }
+
+  /** Domain balancing: keep at most `maxPer` rows per group, preferring
+    * high `orderCol` (ties broken by `idCol` asc, so the kept set is
+    * deterministic) — the C4/CCNet-style per-domain cap that stops a
+    * crawl's megadomains from dominating the mixture.
+    *
+    * Scale shape: written as a rank filter on a grouped window, which
+    * Spark 3.5+ rewrites to WindowGroupLimit — each map task pre-trims
+    * its partition to the top `maxPer` per group BEFORE the exchange,
+    * so a hot domain ships maxPer rows per mapper, not its whole
+    * corpus slice, and the single shuffle is the only data movement
+    * (asserted in PlanSpec). */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, maxPer: Int): DataFrame = {
+    require(maxPer >= 1, s"maxPer must be >= 1: $maxPer")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPer)
+      .drop("__rn")
   }
 }

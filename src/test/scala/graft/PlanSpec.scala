@@ -460,6 +460,49 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("shard assign: sharded prefix sum — no single-partition " +
+      "exchange, no global sort") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_shard_assign")(spark, dir)
+      val plan = planOf(df)
+      val globalSorts = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"global sort leaked in:\n$plan")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(!exchanges.exists(_.outputPartitioning.numPartitions == 1),
+        s"single-reducer exchange (serialized cumsum):\n$plan")
+    }
+  }
+
+  test("per-domain cap: rank filter compiles to WindowGroupLimit " +
+      "(map-side pre-trim before the one shuffle)") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_source_cap")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("WindowGroupLimit"),
+        s"rank pushdown missing — hot domains would ship whole:\n$plan")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1, s"cap should shuffle once:\n$plan")
+    }
+  }
+
+  test("zscore: K-row stats broadcast back, corpus never shuffle-joins") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_source_zscore")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats join should broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"corpus-side shuffle join:\n$plan")
+    }
+  }
+
   test("profiler: single scan fans into one aggregate (Expand is the " +
       "exact-distinct price, counted once)") {
     withStaticPlan {

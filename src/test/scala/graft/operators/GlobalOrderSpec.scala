@@ -59,6 +59,38 @@ class GlobalOrderSpec extends AnyFunSuite with Matchers with SparkSpec {
       reference("order")
   }
 
+  test("globalPrefixSum matches the one-window running total and " +
+      "globalRowNumber's positions") {
+    val vals = ids.withColumn("v", (col("id") % 7) + 1)
+    val w = Window.orderBy(
+      md5(concat(col("id").cast("string"), lit("#order"))), col("id"))
+    val ref = vals.select(col("id"),
+        row_number().over(w).cast("long").as("pos"),
+        coalesce(sum("v")
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("cum"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = GlobalOrder.globalPrefixSum(vals, "id", "v")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    got shouldBe ref
+    val pos = GlobalOrder.globalRowNumber(ids, "id")
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, p, _) => p shouldBe pos(id) }
+  }
+
+  test("globalPrefixSum counts null values as zero") {
+    val vals = ids.withColumn("v",
+      when(col("id") % 2 === 0, lit(null)).otherwise(lit(3L)))
+    val got = GlobalOrder.globalPrefixSum(vals, "id", "v")
+      .as[(Long, Long, Long)].collect()
+    // total over all-but-last rows = 3 * (#odd ids among the first n-1)
+    val byPos = got.sortBy(_._2)
+    byPos.last._3 shouldBe 3L *
+      byPos.init.count(r => r._1 % 2 == 1)
+    // prefix sums are monotone
+    byPos.map(_._3).toSeq shouldBe byPos.map(_._3).toSeq.sorted
+  }
+
   test("null ids are excluded; the rest keep dense positions") {
     val withNulls = ids.select(
       when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("id"))

@@ -77,6 +77,28 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
       (exact - (("k", "n_distinct")) - (("v", "n_distinct")))
   }
 
+  test("zscoreBy: exact moments, degenerate single-row group gets null") {
+    val data = Seq((1L, "a", 2L), (2L, "a", 4L), (3L, "a", 6L),
+      (4L, "b", 7L)).toDF("id", "g", "v")
+    val got = Profile.zscoreBy(data, "g", "v")
+      .select("id", "zscore").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // group a: mean 4, sample var ((4+16+36) - 12^2/3)/2 = 4, sd 2
+    got(1L) shouldBe Some(-1.0)
+    got(2L) shouldBe Some(0.0)
+    got(3L) shouldBe Some(1.0)
+    got(4L) shouldBe None // n = 1: no sample variance
+  }
+
+  test("zscoreBy: zero-variance group gets null, output keeps all rows") {
+    val data = Seq((1L, "c", 5L), (2L, "c", 5L), (3L, "c", 5L))
+      .toDF("id", "g", "v")
+    val got = Profile.zscoreBy(data, "g", "v").collect()
+    got.length shouldBe 3
+    got.foreach(r => assert(r.isNullAt(r.fieldIndex("zscore"))))
+  }
+
   test("the static lineitem kind list matches the live Spark schema") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     SparkEntry.lineitemProfileCols.foreach { case (c, k) =>

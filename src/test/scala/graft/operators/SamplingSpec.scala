@@ -57,6 +57,21 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     bySt("s3").toDouble / 500 shouldBe 0.4 +- 0.07
   }
 
+  test("capPerGroup keeps the deterministic top-k per group") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L),
+      (4L, "a", 1L), (5L, "b", 2L)).toDF("id", "g", "v")
+    // ties at v=9 break by id asc, so the a-cap keeps 2 and 3
+    Sampling.capPerGroup(df, "g", "v", "id", maxPer = 2)
+      .select("id").as[Long].collect().toSet shouldBe Set(2L, 3L, 5L)
+    // cap above the group size keeps everything, schema unchanged
+    val all = Sampling.capPerGroup(df, "g", "v", "id", maxPer = 10)
+    all.count() shouldBe 5
+    all.columns.toSeq shouldBe df.columns.toSeq
+    // partitioning-independent
+    Sampling.capPerGroup(df.repartition(7), "g", "v", "id", maxPer = 2)
+      .select("id").as[Long].collect().toSet shouldBe Set(2L, 3L, 5L)
+  }
+
   test("trainEvalSplit is complementary, covering, and hash-consistent") {
     val split = Sampling.trainEvalSplit(rows, "id", 0.25)
     split.count() shouldBe 2000L // covering: every row labeled
