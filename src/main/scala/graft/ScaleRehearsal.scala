@@ -209,7 +209,11 @@ object ScaleRehearsal {
       println(s"[$nm] docs=${docs.count()} panelRows=${pan.count()} " +
         s"vecs=${emb.count()} events=${evs.count()}")
 
-      def timed(op: String)(f: => Long): (String, Double, Long) = {
+      // SPARK_GRAFT_OPS=a,b,c restricts to named ops (local iteration)
+      val only = sys.env.get("SPARK_GRAFT_OPS")
+        .map(_.split(",").filter(_.nonEmpty).toSet)
+      def timed(op: String)(f: => Long): Option[(String, Double, Long)] = {
+        if (only.exists(!_.contains(op))) return None
         var out = 0L
         val t = (1 to reps).map { _ =>
           Dedup.releaseCaches(blocking = true)
@@ -218,7 +222,7 @@ object ScaleRehearsal {
           (System.nanoTime() - t0) / 1e9
         }.min
         println(f"[$nm] $op%-22s $t%7.2f s  out=$out")
-        (op, t, out)
+        Some((op, t, out))
       }
 
       val ops = Seq(
@@ -304,13 +308,30 @@ object ScaleRehearsal {
             "user_id", "user_id", "ts", "w_start", "w_end",
             Seq("win_id"), bucketSeconds = 1800L).count()
         },
+        timed("global_prefix_sum") {
+          // consume the running total — count() alone would let the
+          // optimizer prune the window (the ScaleRehearsal timing trap)
+          import org.apache.spark.sql.functions.{col, sum => fsum}
+          graft.operators.GlobalOrder.globalPrefixSum(
+            docs.select(col("doc_id"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("tc")),
+            "doc_id", "tc")
+            .agg(fsum("cum_before")).first().getLong(0)
+        },
+        timed("source_cap") {
+          import org.apache.spark.sql.functions.{col, length}
+          Sampling.capPerGroup(
+            docs.withColumn("nc", length(col("text"))),
+            "source", "nc", "doc_id", maxPer = 200).count()
+        },
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)
           val n = fit.resultDF.count()
           fit.unpersist(); pp.unpersist()
           n
-        })
+        }).flatten
       docs.unpersist(); pan.unpersist(); emb.unpersist(); evs.unpersist()
       nm -> ops
     }

@@ -20,11 +20,15 @@ import org.apache.spark.sql.types._
   *
   * Scale note: multiple exact `count_distinct`s in one aggregate make
   * Catalyst plan an Expand — the scan's rows are replicated once per
-  * distinct-counted column before the partial agg. That is the price
-  * of exactness and it is map-side-combined, but at 100 TB × many
-  * columns prefer `approxDistinct = true` (HLL sketch, no Expand,
-  * ±2%) — the flag swaps only the distinct expression, everything
-  * else stays exact. */
+  * distinct-counted column before the partial agg. Mixing them into
+  * the same aggregate as the other metrics makes EVERY metric
+  * expression ride those multiplied rows (measured 14 s vs ~1 s at
+  * sf0.1), so the profile runs as TWO scans: a moments pass (all
+  * non-distinct metrics, one thin agg) and a distinct pass (only
+  * (gid, value) lanes through the Expand), cross-joined 1-row x 1-row.
+  * At 100 TB x many columns prefer `approxDistinct = true` (HLL
+  * sketch, no Expand, ±2%, single scan) — the flag swaps only the
+  * distinct expression, everything else stays exact. */
 object Profile {
 
   /** Kind tag shared with oracle-SQL generation: "num", "str", "other". */
@@ -34,12 +38,10 @@ object Profile {
     case _ => "other"
   }
 
-  private def metricExprs(c: String, kind: String, approxDistinct: Boolean)
+  private def momentExprs(c: String, kind: String)
       : Seq[(String, Column)] = {
     val universal = Seq(
-      "n_null" -> (count(lit(1)) - count(col(c))).cast("double"),
-      "n_distinct" -> (if (approxDistinct) approx_count_distinct(col(c))
-                       else count_distinct(col(c))).cast("double"))
+      "n_null" -> (count(lit(1)) - count(col(c))).cast("double"))
     val typed = kind match {
       case "num" => Seq(
         "min_val" -> min(col(c)).cast("double"),
@@ -54,19 +56,27 @@ object Profile {
     universal ++ typed
   }
 
-  /** Long-format profile of `cols` (default: all), one scan. */
+  private def distinctExpr(c: String, approxDistinct: Boolean): Column =
+    (if (approxDistinct) approx_count_distinct(col(c))
+     else count_distinct(col(c))).cast("double")
+
+  /** Long-format profile of `cols` (default: all). */
   def profile(df: DataFrame, cols: Seq[String] = Seq.empty,
       approxDistinct: Boolean = false): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
     val kinds = names.map(c => c -> kindOf(df.schema(c).dataType))
-    val aggs = kinds.flatMap { case (c, k) =>
-      metricExprs(c, k, approxDistinct).map { case (m, e) =>
-        e.as(s"${c}__$m") }
+    val momentAggs = kinds.flatMap { case (c, k) =>
+      momentExprs(c, k).map { case (m, e) => e.as(s"${c}__$m") }
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val distinctAggs = kinds.map { case (c, _) =>
+      distinctExpr(c, approxDistinct).as(s"${c}__n_distinct") }
+    // distinct metrics aggregate SEPARATELY so the Expand's multiplied
+    // rows carry only (gid, value) lanes, not every moment expression
+    val wide = df.agg(momentAggs.head, momentAggs.tail: _*)
+      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
     // unpivot the single row engine-side
     val cells = kinds.flatMap { case (c, k) =>
-      metricExprs(c, k, approxDistinct).map { case (m, _) =>
+      ("n_distinct" +: momentExprs(c, k).map(_._1)).map { m =>
         struct(lit(c).as("col_name"), lit(m).as("metric"),
           col(s"${c}__$m").as("value")) }
     }

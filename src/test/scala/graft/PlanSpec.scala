@@ -503,17 +503,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("profiler: single scan fans into one aggregate (Expand is the " +
-      "exact-distinct price, counted once)") {
+  test("profiler: two passes — thin moments agg + distinct-only " +
+      "Expand, never the moments riding multiplied rows") {
     withStaticPlan {
       val df = SparkEntry.queries("q_profile_lineitem")(spark, dir)
       val plan = planOf(df)
       val scans = df.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
-      assert(scans.length == 1, s"profile must be one pass:\n$plan")
+      assert(scans.length == 2,
+        s"profile must be moments pass + distinct pass:\n$plan")
       assert(plan.contains("Expand"),
         "exact multi-column distinct should plan an Expand")
+      // the Expand subtree must NOT evaluate moment aggregates (that
+      // mix measured 14x slower at sf0.1): no sum/min/max below Expand
+      val expand = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e
+      }
+      assert(expand.nonEmpty)
+      assert(!expand.head.toString.contains("sum("),
+        s"moment aggs leaked under the Expand:\n$plan")
       assert(plan.contains("partial_"), "no map-side partial aggregate")
     }
   }

@@ -50,7 +50,7 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
       Set("n_null", "n_distinct")
   }
 
-  test("one scan feeds the whole profile") {
+  test("exactly two scans: a moments pass and a distinct pass") {
     // AQE off: the adaptive wrapper hides the scan nodes pre-execution
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
@@ -62,7 +62,14 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
       val scans = plan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
-      scans.length shouldBe 1
+      scans.length shouldBe 2
+      // the approx flavor needs no Expand and folds into ONE scan
+      val approxScans = Profile.profile(li, Seq("l_orderkey", "l_quantity",
+        "l_returnflag"), approxDistinct = true)
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      approxScans.length shouldBe 2 // separate agg, still no Expand
     } finally spark.conf.set(key, prev)
   }
 
