@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Driver-style DuckDB oracle comparator (see .claude/skills/verify).
+
+Usage: compare.py <sfDir> <verifyOut> [query ...]
+Compares each query's Spark parquet dump against its oracle_sql.json
+entry run in DuckDB: sorted columns, sorted rows, exact values.
+"""
+import duckdb, json, glob, os, sys
+import pandas as pd
+from pandas.testing import assert_frame_equal
+
+sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders',
+          'lineitem','events','documents','embeddings']:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fail = 0
+names = sorted(only) if only else sorted(oracle)
+for name in names:
+    if name not in oracle:
+        print(f'{name}: SKIP (no oracle)')
+        continue
+    d = f'{out}/{name}.parquet' if os.path.isdir(f'{out}/{name}.parquet') \
+        else f'{out}/{name}'
+    files = sorted(glob.glob(f'{d}/*.parquet'))
+    if not files:
+        print(f'{name}: FAIL no spark output')
+        fail += 1
+        continue
+    spark = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    ora = con.sql(oracle[name]).df()
+    try:
+        s = spark.reindex(sorted(spark.columns), axis=1)
+        o = ora.reindex(sorted(ora.columns), axis=1)
+        s = s.sort_values(by=list(s.columns), ignore_index=True)
+        o = o.sort_values(by=list(o.columns), ignore_index=True)
+        assert_frame_equal(s, o, check_exact=True)
+        print(f'{name}: OK rows={len(s)}')
+    except Exception as e:
+        print(f'{name}: FAIL {str(e)[:300]}')
+        fail += 1
+sys.exit(1 if fail else 0)

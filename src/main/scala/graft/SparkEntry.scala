@@ -1120,6 +1120,32 @@ object SparkEntry {
             .cast("double").as("sum_qty"))
     }),
 
+    // bloom-pruned exact semi-join (operators/Sketches.scala): lineitem
+    // rows for URGENT orders. One sketch-building pass over the key
+    // side, a codegen'd bloom probe over the fact scan, then the exact
+    // confirm join sees only the pruned sliver. The bloom is pure
+    // pruning (never a false negative) — the oracle is the plain
+    // IN-subquery semi-join.
+    "q_bloom_prune" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      operators.Sketches.bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+    }),
+
+    // CMS-prefiltered exact heavy hitters (operators/Sketches.scala):
+    // corpus tokens with frequency >= 300 and their exact counts. The
+    // sketch estimate never undercounts, so the prefilter admits every
+    // true heavy hitter; the exact HAVING discards over-admissions —
+    // the oracle is the plain GROUP BY ... HAVING.
+    "q_heavy_hitters" -> ((s, dir) =>
+      operators.Sketches.heavyHitters(docs(s, dir), "text", minCount = 300L)),
+
     // classic star-schema shipping-priority query (TPC-H Q3 shape):
     // filtered dims reduce under broadcast hints (customer inside
     // orders, their join result inside lineitem), so the fact table
@@ -2838,6 +2864,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // the bloom is pure pruning (exact confirm join downstream) — the
+    // oracle is the plain semi-join
+    "q_bloom_prune" ->
+      """SELECT l_returnflag AS returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    // the CMS prefilter only over-admits; the exact HAVING is the
+    // semantics — the oracle is the plain frequency query
+    "q_heavy_hitters" ->
+      """SELECT tok, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        |GROUP BY tok HAVING COUNT(*) >= 300""".stripMargin,
 
     // broadcast hints are pure physical planning — the oracle is the
     // plain 3-way join

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchExprs.{bloomMightContain, cmsEstimate}
+import graft.functions.TextFunctions.tokens
+
+/** Sketch-prefiltered exact operators: a mergeable sketch (built in one
+  * distributed pass) conservatively prunes the BIG side of a join or
+  * aggregation, and a cheap exact pass over the survivors confirms —
+  * the output is exact (both sketches only ever over-admit), but the
+  * shuffle that dominates at 100 TB moves only the pruned fraction.
+  *
+  * This is the engine's own version of the runtime-filter idea Spark
+  * applies to joins ("InjectRuntimeFilter" bloom pushdown) — expressed
+  * as first-class operators so pipelines can prune *before* expensive
+  * tokenize/explode stages too, not just at join boundaries.
+  */
+object Sketches {
+
+  /** Exact semi-join `big ⋉ keys`, bloom-pruned.
+    *
+    * Plan shape: one aggregate pass over `keys` builds a bloom filter
+    * (`df.stat.bloomFilter`, map-side mergeable; driver holds ~1.2 bytes
+    * per key at fpp=1%); the probe runs inside whole-stage codegen over
+    * `big`'s scan, so only the ~(match + fpp) fraction reaches the exact
+    * left-semi confirm join. At 100 TB with a selective key set that
+    * turns a full-corpus shuffle into a shuffle of the matching sliver;
+    * the confirm join stays (bloom false positives must not leak) and
+    * AQE broadcasts it whenever `keys` fits.
+    *
+    * `expectedKeys <= 0` (default) sizes the bloom with a `count()` over
+    * `keys` — a one-Long action; pass an estimate to skip it. */
+  def bloomSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
+      keyCol: String, fpp: Double = 0.01, expectedKeys: Long = 0L)
+      : DataFrame = {
+    val n = if (expectedKeys > 0) expectedKeys
+      else math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter(keyCol, n, fpp)
+    big.filter(bloomMightContain(bloom, col(bigKey)))
+      .join(keys.select(col(keyCol).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
+
+  /** Exact heavy hitters: whitespace tokens of `textCol` whose corpus
+    * frequency is >= `minCount`, with their exact counts.
+    *
+    * Two passes over the token stream (tokenized once behind a
+    * [[TrackedCaches]] boundary): (1) `df.stat.countMinSketch` — a
+    * mergeable fixed-size sketch, driver gets eps-bounded estimates;
+    * (2) a codegen'd `cmsEstimate(tok) >= minCount` filter prunes the
+    * exploded stream BEFORE the exact groupBy, so the hash-aggregate
+    * shuffles only candidate tokens (CMS never underestimates → no true
+    * heavy hitter is pruned; over-admitted light tokens fall to the
+    * exact HAVING). At 100 TB the long-tail vocabulary — billions of
+    * near-unique tokens that dominate a naive groupBy's shuffle — never
+    * leaves the map side. */
+  def heavyHitters(df: DataFrame, textCol: String, minCount: Long,
+      eps: Double = 1e-4, confidence: Double = 0.99, seed: Int = 42)
+      : DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = TrackedCaches.persist(
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .repartition(par))
+    val cms = toks.stat.countMinSketch("tok", eps, confidence, seed)
+    toks.filter(cmsEstimate(cms, col("tok")) >= minCount)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+}
