@@ -694,6 +694,25 @@ object SparkEntry {
     "q_segment_dedup" -> ((s, dir) =>
       Dedup.segmentDedup(docs(s, dir), "doc_id", "text", segTokens = 10)),
 
+    // dedup: MERGE-apply of a synthetic nightly crawl into the corpus
+    // snapshot (same derived delta family as q_corpus_diff): edited
+    // texts update, new negative ids insert, untouched ids keep
+    "q_merge_upsert" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val crawl = d.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
+      Dedup.snapshotMerge(d, crawl, "doc_id", "text")
+    }),
+
+    // dedup: ExactSubstr-style duplicated-passage stats — per doc, how
+    // many of its 8-token windows appear verbatim in another document
+    "q_dup_passage" -> ((s, dir) =>
+      Dedup.dupPassageStats(docs(s, dir), "doc_id", "text", k = 8)),
+
     // dedup: word-3-gram Jaccard near-dup pairs (exact inverted index)
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -2384,6 +2403,58 @@ object SparkEntry {
         |  FROM segs)
         |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS text_dedup
         |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    // MERGE is one full-outer join — replayed literally; the same
+    // NULL-text sentinel as q_corpus_diff keeps "updated to NULL"
+    // distinct from absence
+    "q_merge_upsert" ->
+      """WITH crawl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT -doc_id - 1 AS doc_id, text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |      '__null_text__') AS fp
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, text,
+        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |      '__null_text__') AS fp
+        |  FROM crawl)
+        |SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+        |  CASE WHEN u.fp IS NOT NULL THEN u.text ELSE b.text END AS text,
+        |  CASE WHEN b.fp IS NULL THEN 'inserted'
+        |       WHEN u.fp IS NULL THEN 'kept'
+        |       WHEN u.fp <> b.fp THEN 'updated'
+        |       ELSE 'unchanged' END AS op
+        |FROM b FULL OUTER JOIN u ON b.doc_id = u.doc_id""".stripMargin,
+
+    // window hashes regroup by the shingle STRING here — identical
+    // grouping unless xxhash64 collides (the accepted shingle contract)
+    "q_dup_passage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, array_to_string(t[i : i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i
+        |        FROM toks)),
+        |wc AS (SELECT doc_id, sh, count(*) AS c FROM w GROUP BY 1, 2),
+        |ann AS (
+        |  SELECT doc_id, c, count(*) OVER (PARTITION BY sh) AS ndocs
+        |  FROM wc),
+        |dup AS (
+        |  SELECT doc_id, SUM(c) AS dupw FROM ann
+        |  WHERE ndocs >= 2 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(greatest(len(t.t) - 7, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(dup.dupw, 0) AS BIGINT) AS dup_windows
+        |FROM toks t LEFT JOIN dup ON t.doc_id = dup.doc_id""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql(0.8),
     "q_cross_neardup" ->

@@ -383,6 +383,79 @@ object Dedup {
           .otherwise("unchanged").as("status"))
   }
 
+  /** MERGE-apply for snapshot maintenance (the CDC counterpart of
+    * [[snapshotDiff]]): fold a new crawl `updates` into `base`, update
+    * rows whose id exists in both (new text wins), insert ids only in
+    * `updates`, keep the rest — with the op each row took, so the
+    * caller can route side-effects (re-embed changed docs, skip kept
+    * ones). NULL text is fingerprint-sentineled like snapshotDiff so
+    * "updated to NULL" is not mistaken for "kept".
+    *
+    * One full-outer hash join on id (AQE broadcasts when the delta is
+    * small — the common nightly-crawl case); texts ride the join once,
+    * no second pass. */
+  def snapshotMerge(base: DataFrame, updates: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fp = coalesce(fingerprint(col(textCol)), lit("__null_text__"))
+    val b = base.select(col(idCol).as("id"), col(textCol).as("b_txt"),
+      fp.as("b_fp"))
+    val u = updates.select(col(idCol).as("id"), col(textCol).as("u_txt"),
+      fp.as("u_fp"))
+    b.join(u, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("u_fp").isNotNull, col("u_txt")).otherwise(col("b_txt"))
+          .as(textCol),
+        when(col("b_fp").isNull, "inserted")
+          .when(col("u_fp").isNull, "kept")
+          .when(col("u_fp") =!= col("b_fp"), "updated")
+          .otherwise("unchanged").as("op"))
+  }
+
+  /** Cross-document duplicated-passage stats — the detection half of
+    * ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", §4.1: /root/reference has no analogue;
+    * suffix-automaton substrings are approximated by fixed `k`-token
+    * windows, the standard MapReduce-able relaxation). For each doc:
+    * `n_windows` = its k-token window count, `dup_windows` = how many
+    * of those windows (counting repeats) also occur in at least one
+    * OTHER document. `dup_windows / n_windows` is the passage-level
+    * contamination signal pipelines threshold on.
+    *
+    * Scale shape: every window rides as one row keyed by its 64-bit
+    * xxhash (8 bytes, never the text); one hash-agg to per-doc window
+    * counts (map-side combined), one window-function pass keyed by hash
+    * for the cross-doc occurrence count, one hash-agg back to docs.
+    * The total-window count comes free from `size(tokens)` on the
+    * un-exploded side, so docs shorter than k tokens keep a (0, 0) row
+    * without a second corpus scan. 64-bit window-hash collisions are
+    * the accepted contract (as everywhere shingles ride as hashes). */
+  def dupPassageStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"window size must be >= 1: $k")
+    val base = persistTracked(
+      df.select(col(idCol).as("did"), tokens(col(textCol)).as("t"))
+        .repartition(par(df), col("did")))
+    val wins = base.select(col("did"),
+        explode(when(size(col("t")) >= k,
+          transform(sequence(lit(1), size(col("t")) - (k - 1)),
+            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+    val perDocWin = wins.groupBy("did", "h")
+      .agg(count(lit(1)).as("c"))
+    val nd = Window.partitionBy(col("h"))
+    val dup = perDocWin
+      .withColumn("ndocs", count(lit(1)).over(nd))
+      .filter(col("ndocs") >= 2)
+      .groupBy("did")
+      .agg(sum("c").as("dupw"))
+    base.select(col("did"),
+        greatest(size(col("t")) - (k - 1), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(dup, Seq("did"), "left")
+      .select(col("did").as(idCol), col("n_windows"),
+        coalesce(col("dupw"), lit(0L)).as("dup_windows"))
+  }
+
   /** C4/RefinedWeb-style SEGMENT-level exact dedup. The corpus is cut
     * into fixed `segTokens`-token segments (the deterministic stand-in
     * for line/paragraph boundaries — any boundary function slots in),

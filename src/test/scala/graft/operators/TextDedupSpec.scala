@@ -410,4 +410,56 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     val out = segDedup(rows, k = 2)
     out shouldBe Map(1L -> "u v w x")
   }
+
+  private def passageStats(rows: Seq[(Long, String)], k: Int)
+      : Map[Long, (Long, Long)] =
+    Dedup.dupPassageStats(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("dupPassageStats counts cross-document window repeats only") {
+    val out = passageStats(Seq(
+      (1L, "a b c d e"), // windows: abc bcd cde
+      (2L, "z z a b c"), // windows: zza zab abc -> abc shared with doc 1
+      (3L, "q q q q q")  // all windows qqq, repeated INTRA-doc only
+    ), k = 3)
+    out(1L) shouldBe ((3L, 1L))
+    out(2L) shouldBe ((3L, 1L))
+    out(3L) shouldBe ((3L, 0L)) // intra-doc repeats are not duplication
+  }
+
+  test("dupPassageStats: every occurrence of a shared window counts") {
+    val out = passageStats(Seq(
+      (1L, "x y x y"), // windows: "x y" twice (k=2)
+      (2L, "x y")      // one window, shared
+    ), k = 2)
+    out(1L) shouldBe ((3L, 2L)) // windows xy yx xy; both xy occurrences dup
+    out(2L) shouldBe ((1L, 1L))
+  }
+
+  test("dupPassageStats gives short docs a (0, 0) row") {
+    val out = passageStats(Seq((1L, "a b"), (2L, "c d e f")), k = 3)
+    out(1L) shouldBe ((0L, 0L))
+    out(2L) shouldBe ((2L, 0L))
+  }
+
+  test("snapshotMerge routes insert/update/keep/unchanged and new text wins") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val crawl = Seq((2L, "two v2"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotMerge(base, crawl, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    out shouldBe Map(
+      1L -> (("one", "kept")),
+      2L -> (("two v2", "updated")),
+      3L -> (("three", "unchanged")),
+      4L -> (("four", "inserted")))
+  }
+
+  test("snapshotMerge: an update TO null text is an update, not a keep") {
+    val base = Seq((1L, "one")).toDF("doc_id", "text")
+    val crawl = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.snapshotMerge(base, crawl, "doc_id", "text").collect()
+    out.head.isNullAt(1) shouldBe true
+    out.head.getString(2) shouldBe "updated"
+  }
 }
