@@ -586,6 +586,22 @@ object SparkEntry {
     "q_gopher_quality" -> ((s, dir) =>
       TextQuality.gopherSignals(docs(s, dir), "doc_id", "text")),
 
+    // text analysis: per-doc token-distribution entropy (gibberish /
+    // boilerplate detector); ln-ratio log2 on both engines, 4dp
+    "q_token_entropy" -> ((s, dir) =>
+      TextQuality.tokenEntropy(docs(s, dir), "doc_id", "text")),
+
+    // layout: Z-order (Morton) clustering of the corpus on
+    // (n_chars, token count) — the exact ntile-along-the-curve flavor;
+    // the production write path is the range-partitioned sibling
+    // (Layout.zorderRepartition, spec-pinned to the same curve)
+    "q_zorder_layout" -> ((s, dir) =>
+      operators.Layout.zorderBuckets(
+        docs(s, dir).select(col("doc_id"), col("n_chars"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tok")),
+        "doc_id", "n_chars", "n_tok", nBuckets = 32)),
+
     // embeddings: int8 quantization digest (norm, scale, exact
     // quantized sum, reconstruction MSE) — the SQ8 storage path
     "q_embed_quant" -> ((s, dir) =>
@@ -1939,6 +1955,37 @@ object SparkEntry {
         |          x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
         |        / len(t), 6) AS top_token_frac
         |FROM sig""".stripMargin,
+
+    // same ln(x)/ln(2) formulation as the engine (log2() native would
+    // round differently in the last ulp), 4dp
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |  ROUND(ln(SUM(c)) / ln(2) -
+        |        SUM(c * (ln(c) / ln(2))) / SUM(c), 4) AS entropy_bits
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    // the 32-term Morton interleave unrolls as a bit-arithmetic sum
+    // over range(16); ntile along the curve is exact on both engines
+    "q_zorder_layout" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars % 65536 AS x,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) % 65536
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(((x >> i) & 1) * (1::BIGINT << (2*i)) +
+        |             ((y >> i) & 1) * (1::BIGINT << (2*i+1))) AS BIGINT)
+        |      AS z
+        |  FROM base, range(16) r(i) GROUP BY doc_id)
+        |SELECT doc_id, z,
+        |  CAST(ntile(32) OVER (ORDER BY z, doc_id) AS INT) AS bucket
+        |FROM z""".stripMargin,
 
     "q_length_band" ->
       """WITH n AS (

@@ -114,6 +114,31 @@ object TextQuality {
       .select("doc_id", "n_tok")
   }
 
+  /** Per-document token-distribution Shannon entropy in bits — the
+    * gibberish/boilerplate detector (near-zero entropy = one token
+    * repeated; high entropy at short length = random noise) CCNet-class
+    * pipelines threshold alongside LM perplexity. Computed as
+    * `log2(n) - sum(c*log2(c))/n` over within-doc token counts: the
+    * explode -> (doc, token) partial-combined agg -> K-row per-doc agg
+    * shape (same as top-token dominance — no O(tokens^2) HOF), so the
+    * shuffle carries counts, never text beyond single tokens. log2 via
+    * ln(x)/ln(2) on BOTH engines (the oracle replays the same
+    * expression), 4dp-rounded against cross-engine sum order. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val log2 = (c: org.apache.spark.sql.Column) => log(c) / log(lit(2.0))
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"),
+        sum(col("c") * log2(col("c"))).as("s"))
+      .select(col("doc_id"),
+        col("n").as("n_tok"),
+        round(log2(col("n")) - col("s") / col("n"), 4).as("entropy_bits"))
+  }
+
   /** Quantile-threshold score binning — the scale-correct alternative
     * to `ntile(k) OVER (ORDER BY score)`: a global ntile funnels the
     * whole corpus through ONE ordered reducer, while here the k-1 exact
