@@ -715,13 +715,17 @@ object SparkEntry {
     // texts update, new negative ids insert, untouched ids keep
     "q_merge_upsert" -> ((s, dir) => {
       val d = docs(s, dir)
-      val crawl = d.filter(col("doc_id") % 5 === 1)
-        .select(col("doc_id"),
-          when(col("doc_id") % 10 === 1, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(d.filter(col("doc_id") % 17 === 0)
-          .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
-      Dedup.snapshotMerge(d, crawl, "doc_id", "text")
+      Dedup.snapshotMerge(d, syntheticCrawl(d), "doc_id", "text")
+    }),
+
+    // dedup: INCREMENTAL near-dedup — near-dup pairs touching the same
+    // crawl delta (delta x base + delta x delta, base x base never
+    // recomputed); updated docs pairing with their own base version is
+    // the predecessor-near-dup signal
+    "q_incr_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDupPairs(d, syntheticCrawl(d), "doc_id",
+        "text", n = 3, threshold = 0.8)
     }),
 
     // dedup: ExactSubstr-style duplicated-passage stats — per doc, how
@@ -1343,6 +1347,20 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic synthetic nightly crawl over the corpus snapshot:
+    * every doc_id % 5 == 1 re-crawled (% 10 == 1 with " v2" appended =
+    * updated, the rest byte-identical = unchanged), plus copies of the
+    * % 17 == 0 docs under fresh negative ids (= inserted exact dups).
+    * Shared by q_merge_upsert / q_incr_neardup and their oracles
+    * ([[crawlCte]]). */
+  private def syntheticCrawl(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 17 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
 
   /** lineitem columns + profile kinds, shared by `q_profile_lineitem`
     * and its oracle; Profile.profile classifies from the live Spark
@@ -2455,22 +2473,15 @@ object SparkEntry {
     // NULL-text sentinel as q_corpus_diff keeps "updated to NULL"
     // distinct from absence
     "q_merge_upsert" ->
-      """WITH crawl AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END
-        |      AS text
-        |  FROM documents WHERE doc_id % 5 = 1
-        |  UNION ALL
-        |  SELECT -doc_id - 1 AS doc_id, text
-        |  FROM documents WHERE doc_id % 17 = 0),
+      s"""WITH $crawlCte,
         |b AS (
         |  SELECT doc_id, text,
-        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
         |      '__null_text__') AS fp
         |  FROM documents),
         |u AS (
         |  SELECT doc_id, text,
-        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |    COALESCE(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
         |      '__null_text__') AS fp
         |  FROM crawl)
         |SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
@@ -2480,6 +2491,47 @@ object SparkEntry {
         |       WHEN u.fp <> b.fp THEN 'updated'
         |       ELSE 'unchanged' END AS op
         |FROM b FULL OUTER JOIN u ON b.doc_id = u.doc_id""".stripMargin,
+
+    // the prefix filter is pure candidate pruning — the oracle is the
+    // exact delta x (base ∪ delta) Jaccard, base x base never emitted
+    "q_incr_neardup" ->
+      s"""WITH $crawlCte,
+        |bt AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        |  FROM crawl),
+        |shb AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM bt, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+        |shd AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM dt, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+        |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+        |nd AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+        |ib AS (
+        |  SELECT d.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+        |  FROM shd d JOIN shb b ON d.s = b.s GROUP BY 1, 2),
+        |pb AS (
+        |  SELECT id_a, id_b,
+        |    ROUND(ic * 1.0 / (na.n + nbb.n - ic), 6) AS jaccard,
+        |    'base' AS against
+        |  FROM ib JOIN nd na ON na.doc_id = id_a
+        |          JOIN nb nbb ON nbb.doc_id = id_b
+        |  WHERE ROUND(ic * 1.0 / (na.n + nbb.n - ic), 6) >= 0.8),
+        |idd AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+        |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT id_a, id_b,
+        |    ROUND(ic * 1.0 / (na.n + nbb.n - ic), 6) AS jaccard,
+        |    'delta' AS against
+        |  FROM idd JOIN nd na ON na.doc_id = id_a
+        |           JOIN nd nbb ON nbb.doc_id = id_b
+        |  WHERE ROUND(ic * 1.0 / (na.n + nbb.n - ic), 6) >= 0.8)
+        |SELECT * FROM pb UNION ALL SELECT * FROM pd""".stripMargin,
 
     // window hashes regroup by the shingle STRING here — identical
     // grouping unless xxhash64 collides (the accepted shingle contract)
@@ -3117,6 +3169,17 @@ object SparkEntry {
   /** Word-3-gram shingle CTEs over ALL documents: `sh(doc_id, s)` —
     * the ONE tokenization every n-gram oracle builds on (jaccard,
     * components, decontamination, the pipeline). */
+  /** SQL twin of [[syntheticCrawl]]. */
+  private val crawlCte: String =
+    """crawl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END
+      |      AS text
+      |  FROM documents WHERE doc_id % 5 = 1
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS doc_id, text
+      |  FROM documents WHERE doc_id % 17 = 0)""".stripMargin
+
   private val shingleCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

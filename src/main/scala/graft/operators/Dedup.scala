@@ -186,6 +186,36 @@ object Dedup {
       .select("corpus_id", "ref_id", "jaccard")
   }
 
+  /** Incremental near-dedup: near-dup pairs TOUCHING a crawl delta —
+    * delta x base plus delta x delta, never base x base. This is the
+    * maintenance mode of [[ngramJaccardPairs]] for a snapshot kept
+    * current via [[snapshotMerge]]: the nightly delta is orders of
+    * magnitude smaller than the corpus, and restricting one join side
+    * to it means the prefix-filtered candidate join emits only pairs
+    * with a delta member — the base x base quadratic work (already
+    * settled in previous runs) is never re-done. The base is still
+    * scanned once for shingling/document frequencies (the exactness
+    * requirement: prefix order must be a shared total order over the
+    * union — see [[crossNearDupPairs]]); at 100 TB that pass is
+    * map-only over a cached/bucketed shingle projection.
+    *
+    * Output (id_a = delta doc, id_b = matched doc, jaccard, against ∈
+    * {base, delta}). An UPDATED doc typically pairs with its own base
+    * version (id_a = id_b, against = base) — that row is the "this
+    * update is a near-dup of its predecessor" signal, not a bug. */
+  def incrementalNearDupPairs(base: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val vsBase = crossNearDupPairs(delta, base, idCol, textCol, n,
+        threshold)
+      .select(col("corpus_id").as("id_a"), col("ref_id").as("id_b"),
+        col("jaccard"), lit("base").as("against"))
+    val within = ngramJaccardPairs(delta, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        lit("delta").as("against"))
+    vsBase.unionByName(within)
+  }
+
   /** Corpus rows with NO near-duplicate in the reference corpus —
     * the keep-side wrapper over [[crossNearDupPairs]] (anti-join on
     * flagged ids; reference rows are never emitted). */

@@ -455,6 +455,25 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       4L -> (("four", "inserted")))
   }
 
+  test("incrementalNearDupPairs: delta-touching pairs only, base x base never") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // base dup of 1
+      (3L, "completely different text about spark engines at scale")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      // near-identical re-crawl of doc 1 (one appended token)
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (9L, "unrelated fresh insert with no duplicate partner anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(base, delta, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    // the 1-2 base x base pair must NOT appear; delta doc 1 pairs with
+    // its predecessor AND with base doc 2 (its predecessor's exact dup)
+    got shouldBe Set((1L, 1L, "base"), (1L, 2L, "base"))
+  }
+
   test("snapshotMerge: an update TO null text is an update, not a keep") {
     val base = Seq((1L, "one")).toDF("doc_id", "text")
     val crawl = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
