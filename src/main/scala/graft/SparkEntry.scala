@@ -591,6 +591,19 @@ object SparkEntry {
     "q_token_entropy" -> ((s, dir) =>
       TextQuality.tokenEntropy(docs(s, dir), "doc_id", "text")),
 
+    // text analysis: character-class composition (script-mix routing
+    // signal) — map-only codegen'd regexp projection
+    "q_script_mix" -> ((s, dir) =>
+      TextQuality.scriptMix(docs(s, dir), "doc_id", "text")),
+
+    // normalization: per-source winsorization of doc length into the
+    // exact [P5, P95] band — broadcast bounds, map-only clamp
+    "q_winsorize" -> ((s, dir) =>
+      TextQuality.winsorize(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", loQ = 0.05, hiQ = 0.95)
+        .select("doc_id", "source", "n_chars", "n_chars_w")),
+
     // layout: Z-order (Morton) clustering of the corpus on
     // (n_chars, token count) — the exact ntile-along-the-curve flavor;
     // the production write path is the range-partitioned sibling
@@ -1973,6 +1986,36 @@ object SparkEntry {
         |          x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
         |        / len(t), 6) AS top_token_frac
         |FROM sig""".stripMargin,
+
+    // delete-and-difference char-class counts, 6dp
+    "q_script_mix" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  ROUND(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |      AS DOUBLE) / len(text) END, 6) AS alpha_frac,
+        |  ROUND(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS DOUBLE) / len(text) END, 6) AS digit_frac,
+        |  ROUND(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    CAST(len(text) - len(regexp_replace(text, '\s', '', 'g'))
+        |      AS DOUBLE) / len(text) END, 6) AS space_frac,
+        |  ROUND(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+        |      AS DOUBLE) / len(text) END, 6) AS other_frac
+        |FROM documents""".stripMargin,
+
+    // percentile_disc == DuckDB quantile_disc (q_source_quantiles
+    // proved the pairing); clamp replayed literally
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    quantile_disc(n_chars, 0.05) AS lo,
+        |    quantile_disc(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars,
+        |  least(greatest(n_chars, lo), hi) AS n_chars_w
+        |FROM documents d JOIN b ON d.source = b.source""".stripMargin,
 
     // same ln(x)/ln(2) formulation as the engine (log2() native would
     // round differently in the last ulp), 4dp

@@ -139,6 +139,51 @@ object TextQuality {
         round(log2(col("n")) - col("s") / col("n"), 4).as("entropy_bits"))
   }
 
+  /** Per-document character-class composition — the script-mix signal
+    * multilingual pipelines route on (a "Latin" doc drowning in digits
+    * or symbol soup is a different cleaning problem than prose).
+    * Fractions of alphabetic / digit / whitespace / other characters,
+    * counted by deleting each class and differencing lengths: pure
+    * codegen'd regexp projection, map-only, no shuffle. 6dp. */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val n = length(col(textCol))
+    def frac(re: String) = round(
+      when(n === 0, 0.0).otherwise(
+        (n - length(regexp_replace(col(textCol), re, ""))) / n), 6)
+    df.select(col(idCol),
+      n.cast("long").as("n_chars"),
+      frac("[A-Za-z]").as("alpha_frac"),
+      frac("[0-9]").as("digit_frac"),
+      frac("\\s").as("space_frac"),
+      frac("[^A-Za-z0-9\\s]").as("other_frac"))
+  }
+
+  /** Per-group winsorization: clamp `valCol` into its group's
+    * [loQ, hiQ] exact quantile band — the outlier-robust feature
+    * normalization step ahead of z-scoring or classifier training
+    * (heavy-tailed doc lengths otherwise dominate any moment-based
+    * calibration). One bounded-state `percentile_disc` aggregation
+    * (K groups x 2 longs to the join), then a broadcast probe +
+    * map-only clamp — the corpus never shuffles. Appends
+    * `<valCol>_w`. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(0 <= loQ && loQ < hiQ && hiQ <= 1, s"bad band [$loQ, $hiQ]")
+    // percentile_disc always returns an ACTUAL data value but types it
+    // double — cast back so the clamped column keeps the input dtype
+    val vt = df.schema(valCol).dataType
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile_disc($loQ) WITHIN GROUP (ORDER BY $valCol)")
+        .cast(vt).as("__lo"),
+      expr(s"percentile_disc($hiQ) WITHIN GROUP (ORDER BY $valCol)")
+        .cast(vt).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valCol}_w",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Quantile-threshold score binning — the scale-correct alternative
     * to `ntile(k) OVER (ORDER BY score)`: a global ntile funnels the
     * whole corpus through ONE ordered reducer, while here the k-1 exact

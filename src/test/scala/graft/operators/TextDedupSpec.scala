@@ -334,6 +334,38 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     byScore(3.0) should be < byScore(4.0)
   }
 
+  test("scriptMix: hand-computed class fractions summing to 1") {
+    //          0123456789
+    val text = "ab1 c, 42!" // 3 alpha, 3 digit, 2 space, 2 other
+    val r = TextQuality.scriptMix(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").first()
+    r.getLong(1) shouldBe 10L
+    r.getDouble(2) shouldBe 0.3 // a b c
+    r.getDouble(3) shouldBe 0.3 // 1 4 2
+    r.getDouble(4) shouldBe 0.2 // two spaces
+    r.getDouble(5) shouldBe 0.2 // comma, bang
+    (r.getDouble(2) + r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      ) shouldBe 1.0
+  }
+
+  test("winsorize clamps per group to the exact quantile band") {
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 1000L), ("b", 2000L), ("b", 3000L)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val out = TextQuality.winsorize(df, "grp", "v", 0.2, 0.8)
+      .select("id", "v_w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group a: type-1 P20 of 1..10 = 2, P80 = 8
+    out(0L) shouldBe 2L  // v=1 clamped up
+    out(4L) shouldBe 5L  // inside the band, untouched
+    out(9L) shouldBe 8L  // v=10 clamped down
+    // group b keeps its own band (P20=1000, P80=3000 over 3 values ->
+    // quantile indices pick actual members)
+    out(10L) shouldBe 1000L
+    out(12L) should be <= 3000L
+  }
+
   test("lengthBand keeps exactly the docs inside the quantile band") {
     // token counts 1..10; type-1 P20 of [1..10] = 2, P80 = 8
     val df = Seq.tabulate(10)(i =>
