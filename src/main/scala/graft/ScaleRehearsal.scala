@@ -325,6 +325,27 @@ object ScaleRehearsal {
             docs.withColumn("nc", length(col("text"))),
             "source", "nc", "doc_id", maxPer = 200).count()
         },
+        timed("dup_passage")(
+          Dedup.dupPassageStats(docs, "doc_id", "text", k = 8)
+            // consume dup_windows or the join gets pruned to row count
+            .agg(org.apache.spark.sql.functions.sum("dup_windows"))
+            .first().getLong(0)),
+        timed("heavy_hitters")(
+          graft.operators.Sketches.heavyHitters(docs, "text",
+            minCount = 100L).count()),
+        timed("incr_neardup") {
+          import org.apache.spark.sql.functions.col
+          // nightly delta (~7%) vs the full snapshot
+          Dedup.incrementalNearDupPairs(
+            docs.filter(col("doc_id") % 14 =!= 0),
+            docs.filter(col("doc_id") % 14 === 0),
+            "doc_id", "text", n = 3, threshold = 0.8).count()
+        },
+        timed("token_entropy") {
+          import org.apache.spark.sql.functions.{col, sum => fsum}
+          graft.operators.TextQuality.tokenEntropy(docs, "doc_id", "text")
+            .agg(fsum("entropy_bits")).first().getDouble(0).toLong
+        },
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)

@@ -526,4 +526,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(plan.contains("partial_"), "no map-side partial aggregate")
     }
   }
+
+  test("bloom prune: probe filters the fact scan BEFORE a broadcast " +
+      "confirm semi-join") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_bloom_prune")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("bloommightcontainexpr"),
+        s"bloom probe missing from the plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") &&
+        plan.contains("LeftSemi"),
+        s"confirm should be a broadcast left-semi at this scale:\n$plan")
+      // the probe must sit below the join: prune first, confirm after
+      val probeIdx = plan.indexOf("bloommightcontainexpr")
+      val joinIdx = plan.indexOf("BroadcastHashJoin")
+      assert(joinIdx < probeIdx, // toString prints parents first
+        s"bloom probe is not upstream of the confirm join:\n$plan")
+    }
+  }
+
+  test("dup passage: hash exchanges only — no cartesian, no " +
+      "single-partition funnel, window keyed by the 8-byte hash") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_dup_passage")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("Cartesian"), s"cartesian leaked:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"single-partition funnel:\n$plan")
+      assert(plan.contains("Window"), s"cross-doc count lost:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_"),
+        s"per-doc window counts must map-side combine:\n$plan")
+      graft.operators.Dedup.releaseCaches()
+    }
+  }
+
+  test("winsorize: bounds broadcast back; corpus never shuffle-joins") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_winsorize")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"quantile bounds should broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus must not shuffle for the clamp:\n$plan")
+    }
+  }
 }
