@@ -746,6 +746,21 @@ object SparkEntry {
     "q_dup_passage" -> ((s, dir) =>
       Dedup.dupPassageStats(docs(s, dir), "doc_id", "text", k = 8)),
 
+    // streaming: the foreachBatch snapshot maintainer's merge step,
+    // folded over the crawl as two micro-batches (updates, then
+    // inserts) — sequential merges must equal the one-shot MERGE
+    // (q_merge_upsert's oracle minus the per-batch-dependent op);
+    // the real versioned sink is spec-driven with MemoryStream
+    "q_stream_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val crawl = syntheticCrawl(d)
+      val b1 = crawl.filter(col("doc_id") >= 0)
+      val b2 = crawl.filter(col("doc_id") < 0)
+      val afterB1 = graft.streaming.StreamingOps.mergeBatch(
+        d.select(col("doc_id"), col("text")), b1, "doc_id", "text")
+      graft.streaming.StreamingOps.mergeBatch(afterB1, b2, "doc_id", "text")
+    }),
+
     // dedup: word-3-gram Jaccard near-dup pairs (exact inverted index)
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -2533,6 +2548,18 @@ object SparkEntry {
         |       WHEN u.fp IS NULL THEN 'kept'
         |       WHEN u.fp <> b.fp THEN 'updated'
         |       ELSE 'unchanged' END AS op
+        |FROM b FULL OUTER JOIN u ON b.doc_id = u.doc_id""".stripMargin,
+
+    // sequential micro-batch merges == the one-shot MERGE (disjoint
+    // batch id sets); op is per-batch-dependent, so the snapshot is
+    // just (id, text)
+    "q_stream_merge" ->
+      s"""WITH $crawlCte,
+        |b AS (SELECT doc_id, text FROM documents),
+        |u AS (SELECT doc_id, text FROM crawl)
+        |SELECT COALESCE(u.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END
+        |    AS text
         |FROM b FULL OUTER JOIN u ON b.doc_id = u.doc_id""".stripMargin,
 
     // the prefix filter is pure candidate pruning — the oracle is the

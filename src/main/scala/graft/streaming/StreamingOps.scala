@@ -119,6 +119,63 @@ object StreamingOps {
     }
   }
 
+  /** One MERGE step of the streaming snapshot maintainer: fold a batch
+    * of (id, text) upserts into the previous snapshot. Pure function of
+    * (prev, batch) — [[mergeSnapshotSink]] wires it into foreachBatch,
+    * and its replay-idempotence is what turns Spark's at-least-once
+    * batch delivery into an effectively-exactly-once sink. */
+  def mergeBatch(prev: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Dedup.snapshotMerge(prev, batch, idCol, textCol)
+      .select(idCol, textCol)
+
+  /** Exactly-once streaming snapshot maintenance: every micro-batch of
+    * upserts MERGEs into a VERSIONED parquet snapshot —
+    * `workDir/v=<batchId>` is rebuilt from the latest version `<
+    * batchId` (or `base` for the first). A failure-replayed batch
+    * (Spark's delivery is at-least-once) reads the same predecessor
+    * and overwrites the same dir with identical content, so the sink
+    * is idempotent; readers pin a version and never see a half-written
+    * table. This is the Delta-style MERGE INTO loop expressed with
+    * nothing but parquet + deterministic versioning — at 100 TB the
+    * per-batch cost is one full-outer join of snapshot x delta, which
+    * AQE broadcasts whenever the crawl delta is small.
+    *
+    * Caller starts/stops the query (e.g. `.trigger(AvailableNow)`). */
+  def mergeSnapshotSink(updates: DataFrame, base: DataFrame,
+      workDir: String, idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    updates.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeSnapshotBatch(base, workDir, idCol, textCol)(
+          batch.toDF(), batchId)
+    }
+
+  /** The foreachBatch body of [[mergeSnapshotSink]], visible so specs
+    * can drive a failure REPLAY directly: rebuild `v=<batchId>` from
+    * the latest version strictly below it. */
+  private[streaming] def mergeSnapshotBatch(base: DataFrame,
+      workDir: String, idCol: String, textCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val wd = new org.apache.hadoop.fs.Path(workDir)
+    val prevVersion: Option[Long] =
+      if (!fs.exists(wd)) None
+      else fs.listStatus(wd).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong)
+        .filter(_ < batchId)
+        .maxOption
+    val prev = prevVersion
+      .map(v => spark.read.parquet(s"$workDir/v=$v"))
+      .getOrElse(base.select(col(idCol), col(textCol)))
+    mergeBatch(prev, batch, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$workDir/v=$batchId")
+  }
+
   /** Streaming dedup on a key column bounded by the watermark window —
     * the streaming analogue of `Dedup.dedupExact`. Batch frames take the
     * unbounded `dropDuplicates` (Spark rejects the watermark variant in

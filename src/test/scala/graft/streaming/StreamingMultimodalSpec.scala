@@ -218,6 +218,35 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
         .select("surface").as[String].collect().toSeq shouldBe Seq("web")
     } finally q.stop()
   }
+
+  test("mergeSnapshotSink: versioned MERGE stream, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-merge-sink").toString
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.mergeSnapshotSink(
+        mem.toDF().toDF("doc_id", "text"), base, work, "doc_id", "text")
+      .start()
+    try {
+      mem.addData((2L, "two v2"))
+      q.processAllAvailable() // batch 0: update doc 2
+      mem.addData((4L, "four"), (2L, "two v3"))
+      q.processAllAvailable() // batch 1: insert doc 4, update 2 again
+    } finally q.stop()
+    def snap(v: Long): Map[Long, String] =
+      spark.read.parquet(s"$work/v=$v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    snap(0L) shouldBe Map(1L -> "one", 2L -> "two v2", 3L -> "three")
+    val v1 = Map(1L -> "one", 2L -> "two v3", 3L -> "three", 4L -> "four")
+    snap(1L) shouldBe v1
+    // failure replay: re-run batch 1's body; v=1 must rebuild from v=0
+    // to the identical snapshot (at-least-once -> exactly-once)
+    StreamingOps.mergeSnapshotBatch(base, work, "doc_id", "text")(
+      Seq((4L, "four"), (2L, "two v3")).toDF("doc_id", "text"), 1L)
+    snap(1L) shouldBe v1
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
