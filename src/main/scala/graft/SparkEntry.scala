@@ -514,6 +514,36 @@ object SparkEntry {
           coalesce(col("lang"), lit("ALL")).as("lang"),
           col("cnt"), col("sum_chars"))),
 
+    // corpus stats: disjoint-dimension GROUPING SETS — per-source,
+    // per-lang, and grand-total rows in ONE scan (rollup's cousin for
+    // non-hierarchical dims; same single-shuffle Expand plan)
+    "q_grouping_sets" -> ((s, dir) =>
+      docs(s, dir)
+        .groupingSets(
+          Seq(Seq(col("source")), Seq(col("lang")), Seq.empty),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("cnt"), col("sum_chars"))),
+
+    // corpus stats: per-source least-squares trend of doc length on
+    // token count (regr_slope/intercept replayed as the covar/var
+    // moment ratio on both engines, 6dp)
+    "q_source_trend" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          col("n_chars").cast("double").as("y"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("double").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6)
+            .as("slope"),
+          round(avg(col("y")) -
+            covar_pop(col("x"), col("y")) / var_pop(col("x")) *
+              avg(col("x")), 6).as("intercept"))),
+
     // corpus stats: per-source exact type-1 length quantiles (the
     // bounded-state percentile agg per group — no global sort, no
     // per-group collect)
@@ -2448,6 +2478,27 @@ object SparkEntry {
         |  count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(source, 'ALL') AS source,
+        |  COALESCE(lang, 'ALL') AS lang,
+        |  count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin,
+
+    // regr_slope == covar_pop/var_pop by definition; the intercept is
+    // replayed with the same moment expressions and operation order
+    "q_source_trend" ->
+      """WITH b AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS y,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS DOUBLE) AS x
+        |  FROM documents)
+        |SELECT source, count(*) AS n,
+        |  ROUND(covar_pop(x, y) / var_pop(x), 6) AS slope,
+        |  ROUND(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
+        |    AS intercept
+        |FROM b GROUP BY source""".stripMargin,
 
     "q_source_quantiles" ->
       """SELECT source,
