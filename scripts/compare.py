@@ -20,7 +20,11 @@ fail = 0
 names = sorted(only) if only else sorted(oracle)
 for name in names:
     if name not in oracle:
-        print(f'{name}: SKIP (no oracle)')
+        # only reachable for explicitly-requested names: a typo or a
+        # dropped oracle entry must not silently pass the gate
+        print(f'{name}: FAIL no oracle entry (typo, dropped entry, '
+              f'or a rows-only query this tool cannot check)')
+        fail += 1
         continue
     d = f'{out}/{name}.parquet' if os.path.isdir(f'{out}/{name}.parquet') \
         else f'{out}/{name}'

@@ -2043,10 +2043,10 @@ object SparkEntry {
         |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
         |      AS DOUBLE) / len(text) END, 6) AS digit_frac,
         |  ROUND(CASE WHEN len(text) = 0 THEN 0.0 ELSE
-        |    CAST(len(text) - len(regexp_replace(text, '\s', '', 'g'))
+        |    CAST(len(text) - len(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
         |      AS DOUBLE) / len(text) END, 6) AS space_frac,
         |  ROUND(CASE WHEN len(text) = 0 THEN 0.0 ELSE
-        |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+        |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g'))
         |      AS DOUBLE) / len(text) END, 6) AS other_frac
         |FROM documents""".stripMargin,
 

@@ -423,7 +423,14 @@ object Dedup {
     *
     * One full-outer hash join on id (AQE broadcasts when the delta is
     * small — the common nightly-crawl case); texts ride the join once,
-    * no second pass. */
+    * no second pass.
+    *
+    * PRECONDITION: `updates` has at most one row per id — a duplicated
+    * id matches the same base row twice and both copies land in the
+    * merged snapshot. The streaming wrapper
+    * ([[graft.streaming.StreamingOps.mergeBatch]]) enforces this with a
+    * deterministic per-id collapse before calling here; batch callers
+    * own the invariant themselves. */
   def snapshotMerge(base: DataFrame, updates: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val fp = coalesce(fingerprint(col(textCol)), lit("__null_text__"))

@@ -70,10 +70,17 @@ object Profile {
     }
     val distinctAggs = kinds.map { case (c, _) =>
       distinctExpr(c, approxDistinct).as(s"${c}__n_distinct") }
-    // distinct metrics aggregate SEPARATELY so the Expand's multiplied
-    // rows carry only (gid, value) lanes, not every moment expression
-    val wide = df.agg(momentAggs.head, momentAggs.tail: _*)
-      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+    // exact count_distinct plans an Expand, so its metrics aggregate
+    // SEPARATELY (the multiplied rows carry only (gid, value) lanes,
+    // not every moment expression); the HLL flavor needs no Expand and
+    // rides in the moments aggregate — truly ONE scan, the whole point
+    // of approxDistinct at 100 TB
+    val wide =
+      if (approxDistinct) {
+        val all = momentAggs ++ distinctAggs
+        df.agg(all.head, all.tail: _*)
+      } else df.agg(momentAggs.head, momentAggs.tail: _*)
+        .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
     // unpivot the single row engine-side
     val cells = kinds.flatMap { case (c, k) =>
       ("n_distinct" +: momentExprs(c, k).map(_._1)).map { m =>

@@ -35,12 +35,15 @@ object Sketches {
   def bloomSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
       keyCol: String, fpp: Double = 0.01, expectedKeys: Long = 0L)
       : DataFrame = {
+    // the keys plan executes up to three times (count, bloom build,
+    // confirm join) — cache it once; left_semi already ignores build-side
+    // duplicates, so no distinct() is needed
+    val k = TrackedCaches.persist(keys.select(col(keyCol).as(bigKey)))
     val n = if (expectedKeys > 0) expectedKeys
-      else math.max(keys.count(), 1L)
-    val bloom = keys.stat.bloomFilter(keyCol, n, fpp)
+      else math.max(k.count(), 1L)
+    val bloom = k.stat.bloomFilter(bigKey, n, fpp)
     big.filter(bloomMightContain(bloom, col(bigKey)))
-      .join(keys.select(col(keyCol).as(bigKey)).distinct(),
-        Seq(bigKey), "left_semi")
+      .join(k, Seq(bigKey), "left_semi")
   }
 
   /** Exact heavy hitters: whitespace tokens of `textCol` whose corpus

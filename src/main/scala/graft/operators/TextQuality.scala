@@ -151,12 +151,16 @@ object TextQuality {
     def frac(re: String) = round(
       when(n === 0, 0.0).otherwise(
         (n - length(regexp_replace(col(textCol), re, ""))) / n), 6)
+    // whitespace is the EXPLICIT class Java's \s denotes — RE2 (the
+    // DuckDB oracle) excludes \x0B from its \s, so a shorthand here
+    // would silently diverge on vertical-tab the day a corpus has one
+    val ws = " \\t\\n\\x0B\\f\\r"
     df.select(col(idCol),
       n.cast("long").as("n_chars"),
       frac("[A-Za-z]").as("alpha_frac"),
       frac("[0-9]").as("digit_frac"),
-      frac("\\s").as("space_frac"),
-      frac("[^A-Za-z0-9\\s]").as("other_frac"))
+      frac(s"[$ws]").as("space_frac"),
+      frac(s"[^A-Za-z0-9$ws]").as("other_frac"))
   }
 
   /** Per-group winsorization: clamp `valCol` into its group's
@@ -179,8 +183,11 @@ object TextQuality {
       expr(s"percentile_disc($hiQ) WITHIN GROUP (ORDER BY $valCol)")
         .cast(vt).as("__hi"))
     df.join(broadcast(bounds), groupCol)
+      // greatest/least skip NULLs, which would rewrite a missing value
+      // to the P-lo bound — a NULL measurement must stay NULL
       .withColumn(s"${valCol}_w",
-        least(greatest(col(valCol), col("__lo")), col("__hi")))
+        when(col(valCol).isNotNull,
+          least(greatest(col(valCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 

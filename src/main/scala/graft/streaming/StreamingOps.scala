@@ -125,9 +125,21 @@ object StreamingOps {
     * and its replay-idempotence is what turns Spark's at-least-once
     * batch delivery into an effectively-exactly-once sink. */
   def mergeBatch(prev: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    graft.operators.Dedup.snapshotMerge(prev, batch, idCol, textCol)
+      textCol: String): DataFrame = {
+    // a crawl feed routinely re-delivers the same id twice inside one
+    // trigger; snapshotMerge's full-outer join would emit BOTH rows and
+    // the duplicate id then lives in every later snapshot. A micro-batch
+    // has no row order, so "last wins" is undefined — collapse to one
+    // DETERMINISTIC survivor per id (max fingerprint; ties are
+    // byte-identical texts) so failure replays rebuild identical bytes.
+    val fp = coalesce(
+      graft.functions.TextFunctions.fingerprint(col(textCol)),
+      lit("__null_text__"))
+    val one = batch.groupBy(col(idCol))
+      .agg(max_by(col(textCol), fp).as(textCol))
+    graft.operators.Dedup.snapshotMerge(prev, one, idCol, textCol)
       .select(idCol, textCol)
+  }
 
   /** Exactly-once streaming snapshot maintenance: every micro-batch of
     * upserts MERGEs into a VERSIONED parquet snapshot —
@@ -159,9 +171,11 @@ object StreamingOps {
       workDir: String, idCol: String, textCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from workDir itself — FileSystem.get(conf) returns
+    // the DEFAULT FS and throws "Wrong FS" when workDir lives elsewhere
+    // (s3a:// snapshot dir under an hdfs:// default, the deployed case)
     val wd = new org.apache.hadoop.fs.Path(workDir)
+    val fs = wd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevVersion: Option[Long] =
       if (!fs.exists(wd)) None
       else fs.listStatus(wd).iterator.map(_.getPath.getName)

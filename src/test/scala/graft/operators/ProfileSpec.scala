@@ -69,7 +69,7 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
         .queryExecution.executedPlan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec => s
         }
-      approxScans.length shouldBe 2 // separate agg, still no Expand
+      approxScans.length shouldBe 1 // HLL rides the moments agg: 1 scan
     } finally spark.conf.set(key, prev)
   }
 

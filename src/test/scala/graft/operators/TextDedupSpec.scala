@@ -348,6 +348,16 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
       ) shouldBe 1.0
   }
 
+  test("scriptMix counts vertical tab as whitespace (explicit class)") {
+    // \x0B is in Java's \s but NOT in RE2's — the operator spells the
+    // class out so both engines agree; VT must land in space_frac
+    val r = TextQuality.scriptMix(
+      Seq((1L, "a\u000Bb")).toDF("doc_id", "text"), "doc_id", "text")
+      .first()
+    r.getDouble(4) shouldBe 0.333333 // space_frac: the VT
+    r.getDouble(5) shouldBe 0.0      // not other_frac
+  }
+
   test("winsorize clamps per group to the exact quantile band") {
     val df = ((1 to 10).map(v => ("a", v.toLong)) ++
       Seq(("b", 1000L), ("b", 2000L), ("b", 3000L)))
@@ -360,6 +370,14 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(0L) shouldBe 2L  // v=1 clamped up
     out(4L) shouldBe 5L  // inside the band, untouched
     out(9L) shouldBe 8L  // v=10 clamped down
+    // a NULL measurement must stay NULL, not be rewritten to the P-lo
+    // bound (greatest/least skip NULLs)
+    val withNull = df.union(Seq((99L, "a", null.asInstanceOf[Any]))
+      .map { case (i, g, _) => (i, g, Option.empty[Long]) }
+      .toDF("id", "grp", "v"))
+    val nw = TextQuality.winsorize(withNull, "grp", "v", 0.2, 0.8)
+      .filter(col("id") === 99L).select("v_w").first()
+    nw.isNullAt(0) shouldBe true
     // group b keeps its own band (P20=1000, P80=3000 over 3 values ->
     // quantile indices pick actual members)
     out(10L) shouldBe 1000L

@@ -247,6 +247,19 @@ class StreamingOpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq((4L, "four"), (2L, "two v3")).toDF("doc_id", "text"), 1L)
     snap(1L) shouldBe v1
   }
+
+  test("mergeBatch collapses duplicate ids within one batch") {
+    val prev = Seq((1L, "one")).toDF("doc_id", "text")
+    // same doc re-crawled twice inside a trigger: ONE deterministic
+    // survivor (max md5 fingerprint — md5("b") > md5("a")), never two
+    // rows for the id
+    val batch = Seq((1L, "a"), (1L, "b"), (2L, "x")).toDF("doc_id", "text")
+    val out = StreamingOps.mergeBatch(prev, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "b", 2L -> "x")
+    StreamingOps.mergeBatch(prev, batch, "doc_id", "text")
+      .count() shouldBe 2L
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with Matchers with SparkSpec {
