@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
-import graft.did.{AttGt, Preprocess}
+import graft.did.{AttGt, Preprocess, PreTest}
 import graft.operators.{Chunking, Dedup, Graph, Sampling}
 
 /** Fresh-DGP scale rehearsal (VERDICT r3 #7): measures the dedup suite
@@ -351,6 +351,18 @@ object ScaleRehearsal {
           val fit = AttGt.fit(pp, bstrap = true)
           val n = fit.resultDF.count()
           fit.unpersist(); pp.unpersist()
+          n
+        },
+        timed("att_vcov_pretest") {
+          // cold fit + full covariance matrix + the driver-side Wald
+          // solve: the K^2 pair blow-up happens map-side per unit, so
+          // the exponent should track the fit's, not the pair count's
+          val pp = Preprocess.run(pan, PanelView.config)
+          val fit = AttGt.fit(pp)
+          val n = PreTest.vcov(fit).count()
+          val r = PreTest.wald(fit)
+          fit.unpersist(); pp.unpersist()
+          require(r.pval >= 0 && r.pval <= 1)
           n
         }).flatten
       docs.unpersist(); pan.unpersist(); emb.unpersist(); evs.unpersist()

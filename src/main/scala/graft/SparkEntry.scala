@@ -340,6 +340,19 @@ object SparkEntry {
       }.toDF("e", "att")
     }),
 
+    // §2.9 dynamic aggregation with the reference's min_e/max_e event
+    // window trim (`csdids/ATTgt.py:520-522,643`) — the event-study
+    // window clipped to [-3, 2]; per-e weights are normalized within
+    // each event time, so the trim is exactly a keep-filter on e (the
+    // oracle replays the full grid and filters)
+    "q_aggte_dynamic_window" -> ((s, dir) => {
+      import s.implicits._
+      val r = Aggte.dynamic(prepFor(s, dir), minE = -3, maxE = 2)
+      r.egt.zip(r.attEgt).map { case (e, a) =>
+        (e, BigDecimal(a).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("e", "att")
+    }),
+
     // §2.8 multiplier-bootstrap SEs (seeded; rows-only check — the
     // Rademacher draws are not SQL-expressible). Runs on the shared
     // fit's persisted IF table: the bootstrap is a pure function of the
@@ -440,6 +453,33 @@ object SparkEntry {
           round(sqrt(col("ss")) / f.pp.n, 4).as("se"))
     }),
 
+    // §2.7 extension: full covariance matrix of the ATT(g,t) estimates
+    // (upper triangle) off the sparse IF store — ONE unit-id self-join
+    // whose shuffle carries only K^2-row partial aggregates (PreTest
+    // .vcov), then the tiny cell grid broadcast on for labels. The same
+    // per-unit IF chain as q_if_norms makes every entry ANSI-expressible;
+    // this matrix drives the PreTest.wald pre-trend test (driver-side
+    // K_pre x K_pre solve, spec-pinned — matrix inversion is not SQL).
+    // cov is raw-y scale (~1e9 here), so it is pinned at 2dp (cross-
+    // engine sum-order tolerance ~1e-4 — the q_mboot_draws_md5 rounding
+    // rationale); corr is the scale-free flavor at a comfortable 6dp
+    "q_att_gt_vcov" -> ((s, dir) => {
+      import s.implicits._
+      val f = fitFor(s, dir)
+      val cellMap = f.cells.filterNot(c => c.zeroCell || f.skipped(c.idx))
+        .map(c => (c.idx, c.g, c.tn)).toDF("cell", "g", "t")
+      val v = graft.operators.TrackedCaches.persist(PreTest.vcov(f))
+      val d = v.filter(col("c1") === col("c2"))
+        .select(col("c1").as("c"), col("cov").as("vv"))
+      v.join(broadcast(d.toDF("c1", "v1")), "c1")
+        .join(broadcast(d.toDF("c2", "v2")), "c2")
+        .join(broadcast(cellMap.toDF("c1", "g1", "t1")), "c1")
+        .join(broadcast(cellMap.toDF("c2", "g2", "t2")), "c2")
+        .select(col("g1"), col("t1"), col("g2"), col("t2"),
+          round(col("cov"), 2).as("cov"),
+          round(col("cov") / sqrt(col("v1") * col("v2")), 6).as("corr"))
+    }),
+
     // ---- training-data-pipeline extensions (SURVEY.md §7.7) ----------
 
     // text analysis: token counting (whitespace + BPE-ish regex)
@@ -488,6 +528,18 @@ object SparkEntry {
         d.filter(col("doc_id") % 5 =!= 0),
         d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text")
+    }),
+
+    // text analysis: CCNet head/middle/tail routing — per-LANGUAGE exact
+    // type-1 tercile thresholds over the bigram-LM score (LM scores are
+    // not comparable across languages, hence the per-lang split); one
+    // bounded-state percentile agg broadcast back, map-only CASE
+    "q_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextQuality.pplBuckets(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
     }),
 
     // sampling: DSIR importance log-weights — raw corpus (doc_id % 5
@@ -1717,6 +1769,34 @@ object SparkEntry {
       |  FROM u, range(64) r(b), nn
       |  GROUP BY u.g, u.tn, r.b, nn.n)""".stripMargin
 
+  /** Bigram-LM scoring replay shared by `q_ngram_ppl` (verbatim) and
+    * `q_ppl_buckets` (as a CTE feeding the tercile thresholds). */
+  private val ngramPplSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bg AS (
+      |  SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+      |  FROM tok, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) u(p)
+      |  WHERE len(ts) >= 2),
+      |refbg AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg
+      |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+      |refctx AS (SELECT w1, SUM(c2) AS c1 FROM refbg GROUP BY 1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT w) AS v
+      |  FROM (SELECT unnest(ts) AS w FROM tok WHERE doc_id % 5 = 0))
+      |SELECT b.doc_id,
+      |  ROUND(AVG(-ln((COALESCE(r.c2, 0) + 0.5) /
+      |                (COALESCE(x.c1, 0) + 0.5 * vocab.v))), 6) AS nlp
+      |FROM bg b
+      |LEFT JOIN refbg r ON b.w1 = r.w1 AND b.w2 = r.w2
+      |LEFT JOIN refctx x ON b.w1 = x.w1
+      |CROSS JOIN vocab
+      |WHERE b.doc_id % 5 <> 0
+      |GROUP BY b.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = withSharedOracles(Map(
     "q_att_gt_universal" -> attGtUniversalSql,
     "q_att_gt_nyt" -> attGtNytSql,
@@ -1788,6 +1868,26 @@ object SparkEntry {
       s""", $ifUnitCte
         |SELECT u.g, u.tn AS t, ROUND(sqrt(SUM(inf * inf)) / nn.n, 4) AS se
         |FROM u, nn GROUP BY u.g, u.tn, nn.n""".stripMargin),
+
+    // ATT(g,t) covariance matrix: per-unit IF chain (same CTE as
+    // q_if_norms), unit-id self-join, upper triangle in (g,t)-lex order
+    // (the engine's cell-index order is the same lexicographic grid);
+    // corr = cov / sqrt(var1 * var2) off the diagonal of the same matrix
+    "q_att_gt_vcov" -> withPanelCte(
+      s""", $ifUnitCte,
+        |vv AS (
+        |  SELECT a.g AS g1, a.tn AS t1, b.g AS g2, b.tn AS t2,
+        |    SUM(a.inf * b.inf) / (nn.n * nn.n) AS cov
+        |  FROM u a JOIN u b ON a.id = b.id, nn
+        |  WHERE (a.g, a.tn) <= (b.g, b.tn)
+        |  GROUP BY a.g, a.tn, b.g, b.tn, nn.n),
+        |dd AS (SELECT g1 AS g, t1 AS t, cov AS v FROM vv
+        |       WHERE g1 = g2 AND t1 = t2)
+        |SELECT vv.g1, vv.t1, vv.g2, vv.t2, ROUND(vv.cov, 2) AS cov,
+        |  ROUND(vv.cov / sqrt(d1.v * d2.v), 6) AS corr
+        |FROM vv
+        |JOIN dd d1 ON vv.g1 = d1.g AND vv.t1 = d1.t
+        |JOIN dd d2 ON vv.g2 = d2.g AND vv.t2 = d2.t""".stripMargin),
 
     // md5-flavor bootstrap draw matrix: per-unit IF rebuilt from raw
     // panel (same chain as q_if_norms), signs = top md5 bit of
@@ -1921,6 +2021,39 @@ object SparkEntry {
         |SELECT k.e, ROUND(SUM(k.att * pg.pg) / SUM(pg.pg), 4) AS att
         |FROM katt k JOIN pg ON pg.g = k.g GROUP BY k.e""".stripMargin),
 
+    // min_e/max_e window trim: per-e weights normalize WITHIN each event
+    // time, so trimming is exactly a keep-filter on e over the full grid
+    "q_aggte_dynamic_window" -> withPanelCte(
+      """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+        |         FROM (SELECT DISTINCT t FROM panel)),
+        |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+        |cells AS (
+        |  SELECT gs.g, tl.t AS tn,
+        |    CASE WHEN gs.g <= tl.t
+        |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
+        |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+        |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+        |m AS (
+        |  SELECT c.g, c.tn,
+        |    AVG(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.y END) AS mu11,
+        |    AVG(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.y END) AS mu10,
+        |    AVG(CASE WHEN p.g = 0 AND p.t = c.tn THEN p.y END) AS mu01,
+        |    AVG(CASE WHEN p.g = 0 AND p.t = c.tpre THEN p.y END) AS mu00
+        |  FROM cells c JOIN panel p
+        |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)
+        |  GROUP BY c.g, c.tn),
+        |units AS (SELECT DISTINCT id, g FROM panel),
+        |pg AS (SELECT g, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units) AS pg
+        |       FROM units GROUP BY g),
+        |katt AS (
+        |  SELECT c.g, c.tn, c.tn - c.g AS e,
+        |         COALESCE((m.mu11 - m.mu10) - (m.mu01 - m.mu00), 0) AS att
+        |  FROM cells c LEFT JOIN m ON m.g = c.g AND m.tn = c.tn)
+        |SELECT k.e, ROUND(SUM(k.att * pg.pg) / SUM(pg.pg), 4) AS att
+        |FROM katt k JOIN pg ON pg.g = k.g
+        |WHERE k.e BETWEEN -3 AND 2
+        |GROUP BY k.e""".stripMargin),
+
     // ---- extension oracles ----------------------------------------
 
     "q_token_stats" ->
@@ -1931,31 +2064,27 @@ object SparkEntry {
 
     // bigram LM replay: reference bigram/context counts, vocabulary
     // size, add-0.5 smoothing, per-doc mean of -ln P
-    "q_ngram_ppl" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ts
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |bg AS (
-        |  SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
-        |  FROM tok, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) u(p)
-        |  WHERE len(ts) >= 2),
-        |refbg AS (
-        |  SELECT w1, w2, COUNT(*) AS c2 FROM bg
-        |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
-        |refctx AS (SELECT w1, SUM(c2) AS c1 FROM refbg GROUP BY 1),
-        |vocab AS (
-        |  SELECT COUNT(DISTINCT w) AS v
-        |  FROM (SELECT unnest(ts) AS w FROM tok WHERE doc_id % 5 = 0))
-        |SELECT b.doc_id,
-        |  ROUND(AVG(-ln((COALESCE(r.c2, 0) + 0.5) /
-        |                (COALESCE(x.c1, 0) + 0.5 * vocab.v))), 6) AS nlp
-        |FROM bg b
-        |LEFT JOIN refbg r ON b.w1 = r.w1 AND b.w2 = r.w2
-        |LEFT JOIN refctx x ON b.w1 = x.w1
-        |CROSS JOIN vocab
-        |WHERE b.doc_id % 5 <> 0
-        |GROUP BY b.doc_id""".stripMargin,
+    "q_ngram_ppl" -> ngramPplSql,
+
+    // CCNet terciles over the same bigram-LM replay: per-lang type-1
+    // percentile_disc thresholds on the 6dp-rounded scores, CASE bucket
+    "q_ppl_buckets" ->
+      s"""WITH ppl AS ($ngramPplSql),
+        |wl AS (
+        |  SELECT p.doc_id, d.lang, p.nlp
+        |  FROM ppl p JOIN documents d ON p.doc_id = d.doc_id),
+        |th AS (
+        |  SELECT lang,
+        |    percentile_disc(0.3333333333) WITHIN GROUP (ORDER BY nlp)
+        |      AS q33,
+        |    percentile_disc(0.6666666667) WITHIN GROUP (ORDER BY nlp)
+        |      AS q66
+        |  FROM wl GROUP BY lang)
+        |SELECT wl.doc_id, wl.lang, wl.nlp,
+        |  CASE WHEN wl.nlp <= th.q33 THEN 'head'
+        |       WHEN wl.nlp <= th.q66 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM wl JOIN th ON wl.lang = th.lang""".stripMargin,
 
     // fixture join (BPE is not SQL-expressible): counts precomputed by
     // an independent Python implementation of the same public

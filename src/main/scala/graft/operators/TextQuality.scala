@@ -272,6 +272,37 @@ object TextQuality {
       .agg(round(avg(col("lp")), 6).as("nlp"))
   }
 
+  /** CCNet-style head/middle/tail perplexity bucketing per language
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): exact type-1 tercile thresholds of
+    * the [[ngramLogProb]] score WITHIN each language, `head` = the most
+    * reference-like third. Per-language thresholds matter because LM
+    * scores are not comparable across languages.
+    *
+    * Scale shape: the scored table is cached once (two consumers), the
+    * thresholds are a bounded-state `percentile_disc` aggregate — one
+    * row per language, broadcast back — so there is no global sort and
+    * no per-language collect; bucketing is a map-only CASE. Thresholds
+    * compare the 6dp-rounded scores, making the boundary assignment
+    * engine-stable (oracle `q_ppl_buckets`). */
+  def pplBuckets(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val wl = TrackedCaches.persist(
+      ngramLogProb(docs, reference, idCol, textCol)
+        .join(docs.select(col(idCol).as("doc_id"),
+          col(langCol).as("lang")), "doc_id"))
+    val th = wl.groupBy("lang").agg(
+      expr("percentile_disc(0.3333333333) WITHIN GROUP (ORDER BY nlp)")
+        .as("q33"),
+      expr("percentile_disc(0.6666666667) WITHIN GROUP (ORDER BY nlp)")
+        .as("q66"))
+    wl.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("nlp"),
+        when(col("nlp") <= col("q33"), lit("head"))
+          .when(col("nlp") <= col("q66"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Corpus collocations: top-k adjacent-token pairs by pointwise
     * mutual information, `pmi = ln(P(a,b) / (P(a) P(b)))` with unigram
     * probabilities over all tokens and pair probabilities over all

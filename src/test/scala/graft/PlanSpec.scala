@@ -570,4 +570,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"corpus must not shuffle for the clamp:\n$plan")
     }
   }
+
+  test("att vcov: unit-id equi self-join, labels broadcast, no cartesian") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_att_gt_vcov")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("Cartesian"), s"cartesian leaked:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"cell labels / diagonal should broadcast:\n$plan")
+      assert(plan.contains("partial_"),
+        s"pair products must map-side combine:\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
+
+  test("ppl buckets: tercile thresholds broadcast back, no cartesian") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_ppl_buckets")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("Cartesian") ||
+        // the one-row vocab count rides in as a broadcast nested loop —
+        // that cross join is intentional (ngramLogProb); thresholds must
+        // still broadcast-hash on lang
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"unexpected cartesian:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"per-lang thresholds should broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"scored table must not shuffle for the bucket CASE:\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
 }

@@ -79,6 +79,20 @@ class AggteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dynamic minE/maxE: trim is exactly a keep-filter on event times") {
+    val full = Aggte.dynamic(prep)
+    val win = Aggte.dynamic(prep, minE = -2, maxE = 1)
+    assert(win.egt == full.egt.filter(e => e >= -2 && e <= 1))
+    // per-e weights normalize within each event time, so trimmed event
+    // times keep their full-grid point estimates bit-for-bit
+    win.egt.zip(win.attEgt).foreach { case (e, a) =>
+      assert(a == full.attEgt(full.egt.indexOf(e)), s"e=$e")
+    }
+    // overall recomputes over the post slice of the window only
+    val postW = win.egt.zip(win.attEgt).filter(_._1 >= 0).map(_._2)
+    assert(math.abs(win.overallAtt - postW.sum / postW.size) <= 1e-9)
+  }
+
   test("dynamic balanceE: constant composition window, truth preserved") {
     // cohorts {3,4,5} over 6 periods: last event times 3/2/1. With
     // balanceE=2 only cohorts 3 and 4 qualify and e is clipped to <= 2.
