@@ -353,6 +353,20 @@ object SparkEntry {
       }.toDF("e", "att")
     }),
 
+    // §2.9 dynamic aggregation with R `did`'s balance_e composition
+    // restriction: only cohorts observed through event time 3 are kept
+    // and the window is clipped to e <= 3, so every event time averages
+    // over the SAME cohort set — unlike the min_e/max_e trim this
+    // RE-WEIGHTS each e over the restricted cohorts (the oracle drops
+    // the short cohorts before the pg-weighted mean)
+    "q_aggte_dynamic_balanced" -> ((s, dir) => {
+      import s.implicits._
+      val r = Aggte.dynamic(prepFor(s, dir), balanceE = Some(3.0))
+      r.egt.zip(r.attEgt).map { case (e, a) =>
+        (e, BigDecimal(a).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("e", "att")
+    }),
+
     // §2.8 multiplier-bootstrap SEs (seeded; rows-only check — the
     // Rademacher draws are not SQL-expressible). Runs on the shared
     // fit's persisted IF table: the bootstrap is a pure function of the
@@ -2052,6 +2066,43 @@ object SparkEntry {
         |SELECT k.e, ROUND(SUM(k.att * pg.pg) / SUM(pg.pg), 4) AS att
         |FROM katt k JOIN pg ON pg.g = k.g
         |WHERE k.e BETWEEN -3 AND 2
+        |GROUP BY k.e""".stripMargin),
+
+    // balance_e = 3: cohorts must reach event time 3 (emax from the
+    // cell grid), window clipped to e <= 3; the pg-weighted mean then
+    // renormalizes over the surviving cohorts per event time
+    "q_aggte_dynamic_balanced" -> withPanelCte(
+      """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
+        |         FROM (SELECT DISTINCT t FROM panel)),
+        |gs AS (SELECT DISTINCT g FROM panel WHERE g > 0),
+        |cells AS (
+        |  SELECT gs.g, tl.t AS tn,
+        |    CASE WHEN gs.g <= tl.t
+        |         THEN (SELECT max(t2.t) FROM tl t2 WHERE t2.t < gs.g)
+        |         ELSE (SELECT t2.t FROM tl t2 WHERE t2.idx = tl.idx - 1) END AS tpre
+        |  FROM gs CROSS JOIN tl WHERE tl.idx >= 2),
+        |ce AS (SELECT g, MAX(tn - g) AS emax FROM cells GROUP BY g),
+        |m AS (
+        |  SELECT c.g, c.tn,
+        |    AVG(CASE WHEN p.g = c.g AND p.t = c.tn THEN p.y END) AS mu11,
+        |    AVG(CASE WHEN p.g = c.g AND p.t = c.tpre THEN p.y END) AS mu10,
+        |    AVG(CASE WHEN p.g = 0 AND p.t = c.tn THEN p.y END) AS mu01,
+        |    AVG(CASE WHEN p.g = 0 AND p.t = c.tpre THEN p.y END) AS mu00
+        |  FROM cells c JOIN panel p
+        |    ON (p.t = c.tn OR p.t = c.tpre) AND (p.g = c.g OR p.g = 0)
+        |  GROUP BY c.g, c.tn),
+        |units AS (SELECT DISTINCT id, g FROM panel),
+        |pg AS (SELECT g, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units) AS pg
+        |       FROM units GROUP BY g),
+        |katt AS (
+        |  SELECT c.g, c.tn, c.tn - c.g AS e,
+        |         COALESCE((m.mu11 - m.mu10) - (m.mu01 - m.mu00), 0) AS att
+        |  FROM cells c LEFT JOIN m ON m.g = c.g AND m.tn = c.tn)
+        |SELECT k.e, ROUND(SUM(k.att * pg.pg) / SUM(pg.pg), 4) AS att
+        |FROM katt k
+        |JOIN pg ON pg.g = k.g
+        |JOIN ce ON ce.g = k.g
+        |WHERE ce.emax >= 3 AND k.e <= 3
         |GROUP BY k.e""".stripMargin),
 
     // ---- extension oracles ----------------------------------------
