@@ -24,6 +24,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,6 +54,12 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
+      // drop every operator-internal persist between queries: over a
+      // 120+-query session the MEMORY_AND_DISK entries otherwise
+      // accumulate monotonically and amplify eviction noise (reps of
+      // ONE query still share — rep 1 populates, rep 2+ reuse, so
+      // min-over-reps reports the warm plan)
+      graft.operators.TrackedCaches.releaseAll()
       name -> t
     }
     // honest cold-path headline: full preprocess + ATT(g,t) fit +
@@ -74,6 +81,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.operators.TrackedCaches.releaseAll()
     spark.stop()
   }
 }

@@ -105,6 +105,22 @@ object SparkEntry {
     * `Dedup.releaseCaches()` unpersists the underlying frame — otherwise
     * the map would keep serving a handle whose every consumer silently
     * recomputes the whole CC loop. */
+  /** md5-flavor bootstrap draw matrix (64 draws), persisted and shared
+    * between `q_mboot_draws_md5` and `q_mboot_se_md5` — each otherwise
+    * re-pays the full explode+groupBy contraction. Registered with
+    * TrackedCaches like componentsCache so a `releaseAll` also drops
+    * the handle (a kept handle to an unpersisted frame silently
+    * recomputes per consumer). */
+  private val mbootDrawCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  graft.operators.TrackedCaches.onRelease(() => mbootDrawCache.clear())
+  private def md5DrawsFor(s: SparkSession, dir: String): DataFrame =
+    mbootDrawCache.getOrElseUpdate(skey(s, dir), {
+      val f = fitFor(s, dir)
+      graft.operators.TrackedCaches.persist(
+        MBoot.drawMatrixMd5(f.ifTable, f.pp.n, biters = 64))
+    })
+
   private val componentsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   graft.operators.TrackedCaches.onRelease(() => componentsCache.clear())
@@ -403,7 +419,7 @@ object SparkEntry {
       val f = fitFor(s, dir)
       val cellMap = f.cells.filterNot(c => c.zeroCell || f.skipped(c.idx))
         .map(c => (c.idx, c.g, c.tn)).toDF("cell", "g", "t")
-      MBoot.drawMatrixMd5(f.ifTable, f.pp.n, biters = 64)
+      md5DrawsFor(s, dir)
         .join(broadcast(cellMap), "cell")
         .select(col("g"), col("t"), col("draw").cast("long").as("draw"),
           // 2dp: bres magnitude is ~1e5 (raw-y influence sums), so finer
@@ -418,8 +434,8 @@ object SparkEntry {
     "q_mboot_se_md5" -> ((s, dir) => {
       import s.implicits._
       val f = fitFor(s, dir)
-      val b = MBoot.runMd5(f.ifTable, f.cells.length, f.pp.n, biters = 64,
-        f.pp.config.alp)
+      val b = MBoot.finishFromMd5Draws(md5DrawsFor(s, dir), f.cells.length,
+        f.pp.n, biters = 64, f.pp.config.alp)
       f.cells.indices.filter(i => !b.se(i).isNaN)
         .map(i => (f.cells(i).g, f.cells(i).tn,
           BigDecimal(b.se(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
@@ -1121,7 +1137,7 @@ object SparkEntry {
     // events: tumbling event-time hourly window aggregation
     "q_event_hourly" -> ((s, dir) =>
       Events.hourlyByType(events(s, dir))
-        .select(col("hour").cast("long").as("hour_epoch"),
+        .select(unix_timestamp(col("hour")).as("hour_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
     // temporal: AS-OF join — every event tagged with the same user's
@@ -1180,8 +1196,8 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(events(s, dir))
         .select(col("user_id"), col("sess_no"),
-          col("sess_start").cast("long").as("start_epoch"),
-          col("sess_end").cast("long").as("end_epoch"),
+          unix_timestamp(col("sess_start")).as("start_epoch"),
+          unix_timestamp(col("sess_end")).as("end_epoch"),
           col("n_events"), col("sum_value"))),
 
     // streaming: the Structured Streaming windowed-counts transform run
@@ -1189,7 +1205,7 @@ object SparkEntry {
     // for backfill and live stream); oracle = hourly tumbling windows
     "q_stream_hourly" -> ((s, dir) =>
       graft.streaming.StreamingOps.windowedCounts(events(s, dir))
-        .select(col("win").cast("long").as("hour_epoch"),
+        .select(unix_timestamp(col("win")).as("hour_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
     // streaming: the stateful flatMapGroupsWithState sessionizer run in
@@ -1204,8 +1220,8 @@ object SparkEntry {
         .sessionizeStateful(ev, gapMinutes = 30, emitOpen = true)
         .toDF()
         .select(col("user_id"), col("sess_no"),
-          col("sess_start").cast("long").as("start_epoch"),
-          col("sess_end").cast("long").as("end_epoch"),
+          unix_timestamp(col("sess_start")).as("start_epoch"),
+          unix_timestamp(col("sess_end")).as("end_epoch"),
           col("n_events"), col("sum_value"))
     }),
 
@@ -1214,7 +1230,7 @@ object SparkEntry {
     // expansion with an UNNEST over the hop offsets
     "q_stream_sliding" -> ((s, dir) =>
       graft.streaming.StreamingOps.slidingCounts(events(s, dir))
-        .select(col("win").cast("long").as("win_epoch"),
+        .select(unix_timestamp(col("win")).as("win_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))),
 
     // streaming: stream-stream attribution join (clicks x purchases
@@ -1246,7 +1262,7 @@ object SparkEntry {
       graft.streaming.StreamingOps
         .enrichWithDim(events(s, dir), cust, "user_id", "c_custkey")
         .groupBy(
-          window(col("ts"), "1 hour").getField("start").cast("long")
+          unix_timestamp(window(col("ts"), "1 hour").getField("start"))
             .as("hour_epoch"),
           col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"), Events.exactValueSum)
@@ -1556,15 +1572,24 @@ object SparkEntry {
       path
     })
 
-  /** Events table with nanosecond timestamps normalized to TimestampType
-    * (Spark cannot scan TIMESTAMP(NANOS) parquet directly — read as long
-    * via the legacy conf, then floor-divide to micros). */
+  /** Events table with `ts` normalized to TimestampType whatever flavor
+    * the parquet carries: TIMESTAMP(NANOS) (unscannable directly — read
+    * as long via the legacy conf, floor-divide to micros),
+    * TIMESTAMP_NTZ (what pandas/DuckDB write by default:
+    * `isAdjustedToUTC=false` micros — reinterpret the wall clock in the
+    * session time zone, UTC here, which is exactly how the DuckDB
+    * oracle's `epoch()` reads the same naive value), or an already-zoned
+    * TIMESTAMP (pass-through). Downstream epoch math additionally uses
+    * `unix_timestamp` rather than `cast("long")` so the operators stay
+    * legal on NTZ frames a user passes in directly. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -18,13 +18,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // LOSS-PROOF dump: a throwing query must still leave an artifact —
+    // a one-row `__verify_error` marker parquet whose hash can never
+    // match any oracle — plus an _errors.json sidecar. Without this a
+    // regression that breaks a previously-green query would just
+    // shrink the artifact set and the round's summary counts would
+    // silently report the smaller surface as fully green.
+    val todo = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    todo.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq((name, msg)).toDF("__verify_error", "message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +58,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (errors.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_errors.json"),
+        errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString("{", ",", "}"))
+    // every requested query must have left a parquet dir — count them
+    // and scream (to stderr AND a sidecar) on any shortfall, so the
+    // artifact can never silently represent a subset of the surface
+    val dumped = todo.keys.count(n => new java.io.File(s"$outDir/$n").isDirectory)
+    if (dumped != todo.size)
+      System.err.println(
+        s"[verify] FATAL: dumped $dumped of ${todo.size} queries")
+    else if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} of ${todo.size} queries " +
+        s"failed (error markers written): ${errors.keys.mkString(", ")}")
+    else
+      System.err.println(s"[verify] all ${todo.size} queries dumped OK")
+    // release every operator-internal persist accumulated across the
+    // 120+ queries — the long-lived-driver hygiene the registry exists
+    // for (and what keeps repeated local Verify runs in one JVM honest)
+    graft.operators.TrackedCaches.releaseAll()
     spark.stop()
+    if (dumped != todo.size) sys.exit(2)
   }
 }

@@ -203,12 +203,20 @@ object MBoot {
     * production (sqrt(n) scale, degenerate drop, type-1 IQR SE, sup-t
     * critical value). */
   def runMd5(ifTable: DataFrame, k: Int, n: Long, biters: Int, alp: Double,
-      salt: String = ""): MBootResult = {
+      salt: String = ""): MBootResult =
+    finishFromMd5Draws(drawMatrixMd5(ifTable, n, biters, salt), k, n,
+      biters, alp)
+
+  /** [[runMd5]] split at the draw matrix, so a caller serving BOTH the
+    * draw-matrix query and the SE query can build (and persist) the
+    * explode+groupBy pass once and feed it to each. */
+  def finishFromMd5Draws(draws: DataFrame, k: Int, n: Long, biters: Int,
+      alp: Double): MBootResult = {
     require(biters >= 2,
       s"mboot needs biters >= 2 (SE and ddof=1 covariance), got $biters")
     val sqrtN = math.sqrt(n.toDouble)
     val out = Array.ofDim[Double](biters, k)
-    drawMatrixMd5(ifTable, n, biters, salt).collect().foreach { r =>
+    draws.collect().foreach { r =>
       // finish() expects the un-scaled per-draw mean (sum / n)
       out(r.getInt(1))(r.getInt(0)) = r.getDouble(2) / sqrtN
     }

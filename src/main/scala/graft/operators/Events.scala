@@ -64,8 +64,12 @@ object Events {
     val flagged = events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_sess",
+        // unix_timestamp, NOT cast("long"): the cast is illegal on
+        // TIMESTAMP_NTZ (the default pandas/DuckDB parquet flavor) while
+        // unix_timestamp floor-seconds both flavors identically under a
+        // UTC session zone (the Temporal.bucketize idiom)
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") >
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
             gapMinutes * 60L, 1L).otherwise(0L))
       .withColumn("sess_no", sum("new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
