@@ -268,6 +268,39 @@ object SparkEntry {
         .select(col("group").as("g"), col("time").as("t"),
           round(col("att"), 4).as("att"))),
 
+    // §2.9 plot_attgt frame (csdids/ATTgt.py:904-913) in the pointwise-
+    // analytic flavor (the reference's non-bstrap fit zeroes se and c,
+    // collapsing the plot CI — Summary.attgtPlotFrameAnalytic doc): one
+    // row per kept cell with cohort label, analytic SE, post flag,
+    // normal critical value, and the CI bounds the plot draws. Fully
+    // ANSI-expressible: att = 2x2 cell means, se = the q_if_norms IF
+    // chain, c = z_{0.975} literal on both sides
+    "q_plot_attgt" -> ((s, dir) =>
+      Summary.attgtPlotFrameAnalytic(fitFor(s, dir))
+        .select(col("year"), col("group"), col("grtitle"),
+          round(col("att"), 4).as("att"),
+          round(col("att_se"), 4).as("att_se"),
+          col("post"), round(col("c"), 6).as("c"),
+          round(col("lowci"), 4).as("lowci"),
+          round(col("highci"), 4).as("highci"))),
+
+    // §2.9 ext: pre-trend Wald test (PreTest.wald) — H0: all
+    // pre-treatment ATT(g,t) = 0, W ~ chi2(df). Rows-only BY DESIGN:
+    // the K_pre x K_pre covariance inverse is not ANSI-expressible
+    // (no matrix solve in SQL) and the chi-square tail needs a special
+    // function DuckDB lacks; the statistic is pinned by PreTestSpec
+    // (null coverage, power, df-drop, vcov parity at 1e-8) and its
+    // vcov input is the fully oracle-checked q_att_gt_vcov chain
+    "q_pretest_wald" -> ((s, dir) => {
+      import s.implicits._
+      val w = PreTest.wald(fitFor(s, dir))
+      Seq((BigDecimal(w.w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(w.pval).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        w.df.toLong)).toDF("w", "pval", "df")
+    }),
+
     // §2.9/§3.2 basePeriod="universal": every (g, t) cell measured
     // against the cohort's FIXED pre-treatment base period; the base
     // period itself is an ATT=0 row by construction. Oracle replays the
@@ -1927,6 +1960,27 @@ object SparkEntry {
         |FROM vv
         |JOIN dd d1 ON vv.g1 = d1.g AND vv.t1 = d1.t
         |JOIN dd d2 ON vv.g2 = d2.g AND vv.t2 = d2.t""".stripMargin),
+
+    // plot_attgt frame: att from the 2x2 cell means (k CTE carries the
+    // four bucket means), se from the per-unit IF chain, CI bounds from
+    // the UNROUNDED att/se with the z_{0.975} literal (engine uses the
+    // same full-precision constant, so 4dp rounding agrees)
+    "q_plot_attgt" -> withPanelCte(
+      s""", $ifUnitCte,
+        |a AS (
+        |  SELECT g, tn, (mu11 - mu10) - (mu01 - mu00) AS att
+        |  FROM k WHERE w11 > 0 AND w10 > 0 AND w01 > 0 AND w00 > 0),
+        |sse AS (
+        |  SELECT u.g, u.tn, sqrt(SUM(inf * inf)) / nn.n AS se
+        |  FROM u, nn GROUP BY u.g, u.tn, nn.n)
+        |SELECT a.tn AS year, a.g AS "group",
+        |  'Group ' || CAST(CAST(a.g AS INT) AS VARCHAR) AS grtitle,
+        |  ROUND(a.att, 4) AS att, ROUND(s.se, 4) AS att_se,
+        |  CAST(CASE WHEN a.tn >= a.g THEN 1 ELSE 0 END AS BIGINT) AS post,
+        |  1.959964 AS c,
+        |  ROUND(a.att - 1.9599639845400545 * s.se, 4) AS lowci,
+        |  ROUND(a.att + 1.9599639845400545 * s.se, 4) AS highci
+        |FROM a JOIN sse s ON a.g = s.g AND a.tn = s.tn""".stripMargin),
 
     // md5-flavor bootstrap draw matrix: per-unit IF rebuilt from raw
     // panel (same chain as q_if_norms), signs = top md5 bit of

@@ -49,6 +49,27 @@ object Summary {
       .select(col("group"), col("time"), col("att"),
         col("se"), col("lower"), col("upper"), col("post"))
 
+  /** plot_attgt frame in the POINTWISE-ANALYTIC flavor: the reference's
+    * non-bootstrap fit carries se = c = 0 (`csdids/ATTgt.py:455,483-496`),
+    * which collapses the plot CI to the point estimate; this flavor
+    * substitutes the analytic influence-function SE and the pointwise
+    * normal critical value `z_{1-alp/2}` — the cband=FALSE presentation.
+    * Columns mirror the reference frame (`year`, `group`, `grtitle`,
+    * `att`, `att_se`, `post`, `c`) plus the CI bounds the plot draws. */
+  def attgtPlotFrameAnalytic(fit: AttGtFit): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val z = Stats.normPpf(1 - fit.pp.config.alp / 2)
+    fit.cells.indices.filterNot(fit.skipped).map { i =>
+      val c = fit.cells(i)
+      val att = fit.att(i)
+      val se = fit.seAnalytic(i)
+      (c.tn, c.g, s"Group ${c.g.toInt}", att, se,
+        if (c.tn >= c.g) 1L else 0L, z, att - z * se, att + z * se)
+    }.toDF("year", "group", "grtitle", "att", "att_se", "post", "c",
+      "lowci", "highci")
+  }
+
   /** Text banner in the reference's summary layout
     * (`csdids/utils_aggte.py:100-192`). */
   def text(r: AggteResult, controlGroup: String = "nevertreated",
