@@ -346,6 +346,43 @@ object ScaleRehearsal {
           graft.operators.TextQuality.tokenEntropy(docs, "doc_id", "text")
             .agg(fsum("entropy_bits")).first().getDouble(0).toLong
         },
+        timed("zorder_repartition") {
+          // the PRODUCTION z-order path (sampled range partitioning, no
+          // global sort); noop-write so EliminateSorts can't prune the
+          // within-partition sort the layout exists to produce
+          import org.apache.spark.sql.functions.{col, length}
+          graft.operators.Layout.zorderRepartition(
+            docs.select(col("doc_id"), length(col("text")).as("nc"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("tc")),
+            "nc", "tc", nPartitions = 32)
+            .write.format("noop").mode("overwrite").save()
+          nDocs
+        },
+        timed("global_row_number") {
+          import org.apache.spark.sql.functions.{max => fmax}
+          // consume the position or the window gets pruned
+          graft.operators.GlobalOrder.globalRowNumber(
+            docs.select("doc_id"), "doc_id")
+            .agg(fmax("global_pos")).first().getLong(0)
+        },
+        timed("winsorize") {
+          import org.apache.spark.sql.functions.{col, length, sum => fsum}
+          graft.operators.TextQuality.winsorize(
+            docs.select(col("doc_id"), col("source"),
+              length(col("text")).as("nc")),
+            "source", "nc")
+            .agg(fsum("nc_w")).first().getLong(0)
+        },
+        timed("rollup_report") {
+          import org.apache.spark.sql.functions.{col, length, count, lit, sum => fsum}
+          docs.select(col("source"),
+              (col("doc_id") % 5).cast("string").as("shard"),
+              length(col("text")).as("nc"))
+            .rollup("source", "shard")
+            .agg(count(lit(1)).as("cnt"), fsum("nc").as("sum_chars"))
+            .count()
+        },
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)
