@@ -284,6 +284,28 @@ object SparkEntry {
           round(col("lowci"), 4).as("lowci"),
           round(col("highci"), 4).as("highci"))),
 
+    // §2.9 plot_aggte frame (csdids/ATTgt.py:955-963), dynamic flavor —
+    // the classic event-study plot: egt, att, analytic SE, post flag,
+    // pointwise critical value, CI bounds. The SE is the aggregated
+    // influence function (cell part + closed-form wif) — the first
+    // cross-engine pin of the event-study SEs themselves (q_aggte_*
+    // check only the point estimates; SEs were spec-only)
+    "q_plot_aggte" -> ((s, dir) => {
+      import s.implicits._
+      val r = Aggte.dynamic(prepFor(s, dir))
+      val z = r.critValEgt
+      def h4(v: Double) =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.egt.indices.map { i =>
+        val att = r.attEgt(i)
+        val se = r.seEgt(i)
+        (r.egt(i), h4(att), h4(se), if (r.egt(i) >= 0) 1L else 0L,
+          BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          h4(att - z * se), h4(att + z * se))
+      }.toDF("egt", "att", "att_se", "post", "c", "lowci", "highci")
+    }),
+
     // §2.9 ext: pre-trend Wald test (PreTest.wald) — H0: all
     // pre-treatment ATT(g,t) = 0, W ~ chi2(df). Rows-only BY DESIGN:
     // the K_pre x K_pre covariance inverse is not ANSI-expressible
@@ -1981,6 +2003,57 @@ object SparkEntry {
         |  ROUND(a.att - 1.9599639845400545 * s.se, 4) AS lowci,
         |  ROUND(a.att + 1.9599639845400545 * s.se, 4) AS highci
         |FROM a JOIN sse s ON a.g = s.g AND a.tn = s.tn""".stripMargin),
+
+    // plot_aggte (dynamic event study) frame: att_e = pg-weighted cell
+    // means per event time; se_e replays the aggregated influence
+    // function — per-unit cell part SUM((pg/s)*inf) + the closed-form
+    // weight-estimation influence coef(g) = SUM(att)/s - (SUM(att*pg)/s^2)
+    // * cnt (utils_aggte.py:7-36) — then sqrt(SUM if^2)/n
+    "q_plot_aggte" -> withPanelCte(
+      s""", $ifUnitCte,
+        |units2 AS (SELECT DISTINCT id, g AS gbar FROM panel),
+        |pg2 AS (SELECT gbar AS g,
+        |          COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units2) AS pg
+        |        FROM units2 WHERE gbar > 0 GROUP BY 1),
+        |katt AS (
+        |  SELECT c.g, c.tn, c.tn - c.g AS e,
+        |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
+        |                   AND k.w00 > 0
+        |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
+        |      AS att
+        |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn),
+        |ke AS (SELECT katt.*, pg2.pg FROM katt JOIN pg2 ON pg2.g = katt.g),
+        |es AS (
+        |  SELECT e, SUM(pg) AS s, SUM(att * pg) AS sap,
+        |    SUM(att * pg) / SUM(pg) AS att_e
+        |  FROM ke GROUP BY e),
+        |coef AS (
+        |  SELECT ke.e, ke.g,
+        |    SUM(ke.att) / es.s - (es.sap / (es.s * es.s)) * COUNT(*) AS cf
+        |  FROM ke JOIN es ON ke.e = es.e
+        |  GROUP BY ke.e, ke.g, es.s, es.sap),
+        |cellpart AS (
+        |  SELECT ke.e, u.id, SUM((ke.pg / es.s) * u.inf) AS v
+        |  FROM u JOIN ke ON u.g = ke.g AND u.tn = ke.tn
+        |  JOIN es ON ke.e = es.e
+        |  GROUP BY ke.e, u.id),
+        |wifpart AS (
+        |  SELECT coef.e, un.id, coef.cf AS v
+        |  FROM units2 un JOIN coef ON coef.g = un.gbar),
+        |iftot AS (
+        |  SELECT e, id, SUM(v) AS v FROM (
+        |    SELECT * FROM cellpart UNION ALL SELECT * FROM wifpart)
+        |  GROUP BY e, id),
+        |sse2 AS (
+        |  SELECT e, sqrt(SUM(v * v)) / nn.n AS se
+        |  FROM iftot, nn GROUP BY e, nn.n)
+        |SELECT es.e AS egt, ROUND(es.att_e, 4) AS att,
+        |  ROUND(s2.se, 4) AS att_se,
+        |  CAST(CASE WHEN es.e >= 0 THEN 1 ELSE 0 END AS BIGINT) AS post,
+        |  1.959964 AS c,
+        |  ROUND(es.att_e - 1.9599639845400545 * s2.se, 4) AS lowci,
+        |  ROUND(es.att_e + 1.9599639845400545 * s2.se, 4) AS highci
+        |FROM es JOIN sse2 s2 ON es.e = s2.e""".stripMargin),
 
     // md5-flavor bootstrap draw matrix: per-unit IF rebuilt from raw
     // panel (same chain as q_if_norms), signs = top md5 bit of
