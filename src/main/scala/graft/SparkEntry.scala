@@ -384,6 +384,21 @@ object SparkEntry {
     "q_aggte_simple" -> ((s, dir) =>
       singleValue(s, "att", Aggte.simple(prepFor(s, dir)).overallAtt)),
 
+    // §2.9 simple aggregation WITH its analytic SE — the headline
+    // "overall ATT" number users quote, SE replayed through the same
+    // aggregated-IF SQL as q_plot_aggte (cell part + closed-form wif)
+    // but restricted to the post-treatment keepers; upgrades the
+    // overall SE from spec-pinned to cross-engine-pinned
+    "q_aggte_simple_se" -> ((s, dir) => {
+      import s.implicits._
+      val r = Aggte.simple(prepFor(s, dir))
+      Seq((BigDecimal(r.overallAtt)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r.overallSe)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("att", "se")
+    }),
+
     // §2.9 group (cohort) aggregation — per-cohort ATT point estimates
     "q_aggte_group" -> ((s, dir) => {
       import s.implicits._
@@ -391,6 +406,19 @@ object SparkEntry {
       r.egt.zip(r.attEgt).map { case (g, a) =>
         (g, BigDecimal(a).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toDF("g", "att")
+    }),
+
+    // §2.9 group aggregation WITH per-cohort analytic SEs: each cohort
+    // member's IF is the plain 1/cnt mean of its post-cell IFs (no wif
+    // — selective_inf_func_g, csdids/ATTgt.py:698-715), so the SE chain
+    // is one more SQL aggregation over the oracle IF store
+    "q_aggte_group_se" -> ((s, dir) => {
+      import s.implicits._
+      val r = Aggte.group(prepFor(s, dir))
+      def h4(v: Double) =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.egt.indices.map(i => (r.egt(i), h4(r.attEgt(i)), h4(r.seEgt(i))))
+        .toDF("g", "att", "se")
     }),
 
     // §2.9 calendar-time aggregation — per-period ATT point estimates
@@ -2003,6 +2031,77 @@ object SparkEntry {
         |  ROUND(a.att - 1.9599639845400545 * s.se, 4) AS lowci,
         |  ROUND(a.att + 1.9599639845400545 * s.se, 4) AS highci
         |FROM a JOIN sse s ON a.g = s.g AND a.tn = s.tn""".stripMargin),
+
+    // group aggregation per-cohort att + analytic SE: att = unweighted
+    // mean of the cohort's post cells; IF = sum of the cohort's
+    // post-cell IFs / cell count; SE = sqrt(SUM if^2)/n
+    "q_aggte_group_se" -> withPanelCte(
+      s""", $ifUnitCte,
+        |cnt AS (SELECT g, COUNT(*) AS c FROM cells WHERE tn >= g
+        |        GROUP BY g),
+        |katt AS (
+        |  SELECT c.g, c.tn,
+        |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
+        |                   AND k.w00 > 0
+        |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
+        |      AS att
+        |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn
+        |  WHERE c.tn >= c.g),
+        |attg AS (
+        |  SELECT katt.g, SUM(att) / cnt.c AS att
+        |  FROM katt JOIN cnt ON cnt.g = katt.g GROUP BY katt.g, cnt.c),
+        |ifg AS (
+        |  SELECT u.g, u.id, SUM(u.inf) AS vsum
+        |  FROM u WHERE u.tn >= u.g GROUP BY u.g, u.id),
+        |seg AS (
+        |  SELECT ifg.g,
+        |    sqrt(SUM((vsum / cnt.c) * (vsum / cnt.c))) / nn.n AS se
+        |  FROM ifg JOIN cnt ON cnt.g = ifg.g, nn GROUP BY ifg.g, nn.n)
+        |SELECT attg.g, ROUND(attg.att, 4) AS att, ROUND(seg.se, 4) AS se
+        |FROM attg JOIN seg ON attg.g = seg.g""".stripMargin),
+
+    // simple aggregation att + analytic SE: post-cell keepers, member
+    // weights pg/s, wif coefficients per cohort, per-unit IF totals,
+    // sqrt(SUM if^2)/n — the q_plot_aggte replay specialized to ONE
+    // member over the post-treatment cells
+    "q_aggte_simple_se" -> withPanelCte(
+      s""", $ifUnitCte,
+        |units2 AS (SELECT DISTINCT id, g AS gbar FROM panel),
+        |pg2 AS (SELECT gbar AS g,
+        |          COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units2) AS pg
+        |        FROM units2 WHERE gbar > 0 GROUP BY 1),
+        |katt AS (
+        |  SELECT c.g, c.tn,
+        |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
+        |                   AND k.w00 > 0
+        |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
+        |      AS att
+        |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn
+        |  WHERE c.tn >= c.g),
+        |ke AS (SELECT katt.*, pg2.pg FROM katt JOIN pg2 ON pg2.g = katt.g),
+        |tot AS (
+        |  SELECT SUM(pg) AS s, SUM(att * pg) AS sap,
+        |    SUM(att * pg) / SUM(pg) AS att
+        |  FROM ke),
+        |coef AS (
+        |  SELECT ke.g,
+        |    SUM(ke.att) / tot.s - (tot.sap / (tot.s * tot.s)) * COUNT(*)
+        |      AS cf
+        |  FROM ke, tot GROUP BY ke.g, tot.s, tot.sap),
+        |cellpart AS (
+        |  SELECT u.id, SUM((ke.pg / tot.s) * u.inf) AS v
+        |  FROM u JOIN ke ON u.g = ke.g AND u.tn = ke.tn, tot
+        |  GROUP BY u.id),
+        |wifpart AS (
+        |  SELECT un.id, coef.cf AS v
+        |  FROM units2 un JOIN coef ON coef.g = un.gbar),
+        |iftot AS (
+        |  SELECT id, SUM(v) AS v FROM (
+        |    SELECT * FROM cellpart UNION ALL SELECT * FROM wifpart)
+        |  GROUP BY id)
+        |SELECT ROUND(tot.att, 4) AS att,
+        |  ROUND((SELECT sqrt(SUM(v * v)) FROM iftot) / nn.n, 4) AS se
+        |FROM tot, nn""".stripMargin),
 
     // plot_aggte (dynamic event study) frame: att_e = pg-weighted cell
     // means per event time; se_e replays the aggregated influence
