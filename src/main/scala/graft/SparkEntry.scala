@@ -408,6 +408,18 @@ object SparkEntry {
       }.toDF("g", "att")
     }),
 
+    // §2.9 calendar aggregation WITH per-period analytic SEs — same
+    // aggregated-IF replay as q_plot_aggte, grouped by calendar period
+    // over the post-treatment cells (csdids/ATTgt.py:798-812)
+    "q_aggte_calendar_se" -> ((s, dir) => {
+      import s.implicits._
+      val r = Aggte.calendar(prepFor(s, dir))
+      def h4(v: Double) =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.egt.indices.map(i => (r.egt(i), h4(r.attEgt(i)), h4(r.seEgt(i))))
+        .toDF("t", "att", "se")
+    }),
+
     // §2.9 group aggregation WITH per-cohort analytic SEs: each cohort
     // member's IF is the plain 1/cnt mean of its post-cell IFs (no wif
     // — selective_inf_func_g, csdids/ATTgt.py:698-715), so the SE chain
@@ -2031,6 +2043,51 @@ object SparkEntry {
         |  ROUND(a.att - 1.9599639845400545 * s.se, 4) AS lowci,
         |  ROUND(a.att + 1.9599639845400545 * s.se, 4) AS highci
         |FROM a JOIN sse s ON a.g = s.g AND a.tn = s.tn""".stripMargin),
+
+    // calendar aggregation per-period att + analytic SE: pg-weighted
+    // period means over post cells, per-period wif, per-unit IF totals
+    "q_aggte_calendar_se" -> withPanelCte(
+      s""", $ifUnitCte,
+        |units2 AS (SELECT DISTINCT id, g AS gbar FROM panel),
+        |pg2 AS (SELECT gbar AS g,
+        |          COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units2) AS pg
+        |        FROM units2 WHERE gbar > 0 GROUP BY 1),
+        |katt AS (
+        |  SELECT c.g, c.tn,
+        |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
+        |                   AND k.w00 > 0
+        |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
+        |      AS att
+        |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn
+        |  WHERE c.tn >= c.g),
+        |ke AS (SELECT katt.*, pg2.pg FROM katt JOIN pg2 ON pg2.g = katt.g),
+        |es AS (
+        |  SELECT tn, SUM(pg) AS s, SUM(att * pg) AS sap,
+        |    SUM(att * pg) / SUM(pg) AS att_t
+        |  FROM ke GROUP BY tn),
+        |coef AS (
+        |  SELECT ke.tn, ke.g,
+        |    SUM(ke.att) / es.s - (es.sap / (es.s * es.s)) * COUNT(*) AS cf
+        |  FROM ke JOIN es ON ke.tn = es.tn
+        |  GROUP BY ke.tn, ke.g, es.s, es.sap),
+        |cellpart AS (
+        |  SELECT ke.tn, u.id, SUM((ke.pg / es.s) * u.inf) AS v
+        |  FROM u JOIN ke ON u.g = ke.g AND u.tn = ke.tn
+        |  JOIN es ON ke.tn = es.tn
+        |  GROUP BY ke.tn, u.id),
+        |wifpart AS (
+        |  SELECT coef.tn, un.id, coef.cf AS v
+        |  FROM units2 un JOIN coef ON coef.g = un.gbar),
+        |iftot AS (
+        |  SELECT tn, id, SUM(v) AS v FROM (
+        |    SELECT * FROM cellpart UNION ALL SELECT * FROM wifpart)
+        |  GROUP BY tn, id),
+        |sse2 AS (
+        |  SELECT tn, sqrt(SUM(v * v)) / nn.n AS se
+        |  FROM iftot, nn GROUP BY tn, nn.n)
+        |SELECT es.tn AS t, ROUND(es.att_t, 4) AS att,
+        |  ROUND(s2.se, 4) AS se
+        |FROM es JOIN sse2 s2 ON es.tn = s2.tn""".stripMargin),
 
     // group aggregation per-cohort att + analytic SE: att = unweighted
     // mean of the cohort's post cells; IF = sum of the cohort's
