@@ -346,6 +346,12 @@ object ScaleRehearsal {
           graft.operators.TextQuality.tokenEntropy(docs, "doc_id", "text")
             .agg(fsum("entropy_bits")).first().getDouble(0).toLong
         },
+        timed("bpe_train") {
+          // 16 merge rounds: wall time should track the ONE corpus pass
+          // plus a vocab-sized (not corpus-sized) per-round cost
+          graft.operators.BpeTrain.train(docs, "text", nMerges = 16).size
+            .toLong
+        },
         timed("zorder_repartition") {
           // the PRODUCTION z-order path (sampled range partitioning, no
           // global sort); noop-write so EliminateSorts can't prune the

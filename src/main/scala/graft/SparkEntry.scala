@@ -613,6 +613,20 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
         TextFunctions.regexTokenCount(col("text")).cast("long").as("n_btok"))),
 
+    // text analysis: BPE merge-table TRAINING (vocabulary induction) —
+    // byte-level GPT-2 trainer in the scale-correct formulation (one
+    // corpus pass -> pre-token frequency table; every merge round is a
+    // vocab-sized shuffle, not a corpus pass). Deterministic argmax
+    // (count desc, pair asc in UTF-8 order) makes the learned table a
+    // pure function of the corpus; the oracle joins the committed
+    // fixture trained by an INDEPENDENT Python implementation, keyed by
+    // a corpus fingerprint replayable in SQL (so a driver-side testdata
+    // regeneration shows up as a loud 0-row oracle, never a stale pass)
+    "q_bpe_train" -> ((s, dir) =>
+      operators.BpeTrain.trainDF(
+        docs(s, dir).filter(col("text").isNotNull), "text",
+        nMerges = 48)),
+
     // text analysis: REAL byte-level BPE token counts (GPT-2 algorithm
     // over the committed merge table). BPE itself is not
     // SQL-expressible; the oracle joins the committed fixture CSV —
@@ -2452,6 +2466,17 @@ object SparkEntry {
     // resolved from the JVM's working directory when the oracle map is
     // dumped (Verify runs at the repo root), so the SQL works for any
     // checkout location, not just this machine's.
+    "q_bpe_train" ->
+      s"""SELECT f.rank, f.lsym, f.rsym
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/bpe_train_merges.csv").getAbsolutePath}',
+        |       header = true, quote = '"',
+        |       columns = {'corpus_fp': 'VARCHAR', 'rank': 'BIGINT',
+        |                  'lsym': 'VARCHAR', 'rsym': 'VARCHAR'}) f
+        |WHERE f.corpus_fp = (
+        |  SELECT md5(string_agg(md5(text), '' ORDER BY doc_id))
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
     "q_bpe_count" ->
       s"""SELECT d.doc_id, f.n_bpe
         |FROM documents d

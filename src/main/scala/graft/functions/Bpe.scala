@@ -114,6 +114,26 @@ object Bpe {
     while (m.find()) n += countPretoken(m.group())
     n
   }
+
+  /** GPT-2 pre-tokens of a text (trainer + encoder share the split). */
+  private[graft] def pretokens(text: String): Iterator[String] = {
+    val m = preTok.matcher(text)
+    new Iterator[String] {
+      private var has = m.find()
+      def hasNext: Boolean = has
+      def next(): String = { val g = m.group(); has = m.find(); g }
+    }
+  }
+
+  /** Initial byte-level symbol array of a pre-token (the trainer's
+    * starting alphabet — same byte->char bijection as the encoder). */
+  private[graft] def byteSyms(s: String): Array[String] = {
+    val bytes = s.getBytes("UTF-8")
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = String.valueOf(byteChar(bytes(i))); i += 1 }
+    out
+  }
 }
 
 /** Catalyst expression: BPE token count of a string column. Per-row JVM
