@@ -1108,6 +1108,16 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15, "src3" -> 0.1))
     }),
 
+    // mixture: TEMPERATURE-scaled mixing (share_s ~ tokens_s^alpha, the
+    // multilingual-LM flattening rule) at alpha = 0.5 — normalization
+    // cancels to keep-rate (minTok/tok_s)^0.5, one correctly-rounded
+    // sqrt on both engines, so the sampled set is bit-reproducible
+    "q_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("tc"))
+      Sampling.temperatureMix(d, "doc_id", "source", "tc", alpha = 0.5)
+    }),
+
     // packing: concat-and-cut sequence assembly over the chunk stream —
     // md5 hash buckets packed independently (one shuffle + window
     // cumsum per bucket), chunk order inside a bucket = md5 hex of the
@@ -3384,6 +3394,26 @@ object SparkEntry {
         |        LEAST(1.0, (share * budget) / tok) * 4294967296) AS BIGINT))
         |      END AS thr
         |  FROM tot JOIN shares USING (source), b)
+        |SELECT d.doc_id, d.source, d.tc
+        |FROM d JOIN t USING (source)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""
+        .stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+        |      AS tc
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source, CAST(sum(tc) AS DOUBLE) AS tok FROM d GROUP BY 1),
+        |mn AS (SELECT min(tok) AS mtok FROM tot),
+        |t AS (
+        |  SELECT source,
+        |    CASE WHEN sqrt(mn.mtok / tok) >= 1 THEN 'g'
+        |      ELSE printf('%08x', CAST(floor(
+        |        sqrt(mn.mtok / tok) * 4294967296) AS BIGINT)) END AS thr
+        |  FROM tot, mn)
         |SELECT d.doc_id, d.source, d.tc
         |FROM d JOIN t USING (source)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""

@@ -181,6 +181,46 @@ object Sampling {
     * randomness, so no seed exchange either) + one TakeOrdered top-k.
     * Rows with non-positive weight are excluded. Same key + salt =>
     * same sample on every engine, partitioning, and rerun. */
+  /** Temperature-scaled token mixture — the multilingual-LM sampling
+    * rule (multilingual BERT / XLM-R style): target token share of
+    * stratum s is proportional to `tokens_s^alpha`, so `alpha = 1`
+    * reproduces the natural distribution and `alpha < 1` flattens it,
+    * upsampling low-resource strata RELATIVE to their mass (here by
+    * downsampling the rich strata — a keep-rate sampler never
+    * duplicates rows, so the scarcest stratum anchors the budget like
+    * [[tokenBudgetMix]]).
+    *
+    * The normalization constant cancels: with `w_s = tokens_s^alpha`,
+    * budget `B = min_u tokens_u / w_u` and keep rate
+    * `r_s = w_s * B / tokens_s = (minTok / tokens_s)^(1 - alpha)`
+    * (for alpha in [0, 1]; minTok = the smallest stratum's tokens).
+    * That closed form avoids a summation whose ORDER would perturb the
+    * md5 thresholds cross-engine; at `alpha = 0.5` both engines compute
+    * it with one correctly-rounded IEEE sqrt of the same quotient, so
+    * the sampled set is bit-reproducible. `alpha = 0` equalizes token
+    * budgets across strata. Map-only after one token-totals pass. */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+      nTokensCol: String, alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val totals = df
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(sum(col(nTokensCol).cast("decimal(38,6)")).as("tok"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0.0 else r.getDecimal(1).doubleValue())).toMap
+    require(totals.nonEmpty, "no strata")
+    val empty = totals.collect { case (s, t) if t <= 0 => s }
+    require(empty.isEmpty,
+      s"strata with zero tokens: ${empty.mkString(",")}")
+    val minTok = totals.values.min
+    val rates = totals.map { case (s, tok) =>
+      s -> (if (alpha == 1.0) 1.0
+        else if (alpha == 0.5) math.min(1.0, math.sqrt(minTok / tok))
+        else math.min(1.0, math.pow(minTok / tok, 1.0 - alpha)))
+    }
+    stratifiedSample(df, keyCol, stratumCol, rates, defaultRate = 0.0, salt)
+  }
+
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive: $k")

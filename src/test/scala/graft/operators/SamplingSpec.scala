@@ -141,6 +141,39 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
     kept.select("source").distinct().count() shouldBe 3L
   }
 
+  test("temperatureMix: alpha=1 natural, alpha=0 equal budgets, " +
+      "alpha=0.5 sqrt-flattens; scarcest stratum kept whole") {
+    // s0 has 10k tokens, s1 40k, s2 160k (1:4:16)
+    val docs = (0L until 2100L).map { i =>
+      val s = i % 3
+      (i, s"s$s", (math.pow(4, s.toDouble) * 10000 / 700).toInt)
+    }.toDF("doc_id", "source", "tc")
+    val natural = Sampling.temperatureMix(docs, "doc_id", "source", "tc",
+      alpha = 1.0)
+    natural.count() shouldBe 2100L // rate 1 everywhere
+
+    val flat = Sampling.temperatureMix(docs, "doc_id", "source", "tc",
+      alpha = 0.0)
+    val flatTok = flat.groupBy("source").agg(sum("tc").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    flatTok("s0") shouldBe 9800L // the whole scarce stratum (700 * 14)
+    // equalized budgets: every stratum ~ s0's mass. The md5 draw is one
+    // FIXED realization (not re-rollable) and s2's grains are 228
+    // tokens, so the band must cover ~3 binomial SDs of that realization
+    flatTok("s1").toDouble shouldBe 9800.0 +- 3500.0
+    flatTok("s2").toDouble shouldBe 9800.0 +- 4500.0
+
+    val half = Sampling.temperatureMix(docs, "doc_id", "source", "tc",
+      alpha = 0.5)
+    val halfTok = half.groupBy("source").agg(sum("tc").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    halfTok("s0") shouldBe 9800L
+    // sqrt flattening: kept_s = sqrt(minTok * tok_s) -> 2x per step,
+    // not the natural 4x
+    halfTok("s1").toDouble shouldBe (9800.0 * 2) +- 4000.0
+    halfTok("s2").toDouble shouldBe (9800.0 * 4) +- 8000.0
+  }
+
   test("tokenBudgetMix realized shares stay in the variance-derived band") {
     // heavy-tailed (truncated-Pareto) doc lengths: the realized token
     // share is expectation-only; its deviation must stay within the
