@@ -105,11 +105,14 @@ object SparkEntry {
     * `Dedup.releaseCaches()` unpersists the underlying frame — otherwise
     * the map would keep serving a handle whose every consumer silently
     * recomputes the whole CC loop. */
-  /** md5-flavor bootstrap draw matrix (64 draws), persisted and shared
-    * between `q_mboot_draws_md5` and `q_mboot_se_md5` — each otherwise
-    * re-pays the full explode+groupBy contraction. Registered with
-    * TrackedCaches like componentsCache so a `releaseAll` also drops
-    * the handle (a kept handle to an unpersisted frame silently
+  /** md5-flavor bootstrap draw matrix (64 draws), persisted so the
+    * explode+groupBy contraction is paid once per release window: in
+    * Verify (releaseAll only at the end) `q_mboot_draws_md5` and
+    * `q_mboot_se_md5` share one build; in Bench (releaseAll BETWEEN
+    * queries) the sharing is across one query's reps — rep 1 builds,
+    * rep 2+ reuse, so min-over-reps reports the warm pass. Registered
+    * with TrackedCaches like componentsCache so a `releaseAll` also
+    * drops the handle (a kept handle to an unpersisted frame silently
     * recomputes per consumer). */
   private val mbootDrawCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -296,7 +299,7 @@ object SparkEntry {
       val z = r.critValEgt
       def h4(v: Double) =
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      r.egt.indices.map { i =>
+      r.egt.indices.filter(i => !r.seEgt(i).isNaN).map { i =>
         val att = r.attEgt(i)
         val se = r.seEgt(i)
         (r.egt(i), h4(att), h4(se), if (r.egt(i) >= 0) 1L else 0L,
@@ -392,11 +395,15 @@ object SparkEntry {
     "q_aggte_simple_se" -> ((s, dir) => {
       import s.implicits._
       val r = Aggte.simple(prepFor(s, dir))
-      Seq((BigDecimal(r.overallAtt)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(r.overallSe)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .toDF("att", "se")
+      // familySe returns NaN for degenerate members (BigDecimal(NaN)
+      // throws) — drop them like q_mboot_se_md5 does
+      Seq((r.overallAtt, r.overallSe)).filter(!_._2.isNaN)
+        .map { case (a, se) =>
+          (BigDecimal(a).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(se).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }.toDF("att", "se")
     }),
 
     // §2.9 group (cohort) aggregation — per-cohort ATT point estimates
@@ -416,7 +423,8 @@ object SparkEntry {
       val r = Aggte.calendar(prepFor(s, dir))
       def h4(v: Double) =
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      r.egt.indices.map(i => (r.egt(i), h4(r.attEgt(i)), h4(r.seEgt(i))))
+      r.egt.indices.filter(i => !r.seEgt(i).isNaN)
+        .map(i => (r.egt(i), h4(r.attEgt(i)), h4(r.seEgt(i))))
         .toDF("t", "att", "se")
     }),
 
@@ -429,7 +437,8 @@ object SparkEntry {
       val r = Aggte.group(prepFor(s, dir))
       def h4(v: Double) =
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      r.egt.indices.map(i => (r.egt(i), h4(r.attEgt(i)), h4(r.seEgt(i))))
+      r.egt.indices.filter(i => !r.seEgt(i).isNaN)
+        .map(i => (r.egt(i), h4(r.attEgt(i)), h4(r.seEgt(i))))
         .toDF("g", "att", "se")
     }),
 
@@ -1914,6 +1923,61 @@ object SparkEntry {
       |u AS (SELECT g, tn, id, SUM(infr) AS inf FROM r GROUP BY 1, 2, 3),
       |nn AS (SELECT COUNT(DISTINCT id) AS n FROM panel)""".stripMargin
 
+  /** Shared CTE chain for the aggte analytic-SE replays (simple /
+    * calendar / dynamic plot): pg-weighted member means over the cell
+    * grid plus the aggregated per-unit influence function — cell part
+    * `SUM((pg/s) * inf)` over [[ifUnitCte]]'s `u`, closed-form wif
+    * `coef(g) = SUM(att)/s - (SUM(att*pg)/s^2) * cnt`
+    * (`utils_aggte.py:7-36`), then `sqrt(SUM if^2)/n`.
+    *
+    * `keyExpr` (over `c.g`/`c.tn`) defines the member key `mk` —
+    * `c.tn - c.g` for event times, `c.tn` for calendar periods, `0`
+    * for the single simple member; `postOnly` restricts keepers to
+    * post-treatment cells. Defines `es(mk, s, sap, att_m)` and
+    * `sse2(mk, se)` for the caller's final SELECT — one definition so
+    * the four SE oracles can't drift on the shared algebra
+    * (q_aggte_group_se keeps its own chain: unweighted 1/cnt means,
+    * no wif). */
+  private def aggteSeCtes(keyExpr: String, postOnly: Boolean): String =
+    s""", $ifUnitCte,
+      |units2 AS (SELECT DISTINCT id, g AS gbar FROM panel),
+      |pg2 AS (SELECT gbar AS g,
+      |          COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units2) AS pg
+      |        FROM units2 WHERE gbar > 0 GROUP BY 1),
+      |katt AS (
+      |  SELECT c.g, c.tn, ($keyExpr) AS mk,
+      |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
+      |                   AND k.w00 > 0
+      |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
+      |      AS att
+      |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn${
+        if (postOnly) "\n  WHERE c.tn >= c.g" else ""}),
+      |ke AS (SELECT katt.*, pg2.pg FROM katt JOIN pg2 ON pg2.g = katt.g),
+      |es AS (
+      |  SELECT mk, SUM(pg) AS s, SUM(att * pg) AS sap,
+      |    SUM(att * pg) / SUM(pg) AS att_m
+      |  FROM ke GROUP BY mk),
+      |coef AS (
+      |  SELECT ke.mk, ke.g,
+      |    SUM(ke.att) / es.s - (es.sap / (es.s * es.s)) * COUNT(*) AS cf
+      |  FROM ke JOIN es ON ke.mk = es.mk
+      |  GROUP BY ke.mk, ke.g, es.s, es.sap),
+      |cellpart AS (
+      |  SELECT ke.mk, u.id, SUM((ke.pg / es.s) * u.inf) AS v
+      |  FROM u JOIN ke ON u.g = ke.g AND u.tn = ke.tn
+      |  JOIN es ON ke.mk = es.mk
+      |  GROUP BY ke.mk, u.id),
+      |wifpart AS (
+      |  SELECT coef.mk, un.id, coef.cf AS v
+      |  FROM units2 un JOIN coef ON coef.g = un.gbar),
+      |iftot AS (
+      |  SELECT mk, id, SUM(v) AS v FROM (
+      |    SELECT * FROM cellpart UNION ALL SELECT * FROM wifpart)
+      |  GROUP BY mk, id),
+      |sse2 AS (
+      |  SELECT mk, sqrt(SUM(v * v)) / nn.n AS se
+      |  FROM iftot, nn GROUP BY mk, nn.n)""".stripMargin
+
   /** md5-signed draw matrix over [[ifUnitCte]]'s `u`: 64 Rademacher
     * draws, sign = top bit of md5("unit#draw#"), bres = contraction /
     * sqrt(n) — the SQL replay of MBoot.drawMatrixMd5. */
@@ -2071,47 +2135,10 @@ object SparkEntry {
     // calendar aggregation per-period att + analytic SE: pg-weighted
     // period means over post cells, per-period wif, per-unit IF totals
     "q_aggte_calendar_se" -> withPanelCte(
-      s""", $ifUnitCte,
-        |units2 AS (SELECT DISTINCT id, g AS gbar FROM panel),
-        |pg2 AS (SELECT gbar AS g,
-        |          COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units2) AS pg
-        |        FROM units2 WHERE gbar > 0 GROUP BY 1),
-        |katt AS (
-        |  SELECT c.g, c.tn,
-        |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
-        |                   AND k.w00 > 0
-        |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
-        |      AS att
-        |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn
-        |  WHERE c.tn >= c.g),
-        |ke AS (SELECT katt.*, pg2.pg FROM katt JOIN pg2 ON pg2.g = katt.g),
-        |es AS (
-        |  SELECT tn, SUM(pg) AS s, SUM(att * pg) AS sap,
-        |    SUM(att * pg) / SUM(pg) AS att_t
-        |  FROM ke GROUP BY tn),
-        |coef AS (
-        |  SELECT ke.tn, ke.g,
-        |    SUM(ke.att) / es.s - (es.sap / (es.s * es.s)) * COUNT(*) AS cf
-        |  FROM ke JOIN es ON ke.tn = es.tn
-        |  GROUP BY ke.tn, ke.g, es.s, es.sap),
-        |cellpart AS (
-        |  SELECT ke.tn, u.id, SUM((ke.pg / es.s) * u.inf) AS v
-        |  FROM u JOIN ke ON u.g = ke.g AND u.tn = ke.tn
-        |  JOIN es ON ke.tn = es.tn
-        |  GROUP BY ke.tn, u.id),
-        |wifpart AS (
-        |  SELECT coef.tn, un.id, coef.cf AS v
-        |  FROM units2 un JOIN coef ON coef.g = un.gbar),
-        |iftot AS (
-        |  SELECT tn, id, SUM(v) AS v FROM (
-        |    SELECT * FROM cellpart UNION ALL SELECT * FROM wifpart)
-        |  GROUP BY tn, id),
-        |sse2 AS (
-        |  SELECT tn, sqrt(SUM(v * v)) / nn.n AS se
-        |  FROM iftot, nn GROUP BY tn, nn.n)
-        |SELECT es.tn AS t, ROUND(es.att_t, 4) AS att,
+      s"""${aggteSeCtes("c.tn", postOnly = true)}
+        |SELECT es.mk AS t, ROUND(es.att_m, 4) AS att,
         |  ROUND(s2.se, 4) AS se
-        |FROM es JOIN sse2 s2 ON es.tn = s2.tn""".stripMargin),
+        |FROM es JOIN sse2 s2 ON es.mk = s2.mk""".stripMargin),
 
     // group aggregation per-cohort att + analytic SE: att = unweighted
     // mean of the cohort's post cells; IF = sum of the cohort's
@@ -2141,48 +2168,12 @@ object SparkEntry {
         |SELECT attg.g, ROUND(attg.att, 4) AS att, ROUND(seg.se, 4) AS se
         |FROM attg JOIN seg ON attg.g = seg.g""".stripMargin),
 
-    // simple aggregation att + analytic SE: post-cell keepers, member
-    // weights pg/s, wif coefficients per cohort, per-unit IF totals,
-    // sqrt(SUM if^2)/n — the q_plot_aggte replay specialized to ONE
-    // member over the post-treatment cells
+    // simple aggregation att + analytic SE: the shared replay with a
+    // constant member key (ONE member over the post-treatment cells)
     "q_aggte_simple_se" -> withPanelCte(
-      s""", $ifUnitCte,
-        |units2 AS (SELECT DISTINCT id, g AS gbar FROM panel),
-        |pg2 AS (SELECT gbar AS g,
-        |          COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units2) AS pg
-        |        FROM units2 WHERE gbar > 0 GROUP BY 1),
-        |katt AS (
-        |  SELECT c.g, c.tn,
-        |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
-        |                   AND k.w00 > 0
-        |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
-        |      AS att
-        |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn
-        |  WHERE c.tn >= c.g),
-        |ke AS (SELECT katt.*, pg2.pg FROM katt JOIN pg2 ON pg2.g = katt.g),
-        |tot AS (
-        |  SELECT SUM(pg) AS s, SUM(att * pg) AS sap,
-        |    SUM(att * pg) / SUM(pg) AS att
-        |  FROM ke),
-        |coef AS (
-        |  SELECT ke.g,
-        |    SUM(ke.att) / tot.s - (tot.sap / (tot.s * tot.s)) * COUNT(*)
-        |      AS cf
-        |  FROM ke, tot GROUP BY ke.g, tot.s, tot.sap),
-        |cellpart AS (
-        |  SELECT u.id, SUM((ke.pg / tot.s) * u.inf) AS v
-        |  FROM u JOIN ke ON u.g = ke.g AND u.tn = ke.tn, tot
-        |  GROUP BY u.id),
-        |wifpart AS (
-        |  SELECT un.id, coef.cf AS v
-        |  FROM units2 un JOIN coef ON coef.g = un.gbar),
-        |iftot AS (
-        |  SELECT id, SUM(v) AS v FROM (
-        |    SELECT * FROM cellpart UNION ALL SELECT * FROM wifpart)
-        |  GROUP BY id)
-        |SELECT ROUND(tot.att, 4) AS att,
-        |  ROUND((SELECT sqrt(SUM(v * v)) FROM iftot) / nn.n, 4) AS se
-        |FROM tot, nn""".stripMargin),
+      s"""${aggteSeCtes("0", postOnly = true)}
+        |SELECT ROUND(es.att_m, 4) AS att, ROUND(s2.se, 4) AS se
+        |FROM es JOIN sse2 s2 ON es.mk = s2.mk""".stripMargin),
 
     // plot_aggte (dynamic event study) frame: att_e = pg-weighted cell
     // means per event time; se_e replays the aggregated influence
@@ -2190,50 +2181,14 @@ object SparkEntry {
     // weight-estimation influence coef(g) = SUM(att)/s - (SUM(att*pg)/s^2)
     // * cnt (utils_aggte.py:7-36) — then sqrt(SUM if^2)/n
     "q_plot_aggte" -> withPanelCte(
-      s""", $ifUnitCte,
-        |units2 AS (SELECT DISTINCT id, g AS gbar FROM panel),
-        |pg2 AS (SELECT gbar AS g,
-        |          COUNT(*) * 1.0 / (SELECT COUNT(*) FROM units2) AS pg
-        |        FROM units2 WHERE gbar > 0 GROUP BY 1),
-        |katt AS (
-        |  SELECT c.g, c.tn, c.tn - c.g AS e,
-        |    COALESCE(CASE WHEN k.w11 > 0 AND k.w10 > 0 AND k.w01 > 0
-        |                   AND k.w00 > 0
-        |             THEN (k.mu11 - k.mu10) - (k.mu01 - k.mu00) END, 0)
-        |      AS att
-        |  FROM cells c LEFT JOIN k ON k.g = c.g AND k.tn = c.tn),
-        |ke AS (SELECT katt.*, pg2.pg FROM katt JOIN pg2 ON pg2.g = katt.g),
-        |es AS (
-        |  SELECT e, SUM(pg) AS s, SUM(att * pg) AS sap,
-        |    SUM(att * pg) / SUM(pg) AS att_e
-        |  FROM ke GROUP BY e),
-        |coef AS (
-        |  SELECT ke.e, ke.g,
-        |    SUM(ke.att) / es.s - (es.sap / (es.s * es.s)) * COUNT(*) AS cf
-        |  FROM ke JOIN es ON ke.e = es.e
-        |  GROUP BY ke.e, ke.g, es.s, es.sap),
-        |cellpart AS (
-        |  SELECT ke.e, u.id, SUM((ke.pg / es.s) * u.inf) AS v
-        |  FROM u JOIN ke ON u.g = ke.g AND u.tn = ke.tn
-        |  JOIN es ON ke.e = es.e
-        |  GROUP BY ke.e, u.id),
-        |wifpart AS (
-        |  SELECT coef.e, un.id, coef.cf AS v
-        |  FROM units2 un JOIN coef ON coef.g = un.gbar),
-        |iftot AS (
-        |  SELECT e, id, SUM(v) AS v FROM (
-        |    SELECT * FROM cellpart UNION ALL SELECT * FROM wifpart)
-        |  GROUP BY e, id),
-        |sse2 AS (
-        |  SELECT e, sqrt(SUM(v * v)) / nn.n AS se
-        |  FROM iftot, nn GROUP BY e, nn.n)
-        |SELECT es.e AS egt, ROUND(es.att_e, 4) AS att,
+      s"""${aggteSeCtes("c.tn - c.g", postOnly = false)}
+        |SELECT es.mk AS egt, ROUND(es.att_m, 4) AS att,
         |  ROUND(s2.se, 4) AS att_se,
-        |  CAST(CASE WHEN es.e >= 0 THEN 1 ELSE 0 END AS BIGINT) AS post,
+        |  CAST(CASE WHEN es.mk >= 0 THEN 1 ELSE 0 END AS BIGINT) AS post,
         |  1.959964 AS c,
-        |  ROUND(es.att_e - 1.9599639845400545 * s2.se, 4) AS lowci,
-        |  ROUND(es.att_e + 1.9599639845400545 * s2.se, 4) AS highci
-        |FROM es JOIN sse2 s2 ON es.e = s2.e""".stripMargin),
+        |  ROUND(es.att_m - 1.9599639845400545 * s2.se, 4) AS lowci,
+        |  ROUND(es.att_m + 1.9599639845400545 * s2.se, 4) AS highci
+        |FROM es JOIN sse2 s2 ON es.mk = s2.mk""".stripMargin),
 
     // md5-flavor bootstrap draw matrix: per-unit IF rebuilt from raw
     // panel (same chain as q_if_norms), signs = top md5 bit of

@@ -58,10 +58,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (errors.nonEmpty)
-      Files.writeString(Paths.get(s"$outDir/_errors.json"),
-        errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-          .mkString("{", ",", "}"))
+    // ALWAYS written (empty object when clean): a reused outDir would
+    // otherwise keep a stale _errors.json from an earlier broken run
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     // every requested query must have left a parquet dir — count them
     // and scream (to stderr AND a sidecar) on any shortfall, so the
     // artifact can never silently represent a subset of the surface
