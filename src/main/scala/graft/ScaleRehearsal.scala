@@ -346,6 +346,11 @@ object ScaleRehearsal {
           graft.operators.TextQuality.tokenEntropy(docs, "doc_id", "text")
             .agg(fsum("entropy_bits")).first().getDouble(0).toLong
         },
+        timed("dedup_passages") {
+          import org.apache.spark.sql.functions.{sum => fsum}
+          Dedup.removeDupPassages(docs, "doc_id", "text", k = 8)
+            .agg(fsum("n_removed")).first().getLong(0)
+        },
         timed("bpe_train") {
           // 16 merge rounds: wall time should track the ONE corpus pass
           // plus a vocab-sized (not corpus-sized) per-round cost

@@ -1117,6 +1117,18 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15, "src3" -> 0.1))
     }),
 
+    // dedup: ExactSubstr-style duplicated-PASSAGE REMOVAL — tokens
+    // covered by any 8-token window shared across >= 2 docs are struck
+    // out and the doc reassembled (span-level dedup; doc/segment dedup
+    // can't excise boilerplate embedded mid-document). clean text rides
+    // as md5 for the compare
+    "q_dedup_passages" -> ((s, dir) =>
+      Dedup.removeDupPassages(
+        docs(s, dir).filter(length(trim(col("text"))) > 0),
+        "doc_id", "text", k = 8)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_fp"),
+          col("n_tokens"), col("n_removed"))),
+
     // mixture: TEMPERATURE-scaled mixing (share_s ~ tokens_s^alpha, the
     // multilingual-LM flattening rule) at alpha = 0.5 — normalization
     // cancels to keep-rate (minTok/tok_s)^0.5, one correctly-rounded
@@ -3353,6 +3365,39 @@ object SparkEntry {
         |FROM d JOIN t USING (source)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""
         .stripMargin,
+
+    "q_dedup_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (
+        |  SELECT doc_id, i, array_to_string(t[i : i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i
+        |        FROM toks)),
+        |dups AS (
+        |  SELECT sh FROM (
+        |    SELECT sh, count(DISTINCT doc_id) AS nd FROM w GROUP BY sh)
+        |  WHERE nd >= 2),
+        |ds AS (SELECT w.doc_id, w.i FROM w JOIN dups USING (sh)),
+        |tok AS (
+        |  SELECT doc_id, t[p] AS tok, CAST(p AS BIGINT) AS p
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS p
+        |        FROM toks)),
+        |f AS (
+        |  SELECT t.doc_id, t.p, t.tok,
+        |    CASE WHEN ds.i IS NULL THEN 0 ELSE 1 END AS dsf
+        |  FROM tok t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.i = t.p),
+        |cv AS (
+        |  SELECT doc_id, p, tok,
+        |    COALESCE(MAX(dsf) OVER (PARTITION BY doc_id ORDER BY p
+        |      RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 0) AS covered
+        |  FROM f)
+        |SELECT doc_id,
+        |  md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+        |    ORDER BY p), '')) AS clean_fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(covered) AS BIGINT) AS n_removed
+        |FROM cv GROUP BY doc_id""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH d AS (

@@ -493,6 +493,68 @@ object Dedup {
         coalesce(col("dupw"), lit(0L)).as("dup_windows"))
   }
 
+  /** ExactSubstr-style duplicated-PASSAGE REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * token covered by a k-token window that appears in >= 2 DISTINCT
+    * documents (the [[dupPassageStats]] dup rule) is struck out, and
+    * each document is reassembled from its surviving tokens in order —
+    * span-level dedup, where doc-level dedup keeps whole near-copies
+    * and segment dedup only catches aligned fixed boundaries. Documents
+    * shorter than k tokens pass through untouched; a fully-duplicated
+    * document keeps an empty-string row (the caller decides whether
+    * emptied docs survive). Null texts are dropped.
+    *
+    * Scale shape: window hashes ride as 8-byte xxhash64 rows (never
+    * text) into ONE corpus-wide hash-agg for the distinct-doc counts;
+    * the duplicated-hash set (typically tiny) comes back via an
+    * equi-join to per-doc window starts; coverage is a per-doc RANGE
+    * window over token positions (token p is covered iff a duplicated
+    * window STARTS in [p-k+1, p]); reassembly is one ordered
+    * aggregation per doc. Every exchange is a plain hash shuffle on
+    * did or h — no self-join, no cartesian. 64-bit hash collisions are
+    * the accepted shingle contract. Output: (idCol, clean_text,
+    * n_tokens, n_removed). */
+  def removeDupPassages(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"window size must be >= 1: $k")
+    val base = persistTracked(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("did"), tokens(col(textCol)).as("t"))
+        .repartition(par(df), col("did")))
+    // (did, i, h): window starting at 1-based token position i
+    val wins = persistTracked(base.select(col("did"),
+      posexplode(when(size(col("t")) >= k,
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("did"), (col("pos") + 1).as("i"), col("col").as("h")))
+    val dupH = wins.groupBy("h")
+      .agg(count_distinct(col("did")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("h")
+    val dupStarts = wins.join(dupH, "h")
+      .select(col("did"), col("i"), lit(1).as("ds"))
+    // token long-form with the dup-start flag, then RANGE-frame
+    // coverage: covered(p) = max ds over starts in [p - k + 1, p]
+    val toks = base.select(col("did"),
+        posexplode(col("t"))).select(col("did"),
+        (col("pos") + 1).as("p"), col("col").as("tok"))
+      .join(dupStarts.withColumnRenamed("i", "p"), Seq("did", "p"), "left")
+    val cov = Window.partitionBy("did").orderBy(col("p"))
+      .rangeBetween(-(k - 1L), 0L)
+    val kept = toks
+      .withColumn("covered",
+        coalesce(max(col("ds")).over(cov), lit(0)))
+    kept.groupBy("did")
+      .agg(
+        concat_ws(" ", array_sort(collect_list(when(col("covered") === 0,
+          struct(col("p"), col("tok"))))).getField("tok")).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("covered")).cast("long").as("n_removed"))
+      .select(col("did").as(idCol), col("clean_text"), col("n_tokens"),
+        col("n_removed"))
+  }
+
   /** C4/RefinedWeb-style SEGMENT-level exact dedup. The corpus is cut
     * into fixed `segTokens`-token segments (the deterministic stand-in
     * for line/paragraph boundaries — any boundary function slots in),
