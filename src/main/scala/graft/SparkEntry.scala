@@ -1326,6 +1326,27 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    // temporal: INTERVAL-overlap join — error windows [ts, ts+1h) x
+    // purchase windows [ts, ts+30m), same user; two-sided sibling of
+    // q_range_join. Engine = bucket expansion on BOTH sides + one
+    // equi-join + first-shared-bucket dedup (no distinct); oracle =
+    // the plain inequality join
+    "q_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("e_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("e_end"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+      Temporal.intervalJoin(errs, purch, "user_id", "p_user",
+        "e_start", "e_end", "p_start", "p_end",
+        Seq("error_id"), Seq("purchase_id"), bucketSeconds = 1800L)
+    }),
+
     // events: trailing 24h RANGE-frame window per user (value-based
     // frame over epoch seconds — the rolling-stats surface tumbling
     // windows can't express)
@@ -3365,6 +3386,13 @@ object SparkEntry {
         |FROM d JOIN t USING (source)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""
         .stripMargin,
+
+    "q_interval_join" ->
+      """SELECT a.event_id AS error_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+        |  AND a.ts < b.ts + INTERVAL 30 MINUTE
+        |  AND b.ts < a.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "q_dedup_passages" ->
       """WITH toks AS (

@@ -125,4 +125,63 @@ object Temporal {
       .select(points.columns.map(col) ++
         intervalCols.map(c => col(ic)(c).as(c)): _*)
   }
+
+  /** INTERVAL-overlap join: every same-`key` pair of a left interval
+    * `[lStart, lEnd)` and a right interval `[rStart, rEnd)` that
+    * OVERLAP (`lStart < rEnd && rStart < lEnd`) produces exactly one
+    * output row (`leftCols` + `rightCols`). The genuinely two-sided
+    * sibling of [[rangeJoin]] — a point is an interval of length zero,
+    * but an interval pair can meet in MANY shared buckets, so the
+    * naive bucket equi-join would emit duplicates.
+    *
+    * Dedup WITHOUT a distinct: a candidate pair is emitted only in the
+    * FIRST bucket both intervals inhabit —
+    * `bucket == greatest(bucketOf(lStart), bucketOf(rStart))` — which
+    * for an overlapping pair is unique and guaranteed to be probed
+    * (each side's explode covers its own start bucket through its end
+    * bucket). A `distinct` would shuffle the full candidate output a
+    * second time; the first-bucket rule is a map-side filter.
+    *
+    * Scale shape: both sides explode to ceil(len/bucket)+1 rows, ONE
+    * equi-join shuffle on (key, bucket), residual overlap filter +
+    * first-bucket filter — linear in rows x buckets-per-interval,
+    * never the per-key cartesian the raw inequality predicate plans
+    * to. Pick `bucketSeconds` near the typical interval length. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0: $bucketSeconds")
+    require(leftCols.nonEmpty && rightCols.nonEmpty,
+      "intervalJoin needs output columns from both sides")
+    val existing = (leftCols ++ rightCols).toSet
+    def internal(base: String): String =
+      Iterator.from(0).map(i => s"__graft_${base}_$i")
+        .find(!existing.contains(_)).get
+    val (kc, bc, lc, rc) =
+      (internal("k"), internal("b"), internal("l"), internal("r"))
+    def bucketOf(ts: Column): Column =
+      floor(unix_timestamp(ts) / bucketSeconds).cast("long")
+
+    def side(df: DataFrame, key: String, s: String, e: String,
+        cols: Seq[String], out: String): DataFrame =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e) &&
+          col(key).isNotNull)
+        .select(col(key).as(kc),
+          explode(sequence(bucketOf(col(s)), bucketOf(col(e)))).as(bc),
+          struct((s +: e +: cols).distinct.map(col): _*).as(out))
+
+    side(left, leftKey, lStart, lEnd, leftCols, lc)
+      .join(side(right, rightKey, rStart, rEnd, rightCols, rc),
+        Seq(kc, bc))
+      .filter(col(lc)(lStart) < col(rc)(rEnd) &&
+        col(rc)(rStart) < col(lc)(lEnd))
+      .filter(col(bc) === greatest(
+        floor(unix_timestamp(col(lc)(lStart)) / bucketSeconds),
+        floor(unix_timestamp(col(rc)(rStart)) / bucketSeconds))
+        .cast("long"))
+      .select(leftCols.map(c => col(lc)(c).as(c)) ++
+        rightCols.map(c => col(rc)(c).as(c)): _*)
+  }
 }

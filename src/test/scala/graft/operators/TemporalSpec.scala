@@ -138,6 +138,68 @@ class TemporalSpec extends AnyFunSuite with Matchers with SparkSpec {
       range(points, intervals, w) shouldBe expected
   }
 
+  // left: (lid, key, start-s, end-s); right: (rid, key, start-s, end-s)
+  private def overlap(left: Seq[(Long, Long, Long, Long)],
+      right: Seq[(Long, Long, Long, Long)], bucket: Long)
+      : Set[(Long, Long)] = {
+    val l = left.map { case (i, k, s, e) => (i, k, ts(s), ts(e)) }
+      .toDF("lid", "key", "ls", "le")
+    val r = right.map { case (i, k, s, e) => (i, k, ts(s), ts(e)) }
+      .toDF("rid", "rkey", "rs", "re")
+    Temporal.intervalJoin(l, r, "key", "rkey", "ls", "le", "rs", "re",
+        Seq("lid"), Seq("rid"), bucket)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+  }
+
+  test("interval join: overlapping pairs exactly once, disjoint never") {
+    val got = overlap(
+      left = Seq((1L, 7L, 100L, 200L), (2L, 7L, 300L, 400L)),
+      right = Seq(
+        (10L, 7L, 150L, 160L),  // inside left 1
+        (11L, 7L, 190L, 310L),  // spans left 1 AND left 2
+        (12L, 7L, 200L, 250L),  // touches left 1's end: half-open, no
+        (13L, 8L, 100L, 200L)), // other key
+      bucket = 30L)
+    got shouldBe Set((1L, 10L), (1L, 11L), (2L, 11L))
+  }
+
+  test("interval join: long shared spans emit ONE row despite many " +
+      "shared buckets (first-bucket dedup)") {
+    // both intervals cover ~20 buckets at bucket=10
+    val got = overlap(
+      left = Seq((1L, 7L, 0L, 200L)),
+      right = Seq((10L, 7L, 50L, 180L)),
+      bucket = 10L)
+    got shouldBe Set((1L, 10L))
+  }
+
+  test("interval join output is bucket-width invariant") {
+    val l = (0L until 40L).map(i => (i, i % 3, i * 7L, i * 7L + 25L))
+    val r = (0L until 40L).map(i => (100L + i, i % 3, i * 5L, i * 5L + 40L))
+    val a = overlap(l, r, bucket = 7L)
+    val b = overlap(l, r, bucket = 97L)
+    val c = overlap(l, r, bucket = 1L)
+    a shouldBe b
+    a shouldBe c
+    // brute force oracle
+    val expect = (for {
+      (li, lk, ls, le) <- l
+      (ri, rk, rs, re) <- r
+      if lk == rk && ls < re && rs < le
+    } yield (li, ri)).toSet
+    a shouldBe expect
+  }
+
+  test("interval plan: equi-join, no nested loop or cartesian") {
+    val l = Seq((1L, 1L, ts(0L), ts(100L))).toDF("lid", "key", "ls", "le")
+    val r = Seq((2L, 1L, ts(50L), ts(60L))).toDF("rid", "rkey", "rs", "re")
+    val plan = Temporal.intervalJoin(l, r, "key", "rkey", "ls", "le",
+        "rs", "re", Seq("lid"), Seq("rid"), 30L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoop"
+    plan should not include "Cartesian"
+  }
+
   test("asof plan: one shuffle on the key, no join operator") {
     val l = Seq((1L, 1L, ts(10L))).toDF("id", "key", "t")
     val r = Seq((1L, ts(5L), 2L, 1.0)).toDF("key", "t", "rid", "rv")
