@@ -346,6 +346,29 @@ object ScaleRehearsal {
           graft.operators.TextQuality.tokenEntropy(docs, "doc_id", "text")
             .agg(fsum("entropy_bits")).first().getDouble(0).toLong
         },
+        timed("interval_join") {
+          import org.apache.spark.sql.functions.{col, expr}
+          val errs = evs.filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id").as("error_id"),
+              col("ts").as("e_start"),
+              (col("ts") + expr("INTERVAL 1 HOUR")).as("e_end"))
+          val purch = evs.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"),
+              col("event_id").as("purchase_id"),
+              col("ts").as("p_start"),
+              (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+          graft.operators.Temporal.intervalJoin(errs, purch,
+            "user_id", "p_user", "e_start", "e_end", "p_start", "p_end",
+            Seq("error_id"), Seq("purchase_id"),
+            bucketSeconds = 1800L).count()
+        },
+        timed("temperature_mix") {
+          import org.apache.spark.sql.functions.{col, length}
+          Sampling.temperatureMix(
+            docs.select(col("doc_id"), col("source"),
+              length(col("text")).as("nc")),
+            "doc_id", "source", "nc", alpha = 0.5).count()
+        },
         timed("dedup_passages") {
           import org.apache.spark.sql.functions.{sum => fsum}
           Dedup.removeDupPassages(docs, "doc_id", "text", k = 8)
