@@ -164,9 +164,14 @@ object Temporal {
     def bucketOf(ts: Column): Column =
       floor(unix_timestamp(ts) / bucketSeconds).cast("long")
 
+    // strict s < e: a zero-length [s, s) interval is EMPTY and can
+    // never overlap anything — the popular `ls < re && rs < le` test
+    // wrongly admits an empty interval sitting strictly inside the
+    // other side, so empties are dropped here and the residual filter
+    // below uses the non-empty-intersection form
     def side(df: DataFrame, key: String, s: String, e: String,
         cols: Seq[String], out: String): DataFrame =
-      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e) &&
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) < col(e) &&
           col(key).isNotNull)
         .select(col(key).as(kc),
           explode(sequence(bucketOf(col(s)), bucketOf(col(e)))).as(bc),
@@ -175,8 +180,9 @@ object Temporal {
     side(left, leftKey, lStart, lEnd, leftCols, lc)
       .join(side(right, rightKey, rStart, rEnd, rightCols, rc),
         Seq(kc, bc))
-      .filter(col(lc)(lStart) < col(rc)(rEnd) &&
-        col(rc)(rStart) < col(lc)(lEnd))
+      // non-empty intersection: max(starts) < min(ends)
+      .filter(greatest(col(lc)(lStart), col(rc)(rStart)) <
+        least(col(lc)(lEnd), col(rc)(rEnd)))
       .filter(col(bc) === greatest(
         floor(unix_timestamp(col(lc)(lStart)) / bucketSeconds),
         floor(unix_timestamp(col(rc)(rStart)) / bucketSeconds))

@@ -57,6 +57,20 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(m.isEmpty)
   }
 
+  test("unicode corpora train over the byte-level alphabet (multi-byte " +
+      "chars become byte-symbol pairs, high page preserved)") {
+    import spark.implicits._
+    // 'é' is 2 UTF-8 bytes -> initial symbols are the 0x100-page chars;
+    // in "ééé ééé" the (é-byte-1, é-byte-2) pair dominates every other
+    // adjacency (5 per doc vs <= 3), so it must be merge 0
+    val docs = Seq.fill(20)("ééé ééé").toDF("text")
+    val m = BpeTrain.train(docs, "text", nMerges = 1)
+    val eBytes = "é".getBytes("UTF-8")
+    assert(m.head == ((
+      String.valueOf((0x100 + (eBytes(0) & 0xff)).toChar),
+      String.valueOf((0x100 + (eBytes(1) & 0xff)).toChar))))
+  }
+
   test("encoder round-trip: counting with the learned table compresses") {
     import spark.implicits._
     val docs = spark.read

@@ -55,6 +55,15 @@ class RemoveDupPassagesSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == (("c d", 6L, 4L)))
   }
 
+  test("reassembly normalizes like the token contract: lowercase, " +
+      "whitespace collapsed") {
+    val out = run(Seq(
+      (1L, "  A   B\tC  "),
+      (2L, "unrelated content entirely")), k = 5)
+    // no dups (k=5 > doc length): text survives, tokenized form
+    assert(out(1L) == (("a b c", 3L, 0L)))
+  }
+
   test("partition-invariant") {
     val docs = (0L until 60L).map { i =>
       (i, if (i % 3 == 0) s"common boiler plate text u$i"

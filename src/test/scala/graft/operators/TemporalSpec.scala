@@ -190,6 +190,15 @@ class TemporalSpec extends AnyFunSuite with Matchers with SparkSpec {
     a shouldBe expect
   }
 
+  test("interval join: zero-length [s, s) intervals never match") {
+    // empty interval on either side: ls < re && rs < le can't hold
+    val got = overlap(
+      left = Seq((1L, 7L, 100L, 100L), (2L, 7L, 100L, 200L)),
+      right = Seq((10L, 7L, 100L, 100L), (11L, 7L, 50L, 150L)),
+      bucket = 30L)
+    got shouldBe Set((2L, 11L))
+  }
+
   test("interval plan: equi-join, no nested loop or cartesian") {
     val l = Seq((1L, 1L, ts(0L), ts(100L))).toDF("lid", "key", "ls", "le")
     val r = Seq((2L, 1L, ts(50L), ts(60L))).toDF("rid", "rkey", "rs", "re")
