@@ -584,6 +584,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup passages: hash exchanges only, no cartesian, RANGE " +
+      "coverage window in-plan") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_dedup_passages")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("Cartesian"), s"cartesian leaked:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"),
+        s"nested loop leaked:\n$plan")
+      assert(plan.contains("specifiedwindowframe(RangeFrame"),
+        s"coverage must be a RANGE frame:\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
+
+  test("temperature mix is a map-only threshold filter at the scan") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_temperature_mix")(spark, dir)
+      val plan = planOf(df)
+      // after the one driver-side totals pass, the kept set must come
+      // from a filter over the scan — no join, no shuffle
+      assert(!plan.contains("Join"), s"join leaked:\n$plan")
+      assert(!plan.contains("Exchange"), s"shuffle leaked:\n$plan")
+      assert(plan.contains("Filter"), s"no filter in:\n$plan")
+    }
+  }
+
+  test("interval join: equi-join on (key, bucket), no nested loop") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_interval_join")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("Cartesian"),
+        s"interval join fell back to a nested loop:\n$plan")
+    }
+  }
+
   test("ppl buckets: tercile thresholds broadcast back, no cartesian") {
     withStaticPlan {
       val df = graft.SparkEntry.queries("q_ppl_buckets")(spark, dir)
