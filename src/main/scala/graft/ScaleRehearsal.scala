@@ -346,6 +346,10 @@ object ScaleRehearsal {
           graft.operators.TextQuality.tokenEntropy(docs, "doc_id", "text")
             .agg(fsum("entropy_bits")).first().getDouble(0).toLong
         },
+        timed("kmeans_assign") {
+          graft.operators.Similarity.kmeansAssignExact(emb, "vec_id",
+            "embedding", k = 8, iters = 3).count()
+        },
         timed("interval_join") {
           import org.apache.spark.sql.functions.{col, expr}
           val errs = evs.filter(col("event_type") === "error")

@@ -1274,6 +1274,16 @@ object SparkEntry {
         nLists = 8, nProbe = 8, trainFraction = 0.25)
     }),
 
+    // similarity: ORACLE-DETERMINISTIC distributed k-means document
+    // clustering (4 clusters, 3 Lloyd rounds, lowest-id init) — every
+    // distance and centroid mean is a sorted left fold with fixed
+    // rounding (the q_pagerank discipline), so DuckDB replays the whole
+    // iteration bit-for-bit; production routing quantizer stays the
+    // sampled k-means++ (ivfTopK)
+    "q_kmeans_clusters" -> ((s, dir) =>
+      Similarity.kmeansAssignExact(emb(s, dir), "vec_id", "embedding",
+        k = 4, iters = 3)),
+
     // events: tumbling event-time hourly window aggregation
     "q_event_hourly" -> ((s, dir) =>
       Events.hourlyByType(events(s, dir))
@@ -3386,6 +3396,48 @@ object SparkEntry {
         |FROM d JOIN t USING (source)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""
         .stripMargin,
+
+    // k-means replay: distances and centroid means as sorted left folds
+    // (list_reduce(list_sort(...)) — 0-seed == first-element seed since
+    // 0.0 + x is exact), 4dp distance / 8dp centroid rounding, argmin
+    // by (dist, j), emptied clusters carry the previous centroid
+    "q_kmeans_clusters" -> {
+      def distSql(c: String) =
+        s"ROUND(list_reduce(list_sort([ (e.v[d] - $c.c[d]) * " +
+          s"(e.v[d] - $c.c[d]) for d in range(1, 65) ]), " +
+          "(a, t) -> a + t), 4)"
+      def assignSql(name: String, prev: String) =
+        s"""$name AS (
+           |  SELECT vec_id, j FROM (
+           |    SELECT e.vec_id, $prev.j,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${distSql(prev)}, $prev.j) AS rk
+           |    FROM e CROSS JOIN $prev) WHERE rk = 1)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        s"""${assignSql(s"a$i", s"c${i - 1}")},
+           |m$i AS (
+           |  SELECT a$i.j AS j, d,
+           |    ROUND(list_reduce(list_sort(list(e.v[d])), (a, t) -> a + t)
+           |      / COUNT(*), 8) AS m
+           |  FROM a$i JOIN e USING (vec_id), unnest(range(1, 65)) AS u(d)
+           |  GROUP BY a$i.j, d),
+           |c$i AS (
+           |  SELECT c${i - 1}.j, COALESCE(nm.c, c${i - 1}.c) AS c
+           |  FROM c${i - 1} LEFT JOIN (
+           |    SELECT j, list(m ORDER BY d) AS c FROM m$i GROUP BY j) nm
+           |    ON nm.j = c${i - 1}.j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+         |  FROM e ORDER BY vec_id LIMIT 4),
+         |$iters,
+         |${assignSql("afin", "c3")}
+         |SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM afin""".stripMargin
+    },
 
     "q_interval_join" ->
       """SELECT a.event_id AS error_id, b.event_id AS purchase_id

@@ -341,6 +341,69 @@ object Similarity {
     best
   }
 
+  /** ORACLE-DETERMINISTIC distributed Lloyd k-means over the corpus —
+    * the document-clustering surface (curriculum buckets, per-cluster
+    * sampling caps, SemDeDup-style within-cluster dedup all consume
+    * these assignments). Every arithmetic step is partitioning- AND
+    * engine-independent (the [[Graph.pageRank]] discipline), so an ANSI
+    * engine replays the full iteration bit-for-bit:
+    *
+    *  - init: the `k` lowest-id vectors (no RNG);
+    *  - distance: left fold of the SORTED per-dim squared diffs,
+    *    rounded 4dp — sum order fixed on every engine;
+    *  - assignment: argmin with smallest-cluster-index tie-break
+    *    (lexicographic struct min over (dist, j));
+    *  - update: per-(cluster, dim) mean via sorted-fold sum / count,
+    *    rounded 8dp; an emptied cluster keeps its previous centroid;
+    *  - `iters` fixed Lloyd rounds, then a final assignment pass.
+    *
+    * Scale shape: the corpus is persisted once as double vectors; each
+    * round is one map (k x dim literal distance expressions — no join,
+    * centroids ride in the plan like [[planes]]) plus one
+    * posexplode + groupBy(cluster, dim) aggregation whose result is
+    * k x dim rows to the driver. The production coarse quantizer for
+    * routing stays [[lloyd]] on a bounded sample (k-means++, RNG) —
+    * this exact flavor is the verification surface, exactly like
+    * zorderBuckets vs zorderRepartition. */
+  def kmeansAssignExact(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val base = TrackedCaches.persist(
+      emb.select(col(idCol).as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v")))
+    var cents: IndexedSeq[Seq[Double]] = base.orderBy("vid").limit(k)
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    require(cents.length == k, s"fewer than $k vectors in the corpus")
+
+    def distTo(c: Seq[Double]): Column =
+      aggregate(
+        sort_array(zip_with(col("v"), array(c.map(lit): _*),
+          (x, y) => (x - y) * (x - y))),
+        lit(0.0), (acc, t) => acc + t)
+    def assignCol: Column =
+      array_min(array(cents.zipWithIndex.map { case (c, j) =>
+        struct(round(distTo(c), 4).as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+
+    for (_ <- 1 to iters) {
+      val upd = base.withColumn("cl", assignCol)
+        .select(col("cl"), posexplode(col("v")))
+        .groupBy("cl", "pos")
+        .agg(round(
+          aggregate(sort_array(collect_list(col("col"))), lit(0.0),
+            (acc, t) => acc + t) / count(lit(1)), 8).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.indices.map(j => upd.getOrElse(j, cents(j)))
+    }
+    base.withColumn("cluster", assignCol)
+      .select(col("vid").as(idCol), col("cluster").cast("long").as("cluster"))
+  }
+
   /** Deterministic random hyperplanes (seeded driver-side, inlined as
     * plan literals — tiny: nPlanes x dim doubles). `private[graft]` so
     * the oracle harness can inline the SAME plane values into its SQL

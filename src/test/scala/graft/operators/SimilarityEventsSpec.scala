@@ -19,6 +19,34 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     (5L, Array(0f, 0f, 1f))
   ).toDF("vec_id", "embedding")
 
+  test("kmeansAssignExact recovers planted clusters and is " +
+      "partition-invariant") {
+    // three tight planted blobs far apart; k = 3, lowest-id init lands
+    // one seed in each blob's id range after 2 rounds
+    val blobs = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(4)(0f)
+      base(c) = 10f
+      (i, base.zipWithIndex.map { case (v, d) =>
+        v + ((i * 7 + d) % 5) * 0.01f })
+    }
+    val df = blobs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignExact(df, "vec_id", "embedding",
+      k = 3, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all members of a blob share a cluster, blobs are distinct
+    val byBlob = (0 until 3).map(b =>
+      (0L until 90L).filter(_ % 3 == b).map(got).toSet)
+    byBlob.foreach(s => assert(s.size == 1))
+    assert(byBlob.flatten.toSet.size == 3)
+    // identical assignments under a different partitioning
+    val got2 = Similarity.kmeansAssignExact(df.repartition(7), "vec_id",
+      "embedding", k = 3, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == got2)
+    graft.operators.TrackedCaches.releaseAll()
+  }
+
   test("cosine: exact values") {
     val c = vecs.filter($"vec_id" === 1).as("a")
       .crossJoin(vecs.filter($"vec_id" === 3).as("b"))
