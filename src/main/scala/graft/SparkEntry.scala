@@ -826,6 +826,22 @@ object SparkEntry {
     "q_script_mix" -> ((s, dir) =>
       TextQuality.scriptMix(docs(s, dir), "doc_id", "text")),
 
+    // hygiene: Unicode NFC canonical normalization — precomposed vs
+    // combining-mark forms hash identically after this pass; native
+    // codegen'd JDK Normalizer vs DuckDB's UAX#15 nfc_normalize
+    "q_unicode_norm" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(TextFunctions.nfc(col("text"))).as("nfc_md5"),
+        (TextFunctions.nfc(col("text")) =!= col("text")).as("changed"))),
+
+    // hygiene: HTML-to-text (tag strip, entity decode, whitespace
+    // collapse) — map-only regexp/replace chain, identical semantics
+    // in Java regex and RE2 by construction
+    "q_html_strip" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.stripHtml(col("text")).as("clean"),
+        length(TextFunctions.stripHtml(col("text"))).as("n_clean"))),
+
     // normalization: per-source winsorization of doc length into the
     // exact [P5, P95] band — broadcast bounds, map-only clamp
     "q_winsorize" -> ((s, dir) =>
@@ -1654,6 +1670,20 @@ object SparkEntry {
         .select("media_id", "kind", "width", "height", "channels",
           "mean_intensity")
     }),
+
+    // corpus stats: all pairwise Pearson correlations of the lineitem
+    // measures in ONE scan + one single-row moment aggregate (feature
+    // redundancy / drift check); shuffle carries one row
+    "q_corr_matrix" -> ((s, dir) =>
+      operators.Stats.corrMatrix(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // corpus stats: Jensen-Shannon divergence between each source
+    // pair's unigram distribution (corpus-shift monitor) — one corpus
+    // scan, then everything is vocab x pairs sized
+    "q_js_divergence" -> ((s, dir) =>
+      operators.Stats.jsDivergence(docs(s, dir), "source", "text")),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -2553,6 +2583,30 @@ object SparkEntry {
         |        / len(t), 6) AS top_token_frac
         |FROM sig""".stripMargin,
 
+    // both engines implement UAX#15 NFC (JDK Normalizer / DuckDB
+    // nfc_normalize) — md5 of the normalized text pins it byte-exact
+    "q_unicode_norm" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text)) AS nfc_md5,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM documents""".stripMargin,
+
+    // same tag regex (valid in RE2 and Java), same entity-replace order
+    // (&amp; last), same explicit whitespace class (Java \s includes
+    // \x0B, RE2 \s does not — spelled out on both sides)
+    "q_html_strip" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&amp;', '&'),
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean, CAST(len(clean) AS INT) AS n_clean
+        |FROM s""".stripMargin,
+
     // delete-and-difference char-class counts, 6dp
     "q_script_mix" ->
       """SELECT doc_id,
@@ -3027,6 +3081,57 @@ object SparkEntry {
         |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
         |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
         |FROM documents GROUP BY source""".stripMargin,
+
+    // same covar_pop/(stddev_pop*stddev_pop) pairing q_source_trend
+    // proved; 6dp absorbs accumulation-order ulps
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS x_col, '$b' AS y_col,
+           |  ROUND(CASE WHEN stddev_pop(CAST($a AS DOUBLE)) <> 0
+           |          AND stddev_pop(CAST($b AS DOUBLE)) <> 0
+           |    THEN covar_pop(CAST($a AS DOUBLE), CAST($b AS DOUBLE)) /
+           |      (stddev_pop(CAST($a AS DOUBLE)) *
+           |       stddev_pop(CAST($b AS DOUBLE))) END, 6) AS corr
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
+    // p=0 terms contribute 0 by the KL convention (guarded CASE on
+    // both engines); ln/ln(2) formulation like q_token_entropy
+    "q_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |d AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(c) AS t FROM d GROUP BY 1),
+        |p AS (SELECT d.source, tok, CAST(c AS DOUBLE) / t AS p
+        |      FROM d JOIN tot USING (source)),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |la AS (SELECT s1, s2, tok, p AS pa
+        |       FROM pairs JOIN p ON p.source = pairs.s1),
+        |lb AS (SELECT s1, s2, tok, p AS pb
+        |       FROM pairs JOIN p ON p.source = pairs.s2),
+        |j AS (
+        |  SELECT COALESCE(la.s1, lb.s1) AS s1,
+        |    COALESCE(la.s2, lb.s2) AS s2,
+        |    COALESCE(pa, 0) AS pa, COALESCE(pb, 0) AS pb
+        |  FROM la FULL JOIN lb
+        |    ON la.s1 = lb.s1 AND la.s2 = lb.s2 AND la.tok = lb.tok)
+        |SELECT s1, s2,
+        |  ROUND(0.5 * SUM(CASE WHEN pa > 0
+        |          THEN pa * (ln(2 * pa / (pa + pb)) / ln(2)) ELSE 0 END)
+        |      + 0.5 * SUM(CASE WHEN pb > 0
+        |          THEN pb * (ln(2 * pb / (pa + pb)) / ln(2)) ELSE 0 END),
+        |    6) AS jsd
+        |FROM j GROUP BY s1, s2""".stripMargin,
 
     // partition layout is pure routing — the oracle is the flat-table
     // aggregate

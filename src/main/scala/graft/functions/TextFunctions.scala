@@ -266,4 +266,33 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Unicode NFC canonical normalization (native [[UnicodeNormExpr]];
+    * DuckDB `nfc_normalize` pins it exactly). Run this BEFORE hashing /
+    * shingling / dedup so "é" precomposed and "e"+combining-acute hash
+    * identically. Map-only, codegen'd. */
+  def nfc(c: Column): Column = UnicodeNormExpr.nfc(c)
+
+  /** Unicode NFKC compatibility normalization — additionally folds
+    * ligatures ("ﬁ"→"fi"), full-width forms, and superscripts; the
+    * aggressive flavor tokenizer pipelines use. Spec-pinned. */
+  def nfkc(c: Column): Column = UnicodeNormExpr.nfkc(c)
+
+  /** HTML-to-text: drop tags, decode the five predefined entities,
+    * collapse whitespace. Tags go first (`<[^>]*>` is valid in both
+    * Java regex and RE2, so DuckDB replays it); entity decode uses
+    * non-regex `replace` with `&amp;` LAST — "&amp;lt;" correctly
+    * yields the literal "&lt;", never "<". Map-only, stays inside
+    * whole-stage codegen. */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+    // explicit class, not \s: Java's \s includes \x0B, RE2's does not —
+    // spelling it out keeps Spark and the DuckDB oracle byte-identical
+    trim(regexp_replace(ent, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
 }

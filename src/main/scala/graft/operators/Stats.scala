@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Cross-column / cross-corpus statistics for curation monitoring.
+  *
+  * [[corrMatrix]] — all pairwise Pearson correlations of a set of
+  * numeric columns in ONE scan + ONE single-row aggregate (the
+  * feature-drift / redundancy check run before training-data mixing).
+  * The reference's analogue is driver-side pandas peeking; here the
+  * whole matrix is one wide partial-aggregated job whose shuffle
+  * carries a single row of moments, so it costs the same at 100 TB as
+  * a count(*). Formulated as `covar_pop / (stddev_pop * stddev_pop)`
+  * — the exact pairing `q_source_trend` already proved cross-engine
+  * (round 6dp absorbs last-ulp accumulation-order differences).
+  *
+  * [[jsDivergence]] — Jensen-Shannon divergence between each pair of
+  * sources' unigram distributions, the standard corpus-shift metric
+  * (symmetric, bounded [0,1] in log2). One corpus scan builds the
+  * per-source token distribution; every downstream join is
+  * vocabulary-sized and source-count-sized — corpus size never appears
+  * again, which is what makes it a 100 TB-viable drift monitor. The
+  * tiny pair frame broadcasts; the (s1, s2, tok) full-outer alignment
+  * shuffles at most |vocab| x |pairs| rows. Terms with p=0 contribute
+  * 0 by the usual KL convention (guarded CASE, not a NaN filter).
+  */
+object Stats {
+
+  /** Long-form (x_col, y_col, corr) for every unordered column pair,
+    * one single-row aggregate. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      val sa = stddev_pop(col(a).cast("double"))
+      val sb = stddev_pop(col(b).cast("double"))
+      // zero-variance guard: ANSI mode raises on /0; a constant column
+      // has no defined correlation -> null (same CASE in the oracle)
+      round(when(sa =!= 0.0 && sb =!= 0.0,
+        covar_pop(col(a).cast("double"), col(b).cast("double")) /
+          (sa * sb)), 6).as(s"${a}__${b}")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${pairs.size}, $stackArgs) AS (x_col, y_col, corr)"))
+  }
+
+  /** Per-source-pair JSD (log2, 6dp) over whitespace-token unigram
+    * distributions of `textCol`. Output: (s1, s2, jsd) with s1 < s2. */
+  def jsDivergence(df: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("t"))
+    // vocab-sized from here on: |sources| is K, |counts| is K x vocab
+    val p = counts.join(broadcast(totals), "source")
+      .select(col("source"), col("tok"),
+        (col("c").cast("double") / col("t")).as("p"))
+    val srcs = totals.select(col("source"))
+    val pairFrame = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+    val left = broadcast(pairFrame)
+      .join(p.withColumnRenamed("source", "s1")
+        .withColumnRenamed("p", "pa"), Seq("s1"))
+    val right = broadcast(pairFrame)
+      .join(p.withColumnRenamed("source", "s2")
+        .withColumnRenamed("p", "pb"), Seq("s2"))
+    val aligned = left.join(right, Seq("s1", "s2", "tok"), "full_outer")
+      .select(col("s1"), col("s2"),
+        coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb"))
+    def term(pc: Column, other: Column): Column =
+      when(pc > 0,
+        pc * (log(lit(2.0) * pc / (pc + other)) / log(lit(2.0))))
+        .otherwise(lit(0.0))
+    aligned.groupBy("s1", "s2")
+      .agg(round(
+        lit(0.5) * sum(term(col("pa"), col("pb"))) +
+          lit(0.5) * sum(term(col("pb"), col("pa"))), 6).as("jsd"))
+  }
+}
