@@ -1684,6 +1684,26 @@ object SparkEntry {
     // scan, then everything is vocab x pairs sized
     "q_js_divergence" -> ((s, dir) =>
       operators.Stats.jsDivergence(docs(s, dir), "source", "text")),
+
+    // embeddings: X'X Gram upper triangle — row-local pair generation
+    // (chained posexplode, NO self-join), map-side partials collapse
+    // to dim^2 rows before the only shuffle
+    "q_embed_gram" -> ((s, dir) =>
+      operators.EmbedAlgebra.gram(emb(s, dir))),
+
+    // embeddings: Johnson-Lindenstrauss Rademacher projection to 16
+    // dims with md5-keyed signs — "random" yet oracle-EXACT (DuckDB
+    // rebuilds the identical +-1 matrix); map-only
+    "q_embed_rp" -> ((s, dir) =>
+      operators.EmbedAlgebra.randomProject(emb(s, dir), k = 16)),
+
+    // embeddings: top-8 PCA of the population covariance — one
+    // dimension-bounded corpus pass + driver-side 64x64 eigSym;
+    // rows-only by design (eigen is not ANSI-expressible; the input
+    // covariance is oracle-pinned through q_embed_gram, the eigen step
+    // by EmbedAlgebraSpec parity/orthonormality/reconstruction)
+    "q_embed_pca" -> ((s, dir) =>
+      operators.EmbedAlgebra.pca(emb(s, dir), k = 8)),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -3100,6 +3120,29 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    // float elements widen to double BEFORE multiplying on both
+    // engines (float x float would round differently); 4dp absorbs
+    // accumulation order
+    "q_embed_gram" ->
+      """SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  ROUND(SUM(CAST(embedding[i + 1] AS DOUBLE) *
+        |            CAST(embedding[j + 1] AS DOUBLE)), 4) AS g
+        |FROM embeddings, range(64) r1(i), range(64) r2(j)
+        |WHERE j >= i
+        |GROUP BY i, j""".stripMargin,
+
+    // the +-1 matrix is a pure function of md5("rp|i|j") first-hex-digit
+    // parity — identical on both engines; /sqrt(16) and 6dp as in the
+    // engine expression
+    "q_embed_rp" ->
+      """SELECT vec_id, CAST(j AS INT) AS j,
+        |  ROUND(SUM(CAST(embedding[i + 1] AS DOUBLE) *
+        |    CASE WHEN strpos('02468ace',
+        |           substr(md5('rp|' || i || '|' || j), 1, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END) / sqrt(16.0), 6) AS val
+        |FROM embeddings, range(64) r1(i), range(16) r2(j)
+        |GROUP BY vec_id, j""".stripMargin,
 
     // p=0 terms contribute 0 by the KL convention (guarded CASE on
     // both engines); ln/ln(2) formulation like q_token_entropy
