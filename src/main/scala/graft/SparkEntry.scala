@@ -1062,6 +1062,14 @@ object SparkEntry {
       Search.bm25TopK(docs(s, dir), "doc_id", "text",
         "spark join merge", topK = 10)),
 
+    // search: lexical near-dup pairs — rare-token candidate generation
+    // (df <= 0.7N) then EXACT full-vocabulary tf-idf cosine on the
+    // candidates only; the two-phase IR design whose quadratic work is
+    // candidate-bounded
+    "q_lexical_pairs" -> ((s, dir) =>
+      Search.lexicalCosinePairs(docs(s, dir), "doc_id", "text",
+        maxDfFrac = 0.7, minCos = 0.75)),
+
     // decontamination: per-doc count of 3-gram collisions with the
     // benchmark slice (doc_id % 20 == 0 plays the eval set); broadcast
     // benchmark shingles, no corpus shuffle
@@ -3435,6 +3443,44 @@ object SparkEntry {
          |FROM nD, UNNEST(range(0,
          |  GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)"""
         .stripMargin,
+
+    // same smoothed idf ln((N+1)/(df+1)), same candidate rule, same
+    // zero-norm CASE guard; 6dp on the cosine
+    "q_lexical_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |stats AS (SELECT count(DISTINCT doc_id) AS n FROM p0),
+        |d AS (SELECT tok, count(*) AS dfreq FROM p0 GROUP BY 1),
+        |w AS (
+        |  SELECT p0.doc_id, p0.tok,
+        |    tf * ln((n + 1.0) / (dfreq + 1.0)) AS w
+        |  FROM p0 JOIN d USING (tok) CROSS JOIN stats),
+        |rare AS (
+        |  SELECT doc_id, p0.tok FROM p0 JOIN d USING (tok)
+        |  CROSS JOIN stats WHERE dfreq <= 0.7 * n),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM rare a JOIN rare b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |norms AS (
+        |  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT cand.d1, cand.d2, SUM(wa.w * wb.w) AS dot
+        |  FROM cand
+        |  JOIN w wa ON wa.doc_id = cand.d1
+        |  JOIN w wb ON wb.doc_id = cand.d2 AND wa.tok = wb.tok
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT d1 AS doc1, d2 AS doc2,
+        |    CASE WHEN na.nrm * nb.nrm > 0
+        |      THEN ROUND(dot / (na.nrm * nb.nrm), 6) END AS cos
+        |  FROM dots
+        |  JOIN norms na ON dots.d1 = na.doc_id
+        |  JOIN norms nb ON dots.d2 = nb.doc_id)
+        |SELECT doc1, doc2, cos FROM c WHERE cos >= 0.75""".stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (

@@ -58,4 +58,56 @@ object Search {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Lexical near-duplicate pairs by FULL-vocabulary tf-idf cosine,
+    * with rare-token candidate generation — the classic two-phase IR
+    * design: a cheap candidate pass (docs sharing at least one token
+    * whose document frequency is <= maxDfFrac * N, and optionally
+    * <= maxDfAbs) bounds the quadratic work, then the exact cosine is
+    * computed over the candidates' complete smoothed-tf-idf vectors
+    * (idf = ln((N+1)/(df+1))), so the reported similarity is the true
+    * one, not a pruned-subspace artifact.
+    *
+    * Shape at 100 TB: the self-join runs ONLY on rare-token postings
+    * (per-token fanout <= df^2 with df capped — production sets
+    * `maxDfAbs` to a constant like 1000, making candidate volume
+    * linear in corpus size); the dot-product joins are candidate-
+    * bounded; norms are one per-doc agg. Nothing quadratic in N ever
+    * materializes. Output: (doc1, doc2, cos) with doc1 < doc2,
+    * cos >= minCos, 6dp. */
+  def lexicalCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFrac: Double = 0.7, minCos: Double = 0.75,
+      maxDfAbs: Long = Long.MaxValue): DataFrame = {
+    val p0 = TrackedCaches.persist(docs
+      .select(col(idCol).as("did"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("tf")))
+    val stats = p0.agg(count_distinct(col("did")).as("n"))
+    val dfreq = p0.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val w = TrackedCaches.persist(p0.join(dfreq, "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("did"), col("tok"),
+        (col("tf") * log((col("n") + lit(1.0)) / (col("dfreq") + lit(1.0))))
+          .as("w")))
+    val rare = p0.join(dfreq, "tok").crossJoin(broadcast(stats))
+      .where(col("dfreq") <= col("n") * maxDfFrac &&
+        col("dfreq") <= maxDfAbs)
+      .select("did", "tok")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.tok") === col("b.tok") && col("a.did") < col("b.did"))
+      .select(col("a.did").as("d1"), col("b.did").as("d2")).distinct()
+    val norms = w.groupBy("did").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = cand
+      .join(w.select(col("did").as("d1"), col("tok"), col("w").as("wa")),
+        Seq("d1"))
+      .join(w.select(col("did").as("d2"), col("tok"), col("w").as("wb")),
+        Seq("d2", "tok"))
+      .groupBy("d1", "d2").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("did").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("did").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1").as("doc1"), col("d2").as("doc2"),
+        when(col("n1") * col("n2") > 0,
+          round(col("dot") / (col("n1") * col("n2")), 6)).as("cos"))
+      .where(col("cos") >= minCos)
+  }
 }
