@@ -421,6 +421,42 @@ object ScaleRehearsal {
             .agg(count(lit(1)).as("cnt"), fsum("nc").as("sum_chars"))
             .count()
         },
+        timed("html_strip") {
+          // map-only hygiene pass; consume cleaned length so the
+          // projection can't be pruned
+          import org.apache.spark.sql.functions.{col, length, sum => fsum}
+          docs.select(length(graft.functions.TextFunctions
+              .stripHtml(col("text"))).as("n"))
+            .agg(fsum("n")).first().getLong(0)
+        },
+        timed("corr_matrix") {
+          import org.apache.spark.sql.functions.{col, length}
+          graft.operators.Stats.corrMatrix(
+            docs.select(length(col("text")).cast("double").as("nc"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("double").as("tc"),
+              (col("doc_id") % 97).cast("double").as("m")),
+            Seq("nc", "tc", "m")).count()
+        },
+        timed("js_divergence") {
+          graft.operators.Stats.jsDivergence(docs, "source", "text")
+            .count()
+        },
+        timed("embed_gram") {
+          graft.operators.EmbedAlgebra.gram(emb).count()
+        },
+        timed("embed_rp") {
+          import org.apache.spark.sql.functions.{sum => fsum}
+          graft.operators.EmbedAlgebra.randomProject(emb, k = 16)
+            .agg(fsum("val")).first().getDouble(0).toLong
+        },
+        timed("lexical_pairs") {
+          // the PRODUCTION configuration: absolute df cap — candidate
+          // volume stays linear in corpus size (rare-token count),
+          // never sum(df^2) over mid-frequency tokens
+          graft.operators.Search.lexicalCosinePairs(docs, "doc_id", "text",
+            maxDfFrac = 0.7, minCos = 0.1, maxDfAbs = 200L).count()
+        },
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)

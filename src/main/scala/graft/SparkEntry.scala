@@ -1712,6 +1712,21 @@ object SparkEntry {
     // by EmbedAlgebraSpec parity/orthonormality/reconstruction)
     "q_embed_pca" -> ((s, dir) =>
       operators.EmbedAlgebra.pca(emb(s, dir), k = 8)),
+
+    // corpus stats: per-source Zipf slope/intercept of ln(freq) ~
+    // ln(rank) — distribution-shape drift monitor; window over the
+    // vocab-sized frequency table, deterministic rank order
+    "q_zipf_slope" -> ((s, dir) =>
+      operators.Stats.zipfSlope(docs(s, dir), "source", "text")),
+
+    // text analysis: deflate compression ratio (machine-generated /
+    // boilerplate detector) — rows-only BY DESIGN (no ANSI deflate;
+    // CompressionRatioSpec pins repetitive<<natural ordering, bounds,
+    // determinism, and a fixed-vector fixture); map-only codegen'd
+    "q_compression_ratio" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.CompressionRatioExpr
+          .compressionRatio(col("text")).as("deflate_ratio"))),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -3128,6 +3143,28 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    // identical deterministic rank order (count desc, token asc), the
+    // q_source_trend moment pairing, single-type CASE guard, 6dp
+    "q_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source,
+        |    ln(CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM c)
+        |SELECT source, count(*) AS n_types,
+        |  ROUND(CASE WHEN var_pop(x) <> 0
+        |    THEN covar_pop(x, y) / var_pop(x) END, 6) AS slope,
+        |  ROUND(CASE WHEN var_pop(x) <> 0
+        |    THEN avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) END, 6)
+        |    AS intercept
+        |FROM r GROUP BY source""".stripMargin,
 
     // float elements widen to double BEFORE multiplying on both
     // engines (float x float would round differently); 4dp absorbs

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -88,5 +89,41 @@ object Stats {
       .agg(round(
         lit(0.5) * sum(term(col("pa"), col("pb"))) +
           lit(0.5) * sum(term(col("pb"), col("pa"))), 6).as("jsd"))
+  }
+
+  /** Per-source Zipf fit: least-squares slope/intercept of
+    * ln(freq) ~ ln(rank) over the source's token frequency table
+    * (natural text sits near slope -1; templated/generated corpora
+    * drift off — a cheap distribution-shape drift monitor).
+    *
+    * Rank is a DETERMINISTIC total order (count desc, token asc), so
+    * both engines assign identical ranks. The window runs over the
+    * vocab-sized frequency table, not the corpus; the regression is
+    * the proven covar_pop/var_pop moment pairing, 6dp. Output:
+    * (source, n_types, slope, intercept). */
+  def zipfSlope(df: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.partitionBy("source")
+        .orderBy(col("c").desc, col("tok"))))
+    ranked
+      .select(col("source"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        // single-type source -> var_pop(x)=0: no defined slope (ANSI
+        // would raise on the division); null on both engines
+        round(when(var_pop(col("x")) =!= 0.0,
+          covar_pop(col("x"), col("y")) / var_pop(col("x"))), 6)
+          .as("slope"),
+        round(when(var_pop(col("x")) =!= 0.0,
+          avg(col("y")) -
+            covar_pop(col("x"), col("y")) / var_pop(col("x")) *
+              avg(col("x"))), 6).as("intercept"))
   }
 }

@@ -620,6 +620,67 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("unicode norm + html strip are map-only (no exchange, no join)") {
+    withStaticPlan {
+      for (q <- Seq("q_unicode_norm", "q_html_strip")) {
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("Exchange"), s"$q shuffled:\n$plan")
+        assert(!plan.contains("Join"), s"$q joined:\n$plan")
+      }
+    }
+  }
+
+  test("corr matrix: one single-row aggregate, no join, partial aggs") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_corr_matrix")(spark, dir))
+      assert(!plan.contains("Join"), s"join leaked:\n$plan")
+      assert(plan.contains("partial_"), "no map-side partial aggregate")
+      // exactly one shuffle: the 1-row partial->final exchange
+      assert("Exchange".r.findAllIn(plan).size <= 2,
+        s"too many shuffles:\n$plan")
+    }
+  }
+
+  test("embed gram: row-local pair generation — generators, no join") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_embed_gram")(spark, dir))
+      assert(!plan.contains("Join"), s"self-join leaked:\n$plan")
+      assert(plan.contains("Generate"), s"no explode in:\n$plan")
+      assert(plan.contains("partial_"), "no map-side partial aggregate")
+    }
+  }
+
+  test("embed rp: map-only projection (no exchange, no join)") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_embed_rp")(spark, dir))
+      assert(!plan.contains("Exchange"), s"shuffle leaked:\n$plan")
+      assert(!plan.contains("Join"), s"join leaked:\n$plan")
+    }
+  }
+
+  test("lexical pairs: equi-joins only — no cartesian, no nested loop " +
+    "on corpus-sized inputs") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_lexical_pairs")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+      // the K=1 stats frame rides in as a broadcast nested loop by
+      // design; corpus-sized joins must all be hash/sort equi-joins
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"no equi-join in:\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
+
+  test("js divergence: corpus scans once; pair alignment joins are " +
+    "vocab-sized equi-joins, no cartesian") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_js_divergence")(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    }
+  }
+
   test("ppl buckets: tercile thresholds broadcast back, no cartesian") {
     withStaticPlan {
       val df = graft.SparkEntry.queries("q_ppl_buckets")(spark, dir)

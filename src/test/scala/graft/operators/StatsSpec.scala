@@ -64,6 +64,32 @@ class StatsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().head.getDouble(2) shouldBe expected
   }
 
+  test("zipfSlope matches the hand-computed ln-ln least squares fit") {
+    // freqs: a x4, b x2, c x1 -> ranks 1,2,3 (count desc, token asc)
+    val df = Seq(("s1", "a a a a b b c")).toDF("source", "text")
+    val out = Stats.zipfSlope(df, "source", "text").collect().head
+    val pts = Seq((math.log(1.0), math.log(4.0)),
+      (math.log(2.0), math.log(2.0)), (math.log(3.0), math.log(1.0)))
+    val (mx, my) = (pts.map(_._1).sum / 3, pts.map(_._2).sum / 3)
+    val cov = pts.map { case (x, y) => (x - mx) * (y - my) }.sum / 3
+    val vx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum / 3
+    out.getLong(1) shouldBe 3L // n_types
+    out.getDouble(2) shouldBe
+      BigDecimal(cov / vx).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.getDouble(3) shouldBe
+      BigDecimal(my - cov / vx * mx).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6
+  }
+
+  test("zipfSlope null-guards a single-type source") {
+    val df = Seq(("s1", "solo solo solo")).toDF("source", "text")
+    val out = Stats.zipfSlope(df, "source", "text").collect().head
+    out.getLong(1) shouldBe 1L
+    out.isNullAt(2) shouldBe true
+    out.isNullAt(3) shouldBe true
+  }
+
   test("jsDivergence emits each pair once with s1 < s2, for K sources") {
     val df = Seq(("s1", "a b"), ("s2", "b c"), ("s3", "c d"))
       .toDF("source", "text")
