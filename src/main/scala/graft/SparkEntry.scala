@@ -1727,6 +1727,34 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.functions.CompressionRatioExpr
           .compressionRatio(col("text")).as("deflate_ratio"))),
+
+    // event analytics: ordered view->click->purchase funnel — ONE
+    // shuffle on the user key, chained running-min RANGE windows (tie-
+    // proof on same-second events), no per-step scans or self-joins
+    "q_funnel" -> ((s, dir) => Events.funnel(events(s, dir))),
+
+    // event analytics: weekly cohort retention — window cohort min +
+    // user-local distinct; the final agg is (weeks x offsets)-sized
+    "q_retention" -> ((s, dir) => Events.weeklyRetention(events(s, dir))),
+
+    // record linkage: blocked Levenshtein pairs over the DISTINCT
+    // part-name vocabulary (block = last token) — the corpus never
+    // self-joins; one vocabulary-sized hash equi-join
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      operators.Linkage.fuzzyNamePairs(
+        s.read.parquet(s"$dir/part.parquet"), "p_name", maxDist = 2)),
+
+    // governance: eps-DP Laplace counts per source with the md5-
+    // derandomized draw (the MBoot/JL trick) — reproducible AND
+    // oracle-exact; map-only after one K-row hash agg
+    "q_dp_counts" -> ((s, dir) =>
+      operators.Privacy.dpCounts(docs(s, dir), "source", eps = 1.0)),
+
+    // search: capped inverted index — WindowGroupLimit pre-trims every
+    // token to its 20 lowest doc ids BEFORE the shuffle, so reducer
+    // state is O(cap) per token however hot the token is
+    "q_inverted_index" -> ((s, dir) =>
+      Search.invertedIndex(docs(s, dir), "doc_id", "text", cap = 20)),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -2136,6 +2164,89 @@ object SparkEntry {
       |GROUP BY b.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = withSharedOracles(Map(
+    // strictly-after chain at second granularity (floor(epoch) ==
+    // unix_timestamp under the UTC session zone); each step's earliest
+    // qualifying time replayed with a min-filter join
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(es) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(es) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND es > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(es) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND es > t2 GROUP BY 1)
+        |SELECT u.user_id, t1, t2, t3,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // anchor 2024-01-01 UTC = 1704067200; double division + floor on
+    // both engines
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800.0)
+        |      AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, cohort_week,
+        |        week - cohort_week AS week_offset
+        |      FROM e JOIN c USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // both engines implement classic unit-cost Levenshtein; the block
+    // (last whitespace token) is part of the operator contract
+    "q_fuzzy_pairs" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
+        |b AS (SELECT name, n, string_split(name, ' ')[-1] AS blk
+        |      FROM names)
+        |SELECT a.name AS name1, x.name AS name2, a.n AS n1, x.n AS n2,
+        |  CAST(levenshtein(a.name, x.name) AS BIGINT) AS dist
+        |FROM b a JOIN b x ON a.blk = x.blk AND a.name < x.name
+        |WHERE levenshtein(a.name, x.name) <= 2""".stripMargin,
+
+    // u = (md5 first-12-hex + 0.5) / 2^48 is exact in a double
+    // (power-of-two denominator) and never exactly 0.5, so the sign
+    // CASE and the Laplace inverse CDF replay bit-for-bit; 6dp absorbs
+    // the last-ulp ln() difference between libm and the JVM
+    "q_dp_counts" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |           GROUP BY 1),
+        |h AS (SELECT source, n,
+        |    (CAST(('0x' || substr(md5('dp|' || source), 1, 12)) AS BIGINT)
+        |      + 0.5) / 281474976710656.0 AS u
+        |  FROM c)
+        |SELECT source, n,
+        |  ROUND(n + (-1.0) * (CASE WHEN u - 0.5 >= 0 THEN 1.0
+        |      ELSE -1.0 END) * ln(1 - 2 * abs(u - 0.5)), 6)
+        |    AS noisy_count
+        |FROM h""".stripMargin,
+
+    // df over the full distinct (doc, tok) set; postings capped to the
+    // 20 lowest ids per token (the rank filter IS the contract)
+    "q_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |p2 AS (SELECT DISTINCT doc_id, tok FROM t WHERE length(tok) > 0),
+        |dfc AS (SELECT tok, count(*) AS df FROM p2 GROUP BY 1),
+        |rk AS (SELECT tok, doc_id,
+        |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+        |  FROM p2),
+        |post AS (SELECT tok,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |      AS postings
+        |  FROM rk WHERE rk <= 20 GROUP BY 1)
+        |SELECT dfc.tok, df, postings FROM dfc JOIN post USING (tok)""".stripMargin,
+
     "q_att_gt_universal" -> attGtUniversalSql,
     "q_att_gt_nyt" -> attGtNytSql,
     "q_att_gt_anticipation" -> attGtAnticipationSql,

@@ -80,4 +80,69 @@ object Events {
         count(lit(1)).as("n_events"),
         exactValueSum)
   }
+
+  /** Ordered conversion funnel: for each user, the earliest time of
+    * step 1, the earliest step-2 event STRICTLY after it, the earliest
+    * step-3 event strictly after that, and the reached level.
+    *
+    * Scalable formulation: ONE shuffle on the user key, then one
+    * chained running-min window pass per step over user-local data —
+    * no self-joins, no per-step scans. Step k's qualifying time at a
+    * row is `min(es of step-k events whose frame-local step-(k-1)
+    * qualifying time < es)`; a RANGE frame on epoch seconds makes the
+    * result independent of tie order among same-second events (the
+    * frame always contains ALL rows at <= the current second).
+    *
+    * Strictly-after uses second granularity (`unix_timestamp`, legal on
+    * both TIMESTAMP and TIMESTAMP_NTZ inputs): two steps inside the
+    * same second do NOT chain — the conservative reading, and the one
+    * the SQL oracle replays exactly. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >=2 steps, got $steps")
+    val w = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("q1",
+        min(when(col("event_type") === steps.head, col("es"))).over(w))
+    steps.indices.tail.foreach { k =>
+      df = df.withColumn(s"q${k + 1}",
+        min(when(col("event_type") === steps(k) &&
+          col(s"q$k") < col("es"), col("es"))).over(w))
+    }
+    // fold inner-to-outer so the HIGHEST reached level wins the CASE
+    val levels = steps.indices.map { k =>
+      (col(s"t${k + 1}").isNotNull, lit(k + 1))
+    }
+    df.groupBy("user_id")
+      .agg(min("q1").as("t1"),
+        steps.indices.tail.map(k => min(s"q${k + 1}").as(s"t${k + 1}")): _*)
+      .withColumn("level",
+        levels.foldLeft(lit(0)) { case (acc, (cond, lvl)) =>
+          when(cond, lvl).otherwise(acc)
+        }.cast("int"))
+  }
+
+  /** Weekly cohort retention: cohort = the user's first active week
+    * (weeks since `anchorEpoch`), one output row per (cohort_week,
+    * week_offset) with the distinct-user count still active that many
+    * weeks after their first.
+    *
+    * One shuffle on the user key (window min for the cohort week), a
+    * user-local distinct, then a tiny (weeks x offsets)-sized final
+    * aggregate — the corpus never shuffles twice at full width. */
+  def weeklyRetention(events: DataFrame,
+      anchorEpoch: Long = 1704067200L /* 2024-01-01 UTC */): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    events
+      .withColumn("week",
+        floor((unix_timestamp(col("ts")) - lit(anchorEpoch)) / lit(604800.0))
+          .cast("long"))
+      .withColumn("cohort_week", min("week").over(byUser))
+      .select("user_id", "cohort_week", "week").distinct()
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate record linkage (fuzzy matching) via edit distance with
+  * blocking — the classic dedup/entity-resolution primitive a catalog
+  * or crawl pipeline needs when keys are dirty strings, not ids.
+  *
+  * Scale design: the corpus NEVER self-joins. Matching runs over the
+  * DISTINCT-value vocabulary (names repeat heavily in any real
+  * catalog), and the quadratic step is bounded by a blocking key — only
+  * values sharing a block are compared, one hash equi-join, no
+  * cartesian. Levenshtein itself is Spark's codegen'd built-in. */
+object Linkage {
+
+  /** All distinct-value pairs of `nameCol` within `maxDist` edit
+    * distance that share a blocking key (default: the value's last
+    * whitespace token — for "adjective noun"-shaped names the noun is
+    * a high-recall block; callers with other shapes pass their own).
+    *
+    * Output: name1 < name2, their occurrence counts, and the distance —
+    * vocabulary-sized, so a downstream canonicalization join back to
+    * the corpus stays a broadcast in most catalogs.
+    *
+    * The block is part of the operator CONTRACT (pairs in different
+    * blocks are never emitted), which is what makes the result exactly
+    * SQL-replayable rather than heuristically recall-bounded. */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String, maxDist: Int = 2,
+      block: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => element_at(split(c, " "), -1)): DataFrame = {
+    require(maxDist >= 1, s"bad maxDist: $maxDist")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", block(col("name")))
+    val a = names.select(col("name").as("name1"), col("n").as("n1"),
+      col("blk"))
+    val b = names.select(col("name").as("name2"), col("n").as("n2"),
+      col("blk"))
+    a.join(b, "blk")
+      .filter(col("name1") < col("name2"))
+      .withColumn("dist",
+        levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("name1", "name2", "n1", "n2", "dist")
+  }
+}

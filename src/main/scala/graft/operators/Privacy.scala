@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differentially-private aggregate release.
+  *
+  * The Laplace mechanism over group counts, with the noise draw
+  * DERANDOMIZED the same way as the engine's bootstrap draws and JL
+  * projection (MBoot.drawMatrixMd5 / EmbedAlgebra.randomProject): the
+  * uniform comes from the md5 of a per-group key, so the "random"
+  * release is a pure function of the data — reproducible across runs
+  * AND bit-replayable by the SQL oracle. Swapping the md5 uniform for
+  * `rand()` recovers the conventional non-reproducible mechanism; the
+  * inverse-CDF transform and sensitivity math are identical.
+  *
+  * u = (first 12 md5 hex digits + 0.5) / 2^48 — exact in a double
+  * (power-of-two denominator), strictly inside (0,1) so the log never
+  * sees 0. noise = -(sens/eps) * sign(u-1/2) * ln(1 - 2|u-1/2|), the
+  * standard Laplace inverse CDF.
+  *
+  * Scale: one hash aggregate (count per group), then a map-only
+  * projection over the K-row group frame. The corpus shuffles once. */
+object Privacy {
+
+  /** eps-DP noisy counts per `groupCol` (count sensitivity 1). Output
+    * keeps the exact count alongside the release so tests can pin the
+    * noise; a production release projects `noisy_count` only. */
+  def dpCounts(df: DataFrame, groupCol: String, eps: Double = 1.0,
+      salt: String = "dp"): DataFrame = {
+    require(eps > 0, s"bad eps: $eps")
+    val h = substring(md5(concat_ws("|", lit(salt), col(groupCol))), 1, 12)
+    val u = (conv(h, 16, 10).cast("double") + 0.5) / lit(281474976710656.0)
+    val centered = u - 0.5
+    val noise = (lit(-1.0 / eps) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered)))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_count",
+        round(col("n") + noise, 6))
+  }
+}

@@ -110,4 +110,36 @@ object Search {
           round(col("dot") / (col("n1") * col("n2")), 6)).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Capped inverted index: per token, the document frequency plus the
+    * first `cap` doc ids (ascending) as a comma-joined posting string.
+    *
+    * Scale design: full posting lists are corpus-sized per hot token —
+    * collecting them into one reducer row is the anti-pattern. The cap
+    * is enforced BEFORE the list aggregate by a per-token row_number
+    * rank filter, which Spark compiles to WindowGroupLimit: map tasks
+    * pre-trim every token to its local top-`cap` ids before the
+    * shuffle, so reducer state is O(cap) per token no matter how hot
+    * the token is. The exact df comes from a separate count aggregate
+    * (mergeable, map-side combined) joined back on the vocabulary-sized
+    * frame. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 20): DataFrame = {
+    require(cap >= 1, s"bad cap: $cap")
+    val pairs = docs
+      .select(col(idCol).as("did"), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .distinct()
+    val dfCounts = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tok").orderBy("did")
+    val capped = pairs
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+      .groupBy("tok")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(col("did"))),
+          x => x.cast("string"))).as("postings"))
+    dfCounts.join(capped, "tok").select("tok", "df", "postings")
+  }
 }
