@@ -1755,6 +1755,23 @@ object SparkEntry {
     // state is O(cap) per token however hot the token is
     "q_inverted_index" -> ((s, dir) =>
       Search.invertedIndex(docs(s, dir), "doc_id", "text", cap = 20)),
+
+    // event analytics: first-order Markov transition matrix — one
+    // shuffle for the lead window, then K^2-sized aggregates
+    "q_transition_matrix" -> ((s, dir) =>
+      Events.transitionMatrix(events(s, dir))),
+
+    // streaming: stateful ONLINE funnel (O(1) state per user,
+    // inactivity-timeout emission in streams) run in batch emit-final
+    // mode — byte-identical to Events.funnel, shares q_funnel's oracle
+    "q_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.FunnelEvent]
+      graft.streaming.StreamingOps.funnelStateful(ev, emitFinal = true)
+        .toDF()
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -2184,6 +2201,21 @@ object SparkEntry {
         |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // lead over the (ts, event_id) sort key; integer window sums are
+    // exact so only the probability ratio needs the 6dp round
+    "q_transition_matrix" ->
+      """WITH nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS cnt
+        |      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) /
+        |    SUM(cnt) OVER (PARTITION BY event_type), 6) AS prob
+        |FROM c""".stripMargin,
 
     // anchor 2024-01-01 UTC = 1704067200; double division + floor on
     // both engines
@@ -4243,10 +4275,11 @@ object SparkEntry {
         |FROM documents d JOIN g USING (source)""".stripMargin,
   ))
 
-  /** The stateful sessionizer must reproduce the window formulation, so
-    * it shares q_sessionize's oracle verbatim. */
+  /** The stateful sessionizer and funnel must reproduce their batch
+    * window formulations, so they share those oracles verbatim. */
   private def withSharedOracles(m: Map[String, String]): Map[String, String] =
-    m + ("q_stream_sessionize_state" -> m("q_sessionize"))
+    m + ("q_stream_sessionize_state" -> m("q_sessionize")) +
+      ("q_stream_funnel" -> m("q_funnel"))
 
   /** Exact word-3-gram Jaccard pairs oracle (shared by the exact and the
     * LSH-verified query — LSH recall at j>=0.8 with 16x4 bands is

@@ -145,4 +145,25 @@ object Events {
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: count and row-normalized probability of each
+    * (event_type -> next event_type) step. Deterministic under
+    * timestamp ties via the (ts, event_id) sort key.
+    *
+    * One shuffle on the user key for the lead window; the remaining
+    * aggregates are K^2-sized (K = event-type cardinality), so the
+    * normalizing window runs on a tiny frame, never the corpus. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFrom = Window.partitionBy("event_type")
+    counts.withColumn("prob",
+      round(col("cnt") / sum("cnt").over(byFrom), 6))
+  }
 }

@@ -22,6 +22,18 @@ final case class SessionRow(user_id: Long, sess_no: Long,
 final case class OpenSession(sessNo: Long, startUs: Long, lastUs: Long,
     n: Long, sumCents: Long)
 
+/** Input row for the stateful funnel. */
+final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String)
+
+/** Funnel progress emitted per user (epoch-second step times). */
+final case class FunnelRow(user_id: Long, t1: Option[Long],
+    t2: Option[Long], t3: Option[Long], level: Int)
+
+/** Per-user funnel state; -1L = step not reached. `lastUs` drives the
+  * inactivity timeout. */
+final case class FunnelProgress(t1: Long, t2: Long, t3: Long, lastUs: Long)
+
 /** Structured Streaming surface. The reference has no streaming at all
   * (SURVEY.md §2.10); this is the engine extension for event streams:
   * the same event-time logic as `graft.operators.Events`, plus
@@ -307,6 +319,80 @@ object StreamingOps {
               }
             }
             out.result().iterator
+          }
+      }
+  }
+
+  /** Stateful streaming funnel — the online form of `Events.funnel`
+    * for a fixed 3-step chain: per-user state is just (t1, t2, t3,
+    * lastSeen), updated in event-time order with the same
+    * strictly-after-at-second-granularity rule as the batch operator.
+    *
+    * Because steps only ever chain FORWARD in time and each batch's
+    * group is processed in ascending event time, "first qualifying
+    * event wins" is a pure set-once update — state is O(1) per user,
+    * never a buffer of events. Cross-batch correctness relies on the
+    * watermark admitting events in order per key (same documented
+    * contract as `sessionizeStateful`).
+    *
+    * Streaming (`emitFinal = false`): a user's funnel row is emitted
+    * once, when the event-time watermark passes `lastSeen +
+    * inactivityHours` — funnels never self-close, so inactivity is the
+    * only sound completion signal; state is bounded by the active-user
+    * set. Batch (`emitFinal = true`): one pass, emit every user at end
+    * of group — byte-identical to `Events.funnel` (oracle-checked as
+    * `q_stream_funnel`). */
+  def funnelStateful(events: Dataset[FunnelEvent],
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      emitFinal: Boolean = false,
+      inactivityHours: Int = 24 * 7): Dataset[FunnelRow] = {
+    require(steps.size == 3, s"fixed 3-step state shape, got $steps")
+    import events.sparkSession.implicits._
+    val (s1, s2, s3) = (steps(0), steps(1), steps(2))
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent],
+            state: GroupState[FunnelProgress]) =>
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          def secOf(us: Long): Long = Math.floorDiv(us, 1000000L)
+          def row(p: FunnelProgress): FunnelRow = {
+            val lvl = if (p.t3 >= 0) 3 else if (p.t2 >= 0) 2
+              else if (p.t1 >= 0) 1 else 0
+            FunnelRow(uid, Option(p.t1).filter(_ >= 0),
+              Option(p.t2).filter(_ >= 0), Option(p.t3).filter(_ >= 0),
+              lvl)
+          }
+          if (state.hasTimedOut) {
+            val p = state.get
+            state.remove()
+            Iterator.single(row(p))
+          } else {
+            // group iterators are unordered; the set-once updates below
+            // assume ascending event time within the batch
+            val evs = it.toArray.sortBy(e => usOf(e.ts))
+            var p = state.getOption
+              .getOrElse(FunnelProgress(-1L, -1L, -1L, 0L))
+            evs.foreach { e =>
+              val us = usOf(e.ts)
+              val es = secOf(us)
+              if (e.event_type == s1 && p.t1 < 0) p = p.copy(t1 = es)
+              else if (e.event_type == s2 && p.t2 < 0 && p.t1 >= 0 &&
+                es > p.t1) p = p.copy(t2 = es)
+              else if (e.event_type == s3 && p.t3 < 0 && p.t2 >= 0 &&
+                es > p.t2) p = p.copy(t3 = es)
+              p = p.copy(lastUs = math.max(p.lastUs, us))
+            }
+            if (emitFinal) Iterator.single(row(p))
+            else {
+              state.update(p)
+              state.setTimeoutTimestamp(math.max(
+                (secOf(p.lastUs) + inactivityHours * 3600L) * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
       }
   }
