@@ -458,6 +458,37 @@ object ScaleRehearsal {
           graft.operators.Search.lexicalCosinePairs(docs, "doc_id", "text",
             maxDfFrac = 0.7, minCos = 0.1, maxDfAbs = 200L).count()
         },
+        timed("funnel") {
+          graft.operators.Events.funnel(evs).count()
+        },
+        timed("retention") {
+          // DGP events start 2025-01-01; anchor there so weeks are small
+          graft.operators.Events.weeklyRetention(evs,
+            anchorEpoch = 1735689600L).count()
+        },
+        timed("transition_matrix") {
+          graft.operators.Events.transitionMatrix(evs).count()
+        },
+        timed("fuzzy_pairs") {
+          // "adjective noun"-shaped names from each doc's first two
+          // tokens: vocabulary (not corpus) sized matching input
+          import org.apache.spark.sql.functions.{col, concat_ws, element_at, split}
+          val names = docs.select(concat_ws(" ",
+            element_at(split(col("text"), " "), 1),
+            element_at(split(col("text"), " "), 2)).as("name"))
+          graft.operators.Linkage.fuzzyNamePairs(names, "name",
+            maxDist = 2).count()
+        },
+        timed("dp_counts") {
+          graft.operators.Privacy.dpCounts(docs, "source").count()
+        },
+        timed("inverted_index") {
+          // consume postings length or the capped list agg gets pruned
+          import org.apache.spark.sql.functions.{col, length => flen, sum => fsum}
+          graft.operators.Search.invertedIndex(docs, "doc_id", "text",
+            cap = 20)
+            .agg(fsum(flen(col("postings")))).first().getLong(0)
+        },
         timed("att_fit_cold_bstrap") {
           val pp = Preprocess.run(pan, PanelView.config)
           val fit = AttGt.fit(pp, bstrap = true)
