@@ -458,6 +458,10 @@ object ScaleRehearsal {
           graft.operators.Search.lexicalCosinePairs(docs, "doc_id", "text",
             maxDfFrac = 0.7, minCos = 0.1, maxDfAbs = 200L).count()
         },
+        timed("triangle_counts") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.triangleCounts(pairs).count()
+        },
         timed("funnel") {
           graft.operators.Events.funnel(evs).count()
         },

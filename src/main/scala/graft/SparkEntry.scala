@@ -1019,6 +1019,15 @@ object SparkEntry {
       componentsFor(s, dir)
         .select(col("id").as("doc_id"), col("comp").as("component"))),
 
+    // graph: per-node triangle counts over the same jaccard pair graph
+    // (cluster-cohesion signal: dense triangle core = true dup cluster,
+    // triangle-free star = one template) — wedge join + closing-edge
+    // semi-join, every triangle found once at a<b<c
+    "q_triangle_counts" -> ((s, dir) =>
+      operators.Graph.triangleCounts(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8))),
+
     // graph: PageRank centrality over the near-dup pair graph (crawl-
     // style link scoring run on the similarity graph the engine already
     // builds). 5 fixed iterations; every rank/contribution rounds 8dp
@@ -3553,6 +3562,20 @@ object SparkEntry {
         .stripMargin,
     "q_minhash_neardup" -> ngramJaccardSql(0.8),
     "q_dup_components" -> dupComponentsSql(0.8),
+
+    // triangle replay over the same jac pairs: wedge join at a<b<c,
+    // EXISTS-confirmed closing edge, UNION ALL corner credit
+    "q_triangle_counts" ->
+      s"""WITH ${jaccardCtes(0.8)},
+         |e AS (SELECT id_a AS lo, id_b AS hi FROM jac),
+         |t AS (
+         |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |  FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+         |  WHERE EXISTS (SELECT 1 FROM e e3
+         |                WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+         |u AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+         |      UNION ALL SELECT c FROM t)
+         |SELECT id, count(*) AS n_triangles FROM u GROUP BY 1""".stripMargin,
 
     // PageRank replay: 5 unrolled iterations over the jaccard pair
     // graph; (1.0 - 0.85) and every ROUND(x, 8) evaluate on the same

@@ -132,4 +132,30 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     Graph.pageRank(empty, iterations = 3).count() shouldBe 0L
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per corner") {
+    // complete graph on {1,2,3,4}: C(4,3)=4 triangles, each node in 3
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+      .toDF("id_a", "id_b")
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("triangleCounts: stars and paths are triangle-free") {
+    val star = Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L)).toDF("id_a","id_b")
+    Graph.triangleCounts(star).count() shouldBe 0L
+    val path = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("id_a","id_b")
+    Graph.triangleCounts(path).count() shouldBe 0L
+  }
+
+  test("triangleCounts: orientation, duplicates and self-loops are normalized") {
+    // same triangle given with mixed orientation, a duplicate edge and
+    // a self-loop: still exactly one triangle
+    val messy = Seq((2L,1L),(2L,3L),(1L,3L),(3L,1L),(2L,2L))
+      .toDF("id_a","id_b")
+    val out = Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
 }
