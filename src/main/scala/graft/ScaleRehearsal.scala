@@ -462,6 +462,18 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.triangleCounts(pairs).count()
         },
+        timed("clustering_coeff") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.clusteringCoefficients(pairs).count()
+        },
+        timed("quantile_norm") {
+          import org.apache.spark.sql.functions.{col, length, sum => fsum}
+          graft.operators.TextQuality.quantileNormalize(
+            docs.select(col("doc_id"), col("source"),
+              length(col("text")).as("nc")),
+            "source", "nc", "doc_id")
+            .agg(fsum("qnorm")).first().getLong(0)
+        },
         timed("funnel") {
           graft.operators.Events.funnel(evs).count()
         },

@@ -1028,6 +1028,20 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8))),
 
+    // graph: local clustering coefficients — triangles + one degree
+    // agg over the shared cached canonical edges
+    "q_clustering_coeff" -> ((s, dir) =>
+      operators.Graph.clusteringCoefficients(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8))),
+
+    // calibration: cross-source quantile normalization (rank-to-global
+    // type-1 lookup) — group window + bounded-shard value rank + one
+    // index equi-join; no single-reducer sort anywhere
+    "q_quantile_norm" -> ((s, dir) =>
+      TextQuality.quantileNormalize(
+        docs(s, dir), "source", "n_chars", "doc_id")),
+
     // graph: PageRank centrality over the near-dup pair graph (crawl-
     // style link scoring run on the similarity graph the engine already
     // builds). 5 fixed iterations; every rank/contribution rounds 8dp
@@ -3576,6 +3590,50 @@ object SparkEntry {
          |u AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
          |      UNION ALL SELECT c FROM t)
          |SELECT id, count(*) AS n_triangles FROM u GROUP BY 1""".stripMargin,
+
+    // same triangle core + one degree aggregate; (T * 2.0) / (deg *
+    // (deg - 1)) in the engine's literal order, 6dp
+    "q_clustering_coeff" ->
+      s"""WITH ${jaccardCtes(0.8)},
+         |e AS (SELECT id_a AS lo, id_b AS hi FROM jac),
+         |d AS (SELECT id, count(*) AS deg FROM
+         |        (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
+         |      GROUP BY 1),
+         |t AS (
+         |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |  FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+         |  WHERE EXISTS (SELECT 1 FROM e e3
+         |                WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+         |u AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+         |      UNION ALL SELECT c FROM t),
+         |tc AS (SELECT id, count(*) AS n_triangles FROM u GROUP BY 1)
+         |SELECT d.id, d.deg, COALESCE(tc.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.deg >= 2
+         |    THEN ROUND(COALESCE(tc.n_triangles, 0) * 2.0 /
+         |           (d.deg * (d.deg - 1)), 6)
+         |    ELSE 0.0 END AS coeff
+         |FROM d LEFT JOIN tc USING (id)""".stripMargin,
+
+    // type-1 rank-to-global lookup: r = (rn-1)/(ns-1) within source,
+    // gi = floor(r * (N-1)) + 1 into the (value, id) global order —
+    // identical double ops on both engines, integral lookup value
+    "q_quantile_norm" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |g AS (SELECT n_chars AS qnorm,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS gi
+        |  FROM documents),
+        |x AS (SELECT doc_id, source, n_chars,
+        |    CAST(floor((CASE WHEN ns > 1
+        |        THEN CAST(rn - 1 AS DOUBLE) / (ns - 1) ELSE 0.0 END)
+        |      * (n - 1)) AS BIGINT) + 1 AS gi
+        |  FROM s, nn)
+        |SELECT x.doc_id, x.source, x.n_chars, g.qnorm
+        |FROM x JOIN g USING (gi)""".stripMargin,
 
     // PageRank replay: 5 unrolled iterations over the jaccard pair
     // graph; (1.0 - 0.85) and every ROUND(x, 8) evaluate on the same

@@ -144,4 +144,48 @@ object GlobalOrder {
             .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(idCol), col("global_pos"), col("cum_before"))
   }
+
+  /** Global 1-based rank under the total order `(valueCol, idCol)` for
+    * an INTEGRAL value column, without a single-reducer sort.
+    *
+    * Same offset machinery as [[globalRowNumber]], but the shard must
+    * be a PREFIX of the VALUE order, so instead of md5 prefixes the
+    * rows shard by fixed-width value buckets derived from one (min,
+    * max) aggregate: `shard = (v - min) / width`, width sized so shard
+    * count stays <= `maxShards` (bounded driver collect). Bucket
+    * membership is a pure function of the value — deterministic at any
+    * parallelism, unlike a sampled range partitioner. Heavy ties (many
+    * rows at one value) concentrate in that value's shard — the
+    * documented bound, inherent to ranking ties, not to the sharding.
+    *
+    * Output: input columns + `global_pos`. Null values are excluded
+    * (no deterministic place in the order). */
+  def valueRank(df: DataFrame, valueCol: String, idCol: String,
+      maxShards: Int = 65536): DataFrame = {
+    require(maxShards >= 1, s"bad maxShards: $maxShards")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val stats = rows
+      .agg(min(col(valueCol).cast("long")).as("mn"),
+        max(col(valueCol).cast("long")).as("mx")).first()
+    if (stats.isNullAt(0))
+      return rows.withColumn("global_pos", lit(0L)).limit(0)
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    // ceil-div sized so ((mx - mn) / width) < maxShards
+    val width = math.max(1L, (mx - mn) / maxShards + 1L)
+    val sharded = rows.withColumn("__vshard",
+      ((col(valueCol).cast("long") - lit(mn)) / lit(width)).cast("long"))
+    val counts = sharded.groupBy("__vshard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__vshard", "__voff"))
+    sharded.join(offDf, "__vshard")
+      .withColumn("global_pos",
+        col("__voff") + row_number().over(
+          Window.partitionBy("__vshard")
+            .orderBy(col(valueCol), col(idCol))))
+      .drop("__vshard", "__voff")
+  }
 }

@@ -241,16 +241,19 @@ object Graph {
     * wedges by degree instead of id) drops hot-node wedge counts, but
     * near-dup graphs are degree-bounded by construction (banded
     * candidates), so id orientation keeps the oracle exact. */
-  def triangleCounts(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    // the canonical edge set feeds THREE join legs — without a cache an
-    // expensive upstream (the near-dup pair pipeline) would run 3x
-    // (the pageRank lesson, same registry so harnesses can release it)
-    val e = TrackedCaches.persist(edges.select(
+  // the canonical edge set feeds THREE join legs (four with degrees) —
+  // without a cache an expensive upstream (the near-dup pair pipeline)
+  // would run once per leg (the pageRank lesson, same registry so
+  // harnesses can release it)
+  private def canonicalEdges(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    TrackedCaches.persist(edges.select(
         least(col(aCol), col(bCol)).cast("long").as("lo"),
         greatest(col(aCol), col(bCol)).cast("long").as("hi"))
       .filter(col("lo") < col("hi"))
       .distinct())
+
+  private def triFromCanonical(e: DataFrame): DataFrame = {
     val tri = e.select(col("lo").as("a"), col("hi").as("b"))
       .join(e.select(col("lo").as("b"), col("hi").as("c")), "b")
       .join(e.select(col("lo").as("a"), col("hi").as("c")),
@@ -258,5 +261,28 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  def triangleCounts(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame =
+    triFromCanonical(canonicalEdges(edges, aCol, bCol))
+
+  /** Per-node local clustering coefficient: 2T / (deg * (deg - 1)),
+    * 0 for degree-1 nodes — triangles plus one degree aggregate over
+    * the shared cached canonical edges, joined on the (small) node
+    * frame. High coefficient = cohesive duplicate cluster; low on a
+    * high-degree node = boilerplate template hub. */
+  def clusteringCoefficients(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(triFromCanonical(e), Seq("id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("coeff",
+        when(col("deg") >= 2,
+          round(col("n_triangles") * 2.0 /
+            (col("deg") * (col("deg") - 1)), 6))
+        .otherwise(lit(0.0)))
   }
 }

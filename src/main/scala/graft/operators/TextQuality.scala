@@ -352,4 +352,43 @@ object TextQuality {
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
   }
+
+  /** Cross-source quantile normalization of an INTEGRAL score: every
+    * row's value is replaced by the GLOBAL value at the row's quantile
+    * within its own source — the standard fix when per-source scoring
+    * models are miscalibrated against each other (a "0.8" from one
+    * scorer is not a "0.8" from another; ranks are comparable, raw
+    * scores are not).
+    *
+    * Exact type-1 formulation so the result is oracle-replayable:
+    * r = (rank_in_source - 1) / (n_source - 1) (singleton source ->
+    * r = 0), target index = floor(r * (N - 1)) + 1 into the global
+    * (value, id) order, target value looked up by equi-join.
+    *
+    * Shuffles: one group-key window, one bounded-shard value rank
+    * ([[GlobalOrder.valueRank]] — no single-reducer sort), one
+    * equi-join on the index. All corpus-width but hash-partitioned;
+    * nothing funnels through one task. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val n = df.filter(col(valCol).isNotNull).count()
+    val ranked = df.filter(col(valCol).isNotNull)
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__ns", count(lit(1)).over(wG))
+      .withColumn("__gi",
+        floor(when(col("__ns") > 1,
+            (col("__rn") - 1).cast("double") /
+              (col("__ns") - 1).cast("double"))
+          .otherwise(lit(0.0)) * lit((n - 1).toDouble)).cast("long")
+          + lit(1L))
+    val lut = GlobalOrder.valueRank(
+        df.select(col(idCol), col(valCol)), valCol, idCol)
+      .select(col("global_pos").as("__gi"),
+        col(valCol).cast("long").as("qnorm"))
+    ranked.join(lut, "__gi")
+      .select(col(idCol), col(groupCol), col(valCol), col("qnorm"))
+  }
 }

@@ -158,4 +158,35 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
   }
+
+  test("clusteringCoefficients: K4 is fully clustered, stars are 0") {
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+      .toDF("id_a", "id_b")
+    val out = Graph.clusteringCoefficients(k4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    out.values.foreach(_ shouldBe ((3L, 3L, 1.0)))
+    val star = Seq((1L,2L),(1L,3L),(1L,4L)).toDF("id_a","id_b")
+    val s = Graph.clusteringCoefficients(star).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    s(1L) shouldBe ((3L, 0L, 0.0))
+    s(2L) shouldBe ((1L, 0L, 0.0)) // degree-1: coeff 0 by convention
+  }
+
+  test("clusteringCoefficients: half-open square") {
+    // square 1-2-3-4 plus diagonal 1-3: nodes 1,3 sit in 2 triangles?
+    // no - triangles are (1,2,3) and (1,3,4); 1 and 3 in both (deg 3),
+    // 2 and 4 in one (deg 2)
+    val g = Seq((1L,2L),(2L,3L),(3L,4L),(4L,1L),(1L,3L))
+      .toDF("id_a","id_b")
+    val out = Graph.clusteringCoefficients(g).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    out(1L) shouldBe ((3L, 2L, 0.666667))
+    out(2L) shouldBe ((2L, 1L, 1.0))
+    out(3L) shouldBe ((3L, 2L, 0.666667))
+    out(4L) shouldBe ((2L, 1L, 1.0))
+  }
 }
