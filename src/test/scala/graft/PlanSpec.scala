@@ -698,4 +698,78 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       graft.operators.TrackedCaches.releaseAll()
     }
   }
+
+  test("funnel: ONE exchange on the user key feeds windows AND the agg") {
+    withStaticPlan {
+      val plan = planOf(graft.SparkEntry.queries("q_funnel")(spark, dir))
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"global sort leaked into the funnel:\n$plan")
+    }
+  }
+
+  test("retention + transition matrix: no global range sort") {
+    withStaticPlan {
+      for (q <- Seq("q_retention", "q_transition_matrix")) {
+        val plan = planOf(graft.SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("Exchange rangepartitioning"),
+          s"$q has a global sort:\n$plan")
+        assert(!plan.contains("Cartesian") &&
+          !plan.contains("BroadcastNestedLoop"),
+          s"$q has a non-equi join:\n$plan")
+      }
+    }
+  }
+
+  test("fuzzy pairs: levenshtein guard rule rewrote the join filter") {
+    withStaticPlan {
+      val plan = planOf(graft.SparkEntry.queries("q_fuzzy_pairs")(spark, dir))
+      assert(plan.contains("levenshtein"), s"no levenshtein in:\n$plan")
+      // banded DP form: threshold literal inside the call
+      assert(plan.contains("Some(2)"),
+        s"thresholded levenshtein missing (guard rule inactive?):\n$plan")
+      assert(!plan.contains("Cartesian") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"blocking equi-join degraded:\n$plan")
+    }
+  }
+
+  test("dp counts: K-row agg then map-only noise (no second corpus pass)") {
+    withStaticPlan {
+      val plan = planOf(graft.SparkEntry.queries("q_dp_counts")(spark, dir))
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"noise projection added a shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"join leaked:\n$plan")
+    }
+  }
+
+  test("quantile norm: hash exchanges and equi-joins only, offsets broadcast") {
+    withStaticPlan {
+      val plan = planOf(
+        graft.SparkEntry.queries("q_quantile_norm")(spark, dir))
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"single-reducer sort leaked into the global rank:\n$plan")
+      assert(!plan.contains("Cartesian") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"non-equi join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"shard offsets are not broadcast:\n$plan")
+    }
+  }
+
+  test("triangle counts: equi-joins over cached canonical edges") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_triangle_counts")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("Cartesian") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"triangle join degraded:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"canonical edges not cached (upstream would run 3x):\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
 }
