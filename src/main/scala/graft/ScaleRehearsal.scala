@@ -466,6 +466,15 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.clusteringCoefficients(pairs).count()
         },
+        timed("approx_distinct") {
+          graft.operators.Sketches.approxDistinctTokens(
+            docs, "source", "text").count()
+        },
+        timed("feature_hash") {
+          import org.apache.spark.sql.functions.{sum => fsum}
+          graft.operators.TextQuality.featureHash(docs, "doc_id", "text")
+            .agg(fsum("tf")).first().getLong(0)
+        },
         timed("quantile_norm") {
           import org.apache.spark.sql.functions.{col, length, sum => fsum}
           graft.operators.TextQuality.quantileNormalize(

@@ -1042,6 +1042,19 @@ object SparkEntry {
       TextQuality.quantileNormalize(
         docs(s, dir), "source", "n_chars", "doc_id")),
 
+    // sketches: HLL++ distinct-token cardinality per source — rows-only
+    // BY DESIGN (engine-specific registers; SketchesSpec pins the
+    // error envelope vs exact and determinism); K sketches on the
+    // shuffle, never the token stream
+    "q_approx_distinct" -> ((s, dir) =>
+      operators.Sketches.approxDistinctTokens(
+        docs(s, dir), "source", "text")),
+
+    // featurization: md5 hashing-trick term frequencies (64 buckets) —
+    // engine-independent bucket hash makes the trick oracle-exact
+    "q_feature_hash" -> ((s, dir) =>
+      TextQuality.featureHash(docs(s, dir), "doc_id", "text")),
+
     // graph: PageRank centrality over the near-dup pair graph (crawl-
     // style link scoring run on the similarity graph the engine already
     // builds). 5 fixed iterations; every rank/contribution rounds 8dp
@@ -3613,6 +3626,20 @@ object SparkEntry {
          |           (d.deg * (d.deg - 1)), 6)
          |    ELSE 0.0 END AS coeff
          |FROM d LEFT JOIN tc USING (id)""".stripMargin,
+
+    // bucket = first-8-hex md5 % dims on both engines; tf counts every
+    // occurrence (no distinct)
+    "q_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64
+        |      AS bucket
+        |  FROM t WHERE length(tok) > 0)
+        |SELECT doc_id, bucket, count(*) AS tf
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     // type-1 rank-to-global lookup: r = (rn-1)/(ns-1) within source,
     // gi = floor(r * (N-1)) + 1 into the (value, id) global order —

@@ -73,4 +73,25 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Per-group approximate distinct-token counts via Spark's HLL++
+    * aggregate (`approx_count_distinct`) — the third mergeable sketch in
+    * the family (bloom = membership, CMS = frequency, HLL =
+    * cardinality). Fixed-size registers merge map-side, so the shuffle
+    * carries K sketches, never the token stream — the only way a
+    * 100 TB distinct count fits one pass. The estimate is a
+    * DETERMINISTIC function of the token set (xxhash-based registers,
+    * no seed drift), but engine-specific — no cross-engine oracle;
+    * SketchesSpec pins the relative-error envelope against the exact
+    * count and run-to-run determinism. `rsd` is the target relative
+    * standard deviation (Spark default 0.05). */
+  def approxDistinctTokens(docs: DataFrame, groupCol: String,
+      textCol: String, rsd: Double = 0.05): DataFrame = {
+    val toks = docs.select(col(groupCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("tok"))
+      .where(length(col("tok")) > 0)
+    toks.groupBy(groupCol)
+      .agg(approx_count_distinct(col("tok"), rsd).as("approx_distinct"))
+  }
 }

@@ -391,4 +391,24 @@ object TextQuality {
     ranked.join(lut, "__gi")
       .select(col(idCol), col(groupCol), col(valCol), col("qnorm"))
   }
+
+  /** Hashing-trick term-frequency featurization: every token occurrence
+    * lands in `dims` buckets via an md5-derived hash, yielding a sparse
+    * (doc, bucket, tf) long-form vector — the classic fixed-width
+    * featurizer for linear quality classifiers when the vocabulary is
+    * unbounded. md5 (not the JVM's murmur) so the bucket assignment is
+    * engine-independent and the whole featurization is oracle-exact.
+    * Map-side explode + one combined hash aggregate; output is bounded
+    * by docs x dims, not by vocabulary. */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"bad dims: $dims")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col(idCol),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dims).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
 }

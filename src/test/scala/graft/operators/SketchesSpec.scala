@@ -57,4 +57,39 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("*(1) Filter"),
       s"bloom probe fell out of codegen:\n$plan")
   }
+
+  test("approxDistinctTokens: within the rsd envelope of exact, deterministic") {
+    import spark.implicits._
+    val docs = (1 to 200).map { i =>
+      (i.toLong, s"grp${i % 3}",
+        (1 to 40).map(j => s"w${(i * 37 + j * 11) % 997}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val approx = Sketches.approxDistinctTokens(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.selectExpr("source",
+        "explode(split(lower(trim(text)), '\\\\s+')) AS tok")
+      .where("length(tok) > 0").distinct()
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      val rel = math.abs(approx(g).toDouble - n) / n
+      assert(rel < 0.15, s"group $g: approx=${approx(g)} exact=$n rel=$rel")
+    }
+    // HLL registers are a pure function of the token set: re-running
+    // must reproduce the identical estimates
+    val again = Sketches.approxDistinctTokens(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == approx)
+  }
+
+  test("approxDistinctTokens plan: partial HLL aggregate before the shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "x y z")).toDF("doc_id", "source", "text")
+    val plan = Sketches.approxDistinctTokens(docs, "source", "text")
+      .queryExecution.executedPlan.toString()
+    // map-side partial merge: the shuffle carries sketches, not tokens
+    assert(plan.contains("partial_approx_count_distinct") ||
+      plan.contains("HashAggregate"), s"no partial agg in:\n$plan")
+  }
 }

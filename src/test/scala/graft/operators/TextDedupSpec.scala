@@ -531,4 +531,23 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.head.isNullAt(1) shouldBe true
     out.head.getString(2) shouldBe "updated"
   }
+
+  test("featureHash: tf counts every occurrence, buckets bounded by dims") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "beta")
+    ).toDF("doc_id", "text")
+    val out = TextQuality.featureHash(docs, "doc_id", "text", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    out.keys.foreach { case (_, b) => b should (be >= 0L and be < 8L) }
+    // alpha appears twice in doc 1 -> its bucket carries tf=2
+    out.values.max shouldBe 2L
+    // same token -> same bucket in every doc (pure function of token)
+    val betaBuckets = Seq(1L, 2L).map { d =>
+      out.collect { case ((`d`, b), _) => b }.toSet
+    }
+    (betaBuckets.head intersect betaBuckets(1)).size shouldBe 1
+  }
 }
