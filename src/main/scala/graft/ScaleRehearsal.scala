@@ -466,6 +466,13 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.clusteringCoefficients(pairs).count()
         },
+        timed("label_prop") {
+          import org.apache.spark.sql.functions.{col, when}
+          val nodes = docs.select(col("doc_id").as("id"),
+            when(col("doc_id") % 5 === 0, col("source")).as("label"))
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.labelPropagation(nodes, pairs, iterations = 3).count()
+        },
         timed("approx_distinct") {
           graft.operators.Sketches.approxDistinctTokens(
             docs, "source", "text").count()

@@ -805,6 +805,13 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))),
 
+    // evaluation: language-id confusion matrix against the stored lang
+    // column — map-only predict, one K^2-sized count agg
+    "q_lang_confusion" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))),
+
     // the one-call curation pass: quality floor -> repetition ceiling ->
     // exact dedup survivors; every stage ANSI-pinned, so the composed
     // pipeline hash-checks end to end
@@ -1034,6 +1041,18 @@ object SparkEntry {
       operators.Graph.clusteringCoefficients(
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           n = 3, threshold = 0.8))),
+
+    // graph: synchronous label propagation — every 5th doc seeds its
+    // lang label, 3 deterministic majority rounds over the near-dup
+    // graph (lexicographic tie-break); SQL replays round-for-round
+    "q_label_prop" -> ((s, dir) =>
+      operators.Graph.labelPropagation(
+        docs(s, dir).select(col("doc_id").as("id"),
+          when(col("doc_id") % 5 === 0, col("lang")).as("label")),
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        iterations = 3)
+        .select(col("id").as("doc_id"), col("label"))),
 
     // calibration: cross-source quantile normalization (rank-to-global
     // type-1 lookup) — group window + bounded-shard value rank + one
@@ -2178,6 +2197,40 @@ object SparkEntry {
   /** md5-signed draw matrix over [[ifUnitCte]]'s `u`: 64 Rademacher
     * draws, sign = top bit of md5("unit#draw#"), bres = contraction /
     * sqrt(n) — the SQL replay of MBoot.drawMatrixMd5. */
+  private[graft] val langIdLangs: Seq[String] =
+    TextFunctions.langMarkers.keys.toSeq.sorted
+
+  /** Shared language-id SQL chain (q_lang_id / q_source_lang_pivot /
+    * q_lang_confusion): marker-occurrence scores per language, argmax
+    * with the same positive-score + 'und' fallback as
+    * `TextFunctions.langId`. Ends in CTE `pred(carryCols..., lang_pred)`. */
+  private def langIdCtes(carryCols: Seq[String]): String = {
+    def occ(m: String) =
+      s"CAST((len(p) - len(replace(p, '$m', ''))) / ${m.length} AS INT)"
+    def score(lang: String) =
+      TextFunctions.langMarkers(lang).map(occ).mkString(" + ")
+    val scoreCols = langIdLangs.map(l => s"(${score(l)}) AS s_$l")
+      .mkString(",\n    ")
+    val bestExpr = langIdLangs.map(l => s"s_$l")
+      .mkString("greatest(", ", ", ")")
+    val caseArms = langIdLangs.map(l =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString("\n      ")
+    val carry = carryCols.mkString(", ")
+    s"""p AS (
+       |  SELECT $carry, ' ' || lower(text) || ' ' AS p FROM documents),
+       |s AS (
+       |  SELECT $carry,
+       |    $scoreCols
+       |  FROM p),
+       |b AS (SELECT *, $bestExpr AS best FROM s),
+       |pred AS (
+       |  SELECT $carry,
+       |    CASE
+       |      $caseArms
+       |      ELSE 'und' END AS lang_pred
+       |  FROM b)""".stripMargin
+  }
+
   private val mbootDmCte: String =
     """dm AS (
       |  SELECT u.g, u.tn, r.b AS draw,
@@ -2952,62 +3005,28 @@ object SparkEntry {
          |SELECT s.doc_id, k.quality, k.rep_ratio
          |FROM surv s JOIN kept k USING (doc_id)""".stripMargin,
 
-    "q_lang_id" -> {
-      def occ(m: String) =
-        s"CAST((len(p) - len(replace(p, '$m', ''))) / ${m.length} AS INT)"
-      def score(lang: String) =
-        TextFunctions.langMarkers(lang).map(occ).mkString(" + ")
-      val langs = TextFunctions.langMarkers.keys.toSeq.sorted
-      val scoreCols = langs.map(l => s"(${score(l)}) AS s_$l").mkString(",\n    ")
-      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val caseArms = langs.map(l =>
-        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString("\n    ")
-      s"""WITH p AS (
-         |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |    $scoreCols
-         |  FROM p),
-         |b AS (SELECT *, $bestExpr AS best FROM s)
-         |SELECT doc_id,
-         |  CASE
-         |    $caseArms
-         |    ELSE 'und' END AS lang_pred
-         |FROM b""".stripMargin
-    },
+    "q_lang_id" ->
+      s"""WITH ${langIdCtes(Seq("doc_id"))}
+         |SELECT doc_id, lang_pred FROM pred""".stripMargin,
 
     // same language-id chain, reshaped: conditional counts replay the
     // pivot (COUNT(CASE...) keeps BIGINT parity with Spark's count)
     "q_source_lang_pivot" -> {
-      def occ(m: String) =
-        s"CAST((len(p) - len(replace(p, '$m', ''))) / ${m.length} AS INT)"
-      def score(lang: String) =
-        TextFunctions.langMarkers(lang).map(occ).mkString(" + ")
-      val langs = TextFunctions.langMarkers.keys.toSeq.sorted
-      val scoreCols = langs.map(l => s"(${score(l)}) AS s_$l").mkString(",\n    ")
-      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val caseArms = langs.map(l =>
-        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString("\n    ")
-      val cnt = (langs :+ "und").map(l =>
-        s"COUNT(CASE WHEN lang = '$l' THEN 1 END) AS $l").mkString(",\n  ")
-      s"""WITH p AS (
-         |  SELECT doc_id, source, ' ' || lower(text) || ' ' AS p
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, source,
-         |    $scoreCols
-         |  FROM p),
-         |b AS (SELECT *, $bestExpr AS best FROM s),
-         |l AS (
-         |  SELECT source,
-         |    CASE
-         |      $caseArms
-         |      ELSE 'und' END AS lang
-         |  FROM b)
+      val cnt = (langIdLangs :+ "und").map(l =>
+        s"COUNT(CASE WHEN lang_pred = '$l' THEN 1 END) AS $l")
+        .mkString(",\n  ")
+      s"""WITH ${langIdCtes(Seq("source"))}
          |SELECT source,
          |  $cnt
-         |FROM l GROUP BY source""".stripMargin
+         |FROM pred GROUP BY source""".stripMargin
     },
+
+    // the same chain against the STORED lang column: per (actual,
+    // predicted) cell counts
+    "q_lang_confusion" ->
+      s"""WITH ${langIdCtes(Seq("lang"))}
+         |SELECT lang, lang_pred, count(*) AS cnt
+         |FROM pred GROUP BY 1, 2""".stripMargin,
 
     // the classifier oracle folds the SAME (feature, weight) constants
     // in the SAME order as TextFunctions.classifierLogit — summation
@@ -3603,6 +3622,35 @@ object SparkEntry {
          |u AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
          |      UNION ALL SELECT c FROM t)
          |SELECT id, count(*) AS n_triangles FROM u GROUP BY 1""".stripMargin,
+
+    // 3 unrolled majority rounds (the pagerank pattern): per round a
+    // labeled-neighbor count, a (cnt DESC, label) rank, and the
+    // seed-clamped CASE — identical tie-break to the engine's window
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, l.label AS nl, count(*) AS cnt
+           |  FROM edges e JOIN lab${i - 1} l ON l.id = e.src
+           |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+           |r$i AS (SELECT id, nl, row_number() OVER (PARTITION BY id
+           |    ORDER BY cnt DESC, nl) AS rk FROM c$i),
+           |lab$i AS (
+           |  SELECT l.id, l.seed_label,
+           |    CASE WHEN l.seed_label IS NOT NULL THEN l.seed_label
+           |         ELSE COALESCE(r.nl, l.label) END AS label
+           |  FROM lab${i - 1} l
+           |  LEFT JOIN (SELECT id, nl FROM r$i WHERE rk = 1) r
+           |    ON r.id = l.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${jaccardCtes(0.8)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+         |          UNION SELECT id_b, id_a FROM jac),
+         |lab0 AS (SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 5 = 0 THEN lang END AS seed_label,
+         |    CASE WHEN doc_id % 5 = 0 THEN lang END AS label
+         |  FROM documents),
+         |$rounds
+         |SELECT id AS doc_id, label FROM lab3""".stripMargin
+    },
 
     // same triangle core + one degree aggregate; (T * 2.0) / (deg *
     // (deg - 1)) in the engine's literal order, 6dp

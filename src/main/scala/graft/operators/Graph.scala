@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -266,6 +267,58 @@ object Graph {
   def triangleCounts(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame =
     triFromCanonical(canonicalEdges(edges, aCol, bCol))
+
+  /** Synchronous semi-supervised label propagation: seed nodes keep
+    * their label forever; every other node adopts, each round, the
+    * MOST FREQUENT label among its labeled neighbors (ties break to
+    * the lexicographically smallest label; no labeled neighbor keeps
+    * the current label). Fixed round count + deterministic tie-break
+    * make the result a pure function of (nodes, edges) — replayable
+    * round-for-round in SQL, unlike classic asynchronous LPA whose
+    * output depends on visit order.
+    *
+    * Per round: one equi-join of the symmetrized edges against the
+    * current labeled set, a (node, label)-sized count aggregate, and a
+    * per-node rank window — all hash-partitioned by node. State is one
+    * label per node. The previous round's cache is dropped after the
+    * next materializes (same discipline as connectedComponents). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "id", labelCol: String = "label",
+      aCol: String = "id_a", bCol: String = "id_b",
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 0, s"bad iterations: $iterations")
+    val sym = TrackedCaches.persist(
+      edges.select(col(aCol).cast("long").as("src"),
+          col(bCol).cast("long").as("dst"))
+        .union(edges.select(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))
+        .distinct())
+    var labels = TrackedCaches.persist(
+      nodes.select(col(idCol).cast("long").as("id"),
+        col(labelCol).as("seed_label"),
+        col(labelCol).as("label")))
+    (1 to iterations).foreach { _ =>
+      val contrib = sym.join(
+          labels.filter(col("label").isNotNull)
+            .select(col("id").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("id"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = contrib.withColumn("rk", row_number().over(
+          Window.partitionBy("id")
+            .orderBy(col("cnt").desc, col("nl"))))
+        .filter(col("rk") === 1).select(col("id"), col("nl"))
+      val prev = labels
+      labels = TrackedCaches.persist(
+        prev.join(best, Seq("id"), "left")
+          .select(col("id"), col("seed_label"),
+            when(col("seed_label").isNotNull, col("seed_label"))
+              .otherwise(coalesce(col("nl"), col("label")))
+              .as("label")))
+      labels.count()
+      prev.unpersist()
+    }
+    labels.select(col("id"), col("label"))
+  }
 
   /** Per-node local clustering coefficient: 2T / (deg * (deg - 1)),
     * 0 for degree-1 nodes — triangles plus one degree aggregate over

@@ -189,4 +189,41 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(3L) shouldBe ((3L, 2L, 0.666667))
     out(4L) shouldBe ((2L, 1L, 1.0))
   }
+
+  test("labelPropagation: majority wins, ties break lexicographically") {
+    val nodes = Seq(
+      (1L, Some("en")), (2L, Some("fr")), (3L, Some("en")),
+      (10L, None: Option[String]), (20L, None: Option[String])
+    ).toDF("id", "label")
+    // 10 has neighbors {1(en), 2(fr), 3(en)} -> en by majority
+    // 20 has neighbors {1(en), 2(fr)}       -> tie -> "en" < "fr"
+    val edges = Seq((1L,10L),(2L,10L),(3L,10L),(1L,20L),(2L,20L))
+      .toDF("id_a","id_b")
+    val out = Graph.labelPropagation(nodes, edges, iterations = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    out(10L) shouldBe "en"
+    out(20L) shouldBe "en"
+    // seeds are clamped even against a unanimous neighborhood
+    out(2L) shouldBe "fr"
+  }
+
+  test("labelPropagation: spreads one hop per round, keeps null when unreached") {
+    val nodes = Seq(
+      (1L, Some("en")), (2L, None: Option[String]),
+      (3L, None: Option[String]), (4L, None: Option[String]),
+      (9L, None: Option[String]) // isolated
+    ).toDF("id", "label")
+    val chain = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("id_a","id_b")
+    def labels(iters: Int): Map[Long, String] =
+      Graph.labelPropagation(nodes, chain, iterations = iters)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val after1 = labels(1)
+    after1(2L) shouldBe "en"
+    after1(3L) shouldBe null
+    val after3 = labels(3)
+    after3(4L) shouldBe "en"
+    after3(9L) shouldBe null // isolated node never adopts
+  }
 }
