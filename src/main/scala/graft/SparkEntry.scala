@@ -1074,6 +1074,31 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       TextQuality.featureHash(docs(s, dir), "doc_id", "text")),
 
+    // format parity: the SAME per-source aggregate through a JSONL
+    // write+read round-trip must equal the parquet-sourced oracle —
+    // schema pinned on read (inference would widen ints)
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val (jsonl, _) = formatsFor(s, dir)
+      graft.sources.PanelSource.readJsonl(s, jsonl,
+          Some("doc_id BIGINT, text STRING, lang STRING, " +
+            "source STRING, n_chars BIGINT"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          count_distinct(col("lang")).as("n_langs"))
+    }),
+
+    // format parity: same through ORC (vectorized reader, parquet-like
+    // pushdown)
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val (_, orc) = formatsFor(s, dir)
+      graft.sources.PanelSource.readOrc(s, orc)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_chars").cast("long").as("sum_chars"))
+    }),
+
     // graph: PageRank centrality over the near-dup pair graph (crawl-
     // style link scoring run on the similarity graph the engine already
     // builds). 5 fixed iterations; every rank/contribution rounds 8dp
@@ -1914,6 +1939,29 @@ object SparkEntry {
       graft.sources.PanelSource.writePartitioned(
         s.read.parquet(s"$dir/documents.parquet"), path, Seq("lang"))
       path
+    })
+
+  /** JSONL + ORC round-trip layouts written once per (session, sfDir):
+    * the WRITE+READ is the operator under test — the downstream
+    * aggregate must be IDENTICAL to the parquet-sourced oracle, which
+    * is exactly what "format support" means. Schema is pinned on the
+    * JSONL read (inference would widen ints). */
+  private val formatCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def formatsFor(s: SparkSession, dir: String): (String, String) =
+    formatCache.getOrElseUpdate(skey(s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft-formats")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      val d = docs(s, dir)
+      graft.sources.PanelSource.writeJsonl(d, s"$p/docs_jsonl")
+      graft.sources.PanelSource.writeOrc(d, s"$p/docs_orc")
+      (s"$p/docs_jsonl", s"$p/docs_orc")
     })
 
   /** Events table with `ts` normalized to TimestampType whatever flavor
@@ -3674,6 +3722,20 @@ object SparkEntry {
          |           (d.deg * (d.deg - 1)), 6)
          |    ELSE 0.0 END AS coeff
          |FROM d LEFT JOIN tc USING (id)""".stripMargin,
+
+    // the round-trip is pure IO — the oracle is the flat parquet
+    // aggregate (exact integer sums, so no rounding needed)
+    "q_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS cnt,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT source, count(*) AS cnt,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source""".stripMargin,
 
     // bucket = first-8-hex md5 % dims on both engines; tf counts every
     // occurrence (no distinct)
