@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Leak scan: writes LEAKCHECK.json stamped with UTC time + HEAD SHA.
+
+Categories mirror the round artifacts: rooted third-party imports
+outside the public allowlist, non-allowlisted URLs, proprietary package
+names, real bucket URIs (scheme mentions in prose don't count),
+chat/short links, credential patterns, and secret-bearing env reads.
+Run from the repo root: python3 scripts/leakcheck.py
+"""
+import json, re, subprocess, datetime, glob
+
+files = sorted(glob.glob('src/**/*.scala', recursive=True))
+allowed_imports = ('org.apache.spark', 'org.apache.hadoop', 'scala.',
+  'java.', 'javax.', 'breeze.', 'org.apache.commons.math3', 'graft.',
+  'org.scalatest', 'org.scalacheck')
+rooted = re.compile(
+  r'\s*import\s+((?:com|io|net|ai|dev|org|software)\.[A-Za-z0-9_.]+)')
+hits = {k: [] for k in ['internal-import', 'internal-url',
+  'internal-pkg2', 'internal-bucket', 'slack-link', 'api-key',
+  'axon-env']}
+for f in files:
+    for i, line in enumerate(
+            open(f, encoding='utf-8').read().splitlines(), 1):
+        m = rooted.match(line)
+        if m and not m.group(1).startswith(allowed_imports):
+            hits['internal-import'].append(f'{f}:{i}:{m.group(1)}')
+        for u in re.findall(r'https?://[^\s"\')]+', line):
+            if not re.search(r'(github\.com/d2cml-ai|spark\.apache\.org|'
+                r'arxiv\.org|duckdb\.org|unicode\.org|doi\.org|'
+                r'openreview|aclanthology|w3\.org|example\.com)', u):
+                hits['internal-url'].append(f'{f}:{i}:{u}')
+        if re.search(r'\b(?:s3|gs|s3a|abfss)://[A-Za-z0-9][A-Za-z0-9._-]+',
+                line):
+            hits['internal-bucket'].append(f'{f}:{i}')
+        if re.search(r'slack\.com|\bgo/[a-z][a-z-]{2,}\b', line):
+            hits['slack-link'].append(f'{f}:{i}')
+        if re.search(r'\b(sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16}|'
+                r'api[_-]?key\s*[:=])', line, re.I):
+            hits['api-key'].append(f'{f}:{i}')
+        if re.search(
+                r'getenv\("(?!SPARK_GRAFT_)[A-Z_]+_(TOKEN|SECRET|KEY)"\)',
+                line):
+            hits['axon-env'].append(f'{f}:{i}')
+        if re.search(r'\b(com\.anthropic|anthropic|claude)\b', line, re.I):
+            hits['internal-pkg2'].append(f'{f}:{i}')
+
+sha = subprocess.check_output(
+    ['git', 'rev-parse', 'HEAD']).decode().strip()
+out = {
+    'round': 6,
+    'scanned_commit': sha,
+    'scan_timestamp_utc': datetime.datetime.now(datetime.timezone.utc)
+        .isoformat(timespec='seconds'),
+    'files_scanned': len(files),
+    'n_hits': sum(len(v) for v in hits.values()),
+    'hits': hits,
+}
+json.dump(out, open('LEAKCHECK.json', 'w'), indent=2)
+print(json.dumps({k: len(v) for k, v in hits.items()}),
+      'files', len(files))
