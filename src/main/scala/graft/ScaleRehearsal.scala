@@ -466,6 +466,13 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.clusteringCoefficients(pairs).count()
         },
+        timed("word_vectors") {
+          // fixed 512-token vocabulary at BOTH scales so the constant
+          // driver-side eigSym (vocab-bounded, O(V^3)) cancels and the
+          // exponent measures the corpus-side co-occurrence pass
+          graft.operators.EmbedAlgebra.wordVectors(docs, "text",
+            window = 2, dim = 8, maxVocab = 512, minCount = 100L).count()
+        },
         timed("label_prop") {
           import org.apache.spark.sql.functions.{col, when}
           val nodes = docs.select(col("doc_id").as("id"),

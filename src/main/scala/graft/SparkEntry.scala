@@ -1074,6 +1074,15 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       TextQuality.featureHash(docs(s, dir), "doc_id", "text")),
 
+    // embeddings: PMI-SVD word vectors trained FROM the corpus
+    // (count-based skip-gram approximation) — array-local windowed
+    // co-occurrence, one symmetric hash agg, vocab-bounded driver
+    // eigSym; rows-only BY DESIGN (eigen is not ANSI SQL; PMI inputs
+    // pinned via q_token_pmi, geometry via WordVectorsSpec)
+    "q_word_vectors" -> ((s, dir) =>
+      operators.EmbedAlgebra.wordVectors(docs(s, dir), "text",
+        window = 2, dim = 8)),
+
     // format parity: the SAME per-source aggregate through a JSONL
     // write+read round-trip must equal the parquet-sourced oracle —
     // schema pinned on read (inference would widen ints)

@@ -119,4 +119,94 @@ object EmbedAlgebra {
     }
     df.select(col(idCol), posexplode(array(outs: _*)).as(Seq("j", "val")))
   }
+
+  /** PMI-SVD word embeddings — the count-based formulation (factorize
+    * the positive-PMI co-occurrence matrix; Levy & Goldberg 2014 show
+    * this approximates skip-gram with negative sampling) recast
+    * Spark-first:
+    *
+    *  1. windowed co-occurrence pairs are generated ARRAY-LOCALLY per
+    *     document (`zip_with` of the token array against its own
+    *     ±1..window shifts — no self-join, no position explode);
+    *  2. one symmetric hash aggregate gives the (vocab x vocab)-sparse
+    *     count matrix and the row marginals — corpus-sized work ends
+    *     here;
+    *  3. PPMI + `eigSym` run driver-side on the vocab-bounded matrix —
+    *     bounded by construction: `minCount` plus a deterministic
+    *     top-`maxVocab` frequency cutoff (the word2vec max_vocab
+    *     contract) prune the tail before any pair aggregate; embedding
+    *     = top-`dim` eigenvectors scaled by sqrt(eigenvalue), with the
+    *     PCA sign convention for determinism.
+    *
+    * Long-form output (tok, comp, value 6dp). Rows-only as a driver
+    * query BY DESIGN (eigen is not ANSI SQL); the PMI inputs are
+    * cross-engine-pinned through `q_token_pmi`, and WordVectorsSpec
+    * pins topic-cluster geometry + determinism. */
+  def wordVectors(docs: DataFrame, textCol: String, window: Int = 2,
+      dim: Int = 16, maxVocab: Int = 2048,
+      minCount: Long = 0L): DataFrame = {
+    require(window >= 1, s"bad window: $window")
+    require(dim >= 1, s"bad dim: $dim")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+    val rawPairs = toks.select(explode(flatten(
+        transform(sequence(lit(1), lit(window)), j =>
+          zip_with(
+            slice(col("t"), lit(1), greatest(size(col("t")) - j, lit(0))),
+            slice(col("t"), j + 1, size(col("t"))),
+            (a, b) => struct(a.as("wa"), b.as("wb"))))))
+        .as("pr"))
+      .select(col("pr.wa").as("wa"), col("pr.wb").as("wb"))
+      .where(length(col("wa")) > 0 && length(col("wb")) > 0)
+    // word2vec-style vocabulary pruning: drop tokens under `minCount`,
+    // then keep the top `maxVocab` by (frequency DESC, token ASC) —
+    // deterministic — and cut the long tail BEFORE the pair aggregate
+    // via broadcast semi-joins. This is the step that makes an
+    // open-vocabulary corpus fit the driver-side factorization; it
+    // never throws, it prunes (the word2vec max_vocab contract).
+    val keep = toks.select(explode(col("t")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= math.max(minCount, 1L))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
+      .select("w")
+    val pairs = rawPairs
+      .join(broadcast(keep).withColumnRenamed("w", "wa"), Seq("wa"),
+        "left_semi")
+      .join(broadcast(keep).withColumnRenamed("w", "wb"), Seq("wb"),
+        "left_semi")
+    val sym = pairs.unionByName(
+      pairs.select(col("wb").as("wa"), col("wa").as("wb")))
+    val cAB = sym.groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val cA = cAB.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val vocab = cA.keys.toArray.sorted
+    val total = cAB.valuesIterator.sum.toDouble
+    val n = vocab.length
+    val ppmi = DenseMatrix.tabulate(n, n) { (a, b) =>
+      cAB.get((vocab(a), vocab(b))).fold(0.0) { c =>
+        math.max(0.0,
+          math.log(c * total / (cA(vocab(a)).toDouble * cA(vocab(b)))))
+      }
+    }
+    val es = eigSym(ppmi)
+    val order = es.eigenvalues.toArray.zipWithIndex
+      .sortBy { case (ev, i) => (-ev, i) }.take(math.min(dim, n))
+    val rows = for {
+      ((ev, evIdx), comp) <- order.zipWithIndex
+      raw = es.eigenvectors(::, evIdx)
+      pivot = (0 until n).maxBy(p => (math.abs(raw(p)), -p))
+      sgn = if (raw(pivot) < 0) -1.0 else 1.0
+      scale = math.sqrt(math.max(ev, 0.0))
+      w <- 0 until n
+    } yield (vocab(w), comp,
+      BigDecimal(sgn * raw(w) * scale)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    spark.createDataset(rows.toIndexedSeq).toDF("tok", "comp", "value")
+  }
 }
