@@ -1074,6 +1074,13 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       TextQuality.featureHash(docs(s, dir), "doc_id", "text")),
 
+    // dedup: MinHash estimator-error report, md5-derandomized so the
+    // ESTIMATE (not just the candidates) is cross-engine-pinned —
+    // exact Jaccard vs the k=16 signature agreement fraction
+    "q_minhash_estimate_md5" -> ((s, dir) =>
+      Dedup.minhashEstimatePairsMd5(docs(s, dir), "doc_id", "text",
+        n = 3, k = 16, threshold = 0.5)),
+
     // embeddings: PMI-SVD word vectors trained FROM the corpus
     // (count-based skip-gram approximation) — array-local windowed
     // co-occurrence, one symmetric hash agg, vocab-bounded driver
@@ -3679,6 +3686,23 @@ object SparkEntry {
          |u AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
          |      UNION ALL SELECT c FROM t)
          |SELECT id, count(*) AS n_triangles FROM u GROUP BY 1""".stripMargin,
+
+    // permutation i's signature = min md5(i || '|' || shingle);
+    // lexicographic hex min orders identically on both engines; the
+    // estimate is the shared-signature fraction over k=16
+    "q_minhash_estimate_md5" ->
+      s"""WITH ${jaccardCtes(0.5)},
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || '|' || s)) AS h
+         |  FROM sh, range(16) r(i) GROUP BY 1, 2)
+         |SELECT j.id_a, j.id_b, j.jaccard,
+         |  ROUND(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0, 6)
+         |    AS est
+         |FROM jac j
+         |JOIN mh a ON a.doc_id = j.id_a
+         |JOIN mh b ON b.doc_id = j.id_b AND b.i = a.i
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // 3 unrolled majority rounds (the pagerank pattern): per round a
     // labeled-neighbor count, a (cnt DESC, label) rank, and the

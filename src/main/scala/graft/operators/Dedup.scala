@@ -598,4 +598,40 @@ object Dedup {
           s => s("seg")), " ").as("text_dedup"))
       .select(col("did").as(idCol), col("text_dedup"))
   }
+
+  /** MinHash Jaccard ESTIMATE next to the exact score, md5-flavored so
+    * the ESTIMATOR ITSELF is cross-engine-replayable: permutation `i`'s
+    * signature is `min(md5(i || '|' || shingle))` (lexicographic min on
+    * lowercase hex orders identically on both engines), and the
+    * estimate is the fraction of the `k` signatures two docs share —
+    * the cross-engine pin that the production xxhash MinHash family
+    * (banded `minhashNearDupPairs`) approximates the same quantity.
+    *
+    * Pairs are the exact-Jaccard candidates at `threshold`, so the
+    * output is (pair, exact, estimate) — an estimator-error report.
+    * Signature build is one explode (shingles x k) with a map-side
+    * combined min; the pair join fans each pair out k-wide, both
+    * bounded. */
+  def minhashEstimatePairsMd5(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    val mh = persistTracked(
+      df.select(col(idCol).as("did"),
+          explode(graft.functions.TextFunctions
+            .wordShingles(col(textCol), n)).as("s"))
+        .select(col("did"),
+          explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
+        .select(col("did"), col("i"),
+          md5(concat_ws("|", col("i"), col("s"))).as("hh"))
+        .groupBy("did", "i").agg(min("hh").as("h")))
+    val a = mh.select(col("did").as("id_a"), col("i"), col("h").as("ha"))
+    val b = mh.select(col("did").as("id_b"), col("i"), col("h").as("hb"))
+    pairs.join(a, "id_a").join(b, Seq("id_b", "i"))
+      .groupBy("id_a", "id_b", "jaccard")
+      .agg(round(
+        sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
+          lit(k.toDouble), 6).as("est"))
+  }
 }

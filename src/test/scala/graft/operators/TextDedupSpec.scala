@@ -550,4 +550,30 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
     (betaBuckets.head intersect betaBuckets(1)).size shouldBe 1
   }
+
+  test("minhashEstimatePairsMd5: exact-1.0 pairs estimate 1.0, bounded error") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), // identical -> jaccard 1, est 1
+      (3L, base + " extra words here"), // high-overlap neighbor
+      (4L, "totally different content nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashEstimatePairsMd5(docs, "doc_id", "text",
+      n = 3, k = 16, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val (j12, e12) = out((1L, 2L))
+    j12 shouldBe 1.0
+    e12 shouldBe 1.0
+    out.values.foreach { case (j, e) =>
+      // k=16 signatures: binomial sd ~ sqrt(j(1-j)/16) <= 0.125
+      math.abs(e - j) should be <= 0.45
+    }
+    val again = Dedup.minhashEstimatePairsMd5(docs, "doc_id", "text",
+      n = 3, k = 16, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    again shouldBe out // md5-derandomized: identical across runs
+  }
 }
