@@ -1,32 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
-    // optional extra args: restrict to these queries (local oracle
-    // validation); the driver always passes exactly two args
-    val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** LOSS-PROOF dump core (testable without a driver JVM): runs every
+    * query in `todo`, writing its parquet dir; a THROWING query still
+    * leaves an artifact — a one-row `__verify_error` marker parquet
+    * whose hash can never match any oracle — plus an entry in the
+    * always-written `_errors.json` sidecar. Without this a regression
+    * that breaks a previously-green query would just shrink the
+    * artifact set and the round's summary counts would silently report
+    * the smaller surface as fully green. Returns (dumpedCount,
+    * errorsByQuery). */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      todo: Map[String, (SparkSession, String) => DataFrame],
+      oracles: Map[String, String]): (Int, Map[String, String]) = {
     new java.io.File(outDir).mkdirs()
-    // LOSS-PROOF dump: a throwing query must still leave an artifact —
-    // a one-row `__verify_error` marker parquet whose hash can never
-    // match any oracle — plus an _errors.json sidecar. Without this a
-    // regression that breaks a previously-green query would just
-    // shrink the artifact set and the round's summary counts would
-    // silently report the smaller surface as fully green.
-    val todo = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     todo.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -56,7 +47,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // ALWAYS written (empty object when clean): a reused outDir would
@@ -65,8 +56,8 @@ object Verify {
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
     // every requested query must have left a parquet dir — count them
-    // and scream (to stderr AND a sidecar) on any shortfall, so the
-    // artifact can never silently represent a subset of the surface
+    // and scream on any shortfall, so the artifact can never silently
+    // represent a subset of the surface
     val dumped = todo.keys.count(n => new java.io.File(s"$outDir/$n").isDirectory)
     if (dumped != todo.size)
       System.err.println(
@@ -76,8 +67,28 @@ object Verify {
         s"failed (error markers written): ${errors.keys.mkString(", ")}")
     else
       System.err.println(s"[verify] all ${todo.size} queries dumped OK")
+    (dumped, errors.toMap)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: restrict to these queries (local oracle
+    // validation); the driver always passes exactly two args
+    val only = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val todo = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val (dumped, _) = dump(spark, sfDir, outDir, todo, SparkEntry.oracleSql)
     // release every operator-internal persist accumulated across the
-    // 120+ queries — the long-lived-driver hygiene the registry exists
+    // 160+ queries — the long-lived-driver hygiene the registry exists
     // for (and what keeps repeated local Verify runs in one JVM honest)
     graft.operators.TrackedCaches.releaseAll()
     spark.stop()
