@@ -466,6 +466,10 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.clusteringCoefficients(pairs).count()
         },
+        timed("mmr_select") {
+          graft.operators.Similarity.mmrSelect(emb, k = 5, lambda = 0.7)
+            .count()
+        },
         timed("word_vectors") {
           // fixed 512-token vocabulary at BOTH scales so the constant
           // driver-side eigSym (vocab-bounded, O(V^3)) cancels and the

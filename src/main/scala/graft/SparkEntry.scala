@@ -1074,6 +1074,12 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       TextQuality.featureHash(docs(s, dir), "doc_id", "text")),
 
+    // embeddings: MMR diverse top-5 (representative-yet-diverse eval
+    // picks) — quantized-centroid relevance, 6dp cosines, id ties;
+    // the greedy argmax replays round-for-round in SQL
+    "q_mmr_select" -> ((s, dir) =>
+      operators.Similarity.mmrSelect(emb(s, dir), k = 5, lambda = 0.7)),
+
     // dedup: MinHash estimator-error report, md5-derandomized so the
     // ESTIMATE (not just the candidates) is cross-engine-pinned —
     // exact Jaccard vs the k=16 signature agreement fraction
@@ -3686,6 +3692,45 @@ object SparkEntry {
          |u AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t
          |      UNION ALL SELECT c FROM t)
          |SELECT id, count(*) AS n_triangles FROM u GROUP BY 1""".stripMargin,
+
+    // 5 unrolled greedy rounds; the centroid is 6dp-QUANTIZED before
+    // any cosine (mean summation order can't bite), lambda/mu are the
+    // engine's exact doubles interpolated, ties break by vec_id
+    "q_mmr_select" -> {
+      val lam = 0.7
+      val mu = 1 - lam // exact same double the engine computes
+      def cosSql(a: String, b: String) =
+        s"ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))" +
+          s" * sqrt(list_dot_product($b, $b))), 6)"
+      val rounds = (2 to 5).map { r =>
+        s"""cand$r AS (
+           |  SELECT x.vec_id, any_value(x.v) AS v, any_value(x.rel) AS rel,
+           |    max(${cosSql("x.v", "s.v")}) AS ms
+           |  FROM rel x, sel${r - 1} s
+           |  WHERE x.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  GROUP BY x.vec_id),
+           |pick$r AS (
+           |  SELECT vec_id, v, ROUND($lam * rel - $mu * ms, 6) AS score
+           |  FROM cand$r ORDER BY score DESC, vec_id LIMIT 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+           |  SELECT CAST($r AS INT) AS rank, vec_id, v, score
+           |  FROM pick$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cm AS (SELECT list(a ORDER BY i) AS c FROM (
+         |  SELECT i, ROUND(avg(v[i + 1]), 6) AS a
+         |  FROM e, range(64) r(i) GROUP BY i)),
+         |rel AS (SELECT vec_id, v, ${cosSql("v", "c")} AS rel
+         |        FROM e, cm),
+         |pick1 AS (
+         |  SELECT vec_id, v, ROUND($lam * rel, 6) AS score
+         |  FROM rel ORDER BY score DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT CAST(1 AS INT) AS rank, vec_id, v, score
+         |         FROM pick1),
+         |$rounds
+         |SELECT rank, vec_id, score FROM sel5""".stripMargin
+    },
 
     // permutation i's signature = min md5(i || '|' || shingle);
     // lexicographic hex min orders identically on both engines; the

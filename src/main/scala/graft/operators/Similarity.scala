@@ -503,4 +503,61 @@ object Similarity {
     b.join(removed, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("bkt"))
   }
+
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily pick the vector maximizing
+    * `lambda * rel - (1 - lambda) * maxSimToSelected` — the standard
+    * "representative yet diverse" selector for eval-set and few-shot
+    * example picking. Relevance here is cosine to the corpus centroid
+    * (the parameterless default; callers wanting a query vector
+    * substitute their own rel column upstream).
+    *
+    * Deterministic AND cross-engine-replayable: the centroid is
+    * QUANTIZED to 6dp before any cosine (removing mean summation-order
+    * sensitivity), every cosine rounds to 6dp, ties break by id, and
+    * the greedy argmax unrolls round-for-round in SQL. Each of the `k`
+    * rounds is one map-only scoring pass (selected vectors ride inline
+    * as literals — at most k-1 of them) + a TakeOrdered(1); the corpus
+    * never self-joins and never shuffles at width. */
+  def mmrSelect(df: DataFrame, k: Int = 5, lambda: Double = 0.7,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"bad lambda: $lambda")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mu = 1 - lambda // SAME arithmetic the generated oracle embeds
+    val e = TrackedCaches.persist(df.select(
+      col(idCol).cast("long").as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("v")))
+    val cent = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(round(avg("x"), 6).as("a"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+    val rel = TrackedCaches.persist(e.withColumn("rel",
+      round(cosine(col("v"), array(cent.map(lit(_)): _*)), 6)))
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Double)]
+    (1 to k).foreach { _ =>
+      val scored =
+        if (selected.isEmpty)
+          rel.withColumn("score", round(lit(lambda) * col("rel"), 6))
+        else {
+          val sims = selected.map { case (_, sv, _) =>
+            round(cosine(col("v"), array(sv.map(lit(_)): _*)), 6)
+          }.toSeq
+          val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
+          rel.filter(!col("vid").isInCollection(selected.map(_._1)))
+            .withColumn("score",
+              round(lit(lambda) * col("rel") - lit(mu) * ms, 6))
+        }
+      val top = scored.orderBy(col("score").desc, col("vid"))
+        .select("vid", "v", "score").limit(1).collect().head
+      selected += ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2)))
+    }
+    rel.unpersist(); e.unpersist()
+    selected.zipWithIndex
+      .map { case ((id, _, sc), i) => (i + 1, id, sc) }.toSeq
+      .toDF("rank", idCol, "score")
+  }
 }

@@ -66,4 +66,48 @@ class WordVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val v = vecs(EmbedAlgebra.wordVectors(tiny, "text", dim = 16))
     v("a").length shouldBe 2 // only 2 words -> at most 2 components
   }
+
+  test("mmrSelect: diversity term pulls picks out of the densest cluster") {
+    import org.apache.spark.sql.functions._
+    // two tight clusters: 10 vectors near +e1, 10 near +e2; pure
+    // relevance would take one cluster's whole core, MMR must mix
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) Array(1.0f, 0.01f * i, 0f, 0f)
+        else Array(0.01f * i, 1.0f, 0f, 0f)
+      (i.toLong, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(df, k = 4, lambda = 0.5)
+      .collect().map(_.getLong(1))
+    val sides = picks.map(id => if (id < 10) 0 else 1).toSet
+    sides shouldBe Set(0, 1) // both clusters represented
+    // determinism across partitionings
+    val again = Similarity.mmrSelect(df.repartition(7), k = 4,
+      lambda = 0.5).collect().map(_.getLong(1))
+    again.toSeq shouldBe picks.toSeq
+  }
+
+  test("mmrSelect: lambda=1 degenerates to pure relevance order") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0 until 8).map(i => (i.toLong,
+      Seq(1.0f, 0.1f * i, 0f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrSelect(df, k = 3, lambda = 1.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // pure relevance: ranks must follow cosine-to-centroid descending —
+    // compare against an independent in-memory computation
+    val cent = (0 until 4).map { p =>
+      vecs.map(_._2(p).toDouble).sum / vecs.size
+    }
+    def cos(v: Seq[Float]): Double = {
+      val d = v.zip(cent).map { case (x, c) => x * c }.sum
+      d / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(cent.map(c => c * c).sum))
+    }
+    val expect = vecs.sortBy { case (id, v) =>
+      (-BigDecimal(cos(v)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+    }.take(3).map(_._1)
+    mmr.map(_._2) shouldBe expect
+  }
 }
