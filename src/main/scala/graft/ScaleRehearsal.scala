@@ -515,10 +515,13 @@ object ScaleRehearsal {
         timed("fuzzy_pairs") {
           // "adjective noun"-shaped names from each doc's first two
           // tokens: vocabulary (not corpus) sized matching input
-          import org.apache.spark.sql.functions.{col, concat_ws, element_at, split}
-          val names = docs.select(concat_ws(" ",
-            element_at(split(col("text"), " "), 1),
-            element_at(split(col("text"), " "), 2)).as("name"))
+          import org.apache.spark.sql.functions.{col, concat_ws, size, slice, split}
+          // slice (not element_at): a single-token doc would make
+          // element_at(_, 2) throw under Spark 4's default ANSI mode
+          val toks2 = slice(split(col("text"), " "), 1, 2)
+          val names = docs
+            .where(size(split(col("text"), " ")) >= 2)
+            .select(concat_ws(" ", toks2).as("name"))
           graft.operators.Linkage.fuzzyNamePairs(names, "name",
             maxDist = 2).count()
         },

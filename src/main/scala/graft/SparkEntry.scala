@@ -3717,7 +3717,9 @@ object SparkEntry {
            |  FROM pick$r)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[],
+         |                         embedding::DOUBLE[]) > 0),
          |cm AS (SELECT list(a ORDER BY i) AS c FROM (
          |  SELECT i, ROUND(avg(v[i + 1]), 6) AS a
          |  FROM e, range(64) r(i) GROUP BY i)),

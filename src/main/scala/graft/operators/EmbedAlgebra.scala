@@ -149,9 +149,11 @@ object EmbedAlgebra {
     require(dim >= 1, s"bad dim: $dim")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs
+    // toks feeds BOTH the vocab-count pass and the pair explode: one
+    // tokenization, cached (Spark has no cross-branch CSE)
+    val toks = TrackedCaches.persist(docs
       .select(graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
-      .where(size(col("t")) > 0)
+      .where(size(col("t")) > 0))
     val rawPairs = toks.select(explode(flatten(
         transform(sequence(lit(1), lit(window)), j =>
           zip_with(
@@ -179,13 +181,23 @@ object EmbedAlgebra {
         "left_semi")
       .join(broadcast(keep).withColumnRenamed("w", "wb"), Seq("wb"),
         "left_semi")
-    val sym = pairs.unionByName(
-      pairs.select(col("wb").as("wa"), col("wa").as("wb")))
-    val cAB = sym.groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+    // ONE corpus-sized aggregate over the ORDERED pairs; the symmetric
+    // closure is a vocab^2-bounded driver fold (a unionByName of the
+    // swapped frame would re-execute the whole pair explode + semi-joins
+    // for the second branch)
+    val ordered = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
+    toks.unpersist()
+    val cAB = (ordered ++ ordered.map { case ((a, b), c) => ((b, a), c) })
+      .groupMapReduce(_._1)(_._2)(_ + _)
     val cA = cAB.groupMapReduce(_._1._1)(_._2)(_ + _)
     val vocab = cA.keys.toArray.sorted
+    if (vocab.isEmpty) {
+      // no co-occurrence at all (every doc a single token, or pruning
+      // removed everything): an empty result frame, not a 0x0 eigSym
+      return spark.createDataset(Seq.empty[(String, Int, Double)])
+        .toDF("tok", "comp", "value")
+    }
     val total = cAB.valuesIterator.sum.toDouble
     val n = vocab.length
     val ppmi = DenseMatrix.tabulate(n, n) { (a, b) =>

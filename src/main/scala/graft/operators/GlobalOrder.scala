@@ -170,10 +170,18 @@ object GlobalOrder {
     if (stats.isNullAt(0))
       return rows.withColumn("global_pos", lit(0L)).limit(0)
     val (mn, mx) = (stats.getLong(0), stats.getLong(1))
-    // ceil-div sized so ((mx - mn) / width) < maxShards
-    val width = math.max(1L, (mx - mn) / maxShards + 1L)
+    // BigInt ceil-div: a value range spanning more than Long.MaxValue
+    // (mx huge positive, mn huge negative) would wrap `mx - mn`
+    val width = ((BigInt(mx) - BigInt(mn)) / maxShards + 1)
+      .max(1).toLong
+    // shard via DOUBLE arithmetic: `value - mn` as longs can overflow
+    // the same way; IEEE ops are monotone, so double rounding can only
+    // shift a boundary, never reorder shards — shard ranges stay
+    // contiguous in the value and equal values always share a shard,
+    // which is all the offset machinery needs
     val sharded = rows.withColumn("__vshard",
-      ((col(valueCol).cast("long") - lit(mn)) / lit(width)).cast("long"))
+      floor((col(valueCol).cast("long").cast("double") - lit(mn.toDouble))
+        / lit(width.toDouble)).cast("long"))
     val counts = sharded.groupBy("__vshard").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)

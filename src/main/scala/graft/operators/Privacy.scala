@@ -8,11 +8,18 @@ import org.apache.spark.sql.functions._
   * The Laplace mechanism over group counts, with the noise draw
   * DERANDOMIZED the same way as the engine's bootstrap draws and JL
   * projection (MBoot.drawMatrixMd5 / EmbedAlgebra.randomProject): the
-  * uniform comes from the md5 of a per-group key, so the "random"
-  * release is a pure function of the data — reproducible across runs
-  * AND bit-replayable by the SQL oracle. Swapping the md5 uniform for
-  * `rand()` recovers the conventional non-reproducible mechanism; the
-  * inverse-CDF transform and sensitivity math are identical.
+  * uniform comes from the md5 of `salt || groupKey`, so the release is
+  * a pure function of (salt, data) — reproducible across runs AND
+  * bit-replayable by the SQL oracle.
+  *
+  * PRIVACY CONTRACT — the eps-DP guarantee holds only against an
+  * adversary who does not know `salt`: with the salt public (the
+  * test default "dp"), anyone can recompute the noise and recover the
+  * exact counts, i.e. there is NO privacy. A production release must
+  * draw `salt` from a secret high-entropy key (the keyed-PRF noise
+  * deployment used by practical DP systems) or swap the md5 uniform
+  * for `rand()` (non-reproducible); the inverse-CDF transform and
+  * sensitivity math are identical either way.
   *
   * u = (first 12 md5 hex digits + 0.5) / 2^48 — exact in a double
   * (power-of-two denominator), strictly inside (0,1) so the log never

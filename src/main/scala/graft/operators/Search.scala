@@ -126,10 +126,12 @@ object Search {
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       cap: Int = 20): DataFrame = {
     require(cap >= 1, s"bad cap: $cap")
-    val pairs = docs
+    // cached: the tokenize + corpus-wide distinct feeds BOTH the df
+    // count and the capped postings branch (no cross-branch CSE)
+    val pairs = TrackedCaches.persist(docs
       .select(col(idCol).as("did"), explode(tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) > 0)
-      .distinct()
+      .distinct())
     val dfCounts = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("tok").orderBy("did")

@@ -527,18 +527,27 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val mu = 1 - lambda // SAME arithmetic the generated oracle embeds
+    // zero-norm vectors are excluded up front: their cosine is NaN, and
+    // NaN sorts GREATEST in Spark's descending order (it would hijack
+    // rank 1 and poison later rounds' diversity terms) while DuckDB's
+    // NaN ordering need not agree — the oracle carries the same filter
     val e = TrackedCaches.persist(df.select(
-      col(idCol).cast("long").as("vid"),
-      transform(col(vecCol), x => x.cast("double")).as("v")))
+        col(idCol).cast("long").as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(dot(col("v"), col("v")) > 0))
     val cent = e.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(round(avg("x"), 6).as("a"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1))
       .sortBy(_._1).map(_._2)
     val rel = TrackedCaches.persist(e.withColumn("rel",
       round(cosine(col("v"), array(cent.map(lit(_)): _*)), 6)))
+    // clamp to the available population: k beyond it returns the full
+    // ranking rather than crashing on an empty argmax (the wordVectors
+    // dim-capping convention)
+    val kEff = math.min(k.toLong, e.count()).toInt
     val selected =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Double)]
-    (1 to k).foreach { _ =>
+    (1 to kEff).foreach { _ =>
       val scored =
         if (selected.isEmpty)
           rel.withColumn("score", round(lit(lambda) * col("rel"), 6))

@@ -374,8 +374,12 @@ object TextQuality {
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col(valCol), col(idCol))
     val wG = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
-    val n = df.filter(col(valCol).isNotNull).count()
-    val ranked = df.filter(col(valCol).isNotNull)
+    // cached: the (possibly expensive upstream) input otherwise scans
+    // ~5x — the count, the rank window, and valueRank's stats/counts/
+    // output passes
+    val in = TrackedCaches.persist(df.filter(col(valCol).isNotNull))
+    val n = in.count()
+    val ranked = in
       .withColumn("__rn", row_number().over(wS))
       .withColumn("__ns", count(lit(1)).over(wG))
       .withColumn("__gi",
@@ -385,7 +389,7 @@ object TextQuality {
           .otherwise(lit(0.0)) * lit((n - 1).toDouble)).cast("long")
           + lit(1L))
     val lut = GlobalOrder.valueRank(
-        df.select(col(idCol), col(valCol)), valCol, idCol)
+        in.select(col(idCol), col(valCol)), valCol, idCol)
       .select(col("global_pos").as("__gi"),
         col(valCol).cast("long").as("qnorm"))
     ranked.join(lut, "__gi")

@@ -336,11 +336,15 @@ object StreamingOps {
     * contract as `sessionizeStateful`).
     *
     * Streaming (`emitFinal = false`): a user's funnel row is emitted
-    * once, when the event-time watermark passes `lastSeen +
-    * inactivityHours` — funnels never self-close, so inactivity is the
-    * only sound completion signal; state is bounded by the active-user
-    * set. Batch (`emitFinal = true`): one pass, emit every user at end
-    * of group — byte-identical to `Events.funnel` (oracle-checked as
+    * when the event-time watermark passes `lastSeen + inactivityHours`
+    * — funnels never self-close, so inactivity is the only sound
+    * completion signal; state is bounded by the active-user set. A
+    * user active AGAIN after the horizon starts a FRESH funnel journey
+    * and will emit a second row for the same user_id (append mode
+    * cannot retract): rows are per activity-epoch, and a consumer
+    * wanting one row per user keeps the latest. Batch
+    * (`emitFinal = true`): one pass, emit every user at end of group —
+    * byte-identical to `Events.funnel` (oracle-checked as
     * `q_stream_funnel`). */
   def funnelStateful(events: Dataset[FunnelEvent],
       steps: Seq[String] = Seq("view", "click", "purchase"),

@@ -110,4 +110,24 @@ class WordVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }.take(3).map(_._1)
     mmr.map(_._2) shouldBe expect
   }
+
+  test("wordVectors: pair-free corpus returns an empty frame, no crash") {
+    val singles = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    EmbedAlgebra.wordVectors(singles, "text").count() shouldBe 0L
+    // pruning everything away is the same path
+    val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    EmbedAlgebra.wordVectors(tiny, "text", minCount = 1000L)
+      .count() shouldBe 0L
+  }
+
+  test("mmrSelect: k beyond the population clamps; zero vectors excluded") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1.0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 0f, 0f)) // zero-norm: NaN cosine, must be dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(df, k = 10, lambda = 0.7).collect()
+    out.map(_.getLong(1)).toSet shouldBe Set(1L, 2L) // clamped to 2, no 3
+    out.map(_.getInt(0)).sorted.toSeq shouldBe Seq(1, 2)
+  }
 }
