@@ -1863,6 +1863,19 @@ object SparkEntry {
     "q_transition_matrix" -> ((s, dir) =>
       Events.transitionMatrix(events(s, dir))),
 
+    // event analytics: per-user session summary (engagement profile) —
+    // composes sessionize, then one user-sized aggregate; integer sums
+    // exact, the one ratio rounds 6dp
+    "q_session_stats" -> ((s, dir) =>
+      Events.sessionize(events(s, dir))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("total_events"),
+          round(sum("n_events") / count(lit(1)).cast("double"), 6)
+            .as("avg_events_per_session"),
+          (unix_timestamp(max("sess_end")) -
+            unix_timestamp(min("sess_start"))).as("span_seconds"))),
+
     // streaming: stateful ONLINE funnel (O(1) state per user,
     // inactivity-timeout emission in streams) run in batch emit-final
     // mode — byte-identical to Events.funnel, shares q_funnel's oracle
@@ -2300,6 +2313,32 @@ object SparkEntry {
        |      ELSE 'und' END AS lang_pred
        |  FROM b)""".stripMargin
   }
+
+  /** Gap-30min sessionization replay, shared verbatim by q_sessionize,
+    * q_stream_sessionize_state, and (as a CTE) q_session_stats. */
+  private val sessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN prev_ts IS NULL
+      |         OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |            CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM o),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sess_no
+      |  FROM f)
+      |SELECT user_id, sess_no,
+      |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+      |  count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY 1, 2""".stripMargin
 
   private val mbootDmCte: String =
     """dm AS (
@@ -4413,29 +4452,21 @@ object SparkEntry {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-        |  FROM events),
-        |f AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN prev_ts IS NULL
-        |         OR CAST(floor(epoch(ts)) AS BIGINT) -
-        |            CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM o),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS sess_no
-        |  FROM f)
-        |SELECT user_id, sess_no,
-        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
-        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
-        |  count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" -> sessionizeSql,
+
+    // per-user engagement profile over the SAME session table: the
+    // shared sessionizeSql CTE regrouped by user; integer sums exact,
+    // the ratio computed sum/cnt-double then 6dp on both engines
+    "q_session_stats" ->
+      s"""WITH base AS (
+         |$sessionizeSql
+         |)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+         |  ROUND(CAST(SUM(n_events) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS avg_events_per_session,
+         |  max(end_epoch) - min(start_epoch) AS span_seconds
+         |FROM base GROUP BY 1""".stripMargin,
 
     // salting is pure routing — the oracle is the un-salted join
     "q_skew_join" ->
