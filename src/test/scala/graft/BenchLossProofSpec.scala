@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The r6 verdict's bench loss-proof contract, pinned: a throwing bench
+  * query must surface as timing -1.0 plus an explicit `errors` entry in
+  * the rendered JSON — never a plausible-looking wall time — and the
+  * JSON line itself must be complete and machine-parseable so the file
+  * copy (`bench_out.json`) carries the full per-query map even when the
+  * driver's stdout capture truncates. */
+class BenchLossProofSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def fakeQueries = Map[String,
+      (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame](
+    "q_ok" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }),
+    "q_boom" -> ((_, _) => throw new IllegalStateException("bench kaboom")))
+
+  test("a throwing query records -1.0 and an errors entry; survivors still time") {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = Bench.timeQueries(spark, "/unused",
+      Seq("q_boom", "q_ok"), reps = 2, fakeQueries, errors)
+    val m = results.toMap
+    m("q_boom") shouldBe -1.0
+    m("q_ok") should be > 0.0
+    errors.keySet shouldBe Set("q_boom")
+    errors("q_boom") should include("bench kaboom")
+  }
+
+  test("renderJson: failures excluded from total, visible in queries+errors, valid JSON") {
+    val all = Seq("q_ok" -> 1.5, "q_boom" -> -1.0, "q_ok2" -> 2.5)
+    val errors = scala.collection.mutable.LinkedHashMap(
+      "q_boom" -> "IllegalStateException: line1\nline2\t\"quoted\"")
+    val line = Bench.renderJson(all, errors, "/root/testdata/sf0.1")
+    // total sums only the queries that ran
+    line should include("\"value\":4.0")
+    line should include("\"q_boom\":-1.0")
+    line should include("\"errors\":{\"q_boom\":")
+    // control chars and quotes in error messages must not break parsing;
+    // round-trip through Spark's JSON reader to prove the line is valid
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(line).toDS)
+    parsed.count() shouldBe 1L
+    parsed.columns should contain allOf ("metric", "queries", "errors", "value")
+    parsed.select("queries.q_boom").head.getDouble(0) shouldBe -1.0
+    parsed.select("value").head.getDouble(0) shouldBe 4.0
+  }
+
+  test("clean run renders an empty errors object") {
+    val line = Bench.renderJson(Seq("q_ok" -> 0.5),
+      scala.collection.mutable.LinkedHashMap.empty[String, String], "sf")
+    line should include("\"errors\":{}")
+    line should include("\"value\":0.5")
+  }
+}
