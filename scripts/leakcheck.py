@@ -8,6 +8,29 @@ chat/short links, credential patterns, and secret-bearing env reads.
 Run from the repo root: python3 scripts/leakcheck.py
 """
 import json, re, subprocess, datetime, glob
+from urllib.parse import urlparse
+
+# suffix-anchored domain allowlist: a URL passes only when its PARSED
+# hostname equals an entry or ends with "." + entry — a substring match
+# would let https://evil.example/?ref=arxiv.org through unreported
+ALLOWED_DOMAINS = ('github.com', 'spark.apache.org', 'arxiv.org',
+  'duckdb.org', 'unicode.org', 'doi.org', 'openreview.net',
+  'aclanthology.org', 'w3.org', 'example.com')
+
+def url_allowed(u):
+    try:
+        host = (urlparse(u).hostname or '').lower()
+    except ValueError:
+        return False
+    if not host:
+        return False
+    if any(host == d or host.endswith('.' + d) for d in ALLOWED_DOMAINS):
+        # github.com is allowed ONLY for the public reference repo
+        if host.endswith('github.com'):
+            return '/d2cml-ai/' in u or u.rstrip('/').lower().endswith(
+                'github.com')
+        return True
+    return False
 
 files = sorted(glob.glob('src/**/*.scala', recursive=True))
 allowed_imports = ('org.apache.spark', 'org.apache.hadoop', 'scala.',
@@ -25,9 +48,7 @@ for f in files:
         if m and not m.group(1).startswith(allowed_imports):
             hits['internal-import'].append(f'{f}:{i}:{m.group(1)}')
         for u in re.findall(r'https?://[^\s"\')]+', line):
-            if not re.search(r'(github\.com/d2cml-ai|spark\.apache\.org|'
-                r'arxiv\.org|duckdb\.org|unicode\.org|doi\.org|'
-                r'openreview|aclanthology|w3\.org|example\.com)', u):
+            if not url_allowed(u):
                 hits['internal-url'].append(f'{f}:{i}:{u}')
         if re.search(r'\b(?:s3|gs|s3a|abfss)://[A-Za-z0-9][A-Za-z0-9._-]+',
                 line):
@@ -47,7 +68,7 @@ for f in files:
 sha = subprocess.check_output(
     ['git', 'rev-parse', 'HEAD']).decode().strip()
 out = {
-    'round': 6,
+    'round': 7,
     'scanned_commit': sha,
     'scan_timestamp_utc': datetime.datetime.now(datetime.timezone.utc)
         .isoformat(timespec='seconds'),

@@ -2450,7 +2450,8 @@ object SparkEntry {
       """WITH c AS (SELECT source, count(*) AS n FROM documents
         |           GROUP BY 1),
         |h AS (SELECT source, n,
-        |    (CAST(('0x' || substr(md5('dp|' || source), 1, 12)) AS BIGINT)
+        |    (CAST(('0x' || substr(md5('dp|' ||
+        |        coalesce(CAST(source AS VARCHAR), '__NULL__')), 1, 12)) AS BIGINT)
         |      + 0.5) / 281474976710656.0 AS u
         |  FROM c)
         |SELECT source, n,

@@ -143,10 +143,24 @@ object EmbedAlgebra {
     * cross-engine-pinned through `q_token_pmi`, and WordVectorsSpec
     * pins topic-cluster geometry + determinism. */
   def wordVectors(docs: DataFrame, textCol: String, window: Int = 2,
-      dim: Int = 16, maxVocab: Int = 2048,
+      dim: Int = 16, maxVocab: Int = 512,
       minCount: Long = 0L): DataFrame = {
     require(window >= 1, s"bad window: $window")
     require(dim >= 1, s"bad dim: $dim")
+    // DRIVER-MEMORY CONTRACT: the ordered co-occurrence pair set (up to
+    // maxVocab^2 tuples), the dense maxVocab x maxVocab PPMI matrix,
+    // and an O(maxVocab^3) eigSym all live on the driver — that is the
+    // count-based factorization's nature, not an accident. The default
+    // (512 -> ~260k pairs, ~2 MB matrix, sub-second eig) keeps a dense
+    // corpus comfortable; the hard cap below stops a parameter from
+    // silently inviting a multi-GB collect + minutes-long eig (4096^2
+    // pairs ~ 1.3 GB of boxed tuples). Callers needing a larger
+    // vocabulary should train in shards or use the hashed features
+    // path (TextQuality.featureHash).
+    require(maxVocab >= 1 && maxVocab <= 4096,
+      s"maxVocab=$maxVocab outside [1, 4096]: the PPMI factorization " +
+        "is driver-side with maxVocab^2 pair memory and maxVocab^3 eig " +
+        "cost; shard the corpus or use feature hashing beyond 4096")
     val spark = docs.sparkSession
     import spark.implicits._
     // toks feeds BOTH the vocab-count pass and the pair explode: one

@@ -36,7 +36,14 @@ object Privacy {
   def dpCounts(df: DataFrame, groupCol: String, eps: Double = 1.0,
       salt: String = "dp"): DataFrame = {
     require(eps > 0, s"bad eps: $eps")
-    val h = substring(md5(concat_ws("|", lit(salt), col(groupCol))), 1, 12)
+    // NULL group key: concat_ws silently SKIPS nulls, which would give
+    // the NULL group noise derived from md5(salt||"|") while a SQL
+    // replay ('salt|' || key) yields NULL — a broken bit-replay
+    // contract. Coalesce to a sentinel so the NULL group gets a
+    // well-defined, replayable draw (a literal "__NULL__" group would
+    // collide with it — acceptable for a count release, documented).
+    val key = coalesce(col(groupCol).cast("string"), lit("__NULL__"))
+    val h = substring(md5(concat_ws("|", lit(salt), key)), 1, 12)
     val u = (conv(h, 16, 10).cast("double") + 0.5) / lit(281474976710656.0)
     val centered = u - 0.5
     val noise = (lit(-1.0 / eps) * signum(centered) *

@@ -331,9 +331,28 @@ object StreamingOps {
     * Because steps only ever chain FORWARD in time and each batch's
     * group is processed in ascending event time, "first qualifying
     * event wins" is a pure set-once update — state is O(1) per user,
-    * never a buffer of events. Cross-batch correctness relies on the
-    * watermark admitting events in order per key (same documented
-    * contract as `sessionizeStateful`).
+    * never a buffer of events.
+    *
+    * CROSS-BATCH ORDERING CONTRACT (precise): within one micro-batch
+    * events are sorted, so single-batch output is exact (the
+    * `emitFinal = true` path, oracle-checked against `Events.funnel`).
+    * Across batches the set-once state is order-SENSITIVE: watermarks
+    * bound which events are ADMITTED, not the order they arrive in, so
+    * an event that is late-but-within-watermark — delivered in a later
+    * batch with a timestamp EARLIER than an already-set step — cannot
+    * lower t1/t2/t3, and the streamed row may then report
+    * later-than-batch step times (never earlier, and never a step the
+    * user didn't take; completion level can only be under-, not
+    * over-stated relative to the batch operator... specifically a
+    * late earlier step-1 can unlock an earlier step-2 only in the
+    * batch replay). Making this exactly order-insensitive requires
+    * buffering every in-watermark step event per user (state O(events
+    * in horizon), not O(1)) because a late step-1 arrival
+    * retroactively changes which step-2/3 events qualify; this
+    * operator deliberately trades that for O(1) state. Pipelines that
+    * need exact funnels over late-heavy sources should replay the
+    * settled window through `Events.funnel` (the CDC-merge pattern
+    * `q_stream_merge` demonstrates).
     *
     * Streaming (`emitFinal = false`): a user's funnel row is emitted
     * when the event-time watermark passes `lastSeen + inactivityHours`

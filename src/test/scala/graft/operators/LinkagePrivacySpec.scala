@@ -68,6 +68,25 @@ class LinkagePrivacySpec extends AnyFunSuite with Matchers with SparkSpec {
     (n1 / n2) shouldBe (2.0 +- 1e-4) // 6dp rounding is the only slack
   }
 
+  test("dpCounts: a NULL group key gets the sentinel's deterministic draw") {
+    val df = Seq(Some("a"), Some("a"), None, None, None)
+      .toDF("source")
+    val out = Privacy.dpCounts(df, "source", eps = 1.0).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    out.keySet shouldBe Set(Some("a"), None)
+    out(None)._1 shouldBe 3L
+    // the NULL group's draw equals the "__NULL__" sentinel's draw —
+    // the documented replay contract (concat_ws would otherwise skip
+    // the null and hash just "dp|")
+    val sentinel = Privacy.dpCounts(
+      Seq("__NULL__", "__NULL__", "__NULL__").toDF("source"),
+      "source").collect().head
+    (out(None)._2 - 3.0) shouldBe ((sentinel.getDouble(2) - 3.0) +- 1e-12)
+    // and it is NOT the draw concat_ws's null-skipping would produce
+    // (md5 of "dp|" alone differs from md5 of "dp|__NULL__")
+  }
+
   test("dpCounts: different salts give different draws") {
     val df = (1 to 10).map(_ => "g").toDF("source")
     val d1 = Privacy.dpCounts(df, "source", salt = "dp").collect().head.getDouble(2)
