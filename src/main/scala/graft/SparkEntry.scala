@@ -310,12 +310,16 @@ object SparkEntry {
     }),
 
     // §2.9 ext: pre-trend Wald test (PreTest.wald) — H0: all
-    // pre-treatment ATT(g,t) = 0, W ~ chi2(df). Rows-only BY DESIGN:
-    // the K_pre x K_pre covariance inverse is not ANSI-expressible
-    // (no matrix solve in SQL) and the chi-square tail needs a special
-    // function DuckDB lacks; the statistic is pinned by PreTestSpec
-    // (null coverage, power, df-drop, vcov parity at 1e-8) and its
-    // vcov input is the fully oracle-checked q_att_gt_vcov chain
+    // pre-treatment ATT(g,t) = 0, W ~ chi2(df). The covariance inverse
+    // and chi-square tail are not ANSI-expressible, so the oracle joins
+    // a committed fixture computed by an INDEPENDENT implementation
+    // (scripts/gen_pretest_fixture.py: DuckDB IF-chain replay + numpy
+    // solve + closed-form integer-df chi2 tail — no commons-math3),
+    // keyed by an input fingerprint over the rounded att+vcov tables
+    // that SQL replays from the raw panel; a testdata regeneration
+    // joins 0 rows and fails LOUDLY (the q_bpe_train fixture pattern).
+    // PreTestSpec still pins null coverage / power / df-drop / 1e-8
+    // vcov parity
     "q_pretest_wald" -> ((s, dir) => {
       import s.implicits._
       val w = PreTest.wald(fitFor(s, dir))
@@ -2568,6 +2572,39 @@ object SparkEntry {
         |FROM vv
         |JOIN dd d1 ON vv.g1 = d1.g AND vv.t1 = d1.t
         |JOIN dd d2 ON vv.g2 = d2.g AND vv.t2 = d2.t""".stripMargin),
+
+    // fixture join (matrix solve + chi2 tail are not SQL-expressible):
+    // (w, pval, df) precomputed by an INDEPENDENT implementation
+    // (scripts/gen_pretest_fixture.py — numpy solve + closed-form
+    // integer-df chi-square tail), keyed by a fingerprint the SQL
+    // replays from the raw panel over the ROUNDED att + vcov tables
+    // (both independently hash-green via q_att_gt / q_att_gt_vcov, so
+    // the fp is cross-engine deterministic). The fp/att_r/vv_r CTE text
+    // below MUST stay identical to FP_SQL in the generator script.
+    "q_pretest_wald" -> withPanelCte(
+      s""", $ifUnitCte,
+        |att_r AS (
+        |  SELECT g, tn, ROUND((mu11 - mu10) - (mu01 - mu00), 4) AS att FROM k
+        |  WHERE w11 > 0 AND w10 > 0 AND w01 > 0 AND w00 > 0),
+        |vv_r AS (
+        |  SELECT a.g AS g1, a.tn AS t1, b.g AS g2, b.tn AS t2,
+        |    ROUND(SUM(a.inf * b.inf) / (nn.n * nn.n), 2) AS cov
+        |  FROM u a JOIN u b ON a.id = b.id, nn
+        |  WHERE (a.g, a.tn) <= (b.g, b.tn)
+        |  GROUP BY a.g, a.tn, b.g, b.tn, nn.n),
+        |fp AS (SELECT md5(
+        |  (SELECT string_agg(g || ',' || tn || ',' || att, ';' ORDER BY g, tn)
+        |   FROM att_r) || '|' ||
+        |  (SELECT string_agg(g1 || ',' || t1 || ',' || g2 || ',' || t2 || ','
+        |                     || cov, ';' ORDER BY g1, t1, g2, t2)
+        |   FROM vv_r)) AS fp)
+        |SELECT f.w, f.pval, f.df
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/pretest_wald.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'w': 'DOUBLE',
+        |                  'pval': 'DOUBLE', 'df': 'BIGINT'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin),
 
     // plot_attgt frame: att from the 2x2 cell means (k CTE carries the
     // four bucket means), se from the per-unit IF chain, CI bounds from
