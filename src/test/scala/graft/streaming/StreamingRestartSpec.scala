@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Checkpoint-restart recovery (the r6 verdict's ask): kill a stateful
+  * stream mid-input, resume it from the checkpoint, and assert the
+  * per-key state SURVIVED the restart — a step observed before the
+  * kill must chain with a step delivered after it, and the final
+  * output must equal the batch oracle on the full input. Without
+  * checkpointed state the post-restart batches would see fresh state
+  * and the funnel/session would silently restart at level 0.
+  */
+class StreamingRestartSpec extends AnyFunSuite with Matchers
+    with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnelStateful: state survives a stop + checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-funnel-ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-funnel-out").toString
+    val mem = MemoryStream[FunnelEvent]
+    // memory sinks cannot recover from a checkpoint; the FILE sink is
+    // the exactly-once recoverable one — restart continues its log
+    def start() = StreamingOps.funnelStateful(
+        mem.toDF().withWatermark("ts", "0 seconds").as[FunnelEvent],
+        inactivityHours = 1)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // ---- run 1: user 7 reaches level 1, user 8 level 1 — then KILL
+    val q1 = start()
+    try {
+      mem.addData(
+        FunnelEvent(7L, ts("2026-01-01 10:00:00"), "view"),
+        FunnelEvent(8L, ts("2026-01-01 10:00:00"), "view"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // ---- run 2: resume from the SAME checkpoint; user 7's click must
+    // chain onto the view recorded BEFORE the kill
+    val q2 = start()
+    try {
+      mem.addData(FunnelEvent(7L, ts("2026-01-01 10:05:00"), "click"))
+      q2.processAllAvailable()
+      // advance the watermark past both users' inactivity horizons
+      mem.addData(FunnelEvent(9L, ts("2026-01-01 13:00:00"), "view"))
+      q2.processAllAvailable()
+      mem.addData(FunnelEvent(9L, ts("2026-01-01 13:00:01"), "view"))
+      q2.processAllAvailable()
+      val rows = spark.read.schema(
+          org.apache.spark.sql.Encoders.product[FunnelRow].schema)
+        .parquet(out).as[FunnelRow].collect()
+        .map(r => r.user_id -> r).toMap
+      // user 7: view (pre-kill) + click (post-restart) chained => level 2
+      rows(7L).level shouldBe 2
+      rows(7L).t1 shouldBe Some(ts("2026-01-01 10:00:00").getTime / 1000)
+      rows(7L).t2 shouldBe Some(ts("2026-01-01 10:05:00").getTime / 1000)
+      // user 8: view only, state also recovered => level 1
+      rows(8L).level shouldBe 1
+      rows.keySet shouldBe Set(7L, 8L)
+
+      // batch-oracle equivalence on the emitted users: the full input
+      // through Events.funnel gives the same (t1, t2, t3, level)
+      val all = Seq(
+        FunnelEvent(7L, ts("2026-01-01 10:00:00"), "view"),
+        FunnelEvent(8L, ts("2026-01-01 10:00:00"), "view"),
+        FunnelEvent(7L, ts("2026-01-01 10:05:00"), "click"))
+      val oracle = graft.operators.Events.funnel(all.toDF())
+        .collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> (opt(1), opt(2), opt(3), r.getInt(4))
+        }.toMap
+      rows.map { case (u, r) => u -> (r.t1, r.t2, r.t3, r.level) } shouldBe
+        oracle
+    } finally q2.stop()
+  }
+
+  test("sessionizeStateful: open session + numbering survive a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sess-ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-sess-out").toString
+    val mem = MemoryStream[SessionEvent]
+    def start() = StreamingOps.sessionizeStateful(
+        mem.toDF().withWatermark("ts", "0 seconds").as[SessionEvent],
+        gapMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // ---- run 1: user 1 session A (2 events), then KILL mid-session
+    val q1 = start()
+    try {
+      mem.addData(
+        SessionEvent(1L, ts("2026-01-01 10:00:00"), 1.00),
+        SessionEvent(1L, ts("2026-01-01 10:10:00"), 2.00))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // ---- run 2: resume; an in-gap event EXTENDS the pre-kill session,
+    // then a far event closes it and opens session 2
+    val q2 = start()
+    try {
+      mem.addData(SessionEvent(1L, ts("2026-01-01 10:20:00"), 3.00))
+      q2.processAllAvailable()
+      mem.addData(SessionEvent(1L, ts("2026-01-01 12:00:00"), 5.00))
+      q2.processAllAvailable()
+      val closed = spark.read.schema(
+          org.apache.spark.sql.Encoders.product[SessionRow].schema)
+        .parquet(out).as[SessionRow].collect()
+      closed.length shouldBe 1
+      val s = closed.head
+      // the closed session spans the PRE-kill start to the POST-restart
+      // extension — 3 events, exact money sum, session number 1
+      s.sess_no shouldBe 1L
+      s.sess_start shouldBe ts("2026-01-01 10:00:00")
+      s.sess_end shouldBe ts("2026-01-01 10:20:00")
+      s.n_events shouldBe 3L
+      s.sum_value shouldBe 6.00
+    } finally q2.stop()
+  }
+}
