@@ -542,6 +542,21 @@ object ScaleRehearsal {
           fit.unpersist(); pp.unpersist()
           n
         },
+        timed("att_cov_fit") {
+          // covariate doubly-robust path (the q_att_gt_cov class): IRLS
+          // propensity + outcome regressions through the distributed
+          // Gram/moment machinery; pass count is constant in rows, so
+          // the exponent should stay well under 1
+          import org.apache.spark.sql.functions.{col, pmod, lit}
+          val panelCov = pan.withColumn("x1",
+            pmod(col("id"), lit(997L)).cast("double") / 997.0)
+          val pp = Preprocess.run(panelCov,
+            PanelView.config.copy(xfmla = Some("y ~ x1")))
+          val fit = AttGt.fit(pp)
+          val n = fit.resultDF.count()
+          fit.unpersist(); pp.unpersist()
+          n
+        },
         timed("att_vcov_pretest") {
           // cold fit + full covariance matrix + the driver-side Wald
           // solve: the K^2 pair blow-up happens map-side per unit, so
