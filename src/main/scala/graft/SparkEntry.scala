@@ -1058,6 +1058,68 @@ object SparkEntry {
         iterations = 3)
         .select(col("id").as("doc_id"), col("label"))),
 
+    // graph: 2-core of the near-dup pair graph — iterative peeling
+    // (monotone, fixed round budget => SQL-replayable round-for-round;
+    // recursive CTEs can't DELETE rows, so the oracle unrolls the same
+    // 4 peel rounds). Dense template clusters survive; stray pairs die.
+    "q_kcore" -> ((s, dir) =>
+      operators.Graph.kCore(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        k = 2, rounds = 4)
+        .select(col("id").as("doc_id"), col("deg"))),
+
+    // language model: interpolated Kneser-Ney bigram probabilities —
+    // pure count algebra (continuation counts + one fixed discount),
+    // fully ANSI-expressible so the smoothed LM itself is oracle-exact,
+    // not just its count inputs (q_ngram_ppl pins the unsmoothed LM)
+    "q_kneser_ney" -> ((s, dir) =>
+      TextQuality.kneserNeyTop(docs(s, dir), "text",
+        discount = 0.75, topK = 50)),
+
+    // robust stats: median/MAD outlier score per source — the
+    // heavy-tail-safe z; both location and scale are percentile_disc
+    // data values, so the score replays exactly in SQL
+    "q_robust_z" -> ((s, dir) =>
+      TextQuality.robustZ(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("med"), col("mad"), col("rz"), col("is_outlier"))),
+
+    // text analysis: Flesch reading ease — map-only regexp_count
+    // syllable/sentence approximation, identical RE semantics in SQL
+    "q_readability" -> ((s, dir) =>
+      TextQuality.readability(docs(s, dir), "doc_id", "text")),
+
+    // text analysis: Heaps-law vocabulary-growth coefficient per
+    // source — ln(V)/ln(N), two aggregates over one tokenize pass
+    "q_heaps_law" -> ((s, dir) =>
+      TextQuality.heapsLaw(docs(s, dir), "source", "text")),
+
+    // governance: data-contract expectations report — one thin agg
+    // pass over named boolean rules (NULL result counts as violation)
+    // plus a grouped uniqueness check, stack-unpivoted engine-side
+    "q_expectations" -> ((s, dir) =>
+      operators.Profile.expectations(docs(s, dir), Seq(
+        ("text_not_null", col("text").isNotNull),
+        ("n_chars_positive", col("n_chars") > 0),
+        ("n_chars_sane", col("n_chars") <= 100000),
+        ("lang_known", col("lang").isin("en", "de", "fr", "es", "ja")),
+        ("source_format", col("source").rlike("^src[0-9]+$")),
+        ("text_matches_n_chars", length(col("text")) === col("n_chars"))),
+        uniqueKey = Some("doc_id"))),
+
+    // sampling: systematic token-budget draw — one doc per 1000 tokens
+    // of the hash-shuffled global order (evenly spaced audit sample;
+    // Bernoulli clumps, systematic doesn't), sharded window replayed
+    // as a SQL window sum
+    "q_sample_systematic" -> ((s, dir) =>
+      Sampling.systematicTokenSample(
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", stride = 1000L)),
+
     // calibration: cross-source quantile normalization (rank-to-global
     // type-1 lookup) — group window + bounded-shard value rank + one
     // index equi-join; no single-reducer sort anywhere
@@ -3856,6 +3918,169 @@ object SparkEntry {
          |$rounds
          |SELECT id AS doc_id, label FROM lab3""".stripMargin
     },
+
+    // 4 unrolled peel rounds (engine rounds=4; peeling DELETES rows, so
+    // a recursive CTE can't express it) + the same final in-core degree
+    // pass over the round-4 survivor set
+    "q_kcore" -> {
+      val peels = (1 to 4).map { i =>
+        val src = if (i == 1) "e0" else s"e$i"
+        val scope = if (i == 1) ""
+          else s"""e$i AS (SELECT e.src, e.dst FROM e0 e
+             |  JOIN a${i - 1} x ON e.src = x.id
+             |  JOIN a${i - 1} y ON e.dst = y.id),
+             |""".stripMargin
+        s"""${scope}d$i AS (SELECT src, count(*) AS deg FROM $src GROUP BY 1),
+           |a$i AS (SELECT src AS id FROM d$i WHERE deg >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${jaccardCtes(0.8)},
+         |e0 AS (SELECT id_a AS src, id_b AS dst FROM jac
+         |       UNION SELECT id_b, id_a FROM jac),
+         |$peels,
+         |fin AS (SELECT e.src, count(*) AS deg FROM e0 e
+         |  JOIN a4 x ON e.src = x.id
+         |  JOIN a4 y ON e.dst = y.id
+         |  GROUP BY 1)
+         |SELECT src AS doc_id, deg FROM fin""".stripMargin
+    },
+
+    // interpolated Kneser-Ney: the identical count algebra —
+    // max(c-D,0)/c_a + (D*N1+(a,.)/c_a) * N1+(.,b)/N1+(..) — in the
+    // engine's literal operation order, 6dp
+    "q_kneser_ney" ->
+      """WITH d AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |d2 AS (SELECT t FROM d WHERE len(t) >= 2),
+        |bi AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |  FROM d2),
+        |pc AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+        |l AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1p_a
+        |      FROM pc GROUP BY 1),
+        |r AS (SELECT b, count(*) AS n1p_b FROM pc GROUP BY 1),
+        |ty AS (SELECT count(*) AS n_types FROM pc)
+        |SELECT pc.a AS tok_a, pc.b AS tok_b, pc.c_ab,
+        |  ROUND(greatest(pc.c_ab - 0.75, 0.0) / l.c_a +
+        |    (0.75 * l.n1p_a / l.c_a) *
+        |    (CAST(r.n1p_b AS DOUBLE) / ty.n_types), 6) AS pkn
+        |FROM pc JOIN l USING (a) JOIN r USING (b) CROSS JOIN ty
+        |QUALIFY row_number()
+        |  OVER (ORDER BY pc.c_ab DESC, tok_a, tok_b) <= 50""".stripMargin,
+
+    // median and MAD are quantile_disc data values (cast double to
+    // match the engine's percentile_disc typing); rz in the engine's
+    // literal order, outlier flag over the ROUNDED rz
+    "q_robust_z" ->
+      """WITH m AS (
+        |  SELECT source, CAST(quantile_disc(n_chars, 0.5) AS DOUBLE)
+        |    AS med
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, m.med,
+        |    abs(d.n_chars - m.med) AS ad
+        |  FROM documents d JOIN m USING (source)),
+        |md AS (SELECT source, CAST(quantile_disc(ad, 0.5) AS DOUBLE)
+        |         AS mad
+        |       FROM a GROUP BY 1)
+        |SELECT a.doc_id, a.source, a.n_chars, a.med, md.mad,
+        |  CASE WHEN md.mad > 0
+        |       THEN ROUND((a.n_chars - a.med) / (1.4826 * md.mad), 6)
+        |  END AS rz,
+        |  COALESCE(CASE WHEN md.mad > 0 THEN
+        |    abs(ROUND((a.n_chars - a.med) / (1.4826 * md.mad), 6)) > 3.5
+        |  END, false) AS is_outlier
+        |FROM a JOIN md USING (source)""".stripMargin,
+
+    // Flesch: identical regex classes, identical literal order
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+        |    AS BIGINT) AS n_sents,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syll,
+        |  CASE WHEN n_words > 0 THEN
+        |    ROUND(206.835 - 1.015 * n_words / n_sents
+        |      - 84.6 * n_syll / n_words, 4)
+        |  END AS flesch
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // ln on both sides (never log2/log10 natives — last-ulp rounding
+    // differs across libms), 6dp on the ratio
+    "q_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, count(*) AS n_tokens,
+        |    count(DISTINCT tok) AS n_distinct
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    ROUND(ln(CAST(n_distinct AS DOUBLE)) /
+        |          ln(CAST(n_tokens AS DOUBLE)), 6)
+        |  END AS beta
+        |FROM f""".stripMargin,
+
+    // one aggregate arm per rule (NULL predicate = violation, exactly
+    // like the engine's coalesce(pred, false)), plus the grouped
+    // uniqueness arm
+    "q_expectations" ->
+      """WITH v AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN COALESCE(text IS NOT NULL, false)
+        |        THEN 0 ELSE 1 END) AS v1,
+        |    sum(CASE WHEN COALESCE(n_chars > 0, false)
+        |        THEN 0 ELSE 1 END) AS v2,
+        |    sum(CASE WHEN COALESCE(n_chars <= 100000, false)
+        |        THEN 0 ELSE 1 END) AS v3,
+        |    sum(CASE WHEN COALESCE(lang IN ('en','de','fr','es','ja'),
+        |        false) THEN 0 ELSE 1 END) AS v4,
+        |    sum(CASE WHEN COALESCE(regexp_matches(source, '^src[0-9]+$'),
+        |        false) THEN 0 ELSE 1 END) AS v5,
+        |    sum(CASE WHEN COALESCE(length(text) = n_chars, false)
+        |        THEN 0 ELSE 1 END) AS v6
+        |  FROM documents)
+        |SELECT 'text_not_null' AS rule, CAST(v1 AS BIGINT) AS violations,
+        |  n_rows FROM v
+        |UNION ALL SELECT 'n_chars_positive', CAST(v2 AS BIGINT), n_rows FROM v
+        |UNION ALL SELECT 'n_chars_sane', CAST(v3 AS BIGINT), n_rows FROM v
+        |UNION ALL SELECT 'lang_known', CAST(v4 AS BIGINT), n_rows FROM v
+        |UNION ALL SELECT 'source_format', CAST(v5 AS BIGINT), n_rows FROM v
+        |UNION ALL SELECT 'text_matches_n_chars', CAST(v6 AS BIGINT), n_rows
+        |  FROM v
+        |UNION ALL SELECT 'unique_doc_id',
+        |  (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) FROM
+        |    (SELECT count(*) AS c FROM documents GROUP BY doc_id)),
+        |  (SELECT count(*) FROM documents)""".stripMargin,
+
+    // the engine's sharded global order replayed as ONE window (oracle
+    // scale is small); stride-boundary containment in the same literal
+    // float order (Spark's and DuckDB's / on integers both yield
+    // double division)
+    "q_sample_systematic" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |o AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(row_number() OVER w AS BIGINT) AS global_pos,
+        |    COALESCE(CAST(sum(n_tok) OVER (
+        |      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_before
+        |  FROM t
+        |  WINDOW w AS (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#order'), doc_id))
+        |SELECT doc_id, global_pos, cum_before, n_tok
+        |FROM o
+        |WHERE n_tok > 0 AND
+        |  floor((cum_before + n_tok - 1) / 1000) * 1000 >= cum_before"""
+        .stripMargin,
 
     // same triangle core + one degree aggregate; (T * 2.0) / (deg *
     // (deg - 1)) in the engine's literal order, 6dp

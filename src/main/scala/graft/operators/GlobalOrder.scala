@@ -133,16 +133,22 @@ object GlobalOrder {
     * `valueCol` must be integral (cast to long; nulls count as 0). */
   def globalPrefixSum(df: DataFrame, idCol: String, valueCol: String,
       salt: String = "order", hexPrefixLen: Int = 0,
-      maxRowsPerShard: Long = 1L << 22): DataFrame = {
+      maxRowsPerShard: Long = 1L << 22,
+      keepValue: Boolean = false): DataFrame = {
     val w = orderWindow(idCol)
-    shardedWithOffsets(df, idCol, salt, hexPrefixLen, maxRowsPerShard,
-        Some(valueCol))
+    val base = shardedWithOffsets(df, idCol, salt, hexPrefixLen,
+        maxRowsPerShard, Some(valueCol))
       .withColumn("global_pos", col("__offset") + row_number().over(w))
       .withColumn("cum_before",
         col("__voffset") +
           coalesce(sum(coalesce(col(valueCol).cast("long"), lit(0L)))
             .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(idCol), col("global_pos"), col("cum_before"))
+    // keepValue rides the value column through (consumers like
+    // systematic sampling need cum_before AND the row's own weight
+    // without a corpus-sized join back)
+    val cols = Seq(col(idCol), col("global_pos"), col("cum_before")) ++
+      (if (keepValue) Seq(col(valueCol)) else Nil)
+    base.select(cols: _*)
   }
 
   /** Global 1-based rank under the total order `(valueCol, idCol)` for

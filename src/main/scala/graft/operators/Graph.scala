@@ -320,6 +320,66 @@ object Graph {
     labels.select(col("id"), col("label"))
   }
 
+  /** k-core of the pair graph: the maximal subgraph where every node
+    * has degree >= k within the subgraph — the standard "dense cluster
+    * vs stray pair" separator for near-dup graphs (a boilerplate
+    * template cluster is a high-k core; an incidental pair is not).
+    *
+    * Iterative peeling: each round recomputes degrees WITHIN the
+    * current survivor set and drops nodes under k. Monotone (the
+    * survivor set only shrinks), so a fixed `rounds` budget is safe —
+    * an early-converged run is identical to running all rounds, which
+    * is what makes the result SQL-replayable round-for-round (the
+    * kmeans/MMR unrolled-CTE oracle pattern; peeling is row DELETION,
+    * which a recursive CTE cannot express). Convergence is detected
+    * with a count compare and remaining rounds are skipped.
+    *
+    * Per round: two broadcast-or-hash semi-joins of the edge list
+    * against the (shrinking) survivor set + one degree aggregate —
+    * all hash-partitioned, nothing collected; the edge list is cached
+    * once, survivor caches are dropped as soon as the next round
+    * materializes. Output: `(id, deg)` per k-core member with its
+    * in-core degree. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    require(rounds >= 1, s"bad rounds: $rounds")
+    val sym = TrackedCaches.persist(
+      edges.select(col(aCol).cast("long").as("src"),
+          col(bCol).cast("long").as("dst"))
+        .union(edges.select(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))
+        .distinct())
+    var alive: DataFrame = null
+    var aliveN = -1L
+    var done = false
+    (1 to rounds).foreach { _ =>
+      if (!done) {
+        val scoped =
+          if (alive == null) sym
+          else sym
+            .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        val next = TrackedCaches.persist(
+          scoped.groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k))
+        val n = next.count()
+        if (alive != null) alive.unpersist()
+        alive = next
+        if (n == aliveN) done = true // fixpoint: further rounds no-op
+        aliveN = n
+      }
+    }
+    // final in-core degree: one more degree pass restricted to the
+    // survivor set, so the reported degree is the SUBGRAPH degree even
+    // when the round budget stopped before the last filter
+    sym.join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+  }
+
   /** Per-node local clustering coefficient: 2T / (deg * (deg - 1)),
     * 0 for degree-1 nodes — triangles plus one degree aggregate over
     * the shared cached canonical edges, joined on the (small) node

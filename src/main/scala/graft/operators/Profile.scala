@@ -119,6 +119,41 @@ object Profile {
       .drop("__n", "__s1", "__s2")
   }
 
+  /** Data-contract validation — the "expectations" report every ingest
+    * gate runs before data is allowed downstream (the Great-
+    * Expectations idea recast as ONE aggregate): each rule is a named
+    * boolean predicate; output is one row per rule with its violation
+    * count and the checked-row total. Everything rides a single thin
+    * agg pass (sum of ints), map-side combined; unpivoted engine-side
+    * via stack — no collect, no second scan. A uniqueness rule needs a
+    * grouped pass, so it is a separate optional input: pass
+    * `uniqueKey = Some(col)` and its duplicate-ROW count (rows beyond
+    * the first per value, the usual contract meaning) is unioned in. */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKey: Option[String] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueKey.nonEmpty, "no rules")
+    val viol = rules.map { case (name, pred) =>
+      // NULL predicate result counts as a violation: an un-evaluable
+      // expectation is a failed expectation, not a silent pass
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_$name")
+    }
+    val base = df.agg(count(lit(1)).as("__total"), viol: _*)
+    val stacked = base.select(
+      expr(s"stack(${rules.size}, " +
+        rules.map { case (n, _) => s"'$n', __v_$n" }.mkString(", ") +
+        ") as (rule, violations)"),
+      col("__total").as("n_rows"))
+    uniqueKey.fold(stacked) { k =>
+      val dups = df.groupBy(col(k)).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_rows"))
+        .select(lit(s"unique_$k").as("rule"), col("violations"),
+          col("n_rows"))
+      stacked.unionByName(dups)
+    }
+  }
+
   /** DuckDB oracle for [[profile]] (exact-distinct flavor) over
     * `table`, given the same (column, kind) list — one UNION ALL arm
     * per metric, each arithmetic mirrored exactly. */

@@ -316,4 +316,30 @@ object Sampling {
       .filter(col("__rn") <= maxPer)
       .drop("__rn")
   }
+
+  /** Systematic token-budget sampling: one document per `stride` tokens
+    * of the (hash-shuffled) global order — the evenly-spaced eval/audit
+    * draw that per-doc Bernoulli sampling can't give (Bernoulli spacing
+    * is geometric: it clumps and gaps, and its TOKEN coverage varies
+    * with doc length; systematic spacing is the survey-sampling fix).
+    * A document is selected iff its token span
+    * [cum_before, cum_before + tokens) contains a multiple of `stride`,
+    * so every stride-window of the token stream contributes exactly one
+    * document (a doc longer than `stride` is still selected once).
+    *
+    * Deterministic: the order is (md5(id || '#' || salt), id) — the
+    * engine's standard sharded global order, no single-reducer sort —
+    * and the whole selection replays in SQL as a window sum. */
+  def systematicTokenSample(df: DataFrame, idCol: String,
+      tokenCol: String, stride: Long,
+      salt: String = "order"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    GlobalOrder.globalPrefixSum(df.select(col(idCol), col(tokenCol)),
+        idCol, tokenCol, salt = salt, keepValue = true)
+      .filter(col(tokenCol) > 0 &&
+        floor((col("cum_before") + col(tokenCol) - 1) / stride) * stride
+          >= col("cum_before"))
+      .select(col(idCol), col("global_pos"), col("cum_before"),
+        col(tokenCol))
+  }
 }

@@ -191,6 +191,38 @@ object TextQuality {
       .drop("__lo", "__hi")
   }
 
+  /** Robust (median/MAD) outlier score per group — the heavy-tail-safe
+    * alternative to the mean/stddev z-score (`zscorePerGroup`): one
+    * boilerplate page of a million duplicated chars shifts a mean
+    * z-score's own baseline, but not the median's. rz = (x - med) /
+    * (1.4826 * mad), the standard normal-consistency scaling; |rz| >
+    * 3.5 is the usual outlier flag (Iglewicz-Hoaglin).
+    *
+    * Exactness: median AND mad are `percentile_disc` (type-1) values —
+    * actual data points, bit-identical on every engine — so the whole
+    * score replays in SQL. Scale shape: two K-row grouped quantile
+    * aggregates broadcast back onto the corpus; the corpus itself
+    * never shuffle-joins. A zero MAD (>50% of the group at one value)
+    * yields NULL rz, never a division blow-up. */
+  def robustZ(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val med = df.groupBy(groupCol).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valCol)")
+        .as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+      .withColumn("__absdev", abs(col(valCol) - col("med")))
+    val mad = withMed.groupBy(groupCol).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __absdev)")
+        .as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("rz",
+        when(col("mad") > 0,
+          round((col(valCol) - col("med")) / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("rz")) > 3.5, lit(false)))
+      .drop("__absdev")
+  }
+
   /** Quantile-threshold score binning — the scale-correct alternative
     * to `ntile(k) OVER (ORDER BY score)`: a global ntile funnels the
     * whole corpus through ONE ordered reducer, while here the k-1 exact
@@ -350,6 +382,92 @@ object TextQuality {
             (col("n_pair").cast("double") * col("c_a") * col("c_b"))), 6)
           .as("pmi"))
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
+  /** Flesch reading-ease per document — the classic readability score
+    * used as a cheap quality signal (too-easy AND too-hard tails are
+    * both curation targets):
+    * `206.835 - 1.015 * words/sentences - 84.6 * syllables/words`.
+    * Sentences = runs of [.!?] floored at 1; syllables = vowel-group
+    * runs `[aeiouy]+` — the standard regex approximation, map-only
+    * codegen'd `regexp_count`, identical RE semantics in ANSI SQL so
+    * the score replays exactly. Zero-word docs yield NULL. */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = lower(col(textCol))
+    df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sents"),
+        regexp_count(t, lit("[aeiouy]+")).cast("long").as("n_syll"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * col("n_words") / col("n_sents") -
+            lit(84.6) * col("n_syll") / col("n_words"), 4)))
+  }
+
+  /** Heaps-law vocabulary-growth coefficient per source:
+    * `beta = ln(V) / ln(N)` for V distinct tokens over N total tokens.
+    * Healthy natural text sits near 0.5-0.6; beta near 1 means nearly
+    * every token is new (random ids, hashes), near 0 means extreme
+    * repetition (boilerplate) — both are curation red flags the
+    * zipf-slope stat misses (it needs a rank curve; this is two
+    * aggregates). One tokenize+explode, one grouped count+distinct. */
+  def heapsLaw(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct"))
+      .withColumn("beta",
+        when(col("n_tokens") > 1,
+          round(log(col("n_distinct").cast("double")) /
+            log(col("n_tokens").cast("double")), 6)))
+
+  /** Interpolated Kneser-Ney bigram probabilities — the standard
+    * smoothed n-gram LM estimate (Kneser & Ney 1995; the Chen-Goodman
+    * formulation with one fixed absolute discount):
+    *
+    *   P_kn(b|a) = max(c(a,b) - D, 0) / c(a,.)
+    *             + (D * N1+(a,.) / c(a,.)) * N1+(.,b) / N1+(.,.)
+    *
+    * where N1+ are DISTINCT-neighbor counts (the continuation counts
+    * that make KN better than Katz at reusing frequent-word mass).
+    * Everything is count algebra over two hash aggregates — fully
+    * ANSI-expressible, so the oracle replays it exactly; no special
+    * functions, no iteration.
+    *
+    * Scale shape: one cached tokenize pass feeds the bigram explode;
+    * counts/distinct-counts are partial-aggregated map-side; the four
+    * stat frames that join back are vocab-sized. Output: the `topK`
+    * bigrams by (count desc, pair asc) with 6dp `pkn`. */
+  def kneserNeyTop(df: DataFrame, textCol: String, discount: Double = 0.75,
+      topK: Int = 50): DataFrame = {
+    require(discount > 0 && discount < 1, s"bad discount: $discount")
+    val tk = TrackedCaches.persist(
+      df.select(tokens(col(textCol)).as("t")).where(size(col("t")) >= 2))
+    val bi = tk.select(explode(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = TrackedCaches.persist(
+      bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab")))
+    val left = pc.groupBy("a")
+      .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_a"))
+    val right = pc.groupBy("b").agg(count(lit(1)).as("n1p_b"))
+    val types = broadcast(pc.agg(count(lit(1)).as("n_types")))
+    pc.join(left, "a").join(right, "b").crossJoin(types)
+      .select(col("a").as("tok_a"), col("b").as("tok_b"), col("c_ab"),
+        round(
+          greatest(col("c_ab") - discount, lit(0.0)) / col("c_a") +
+            (lit(discount) * col("n1p_a") / col("c_a")) *
+              (col("n1p_b").cast("double") / col("n_types")), 6)
+          .as("pkn"))
+      .orderBy(col("c_ab").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
   }
 

@@ -226,4 +226,48 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     after3(4L) shouldBe "en"
     after3(9L) shouldBe null // isolated node never adopts
   }
+
+  test("kCore: a triangle with a pendant — triangle survives k=2, pendant dies") {
+    // 1-2-3 triangle, 4 hangs off 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val out = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("kCore: peeling cascades — removing a leaf can unravel a chain") {
+    // path 1-2-3-4-5: every 2-core round peels the current endpoints;
+    // the whole path unravels to nothing
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    Graph.kCore(path, k = 2, rounds = 4).count() shouldBe 0L
+  }
+
+  test("kCore: degrees are IN-CORE degrees, not original degrees") {
+    // clique {1,2,3,4} plus pendants 5..8 off node 1: node 1's original
+    // degree is 7, its 3-core degree is 3
+    val clique = for {
+      i <- 1L to 4L; j <- (i + 1) to 4L
+    } yield (i, j)
+    val edges = (clique ++ Seq((1L, 5L), (1L, 6L), (1L, 7L), (1L, 8L)))
+      .toDF("id_a", "id_b")
+    val out = Graph.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("kCore: a too-small round budget still reports in-core degrees " +
+      "over its survivor set (monotone, SQL-replayable)") {
+    // path of 6 needs 3 peel rounds to empty; rounds=1 keeps the
+    // middle 2 nodes wrongly-alive but degrees are within that set
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val r1 = Graph.kCore(path, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r1.keySet shouldBe Set(2L, 3L, 4L, 5L)
+    r1(3L) shouldBe 2L // 2-3-4-5 survives round 1; 3 still sees 2 and 4
+    val r3 = Graph.kCore(path, k = 2, rounds = 3)
+    r3.count() shouldBe 0L
+  }
 }

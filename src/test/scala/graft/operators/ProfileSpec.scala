@@ -106,6 +106,35 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.foreach(r => assert(r.isNullAt(r.fieldIndex("zscore"))))
   }
 
+  test("expectations: per-rule violation counts, NULL predicate = violation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some("ok"), Some(10L)),
+      (2L, None: Option[String], Some(5L)),  // null text
+      (3L, Some("x"), None: Option[Long]),   // null n -> NULL predicate
+      (1L, Some("dup"), Some(-1L))           // dup id + negative n
+    ).toDF("id", "text", "n")
+    val out = Profile.expectations(df, Seq(
+        ("text_not_null", col("text").isNotNull),
+        ("n_positive", col("n") > 0)),
+      uniqueKey = Some("id")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out("text_not_null") shouldBe (1L, 4L)
+    // id 3 has NULL n (un-evaluable = failed) + id 1-dup has -1 -> 2
+    out("n_positive") shouldBe (2L, 4L)
+    out("unique_id") shouldBe (1L, 4L)
+  }
+
+  test("expectations: clean data reports zero violations everywhere") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val out = Profile.expectations(df,
+        Seq(("text_not_null", col("text").isNotNull)),
+        uniqueKey = Some("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.values.sum shouldBe 0L
+  }
+
   test("the static lineitem kind list matches the live Spark schema") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     SparkEntry.lineitemProfileCols.foreach { case (c, k) =>

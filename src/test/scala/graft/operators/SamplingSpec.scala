@@ -284,4 +284,42 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     doubled(10L) shouldBe (2 * doubled(9L) +- 1e-9)
   }
+
+  test("systematicTokenSample: exactly the boundary-straddling docs, " +
+      "verified against a local replay of the global order") {
+    val df = (1L to 200L).map(i => (i, 1L + (i % 7))).toDF("id", "tc")
+    val stride = 50L
+    val got = Sampling.systematicTokenSample(df, "id", "tc", stride)
+      .collect().map(r => r.getLong(0)).sorted
+    // local replay: same (md5(id || "#order"), id) total order
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#order".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val ordered = (1L to 200L).map(i => (i, 1L + (i % 7)))
+      .sortBy { case (id, _) => (key(id), id) }
+    var cum = 0L
+    val expect = ordered.flatMap { case (id, tc) =>
+      val hit = ((cum + tc - 1) / stride) * stride >= cum
+      cum += tc
+      if (hit) Some(id) else None
+    }.sorted
+    got.toSeq shouldBe expect
+    // spacing: one doc per stride window of the token stream
+    val total = ordered.map(_._2).sum
+    expect.length shouldBe ((total + stride - 1) / stride)
+  }
+
+  test("systematicTokenSample: deterministic across repartition; " +
+      "zero-token docs never selected") {
+    val df = (1L to 100L).map(i => (i, if (i % 10 == 0) 0L else 3L))
+      .toDF("id", "tc")
+    val a = Sampling.systematicTokenSample(df, "id", "tc", 20L)
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.systematicTokenSample(df.repartition(7), "id", "tc", 20L)
+      .collect().map(_.getLong(0)).sorted
+    a.toSeq shouldBe b.toSeq
+    a.foreach(id => (id % 10) should not be 0L)
+  }
 }
