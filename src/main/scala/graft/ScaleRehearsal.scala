@@ -542,6 +542,70 @@ object ScaleRehearsal {
           fit.unpersist(); pp.unpersist()
           n
         },
+        timed("kcore") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.kCore(pairs, k = 2).count()
+        },
+        timed("kneser_ney") {
+          graft.operators.TextQuality.kneserNeyTop(docs, "text").count()
+        },
+        timed("robust_z") {
+          import org.apache.spark.sql.functions.{col, length, sum => fsum}
+          // consume rz or the MAD join gets pruned to a row count
+          graft.operators.TextQuality.robustZ(
+            docs.select(col("doc_id"), col("source"),
+              length(col("text")).as("nc")),
+            "source", "nc")
+            .agg(fsum("rz")).first().getDouble(0).toLong
+        },
+        timed("readability") {
+          import org.apache.spark.sql.functions.{sum => fsum}
+          graft.operators.TextQuality.readability(docs, "doc_id", "text")
+            .agg(fsum("flesch")).first().getDouble(0).toLong
+        },
+        timed("heaps_law") {
+          import org.apache.spark.sql.functions.{sum => fsum}
+          graft.operators.TextQuality.heapsLaw(docs, "source", "text")
+            .agg(fsum("beta")).first().getDouble(0).toLong
+        },
+        timed("expectations") {
+          import org.apache.spark.sql.functions.{col, length, sum => fsum}
+          graft.operators.Profile.expectations(docs, Seq(
+              ("text_not_null", col("text").isNotNull),
+              ("text_len_sane", length(col("text")) <= 1000000)),
+            uniqueKey = Some("doc_id"))
+            .agg(fsum("violations")).first().getLong(0)
+        },
+        timed("sample_systematic") {
+          import org.apache.spark.sql.functions.col
+          Sampling.systematicTokenSample(
+            docs.select(col("doc_id"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("tc")),
+            "doc_id", "tc", stride = 5000L).count()
+        },
+        timed("containment_pairs") {
+          Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+            threshold = 0.6, maxDf = Some(200)).count()
+        },
+        timed("incr_components") {
+          import org.apache.spark.sql.functions.col
+          val pairs = graft.operators.TrackedCaches.persist(
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+          val baseP = pairs.filter(
+            col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+          val deltaP = pairs.filter(
+            col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+          Graph.incrementalComponents(
+            Graph.connectedComponents(baseP), deltaP).count()
+        },
+        timed("degree_powerlaw") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.degreePowerLaw(pairs).count()
+        },
+        timed("rfm_segments") {
+          graft.operators.Events.rfmSegments(evs).count()
+        },
         timed("att_cov_fit") {
           // covariate doubly-robust path (the q_att_gt_cov class): IRLS
           // propensity + outcome regressions through the distributed

@@ -1120,6 +1120,41 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
         "doc_id", "n_tok", stride = 1000L)),
 
+    // dedup: asymmetric shingle CONTAINMENT pairs — |A∩B|/|A|, the
+    // quote/excerpt/aggregator detector Jaccard misses (the superset's
+    // size dilutes Jaccard but not containment); probe-side-only
+    // prefix filter, both directions reported
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)),
+
+    // graph: INCREMENTAL connected components — delta edges folded into
+    // a settled base labeling via the delta-sized rep-graph, output
+    // identical to recomputing from scratch (the oracle IS the
+    // from-scratch closure)
+    "q_incr_components" -> ((s, dir) => {
+      val pairs = graft.operators.TrackedCaches.persist(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8))
+      val baseP = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      val deltaP = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      operators.Graph.incrementalComponents(
+        operators.Graph.connectedComponents(baseP), deltaP)
+        .select(col("id").as("doc_id"), col("comp"))
+    }),
+
+    // graph: degree distribution + discrete power-law MLE alpha —
+    // dense-template-cluster vs hairball in one row, two aggregates
+    "q_degree_powerlaw" -> ((s, dir) =>
+      operators.Graph.degreePowerLaw(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8))),
+
+    // event analytics: RFM tercile segmentation — one user-key agg,
+    // discrete-quantile thresholds broadcast back, decimal-exact money
+    "q_rfm_segments" -> ((s, dir) =>
+      Events.rfmSegments(events(s, dir))),
+
     // calibration: cross-source quantile normalization (rank-to-global
     // type-1 lookup) — group window + bounded-shard value rank + one
     // index equi-join; no single-reducer sort anywhere
@@ -4056,6 +4091,88 @@ object SparkEntry {
         |  (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) FROM
         |    (SELECT count(*) AS c FROM documents GROUP BY doc_id)),
         |  (SELECT count(*) FROM documents)""".stripMargin,
+
+    // containment = ic / |A| over the same distinct word-3-shingles;
+    // hashed engine-side (xxhash64, collision-free at corpus scale) vs
+    // string shingles here — set sizes and intersections agree
+    "q_containment_pairs" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS ic
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT src_id, dst_id,
+         |    ROUND(ic / CAST(sa.n AS DOUBLE), 6) AS containment
+         |  FROM inter JOIN sizes sa ON sa.doc_id = src_id)
+         |SELECT src_id, dst_id, containment FROM c
+         |WHERE containment >= 0.6""".stripMargin,
+
+    // the incremental merge must equal the from-scratch closure over
+    // the FULL pair graph — the oracle is exactly that closure
+    "q_incr_components" ->
+      s"""WITH RECURSIVE ${jaccardCtes(0.8)},
+         |$closureChain
+         |SELECT id AS doc_id, component AS comp FROM comp""".stripMargin,
+
+    // slog is a double sum of ln values: partial-agg order differs
+    // across engines by last-ulp; 6dp absorbs it (the q_zipf_slope
+    // rationale)
+    "q_degree_powerlaw" ->
+      s"""WITH ${jaccardCtes(0.8)},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jac
+         |      UNION SELECT id_b, id_a FROM jac),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |s AS (
+         |  SELECT count(*) AS n_nodes,
+         |    CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         |    max(deg) AS max_deg,
+         |    ROUND(avg(deg), 6) AS mean_deg,
+         |    sum(ln(CAST(deg AS DOUBLE))) AS slog
+         |  FROM d)
+         |SELECT n_nodes, n_edges, max_deg, mean_deg,
+         |  CASE WHEN slog > 0
+         |       THEN ROUND(1.0 + n_nodes / slog, 6) END AS alpha
+         |FROM s""".stripMargin,
+
+    // same tercile-bin convention as the engine: discrete quantile
+    // thresholds (actual data values), bin = 1 + thresholds strictly
+    // below; money decimal-summed then cast double
+    "q_rfm_segments" ->
+      """WITH tm AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax
+        |            FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(floor(min(tm.tmax - CAST(floor(epoch(ts)) AS BIGINT))
+        |      / 86400.0) AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+        |      AS monetary
+        |  FROM events, tm GROUP BY user_id),
+        |q AS (
+        |  SELECT quantile_disc(recency_days, 0.33333333) AS r1,
+        |    quantile_disc(recency_days, 0.66666667) AS r2,
+        |    quantile_disc(frequency, 0.33333333) AS f1,
+        |    quantile_disc(frequency, 0.66666667) AS f2,
+        |    quantile_disc(monetary, 0.33333333) AS m1,
+        |    quantile_disc(monetary, 0.66666667) AS m2
+        |  FROM m)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  1 + CAST(recency_days > q.r1 AS INT)
+        |    + CAST(recency_days > q.r2 AS INT) AS r_bin,
+        |  1 + CAST(frequency > q.f1 AS INT)
+        |    + CAST(frequency > q.f2 AS INT) AS f_bin,
+        |  1 + CAST(monetary > q.m1 AS INT)
+        |    + CAST(monetary > q.m2 AS INT) AS m_bin,
+        |  'R' || (1 + CAST(recency_days > q.r1 AS INT)
+        |    + CAST(recency_days > q.r2 AS INT))
+        |  || 'F' || (1 + CAST(frequency > q.f1 AS INT)
+        |    + CAST(frequency > q.f2 AS INT))
+        |  || 'M' || (1 + CAST(monetary > q.m1 AS INT)
+        |    + CAST(monetary > q.m2 AS INT)) AS segment
+        |FROM m, q""".stripMargin,
 
     // the engine's sharded global order replayed as ONE window (oracle
     // scale is small); stride-boundary containment in the same literal

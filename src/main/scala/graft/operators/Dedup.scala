@@ -133,6 +133,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shingle-containment pairs: `(src_id, dst_id, containment)` where
+    * containment = |A∩B| / |A| >= threshold for A = src's shingle set —
+    * the ASYMMETRIC overlap measure Jaccard misses: a quote, excerpt,
+    * or aggregator page is near-fully contained in its source while
+    * their Jaccard stays low (the source is much bigger). Both
+    * directions are reported (A-in-B and B-in-A are different facts).
+    *
+    * Candidate generation is the asymmetric prefix filter: only the
+    * PROBE side (src) can be pruned — containment puts no constraint
+    * on the superset's size, so src's rarest `nsh - ceil(t*nsh) + 1`
+    * shingles probe the FULL posting index (no size-ratio cut, no
+    * dst prefix). `maxDf` caps hot-shingle postings exactly as in
+    * [[ngramJaccardPairs]] — at crawl scale boilerplate shingles are
+    * the quadratic risk and the cap is the documented bound. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Int] = None): DataFrame = {
+    val shH = persistTracked(
+      df.select(col(idCol).as("did"), col(textCol).as("txt"))
+        .repartition(par(df), col("did"))
+        .select(col("did"),
+          array_distinct(transform(wordShingles(col("txt"), n),
+            x => xxhash64(x))).as("sh")))
+      .filter(size(col("sh")) > 0)
+    val idx0 = shH.select(col("did"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("h"))
+    val idx = maxDf match {
+      case None => idx0
+      case Some(cap) =>
+        val hot = idx0.groupBy("h").agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") > cap).select("h")
+        val kept = persistTracked(
+          idx0.drop("nsh").join(hot, Seq("h"), "left_anti"))
+        kept.join(
+          kept.groupBy("did").agg(count(lit(1)).as("nsh")), "did")
+    }
+    val dfCounts = idx.groupBy("h").agg(count(lit(1)).as("dfq"))
+    val wDid = Window.partitionBy("did")
+    val prefix = idx.join(dfCounts, "h")
+      .withColumn("rn",
+        row_number().over(wDid.orderBy(col("dfq"), col("h"))))
+      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .select("did", "h")
+    val cand = prefix.as("a")
+      .join(idx.select("did", "h").as("b"),
+        col("a.h") === col("b.h") && col("a.did") =!= col("b.did"))
+      .select(col("a.did").as("src_id"), col("b.did").as("dst_id"))
+      .distinct()
+    cand
+      .join(shH.select(col("did").as("src_id"), col("sh").as("sha")),
+        "src_id")
+      .join(shH.select(col("did").as("dst_id"), col("sh").as("shb")),
+        "dst_id")
+      .withColumn("containment", round(
+        size(array_intersect(col("sha"), col("shb"))) /
+          size(col("sha")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("src_id", "dst_id", "containment")
+  }
+
   /** Cross-corpus near-dup pairs: corpus docs whose word-n-gram Jaccard
     * with ANY reference doc >= threshold — deduplicating a new crawl
     * against previous snapshots (the near-dup analogue of

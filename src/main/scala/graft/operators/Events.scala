@@ -166,4 +166,52 @@ object Events {
     counts.withColumn("prob",
       round(col("cnt") / sum("cnt").over(byFrom), 6))
   }
+
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic behavioral tercile grid: per user, days since last
+    * activity (vs the corpus max timestamp, so the result is a pure
+    * function of the data), total event count, and the EXACT money sum
+    * over `purchaseType` events (decimal-summed, order-independent);
+    * each metric tercile-binned against discrete (type-1) quantile
+    * thresholds of the per-user distribution — actual data values,
+    * cross-engine exact — with the qualityBins tie convention (bin =
+    * 1 + thresholds strictly below the value, so ties never split).
+    *
+    * Scale shape: ONE user-key aggregate builds the metric frame; the
+    * two threshold rows ride back as broadcasts; binning is map-only.
+    * No window over the corpus, nothing collected. */
+  def rfmSegments(events: DataFrame,
+      purchaseType: String = "purchase"): DataFrame = {
+    val tmax = broadcast(events.agg(
+      max(unix_timestamp(col("ts"))).as("__tmax")))
+    val m = events.crossJoin(tmax)
+      .groupBy("user_id")
+      .agg(
+        min(col("__tmax") - unix_timestamp(col("ts"))).as("__rec_s"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === purchaseType,
+            col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).cast("double").as("monetary"))
+      .withColumn("recency_days", floor(col("__rec_s") / 86400.0))
+      .drop("__rec_s")
+    def terciles(c: String, lo: String, hi: String) = broadcast(m.agg(
+      expr(s"percentile_disc(0.33333333) WITHIN GROUP (ORDER BY $c)")
+        .as(lo),
+      expr(s"percentile_disc(0.66666667) WITHIN GROUP (ORDER BY $c)")
+        .as(hi)))
+    def bin(c: String, lo: String, hi: String) =
+      lit(1) + (col(c) > col(lo)).cast("int") +
+        (col(c) > col(hi)).cast("int")
+    m.crossJoin(terciles("recency_days", "__r1", "__r2"))
+      .crossJoin(terciles("frequency", "__f1", "__f2"))
+      .crossJoin(terciles("monetary", "__m1", "__m2"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        bin("recency_days", "__r1", "__r2").as("r_bin"),
+        bin("frequency", "__f1", "__f2").as("f_bin"),
+        bin("monetary", "__m1", "__m2").as("m_bin"))
+      .withColumn("segment",
+        concat(lit("R"), col("r_bin"), lit("F"), col("f_bin"),
+          lit("M"), col("m_bin")))
+  }
 }

@@ -320,6 +320,80 @@ object Graph {
     labels.select(col("id"), col("label"))
   }
 
+  /** Incremental connected components — fold a DELTA edge batch into an
+    * existing component labeling without re-running CC over the full
+    * graph (the nightly-crawl companion to `incrementalNearDupPairs`:
+    * that op finds only delta-vs-all pairs; this op merges them into
+    * the settled clustering).
+    *
+    * The labeling (id, comp) is itself a compressed form of the base
+    * graph: star edges id→comp reproduce the exact partition. So the
+    * merge is: map each delta edge to its endpoints' CURRENT component
+    * reps (nodes unseen before rep themselves), run CC over that
+    * REP-GRAPH — delta-sized, usually tiny — and broadcast the rep
+    * relabeling back over the base labels. Work is O(|delta| + |base
+    * labels|) with the quadratic-free CC loop only ever touching the
+    * delta; the full base edge set is never revisited. Output: (id,
+    * comp) for every base node and every delta-edge endpoint, comp =
+    * min id in the MERGED component (same convention as
+    * `connectedComponents`, and identical to recomputing from
+    * scratch — pinned by spec and oracle). */
+  def incrementalComponents(baseLabels: DataFrame, deltaEdges: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val base = baseLabels.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val delta = deltaEdges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    // endpoints -> current rep (unknown nodes rep themselves)
+    val repEdges = delta
+      .join(base.select(col("id").as("a"), col("comp").as("ra")),
+        Seq("a"), "left")
+      .join(base.select(col("id").as("b"), col("comp").as("rb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("id_a"),
+        coalesce(col("rb"), col("b")).as("id_b"))
+    val repRelabel = connectedComponents(repEdges, maxIter = maxIter)
+      .select(col("id").as("comp"), col("comp").as("newcomp"))
+    // base labels + self-labels for delta endpoints new to the graph
+    val allLabels = base.unionByName(
+        delta.select(col("a").as("id")).union(delta.select(col("b")))
+          .distinct()
+          .join(base.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("comp")))
+    // rep-graph is delta-bounded: broadcast the relabeling
+    allLabels.join(broadcast(repRelabel), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+  }
+
+  /** Degree distribution + discrete power-law MLE over the pair graph:
+    * one row `(n_nodes, n_edges, max_deg, mean_deg, alpha)` with
+    * `alpha = 1 + n / sum(ln(deg))` (the Clauset-Shalizi-Newman
+    * discrete MLE at dmin = 1, continuous approximation) — the
+    * one-number answer to "is this near-dup graph a few dense template
+    * clusters (steep alpha) or a hairball (flat alpha)". Two
+    * aggregates, nothing collected; alpha is null on a degenerate
+    * all-degree-one graph (every ln is 0). */
+  def degreePowerLaw(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val deg = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("deg")) / 2).cast("long").as("n_edges"),
+        max(col("deg")).as("max_deg"),
+        round(avg(col("deg")), 6).as("mean_deg"),
+        sum(log(col("deg").cast("double"))).as("__slog"))
+      .withColumn("alpha",
+        when(col("__slog") > 0,
+          round(lit(1.0) + col("n_nodes") / col("__slog"), 6)))
+      .drop("__slog")
+  }
+
   /** k-core of the pair graph: the maximal subgraph where every node
     * has degree >= k within the subgraph — the standard "dense cluster
     * vs stray pair" separator for near-dup graphs (a boilerplate
