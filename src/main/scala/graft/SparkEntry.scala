@@ -1155,6 +1155,46 @@ object SparkEntry {
     "q_rfm_segments" -> ((s, dir) =>
       Events.rfmSegments(events(s, dir))),
 
+    // record linkage: Jaro-Winkler flavor of the blocked name pairs —
+    // native expression convention-pinned to DuckDB's built-in
+    // (20k-random-pair parity probe), so the similarity itself is
+    // oracle-exact, filtered on the ROUNDED score
+    "q_jaro_pairs" -> ((s, dir) =>
+      operators.Linkage.jaroNamePairs(
+        s.read.parquet(s"$dir/part.parquet"), "p_name", minSim = 0.86)),
+
+    // dedup survivorship: per near-dup component keep the BEST copy
+    // (longest text here; ties to smallest id) — the curation-correct
+    // variant of min-id dedup
+    "q_dedup_best_keeper" -> ((s, dir) =>
+      operators.Graph.dedupBySurvivor(
+        docs(s, dir).withColumn("__len", length(col("text"))),
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        "doc_id", "__len")
+        .select(col("doc_id"), col("source"))),
+
+    // packing-efficiency report per bucket: chunks, sequences, used
+    // tokens, capacity, fill ratio — the waste metric a token-packing
+    // pipeline is judged by
+    "q_pack_efficiency" -> ((s, dir) =>
+      Chunking.packSequences(
+        Chunking.chunkTokens(docs(s, dir), "doc_id", "text",
+          size = 64, overlap = 16),
+        "doc_id", "chunk_no", "n_tokens", maxTokens = 256, nBuckets = 16)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("seq_id").as("n_seqs"),
+          sum("n_tokens").as("used_tokens"))
+        .withColumn("capacity", col("n_seqs") * 256L)
+        .withColumn("fill_ratio",
+          round(col("used_tokens") / col("capacity").cast("double"), 6))),
+
+    // event analytics: cohort LTV curves — cumulative decimal-exact
+    // revenue per signup cohort, per-member normalized
+    "q_cohort_ltv" -> ((s, dir) =>
+      Events.cohortLtv(events(s, dir))),
+
     // calibration: cross-source quantile normalization (rank-to-global
     // type-1 lookup) — group window + bounded-shard value rank + one
     // index equi-join; no single-reducer sort anywhere
@@ -2149,6 +2189,36 @@ object SparkEntry {
   /** Full varying-base grid (pre- and post-treatment cells) matching
     * AttGt.buildCells: post cells base = last period < g; pre-treatment
     * cells base = previous period in tlist. */
+  /** Packed-sequence frame oracle (chunk -> bucket -> concat-and-cut),
+    * shared verbatim by q_pack_sequences and the q_pack_efficiency
+    * aggregate so the two can never drift on the packing algebra. */
+  private val packSequencesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+      |c AS (
+      |  SELECT doc_id, CAST(i AS INT) AS chunk_no,
+      |    CAST(LEAST(64, n - i*48) AS INT) AS n_tokens
+      |  FROM n, UNNEST(range(0,
+      |    GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)),
+      |h AS (
+      |  SELECT *, md5(doc_id || '#' || chunk_no) AS hkey FROM c),
+      |b AS (
+      |  SELECT *,
+      |    CAST(('0x' || substr(hkey, 1, 8))::BIGINT % 16 AS INT) AS bucket
+      |  FROM h),
+      |s AS (
+      |  SELECT *,
+      |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY hkey)
+      |      - n_tokens AS start_tok
+      |  FROM b)
+      |SELECT doc_id, chunk_no, n_tokens, bucket,
+      |  CAST(bucket AS BIGINT) * 1099511627776
+      |    + CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
+      |  CAST(start_tok % 256 AS INT) AS seq_offset
+      |FROM s""".stripMargin
+
   private val attGtSql: String = withPanelCte(
     """, tl AS (SELECT t, row_number() OVER (ORDER BY t) AS idx
       |         FROM (SELECT DISTINCT t FROM panel)),
@@ -4590,32 +4660,77 @@ object SparkEntry {
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr"""
         .stripMargin,
 
-    "q_pack_sequences" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    "q_pack_sequences" -> packSequencesSql,
+
+    // the SAME packed frame (shared SQL), aggregated to the per-bucket
+    // waste report; used/capacity in the engine's literal order
+    "q_pack_efficiency" ->
+      s"""WITH p AS ($packSequencesSql)
+         |SELECT bucket, count(*) AS n_chunks,
+         |  count(DISTINCT seq_id) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS used_tokens,
+         |  CAST(count(DISTINCT seq_id) * 256 AS BIGINT) AS capacity,
+         |  ROUND(CAST(sum(n_tokens) AS BIGINT) /
+         |    CAST(count(DISTINCT seq_id) * 256 AS DOUBLE), 6) AS fill_ratio
+         |FROM p GROUP BY bucket""".stripMargin,
+
+    // Jaro-Winkler blocked pairs: DuckDB's native similarity IS the
+    // engine's convention (probed over 20k random pairs), rounded on
+    // both sides before the threshold
+    "q_jaro_pairs" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
+        |b AS (SELECT name, n, string_split(name, ' ')[-1] AS blk
+        |      FROM names)
+        |SELECT a.name AS name1, x.name AS name2, a.n AS n1, x.n AS n2,
+        |  ROUND(jaro_winkler_similarity(a.name, x.name), 6) AS sim
+        |FROM b a JOIN b x ON a.blk = x.blk AND a.name < x.name
+        |WHERE ROUND(jaro_winkler_similarity(a.name, x.name), 6) >= 0.86"""
+        .stripMargin,
+
+    // survivors = everything minus per-component losers under
+    // (text length DESC, id ASC) — the engine's exact tie-break
+    "q_dedup_best_keeper" ->
+      s"""WITH RECURSIVE ${jaccardCtes(0.8)},
+         |$closureChain,
+         |scored AS (
+         |  SELECT c.id, c.component, length(d.text) AS len
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |losers AS (
+         |  SELECT id FROM (
+         |    SELECT id, row_number() OVER (
+         |      PARTITION BY component ORDER BY len DESC, id) AS rk
+         |    FROM scored)
+         |  WHERE rk > 1)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // cumulative decimal revenue per cohort/offset; all casts to
+    // double at the edges in the engine's order
+    "q_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800.0)
+        |      AS BIGINT) AS week
+        |  FROM events),
+        |u AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(*) AS n_users FROM u
+        |          GROUP BY 1),
+        |r AS (
+        |  SELECT u.cohort_week, e.week - u.cohort_week AS week_offset,
+        |    sum(v) AS rev
+        |  FROM e JOIN u USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
         |c AS (
-        |  SELECT doc_id, CAST(i AS INT) AS chunk_no,
-        |    CAST(LEAST(64, n - i*48) AS INT) AS n_tokens
-        |  FROM n, UNNEST(range(0,
-        |    GREATEST(1, CAST(CEIL((n - 16) * 1.0 / 48) AS BIGINT)))) AS u(i)),
-        |h AS (
-        |  SELECT *, md5(doc_id || '#' || chunk_no) AS hkey FROM c),
-        |b AS (
-        |  SELECT *,
-        |    CAST(('0x' || substr(hkey, 1, 8))::BIGINT % 16 AS INT) AS bucket
-        |  FROM h),
-        |s AS (
-        |  SELECT *,
-        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY hkey)
-        |      - n_tokens AS start_tok
-        |  FROM b)
-        |SELECT doc_id, chunk_no, n_tokens, bucket,
-        |  CAST(bucket AS BIGINT) * 1099511627776
-        |    + CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
-        |  CAST(start_tok % 256 AS INT) AS seq_offset
-        |FROM s""".stripMargin,
+        |  SELECT cohort_week, week_offset, rev,
+        |    sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+        |      AS cum
+        |  FROM r)
+        |SELECT c.cohort_week, c.week_offset, s.n_users,
+        |  CAST(c.rev AS DOUBLE) AS rev, CAST(c.cum AS DOUBLE) AS cum_rev,
+        |  ROUND(CAST(c.cum AS DOUBLE) / s.n_users, 6) AS ltv
+        |FROM c JOIN sizes s USING (cohort_week)""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents

@@ -167,6 +167,41 @@ object Events {
       round(col("cnt") / sum("cnt").over(byFrom), 6))
   }
 
+  /** Cohort LTV curves — cumulative revenue per signup-week cohort by
+    * week offset, normalized per cohort member (the growth-analytics
+    * companion to [[weeklyRetention]]: retention counts who comes back,
+    * LTV counts what they spend). Money is decimal-summed (exact,
+    * order-independent) INCLUDING the cumulative window, then cast to
+    * double at the edge; offsets with zero purchases simply don't
+    * appear (the cumulative at later offsets is unaffected).
+    *
+    * Shape: one user-key window for cohort assignment, a K-row
+    * (cohort x offset) aggregate, cohort sizes broadcast back, and the
+    * cumulative window runs over that K-row frame — never the corpus. */
+  def cohortLtv(events: DataFrame,
+      anchorEpoch: Long = 1704067200L /* 2024-01-01 UTC */,
+      purchaseType: String = "purchase"): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val base = events
+      .withColumn("week",
+        floor((unix_timestamp(col("ts")) - lit(anchorEpoch)) / lit(604800.0))
+          .cast("long"))
+      .withColumn("cohort_week", min("week").over(byUser))
+    val sizes = base.select("user_id", "cohort_week").distinct()
+      .groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val rev = base.filter(col("event_type") === purchaseType)
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("__rev"))
+    val wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+    rev.join(broadcast(sizes), "cohort_week")
+      .withColumn("__cum", sum("__rev").over(wc))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("__rev").cast("double").as("rev"),
+        col("__cum").cast("double").as("cum_rev"),
+        round(col("__cum").cast("double") / col("n_users"), 6).as("ltv"))
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation — the
     * classic behavioral tercile grid: per user, days since last
     * activity (vs the corpus max timestamp, so the result is a pure

@@ -228,6 +228,33 @@ object Graph {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Survivorship dedup: per near-dup component keep the BEST row by
+    * `scoreCol` (ties to the smallest id — deterministic), not the
+    * min-id row [[dedupByComponents]] keeps. This is the curation-
+    * correct variant: within a duplicate cluster you keep the highest-
+    * quality copy, and "first crawled" (min id) is usually the worst
+    * proxy for that. Rows untouched by any pair survive unchanged.
+    *
+    * Shape: CC over the pair graph (component-labeled nodes only),
+    * winner per component via one window over the COMPONENT-sized
+    * label frame (never the corpus), then a left-anti join removes the
+    * losers. Output: the surviving rows of `df`, original schema. */
+  def dedupBySurvivor(df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, aCol: String = "id_a", bCol: String = "id_b")
+      : DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val scored = comp.join(
+      df.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).as("__score")), "id")
+    val w = Window.partitionBy("comp")
+      .orderBy(col("__score").desc, col("id"))
+    val losers = scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-node triangle counts over an undirected edge list — the
     * clustering-coefficient numerator, a cluster-cohesion signal for
     * near-dup graphs (a dense triangle core = true duplicate cluster;

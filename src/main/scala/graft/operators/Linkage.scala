@@ -44,4 +44,32 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select("name1", "name2", "n1", "n2", "dist")
   }
+
+  /** Jaro-Winkler flavor of [[fuzzyNamePairs]] — same vocabulary +
+    * blocking contract, scored by the typo/transposition-tolerant
+    * similarity instead of edit distance (a "dewyane/dwayne" pair is
+    * distance-2 but JW 0.95: similarity ranks it above a same-distance
+    * unrelated pair). The scorer is the engine's native
+    * [[graft.functions.JaroWinklerExpr]], convention-pinned to DuckDB's
+    * built-in so the pair set replays cross-engine EXACTLY. Filter on
+    * the 6dp-ROUNDED score so the threshold can't flap on a last-ulp
+    * engine difference. */
+  def jaroNamePairs(df: DataFrame, nameCol: String, minSim: Double = 0.9,
+      block: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => element_at(split(c, " "), -1)): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"bad minSim: $minSim")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", block(col("name")))
+    val a = names.select(col("name").as("name1"), col("n").as("n1"),
+      col("blk"))
+    val b = names.select(col("name").as("name2"), col("n").as("n2"),
+      col("blk"))
+    a.join(b, "blk")
+      .filter(col("name1") < col("name2"))
+      .withColumn("sim", round(graft.functions.JaroWinklerExpr
+        .jaroWinklerCol(col("name1"), col("name2")), 6))
+      .filter(col("sim") >= minSim)
+      .select("name1", "name2", "n1", "n2", "sim")
+  }
 }
