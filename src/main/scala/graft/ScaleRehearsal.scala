@@ -606,6 +606,26 @@ object ScaleRehearsal {
         timed("rfm_segments") {
           graft.operators.Events.rfmSegments(evs).count()
         },
+        timed("jaro_pairs") {
+          import org.apache.spark.sql.functions.{col, concat_ws, size, slice, split}
+          val toks2 = slice(split(col("text"), " "), 1, 2)
+          val names = docs
+            .where(size(split(col("text"), " ")) >= 2)
+            .select(concat_ws(" ", toks2).as("name"))
+          graft.operators.Linkage.jaroNamePairs(names, "name",
+            minSim = 0.86).count()
+        },
+        timed("dedup_best_keeper") {
+          import org.apache.spark.sql.functions.{col, length}
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.dedupBySurvivor(
+            docs.withColumn("__len", length(col("text"))),
+            pairs, "doc_id", "__len").count()
+        },
+        timed("cohort_ltv") {
+          graft.operators.Events.cohortLtv(evs,
+            anchorEpoch = 1735689600L).count()
+        },
         timed("att_cov_fit") {
           // covariate doubly-robust path (the q_att_gt_cov class): IRLS
           // propensity + outcome regressions through the distributed
