@@ -89,4 +89,88 @@ class RandomParitySpec extends AnyFunSuite with Matchers with SparkSpec {
       }
     }
   }
+
+  test("kCore == in-memory reference peel (30 trials)") {
+    val rng = new scala.util.Random(29)
+    (1 to 30).foreach { trial =>
+      val n = 10
+      val edges = (1 to 18).map { _ =>
+        (1L + rng.nextInt(n), 1L + rng.nextInt(n))
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val k = 2 + rng.nextInt(2)
+      // reference: peel to fixpoint over scala collections
+      var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (id, xs) => id -> xs.size }
+        val next = alive.filter(id => deg.getOrElse(id, 0) >= k)
+        changed = next != alive
+        alive = next
+      }
+      val refDeg = edges.filter(e => alive(e._1) && alive(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (id, xs) => id -> xs.size.toLong }
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else Graph.kCore(edges.toDF("id_a", "id_b"), k = k, rounds = 10)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial k=$k (edges=$edges): ") { got shouldBe refDeg }
+    }
+  }
+
+  test("incrementalComponents == from-scratch CC on random splits (30 trials)") {
+    val rng = new scala.util.Random(31)
+    (1 to 30).foreach { trial =>
+      val n = 14
+      val all = (1 to 22).map { _ =>
+        (1L + rng.nextInt(n), 1L + rng.nextInt(n))
+      }.filter { case (a, b) => a != b }.distinct
+      val (baseE, deltaE) = all.partition(_ => rng.nextBoolean())
+      if (baseE.nonEmpty && deltaE.nonEmpty) {
+        val baseLabels = Graph.connectedComponents(
+          baseE.toDF("id_a", "id_b"))
+        val got = Graph.incrementalComponents(baseLabels,
+            deltaE.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = Graph.connectedComponents(all.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"trial $trial (base=$baseE delta=$deltaE): ") {
+          got shouldBe want
+        }
+      }
+    }
+  }
+
+  test("containmentPairs == brute-force shingle containment (15 trials)") {
+    val rng = new scala.util.Random(37)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    (1 to 15).foreach { trial =>
+      val docs = (1L to 8L).map { id =>
+        val len = 3 + rng.nextInt(8)
+        (id, (1 to len).map(_ => vocab(rng.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+        sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty
+        c = BigDecimal(sa.intersect(sb).size.toDouble / sa.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= 0.5
+      } yield (ia, ib) -> c).toMap
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      withClue(s"trial $trial (docs=$docs): ") { got shouldBe want }
+      Dedup.releaseCaches()
+    }
+  }
 }
