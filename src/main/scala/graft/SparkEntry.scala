@@ -2028,6 +2028,27 @@ object SparkEntry {
       graft.streaming.StreamingOps.funnelStateful(ev, emitFinal = true)
         .toDF()
     }),
+
+    // streaming flavor of the Markov transition matrix: the stateful
+    // step tracker (O(1) last-event state per user, steps emitted as
+    // they happen) replayed in batch mode, aggregated to the SAME
+    // counts/probabilities as q_transition_matrix — shared oracle SQL
+    "q_stream_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .as[graft.streaming.TransitionEvent]
+      val steps = graft.streaming.StreamingOps
+        .transitionsStateful(ev, emitFinal = true)
+      val byFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      steps.toDF()
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prob",
+          round(col("cnt") / sum("cnt").over(byFrom), 6))
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -2573,6 +2594,21 @@ object SparkEntry {
 
     // lead over the (ts, event_id) sort key; integer window sums are
     // exact so only the probability ratio needs the 6dp round
+    // identical oracle for the stateful-streaming step tracker replayed
+    // in batch mode — the equality IS the cross-check
+    "q_stream_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS cnt
+        |      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) /
+        |    SUM(cnt) OVER (PARTITION BY event_type), 6) AS prob
+        |FROM c""".stripMargin,
+
     "q_transition_matrix" ->
       """WITH nxt AS (
         |  SELECT event_type,

@@ -34,6 +34,18 @@ final case class FunnelRow(user_id: Long, t1: Option[Long],
   * inactivity timeout. */
 final case class FunnelProgress(t1: Long, t2: Long, t3: Long, lastUs: Long)
 
+/** Input row for the stateful transition tracker (event_id breaks
+  * timestamp ties deterministically, same as the batch operator). */
+final case class TransitionEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, event_type: String)
+
+/** One observed step of a user's event sequence. */
+final case class TransitionStep(event_type: String, next_type: String)
+
+/** Per-user last-event state: the (ts, event_id, type) of the most
+  * recent event, so a later batch chains its first event onto it. */
+final case class LastEvent(lastUs: Long, lastId: Long, lastType: String)
+
 /** Structured Streaming surface. The reference has no streaming at all
   * (SURVEY.md §2.10); this is the engine extension for event streams:
   * the same event-time logic as `graft.operators.Events`, plus
@@ -416,6 +428,62 @@ object StreamingOps {
                 state.getCurrentWatermarkMs() + 1))
               Iterator.empty
             }
+          }
+      }
+  }
+
+  /** Stateful streaming transition tracker — the online form of
+    * `Events.transitionMatrix`'s step extraction: every observed
+    * (event_type -> next event_type) step of a user's sequence is
+    * emitted AS IT HAPPENS (steps are facts — no timeout needed to
+    * emit), with O(1) state per user (the last event only). A later
+    * batch chains its first event onto the stored last event, so steps
+    * never drop at batch boundaries. Downstream aggregation into
+    * counts/probabilities is ordinary streaming groupBy (or batch —
+    * `emitFinal = true` path is oracle-checked equal to the batch
+    * operator as `q_stream_transitions`).
+    *
+    * Ordering contract: within a batch events are sorted by
+    * (ts, event_id) — identical to the batch operator's window sort.
+    * Across batches the same watermark caveat as `funnelStateful`
+    * applies: a late-but-in-watermark event delivered AFTER a newer
+    * one cannot splice itself into the middle of already-emitted
+    * steps (append mode cannot retract); it chains onto the stored
+    * last event instead. Idle users' state is dropped after
+    * `retentionHours` of event-time inactivity. */
+  def transitionsStateful(events: Dataset[TransitionEvent],
+      emitFinal: Boolean = false,
+      retentionHours: Int = 24 * 7): Dataset[TransitionStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[TransitionEvent],
+            state: GroupState[LastEvent]) =>
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+            val out = Vector.newBuilder[TransitionStep]
+            var last = state.getOption
+            evs.foreach { e =>
+              last.foreach(l =>
+                out += TransitionStep(l.lastType, e.event_type))
+              last = Some(LastEvent(usOf(e.ts), e.event_id, e.event_type))
+            }
+            if (!emitFinal) {
+              last.foreach { l =>
+                state.update(l)
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(l.lastUs, 1000L) +
+                    retentionHours * 3600L * 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.result().iterator
           }
       }
   }

@@ -65,6 +65,45 @@ class StreamingFunnelSpec extends AnyFunSuite with Matchers with SparkSpec {
       Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1)
   }
 
+  test("transitionsStateful: steps chain across micro-batches, emitted as they happen") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TransitionEvent]
+    val q = StreamingOps.transitionsStateful(
+        mem.toDF().withWatermark("ts", "0 seconds").as[TransitionEvent])
+      .writeStream.format("memory").queryName("trans_state")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        TransitionEvent(1L, ts("2026-01-01 10:00:00"), 1L, "view"),
+        TransitionEvent(1L, ts("2026-01-01 10:01:00"), 2L, "click"))
+      q.processAllAvailable()
+      // in-batch step emitted immediately
+      spark.table("trans_state").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+        Seq(("view", "click"))
+      // the next batch's first event chains onto the STORED last event
+      mem.addData(
+        TransitionEvent(1L, ts("2026-01-01 10:02:00"), 3L, "purchase"))
+      q.processAllAvailable()
+      spark.table("trans_state").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+        Set(("view", "click"), ("click", "purchase"))
+    } finally q.stop()
+  }
+
+  test("transitionsStateful batch mode equals the batch lead-window steps") {
+    val ev = Seq(
+      TransitionEvent(1L, ts("2026-01-01 10:00:00"), 1L, "view"),
+      TransitionEvent(1L, ts("2026-01-01 10:00:00"), 2L, "click"), // tie: id order
+      TransitionEvent(1L, ts("2026-01-01 10:01:00"), 3L, "view"),
+      TransitionEvent(2L, ts("2026-01-01 10:00:00"), 4L, "view") // no step
+    ).toDS()
+    val steps = StreamingOps.transitionsStateful(ev, emitFinal = true)
+      .collect().map(s => (s.event_type, s.next_type))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    steps shouldBe Map(("view", "click") -> 1, ("click", "view") -> 1)
+  }
+
   test("transitionMatrix: counts and row-normalized probabilities") {
     val df = Seq(
       (1L, 1L, ts("2026-01-01 10:00:00"), "view"),
