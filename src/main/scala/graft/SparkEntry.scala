@@ -1195,6 +1195,53 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, dir) =>
       Events.cohortLtv(events(s, dir))),
 
+    // stats: exact token-WEIGHTED median doc length per source — the
+    // primitive percentile_disc lacks (weights); value-ordered RANGE
+    // cumulative window, type-1 pick, one shuffle
+    "q_weighted_median" -> ((s, dir) =>
+      operators.Stats.weightedMedian(
+        docs(s, dir).select(col("source"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("w")),
+        "source", "n_chars", "w")),
+
+    // stats: one-sided CUSUM drift detector over daily event volume
+    // per type — the sequential recursion rewritten as two ordered
+    // window passes via the reflection identity (fully distributed,
+    // fully ANSI)
+    "q_cusum_volume" -> ((s, dir) =>
+      operators.Stats.cusumShift(
+        events(s, dir).groupBy(col("event_type"),
+            floor(unix_timestamp(col("ts")) / 86400).cast("long")
+              .as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n", slack = 0.5, threshold = 3.0)),
+
+    // temporal: nearest-event join — closest purchase to each error
+    // within 1 hour per user, EITHER direction (asof looks only
+    // backward); bucket+neighbor candidates, per-row argmin window
+    "q_nearest_event" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("ts").as("p_ts"),
+          col("event_id").as("pid"), col("value").as("pv"))
+      operators.Temporal.nearestJoin(errs, purch,
+        "user_id", "p_user", "ts", "p_ts",
+        Seq("pid", "pv"), horizonSeconds = 3600L)
+    }),
+
+    // multimodal: perceptual dHash over REAL PNG decode — the
+    // column-gradient synthesis makes the 64-bit hash PREDICTABLE from
+    // the id, so the whole decode -> 9x8 block-average -> gradient-sign
+    // pipeline is oracle-exact (the q_media_features trick, extended
+    // from features to a fingerprint)
+    "q_image_dhash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageDHashTable(
+        graft.multimodal.Multimodal.synthesizeColumnImages(
+          docs(s, dir).select(col("doc_id").as("media_id"))))),
+
     // calibration: cross-source quantile normalization (rank-to-global
     // type-1 lookup) — group window + bounded-shard value rank + one
     // index equi-join; no single-reducer sort anywhere
@@ -4740,6 +4787,104 @@ object SparkEntry {
          |  WHERE rk > 1)
          |SELECT doc_id, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // weighted type-1 median: value-ordered RANGE cumulative weight,
+    // smallest value reaching half the total; HUGEINT sums cast back
+    "q_weighted_median" ->
+      """WITH t AS (
+        |  SELECT source, n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS w
+        |  FROM documents),
+        |p AS (SELECT * FROM t WHERE w > 0),
+        |c AS (
+        |  SELECT source, n_chars, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY n_chars
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY source) AS tot
+        |  FROM p)
+        |SELECT source, min(n_chars) AS wmedian,
+        |  CAST(min(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum >= tot / 2.0 GROUP BY source""".stripMargin,
+
+    // the reflection identity in SQL: prefix sum + running min of the
+    // standardized series, in the engine's literal order; stddev_pop
+    // last-ulp differences are absorbed by the 6dp round
+    "q_cusum_volume" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type,
+        |    sum(n) / CAST(count(*) AS DOUBLE) AS mean,
+        |    stddev_pop(CAST(n AS DOUBLE)) AS sd
+        |  FROM d GROUP BY 1),
+        |y AS (
+        |  SELECT d.event_type, d.day, d.n,
+        |    CASE WHEN st.sd > 0
+        |         THEN (CAST(d.n AS DOUBLE) - st.mean) / st.sd - 0.5
+        |         ELSE -0.5 END AS yv
+        |  FROM d JOIN st USING (event_type)),
+        |pp AS (
+        |  SELECT event_type, day, n, sum(yv) OVER w AS p
+        |  FROM y
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mm AS (
+        |  SELECT event_type, day, n, p,
+        |    min(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+        |  FROM pp)
+        |SELECT event_type, day, n,
+        |  ROUND(p - least(0.0, minp), 6) AS cusum,
+        |  (ROUND(p - least(0.0, minp), 6) > 3.0) AS alarm
+        |FROM mm""".stripMargin,
+
+    // per-error argmin over (user, 1h-horizon) candidates, ties to the
+    // earlier purchase then the smaller purchase id — the engine's
+    // exact window order; unmatched errors survive with null payloads
+    "q_nearest_event" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, value AS pv, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT e.event_id, e.user_id, e.ts, p.pid, p.pv,
+        |    abs(floor(epoch(e.ts)) - floor(epoch(p.pts))) AS d,
+        |    floor(epoch(p.pts)) AS prt
+        |  FROM e JOIN p USING (user_id)
+        |  WHERE abs(floor(epoch(e.ts)) - floor(epoch(p.pts))) <= 3600),
+        |b AS (
+        |  SELECT event_id, user_id, ts, pid, pv,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY d, prt, pid) AS rn
+        |  FROM c)
+        |SELECT e.event_id, e.user_id, e.ts, b.pid, b.pv
+        |FROM e LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+        |  USING (event_id, user_id, ts)""".stripMargin,
+
+    // the synthesis contract predicts every dHash bit: column x gray =
+    // (id + 31x) mod 256, so bit x = g(x+1) > g(x), identical for all
+    // 8 rows -> the hash is one byte's hex repeated 8 times
+    "q_image_dhash" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, u.x FROM documents,
+        |    UNNEST(range(0, 8)) AS u(x)),
+        |bits AS (
+        |  SELECT media_id, x,
+        |    CASE WHEN ((media_id + 31*(x+1)) % 256)
+        |           > ((media_id + 31*x) % 256) THEN 1 ELSE 0 END AS bit
+        |  FROM b),
+        |bytes AS (
+        |  SELECT media_id, CAST(SUM(bit * (1 << x)) AS BIGINT) AS byte
+        |  FROM bits GROUP BY 1)
+        |SELECT media_id,
+        |  repeat(lpad(lower(hex(byte)), 2, '0'), 8) AS dhash
+        |FROM bytes""".stripMargin,
 
     // cumulative decimal revenue per cohort/offset; all casts to
     // double at the edges in the engine's order

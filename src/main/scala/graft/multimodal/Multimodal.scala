@@ -102,6 +102,128 @@ object Multimodal {
     spark.createDataFrame(out, mediaSchema)
   }
 
+  /** Column-gradient PNG: width 9, height 8, column `x` gray level
+    * `(id + 31*x) mod 256` — the derivation is the contract the
+    * `q_image_dhash` oracle predicts (a per-column-constant image
+    * makes every dHash row byte identical and SQL-computable). */
+  def syntheticColumnPng(id: Long): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = im.createGraphics()
+    var x = 0
+    while (x < 9) {
+      val g = java.lang.Math.floorMod(id + 31L * x, 256L).toInt
+      g2.setColor(new java.awt.Color(g, g, g))
+      g2.fillRect(x, 0, 1, 8)
+      x += 1
+    }
+    g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic media frame of column-gradient PNGs (see
+    * [[syntheticColumnPng]]). */
+  def synthesizeColumnImages(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+      rows => rows.map { r =>
+        Row(r.getLong(0), "image", syntheticColumnPng(r.getLong(0)), null)
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** dHash (difference hash) of an image: block-average the decoded
+    * raster to a 9x8 grayscale grid, then bit (row, x) = grid(x+1,row)
+    * > grid(x,row) — 64 bits rendered as 16 hex chars (row 0's byte
+    * first; within a byte, x is the bit index). The standard cheap
+    * perceptual fingerprint: brightness/contrast shifts preserve the
+    * gradient SIGNS, so near-identical images share a hash and
+    * near-dup detection becomes a hamming-distance ban-join — the
+    * image-side analogue of SimHash. Returns None when the payload is
+    * not a decodable image. */
+  def imageDHash(bytes: Array[Byte]): Option[String] =
+    imageGrid9x8(bytes).map { grid =>
+      val sb = new StringBuilder(16)
+      var r = 0
+      while (r < 8) {
+        var byte = 0
+        var x = 0
+        while (x < 8) {
+          if (grid(r)(x + 1) > grid(r)(x)) byte |= (1 << x)
+          x += 1
+        }
+        sb.append(f"$byte%02x")
+        r += 1
+      }
+      sb.toString
+    }
+
+  /** 9x8 grayscale grid via exact block averaging (grid cell (r, x)
+    * averages raster rows [r*h/8, (r+1)*h/8) x cols [x*w/9, (x+1)*w/9),
+    * all bands). */
+  private def imageGrid9x8(bytes: Array[Byte])
+      : Option[Array[Array[Double]]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).filter(im => im.getWidth >= 9 && im.getHeight >= 8)
+      .map { im =>
+        val raster = im.getRaster
+        val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)
+        val grid = Array.ofDim[Double](8, 9)
+        val row = new Array[Int](w * bands)
+        val sums = Array.ofDim[Double](8, 9)
+        val cnts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val gr = math.min(7, y * 8 / h)
+          raster.getPixels(0, y, w, 1, row)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(8, x * 9 / w)
+            var b = 0
+            while (b < bands) {
+              sums(gr)(gx) += row(x * bands + b)
+              b += 1
+            }
+            cnts(gr)(gx) += bands.toLong
+            x += 1
+          }
+          y += 1
+        }
+        var r = 0
+        while (r < 8) {
+          var x = 0
+          while (x < 9) {
+            grid(r)(x) = if (cnts(r)(x) == 0) 0.0 else sums(r)(x) / cnts(r)(x)
+            x += 1
+          }
+          r += 1
+        }
+        grid
+      }
+  }
+
+  /** (media_id, dhash) over an image media frame — non-decodable
+    * payloads are dropped (a curation pipeline quarantines them via
+    * [[decodeFeatures]]' stub path instead). Map-only. */
+  def imageDHashTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false)))
+    val out = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageDHash(r.getAs[Array[Byte]]("bytes"))
+          .map(h => Row(r.getLong(0), h))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Extracted audio-feature schema produced by `audioFeatures`. */
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

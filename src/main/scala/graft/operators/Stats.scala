@@ -126,4 +126,73 @@ object Stats {
             covar_pop(col("x"), col("y")) / var_pop(col("x")) *
               avg(col("x"))), 6).as("intercept"))
   }
+
+  /** Exact WEIGHTED median per group — the primitive Spark lacks
+    * (percentile_disc ignores weights; a token-weighted "median doc
+    * length" must weight each doc by its token mass or the statistic
+    * describes documents, not tokens). Type-1 semantics: the smallest
+    * value whose cumulative weight reaches half the total — an actual
+    * data value, exact on every engine.
+    *
+    * Shape: ONE shuffle on the group key; a value-ordered running-sum
+    * window plus the group total, then a filter + min aggregate. Zero
+    * or negative weights are excluded up front (they'd make the
+    * cumulative non-monotone and the "half the total" target
+    * meaningless). */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      wCol: String): DataFrame = {
+    val pos = df.filter(col(wCol) > 0)
+    val byG = Window.partitionBy(groupCol)
+    // RANGE up to the current VALUE (not row): ties on the value must
+    // accumulate together, or the picked element would depend on
+    // arbitrary intra-tie row order
+    val ordered = byG.orderBy(col(valCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    pos
+      .withColumn("__cum", sum(col(wCol).cast("long")).over(ordered))
+      .withColumn("__tot", sum(col(wCol).cast("long")).over(byG))
+      .filter(col("__cum") >= col("__tot") / 2.0)
+      .groupBy(groupCol)
+      .agg(min(col(valCol)).as("wmedian"),
+        min(col("__tot")).as("total_weight"))
+  }
+
+  /** One-sided CUSUM drift detector over an ordered per-group series —
+    * "has this source's daily volume shifted up?" is the composition-
+    * drift question a training-data pipeline monitors. The textbook
+    * recursion `s_i = max(0, s_{i-1} + (x_i - mean - slack))` looks
+    * sequential, but the reflection identity
+    * `s_i = P_i - min(0, min_{j<=i} P_j)` (P = prefix sum of the
+    * centered series) turns it into TWO ordered window passes — fully
+    * distributed per group, and fully ANSI-replayable. Both engines
+    * evaluate the running sums in the same value order, so the doubles
+    * agree bit-for-bit before the 6dp round. Output: one row per
+    * (group, t) with the cusum statistic and an `alarm` flag at
+    * `threshold`. */
+  def cusumShift(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String, slack: Double = 0.0, threshold: Double = 3.0)
+      : DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      (sum(col(xCol).cast("long")) /
+        count(lit(1)).cast("double")).as("__mean"),
+      stddev_pop(col(xCol).cast("double")).as("__sd"))
+    val w = Window.partitionBy(groupCol).orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `tCol` must be unique per group (a daily/hourly series is): the
+    // ordered running sums are otherwise tie-order-dependent.
+    // Zero-variance series standardize to 0 (no drift by definition),
+    // never a division blow-up.
+    df.join(broadcast(stats), groupCol)
+      .withColumn("__y",
+        when(col("__sd") > 0,
+          (col(xCol).cast("double") - col("__mean")) / col("__sd") - slack)
+          .otherwise(lit(-slack)))
+      .withColumn("__p", sum("__y").over(w))
+      .withColumn("__minp", min("__p").over(w))
+      .withColumn("cusum",
+        round(col("__p") - least(lit(0.0), col("__minp")), 6))
+      .withColumn("alarm", col("cusum") > threshold)
+      .select(col(groupCol), col(tCol), col(xCol), col("cusum"),
+        col("alarm"))
+  }
 }

@@ -190,4 +190,71 @@ object Temporal {
       .select(leftCols.map(c => col(lc)(c).as(c)) ++
         rightCols.map(c => col(rc)(c).as(c)): _*)
   }
+
+  /** Nearest-event join: for every left row, the single closest right
+    * row by |timestamp difference| within `horizonSeconds`, same key —
+    * the BIDIRECTIONAL companion to [[asofJoin]] (as-of looks only
+    * backward; sensor/label alignment wants the closest reading either
+    * way). Ties (equidistant before/after) break to the EARLIER right
+    * timestamp, then the first payload column ascending —
+    * deterministic, SQL-replayable. Left rows with no right row in the
+    * horizon survive with null payloads (left-outer contract).
+    *
+    * Scale shape: both sides bucket by `horizonSeconds`; a right row
+    * can only be nearest-within-horizon to left rows in its bucket ±1,
+    * so the candidate join is a hash equi-join on (key, bucket) with a
+    * 3-replica right side — never a cartesian, and the per-left-row
+    * argmin is a window over candidates only. */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      payloadCols: Seq[String], horizonSeconds: Long): DataFrame = {
+    require(horizonSeconds > 0,
+      s"horizonSeconds must be > 0: $horizonSeconds")
+    require(payloadCols.nonEmpty,
+      "nearestJoin needs at least one payload column")
+    val existing = left.columns.toSet ++ payloadCols
+    def internal(base: String): String =
+      Iterator.from(0).map(i => s"__graft_${base}_$i")
+        .find(!existing.contains(_)).get
+    val (kc, bc, ltc, rtc, pc, dc, rnc) =
+      (internal("k"), internal("b"), internal("lt"), internal("rt"),
+        internal("p"), internal("d"), internal("rn"))
+
+    val l = left.filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
+      .withColumn(kc, col(leftKey))
+      .withColumn(ltc, unix_timestamp(col(leftTs)))
+      .withColumn(bc, floor(col(ltc) / horizonSeconds).cast("long"))
+    val r0 = right.filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(col(rightKey).as(kc),
+        unix_timestamp(col(rightTs)).as(rtc),
+        struct(payloadCols.map(col): _*).as(pc))
+    // replicate each right row into its bucket and both neighbors
+    val r = r0.withColumn(bc, explode(array(
+        floor(col(rtc) / horizonSeconds).cast("long") - 1,
+        floor(col(rtc) / horizonSeconds).cast("long"),
+        floor(col(rtc) / horizonSeconds).cast("long") + 1)))
+    val cand = l.join(r, Seq(kc, bc))
+      .withColumn(dc, abs(col(ltc) - col(rtc)))
+      .filter(col(dc) <= horizonSeconds)
+    // one argmin partition per left row — left rows must be DISTINCT
+    // (any real event table has an id column); duplicate left rows
+    // would collapse into one output row
+    val w = Window
+      .partitionBy(Seq(col(kc), col(ltc)) ++ left.columns.map(col): _*)
+      .orderBy(col(dc).asc, col(rtc).asc,
+        col(pc)(payloadCols.head).asc)
+    val best = cand.withColumn(rnc, row_number().over(w))
+      .filter(col(rnc) === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(pc)(c).as(c)): _*)
+    // left-outer: rows with no candidate come back with null payloads
+    val unmatched = left.join(best.select(left.columns.map(col): _*)
+        .distinct(), left.columns.toSeq, "left_anti")
+    val nulls = payloadCols.foldLeft(unmatched) { (d, c) =>
+      d.withColumn(c, lit(null).cast(
+        r0.schema(pc).dataType.asInstanceOf[org.apache.spark.sql.types.StructType](c).dataType))
+    }
+    best.unionByName(nulls)
+  }
 }
