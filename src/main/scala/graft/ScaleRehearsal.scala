@@ -626,6 +626,48 @@ object ScaleRehearsal {
           graft.operators.Events.cohortLtv(evs,
             anchorEpoch = 1735689600L).count()
         },
+        timed("weighted_median") {
+          import org.apache.spark.sql.functions.{col, length}
+          graft.operators.Stats.weightedMedian(
+            docs.select(col("source"), length(col("text")).as("nc"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("w")),
+            "source", "nc", "w").count()
+        },
+        timed("cusum_volume") {
+          import org.apache.spark.sql.functions.{col, count, floor, lit, unix_timestamp}
+          graft.operators.Stats.cusumShift(
+            evs.groupBy(col("event_type"),
+              floor(unix_timestamp(col("ts")) / 86400).cast("long")
+                .as("day")).agg(count(lit(1)).as("n")),
+            "event_type", "day", "n", slack = 0.5).count()
+        },
+        timed("nearest_event") {
+          import org.apache.spark.sql.functions.col
+          graft.operators.Temporal.nearestJoin(
+            evs.filter(col("event_type") === "error")
+              .select(col("event_id"), col("user_id"), col("ts")),
+            evs.filter(col("event_type") === "purchase")
+              .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                col("event_id").as("pid"), col("value").as("pv")),
+            "user_id", "p_user", "ts", "p_ts", Seq("pid", "pv"),
+            horizonSeconds = 3600L).count()
+        },
+        timed("image_dhash") {
+          import org.apache.spark.sql.functions.col
+          graft.multimodal.Multimodal.imageDHashTable(
+            graft.multimodal.Multimodal.synthesizeColumnImages(
+              docs.select(col("doc_id").as("media_id")))).count()
+        },
+        timed("stream_transitions_batch") {
+          import org.apache.spark.sql.functions.col
+          import spark.implicits._
+          graft.streaming.StreamingOps.transitionsStateful(
+            evs.select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"))
+              .as[graft.streaming.TransitionEvent],
+            emitFinal = true).count()
+        },
         timed("att_cov_fit") {
           // covariate doubly-robust path (the q_att_gt_cov class): IRLS
           // propensity + outcome regressions through the distributed
