@@ -1232,6 +1232,23 @@ object SparkEntry {
         Seq("pid", "pv"), horizonSeconds = 3600L)
     }),
 
+    // event analytics: top length-3 event paths across user journeys —
+    // two lead windows on ONE user-key shuffle, K^3-bounded aggregate,
+    // TakeOrdered top-k
+    "q_top_paths" -> ((s, dir) =>
+      Events.topPaths(events(s, dir), k = 20)),
+
+    // dedup diagnostics: near-dup cluster size histogram — CC over the
+    // pair graph, component sizes, then a size-bounded histogram (the
+    // "is dedup mass a few mega-clusters or many pairs" question)
+    "q_dup_cluster_sizes" -> ((s, dir) =>
+      operators.Graph.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8))
+        .groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+
     // multimodal: perceptual dHash over REAL PNG decode — the
     // column-gradient synthesis makes the 64-bit hash PREDICTABLE from
     // the id, so the whole decode -> 9x8 block-average -> gradient-sign
@@ -4866,6 +4883,27 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, b.pid, b.pv
         |FROM e LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
         |  USING (event_id, user_id, ts)""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH s AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT e1, e2, e3, count(*) AS cnt FROM s
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT e1, e2, e3, cnt FROM c
+        |QUALIFY row_number()
+        |  OVER (ORDER BY cnt DESC, e1, e2, e3) <= 20""".stripMargin,
+
+    "q_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${jaccardCtes(0.8)},
+         |$closureChain,
+         |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
 
     // the synthesis contract predicts every dHash bit: column x gray =
     // (id + 31x) mod 256, so bit x = g(x+1) > g(x), identical for all

@@ -167,6 +167,26 @@ object Events {
       round(col("cnt") / sum("cnt").over(byFrom), 6))
   }
 
+  /** Top event paths: the most frequent length-3 event-type sequences
+    * across user journeys (the "what do users actually do" report a
+    * funnel's fixed steps can't answer). One user-key shuffle for the
+    * two lead windows; the path aggregate is K^3-bounded (K = type
+    * cardinality) and the top-k is a TakeOrdered, never a global sort.
+    * Deterministic under timestamp ties via the (ts, event_id) key. */
+  def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("e2", lead("event_type", 1).over(byUser))
+      .withColumn("e3", lead("event_type", 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** Cohort LTV curves — cumulative revenue per signup-week cohort by
     * week offset, normalized per cohort member (the growth-analytics
     * companion to [[weeklyRetention]]: retention counts who comes back,

@@ -113,6 +113,23 @@ class Wave4Spec extends AnyFunSuite with Matchers with SparkSpec {
     h0.get shouldBe "7f" * 8
   }
 
+  test("topPaths: counts length-3 sequences, never crosses users") {
+    val ev = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2026-01-01 10:01:00"), "click"),
+      (3L, 1L, ts("2026-01-01 10:02:00"), "purchase"),
+      (4L, 1L, ts("2026-01-01 10:03:00"), "view"),
+      (5L, 2L, ts("2026-01-01 10:00:00"), "view"),
+      (6L, 2L, ts("2026-01-01 10:01:00"), "click") // only 2 events: no path
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.topPaths(ev, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    out shouldBe Map(
+      ("view", "click", "purchase") -> 1L,
+      ("click", "purchase", "view") -> 1L)
+  }
+
   test("imageDHash: non-image bytes yield None; table op drops them") {
     import graft.multimodal.Multimodal
     Multimodal.imageDHash("not a png".getBytes) shouldBe None
