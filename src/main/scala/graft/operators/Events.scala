@@ -202,11 +202,14 @@ object Events {
       anchorEpoch: Long = 1704067200L /* 2024-01-01 UTC */,
       purchaseType: String = "purchase"): DataFrame = {
     val byUser = Window.partitionBy("user_id")
-    val base = events
+    // persist: the cohort-size branch and the revenue branch both
+    // consume the windowed frame — uncached, the user-key shuffle and
+    // scan would run twice (tracked, harness-released)
+    val base = graft.operators.TrackedCaches.persist(events
       .withColumn("week",
         floor((unix_timestamp(col("ts")) - lit(anchorEpoch)) / lit(604800.0))
           .cast("long"))
-      .withColumn("cohort_week", min("week").over(byUser))
+      .withColumn("cohort_week", min("week").over(byUser)))
     val sizes = base.select("user_id", "cohort_week").distinct()
       .groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
     val rev = base.filter(col("event_type") === purchaseType)
@@ -239,7 +242,10 @@ object Events {
       purchaseType: String = "purchase"): DataFrame = {
     val tmax = broadcast(events.agg(
       max(unix_timestamp(col("ts"))).as("__tmax")))
-    val m = events.crossJoin(tmax)
+    // persist the K-row metric frame: the three tercile aggregates plus
+    // the final binning join would otherwise re-run the corpus-sized
+    // user aggregate four times (tracked, so harnesses release it)
+    val m = graft.operators.TrackedCaches.persist(events.crossJoin(tmax)
       .groupBy("user_id")
       .agg(
         min(col("__tmax") - unix_timestamp(col("ts"))).as("__rec_s"),
@@ -248,7 +254,7 @@ object Events {
             col("value").cast("decimal(18,2)"))),
           lit(0).cast("decimal(18,2)")).cast("double").as("monetary"))
       .withColumn("recency_days", floor(col("__rec_s") / 86400.0))
-      .drop("__rec_s")
+      .drop("__rec_s"))
     def terciles(c: String, lo: String, hi: String) = broadcast(m.agg(
       expr(s"percentile_disc(0.33333333) WITHIN GROUP (ORDER BY $c)")
         .as(lo),
