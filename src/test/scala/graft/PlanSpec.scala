@@ -760,6 +760,76 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("weighted median: ONE exchange on the group key, RANGE cumulative frame") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_weighted_median")(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        s"weighted median should shuffle once:\n${planOf(df)}")
+      assert(planOf(df).contains("RangeFrame"),
+        s"tie-safe cumulative weight needs a RANGE frame:\n${planOf(df)}")
+    }
+  }
+
+  test("cusum: stats broadcast back; ordered windows share the group exchange") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_cusum_volume")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"mean/sd should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"global sort leaked:\n$plan")
+    }
+  }
+
+  test("nearest-event join: hash equi-join on (key, bucket), no nested loop") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_nearest_event")(spark, dir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"nearest join degraded:\n$plan")
+    }
+  }
+
+  test("rfm: ONE corpus aggregate (cached metric frame), thresholds broadcast") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_rfm_segments")(spark, dir)
+      val plan = planOf(df)
+      // the persisted user-metric frame feeds three tercile aggregates
+      // + the binning join — all downstream reads hit the cache
+      assert(plan.contains("InMemoryTableScan"),
+        s"metric frame not cached (corpus re-aggregated 4x):\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"threshold joins must broadcast, not shuffle the users:\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
+
+  test("kneser-ney: cached bigram counts feed all four stat frames") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_kneser_ney")(spark, dir))
+      assert(plan.contains("InMemoryTableScan"),
+        s"pair-count frame not cached:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k should be TakeOrdered, not sort+limit:\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
+
+  test("top paths: one user-key exchange, TakeOrdered top-k") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_top_paths")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k should be TakeOrdered:\n$plan")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"global sort leaked:\n$plan")
+    }
+  }
+
   test("triangle counts: equi-joins over cached canonical edges") {
     withStaticPlan {
       val df = graft.SparkEntry.queries("q_triangle_counts")(spark, dir)
