@@ -668,6 +668,20 @@ object ScaleRehearsal {
               .as[graft.streaming.TransitionEvent],
             emitFinal = true).count()
         },
+        timed("top_paths") {
+          graft.operators.Events.topPaths(evs, k = 20).count()
+        },
+        timed("dup_cluster_sizes") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.connectedComponents(pairs)
+            .groupBy("comp")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("sz"))
+            .groupBy("sz")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+            .count()
+        },
         timed("att_cov_fit") {
           // covariate doubly-robust path (the q_att_gt_cov class): IRLS
           // propensity + outcome regressions through the distributed
