@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 4) applies only when the Jaro core exceeds the classic 0.7
   * boost threshold. Computed over Unicode code points. */
 case class JaroWinklerExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -34,9 +34,17 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    java.lang.Double.valueOf(JaroWinklerExpr.jaroWinkler(
-      l.asInstanceOf[UTF8String].toString,
-      r.asInstanceOf[UTF8String].toString))
+    java.lang.Double.valueOf(JaroWinklerExpr.jaroWinklerUTF8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String]))
+
+  // real whole-stage codegen (not CodegenFallback): a static call into
+  // the reference implementation keeps the similarity inside the fused
+  // pipeline — no per-row InternalRow boxing between the blocked join
+  // and the score filter
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.JaroWinklerExpr.jaroWinklerUTF8($l, $r);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
@@ -45,6 +53,11 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 
 object JaroWinklerExpr {
   private val FnName = "graft_jaro_winkler"
+
+  /** Codegen entry point (static forwarder on the companion class, so
+    * generated Java can call it directly). */
+  def jaroWinklerUTF8(a: UTF8String, b: UTF8String): Double =
+    jaroWinkler(a.toString, b.toString)
 
   /** Reference implementation (shared by eval and specs). */
   def jaroWinkler(a: String, b: String): Double = {

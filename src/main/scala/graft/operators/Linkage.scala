@@ -67,6 +67,12 @@ object Linkage {
       col("blk"))
     a.join(b, "blk")
       .filter(col("name1") < col("name2"))
+      // redundant RAW pre-filter, implied by the rounded threshold
+      // below (round(x,6) >= m  =>  x >= m - 5e-7): its literal-
+      // threshold shape is what JaroGuardRule rewrites into the cheap
+      // length-ratio guard ahead of the O(m*n) similarity
+      .filter(graft.functions.JaroWinklerExpr
+        .jaroWinklerCol(col("name1"), col("name2")) >= lit(minSim - 1e-6))
       .withColumn("sim", round(graft.functions.JaroWinklerExpr
         .jaroWinklerCol(col("name1"), col("name2")), 6))
       .filter(col("sim") >= minSim)

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.JaroWinklerExpr
+
+/** Catalyst optimizer rule: high-threshold Jaro-Winkler predicates
+  * `jaro_winkler(a, b) >= t` (t a double literal > 0.8, either
+  * comparison orientation) gain a cheap LENGTH-RATIO guard evaluated
+  * before the O(m*n) similarity:
+  *
+  * {{{ least(len(a), len(b)) >= (5t - 4) * greatest(len(a), len(b)) }}}
+  *
+  * Soundness: the Winkler boost is at most `0.4 * (1 - jaro)`, so
+  * `jw >= t` forces the Jaro core `>= (t - 0.4) / 0.6 =: x`; the Jaro
+  * core is at most `(m/|a| + m/|b| + 1) / 3` with `m <= min(|a|,|b|)`,
+  * which yields `min/max >= 3x - 2 = 5t - 4`. For t <= 0.8 the bound
+  * is vacuous and the rule leaves the predicate alone. Lengths are
+  * code-unit lengths (an upper bound on code points on both sides of
+  * the inequality is not needed — the ratio bound holds for any
+  * consistent length measure, and both `Length` and the expression's
+  * code-point arrays agree on ASCII and scale together on BMP text).
+  *
+  * Null semantics unchanged (null length => null guard => null AND,
+  * same as the null similarity). Idempotent: a conjunction that
+  * already carries the same guard is left alone, so AQE re-optimization
+  * cannot stack guards.
+  *
+  * Registered session-wide via [[GraftExtensions]], alongside
+  * [[LevenshteinGuardRule]] — the engine's two fuzzy-predicate
+  * rewrites. */
+object JaroGuardRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** (a, b, t) for either orientation of `jaro_winkler(a,b) >= t` /
+    * `t <= jaro_winkler(a,b)` with a pruning-effective threshold. */
+  private def bounded(e: Expression)
+      : Option[(Expression, Expression, Double)] = e match {
+    case GreaterThanOrEqual(JaroWinklerExpr(a, b),
+        Literal(t: Double, DoubleType)) if t > 0.8 => Some((a, b, t))
+    case LessThanOrEqual(Literal(t: Double, DoubleType),
+        JaroWinklerExpr(a, b)) if t > 0.8 => Some((a, b, t))
+    case GreaterThan(JaroWinklerExpr(a, b),
+        Literal(t: Double, DoubleType)) if t > 0.8 => Some((a, b, t))
+    case LessThan(Literal(t: Double, DoubleType),
+        JaroWinklerExpr(a, b)) if t > 0.8 => Some((a, b, t))
+    case _ => None
+  }
+
+  private def guard(a: Expression, b: Expression, t: Double): Expression =
+    GreaterThanOrEqual(
+      Cast(Least(Seq(Length(a), Length(b))), DoubleType),
+      Multiply(Literal(5.0 * t - 4.0, DoubleType),
+        Cast(Greatest(Seq(Length(a), Length(b))), DoubleType)))
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val rewritten = conjuncts.flatMap { c =>
+        bounded(c) match {
+          case Some((a, b, t)) =>
+            val g = guard(a, b, t)
+            if (conjuncts.exists(_.semanticEquals(g))) Seq(c)
+            else Seq(g, c)
+          case None => Seq(c)
+        }
+      }
+      if (rewritten == conjuncts) f
+      else Filter(rewritten.reduce(And), child)
+  }
+}

@@ -71,6 +71,8 @@ object LevenshteinGuardRule extends Rule[LogicalPlan] with PredicateHelper {
 
 /** Session extension wiring for the engine's optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinGuardRule)
+    ext.injectOptimizerRule(_ => JaroGuardRule)
+  }
 }
