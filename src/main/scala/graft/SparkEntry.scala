@@ -1232,6 +1232,13 @@ object SparkEntry {
         Seq("pid", "pv"), horizonSeconds = 3600L)
     }),
 
+    // governance: the dataset card — corpus release summary in ONE
+    // aggregate pass (counts, totals, dup/null rates, median length),
+    // long-format (metric, value)
+    "q_dataset_card" -> ((s, dir) =>
+      operators.Profile.datasetCard(docs(s, dir), "text", "source",
+        "lang", "n_chars")),
+
     // event analytics: top length-3 event paths across user journeys —
     // two lead windows on ONE user-key shuffle, K^3-bounded aggregate,
     // TakeOrdered top-k
@@ -4883,6 +4890,30 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, b.pid, b.pv
         |FROM e LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
         |  USING (event_id, user_id, ts)""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |      AS BIGINT) AS total_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    count(text) AS n_text,
+        |    count(DISTINCT md5(text)) AS n_uniq,
+        |    quantile_disc(n_chars, 0.5) AS p50_chars
+        |  FROM documents)
+        |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+        |UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+        |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+        |UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a
+        |UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM a
+        |UNION ALL SELECT 'exact_dup_rate',
+        |  ROUND(1.0 - n_uniq / CAST(n_text AS DOUBLE), 6) FROM a
+        |UNION ALL SELECT 'null_text_rate',
+        |  ROUND((n_docs - n_text) / CAST(n_docs AS DOUBLE), 6) FROM a
+        |UNION ALL SELECT 'p50_chars', CAST(p50_chars AS DOUBLE) FROM a"""
+        .stripMargin,
 
     "q_top_paths" ->
       """WITH s AS (

@@ -154,6 +154,40 @@ object Profile {
     }
   }
 
+  /** Dataset card — the one-table summary a corpus release ships with
+    * (HuggingFace dataset-card numbers): doc/source/language counts,
+    * token and char totals, exact-duplicate rate, null-text rate, and
+    * the median length. ONE aggregate pass over one scan (the distinct
+    * counts ride the same Expand), stack-unpivoted to long format
+    * `(metric, value)` with every value a double. */
+  def datasetCard(df: DataFrame, textCol: String, sourceCol: String,
+      langCol: String, charsCol: String): DataFrame = {
+    val tok = graft.functions.TextFunctions.tokenCount(col(textCol))
+    val agg = df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"),
+      sum(tok.cast("long")).as("total_tokens"),
+      sum(col(charsCol).cast("long")).as("total_chars"),
+      count(col(textCol)).as("n_text"),
+      countDistinct(md5(col(textCol))).as("n_uniq"),
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $charsCol)")
+        .as("p50_chars"))
+    agg.select(expr(
+      """stack(8,
+        |  'n_docs', CAST(n_docs AS DOUBLE),
+        |  'n_sources', CAST(n_sources AS DOUBLE),
+        |  'n_langs', CAST(n_langs AS DOUBLE),
+        |  'total_tokens', CAST(total_tokens AS DOUBLE),
+        |  'total_chars', CAST(total_chars AS DOUBLE),
+        |  'exact_dup_rate',
+        |    ROUND(1.0 - n_uniq / CAST(n_text AS DOUBLE), 6),
+        |  'null_text_rate',
+        |    ROUND((n_docs - n_text) / CAST(n_docs AS DOUBLE), 6),
+        |  'p50_chars', CAST(p50_chars AS DOUBLE)
+        |) as (metric, value)""".stripMargin))
+  }
+
   /** DuckDB oracle for [[profile]] (exact-distinct flavor) over
     * `table`, given the same (column, kind) list — one UNION ALL arm
     * per metric, each arithmetic mirrored exactly. */

@@ -135,6 +135,26 @@ class ProfileSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.values.sum shouldBe 0L
   }
 
+  test("datasetCard: hand-computed metrics incl. dup and null rates") {
+    val df = Seq(
+      (1L, "hello world", "s1", "en", 11L),
+      (2L, "hello world", "s1", "en", 11L), // exact dup
+      (3L, "other text here", "s2", "de", 15L),
+      (4L, null.asInstanceOf[String], "s2", "de", 0L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val m = Profile.datasetCard(df, "text", "source", "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m("n_docs") shouldBe 4.0
+    m("n_sources") shouldBe 2.0
+    m("n_langs") shouldBe 2.0
+    m("total_tokens") shouldBe 7.0 // 2 + 2 + 3, null text skipped
+    m("total_chars") shouldBe 37.0
+    m("exact_dup_rate") shouldBe BigDecimal(1.0 - 2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    m("null_text_rate") shouldBe 0.25
+    m("p50_chars") shouldBe 11.0
+  }
+
   test("the static lineitem kind list matches the live Spark schema") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     SparkEntry.lineitemProfileCols.foreach { case (c, k) =>
