@@ -107,6 +107,15 @@ class AqePlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("AQE: jaro linkage keeps the length-ratio guard (rule survives re-opt)") {
+    withAqe {
+      val plan = finalPlanOf(SparkEntry.queries("q_jaro_pairs")(spark, dir))
+      assert(plan.contains("least(length") || plan.contains("least(char_length"),
+        s"length-ratio guard lost under AQE:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    }
+  }
+
   test("AQE: ship-priority star join keeps dims broadcast, fact unshuffled-for-join") {
     withAqe {
       val plan = finalPlanOf(SparkEntry.queries("q_ship_priority")(spark, dir))
