@@ -26,7 +26,17 @@ object Bench {
 
   /** Testable timing core: min-over-reps per query; a throwing query
     * yields -1.0 and an `errors` entry (the loss-proof contract —
-    * BenchLossProofSpec pins it with an injected failing query). */
+    * BenchLossProofSpec pins it with an injected failing query).
+    *
+    * FLAKY contract (precise, so the artifact can't contradict
+    * itself): the `errors` map records "an error was observed on >= 1
+    * rep"; the timing records the min over the reps that SUCCEEDED,
+    * or -1.0 when none did. A positive timing alongside an errors
+    * entry therefore means FLAKY — the warm timing is real, and the
+    * cold-run failure is still visible rather than silently absorbed
+    * (reporting such a query as simply failed would discard a valid
+    * measurement; reporting it as simply succeeded would hide the
+    * failure). */
   def timeQueries(spark: SparkSession, sfDir: String, names: Seq[String],
       reps: Int, queries: Map[String, (SparkSession, String) => DataFrame],
       errors: scala.collection.mutable.Map[String, String])

@@ -1089,8 +1089,13 @@ object SparkEntry {
 
     // text analysis: Flesch reading ease — map-only regexp_count
     // syllable/sentence approximation, identical RE semantics in SQL
+    // null texts filtered on BOTH sides (the oracle's WHERE text IS NOT
+    // NULL): the operator emits a null-metric row for them (a fact a
+    // pipeline may want), but the replay contract needs symmetry — the
+    // dpCounts null-key lesson applied before it can bite
     "q_readability" -> ((s, dir) =>
-      TextQuality.readability(docs(s, dir), "doc_id", "text")),
+      TextQuality.readability(
+        docs(s, dir).filter(col("text").isNotNull), "doc_id", "text")),
 
     // text analysis: Heaps-law vocabulary-growth coefficient per
     // source — ln(V)/ln(N), two aggregates over one tokenize pass

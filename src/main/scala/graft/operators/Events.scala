@@ -255,17 +255,23 @@ object Events {
           lit(0).cast("decimal(18,2)")).cast("double").as("monetary"))
       .withColumn("recency_days", floor(col("__rec_s") / 86400.0))
       .drop("__rec_s"))
-    def terciles(c: String, lo: String, hi: String) = broadcast(m.agg(
-      expr(s"percentile_disc(0.33333333) WITHIN GROUP (ORDER BY $c)")
-        .as(lo),
-      expr(s"percentile_disc(0.66666667) WITHIN GROUP (ORDER BY $c)")
-        .as(hi)))
+    // ONE aggregate computes all six thresholds (three separate
+    // tercile jobs would re-scan the metric frame and stack three
+    // broadcast joins — the operator's own oracle already used the
+    // single-agg form; self-review aligned the engine with it)
+    def q(c: String, p: String, as: String) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)").as(as)
+    val thresholds = broadcast(m.agg(
+      q("recency_days", "0.33333333", "__r1"),
+      q("recency_days", "0.66666667", "__r2"),
+      q("frequency", "0.33333333", "__f1"),
+      q("frequency", "0.66666667", "__f2"),
+      q("monetary", "0.33333333", "__m1"),
+      q("monetary", "0.66666667", "__m2")))
     def bin(c: String, lo: String, hi: String) =
       lit(1) + (col(c) > col(lo)).cast("int") +
         (col(c) > col(hi)).cast("int")
-    m.crossJoin(terciles("recency_days", "__r1", "__r2"))
-      .crossJoin(terciles("frequency", "__f1", "__f2"))
-      .crossJoin(terciles("monetary", "__m1", "__m2"))
+    m.crossJoin(thresholds)
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"),
         bin("recency_days", "__r1", "__r2").as("r_bin"),

@@ -403,10 +403,15 @@ object Graph {
     * all-degree-one graph (every ln is 0). */
   def degreePowerLaw(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
+    // self-loops are dropped: a loop symmetrizes to ONE row, making
+    // sum(deg) odd — the half-edge then truncates on one engine and
+    // rounds on another (cross-engine n_edges drift), and a loop is
+    // degenerate for a simple-graph degree distribution anyway
     val deg = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .groupBy("src").agg(count(lit(1)).as("deg"))
     deg.agg(

@@ -132,6 +132,15 @@ object Profile {
   def expectations(df: DataFrame, rules: Seq[(String, Column)],
       uniqueKey: Option[String] = None): DataFrame = {
     require(rules.nonEmpty || uniqueKey.nonEmpty, "no rules")
+    // rule names are data, not SQL: the stack() call below quotes the
+    // label (with '' escaping) and backticks the alias reference, so
+    // spaces/dashes/quotes in a human-readable rule label are legal;
+    // only backticks and newlines (unquotable in an identifier) are
+    // rejected up front
+    rules.foreach { case (name, _) =>
+      require(!name.contains("`") && !name.exists(_ < ' '),
+        s"rule name cannot contain backticks or control chars: '$name'")
+    }
     val viol = rules.map { case (name, pred) =>
       // NULL predicate result counts as a violation: an un-evaluable
       // expectation is a failed expectation, not a silent pass
@@ -139,9 +148,10 @@ object Profile {
         .as(s"__v_$name")
     }
     val base = df.agg(count(lit(1)).as("__total"), viol: _*)
+    def lab(n: String): String = "'" + n.replace("'", "''") + "'"
     val stacked = base.select(
       expr(s"stack(${rules.size}, " +
-        rules.map { case (n, _) => s"'$n', __v_$n" }.mkString(", ") +
+        rules.map { case (n, _) => s"${lab(n)}, `__v_$n`" }.mkString(", ") +
         ") as (rule, violations)"),
       col("__total").as("n_rows"))
     uniqueKey.fold(stacked) { k =>

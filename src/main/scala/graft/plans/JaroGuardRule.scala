@@ -24,8 +24,14 @@ import graft.functions.JaroWinklerExpr
   * consistent length measure, and both `Length` and the expression's
   * code-point arrays agree on ASCII and scale together on BMP text).
   *
-  * Null semantics unchanged (null length => null guard => null AND,
-  * same as the null similarity). Idempotent: a conjunction that
+  * Null semantics: the FILTER outcome is unchanged — with either side
+  * null the similarity conjunct is null, and `null AND x` drops the
+  * row exactly as before. Note the guard itself is NOT null in that
+  * case (Spark's Least/Greatest skip null inputs, so a one-sided null
+  * yields a non-null guard); the guard is sound only as an extra
+  * conjunct next to the similarity predicate, which is the only place
+  * this rule puts it — do not reuse [[guard]] standalone expecting
+  * three-valued-logic equivalence. Idempotent: a conjunction that
   * already carries the same guard is left alone, so AQE re-optimization
   * cannot stack guards.
   *

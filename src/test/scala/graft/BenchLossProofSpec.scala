@@ -31,6 +31,27 @@ class BenchLossProofSpec extends AnyFunSuite with Matchers with SparkSpec {
     errors("q_boom") should include("bench kaboom")
   }
 
+  test("flaky query (fails one rep, succeeds another): timing kept, error visible") {
+    var calls = 0
+    val flaky = Map[String,
+        (org.apache.spark.sql.SparkSession, String)
+          => org.apache.spark.sql.DataFrame](
+      "q_flaky" -> ((s, _) => {
+        calls += 1
+        if (calls == 1) throw new IllegalStateException("cold boom")
+        import s.implicits._
+        Seq(1L).toDF("v")
+      }))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = Bench.timeQueries(spark, "/unused", Seq("q_flaky"),
+      reps = 2, flaky, errors)
+    // the documented flaky contract: positive (warm) timing AND a
+    // visible error entry — neither the measurement nor the failure
+    // is discarded
+    results.toMap.apply("q_flaky") should be > 0.0
+    errors("q_flaky") should include("cold boom")
+  }
+
   test("renderJson: failures excluded from total, visible in queries+errors, valid JSON") {
     val all = Seq("q_ok" -> 1.5, "q_boom" -> -1.0, "q_ok2" -> 2.5)
     val errors = scala.collection.mutable.LinkedHashMap(
