@@ -1172,11 +1172,9 @@ object SparkEntry {
     // (longest text here; ties to smallest id) — the curation-correct
     // variant of min-id dedup
     "q_dedup_best_keeper" -> ((s, dir) =>
-      operators.Graph.dedupBySurvivor(
+      operators.Graph.survivorsFromLabels(
         docs(s, dir).withColumn("__len", length(col("text"))),
-        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.8),
-        "doc_id", "__len")
+        componentsFor(s, dir), "doc_id", "__len")
         .select(col("doc_id"), col("source"))),
 
     // packing-efficiency report per bucket: chunks, sequences, used
@@ -1254,9 +1252,7 @@ object SparkEntry {
     // pair graph, component sizes, then a size-bounded histogram (the
     // "is dedup mass a few mega-clusters or many pairs" question)
     "q_dup_cluster_sizes" -> ((s, dir) =>
-      operators.Graph.connectedComponents(
-        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.8))
+      componentsFor(s, dir)
         .groupBy("comp").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))),

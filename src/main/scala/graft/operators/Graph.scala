@@ -241,9 +241,18 @@ object Graph {
     * losers. Output: the surviving rows of `df`, original schema. */
   def dedupBySurvivor(df: DataFrame, pairs: DataFrame, idCol: String,
       scoreCol: String, aCol: String = "id_a", bCol: String = "id_b")
-      : DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
-    val scored = comp.join(
+      : DataFrame =
+    survivorsFromLabels(df, connectedComponents(pairs, aCol, bCol),
+      idCol, scoreCol)
+
+  /** [[dedupBySurvivor]] over an ALREADY-COMPUTED component labeling
+    * `(id, comp)` — the entry point when the labeling is shared across
+    * queries (or maintained incrementally via
+    * [[incrementalComponents]]), so the CC loop isn't re-run per
+    * consumer. */
+  def survivorsFromLabels(df: DataFrame, labels: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val scored = labels.join(
       df.select(col(idCol).cast("long").as("id"),
         col(scoreCol).as("__score")), "id")
     val w = Window.partitionBy("comp")
