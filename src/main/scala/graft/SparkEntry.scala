@@ -1307,7 +1307,7 @@ object SparkEntry {
     // pinned via q_token_pmi, geometry via WordVectorsSpec)
     "q_word_vectors" -> ((s, dir) =>
       operators.EmbedAlgebra.wordVectors(docs(s, dir), "text",
-        window = 2, dim = 8)),
+        window = 2, dim = 8, maxVocab = 512)),
 
     // format parity: the SAME per-source aggregate through a JSONL
     // write+read round-trip must equal the parquet-sourced oracle —
@@ -4829,7 +4829,7 @@ object SparkEntry {
         |    sum(w) OVER (PARTITION BY source) AS tot
         |  FROM p)
         |SELECT source, min(n_chars) AS wmedian,
-        |  CAST(min(tot) AS BIGINT) AS total_weight
+        |  CAST(min(tot) AS DOUBLE) AS total_weight
         |FROM c WHERE cum >= tot / 2.0 GROUP BY source""".stripMargin,
 
     // the reflection identity in SQL: prefix sum + running min of the

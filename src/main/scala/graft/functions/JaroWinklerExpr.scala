@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * either side empty -> 0.0; match window `max(|a|,|b|)/2 - 1`
   * (floored at 0); the Winkler prefix boost (scale 0.1, prefix capped
   * at 4) applies only when the Jaro core exceeds the classic 0.7
-  * boost threshold. Computed over Unicode code points. */
+  * boost threshold. Computed over UTF-8 BYTES (DuckDB's convention,
+  * pinned pair-for-pair by the 20k randomized parity probe in
+  * JaroParitySpec; for ASCII, bytes and code points coincide). */
 case class JaroWinklerExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -57,12 +59,27 @@ object JaroWinklerExpr {
   /** Codegen entry point (static forwarder on the companion class, so
     * generated Java can call it directly). */
   def jaroWinklerUTF8(a: UTF8String, b: UTF8String): Double =
-    jaroWinkler(a.toString, b.toString)
+    jaroWinklerBytes(a.getBytes, b.getBytes)
 
-  /** Reference implementation (shared by eval and specs). */
-  def jaroWinkler(a: String, b: String): Double = {
-    val ca = a.codePoints().toArray
-    val cb = b.codePoints().toArray
+  /** Spec/driver entry point: scores the UTF-8 encoding of the two
+    * strings (see the byte-convention note on [[jaroWinklerBytes]]). */
+  def jaroWinkler(a: String, b: String): Double =
+    jaroWinklerBytes(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Reference implementation (shared by eval, codegen, and specs).
+    *
+    * BYTE convention: the similarity is computed over the UTF-8 BYTES
+    * of each string — DuckDB's `jaro_winkler_similarity` convention,
+    * verified pair-for-pair by the 20k-random-pair parity probe
+    * (JaroParitySpec / `tools/gen_jaro_parity_fixture.py`), which is
+    * what caught the divergence: a code-point kernel scores
+    * ("😀a", "a😀") at 0.0 (window 0 at length 2)
+    * while DuckDB's byte kernel scores the 5-byte encodings at 0.8667.
+    * For ASCII input bytes and code points coincide. Operating on
+    * bytes also means the hot path never materializes a String from
+    * the UTF8String — the codegen'd call works on the raw buffer. */
+  def jaroWinklerBytes(ca: Array[Byte], cb: Array[Byte]): Double = {
     val la = ca.length
     val lb = cb.length
     if (la == 0 || lb == 0) return 0.0

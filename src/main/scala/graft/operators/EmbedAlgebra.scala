@@ -143,7 +143,7 @@ object EmbedAlgebra {
     * cross-engine-pinned through `q_token_pmi`, and WordVectorsSpec
     * pins topic-cluster geometry + determinism. */
   def wordVectors(docs: DataFrame, textCol: String, window: Int = 2,
-      dim: Int = 16, maxVocab: Int = 512,
+      dim: Int = 16, maxVocab: Int = 2048,
       minCount: Long = 0L): DataFrame = {
     require(window >= 1, s"bad window: $window")
     require(dim >= 1, s"bad dim: $dim")
@@ -151,8 +151,8 @@ object EmbedAlgebra {
     // maxVocab^2 tuples), the dense maxVocab x maxVocab PPMI matrix,
     // and an O(maxVocab^3) eigSym all live on the driver — that is the
     // count-based factorization's nature, not an accident. The default
-    // (512 -> ~260k pairs, ~2 MB matrix, sub-second eig) keeps a dense
-    // corpus comfortable; the hard cap below stops a parameter from
+    // (2048, the original contract -> ~4M pairs, ~32 MB matrix,
+    // seconds-scale eig) stays; the hard cap below stops a parameter from
     // silently inviting a multi-GB collect + minutes-long eig (4096^2
     // pairs ~ 1.3 GB of boxed tuples). Callers needing a larger
     // vocabulary should train in shards or use the hashed features

@@ -148,13 +148,20 @@ object Stats {
     // arbitrary intra-tie row order
     val ordered = byG.orderBy(col(valCol))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // Decimal accumulation: exact for fractional weights (to 9dp) and
+    // order-independent, so the half-total threshold and the reported
+    // total agree bit-for-bit with any engine's exact sum — a double
+    // running sum would be summation-order-sensitive, a long cast
+    // would silently truncate fractional weights.
     pos
-      .withColumn("__cum", sum(col(wCol).cast("long")).over(ordered))
-      .withColumn("__tot", sum(col(wCol).cast("long")).over(byG))
+      .withColumn("__cum",
+        sum(col(wCol).cast("decimal(38,9)")).over(ordered))
+      .withColumn("__tot",
+        sum(col(wCol).cast("decimal(38,9)")).over(byG))
       .filter(col("__cum") >= col("__tot") / 2.0)
       .groupBy(groupCol)
       .agg(min(col(valCol)).as("wmedian"),
-        min(col("__tot")).as("total_weight"))
+        min(col("__tot")).cast("double").as("total_weight"))
   }
 
   /** One-sided CUSUM drift detector over an ordered per-group series —
@@ -173,7 +180,7 @@ object Stats {
       xCol: String, slack: Double = 0.0, threshold: Double = 3.0)
       : DataFrame = {
     val stats = df.groupBy(groupCol).agg(
-      (sum(col(xCol).cast("long")) /
+      (sum(col(xCol).cast("double")) /
         count(lit(1)).cast("double")).as("__mean"),
       stddev_pop(col(xCol).cast("double")).as("__sd"))
     val w = Window.partitionBy(groupCol).orderBy(col(tCol))

@@ -19,10 +19,12 @@ import graft.functions.JaroWinklerExpr
   * core is at most `(m/|a| + m/|b| + 1) / 3` with `m <= min(|a|,|b|)`,
   * which yields `min/max >= 3x - 2 = 5t - 4`. For t <= 0.8 the bound
   * is vacuous and the rule leaves the predicate alone. Lengths are
-  * code-unit lengths (an upper bound on code points on both sides of
-  * the inequality is not needed — the ratio bound holds for any
-  * consistent length measure, and both `Length` and the expression's
-  * code-point arrays agree on ASCII and scale together on BMP text).
+  * BYTE lengths (`octet_length`) because the kernel itself computes
+  * over UTF-8 bytes (the DuckDB convention, see JaroWinklerExpr): the
+  * derivation needs |a|, |b| in the SAME measure the similarity uses,
+  * and a character-length ratio does NOT bound the byte-length ratio
+  * (10 ASCII chars vs 4 CJK chars is char-ratio 0.4 but byte-ratio
+  * 10/12) — a char-length guard could prune a qualifying pair.
   *
   * Null semantics: the FILTER outcome is unchanged — with either side
   * null the similarity conjunct is null, and `null AND x` drops the
@@ -57,9 +59,9 @@ object JaroGuardRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def guard(a: Expression, b: Expression, t: Double): Expression =
     GreaterThanOrEqual(
-      Cast(Least(Seq(Length(a), Length(b))), DoubleType),
+      Cast(Least(Seq(OctetLength(a), OctetLength(b))), DoubleType),
       Multiply(Literal(5.0 * t - 4.0, DoubleType),
-        Cast(Greatest(Seq(Length(a), Length(b))), DoubleType)))
+        Cast(Greatest(Seq(OctetLength(a), OctetLength(b))), DoubleType)))
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>

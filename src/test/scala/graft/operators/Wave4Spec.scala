@@ -19,7 +19,17 @@ class Wave4Spec extends AnyFunSuite with Matchers with SparkSpec {
       ("g", 4L, 10L)).toDF("g", "v", "w")
     val r = Stats.weightedMedian(df, "g", "v", "w").collect().head
     r.getAs[Long]("wmedian") shouldBe 4L
-    r.getAs[Long]("total_weight") shouldBe 13L
+    r.getAs[Double]("total_weight") shouldBe 13.0
+  }
+
+  test("weightedMedian: fractional weights are accumulated, not truncated") {
+    // every weight < 1 would truncate to 0 under an integer cast; the
+    // mass sits on value 7 -> weighted median 7, total 1.2
+    val df = Seq(("g", 1L, 0.2), ("g", 2L, 0.2), ("g", 7L, 0.8))
+      .toDF("g", "v", "w")
+    val r = Stats.weightedMedian(df, "g", "v", "w").collect().head
+    r.getAs[Long]("wmedian") shouldBe 7L
+    r.getAs[Double]("total_weight") shouldBe 1.2 +- 1e-9
   }
 
   test("weightedMedian: value ties accumulate together; zero weights excluded") {
@@ -29,7 +39,28 @@ class Wave4Spec extends AnyFunSuite with Matchers with SparkSpec {
       ("g", 9L, 0L)).toDF("g", "v", "w")
     val r = Stats.weightedMedian(df, "g", "v", "w").collect().head
     r.getAs[Long]("wmedian") shouldBe 2L
-    r.getAs[Long]("total_weight") shouldBe 10L
+    r.getAs[Double]("total_weight") shouldBe 10.0
+  }
+
+  test("cusumShift: non-integral series centers on the true double mean") {
+    // means like 1.25 would truncate to 1 under an integer-cast sum;
+    // replay the recursion with the exact double mean and match
+    val xs = Seq(1.0, 1.5, 1.25, 1.25, 4.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("g", "t", "x")
+    val got = Stats.cusumShift(df, "g", "t", "x", slack = 0.0,
+        threshold = 1.0).collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Double]("cusum")).toMap
+    val n = xs.length
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+    var s = 0.0
+    val ref = xs.zipWithIndex.map { case (x, i) =>
+      s = math.max(0.0, s + (x - mean) / sd)
+      i.toLong -> BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    got shouldBe ref
   }
 
   test("cusumShift: replays the textbook recursion exactly") {
