@@ -366,9 +366,13 @@ object SparkEntry {
     }),
 
     // §2.7 covariate (xfmla) doubly-robust run via the distributed
-    // Gram/moment path (DistributedRc) — customer balance as covariate;
-    // rows-only (IRLS is not SQL-expressible; parity is pinned by
-    // DistributedRcSpec against the Breeze collect path)
+    // Gram/moment path (DistributedRc) — customer balance as covariate.
+    // Oracle-gated via the independent-fixture pattern (IRLS is not
+    // ANSI SQL): scripts/gen_attgt_cov_fixture.py fits the same
+    // published Sant'Anna-Zhao estimator in numpy and the oracle joins
+    // its committed (att, se) rows by a SQL-replayed input fingerprint;
+    // DistributedRcSpec additionally pins 1e-8 parity vs the Breeze
+    // collect path
     "q_att_gt_cov" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("id"),
@@ -2879,6 +2883,30 @@ object SparkEntry {
         |       header = true,
         |       columns = {'input_fp': 'VARCHAR', 'w': 'DOUBLE',
         |                  'pval': 'DOUBLE', 'df': 'BIGINT'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin),
+
+    // fixture join (the covariate propensity/outcome fits are IRLS +
+    // matrix algebra, not ANSI SQL): (g, t, att, se) per cell
+    // precomputed by an INDEPENDENT numpy implementation of the
+    // Sant'Anna-Zhao locally efficient DR RC estimator
+    // (scripts/gen_attgt_cov_fixture.py — Newton MLE to 1e-12 + the
+    // published IF formulas), keyed by a fingerprint the SQL replays
+    // from the raw panel + covariate rows. The px/fp CTE text below
+    // MUST stay identical to FP_SQL in the generator script.
+    "q_att_gt_cov" -> withPanelCte(
+      s""", px AS (
+        |  SELECT p.id, p.t, p.g, p.y, c.c_acctbal / 1000.0 AS x1
+        |  FROM panel p JOIN customer c ON c.c_custkey = p.id),
+        |fp AS (SELECT md5(string_agg(
+        |  id || ',' || t || ',' || g || ',' || ROUND(y, 2) || ','
+        |     || ROUND(x1, 9), ';' ORDER BY id, t)) AS fp FROM px)
+        |SELECT f.g, f.t, f.att, f.se
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/attgt_cov.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'g': 'DOUBLE',
+        |                  't': 'DOUBLE', 'att': 'DOUBLE',
+        |                  'se': 'DOUBLE'}) f, fp
         |WHERE f.input_fp = fp.fp""".stripMargin),
 
     // plot_attgt frame: att from the 2x2 cell means (k CTE carries the

@@ -55,14 +55,17 @@ private[did] object DistributedRc {
   // ---------------------------------------------------------------------
 
   /** IRLS stops when the just-APPLIED Newton step is below this. Newton
-    * is quadratically convergent here, so a step of size s means the
-    * remaining error is O(s^2): stopping at 1e-7 leaves gamma within
-    * ~1e-14 of the MLE — far inside the 1e-8 parity bar — and typically
-    * saves one full scan versus 1e-10 (measured: the 1e-10 run's extra
-    * pass produced steps of 1e-16..1e-18, pure noise). Must match
-    * [[CellEstimators.logisticIrls]]'s default so the distributed and
-    * collect paths run identical iterates. */
-  private[did] val IrlsTol = 1e-7
+    * is quadratically convergent here, so the step criterion overshoots:
+    * 1e-10 lands gamma at machine precision (the final pass's steps
+    * measure 1e-16..1e-18). It costs one scan versus the earlier 1e-7,
+    * but the tight stop is what lets `q_att_gt_cov`'s analytic SE be
+    * pinned at 6dp against the INDEPENDENT numpy fixture
+    * (scripts/gen_attgt_cov_fixture.py): high-leverage odds weights
+    * amplify residual gamma error ~1e-14 into ~5e-5 absolute SE wiggle
+    * at 1e-7, which straddled the 6dp round on 3 of 54 fixture cells.
+    * Must match [[CellEstimators.logisticIrls]]'s default so the
+    * distributed and collect paths run identical iterates. */
+  private[did] val IrlsTol = 1e-10
 
   def fit(pp: PreprocessedPanel, cells: Vector[CellDef], estMethod: String,
       lf0: DataFrame)
