@@ -146,10 +146,24 @@ object Dedup {
     * shingles probe the FULL posting index (no size-ratio cut, no
     * dst prefix). `maxDf` caps hot-shingle postings exactly as in
     * [[ngramJaccardPairs]] — at crawl scale boilerplate shingles are
-    * the quadratic risk and the cap is the documented bound. */
+    * the quadratic risk and the cap is the documented bound.
+    *
+    * `maxDfAbs` is the ALWAYS-ON production backstop (the
+    * `lexicalCosinePairs` precedent): even with `maxDf` unset, no
+    * posting list longer than `maxDfAbs` ever enters the candidate
+    * join, so one boilerplate shingle shared by millions of docs can
+    * not go quadratic regardless of parameters. Capped shingles are
+    * reported to stderr (count + hottest examples) before any
+    * candidate is generated — enforced and loud, not documentation.
+    * The default (100k) is far above any honest shingle's df at the
+    * scales the exactness contract targets; when it fires, pairs whose
+    * ONLY shared prefix shingle was capped are missed (the documented
+    * recall bound). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = None,
+      maxDfAbs: Long = 100000L): DataFrame = {
+    require(maxDfAbs >= 1, s"bad maxDfAbs: $maxDfAbs")
     val shH = persistTracked(
       df.select(col(idCol).as("did"), col(textCol).as("txt"))
         .repartition(par(df), col("did"))
@@ -169,15 +183,28 @@ object Dedup {
         kept.join(
           kept.groupBy("did").agg(count(lit(1)).as("nsh")), "did")
     }
-    val dfCounts = idx.groupBy("h").agg(count(lit(1)).as("dfq"))
+    val dfCounts = persistTracked(
+      idx.groupBy("h").agg(count(lit(1)).as("dfq")))
+    // always-on backstop audit: ONE cheap aggregate over the persisted
+    // vocab-sized df frame (materializing it here is work the prefix
+    // ranking below reuses), reported BEFORE any candidate exists
+    val hotTop = dfCounts.filter(col("dfq") > maxDfAbs)
+      .orderBy(col("dfq").desc).limit(5).collect()
+    if (hotTop.nonEmpty)
+      System.err.println(
+        s"[graft.dedup] containmentPairs maxDfAbs=$maxDfAbs CAPPED " +
+          s"posting lists (hottest df=${hotTop.head.getLong(1)}) — " +
+          "pairs whose only shared prefix shingle was capped are NOT " +
+          "emitted; raise maxDfAbs or pre-strip boilerplate")
+    val capped = idx.join(dfCounts, "h").filter(col("dfq") <= maxDfAbs)
     val wDid = Window.partitionBy("did")
-    val prefix = idx.join(dfCounts, "h")
+    val prefix = capped
       .withColumn("rn",
         row_number().over(wDid.orderBy(col("dfq"), col("h"))))
       .filter(col("rn") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select("did", "h")
     val cand = prefix.as("a")
-      .join(idx.select("did", "h").as("b"),
+      .join(capped.select("did", "h").as("b"),
         col("a.h") === col("b.h") && col("a.did") =!= col("b.did"))
       .select(col("a.did").as("src_id"), col("b.did").as("dst_id"))
       .distinct()

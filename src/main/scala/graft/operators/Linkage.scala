@@ -14,6 +14,44 @@ import org.apache.spark.sql.functions._
   * cartesian. Levenshtein itself is Spark's codegen'd built-in. */
 object Linkage {
 
+  /** Production block-size cap (overridable per call): the pair join is
+    * O(block²), so ONE pathological block — an empty-string key, a
+    * stop-word surname, a crawl artifact — is the whole operator's
+    * 100 TB risk regardless of how well the key fits typical data. The
+    * cap keeps each block's top `maxBlock` names by occurrence count
+    * (ties by name — deterministic), so the quadratic term is bounded
+    * by maxBlock² per block no matter what the key does. */
+  val DefaultMaxBlock = 10000
+
+  /** Capped, vocabulary-sized name frame shared by both pair scorers.
+    * Truncation is ENFORCED and LOUD: overflowing blocks are detected
+    * with one cheap aggregate over the (persisted, vocab-sized) name
+    * frame and reported to stderr with the dropped-name count before
+    * any pair is emitted. */
+  private def cappedNames(df: DataFrame, nameCol: String,
+      block: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxBlock: Int): DataFrame = {
+    require(maxBlock >= 2, s"bad maxBlock: $maxBlock")
+    val names = TrackedCaches.persist(
+      df.groupBy(col(nameCol).as("name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("blk", block(col("name")))
+        .withColumn("brank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("blk")
+            .orderBy(col("n").desc, col("name")))))
+    val over = names.filter(col("brank") > maxBlock)
+      .groupBy("blk").agg(count(lit(1)).as("dropped"))
+      .orderBy(col("dropped").desc).limit(5).collect()
+    if (over.nonEmpty)
+      System.err.println(
+        s"[graft.linkage] block cap $maxBlock TRUNCATED " +
+          over.map(r => s"'${r.get(0)}' (-${r.getLong(1)} names)")
+            .mkString(", ") +
+          " — pairs within the dropped tail are NOT emitted; raise " +
+          "maxBlock or choose a finer blocking key")
+    names.filter(col("brank") <= maxBlock).drop("brank")
+  }
+
   /** All distinct-value pairs of `nameCol` within `maxDist` edit
     * distance that share a blocking key (default: the value's last
     * whitespace token — for "adjective noun"-shaped names the noun is
@@ -25,14 +63,16 @@ object Linkage {
     *
     * The block is part of the operator CONTRACT (pairs in different
     * blocks are never emitted), which is what makes the result exactly
-    * SQL-replayable rather than heuristically recall-bounded. */
+    * SQL-replayable rather than heuristically recall-bounded. Blocks
+    * larger than `maxBlock` are truncated to their `maxBlock` most
+    * frequent names with a loud stderr report (see [[DefaultMaxBlock]]
+    * — the enforced quadratic bound). */
   def fuzzyNamePairs(df: DataFrame, nameCol: String, maxDist: Int = 2,
       block: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => element_at(split(c, " "), -1)): DataFrame = {
+        c => element_at(split(c, " "), -1),
+      maxBlock: Int = DefaultMaxBlock): DataFrame = {
     require(maxDist >= 1, s"bad maxDist: $maxDist")
-    val names = df.groupBy(col(nameCol).as("name"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("blk", block(col("name")))
+    val names = cappedNames(df, nameCol, block, maxBlock)
     val a = names.select(col("name").as("name1"), col("n").as("n1"),
       col("blk"))
     val b = names.select(col("name").as("name2"), col("n").as("n2"),
@@ -53,14 +93,16 @@ object Linkage {
     * [[graft.functions.JaroWinklerExpr]], convention-pinned to DuckDB's
     * built-in so the pair set replays cross-engine EXACTLY. Filter on
     * the 6dp-ROUNDED score so the threshold can't flap on a last-ulp
-    * engine difference. */
+    * engine difference. Blocks larger than `maxBlock` are truncated to
+    * their `maxBlock` most frequent names with a loud stderr report
+    * (see [[DefaultMaxBlock]] — the enforced quadratic bound; this is
+    * the r7 verdict's output-growth adjudication made code). */
   def jaroNamePairs(df: DataFrame, nameCol: String, minSim: Double = 0.9,
       block: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => element_at(split(c, " "), -1)): DataFrame = {
+        c => element_at(split(c, " "), -1),
+      maxBlock: Int = DefaultMaxBlock): DataFrame = {
     require(minSim > 0 && minSim <= 1, s"bad minSim: $minSim")
-    val names = df.groupBy(col(nameCol).as("name"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("blk", block(col("name")))
+    val names = cappedNames(df, nameCol, block, maxBlock)
     val a = names.select(col("name").as("name1"), col("n").as("n1"),
       col("blk"))
     val b = names.select(col("name").as("name2"), col("n").as("n2"),
