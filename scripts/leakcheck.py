@@ -67,15 +67,19 @@ for f in files:
 
 sha = subprocess.check_output(
     ['git', 'rev-parse', 'HEAD']).decode().strip()
-out = {
-    'round': 7,
+provenance = {
     'scanned_commit': sha,
     'scan_timestamp_utc': datetime.datetime.now(datetime.timezone.utc)
         .isoformat(timespec='seconds'),
     'files_scanned': len(files),
     'n_hits': sum(len(v) for v in hits.values()),
-    'hits': hits,
 }
+out = {'round': 8, **provenance, 'hits': hits}
 json.dump(out, open('LEAKCHECK.json', 'w'), indent=2)
+# Regeneration-proof provenance (r7 verdict #3): the driver's own
+# post-close scanner overwrites LEAKCHECK.json WITHOUT the stamps, so
+# the stamps also live in a sidecar no other tool touches — the
+# post-driver working tree stays provenanced either way.
+json.dump(provenance, open('LEAKCHECK_PROVENANCE.json', 'w'), indent=2)
 print(json.dumps({k: len(v) for k, v in hits.items()}),
       'files', len(files))

@@ -82,6 +82,25 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
   }
 
+  /** Compact self-contained summary line, guaranteed to fit whole
+    * inside the driver's ~2000-char stdout tail window (the full line
+    * is ~6 KB at 190+ queries and has never parsed from the tail —
+    * BENCH_r07.json carried `parsed: null`). Emitted LAST so a
+    * last-line / tail JSON parse finds a COMPLETE object: headline
+    * total, query/error counts, the slowest queries, and an explicit
+    * pointer to `bench_out.json`, which holds the full per-query map.
+    * A reader of the round artifact alone now sees the headline +
+    * where the full map lives (r7 verdict "What's wrong" #1). */
+  def renderCompact(all: Seq[(String, Double)],
+      errors: collection.Map[String, String], sfDir: String): String = {
+    val total = all.collect { case (_, v) if v >= 0 => v }.sum
+    def f3(v: Double): String = f"$v%.3f"
+    val slowest = all.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_errors":${errors.size},"slowest":$slowest,"full_map":"bench_out.json"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -149,6 +168,9 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    // LAST stdout line: the compact summary that actually fits the
+    // tail window, so the round artifact's own parse can succeed
+    println(renderCompact(all, errors, sfDir))
     if (errors.nonEmpty)
       System.err.println(
         s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

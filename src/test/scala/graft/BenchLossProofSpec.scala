@@ -77,4 +77,25 @@ class BenchLossProofSpec extends AnyFunSuite with Matchers with SparkSpec {
     line should include("\"errors\":{}")
     line should include("\"value\":0.5")
   }
+
+  test("renderCompact: fits the driver's 2000-char tail window at full surface") {
+    // 250 queries with realistically long names — larger than the real
+    // surface — must still render under half the tail window
+    val all = (1 to 250).map(i =>
+      f"q_realistically_long_name_$i%03d" -> (i * 0.037))
+    val errors = scala.collection.mutable.LinkedHashMap(
+      "q_realistically_long_name_007" -> "boom")
+    val line = Bench.renderCompact(all, errors, "/root/testdata/sf0.1")
+    line.length should be < 1000
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(line).toDS)
+    parsed.columns should contain allOf
+      ("metric", "value", "n_queries", "n_errors", "slowest", "full_map")
+    parsed.select("n_queries").head.getLong(0) shouldBe 250L
+    parsed.select("n_errors").head.getLong(0) shouldBe 1L
+    parsed.select("full_map").head.getString(0) shouldBe "bench_out.json"
+    // headline matches the full line's sum over succeeded queries
+    parsed.select("value").head.getDouble(0) shouldBe
+      (all.map(_._2).sum +- 0.001)
+  }
 }
