@@ -58,10 +58,23 @@ object PreTest {
     * the reference's bootstrap degenerate-dim drop
     * (`/root/reference/csdids/mboot.py:121`).
     */
+  /** Fail-fast bound on the driver-side pre-cell system (SURVEY §7.4:
+    * "if |tlist|·|glist| explodes, fail fast"): the Wald path holds a
+    * dense K_pre² covariance and pays a K_pre³ solve ON THE DRIVER.
+    * 5000 pre-cells = 200 MB dense + ~10¹¹ flops — past that the right
+    * fix is a coarser grid, not a bigger driver. The GridRehearsal
+    * exponents (≤0.10 in K at 10.8× growth) cover the sane regime;
+    * this guard covers the insane one. */
+  private val MaxPreCells = 5000
+
   def wald(f: AttGtFit): WaldResult = {
     val pre = f.cells
       .filter(c => !c.zeroCell && !f.skipped(c.idx) && c.tn < c.g)
     require(pre.nonEmpty, "no pre-treatment cells to test")
+    require(pre.length <= MaxPreCells,
+      s"${pre.length} pre-treatment cells: the Wald pre-test inverts a " +
+        s"dense K_pre x K_pre covariance driver-side (cap $MaxPreCells). " +
+        "Coarsen the time grain or test a cohort subset.")
     val idx = pre.map(_.idx)
     val pos = idx.zipWithIndex.toMap
     val k = idx.length
