@@ -1335,8 +1335,11 @@ object SparkEntry {
     // embeddings: PMI-SVD word vectors trained FROM the corpus
     // (count-based skip-gram approximation) — array-local windowed
     // co-occurrence, one symmetric hash agg, vocab-bounded driver
-    // eigSym; rows-only BY DESIGN (eigen is not ANSI SQL; PMI inputs
-    // pinned via q_token_pmi, geometry via WordVectorsSpec)
+    // eigSym. Oracle-gated via the independent-fixture pattern (eigen
+    // is not ANSI SQL): the fingerprint keys on the EXACT integer pair
+    // counts replayed by the q_token_pmi tokenization chain, and numpy
+    // eigh reproduces the factorization (gen_eigen_fixtures.py);
+    // geometry additionally pinned by WordVectorsSpec
     "q_word_vectors" -> ((s, dir) =>
       operators.EmbedAlgebra.wordVectors(docs(s, dir), "text",
         window = 2, dim = 8, maxVocab = 512)),
@@ -2053,10 +2056,12 @@ object SparkEntry {
       operators.EmbedAlgebra.randomProject(emb(s, dir), k = 16)),
 
     // embeddings: top-8 PCA of the population covariance — one
-    // dimension-bounded corpus pass + driver-side 64x64 eigSym;
-    // rows-only by design (eigen is not ANSI-expressible; the input
-    // covariance is oracle-pinned through q_embed_gram, the eigen step
-    // by EmbedAlgebraSpec parity/orthonormality/reconstruction)
+    // dimension-bounded corpus pass + driver-side 64x64 eigSym.
+    // Oracle-gated via the independent-fixture pattern (eigen is not
+    // ANSI SQL): scripts/gen_eigen_fixtures.py reproduces the spectrum
+    // with numpy eigh and the oracle joins its rows by a SQL-replayed
+    // moment fingerprint; EmbedAlgebraSpec additionally pins
+    // orthonormality/reconstruction in-engine
     "q_embed_pca" -> ((s, dir) =>
       operators.EmbedAlgebra.pca(emb(s, dir), k = 8)),
 
@@ -3852,6 +3857,75 @@ object SparkEntry {
         |FROM embeddings, range(64) r1(i), range(64) r2(j)
         |WHERE j >= i
         |GROUP BY i, j""".stripMargin,
+
+    // fixture join (eigendecomposition is not ANSI SQL): top-8 PCA
+    // components precomputed by an INDEPENDENT numpy implementation
+    // (scripts/gen_eigen_fixtures.py — same moment construction, eigh
+    // instead of Breeze eigSym, engine sign convention), keyed by a
+    // fingerprint over the rounded moment tables the SQL replays from
+    // the raw embeddings. The ss/gg/nn/fp CTE text below MUST stay
+    // identical to PCA_FP_SQL in the generator script.
+    "q_embed_pca" ->
+      s"""WITH ss AS (
+        |  SELECT i, ROUND(SUM(CAST(embedding[i + 1] AS DOUBLE)), 3) AS s
+        |  FROM embeddings, range(64) r(i)
+        |  WHERE embedding IS NOT NULL GROUP BY i),
+        |gg AS (
+        |  SELECT i, j, ROUND(SUM(CAST(embedding[i + 1] AS DOUBLE) *
+        |                         CAST(embedding[j + 1] AS DOUBLE)), 3) AS g
+        |  FROM embeddings, range(64) r1(i), range(64) r2(j)
+        |  WHERE j >= i AND embedding IS NOT NULL GROUP BY i, j),
+        |nn AS (SELECT COUNT(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+        |fp AS (SELECT md5((SELECT n FROM nn) || '|' ||
+        |  (SELECT string_agg(i || ':' || s, ';' ORDER BY i) FROM ss) || '|' ||
+        |  (SELECT string_agg(i || ',' || j || ':' || g, ';' ORDER BY i, j)
+        |   FROM gg)) AS fp)
+        |SELECT f.component, f.eigenvalue, f.evr, f.pos, f.loading
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/embed_pca.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'component': 'INT',
+        |                  'eigenvalue': 'DOUBLE', 'evr': 'DOUBLE',
+        |                  'pos': 'INT', 'loading': 'DOUBLE'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin,
+
+    // fixture join (eigendecomposition is not ANSI SQL): PPMI word
+    // vectors precomputed by the INDEPENDENT numpy implementation in
+    // scripts/gen_eigen_fixtures.py, keyed by a fingerprint over the
+    // EXACT integer windowed pair counts — which the SQL replays via
+    // the same tokenization chain the hash-green q_token_pmi pins.
+    // The d/dd/toks/vocab/rawp/pc/fp CTE text below MUST stay
+    // identical to WV_PAIRS_SQL in the generator script.
+    "q_word_vectors" ->
+      s"""WITH d AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |dd AS (SELECT t FROM d WHERE len(t) > 0),
+        |toks AS (SELECT unnest(t) AS w FROM dd),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM toks WHERE len(w) > 0 GROUP BY w)
+        |  ORDER BY c DESC, w ASC LIMIT 512),
+        |rawp AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS wa, unnest(t[2:len(t)]) AS wb
+        |  FROM dd WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT unnest(t[1:len(t)-2]) AS wa, unnest(t[3:len(t)]) AS wb
+        |  FROM dd WHERE len(t) >= 3),
+        |pc AS (
+        |  SELECT wa, wb, count(*) AS c FROM rawp
+        |  JOIN vocab va ON va.w = rawp.wa
+        |  JOIN vocab vb ON vb.w = rawp.wb
+        |  GROUP BY wa, wb),
+        |fp AS (SELECT md5(string_agg(wa || ',' || wb || ':' || c, ';'
+        |  ORDER BY wa, wb)) AS fp FROM pc)
+        |SELECT f.tok, f.comp, f.value
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/word_vectors.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'tok': 'VARCHAR',
+        |                  'comp': 'INT', 'value': 'DOUBLE'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin,
 
     // the +-1 matrix is a pure function of md5("rp|i|j") first-hex-digit
     // parity — identical on both engines; /sqrt(16) and 6dp as in the
