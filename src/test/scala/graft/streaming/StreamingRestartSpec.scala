@@ -133,4 +133,66 @@ class StreamingRestartSpec extends AnyFunSuite with Matchers
       s.sum_value shouldBe 6.00
     } finally q2.stop()
   }
+
+  test("mergeSnapshotSink: versions + exactly-once survive a restart") {
+    // the r7 verdict's ask: funnelStateful had kill-and-resume
+    // coverage, the MERGE sink's exactly-once claim did not. Kill the
+    // stream after batch 0 commits, resume from the SAME checkpoint,
+    // deliver batch 1 — it must version on top of the pre-kill
+    // snapshot (batchIds continue, v=1 reads v=0), the final snapshot
+    // must equal the one-shot sequential MERGE, and replaying EITHER
+    // batch across the restart boundary must rebuild its version
+    // byte-identically without touching later versions.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-merge-ckpt").toString
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-merge-work").toString
+    val base = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamingOps.mergeSnapshotSink(
+        mem.toDF().toDF("doc_id", "text"), base, work, "doc_id", "text")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // ---- run 1: batch 0 (update doc 2) commits, then KILL
+    val q1 = start()
+    try {
+      mem.addData((2L, "two v2"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // ---- run 2: resume; batch 1 must build on the pre-kill v=0
+    val q2 = start()
+    try {
+      mem.addData((3L, "three"), (2L, "two v3"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    def snap(v: Long): Map[Long, String] =
+      spark.read.parquet(s"$work/v=$v")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    snap(0L) shouldBe Map(1L -> "one", 2L -> "two v2")
+    val v1 = Map(1L -> "one", 2L -> "two v3", 3L -> "three")
+    snap(1L) shouldBe v1
+    // one-shot oracle: the same upserts folded sequentially in batch
+    val oracle = StreamingOps.mergeBatch(
+      StreamingOps.mergeBatch(base,
+        Seq((2L, "two v2")).toDF("doc_id", "text"), "doc_id", "text"),
+      Seq((3L, "three"), (2L, "two v3")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    snap(1L) shouldBe oracle
+    // at-least-once replays across the restart boundary: batch 1 again
+    // (post-restart redelivery), then batch 0 again (pre-kill batch
+    // redelivered after later versions exist) — each rebuilds ITS
+    // version identically; v=1 still reads v=0, never itself
+    StreamingOps.mergeSnapshotBatch(base, work, "doc_id", "text")(
+      Seq((3L, "three"), (2L, "two v3")).toDF("doc_id", "text"), 1L)
+    snap(1L) shouldBe v1
+    StreamingOps.mergeSnapshotBatch(base, work, "doc_id", "text")(
+      Seq((2L, "two v2")).toDF("doc_id", "text"), 0L)
+    snap(0L) shouldBe Map(1L -> "one", 2L -> "two v2")
+    snap(1L) shouldBe v1
+  }
 }
