@@ -546,6 +546,27 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.kCore(pairs, k = 2).count()
         },
+        timed("ktruss") {
+          // edge peeling: wedge-bounded triangle enumeration per round
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          Graph.kTruss(pairs, k = 3).count()
+        },
+        timed("stickiness") {
+          // one distinct (day,user) reduction + 28x-bounded range join
+          graft.operators.Events.stickiness(evs, windowDays = 28).count()
+        },
+        timed("incr_group_stats") {
+          // maintenance identity: signed delta contributions, base
+          // touched only by the delta-id semi-join
+          import org.apache.spark.sql.functions.{col, length => flen, lit}
+          val base = docs.select(col("doc_id"), col("source"),
+            flen(col("text")).cast("long").as("v"))
+          val delta = base.filter(col("doc_id") % 50 === 0)
+            .withColumn("v", col("v") + lit(9L))
+          graft.operators.Profile.incrementalGroupStats(
+            graft.operators.Profile.groupStats(base, "source", "v"),
+            base, delta, "doc_id", "source", "v").count()
+        },
         timed("kneser_ney") {
           graft.operators.TextQuality.kneserNeyTop(docs, "text").count()
         },

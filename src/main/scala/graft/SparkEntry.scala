@@ -1103,6 +1103,73 @@ object SparkEntry {
         k = 2, rounds = 4)
         .select(col("id").as("doc_id"), col("deg"))),
 
+    // graph: 3-truss of the near-dup pair graph — EDGE-level peeling
+    // (every surviving edge sits in >= 1 triangle within the truss):
+    // the cohesion separator kCore can't express (a chain of
+    // borderline pairs is 2-core but triangle-free). Same monotone
+    // unrolled-round oracle pattern as q_kcore.
+    "q_ktruss" -> ((s, dir) =>
+      operators.Graph.kTruss(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        k = 3, rounds = 4)),
+
+    // stats: Mann-Kendall monotone-trend test per event type over the
+    // daily volume series — the nonparametric complement of
+    // q_cusum_volume (shift vs trend); pair sum + tie-corrected
+    // variance + continuity-corrected z, all integer/closed-form
+    "q_mann_kendall" -> ((s, dir) =>
+      operators.Stats.mannKendall(
+        events(s, dir).groupBy(col("event_type"),
+            floor(unix_timestamp(col("ts")) / 86400).cast("long")
+              .as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n")),
+
+    // stats: Benford first-digit audit of order totals per priority
+    // band — fabricated/synthetic-data smell test; first digit via
+    // DECIMAL STRING extraction (log10-free => engine-exact)
+    "q_benford" -> ((s, dir) =>
+      operators.Stats.benfordDigits(
+        s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", "o_totalprice")),
+
+    // privacy: k-anonymity audit over (nation, market segment) quasi-
+    // identifiers — equivalence class sizes + under-k risk flags; one
+    // hash aggregate
+    "q_k_anonymity" -> ((s, dir) =>
+      operators.Privacy.kAnonymity(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
+    // event analytics: DAU / trailing-28d-MAU stickiness per day —
+    // one distinct (day,user) reduction, then a windowDays-bounded
+    // range join against the tiny day list
+    "q_stickiness" -> ((s, dir) =>
+      operators.Events.stickiness(events(s, dir), windowDays = 28)),
+
+    // CDC: INCREMENTAL per-source stats maintenance — a 2% upsert
+    // delta (updates + brand-new docs) folded into the base stats by
+    // signed contribution, never rescanning the base corpus; output
+    // identical to recomputing over the merged corpus (the oracle IS
+    // the from-scratch aggregate)
+    "q_incr_source_stats" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("v"))
+      val delta = docs(s, dir).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("source"),
+          (length(col("text")) + lit(9L)).cast("long").as("v"))
+        .unionByName(
+          docs(s, dir).filter(col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              lit("delta_feed").as("source"),
+              length(col("text")).cast("long").as("v")))
+      operators.Profile.incrementalGroupStats(
+        operators.Profile.groupStats(base, "source", "v"),
+        base, delta, "doc_id", "source", "v")
+    }),
+
     // language model: interpolated Kneser-Ney bigram probabilities —
     // pure count algebra (continuation counts + one fixed discount),
     // fully ANSI-expressible so the smoothed LM itself is oracle-exact,
@@ -2072,9 +2139,13 @@ object SparkEntry {
       operators.Stats.zipfSlope(docs(s, dir), "source", "text")),
 
     // text analysis: deflate compression ratio (machine-generated /
-    // boilerplate detector) — rows-only BY DESIGN (no ANSI deflate;
-    // CompressionRatioSpec pins repetitive<<natural ordering, bounds,
-    // determinism, and a fixed-vector fixture); map-only codegen'd
+    // boilerplate detector) — map-only codegen'd expression.
+    // Oracle-gated via the independent-fixture pattern (no ANSI
+    // deflate): Python zlib raw-deflate level 6 recomputes every ratio
+    // (same madler/zlib algorithm as java.util.zip.Deflater — probed
+    // byte-identical corpus-wide first), fixture keyed by a
+    // SQL-replayed corpus fingerprint (gen_compression_fixture.py);
+    // CompressionRatioSpec still pins ordering/bounds/determinism
     "q_compression_ratio" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         graft.functions.CompressionRatioExpr
@@ -3927,6 +3998,22 @@ object SparkEntry {
         |                  'comp': 'INT', 'value': 'DOUBLE'}) f, fp
         |WHERE f.input_fp = fp.fp""".stripMargin,
 
+    // fixture join (DuckDB has no deflate): per-doc raw-deflate-6
+    // ratios recomputed independently by Python zlib
+    // (gen_compression_fixture.py), keyed by a corpus fingerprint the
+    // SQL replays from the raw documents. The fp CTE text below MUST
+    // stay identical to FP_SQL in the generator script.
+    "q_compression_ratio" ->
+      s"""WITH fp AS (SELECT md5(string_agg(doc_id || ':' || md5(text), ';'
+        |  ORDER BY doc_id)) AS fp FROM documents)
+        |SELECT f.doc_id, f.deflate_ratio
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/compression_ratio.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'doc_id': 'BIGINT',
+        |                  'deflate_ratio': 'DOUBLE'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin,
+
     // the +-1 matrix is a pure function of md5("rp|i|j") first-hex-digit
     // parity — identical on both engines; /sqrt(16) and 6dp as in the
     // engine expression
@@ -4286,6 +4373,153 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT src AS doc_id, deg FROM fin""".stripMargin
     },
+
+    // 3-truss: the engine's 4 edge-peel rounds unrolled (same monotone
+    // round-for-round contract as q_kcore); per round enumerate each
+    // triangle once over the canonical lo<hi edges, credit all three
+    // edges, keep support >= 1; final pass reports in-truss support
+    "q_ktruss" -> {
+      // every per-round CTE is MATERIALIZED: each round references its
+      // predecessor 3-4 times, so DuckDB's default CTE inlining would
+      // re-expand the whole chain ~4^rounds times (hundreds of scans of
+      // the documents parquet — it ran out of file handles before it
+      // ran out of time)
+      def tri(i: Int) =
+        s"""t$i AS MATERIALIZED (
+           |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+           |  FROM c$i e1 JOIN c$i e2 ON e1.hi = e2.lo
+           |  JOIN c$i e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+           |s$i AS MATERIALIZED (
+           |  SELECT lo, hi, count(*) AS sup FROM (
+           |    SELECT a AS lo, b AS hi FROM t$i
+           |    UNION ALL SELECT b, c FROM t$i
+           |    UNION ALL SELECT a, c FROM t$i)
+           |  GROUP BY 1, 2)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""${tri(i)},
+           |c${i + 1} AS MATERIALIZED (
+           |  SELECT c.lo, c.hi FROM c$i c
+           |  JOIN s$i s ON s.lo = c.lo AND s.hi = c.hi
+           |  WHERE s.sup >= 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${jaccardCtes(0.8)},
+         |c1 AS MATERIALIZED (SELECT id_a AS lo, id_b AS hi FROM jac),
+         |$rounds,
+         |${tri(5)}
+         |SELECT c.lo AS src, c.hi AS dst, s.sup AS support
+         |FROM c5 c JOIN s5 s ON s.lo = c.lo AND s.hi = c.hi""".stripMargin
+    },
+
+    // Mann-Kendall: pair-sign sum, tie-corrected variance, continuity-
+    // corrected z — everything integer/closed-form, in the engine's
+    // literal arithmetic; HUGEINT sums cast back
+    "q_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |tg AS (SELECT event_type, n AS x, count(*) AS tc
+        |       FROM d GROUP BY 1, 2),
+        |ti AS (
+        |  SELECT event_type,
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tiecorr,
+        |    CAST(SUM(tc) AS BIGINT) AS n
+        |  FROM tg GROUP BY 1),
+        |j AS (
+        |  SELECT p.event_type, ti.n, p.s,
+        |    CAST(ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tiecorr
+        |         AS DOUBLE) / 18.0 AS var
+        |  FROM p JOIN ti USING (event_type)),
+        |zz AS (
+        |  SELECT event_type, n, s,
+        |    CASE WHEN var <= 0 THEN 0.0
+        |         WHEN s > 0 THEN ROUND((s - 1) / sqrt(var), 6)
+        |         WHEN s < 0 THEN ROUND((s + 1) / sqrt(var), 6)
+        |         ELSE 0.0 END AS z
+        |  FROM j)
+        |SELECT event_type, n, s, z,
+        |  CASE WHEN z > 1.959964 THEN 'up'
+        |       WHEN z < -1.959964 THEN 'down'
+        |       ELSE 'none' END AS trend
+        |FROM zz""".stripMargin,
+
+    // Benford: first digit from the decimal string of floor(value)
+    // (log10-free digit => engine-exact); expected = ln(1+1/d)/ln(10)
+    // mirroring Spark's two-argument log
+    "q_benford" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT o_orderpriority, digit,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.o_orderpriority, c.digit, c.n,
+        |  ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS frac,
+        |  ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
+        |  ROUND(abs(ROUND(c.n / CAST(t.tot AS DOUBLE), 6) -
+        |            ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6)), 6)
+        |    AS abs_dev
+        |FROM c JOIN t USING (o_orderpriority)""".stripMargin,
+
+    // k-anonymity: one aggregate over the quasi-identifier key
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // stickiness: distinct (day,user) pairs once, then the trailing-28d
+    // range join against the day list
+    "q_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM du GROUP BY 1),
+        |mau AS (
+        |  SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau
+        |  FROM du p JOIN days d
+        |    ON p.day > d.day - 28 AND p.day <= d.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |  ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN mau USING (day)""".stripMargin,
+
+    // incremental stats: the oracle IS the from-scratch aggregate over
+    // the merged corpus — the maintenance identity under test
+    "q_incr_source_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, CAST(len(text) AS BIGINT) AS v
+        |  FROM documents),
+        |delta AS (
+        |  SELECT doc_id, source, CAST(len(text) + 9 AS BIGINT) AS v
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'delta_feed',
+        |    CAST(len(text) AS BIGINT)
+        |  FROM documents WHERE doc_id % 50 = 1),
+        |merged AS (
+        |  SELECT * FROM delta
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM delta))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(v) AS BIGINT) AS sum_val
+        |FROM merged GROUP BY 1""".stripMargin,
 
     // interpolated Kneser-Ney: the identical count algebra —
     // max(c-D,0)/c_a + (D*N1+(a,.)/c_a) * N1+(.,b)/N1+(..) — in the

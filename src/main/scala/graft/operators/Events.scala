@@ -281,4 +281,40 @@ object Events {
         concat(lit("R"), col("r_bin"), lit("F"), col("f_bin"),
           lit("M"), col("m_bin")))
   }
+
+  /** DAU / trailing-MAU stickiness per day — the engagement headline
+    * (what fraction of the product's monthly actives show up on a
+    * given day). `dau(d)` = distinct users on day d; `mau(d)` =
+    * distinct users over the trailing `windowDays` ending at d;
+    * stickiness = dau/mau (6dp). Days are epoch-day numbers
+    * (`floor(epoch/86400)` — the q_cusum_volume convention).
+    *
+    * Scale shape: the corpus reduces ONCE to distinct (day, user)
+    * pairs — the only event-volume shuffle. The trailing-window
+    * distinct count cannot be a window function (COUNT(DISTINCT) over
+    * a moving frame isn't supported anywhere); instead the day-user
+    * frame range-joins the (tiny, distinct) day list — fan-out bounded
+    * by `windowDays` per pair, the standard bounded-expansion trade
+    * ([[rollingWindow]]'s bucket pattern). Output:
+    * `(day, dau, mau, stickiness)`. */
+  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1, s"bad windowDays: $windowDays")
+    val dayUser = events.select(
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val days = dayUser.select("day").distinct()
+    val dau = dayUser.groupBy("day")
+      .agg(count(lit(1)).as("dau")) // pairs are distinct already
+    val mau = dayUser.as("p")
+      .join(days.as("d"),
+        col("p.day") > col("d.day") - windowDays &&
+          col("p.day") <= col("d.day"))
+      .groupBy(col("d.day").as("day"))
+      .agg(count_distinct(col("p.user_id")).as("mau"))
+    dau.join(mau, "day")
+      .withColumn("stickiness",
+        round(col("dau") / col("mau").cast("double"), 6))
+      .select("day", "dau", "mau", "stickiness")
+  }
 }

@@ -495,6 +495,71 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
   }
 
+  /** k-truss of the pair graph: the maximal subgraph where every EDGE
+    * participates in >= k-2 triangles within the subgraph — the
+    * edge-level strengthening of [[kCore]] (a k-truss is always inside
+    * the (k-1)-core), and the standard "cohesive cluster vs chained
+    * coincidence" separator: a transitive chain of borderline near-dup
+    * pairs has no triangles and dissolves, a template cluster is
+    * triangle-dense and survives.
+    *
+    * Iterative edge peeling: each round counts per-edge triangle
+    * support within the surviving edge set and drops edges under
+    * k-2. Monotone (edges only leave), so the fixed `rounds` budget is
+    * SQL-replayable round-for-round via unrolled CTEs (the kCore/
+    * kmeans pattern; peeling is row deletion, which a recursive CTE
+    * cannot express); a converged run skips remaining rounds.
+    *
+    * Per round: the canonical (lo<hi) edge list self-joins twice to
+    * enumerate each triangle ONCE (a<b<c), each triangle credits its
+    * three edges (one explode), and a hash aggregate yields per-edge
+    * support — all hash-partitioned by edge endpoints; candidate
+    * volume is the wedge count, the same bound as [[triangleCounts]].
+    * Output: `(src, dst, support)` per surviving canonical edge with
+    * its final in-truss support. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 4,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(k >= 3, s"bad k: $k (a truss needs k >= 3)")
+    require(rounds >= 1, s"bad rounds: $rounds")
+    val minSup = k - 2
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.select(col("lo").as("a"), col("hi").as("b"))
+        .join(e.select(col("lo").as("b"), col("hi").as("c")), "b")
+        .join(e.select(col("lo").as("a"), col("hi").as("c")),
+          Seq("a", "c"))
+      tri.select(explode(array(
+          struct(col("a").as("lo"), col("b").as("hi")),
+          struct(col("b").as("lo"), col("c").as("hi")),
+          struct(col("a").as("lo"), col("c").as("hi")))).as("e"))
+        .select(col("e.lo"), col("e.hi"))
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).as("support"))
+    }
+    var alive = canonicalEdges(edges, aCol, bCol)
+    var aliveN = alive.count()
+    var done = aliveN == 0
+    (1 to rounds).foreach { _ =>
+      if (!done) {
+        // edges with no triangle have no support row at all, so ONE
+        // semi-join against the filtered support frame drops both the
+        // triangle-free and the under-supported edges
+        val next = TrackedCaches.persist(
+          alive.join(support(alive).filter(col("support") >= minSup)
+            .select("lo", "hi"), Seq("lo", "hi"), "left_semi"))
+        val n = next.count()
+        alive.unpersist()
+        alive = next
+        if (n == aliveN) done = true
+        aliveN = n
+      }
+    }
+    // final in-truss support on the survivor set (kCore's final-pass
+    // discipline: the reported support is the SUBGRAPH support even
+    // when the round budget stopped early)
+    alive.join(support(alive), Seq("lo", "hi"))
+      .select(col("lo").as("src"), col("hi").as("dst"), col("support"))
+  }
+
   /** Per-node local clustering coefficient: 2T / (deg * (deg - 1)),
     * 0 for degree-1 nodes — triangles plus one degree aggregate over
     * the shared cached canonical edges, joined on the (small) node

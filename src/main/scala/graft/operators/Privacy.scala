@@ -53,4 +53,30 @@ object Privacy {
       .withColumn("noisy_count",
         round(col("n") + noise, 6))
   }
+
+  /** k-anonymity audit over a quasi-identifier column set: the size of
+    * every equivalence class (rows sharing all quasi-identifier
+    * values) plus an `at_risk` flag for classes under `k` — the
+    * standard re-identification risk check run BEFORE releasing a
+    * dataset (a class of size 1 is a unique individual; under k, a
+    * linkage attack narrows to few candidates). Complements
+    * [[dpCounts]]: DP protects released AGGREGATES, k-anonymity audits
+    * released ROWS.
+    *
+    * NULL quasi-identifier values form their own class (they are a
+    * linkable value like any other — dropping them would hide exactly
+    * the sparse classes the audit exists to find).
+    *
+    * Scale: ONE hash aggregate on the quasi-identifier key — the same
+    * shuffle a groupBy-count costs; nothing driver-side. Suppression /
+    * generalization policy is the caller's (join this frame back on
+    * the quasi-identifiers and filter `at_risk`). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long = 10L)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"bad k: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
 }

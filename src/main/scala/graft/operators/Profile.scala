@@ -223,4 +223,47 @@ object Profile {
       s"SELECT '$c' AS col_name, '$m' AS metric, $e AS value FROM $table" }
     }.mkString("\nUNION ALL ")
   }
+
+  /** Per-group (count, sum) stats — the maintained quantity of
+    * [[incrementalGroupStats]], exposed so callers build the initial
+    * base stats with the exact same arithmetic. Long-exact. */
+  def groupStats(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("sum_val"))
+
+  /** Incremental per-group stats maintenance under id-keyed UPSERTS —
+    * the CDC companion of [[graft.operators.Dedup.snapshotMerge]] for
+    * AGGREGATES: when a nightly delta lands, the per-source corpus
+    * stats are maintained as
+    *
+    * {{{ new = baseStats - stats(replaced base rows) + stats(delta) }}}
+    *
+    * so the full base corpus is NEVER rescanned. The only base-sized
+    * work is the semi-join fetching the delta ids' OLD rows — a
+    * point-lookup pass that bucketing/Z-order on the id turns into a
+    * pruned read at 100 TB — and the delta-sized aggregate; output is
+    * identical to recomputing `groupStats` over the merged corpus
+    * (pinned by spec and the from-scratch oracle). Groups whose last
+    * row was replaced away drop out (n_rows = 0), matching the
+    * from-scratch result; count/sum are LONG-exact so subtraction is
+    * safe (means/variances would need the signed-moment form). */
+  def incrementalGroupStats(baseStats: DataFrame, base: DataFrame,
+      delta: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val removed = groupStats(
+        base.join(delta.select(col(idCol)).distinct(), Seq(idCol),
+          "left_semi"),
+        groupCol, valueCol)
+      .select(col(groupCol), (-col("n_rows")).as("n_rows"),
+        (-col("sum_val")).as("sum_val"))
+    val added = groupStats(delta, groupCol, valueCol)
+    baseStats.select(col(groupCol), col("n_rows"), col("sum_val"))
+      .unionByName(removed).unionByName(added)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_val")).as("sum_val"))
+      .filter(col("n_rows") > 0)
+  }
 }

@@ -202,4 +202,87 @@ object Stats {
       .select(col(groupCol), col(tCol), col(xCol), col("cusum"),
         col("alarm"))
   }
+
+  /** Mann-Kendall trend test per group over an ordered series — the
+    * nonparametric "is this source's volume genuinely trending?"
+    * complement to [[cusumShift]] (CUSUM detects a level SHIFT,
+    * Mann-Kendall a monotone trend, and neither assumes a
+    * distribution). `S = Σ_{i<j} sign(x_j - x_i)`; variance with the
+    * standard tie correction `[n(n-1)(2n+5) - Σ_t t(t-1)(2t+5)]/18`;
+    * continuity-corrected `z = (S ∓ 1)/sqrt(var)`. Output per group:
+    * `(n, s, z 6dp, trend ∈ {up, down, none})` at the two-sided 5%
+    * level (|z| > 1.959964).
+    *
+    * Scale shape: the pair sum is a per-group self-join — quadratic in
+    * the SERIES length (days, not rows), which is the operator's
+    * contract: a monitoring series is bounded (30-365 points) while
+    * the rows behind each point are unbounded; everything here is
+    * integer/closed-form, so the result replays in ANSI SQL exactly. */
+  def mannKendall(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val s = df.select(col(groupCol).as("__g"), col(tCol).as("__t"),
+      col(xCol).cast("double").as("__x"))
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__g").as("__g"))
+      .agg(sum(signum(col("b.__x") - col("a.__x")).cast("long"))
+        .as("__s"))
+    val ties = s.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy("__g")
+      .agg(
+        sum(col("__tc") * (col("__tc") - 1) * (lit(2) * col("__tc") + 5))
+          .as("__tiecorr"),
+        sum(col("__tc")).as("__n"))
+    val z975 = 1.959964
+    pairs.join(ties, "__g")
+      .withColumn("__var",
+        (col("__n") * (col("__n") - 1) * (lit(2) * col("__n") + 5) -
+          col("__tiecorr")).cast("double") / 18.0)
+      .withColumn("z",
+        when(col("__var") <= 0, lit(0.0))
+          .when(col("__s") > 0,
+            round((col("__s") - 1) / sqrt(col("__var")), 6))
+          .when(col("__s") < 0,
+            round((col("__s") + 1) / sqrt(col("__var")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z") > z975, lit("up"))
+          .when(col("z") < -z975, lit("down"))
+          .otherwise(lit("none")))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__s").as("s"), col("z"), col("trend"))
+  }
+
+  /** Benford first-digit audit of a positive numeric column per group —
+    * the classic fabricated/synthetic-data smell test (organic
+    * financial/size data follows `P(d) = log10(1 + 1/d)`; generated or
+    * truncated data usually does not). Output per (group, digit):
+    * observed count, observed fraction, Benford expectation, absolute
+    * deviation (all 6dp).
+    *
+    * The first digit is taken from the DECIMAL STRING of
+    * `floor(value)` for values >= 1 — string extraction is
+    * bit-exactly replayable on any engine, where a log10-based digit
+    * would flip on last-ulp differences right at powers of ten.
+    * Values < 1 are excluded by contract (documented, not silently
+    * kept). One scan, one (group x 9)-row aggregate — 100 TB cost is
+    * the scan. */
+  def benfordDigits(df: DataFrame, groupCol: String, xCol: String)
+      : DataFrame = {
+    val d1 = substring(floor(col(xCol)).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.filter(col(xCol) >= 1)
+      .groupBy(col(groupCol), d1.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(groupCol)
+    counts
+      .withColumn("frac",
+        round(col("n") / sum(col("n")).over(totals), 6))
+      .withColumn("expected",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("abs_dev", round(abs(col("frac") - col("expected")), 6))
+      .select(col(groupCol), col("digit"), col("n"), col("frac"),
+        col("expected"), col("abs_dev"))
+  }
 }
