@@ -1148,6 +1148,43 @@ object SparkEntry {
     "q_stickiness" -> ((s, dir) =>
       operators.Events.stickiness(events(s, dir), windowDays = 28)),
 
+    // record linkage: sorted-neighborhood pairs — the block-FREE
+    // linkage (a blocking-key typo is fatal to blocked linkage; SNM
+    // only needs the sort order roughly preserved); sharded global
+    // rank by leading char + rank-band bucket join, candidates exactly
+    // `window` per name
+    "q_sorted_neighbors" -> ((s, dir) =>
+      operators.Linkage.sortedNeighborPairs(
+        s.read.parquet(s"$dir/part.parquet"), "p_name",
+        window = 3, maxDist = 5)),
+
+    // pii: Luhn payment-card validation — shape regexes over-redact
+    // (a 15-digit id is not a card); candidates derived from customer
+    // keys so both validity outcomes occur, plus the closed-form check
+    // digit (engine: ten guarded luhn_check probes; oracle: the
+    // doubled-digit sum lambda — two independent formulations)
+    "q_luhn_audit" -> ((s, dir) => {
+      val body = lpad((col("c_custkey") * 999983L % 100000000000000L)
+        .cast("string"), 14, "0")
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), concat(body, lit("3")).as("cand"),
+          TextFunctions.luhnValid(concat(body, lit("3"))).as("valid"),
+          TextFunctions.luhnCheckDigit(body).as("check_digit"))
+    }),
+
+    // streaming: windowed TOP-K event types with FINAL leaderboards —
+    // rank-after-aggregate is impossible in append-mode streaming
+    // without a second stateful stage, which this operator is (state =
+    // the type->count map per window, emit on watermark close); batch
+    // mode equals the windowed-count + rank oracle
+    "q_stream_topk" -> ((s, dir) => {
+      import s.implicits._
+      streaming.StreamingOps.topKStateful(
+        events(s, dir).select(col("ts"), col("event_type"))
+          .as[streaming.TopKEvent],
+        windowMinutes = 60, k = 3, emitFinal = true).toDF()
+    }),
+
     // CDC: INCREMENTAL per-source stats maintenance — a 2% upsert
     // delta (updates + brand-new docs) folded into the base stats by
     // signed contribution, never rescanning the base corpus; output
@@ -4498,6 +4535,63 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, mau.mau,
         |  ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
         |FROM dau JOIN mau USING (day)""".stripMargin,
+
+    // sorted-neighborhood: one global lexicographic rank + the
+    // rank-band pair join, scored by edit distance
+    "q_sorted_neighbors" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
+        |r AS (SELECT name, n,
+        |        row_number() OVER (ORDER BY name) AS pos FROM names)
+        |SELECT a.name AS name1, b.name AS name2,
+        |  a.n AS n1, b.n AS n2,
+        |  CAST(b.pos - a.pos AS BIGINT) AS rank_dist,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.pos > a.pos AND b.pos <= a.pos + 3
+        |WHERE levenshtein(a.name, b.name) <= 5""".stripMargin,
+
+    // Luhn via the doubled-digit-sum index lambda (1-based list index:
+    // odd positions of the REVERSED string are the untouched digits);
+    // check digit from the closed form on body||'0' — independent of
+    // the engine's ten-probe formulation
+    "q_luhn_audit" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    lpad(CAST((c_custkey * 999983) % 100000000000000
+        |      AS VARCHAR), 14, '0') AS body
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_custkey, body, body || '3' AS cand,
+        |    list_sum(list_transform(string_split(reverse(body || '3'), ''),
+        |      (d, i) -> CASE WHEN i % 2 = 1 THEN CAST(d AS INT)
+        |        ELSE CASE WHEN CAST(d AS INT) * 2 > 9
+        |             THEN CAST(d AS INT) * 2 - 9
+        |             ELSE CAST(d AS INT) * 2 END END)) AS lsum,
+        |    list_sum(list_transform(string_split(reverse(body || '0'), ''),
+        |      (d, i) -> CASE WHEN i % 2 = 1 THEN CAST(d AS INT)
+        |        ELSE CASE WHEN CAST(d AS INT) * 2 > 9
+        |             THEN CAST(d AS INT) * 2 - 9
+        |             ELSE CAST(d AS INT) * 2 END END)) AS lsum0
+        |  FROM c)
+        |SELECT c_custkey, cand, lsum % 10 = 0 AS valid,
+        |  CAST((10 - lsum0 % 10) % 10 AS INT) AS check_digit
+        |FROM s""".stripMargin,
+
+    // windowed top-k: hourly tumbling counts + deterministic rank
+    // (count desc, type asc), k=3
+    "q_stream_topk" ->
+      """WITH w AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+        |    AS window_start, event_type
+        |  FROM events),
+        |c AS (SELECT window_start, event_type,
+        |        CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY window_start
+        |        ORDER BY n DESC, event_type) AS INT) AS rank
+        |      FROM c)
+        |SELECT window_start, event_type, n, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // incremental stats: the oracle IS the from-scratch aggregate over
     // the merged corpus — the maintenance identity under test

@@ -295,4 +295,24 @@ object TextFunctions {
     // spelling it out keeps Spark and the DuckDB oracle byte-identical
     trim(regexp_replace(ent, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
+
+  /** Luhn checksum validity of a digit string — the payment-card
+    * check the PII family needs beyond shape regexes (a 16-digit run
+    * that fails Luhn is a phone/id, not a card; redacting on shape
+    * alone over-redacts). Spark's native `luhn_check` (codegen'd via
+    * RuntimeReplaceable); the oracle replays the doubled-digit sum as
+    * a DuckDB index lambda. */
+  def luhnValid(c: Column): Column = call_function("luhn_check", c)
+
+  /** The digit that makes `body + digit` Luhn-valid — synthetic-data
+    * generation needs valid card-shaped test values; closed form
+    * `(10 - luhnSum(body || '0') mod 10) mod 10` expressed through
+    * ten guarded luhn_check probes (branch-free, engine-exact). */
+  def luhnCheckDigit(body: Column): Column =
+    (1 to 9).foldLeft(
+      when(call_function("luhn_check", concat(body, lit("0"))), lit(0))) {
+      (acc, d) =>
+        acc.when(call_function("luhn_check",
+          concat(body, lit(d.toString))), lit(d))
+    }
 }

@@ -120,4 +120,68 @@ object Linkage {
       .filter(col("sim") >= minSim)
       .select("name1", "name2", "n1", "n2", "sim")
   }
+
+  /** Sorted-neighborhood linkage: compare each distinct name against
+    * its `window` successors in the global LEXICOGRAPHIC name order —
+    * the classic complement to key blocking ([[fuzzyNamePairs]]): a
+    * typo in the blocking token throws a pair into different blocks
+    * forever, while sorted-neighborhood only needs the typo to leave
+    * the sort ORDER roughly intact (prefix-preserving typos — the
+    * common kind — keep near-dups adjacent). Candidates are exactly
+    * the rank-distance-<= window pairs, scored by edit distance.
+    *
+    * Scale shape: NO global sort. The vocabulary shards by its leading
+    * character(s) — a PREFIX of the lexicographic order, so per-shard
+    * `row_number` plus broadcast exclusive shard offsets IS the global
+    * rank (the GlobalOrder.valueRank construction, specialized to
+    * strings); the window self-join buckets ranks by `window` and
+    * equi-joins adjacent buckets, so candidate volume is exactly
+    * `window` per name, never quadratic — a block-free bound no key
+    * choice can break. Output: name1 before name2 in sort order, their
+    * occurrence counts, rank distance, edit distance. */
+  def sortedNeighborPairs(df: DataFrame, nameCol: String,
+      window: Int = 3, maxDist: Int = 2,
+      prefixLen: Int = 1): DataFrame = {
+    require(window >= 1, s"bad window: $window")
+    require(maxDist >= 0, s"bad maxDist: $maxDist")
+    require(prefixLen >= 1, s"bad prefixLen: $prefixLen")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__shard",
+        substring(col("name"), 1, prefixLen))
+    // exclusive offsets per leading-prefix shard (shard count bounded
+    // by the alphabet^prefixLen, collected sorted — tiny)
+    val counts = names.groupBy("__shard").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__shard", "__off"))
+    val ranked = names.join(offDf, "__shard")
+      .withColumn("pos", col("__off") +
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__shard").orderBy("name")))
+      .select("name", "n", "pos")
+    // rank-band self-join via adjacent bucket equi-join (the asof/
+    // range bucket pattern): b in {bucket, bucket+1} covers every
+    // 0 < pos2 - pos1 <= window pair exactly once
+    val a = ranked.select(col("name").as("name1"), col("n").as("n1"),
+      col("pos").as("p1"), floor(col("pos") / window).as("__b"))
+    val bs = ranked.select(col("name").as("name2"), col("n").as("n2"),
+      col("pos").as("p2"))
+    val cand = a
+      .join(bs.withColumn("__b", floor(col("p2") / window))
+          .unionByName(
+            bs.withColumn("__b", floor(col("p2") / window) - 1)),
+        Seq("__b"))
+      .filter(col("p2") > col("p1") && col("p2") <= col("p1") + window)
+    cand
+      .withColumn("rank_dist", (col("p2") - col("p1")).cast("long"))
+      .withColumn("dist",
+        levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("name1", "name2", "n1", "n2", "rank_dist", "dist")
+  }
 }

@@ -46,6 +46,11 @@ final case class TransitionStep(event_type: String, next_type: String)
   * recent event, so a later batch chains its first event onto it. */
 final case class LastEvent(lastUs: Long, lastId: Long, lastType: String)
 
+final case class TopKEvent(ts: java.sql.Timestamp, event_type: String)
+final case class TopKRow(window_start: Long, event_type: String,
+    n: Long, rank: Int)
+final case class WindowCounts(counts: Map[String, Long])
+
 /** Structured Streaming surface. The reference has no streaming at all
   * (SURVEY.md §2.10); this is the engine extension for event streams:
   * the same event-time logic as `graft.operators.Events`, plus
@@ -484,6 +489,61 @@ object StreamingOps {
               }
             }
             out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming windowed TOP-K event types — "what dominated each
+    * hour", emitted as FINAL per-window leaderboards (append mode
+    * cannot retract a provisional ranking, so ranking on state close
+    * is the only sound emission point; plain windowed counts can't
+    * rank at all in append streaming — rank-after-aggregate needs a
+    * second stateful stage, which is exactly what this operator is).
+    *
+    * State per tumbling window: the (event_type -> count) map —
+    * bounded by the type vocabulary, never the event volume. The
+    * leaderboard (top `k` by count desc, type asc — deterministic)
+    * emits when the event-time watermark passes the window end.
+    *
+    * Batch (`emitFinal = true`): one pass per window group, emit at
+    * end of group — identical to the windowed-count + rank oracle
+    * (`q_stream_topk`). */
+  def topKStateful(events: Dataset[TopKEvent], windowMinutes: Int = 60,
+      k: Int = 3, emitFinal: Boolean = false): Dataset[TopKRow] = {
+    require(windowMinutes >= 1, s"bad windowMinutes: $windowMinutes")
+    require(k >= 1, s"bad k: $k")
+    import events.sparkSession.implicits._
+    val winSec = windowMinutes * 60L
+
+    def topOf(ws: Long, m: Map[String, Long]): Iterator[TopKRow] =
+      m.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+        .map { case ((t, n), i) => TopKRow(ws, t, n, i + 1) }.iterator
+
+    events.groupByKey(e =>
+        Math.floorDiv(e.ts.getTime / 1000L, winSec) * winSec)
+      .flatMapGroupsWithState[WindowCounts, TopKRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ws: Long, it: Iterator[TopKEvent],
+            state: GroupState[WindowCounts]) =>
+          if (state.hasTimedOut) {
+            val m = state.get.counts
+            state.remove()
+            topOf(ws, m)
+          } else {
+            var m = state.getOption.map(_.counts)
+              .getOrElse(Map.empty[String, Long])
+            it.foreach { e =>
+              m = m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            if (emitFinal) topOf(ws, m)
+            else {
+              state.update(WindowCounts(m))
+              // close when the watermark passes the window END (never
+              // in the past relative to the current watermark)
+              state.setTimeoutTimestamp(math.max(
+                (ws + winSec) * 1000L, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
           }
       }
   }
