@@ -110,8 +110,8 @@ class AqePlanSpec extends AnyFunSuite with SparkSpec {
   test("AQE: jaro linkage keeps the length-ratio guard (rule survives re-opt)") {
     withAqe {
       val plan = finalPlanOf(SparkEntry.queries("q_jaro_pairs")(spark, dir))
-      assert(plan.contains("least(length") || plan.contains("least(char_length"),
-        s"length-ratio guard lost under AQE:\n$plan")
+      assert(plan.contains("least(octet_length"),
+        s"byte-length-ratio guard lost under AQE:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
     }
   }
