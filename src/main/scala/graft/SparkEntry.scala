@@ -1762,6 +1762,14 @@ object SparkEntry {
       Similarity.kmeansAssignExact(emb(s, dir), "vec_id", "embedding",
         k = 4, iters = 3)),
 
+    // similarity: product-quantization codes — 4 subspaces x 8
+    // centroids, the memory-bound ANN compression (256 B -> 4 codes);
+    // each subspace is the oracle-deterministic Lloyd on a slice, so
+    // DuckDB replays all four codebooks bit-for-bit
+    "q_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(emb(s, dir), "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)),
+
     // events: tumbling event-time hourly window aggregation
     "q_event_hourly" -> ((s, dir) =>
       Events.hourlyByType(events(s, dir))
@@ -5164,6 +5172,64 @@ object SparkEntry {
          |$iters,
          |${assignSql("afin", "c3")}
          |SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM afin""".stripMargin
+    },
+
+    // PQ codes: the q_kmeans_clusters Lloyd replay, parameterized per
+    // 16-dim subspace (k=8, 2 iters) and joined on vec_id; every CTE
+    // MATERIALIZED (the assign/centroid chain is referenced repeatedly
+    // — the q_ktruss inlining lesson)
+    "q_pq_codes" -> {
+      val (m, sub, k, itersN) = (4, 16, 8, 2)
+      def distSql(c: String) =
+        s"ROUND(list_reduce(list_sort([ (e.v[d] - $c.c[d]) * " +
+          s"(e.v[d] - $c.c[d]) for d in range(1, ${sub + 1}) ]), " +
+          "(a, t) -> a + t), 4)"
+      def assignSql(p: String, name: String, prev: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT vec_id, j FROM (
+           |    SELECT e.vec_id, $prev.j,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${distSql(prev)}, $prev.j) AS rk
+           |    FROM ${p}e e CROSS JOIN $prev) WHERE rk = 1)""".stripMargin
+      def subspace(s0: Int): String = {
+        val p = s"p$s0"
+        val iters = (1 to itersN).map { i =>
+          s"""${assignSql(p, s"${p}a$i", s"${p}c${i - 1}")},
+             |${p}m$i AS MATERIALIZED (
+             |  SELECT ${p}a$i.j AS j, d,
+             |    ROUND(list_reduce(list_sort(list(e.v[d])), (a, t) -> a + t)
+             |      / COUNT(*), 8) AS m
+             |  FROM ${p}a$i JOIN ${p}e e USING (vec_id),
+             |    unnest(range(1, ${sub + 1})) AS u(d)
+             |  GROUP BY ${p}a$i.j, d),
+             |${p}c$i AS MATERIALIZED (
+             |  SELECT ${p}c${i - 1}.j, COALESCE(nm.c, ${p}c${i - 1}.c) AS c
+             |  FROM ${p}c${i - 1} LEFT JOIN (
+             |    SELECT j, list(m ORDER BY d) AS c FROM ${p}m$i GROUP BY j)
+             |    nm ON nm.j = ${p}c${i - 1}.j)""".stripMargin
+        }.mkString(",\n")
+        s"""${p}e AS MATERIALIZED (
+           |  SELECT vec_id, v[${s0 * sub + 1}:${(s0 + 1) * sub}] AS v
+           |  FROM e0),
+           |${p}c0 AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+           |  FROM ${p}e ORDER BY vec_id LIMIT $k),
+           |$iters,
+           |${assignSql(p, s"${p}afin", s"${p}c$itersN")}""".stripMargin
+      }
+      val subs = (0 until m).map(subspace).mkString(",\n")
+      val joins = (0 until m).map(s0 =>
+        s"JOIN p${s0}afin ON p${s0}afin.vec_id = e0.vec_id").mkString("\n")
+      val outs = (0 until m).map(s0 =>
+        s"CAST(p${s0}afin.j AS BIGINT) AS c$s0").mkString(", ")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$subs
+         |SELECT e0.vec_id, $outs
+         |FROM e0
+         |$joins""".stripMargin
     },
 
     "q_interval_join" ->

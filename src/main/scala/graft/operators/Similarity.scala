@@ -404,6 +404,36 @@ object Similarity {
       .select(col("vid").as(idCol), col("cluster").cast("long").as("cluster"))
   }
 
+  /** Product-quantization codes: split each vector into `m` contiguous
+    * subspaces and assign every subvector to its nearest of `k`
+    * per-subspace centroids ([[kmeansAssignExact]] per slice — the
+    * oracle-deterministic Lloyd). PQ is THE memory-bound ANN scale
+    * technique: 64 floats (256 B) compress to `m` byte codes, and
+    * asymmetric distance against a query is `m` table lookups over the
+    * same codes — at 100 TB the code table is what fits in RAM when
+    * the vectors don't. Output: `(id, c0..c{m-1})`, one long code per
+    * subspace.
+    *
+    * Scale shape: `m` independent slice-projected kmeans runs (each
+    * map-only per round with centroids as plan literals, k x subdim
+    * collect per round) joined back on the id — the join keys are
+    * co-partitioned projections of the SAME cached frame. Codebook
+    * training on the full corpus is the exact flavor; production
+    * trains on a bounded sample exactly like [[ivfTopK]]'s router. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 8, iters: Int = 2, dim: Int = 64)
+      : DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansAssignExact(
+        emb.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("sv")),
+        idCol, "sv", k, iters)
+        .select(col(idCol), col("cluster").as(s"c$s"))
+    }.reduce(_.join(_, idCol))
+  }
+
   /** Deterministic random hyperplanes (seeded driver-side, inlined as
     * plan literals — tiny: nPlanes x dim doubles). `private[graft]` so
     * the oracle harness can inline the SAME plane values into its SQL

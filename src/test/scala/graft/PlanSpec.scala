@@ -842,4 +842,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       graft.operators.TrackedCaches.releaseAll()
     }
   }
+
+  test("ktruss: triangle support joins stay equi-joins, no cartesian") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_ktruss")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("Cartesian") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"ktruss join degraded:\n$plan")
+      graft.operators.TrackedCaches.releaseAll()
+    }
+  }
+
+  test("sorted neighbors: rank-band join is a bucket EQUI-join; offsets broadcast") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_sorted_neighbors")(spark, dir)
+      val plan = planOf(df)
+      // the band condition rides an equi-join on the rank bucket — a
+      // raw pos-inequality join would be a nested-loop quadratic
+      assert(!plan.contains("Cartesian") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"rank-band join degraded to nested loop:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"shard offsets not broadcast:\n$plan")
+    }
+  }
+
+  test("stickiness: the corpus reduces to distinct pairs before the range join") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_stickiness")(spark, dir)
+      val plan = planOf(df)
+      // the windowDays fan-out must hit the distinct (day,user) frame,
+      // not raw events: a HashAggregate (the distinct) feeds the join
+      assert(plan.contains("HashAggregate"),
+        s"no distinct reduction before the window join:\n$plan")
+      assert(!plan.contains("Cartesian"), s"cartesian:\n$plan")
+    }
+  }
+
+  test("incremental group stats: base is touched via a semi-join only") {
+    withStaticPlan {
+      val df = graft.SparkEntry.queries("q_incr_source_stats")(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("LeftSemi"),
+        s"replaced-row fetch is not a semi-join:\n$plan")
+      assert(!plan.contains("Cartesian"), s"cartesian:\n$plan")
+    }
+  }
 }

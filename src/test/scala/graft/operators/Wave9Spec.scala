@@ -68,6 +68,27 @@ class Wave9Spec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("pqCodes: per-subspace codes bounded by k, partition-invariant") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(df, "vec_id", "embedding",
+        m = 4, k = 3, iters = 2, dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getLong(_))).toMap
+    out.size shouldBe 40
+    out.values.foreach(cs => all(cs) should (be >= 0L and be < 3L))
+    // determinism under repartitioning (centroid init is by vec_id,
+    // every fold is sorted — partitioning must not matter)
+    val out2 = Similarity.pqCodes(df.repartition(7), "vec_id",
+        "embedding", m = 4, k = 3, iters = 2, dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getLong(_))).toMap
+    out2 shouldBe out
+    Dedup.releaseCaches()
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("topKStateful batch mode == windowed counts + rank") {
