@@ -29,7 +29,11 @@ regeneration makes the oracle join 0 rows — a loud failure, never a
 stale pass. Same pattern as pretest_wald.csv / bpe_train_merges.csv.
 
 Usage: python3 scripts/gen_attgt_cov_fixture.py [sfdir ...]
-Writes src/test/resources/attgt_cov.csv (one row per sf dir per cell).
+Writes src/test/resources/attgt_cov.csv (doubly-robust, one row per sf
+dir per cell) plus attgt_cov_reg.csv / attgt_cov_ipw.csv — the same
+surface under the outcome-regression-only and Hajek-IPW estimators
+(reg_did.reg_did_rc / the ipw flavor the reference advertises but
+never wires), so all three est_method paths sit behind the hash gate.
 """
 import sys, csv
 from decimal import Decimal, ROUND_HALF_UP
@@ -188,12 +192,93 @@ def drdid_rc(y, post, d, w, x):
     return att, inf_treat - inf_cont + inf_eff + inf_or
 
 
+def reg_did_rc(y, post, d, w, x):
+    """Outcome-regression-only DiD, repeated cross sections
+    (reg_did.reg_did_rc): control outcome regressions per period,
+    treated means minus predicted control change."""
+    n = len(y)
+    iw = w / np.mean(w)
+    m = np.mean
+    i_c0 = ((d == 0) & (post == 0)).astype(float)
+    i_c1 = ((d == 0) & (post == 1)).astype(float)
+    b_c0 = wls(x, y, iw * i_c0)
+    b_c1 = wls(x, y, iw * i_c1)
+    out_pre, out_post = x @ b_c0, x @ b_c1
+
+    w_treat_pre = iw * d * (1 - post)
+    w_treat_post = iw * d * post
+    w_cont = iw * d
+    reg_tp = w_treat_pre * y
+    reg_tq = w_treat_post * y
+    reg_c = w_cont * (out_post - out_pre)
+    eta_tp = m(reg_tp) / m(w_treat_pre)
+    eta_tq = m(reg_tq) / m(w_treat_post)
+    eta_c = m(reg_c) / m(w_cont)
+    att = (eta_tq - eta_tp) - eta_c
+
+    rep_c0 = ols_lin_rep(x, y, iw, i_c0, b_c0)
+    rep_c1 = ols_lin_rep(x, y, iw, i_c1, b_c1)
+
+    def col_means_w(wv):
+        return (x * wv[:, None]).sum(axis=0) / n
+
+    inf_tp = (reg_tp - w_treat_pre * eta_tp) / m(w_treat_pre)
+    inf_tq = (reg_tq - w_treat_post * eta_tq) / m(w_treat_post)
+    inf_c1 = (reg_c - w_cont * eta_c) / m(w_cont)
+    m1 = col_means_w(w_cont * post) / m(w_cont)
+    m2 = col_means_w(w_cont * (1 - post)) / m(w_cont)
+    inf_c2 = rep_c1 @ m1 - rep_c0 @ m2
+    return att, (inf_tq - inf_tp) - (inf_c1 + inf_c2)
+
+
+def ipw_did_rc(y, post, d, w, x):
+    """Hajek (standardized) IPW DiD, repeated cross sections —
+    Abadie-style propensity weighting of the four (D, post) buckets,
+    propensity estimation effect on the control terms only."""
+    n = len(y)
+    iw = w / np.mean(w)
+    m = np.mean
+    gamma = logit_mle(x, d, iw)
+    ps = np.minimum(sigmoid(x @ gamma), 1 - 1e-16)
+    ps_odds = ps / (1 - ps)
+
+    w_tp = iw * d * (1 - post)
+    w_tq = iw * d * post
+    w_cp = iw * ps_odds * (1 - d) * (1 - post)
+    w_cq = iw * ps_odds * (1 - d) * post
+
+    def eta_of(wv):
+        return m(wv * y) / m(wv)
+
+    eta_tp, eta_tq = eta_of(w_tp), eta_of(w_tq)
+    eta_cp, eta_cq = eta_of(w_cp), eta_of(w_cq)
+    att = (eta_tq - eta_tp) - (eta_cq - eta_cp)
+
+    ps_score = x * (iw * (d - ps))[:, None]
+    ps_hess_inv = np.linalg.inv(
+        x.T @ (x * (iw * ps * (1 - ps))[:, None]) / n)
+    rep_ps = ps_score @ ps_hess_inv
+
+    def col_means_w(wv):
+        return (x * wv[:, None]).sum(axis=0) / n
+
+    def inf_of(wv, eta_v, ps_corrected):
+        base = (wv * (y - eta_v)) / m(wv)
+        if not ps_corrected:
+            return base
+        return base + rep_ps @ (col_means_w(wv * (y - eta_v)) / m(wv))
+
+    inf = (inf_of(w_tq, eta_tq, False) - inf_of(w_tp, eta_tp, False)
+           - (inf_of(w_cq, eta_cq, True) - inf_of(w_cp, eta_cp, True)))
+    return att, inf
+
+
 def rnd(v, scale):
     return float(Decimal(repr(float(v))).quantize(
         Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
 
 
-def surface(con):
+def surface(con, estimator=drdid_rc):
     """Cell grid + samples from SQL, estimator in numpy."""
     rows = con.sql(
         "WITH panel AS (" + PANEL_SQL + "), " + FP_SQL.replace("fp AS", "fpq AS")
@@ -226,7 +311,7 @@ def surface(con):
             if any(v == 0 for v in buckets.values()):
                 continue
             x = x1s[sel][:, None]  # 'y ~ x1': single covariate, no icept
-            att, inf = drdid_rc(y, post, d, np.ones(len(y)), x)
+            att, inf = estimator(y, post, d, np.ones(len(y)), x)
             per_unit = {}
             for u, v in zip(uid, inf):
                 per_unit[u] = per_unit.get(u, 0.0) + v
@@ -240,21 +325,25 @@ def main():
     sfdirs = sys.argv[1:] or [
         "/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1"]
-    rows = []
+    flavors = [("attgt_cov.csv", drdid_rc), ("attgt_cov_reg.csv", reg_did_rc),
+               ("attgt_cov_ipw.csv", ipw_did_rc)]
+    rows = {fn: [] for fn, _ in flavors}
     for sf in sfdirs:
         con = duckdb.connect()
         con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
         con.sql(
             f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'")
-        cells = surface(con)
-        print(f"{sf}: fp={cells[0][0]} cells={len(cells)}")
-        rows += cells
-    with open("src/test/resources/attgt_cov.csv", "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["input_fp", "g", "t", "att", "se"])
-        for r in rows:
-            w.writerow(r)
-    print(f"wrote {len(rows)} rows -> src/test/resources/attgt_cov.csv")
+        for fn, est in flavors:
+            cells = surface(con, est)
+            print(f"{sf} {fn}: fp={cells[0][0]} cells={len(cells)}")
+            rows[fn] += cells
+    for fn, _ in flavors:
+        with open(f"src/test/resources/{fn}", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["input_fp", "g", "t", "att", "se"])
+            for r in rows[fn]:
+                w.writerow(r)
+        print(f"wrote {len(rows[fn])} rows -> src/test/resources/{fn}")
 
 
 if __name__ == "__main__":

@@ -163,6 +163,51 @@ object SparkEntry {
         Graph.connectedComponents(baseP)), deltaP)
     })
 
+  /** Fixture-join oracle for the covariate ATT surface: the px/fp CTE
+    * text MUST stay identical to FP_SQL in
+    * scripts/gen_attgt_cov_fixture.py; the three est_method flavors
+    * share it and differ only in which committed fixture they join. */
+  private def attCovFixtureSql(csv: String): String = withPanelCte(
+    s""", px AS (
+      |  SELECT p.id, p.t, p.g, p.y, c.c_acctbal / 1000.0 AS x1
+      |  FROM panel p JOIN customer c ON c.c_custkey = p.id),
+      |fp AS (SELECT md5(string_agg(
+      |  id || ',' || t || ',' || g || ',' || ROUND(y, 2) || ','
+      |     || ROUND(x1, 9), ';' ORDER BY id, t)) AS fp FROM px)
+      |SELECT f.g, f.t, f.att, f.se
+      |FROM read_csv('${new java.io.File(
+           s"src/test/resources/$csv").getAbsolutePath}',
+      |       header = true,
+      |       columns = {'input_fp': 'VARCHAR', 'g': 'DOUBLE',
+      |                  't': 'DOUBLE', 'att': 'DOUBLE',
+      |                  'se': 'DOUBLE'}) f, fp
+      |WHERE f.input_fp = fp.fp""".stripMargin)
+
+  /** Covariate (xfmla = "y ~ x1") fit surface under the given
+    * est_method, rounded to the fixture oracles' scales — shared by
+    * the three q_att_gt_cov* queries so the dr/reg/ipw flavors cannot
+    * drift in panel construction or rounding. */
+  private def covFitTable(s: SparkSession, dir: String,
+      estMethod: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        (col("c_acctbal") / 1000.0).as("x1"))
+    val panel = pv(s, dir).join(broadcast(cust), "id")
+    val pp = Preprocess.run(panel,
+      PanelView.config.copy(xfmla = Some("y ~ x1")))
+    val f = AttGt.fit(pp, estMethod = estMethod)
+    import s.implicits._
+    val out = f.cells.indices.filterNot(f.skipped).map { i =>
+      (f.cells(i).g, f.cells(i).tn,
+        BigDecimal(f.att(i)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(f.seAnalytic(i)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("g", "t", "att", "se")
+    f.unpersist(); pp.unpersist()
+    out
+  }
+
   /** Shared tail of the `q_att_gt_*` config variants: fit the prepared
     * panel, drop skipped cells, round to the oracle's scale (HALF_UP =
     * DuckDB ROUND), and release the fit's and panel's caches — one
@@ -403,23 +448,17 @@ object SparkEntry {
     // its committed (att, se) rows by a SQL-replayed input fingerprint;
     // DistributedRcSpec additionally pins 1e-8 parity vs the Breeze
     // collect path
-    "q_att_gt_cov" -> ((s, dir) => {
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey").as("id"),
-          (col("c_acctbal") / 1000.0).as("x1"))
-      val panel = pv(s, dir).join(broadcast(cust), "id")
-      val pp = Preprocess.run(panel,
-        PanelView.config.copy(xfmla = Some("y ~ x1")))
-      val f = AttGt.fit(pp)
-      import s.implicits._
-      val out = f.cells.indices.filterNot(f.skipped).map { i =>
-        (f.cells(i).g, f.cells(i).tn,
-          BigDecimal(f.att(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(f.seAnalytic(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("g", "t", "att", "se")
-      f.unpersist(); pp.unpersist()
-      out
-    }),
+    "q_att_gt_cov" -> ((s, dir) => covFitTable(s, dir, "dr")),
+
+    // §2.7 the SAME covariate surface under the outcome-regression-only
+    // estimator (reg_did.reg_did_rc) — hash-gated by its own
+    // independent numpy fixture (attgt_cov_reg.csv), upgrading the §2
+    // reg row from spec-pinned to oracle-exact
+    "q_att_gt_cov_reg" -> ((s, dir) => covFitTable(s, dir, "reg")),
+
+    // §2.7 ext: Hajek IPW flavor (the reference advertises 'ipw' but
+    // never wires it) — same fixture pattern (attgt_cov_ipw.csv)
+    "q_att_gt_cov_ipw" -> ((s, dir) => covFitTable(s, dir, "ipw")),
 
     // §2.9 simple aggregation — overall ATT (SQL-expressible weights)
     "q_aggte_simple" -> ((s, dir) =>
@@ -3042,21 +3081,12 @@ object SparkEntry {
     // published IF formulas), keyed by a fingerprint the SQL replays
     // from the raw panel + covariate rows. The px/fp CTE text below
     // MUST stay identical to FP_SQL in the generator script.
-    "q_att_gt_cov" -> withPanelCte(
-      s""", px AS (
-        |  SELECT p.id, p.t, p.g, p.y, c.c_acctbal / 1000.0 AS x1
-        |  FROM panel p JOIN customer c ON c.c_custkey = p.id),
-        |fp AS (SELECT md5(string_agg(
-        |  id || ',' || t || ',' || g || ',' || ROUND(y, 2) || ','
-        |     || ROUND(x1, 9), ';' ORDER BY id, t)) AS fp FROM px)
-        |SELECT f.g, f.t, f.att, f.se
-        |FROM read_csv('${new java.io.File(
-             "src/test/resources/attgt_cov.csv").getAbsolutePath}',
-        |       header = true,
-        |       columns = {'input_fp': 'VARCHAR', 'g': 'DOUBLE',
-        |                  't': 'DOUBLE', 'att': 'DOUBLE',
-        |                  'se': 'DOUBLE'}) f, fp
-        |WHERE f.input_fp = fp.fp""".stripMargin),
+    "q_att_gt_cov" -> attCovFixtureSql("attgt_cov.csv"),
+
+    // reg/ipw flavors: identical fingerprint replay, their own
+    // independent numpy fixtures (same generator script)
+    "q_att_gt_cov_reg" -> attCovFixtureSql("attgt_cov_reg.csv"),
+    "q_att_gt_cov_ipw" -> attCovFixtureSql("attgt_cov_ipw.csv"),
 
     // plot_attgt frame: att from the 2x2 cell means (k CTE carries the
     // four bucket means), se from the per-unit IF chain, CI bounds from
