@@ -551,6 +551,12 @@ object ScaleRehearsal {
           val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           Graph.kTruss(pairs, k = 3).count()
         },
+        timed("pq_codes") {
+          // m slice-kmeans: map-only assignment rounds, k x subdim
+          // collect per round — corpus passes linear, driver constant
+          graft.operators.Similarity.pqCodes(emb, "vec_id", "embedding",
+            m = 4, k = 8, iters = 2).count()
+        },
         timed("stickiness") {
           // one distinct (day,user) reduction + 28x-bounded range join
           graft.operators.Events.stickiness(evs, windowDays = 28).count()

@@ -183,6 +183,37 @@ object SparkEntry {
       |                  'se': 'DOUBLE'}) f, fp
       |WHERE f.input_fp = fp.fp""".stripMargin)
 
+  /** Fixture-join oracle for the production-bootstrap SEs: the same
+    * replayable fingerprint chain as q_pretest_wald (rounded att +
+    * vcov tables over the IF-chain replay — textually identical to
+    * FP_SQL in scripts/gen_pretest_fixture.py, which
+    * gen_mboot_fixture.py imports); flavors differ only in the
+    * committed fixture file. */
+  private def mbootFixtureSql(csv: String): String = withPanelCte(
+    s""", $ifUnitCte,
+      |att_r AS (
+      |  SELECT g, tn, ROUND((mu11 - mu10) - (mu01 - mu00), 4) AS att FROM k
+      |  WHERE w11 > 0 AND w10 > 0 AND w01 > 0 AND w00 > 0),
+      |vv_r AS (
+      |  SELECT a.g AS g1, a.tn AS t1, b.g AS g2, b.tn AS t2,
+      |    ROUND(SUM(a.inf * b.inf) / (nn.n * nn.n), 2) AS cov
+      |  FROM u a JOIN u b ON a.id = b.id, nn
+      |  WHERE (a.g, a.tn) <= (b.g, b.tn)
+      |  GROUP BY a.g, a.tn, b.g, b.tn, nn.n),
+      |fp AS (SELECT md5(
+      |  (SELECT string_agg(g || ',' || tn || ',' || att, ';' ORDER BY g, tn)
+      |   FROM att_r) || '|' ||
+      |  (SELECT string_agg(g1 || ',' || t1 || ',' || g2 || ',' || t2 || ','
+      |                     || cov, ';' ORDER BY g1, t1, g2, t2)
+      |   FROM vv_r)) AS fp)
+      |SELECT f.g, f.t, f.se
+      |FROM read_csv('${new java.io.File(
+           s"src/test/resources/$csv").getAbsolutePath}',
+      |       header = true,
+      |       columns = {'input_fp': 'VARCHAR', 'g': 'DOUBLE',
+      |                  't': 'DOUBLE', 'se': 'DOUBLE'}) f, fp
+      |WHERE f.input_fp = fp.fp""".stripMargin)
+
   /** Covariate (xfmla = "y ~ x1") fit surface under the given
     * est_method, rounded to the fixture oracles' scales — shared by
     * the three q_att_gt_cov* queries so the dr/reg/ipw flavors cannot
@@ -564,30 +595,41 @@ object SparkEntry {
       }.toDF("e", "att")
     }),
 
-    // §2.8 multiplier-bootstrap SEs (seeded; rows-only check — the
-    // Rademacher draws are not SQL-expressible). Runs on the shared
-    // fit's persisted IF table: the bootstrap is a pure function of the
-    // influence store, no refit needed.
+    // §2.8 PRODUCTION multiplier-bootstrap SEs (seeded commons-math3
+    // MersenneTwister draws). Oracle-gated via the independent-fixture
+    // pattern (scripts/gen_mboot_fixture.py: a pure-Python MT19937
+    // with the commons-math3 seeding contract replays the draw stream,
+    // DuckDB replays the IF chain, the finish arithmetic is
+    // re-derived) — the last DiD-family rows-only pair leaves the
+    // list; the md5 flavors remain the SQL-native cross-check.
     "q_mboot_se" -> ((s, dir) => {
       import s.implicits._
       val f = fitFor(s, dir)
       val cfg = f.pp.config
       val b = MBoot.run(f.ifTable, f.cells.length, f.pp.n, cfg.biters,
         cfg.alp, cfg.seed)
-      f.cells.indices.map(i => (f.cells(i).g, f.cells(i).tn, b.se(i)))
+      f.cells.indices.filter(i => !b.se(i).isNaN)
+        .map(i => (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(b.se(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
         .toDF("g", "t", "se")
     }),
 
-    // §2.8 clustered multiplier bootstrap (intended semantics — the
-    // reference's own cluster path raises; SURVEY.md §2.8), driven end to
-    // end by config.clustervar: the cluster column rides through
+    // §2.8 clustered PRODUCTION bootstrap (intended semantics — the
+    // reference's own cluster path raises; SURVEY.md §2.8), driven end
+    // to end by config.clustervar: the cluster column rides through
     // Preprocess and AttGt.fit routes the bootstrap to
-    // MBoot.runClustered (id-mod-100 clusters); rows-only
+    // MBoot.runClustered (id-mod-100 clusters). Same fixture pattern
+    // (mboot_cluster_se.csv — cluster-mean IF + MT draws over the 100
+    // string-sorted cluster keys).
     "q_mboot_cluster_se" -> ((s, dir) => {
       import s.implicits._
       val f = clusterFitFor(s, dir)
-      f.cells.indices.map(i =>
-        (f.cells(i).g, f.cells(i).tn, f.se(i))).toDF("g", "t", "se")
+      f.cells.indices.filter(i => !f.se(i).isNaN)
+        .map(i => (f.cells(i).g, f.cells(i).tn,
+          BigDecimal(f.se(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toDF("g", "t", "se")
     }),
 
     // §2.8 md5-flavor bootstrap draw matrix — engine-replayable signs
@@ -3087,6 +3129,12 @@ object SparkEntry {
     // independent numpy fixtures (same generator script)
     "q_att_gt_cov_reg" -> attCovFixtureSql("attgt_cov_reg.csv"),
     "q_att_gt_cov_ipw" -> attCovFixtureSql("attgt_cov_ipw.csv"),
+
+    // production-bootstrap fixtures: (g, t, se) from the pure-Python
+    // MT19937 + IF-chain replay (gen_mboot_fixture.py), keyed by the
+    // same input fingerprint as q_pretest_wald
+    "q_mboot_se" -> mbootFixtureSql("mboot_se.csv"),
+    "q_mboot_cluster_se" -> mbootFixtureSql("mboot_cluster_se.csv"),
 
     // plot_attgt frame: att from the 2x2 cell means (k CTE carries the
     // four bucket means), se from the per-unit IF chain, CI bounds from
