@@ -1762,6 +1762,12 @@ object SparkEntry {
     // transform is oracle-pinned via q_simhash_sig, the banded join
     // shape end-to-end via q_simhash_neardup_md5, and the 4x16
     // pigeonhole banding recall is proven in TextDedupSpec.
+    // Oracle-gated via the independent-fixture pattern (r8): a
+    // pure-Python XXH64 (public spec, Spark's seed-42 convention,
+    // self-checked against the published test vectors) recomputes the
+    // production signatures and replays banding + Hamming verify
+    // (scripts/gen_simhash_fixture.py); the md5 flavor below stays the
+    // SQL-native cross-check
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")),
 
@@ -3135,6 +3141,20 @@ object SparkEntry {
     // same input fingerprint as q_pretest_wald
     "q_mboot_se" -> mbootFixtureSql("mboot_se.csv"),
     "q_mboot_cluster_se" -> mbootFixtureSql("mboot_cluster_se.csv"),
+
+    // production-SimHash fixture: pure-Python XXH64 signatures +
+    // banding + Hamming verify (gen_simhash_fixture.py), keyed by the
+    // compression fixture's corpus fingerprint chain
+    "q_simhash_neardup" ->
+      s"""WITH fp AS (SELECT md5(string_agg(doc_id || ':' || md5(text), ';'
+        |  ORDER BY doc_id)) AS fp FROM documents)
+        |SELECT f.id_a, f.id_b, f.hamming
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/simhash_neardup.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'id_a': 'BIGINT',
+        |                  'id_b': 'BIGINT', 'hamming': 'BIGINT'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin,
 
     // plot_attgt frame: att from the 2x2 cell means (k CTE carries the
     // four bucket means), se from the per-unit IF chain, CI bounds from
