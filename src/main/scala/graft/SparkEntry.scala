@@ -1805,9 +1805,12 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), threshold = 0.4, nPlanes = 4)),
 
-    // similarity: LSH-bucketed approximate top-k (scale path; rows-only
-    // BY CHOICE — recall vs brute force is asserted in SimilaritySpec,
-    // and the bucket transform itself is oracle-checked just above)
+    // similarity: LSH-bucketed approximate top-k (scale path).
+    // Oracle-gated in r8: "approximate" means approximate vs the TRUE
+    // top-k, but the output is a deterministic pure function of
+    // (corpus, seed) — the oracle inlines the same plane literals as
+    // q_ann_lsh_buckets and replays bucket join + 6dp cosine + rank;
+    // recall vs brute force stays asserted in SimilaritySpec
     "q_ann_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3,
@@ -5651,6 +5654,30 @@ object SparkEntry {
         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |SELECT qid, cid, ROUND(cos, 6) AS cos FROM p
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) <= 3""".stripMargin,
+
+    // LSH top-k: buckets (inlined planes) + same-bucket cosine + rank
+    // — the partial-probe result is a deterministic function of
+    // (corpus, seed), so it replays exactly even though it is
+    // approximate vs the true top-k
+    "q_ann_lsh_topk" -> {
+      val terms = graft.operators.Similarity.planes(4, 64, 42L)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST($terms AS BIGINT) AS bkt FROM e),
+         |p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ROUND(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) *
+         |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |  FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |    AND q.bkt = c.bkt)
+         |SELECT qid, cid, cos FROM p
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |  ORDER BY cos DESC, cid) <= 3""".stripMargin
+    },
 
     // signed-random-projection buckets: the SAME seeded plane literals
     // the engine inlines, replayed via list_dot_product (both engines
