@@ -173,4 +173,148 @@ class RandomParitySpec extends AnyFunSuite with Matchers with SparkSpec {
       Dedup.releaseCaches()
     }
   }
+
+  test("kTruss == in-memory peel on random graphs (20 trials)") {
+    val rng = new scala.util.Random(88)
+    (1 to 20).foreach { trial =>
+      val n = 6 + rng.nextInt(8)
+      val edges = (for (a <- 0 until n; b <- a + 1 until n
+        if rng.nextDouble() < 0.35) yield (a.toLong, b.toLong)).toVector
+      if (edges.nonEmpty) {
+        // reference: iterate support-peel to FIXPOINT in plain Scala
+        def supports(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+          val s = es.toSeq
+          val tri = for {
+            (a, b) <- s; (b2, c) <- s if b2 == b
+            if es.contains((a, c))
+          } yield Seq((a, b), (b, c), (a, c))
+          tri.flatten.groupBy(identity).view.mapValues(_.size).toMap
+        }
+        var alive = edges.toSet
+        var done = false
+        while (!done) {
+          val sup = supports(alive)
+          val next = alive.filter(e => sup.getOrElse(e, 0) >= 1)
+          done = next == alive
+          alive = next
+        }
+        val want = supports(alive).filter { case (e, _) => alive(e) }
+        val got = Graph.kTruss(edges.toDF("id_a", "id_b"), k = 3,
+            rounds = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            r.getLong(2).toInt).toMap
+        withClue(s"trial $trial (${edges.size} edges): ") {
+          got shouldBe want
+        }
+        Dedup.releaseCaches()
+      }
+    }
+  }
+
+  test("sortedNeighborPairs == naive sort + window scan (20 trials)") {
+    val rng = new scala.util.Random(33)
+    (1 to 20).foreach { trial =>
+      val names = (1 to 12 + rng.nextInt(10)).map(_ =>
+        (1 to 2 + rng.nextInt(3)).map(_ =>
+          ('a' + rng.nextInt(3)).toChar).mkString)
+      val w = 1 + rng.nextInt(3)
+      val md = rng.nextInt(3)
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val distinct = names.distinct.sorted
+      val want = (for {
+        i <- distinct.indices; j <- i + 1 until
+          math.min(i + w + 1, distinct.length)
+        if lev(distinct(i), distinct(j)) <= md
+      } yield (distinct(i), distinct(j), (j - i).toLong,
+        lev(distinct(i), distinct(j)).toLong)).toSet
+      val got = Linkage.sortedNeighborPairs(names.toDF("nm"), "nm",
+          window = w, maxDist = md)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(4), r.getLong(5))).toSet
+      withClue(s"trial $trial (w=$w md=$md): ") { got shouldBe want }
+    }
+  }
+
+  test("mannKendall == direct S/variance computation (30 trials)") {
+    val rng = new scala.util.Random(19)
+    (1 to 30).foreach { trial =>
+      val n = 5 + rng.nextInt(20)
+      // small integer values force TIES (the variance correction path)
+      val xs = Vector.fill(n)(rng.nextInt(4).toDouble)
+      val df = xs.zipWithIndex.map { case (x, t) => ("g", t.toLong, x) }
+        .toDF("g", "t", "x")
+      val s = (for (i <- 0 until n; j <- i + 1 until n)
+        yield math.signum(xs(j) - xs(i)).toLong).sum
+      val tieCorr = xs.groupBy(identity).values
+        .map(g => g.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val v = (n.toLong * (n - 1) * (2 * n + 5) - tieCorr) / 18.0
+      val zWant =
+        if (v <= 0 || s == 0) 0.0
+        else BigDecimal((s - math.signum(s.toDouble)) / math.sqrt(v))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val r = Stats.mannKendall(df, "g", "t", "x").collect().head
+      withClue(s"trial $trial (xs=$xs): ") {
+        r.getLong(1) shouldBe n.toLong
+        r.getLong(2) shouldBe s
+        r.getDouble(3) shouldBe zWant
+      }
+    }
+  }
+
+  test("stickiness == brute-force window distinct (15 trials)") {
+    val rng = new scala.util.Random(55)
+    (1 to 15).foreach { trial =>
+      val evs = (1 to 40).map { _ =>
+        val day = rng.nextInt(40).toLong
+        (1L + rng.nextInt(5), new Timestamp(day * 86400L * 1000L))
+      }
+      val w = 1 + rng.nextInt(10)
+      val pairs = evs.map { case (u, t) =>
+        (t.getTime / 1000 / 86400, u) }.distinct
+      val days = pairs.map(_._1).distinct
+      val want = days.map { d =>
+        val dau = pairs.count(_._1 == d)
+        val mau = pairs.filter(p => p._1 > d - w && p._1 <= d)
+          .map(_._2).distinct.size
+        d -> ((dau.toLong, mau.toLong))
+      }.toMap
+      val got = Events.stickiness(evs.toDF("user_id", "ts"),
+          windowDays = w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      withClue(s"trial $trial (w=$w): ") { got shouldBe want }
+    }
+  }
+
+  test("incrementalGroupStats == from-scratch on random upserts (30 trials)") {
+    val rng = new scala.util.Random(77)
+    (1 to 30).foreach { trial =>
+      val srcs = Array("a", "b", "c")
+      val base = (1L to 15L).map(i =>
+        (i, srcs(rng.nextInt(3)), rng.nextInt(100).toLong))
+      val delta = (1 to 6).map { _ =>
+        val id = 1L + rng.nextInt(20) // some ids new, some replaced
+        (id, srcs(rng.nextInt(3)), rng.nextInt(100).toLong)
+      }.groupBy(_._1).map(_._2.head).toSeq // one upsert per id
+      val merged = delta ++ base.filterNot(b =>
+        delta.exists(_._1 == b._1))
+      val want = merged.groupBy(_._2).view.mapValues(rs =>
+        (rs.size.toLong, rs.map(_._3).sum)).toMap
+      val got = Profile.incrementalGroupStats(
+          Profile.groupStats(base.toDF("id", "src", "v"), "src", "v"),
+          base.toDF("id", "src", "v"), delta.toDF("id", "src", "v"),
+          "id", "src", "v")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      withClue(s"trial $trial: ") { got shouldBe want }
+    }
+  }
 }
