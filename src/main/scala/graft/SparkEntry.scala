@@ -1229,6 +1229,33 @@ object SparkEntry {
     "q_stickiness" -> ((s, dir) =>
       operators.Events.stickiness(events(s, dir), windowDays = 28)),
 
+    // streaming: PREQUENTIAL anomaly detection per event type — every
+    // event scored against the running Welford mean/stddev of STRICTLY
+    // PRIOR events (score-then-update, O(1) state per key); batch mode
+    // runs the identical fold, oracle replays the recursion as
+    // strictly-prior-frame window aggregates
+    "q_stream_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      streaming.StreamingOps.anomalyStateful(
+        events(s, dir).select(col("event_type").as("key"), col("ts"),
+          col("event_id"), col("value")).as[streaming.AnomalyEvent],
+        minN = 5, zThreshold = 3.0, retainState = false).toDF()
+    }),
+
+    // semi-structured: schema-on-read JSON property extraction + typed
+    // aggregate — the event-props pattern every pipeline hits
+    // (get_json_object path extraction stays codegen'd, no UDF; nulls
+    // from missing/malformed paths aggregate away like SQL nulls)
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"))),
+
     // record linkage: sorted-neighborhood pairs — the block-FREE
     // linkage (a blocking-key typo is fatal to blocked linkage; SNM
     // only needs the sort order roughly preserved); sharded global
@@ -4624,6 +4651,41 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS class_size,
         |  count(*) < 10 AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // prequential z: strictly-prior-frame window aggregates replay the
+    // Welford recursion (same prefix set => agreement inside the 6dp
+    // round); the zero-variance arm compares against the exact mean
+    "q_stream_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type AS key, ts, event_id, value FROM events),
+        |w AS (
+        |  SELECT key, ts, event_id, value,
+        |    count(*) OVER pre AS pn,
+        |    avg(value) OVER pre AS pmean,
+        |    stddev_samp(value) OVER pre AS psd
+        |  FROM e
+        |  WINDOW pre AS (PARTITION BY key ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT key, ts, event_id, value,
+        |  CASE WHEN pn >= 5 AND psd > 0
+        |       THEN ROUND((value - pmean) / psd, 6) END AS z,
+        |  CASE WHEN pn < 5 THEN false
+        |       WHEN psd > 0
+        |       THEN abs(ROUND((value - pmean) / psd, 6)) > 3.0
+        |       ELSE value <> pmean END AS anomaly
+        |FROM w""".stripMargin,
+
+    // JSON property extraction: json_extract path + BIGINT cast
+    "q_json_props" ->
+      """SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  ROUND(avg(k), 6) AS avg_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
 
     // stickiness: distinct (day,user) pairs once, then the trailing-28d
     // range join against the day list

@@ -51,6 +51,13 @@ final case class TopKRow(window_start: Long, event_type: String,
     n: Long, rank: Int)
 final case class WindowCounts(counts: Map[String, Long])
 
+final case class AnomalyEvent(key: String, ts: java.sql.Timestamp,
+    event_id: Long, value: Double)
+final case class AnomalyRow(key: String, ts: java.sql.Timestamp,
+    event_id: Long, value: Double, z: Option[Double], anomaly: Boolean)
+final case class WelfordState(n: Long, mean: Double, m2: Double,
+    lastUs: Long)
+
 /** Structured Streaming surface. The reference has no streaming at all
   * (SURVEY.md §2.10); this is the engine extension for event streams:
   * the same event-time logic as `graft.operators.Events`, plus
@@ -544,6 +551,75 @@ object StreamingOps {
                 (ws + winSec) * 1000L, state.getCurrentWatermarkMs() + 1))
               Iterator.empty
             }
+          }
+      }
+  }
+
+  /** PREQUENTIAL streaming anomaly detector per key: every event is
+    * scored against the running mean/stddev of the events STRICTLY
+    * BEFORE it (Welford recursion in `GroupState` — O(1) per key), so
+    * each flag was made with information available at that moment
+    * (score-then-update; a batch z-score that includes the point in
+    * its own baseline both dilutes and double-counts the outlier, and
+    * cannot stream). `z = (x - mean)/sqrt(m2/(n-1))` with the sample
+    * stddev; no flag before `minN` prior points; zero-variance
+    * baselines never divide (z = None unless the value deviates, then
+    * infinite-z is reported as anomaly with z = None).
+    *
+    * Batch mode runs the IDENTICAL fold over each key's full history
+    * in one group call (the funnelStateful discipline: batch ==
+    * stream byte for byte), and the SQL oracle replays the recursion
+    * as window aggregates over the strictly-prior frame. State is one
+    * (n, mean, m2) triple per ACTIVE key — event-time retention like
+    * [[transitionsStateful]]. */
+  def anomalyStateful(events: Dataset[AnomalyEvent], minN: Int = 5,
+      zThreshold: Double = 3.0, retentionHours: Int = 24 * 7,
+      retainState: Boolean = true): Dataset[AnomalyRow] = {
+    require(minN >= 2, s"minN must be >= 2 (sample stddev): $minN")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[WelfordState, AnomalyRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[AnomalyEvent],
+            state: GroupState[WelfordState]) =>
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0, 0L))
+            val out = evs.map { e =>
+              val (z, flag) =
+                if (st.n < minN) (None, false)
+                else {
+                  val sd = math.sqrt(st.m2 / (st.n - 1))
+                  if (sd > 0)
+                    Some(BigDecimal((e.value - st.mean) / sd).setScale(6,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble)
+                      .map(zz => (Some(zz), math.abs(zz) > zThreshold)).get
+                  else (None, e.value != st.mean)
+                }
+              val n1 = st.n + 1
+              val d = e.value - st.mean
+              val mean1 = st.mean + d / n1
+              st = WelfordState(n1, mean1,
+                st.m2 + d * (e.value - mean1), usOf(e.ts))
+              AnomalyRow(key, e.ts, e.event_id, e.value, z, flag)
+            }
+            // batch mode (retainState = false): each key's history is
+            // one group call, so persisting state/timeouts is not just
+            // unnecessary — batch execution has no watermark to time
+            // out against (the emitFinal discipline of the siblings)
+            if (retainState) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(st.lastUs, 1000L) +
+                  retentionHours * 3600L * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
       }
   }
