@@ -557,6 +557,18 @@ object ScaleRehearsal {
           graft.operators.Similarity.pqCodes(emb, "vec_id", "embedding",
             m = 4, k = 8, iters = 2).count()
         },
+        timed("stream_anomaly_batch") {
+          // per-USER keys (the scale-correct cardinality): one key
+          // shuffle + a linear per-key fold
+          import org.apache.spark.sql.functions.col
+          val sp = evs.sparkSession
+          import sp.implicits._
+          graft.streaming.StreamingOps.anomalyStateful(
+            evs.select(col("user_id").cast("string").as("key"),
+              col("ts"), col("event_id"), col("value"))
+              .as[graft.streaming.AnomalyEvent],
+            minN = 5, retainState = false).toDF().count()
+        },
         timed("stickiness") {
           // one distinct (day,user) reduction + 28x-bounded range join
           graft.operators.Events.stickiness(evs, windowDays = 28).count()

@@ -571,7 +571,16 @@ object StreamingOps {
     * stream byte for byte), and the SQL oracle replays the recursion
     * as window aggregates over the strictly-prior frame. State is one
     * (n, mean, m2) triple per ACTIVE key — event-time retention like
-    * [[transitionsStateful]]. */
+    * [[transitionsStateful]].
+    *
+    * SCALE CONTRACT: streaming state is O(keys), but BATCH mode holds
+    * one key's full history per task (the flatMapGroupsWithState
+    * shape every stateful sibling shares) — so the key's cardinality
+    * is both the parallelism and the per-task memory bound. Per-user /
+    * per-source keys scale with the corpus; a LOW-cardinality key
+    * (e.g. a handful of event types) over a 100 TB backfill should
+    * run the window-aggregate formulation instead (exactly the
+    * oracle's SQL — one shuffle, no per-key materialization). */
   def anomalyStateful(events: Dataset[AnomalyEvent], minN: Int = 5,
       zThreshold: Double = 3.0, retentionHours: Int = 24 * 7,
       retainState: Boolean = true): Dataset[AnomalyRow] = {
