@@ -1845,10 +1845,17 @@ object SparkEntry {
     }),
 
     // similarity: IVF (k-means inverted-file) approximate top-k — the
-    // FAISS-style scale path; rows-only BY CHOICE (nProbe < nLists is
-    // approximate): recall vs brute force is asserted in
-    // SimilarityEventsSpec, and the same code path at nProbe = nLists
-    // is DuckDB-oracle-checked via q_ann_ivf_fullprobe below
+    // FAISS-style scale path. PERMANENT rows-only adjudication (r8,
+    // after promoting every other candidate): unlike the LSH top-k
+    // (seeded planes -> deterministic, promoted), this query's sampled
+    // quantizer fit rides DataFrame.sample, which is per-PARTITION
+    // Bernoulli — the training set (hence the centroids, hence the
+    // probe routing) is a function of the scan's partition layout, not
+    // of the data alone, so no engine-independent oracle can replay it
+    // without also replaying Spark's partitioner. The sampled fit IS
+    // the 100 TB contract (a full-corpus fit is the q_ann_ivf_fullprobe
+    // twin, which is oracle-checked); recall vs brute force is asserted
+    // in SimilarityEventsSpec
     "q_ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       // trainFraction < 1 exercises the sampled quantizer fit — the

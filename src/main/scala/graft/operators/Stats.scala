@@ -217,7 +217,10 @@ object Stats {
     * the SERIES length (days, not rows), which is the operator's
     * contract: a monitoring series is bounded (30-365 points) while
     * the rows behind each point are unbounded; everything here is
-    * integer/closed-form, so the result replays in ANSI SQL exactly. */
+    * integer/closed-form, so the result replays in ANSI SQL exactly.
+    * `tCol` must be unique per group (a daily/hourly series is — the
+    * [[cusumShift]] contract); a single-point group has no pairs and
+    * is dropped (no trend is definable from one observation). */
   def mannKendall(df: DataFrame, groupCol: String, tCol: String,
       xCol: String): DataFrame = {
     val s = df.select(col(groupCol).as("__g"), col(tCol).as("__t"),
