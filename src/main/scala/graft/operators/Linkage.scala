@@ -145,15 +145,24 @@ object Linkage {
     require(window >= 1, s"bad window: $window")
     require(maxDist >= 0, s"bad maxDist: $maxDist")
     require(prefixLen >= 1, s"bad prefixLen: $prefixLen")
-    val names = df.groupBy(col(nameCol).as("name"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("__shard",
-        substring(col("name"), 1, prefixLen))
+    // persisted: the vocab frame feeds BOTH the offset collect and the
+    // ranking — without the cache the corpus-sized groupBy runs twice
+    val names = TrackedCaches.persist(
+      df.groupBy(col(nameCol).as("name"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__shard",
+          substring(col("name"), 1, prefixLen)))
     // exclusive offsets per leading-prefix shard (shard count bounded
     // by the alphabet^prefixLen, collected sorted — tiny)
     val counts = names.groupBy("__shard").count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
+    // shard count is alphabet^prefixLen in practice; the guard keeps a
+    // pathological prefixLen/charset from turning the offset collect
+    // data-sized (the valueRank maxShards discipline)
+    require(counts.length <= 65536,
+      s"${counts.length} leading-prefix shards (prefixLen=$prefixLen): " +
+        "lower prefixLen — the offset table must stay driver-sized")
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
     val spark = df.sparkSession
