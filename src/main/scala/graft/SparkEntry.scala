@@ -218,15 +218,29 @@ object SparkEntry {
     * est_method, rounded to the fixture oracles' scales — shared by
     * the three q_att_gt_cov* queries so the dr/reg/ipw flavors cannot
     * drift in panel construction or rounding. */
+  /** Preprocessed covariate panel shared by the three est_method
+    * flavors — one Preprocess.run per (session, sfDir) instead of
+    * three; entries drop with the session cache discipline
+    * (TrackedCaches release clears the handle map, the frame itself
+    * is unpersisted there too). */
+  private val covPpCache =
+    scala.collection.concurrent.TrieMap.empty[String, PreprocessedPanel]
+  graft.operators.TrackedCaches.onRelease { () =>
+    covPpCache.values.foreach(_.unpersist())
+    covPpCache.clear()
+  }
+  private def covPpFor(s: SparkSession, dir: String): PreprocessedPanel =
+    covPpCache.getOrElseUpdate(skey(s, dir), {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"),
+          (col("c_acctbal") / 1000.0).as("x1"))
+      val panel = pv(s, dir).join(broadcast(cust), "id")
+      Preprocess.run(panel, PanelView.config.copy(xfmla = Some("y ~ x1")))
+    })
+
   private def covFitTable(s: SparkSession, dir: String,
       estMethod: String): DataFrame = {
-    val cust = s.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey").as("id"),
-        (col("c_acctbal") / 1000.0).as("x1"))
-    val panel = pv(s, dir).join(broadcast(cust), "id")
-    val pp = Preprocess.run(panel,
-      PanelView.config.copy(xfmla = Some("y ~ x1")))
-    val f = AttGt.fit(pp, estMethod = estMethod)
+    val f = AttGt.fit(covPpFor(s, dir), estMethod = estMethod)
     import s.implicits._
     val out = f.cells.indices.filterNot(f.skipped).map { i =>
       (f.cells(i).g, f.cells(i).tn,
@@ -235,7 +249,7 @@ object SparkEntry {
         BigDecimal(f.seAnalytic(i)).setScale(6,
           BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("g", "t", "att", "se")
-    f.unpersist(); pp.unpersist()
+    f.unpersist()
     out
   }
 
