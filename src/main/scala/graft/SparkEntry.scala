@@ -1256,6 +1256,37 @@ object SparkEntry {
         minN = 5, zThreshold = 3.0, retainState = false).toDF()
     }),
 
+    // temporal: SCD Type-2 history — each user's event-type stream
+    // collapsed to validity intervals (one row per change point,
+    // valid_from/valid_to/version/is_current); the warehouse
+    // dimension-history primitive for point-in-time joins
+    "q_scd2" -> ((s, dir) =>
+      operators.Temporal.scd2(
+        events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", Seq("event_type"))
+        // epoch-micros longs: nullable TIMESTAMP columns hash at
+        // different units across engines (ns parquet vs us duckdb)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          unix_micros(col("valid_to")).as("vt_us"),
+          col("version"), col("is_current"))),
+
+    // event analytics: funnel time-to-convert — the latency
+    // distribution (min/median/p90, type-1 discrete quantiles) of
+    // t3 - t1 over fully-converted users; composes the oracle-exact
+    // funnel with one K-row aggregate
+    "q_funnel_ttc" -> ((s, dir) => {
+      val f = Events.funnel(events(s, dir))
+        .filter(col("level") === 3)
+        .withColumn("ttc", col("t3") - col("t1"))
+      f.agg(count(lit(1)).as("n_converted"),
+        min(col("ttc")).as("min_s"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ttc)")
+          .as("median_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY ttc)")
+          .as("p90_s"))
+    }),
+
     // semi-structured: schema-on-read JSON property extraction + typed
     // aggregate — the event-props pattern every pipeline hits
     // (get_json_object path extraction stays codegen'd, no UDF; nulls
@@ -4672,6 +4703,50 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS class_size,
         |  count(*) < 10 AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // SCD2: null-safe change detection via lag, then lead/row_number
+    // over the change rows (IS DISTINCT FROM == Spark's <=> negation)
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |v AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) AS vf_us,
+        |    epoch_us(lead(ts) OVER w2) AS vt_us,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, vf_us, vt_us, version,
+        |  vt_us IS NULL AS is_current
+        |FROM v""".stripMargin,
+
+    // funnel time-to-convert: the q_funnel chain + type-1 discrete
+    // quantiles (quantile_disc == percentile_disc, probed identical)
+    "q_funnel_ttc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(es) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(es) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND es > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(es) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND es > t2 GROUP BY 1),
+        |conv AS (
+        |  SELECT s3.user_id, s3.t3 - s1.t1 AS ttc
+        |  FROM s3 JOIN s1 USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(ttc) AS min_s,
+        |  quantile_disc(ttc, 0.5) AS median_s,
+        |  quantile_disc(ttc, 0.9) AS p90_s
+        |FROM conv""".stripMargin,
 
     // prequential z: strictly-prior-frame window aggregates replay the
     // Welford recursion (same prefix set => agreement inside the 6dp

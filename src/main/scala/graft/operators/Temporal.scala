@@ -257,4 +257,49 @@ object Temporal {
     }
     best.unionByName(nulls)
   }
+
+  /** SCD Type-2 history builder: collapse an observation stream into
+    * VALIDITY INTERVALS per entity — one row per attribute-change
+    * point, with `valid_from` / `valid_to` (null = open) / `version` /
+    * `is_current`. The warehouse dimension-history primitive: point-in-
+    * time joins (`valid_from <= t < valid_to`) replace "latest row
+    * wins" guesswork downstream.
+    *
+    * Change detection is null-safe per attribute (a value appearing or
+    * disappearing is a change; consecutive identical observations
+    * collapse into one version). `tieCol` makes same-timestamp
+    * observations a total order — without it version boundaries would
+    * be partition-order-dependent and unreplayable.
+    *
+    * Scale shape: ONE shuffle on the entity key; two window passes
+    * (change detection, then numbering/lead over the change rows —
+    * the second window runs on the collapsed frame, which is
+    * change-sized, not observation-sized). */
+  def scd2(df: DataFrame, idCol: String, tsCol: String, tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val w = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))
+    // window expressions must be projected BEFORE the filter (Spark
+    // rejects windows inside WHERE); row_number (not lag-is-null)
+    // marks the first observation: an all-null first attribute row
+    // would otherwise compare null<=>null = true and drop the
+    // entity's opening version
+    val changed = attrCols.map(c =>
+        !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val changes = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__chg", changed)
+      .filter(col("__rn") === 1 || col("__chg"))
+      .drop("__rn", "__chg")
+    val w2 = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((Seq(col(idCol)) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("version"),
+          col("is_current"))): _*)
+  }
 }
