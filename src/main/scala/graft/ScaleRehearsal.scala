@@ -557,6 +557,14 @@ object ScaleRehearsal {
           graft.operators.Similarity.pqCodes(emb, "vec_id", "embedding",
             m = 4, k = 8, iters = 2).count()
         },
+        timed("scd2") {
+          // one user-key shuffle, second window on the change-sized frame
+          import org.apache.spark.sql.functions.col
+          graft.operators.Temporal.scd2(
+            evs.select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+            "user_id", "ts", "event_id", Seq("event_type")).count()
+        },
         timed("stream_anomaly_batch") {
           // per-USER keys (the scale-correct cardinality): one key
           // shuffle + a linear per-key fold
