@@ -40,7 +40,23 @@ for name in names:
         o = ora.reindex(sorted(ora.columns), axis=1)
         s = s.sort_values(by=list(s.columns), ignore_index=True)
         o = o.sort_values(by=list(o.columns), ignore_index=True)
-        assert_frame_equal(s, o, check_exact=True)
+        # Match the DRIVER's strictness exactly (calibrated against its
+        # round-8 verdicts): integer WIDTHS and datetime UNITS are
+        # representation, not type — the driver passed int32-vs-int64
+        # (q_simhash_neardup) and ns-vs-us parquet timestamps
+        # (q_nearest_event) — but numeric CLASS is type: it failed
+        # DOUBLE-vs-BIGINT (q_funnel_ttc). So: widen ints and datetimes
+        # to one canonical width, then compare dtype-strict. Never pass
+        # check_dtype=False — a lax working copy of this script let the
+        # q_funnel_ttc red row ship in r8.
+        for d in (s, o):
+            for c in d.columns:
+                k = d[c].dtype.kind
+                if k in 'iu':
+                    d[c] = d[c].astype('int64')
+                elif k == 'M':
+                    d[c] = d[c].astype('datetime64[us]')
+        assert_frame_equal(s, o, check_exact=True, check_dtype=True)
         print(f'{name}: OK rows={len(s)}')
     except Exception as e:
         print(f'{name}: FAIL {str(e)[:300]}')

@@ -6,8 +6,8 @@ engine's `q_att_gt_cov` query: panel from orders, covariate
 x1 = c_acctbal/1000 from customer, xfmla 'y ~ x1' — with an
 implementation fully independent of the Scala engine: DuckDB reads the
 raw parquet and builds the (g,t) cell samples in SQL; numpy fits the
-unpenalized logistic propensity (Newton MLE, converged to 1e-12 —
-tighter than the engine's 1e-7, so both sit at the same unique MLE)
+unpenalized logistic propensity (Newton MLE, converged to 1e-12; the
+engine's IRLS stops at 1e-10, so both sit at the same unique MLE)
 and the bucket outcome regressions, then evaluates Sant'Anna & Zhao
 (2020)'s locally efficient doubly-robust repeated-cross-section
 estimator and its analytic influence function straight from the

@@ -1279,11 +1279,15 @@ object SparkEntry {
       val f = Events.funnel(events(s, dir))
         .filter(col("level") === 3)
         .withColumn("ttc", col("t3") - col("t1"))
+      // ttc is integral epoch-seconds, so the BIGINT casts are
+      // lossless; Spark's percentile_disc returns DOUBLE where
+      // DuckDB's quantile_disc keeps the input's BIGINT type, and the
+      // hash gate compares typed values
       f.agg(count(lit(1)).as("n_converted"),
         min(col("ttc")).as("min_s"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ttc)")
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ttc) AS BIGINT)")
           .as("median_s"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY ttc)")
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY ttc) AS BIGINT)")
           .as("p90_s"))
     }),
 
@@ -4768,7 +4772,7 @@ object SparkEntry {
         |  CASE WHEN pn < 5 THEN false
         |       WHEN psd > 0
         |       THEN abs(ROUND((value - pmean) / psd, 6)) > 3.0
-        |       ELSE value <> pmean END AS anomaly
+        |       ELSE abs(value - pmean) > 1e-9 END AS anomaly
         |FROM w""".stripMargin,
 
     // JSON property extraction: json_extract path + BIGINT cast
@@ -5613,7 +5617,7 @@ object SparkEntry {
         |  FROM p)
         |SELECT source, min(n_chars) AS wmedian,
         |  CAST(min(tot) AS DOUBLE) AS total_weight
-        |FROM c WHERE cum >= tot / 2.0 GROUP BY source""".stripMargin,
+        |FROM c WHERE cum * 2 >= tot GROUP BY source""".stripMargin,
 
     // the reflection identity in SQL: prefix sum + running min of the
     // standardized series, in the engine's literal order; stddev_pop

@@ -471,7 +471,10 @@ object Dedup {
           col("a.chunk") === col("b.chunk") &&
           col("a.did") < col("b.did"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
-        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+        // long like the md5 flavor: a BIGINT-typed distance column on
+        // both engines keeps the strictest type-aware hash gate green
+        hamming64(col("a.simhash"), col("b.simhash")).cast("long")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -278,17 +278,62 @@ object Graph {
     * wedges by degree instead of id) drops hot-node wedge counts, but
     * near-dup graphs are degree-bounded by construction (banded
     * candidates), so id orientation keeps the oracle exact. */
+  /** Production hub-degree cap for the wedge family ([[triangleCounts]]
+    * / [[kTruss]] / [[clusteringCoefficients]]): a degree-d node
+    * contributes O(d²) wedge candidates to the triangle-enumeration
+    * join, so ONE boilerplate template hub is the whole family's
+    * 100 TB risk regardless of corpus sparsity — near-dup graphs are
+    * degree-bounded by construction, adversarial key spaces are not.
+    * The Linkage `maxBlock` precedent: the bound is ENFORCED code with
+    * a loud truncation report, not a doc comment. Overflowing nodes
+    * keep edges to their `maxDegree` lowest-id neighbors
+    * (deterministic), so post-cap wedge volume is <= maxDegree² per
+    * node no matter what the input does; sub-cap graphs pay one cheap
+    * degree aggregate and are returned EXACT. */
+  val DefaultMaxDegree = 10000
+
   // the canonical edge set feeds THREE join legs (four with degrees) —
   // without a cache an expensive upstream (the near-dup pair pipeline)
   // would run once per leg (the pageRank lesson, same registry so
   // harnesses can release it)
   private def canonicalEdges(edges: DataFrame, aCol: String,
-      bCol: String): DataFrame =
-    TrackedCaches.persist(edges.select(
+      bCol: String, maxDegree: Int = DefaultMaxDegree): DataFrame = {
+    require(maxDegree >= 2, s"bad maxDegree: $maxDegree")
+    val canon = TrackedCaches.persist(edges.select(
         least(col(aCol), col(bCol)).cast("long").as("lo"),
         greatest(col(aCol), col(bCol)).cast("long").as("hi"))
       .filter(col("lo") < col("hi"))
       .distinct())
+    // overflow detection: one degree aggregate over the (cached,
+    // edge-sized) canonical frame — the cappedNames detection shape
+    val hubs = canon
+      .select(explode(array(col("lo"), col("hi"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDegree)
+      .orderBy(col("deg").desc, col("id")).limit(5).collect()
+    if (hubs.isEmpty) canon
+    else {
+      System.err.println(
+        s"[graft.graph] hub-degree cap $maxDegree TRUNCATED node(s) " +
+          hubs.map(r => s"${r.getLong(0)} (deg ${r.getLong(1)})")
+            .mkString(", ") +
+          " — triangles through the dropped edges are NOT counted; " +
+          "raise maxDegree or pre-filter template hubs")
+      // rank each edge among BOTH endpoints' neighbor lists (by
+      // neighbor id — deterministic); an edge survives only when it
+      // is inside the cap on both sides, so every node's post-cap
+      // degree is <= maxDegree and the wedge bound holds
+      val capped = TrackedCaches.persist(canon
+        .withColumn("__rl",
+          row_number().over(Window.partitionBy("lo").orderBy("hi")))
+        .withColumn("__rh",
+          row_number().over(Window.partitionBy("hi").orderBy("lo")))
+        .filter(col("__rl") <= maxDegree && col("__rh") <= maxDegree)
+        .drop("__rl", "__rh"))
+      canon.unpersist()
+      capped
+    }
+  }
 
   private def triFromCanonical(e: DataFrame): DataFrame = {
     val tri = e.select(col("lo").as("a"), col("hi").as("b"))
@@ -301,8 +346,9 @@ object Graph {
   }
 
   def triangleCounts(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame =
-    triFromCanonical(canonicalEdges(edges, aCol, bCol))
+      bCol: String = "id_b",
+      maxDegree: Int = DefaultMaxDegree): DataFrame =
+    triFromCanonical(canonicalEdges(edges, aCol, bCol, maxDegree))
 
   /** Synchronous semi-supervised label propagation: seed nodes keep
     * their label forever; every other node adopts, each round, the
@@ -518,7 +564,8 @@ object Graph {
     * Output: `(src, dst, support)` per surviving canonical edge with
     * its final in-truss support. */
   def kTruss(edges: DataFrame, k: Int, rounds: Int = 4,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxDegree: Int = DefaultMaxDegree): DataFrame = {
     require(k >= 3, s"bad k: $k (a truss needs k >= 3)")
     require(rounds >= 1, s"bad rounds: $rounds")
     val minSup = k - 2
@@ -535,7 +582,9 @@ object Graph {
         .groupBy("lo", "hi")
         .agg(count(lit(1)).as("support"))
     }
-    var alive = canonicalEdges(edges, aCol, bCol)
+    // the cap applies ONCE at entry: peeling only removes edges, so
+    // degrees (and thus wedge volume) only shrink afterwards
+    var alive = canonicalEdges(edges, aCol, bCol, maxDegree)
     var aliveN = alive.count()
     var done = aliveN == 0
     (1 to rounds).foreach { _ =>
@@ -566,8 +615,9 @@ object Graph {
     * frame. High coefficient = cohesive duplicate cluster; low on a
     * high-degree node = boilerplate template hub. */
   def clusteringCoefficients(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    val e = canonicalEdges(edges, aCol, bCol)
+      bCol: String = "id_b",
+      maxDegree: Int = DefaultMaxDegree): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol, maxDegree)
     val deg = e.select(explode(array(col("lo"), col("hi"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     deg.join(triFromCanonical(e), Seq("id"), "left")

@@ -23,6 +23,26 @@ object Linkage {
     * by maxBlock² per block no matter what the key does. */
   val DefaultMaxBlock = 10000
 
+  /** Lexicographic UTF-8 byte order — Spark's `UTF8String.compareTo`
+    * convention. Java's native `String.compareTo` compares UTF-16 code
+    * units, which orders supplementary-plane characters BELOW U+E000..
+    * U+FFFF; any driver-side sort that must agree with a Spark
+    * `orderBy` on strings has to compare the encoded bytes instead. */
+  val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** Capped, vocabulary-sized name frame shared by both pair scorers.
     * Truncation is ENFORCED and LOUD: overflowing blocks are detected
     * with one cheap aggregate over the (persisted, vocab-sized) name
@@ -146,17 +166,24 @@ object Linkage {
     require(maxDist >= 0, s"bad maxDist: $maxDist")
     require(prefixLen >= 1, s"bad prefixLen: $prefixLen")
     // persisted: the vocab frame feeds BOTH the offset collect and the
-    // ranking — without the cache the corpus-sized groupBy runs twice
+    // ranking — without the cache the corpus-sized groupBy runs twice.
+    // Null names are dropped up front (a null shard key would NPE the
+    // driver sort, and the other linkage ops skip nulls too).
     val names = TrackedCaches.persist(
-      df.groupBy(col(nameCol).as("name"))
+      df.filter(col(nameCol).isNotNull)
+        .groupBy(col(nameCol).as("name"))
         .agg(count(lit(1)).as("n"))
         .withColumn("__shard",
           substring(col("name"), 1, prefixLen)))
     // exclusive offsets per leading-prefix shard (shard count bounded
-    // by the alphabet^prefixLen, collected sorted — tiny)
+    // by the alphabet^prefixLen, collected sorted — tiny). The driver
+    // sort must use UTF-8 BYTE order — Spark's string orderBy compares
+    // UTF8String bytes, and Java's UTF-16 compareTo disagrees for
+    // supplementary-plane characters; a mismatched shard order would
+    // corrupt the global rank.
     val counts = names.groupBy("__shard").count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
+      .sortBy(_._1)(Linkage.Utf8Order)
     // shard count is alphabet^prefixLen in practice; the guard keeps a
     // pathological prefixLen/charset from turning the offset collect
     // data-sized (the valueRank maxShards discipline)

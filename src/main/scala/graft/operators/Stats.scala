@@ -158,7 +158,11 @@ object Stats {
         sum(col(wCol).cast("decimal(38,9)")).over(ordered))
       .withColumn("__tot",
         sum(col(wCol).cast("decimal(38,9)")).over(byG))
-      .filter(col("__cum") >= col("__tot") / 2.0)
+      // compare IN decimal: `__tot / 2.0` would promote both sides to
+      // DOUBLE and forfeit the exactness the decimal sums just bought
+      // for fractional weights — `cum * 2 >= tot` stays in decimal
+      // (mirrored literally in the oracle SQL)
+      .filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(groupCol)
       .agg(min(col(valCol)).as("wmedian"),
         min(col("__tot")).cast("double").as("total_weight"))
@@ -220,11 +224,40 @@ object Stats {
     * integer/closed-form, so the result replays in ANSI SQL exactly.
     * `tCol` must be unique per group (a daily/hourly series is — the
     * [[cusumShift]] contract); a single-point group has no pairs and
-    * is dropped (no trend is definable from one observation). */
+    * is dropped (no trend is definable from one observation).
+    *
+    * The series-length contract is ENFORCED (the `MaxPreCells`
+    * pattern): the longest group's length is checked with one cheap
+    * aggregate BEFORE the quadratic join is scheduled, and a series
+    * over [[MaxSeriesLen]] fails fast with the fix in the message —
+    * on a 100 TB backfill an un-bucketed per-event `tCol` would
+    * otherwise go quadratic in ROWS, not days. */
+  val MaxSeriesLen = 5000
+
+  /** Shared fail-fast for the quadratic series family ([[mannKendall]],
+    * [[theilSen]]): one cheap per-group length aggregate runs BEFORE
+    * the O(n²) pair join is scheduled, so an un-bucketed per-event
+    * `tCol` on a 100 TB backfill dies with the fix in the message
+    * instead of going quadratic in rows. */
+  private def requireBoundedSeries(s: DataFrame, op: String,
+      maxSeriesLen: Int): Unit = {
+    require(maxSeriesLen >= 2, s"bad maxSeriesLen: $maxSeriesLen")
+    val maxLen = Option(
+      s.groupBy("__g").agg(count(lit(1)).as("__len"))
+        .agg(max(col("__len"))).head.get(0)).fold(0L)(
+        _.asInstanceOf[Long])
+    require(maxLen <= maxSeriesLen,
+      s"$op: longest group has $maxLen series points " +
+        s"(> maxSeriesLen=$maxSeriesLen) — the pair join is " +
+        "quadratic in series length; bucket the series first (e.g. " +
+        "one point per day: groupBy(day).agg(...) before calling)")
+  }
+
   def mannKendall(df: DataFrame, groupCol: String, tCol: String,
-      xCol: String): DataFrame = {
+      xCol: String, maxSeriesLen: Int = MaxSeriesLen): DataFrame = {
     val s = df.select(col(groupCol).as("__g"), col(tCol).as("__t"),
       col(xCol).cast("double").as("__x"))
+    requireBoundedSeries(s, "mannKendall", maxSeriesLen)
     val pairs = s.as("a").join(s.as("b"),
         col("a.__g") === col("b.__g") && col("a.__t") < col("b.__t"))
       .groupBy(col("a.__g").as("__g"))
@@ -287,5 +320,190 @@ object Stats {
       .withColumn("abs_dev", round(abs(col("frac") - col("expected")), 6))
       .select(col(groupCol), col("digit"), col("n"), col("frac"),
         col("expected"), col("abs_dev"))
+  }
+
+  /** Theil–Sen slope per group over an ordered series — the robust
+    * (median-of-pair-slopes) trend MAGNITUDE estimator that pairs with
+    * [[mannKendall]]'s trend TEST: MK says "is it trending", Theil–Sen
+    * says "by how much per time unit", and both survive outliers a
+    * least-squares fit cannot. `slope = median{(x_j-x_i)/(t_j-t_i)}`
+    * over all i<j pairs, with the type-1 discrete median (an actual
+    * pair's slope, never an interpolation — the `percentile_disc` /
+    * `quantile_disc` cross-engine pairing). Both engines compute each
+    * slope with the identical two-operand IEEE division, so the order
+    * statistics agree bit-for-bit before the 6dp output round.
+    *
+    * Scale shape: same contract as [[mannKendall]] — the pair join is
+    * quadratic in the SERIES length (days, not rows) and the
+    * [[requireBoundedSeries]] fail-fast enforces it. */
+  def theilSen(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String, maxSeriesLen: Int = MaxSeriesLen): DataFrame = {
+    val s = df.select(col(groupCol).as("__g"),
+      col(tCol).cast("double").as("__t"),
+      col(xCol).cast("double").as("__x"))
+    requireBoundedSeries(s, "theilSen", maxSeriesLen)
+    s.as("a").join(s.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__t") < col("b.__t"))
+      .select(col("a.__g").as("__g"),
+        ((col("b.__x") - col("a.__x")) /
+          (col("b.__t") - col("a.__t"))).as("__slope"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __slope)")
+          .as("__med"))
+      .select(col("__g").as(groupCol), col("n_pairs"),
+        round(col("__med"), 6).as("slope"))
+  }
+
+  /** Truncated exponentially-weighted moving average per group — the
+    * smoothing primitive behind every volume/quality dashboard line.
+    * Calendar-gap weighting: the value at `t` averages the points in
+    * `(t-windowLen, t]` with weight `(1-alpha)^(t-t_j)`, so missing
+    * days decay by CALENDAR distance, not row position (a row-lagged
+    * EWMA silently speeds up over gaps). The default `alpha = 0.5`
+    * makes every weight an exact power of two — bit-representable on
+    * any IEEE engine — and the 6dp round absorbs summation order.
+    *
+    * Scale shape: a per-group range self-join bounded by `windowLen`
+    * per output row — LINEAR in series length with a constant-bounded
+    * fan-out (required <= 3650), one group-key shuffle, no window
+    * tail growth. */
+  def ewmaSmooth(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String, alpha: Double = 0.5, windowLen: Int = 28)
+      : DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha: $alpha")
+    require(windowLen >= 1 && windowLen <= 3650,
+      s"bad windowLen: $windowLen (the join fan-out is windowLen-bounded)")
+    val s = df.select(col(groupCol).as("__g"),
+      col(tCol).cast("long").as("__t"),
+      col(xCol).cast("double").as("__x"))
+    s.as("a").join(s.as("b"),
+        col("a.__g") === col("b.__g") &&
+          col("b.__t") <= col("a.__t") &&
+          col("b.__t") > col("a.__t") - windowLen)
+      .groupBy(col("a.__g").as("__g"), col("a.__t").as("__t"),
+        col("a.__x").as("__x"))
+      .agg((sum(col("b.__x") *
+          pow(lit(1.0 - alpha), col("a.__t") - col("b.__t"))) /
+        sum(pow(lit(1.0 - alpha), col("a.__t") - col("b.__t"))))
+        .as("__e"))
+      .select(col("__g").as(groupCol), col("__t").as(tCol),
+        col("__x").as(xCol), round(col("__e"), 6).as("ewma"))
+  }
+
+  /** Gini concentration of a non-negative measure per group — "is 90%
+    * of this source's volume three boilerplate templates?" is the
+    * inequality question behind dedup prioritization and crawl-budget
+    * audits. Closed rank form `G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n`
+    * with `i` the ascending value rank; equal values commute inside
+    * the rank sum (the tie block contributes `x·Σi` regardless of
+    * intra-tie order), so arbitrary tie order cannot change the
+    * result. Sums accumulate in decimal(38,0)-exact integer space for
+    * integral measures; the single double expression at the edge is
+    * deterministic on any IEEE engine.
+    *
+    * One rank window + one aggregate per group — a single group-key
+    * shuffle, no joins, no collect. */
+  def giniConcentration(df: DataFrame, groupCol: String, xCol: String)
+      : DataFrame = {
+    val pos = df.filter(col(xCol).isNotNull && col(xCol) >= 0)
+    val w = Window.partitionBy(groupCol).orderBy(col(xCol))
+    pos
+      .withColumn("__i", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast("decimal(38,0)")).as("__sx"),
+        // cast BEFORE the multiply: rank × value in the native integer
+        // type could overflow long at corpus scale
+        sum(col(xCol).cast("decimal(38,0)") * col("__i")).as("__six"))
+      .withColumn("gini",
+        when(col("__sx") > 0,
+          round(lit(2.0) * col("__six").cast("double") /
+            (col("n") * col("__sx").cast("double")) -
+            (col("n") + lit(1.0)) / col("n"), 6))
+          .otherwise(lit(0.0)))
+      .select(col(groupCol), col("n"), round(
+        col("__sx").cast("double"), 2).as("total"), col("gini"))
+  }
+
+  /** Single change-point per group by binary segmentation — "WHEN did
+    * this source's volume shift?" where [[cusumShift]] answers
+    * "did it shift at all". For every split after ordered point `i`,
+    * the variance-reduction gain collapses (via the SSE identity) to
+    * `sumL²/nL + sumR²/nR − S²/N` — prefix sums only, no means, no
+    * residual pass; the reported split maximizes the gain with
+    * earliest-time tie-break. Integral series keep every prefix sum
+    * exactly representable, so both engines see identical doubles and
+    * the argmax is deterministic; gains and segment means round 6dp
+    * at the edge only.
+    *
+    * Two ordered windows + one rank per group — one group-key
+    * shuffle, linear in series length. A single-point group has no
+    * admissible split and is dropped. */
+  def changePoint(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val s = df.select(col(groupCol).as("__g"), col(tCol).as("__t"),
+      col(xCol).cast("double").as("__x"))
+    val byG = Window.partitionBy("__g")
+    val ord = byG.orderBy("__t")
+    val cum = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val scored = s
+      .withColumn("__nl", row_number().over(ord).cast("double"))
+      .withColumn("__sl", sum("__x").over(cum))
+      .withColumn("__n", count(lit(1)).over(byG).cast("double"))
+      .withColumn("__s", sum("__x").over(byG))
+      .filter(col("__nl") < col("__n")) // right segment must be nonempty
+      .withColumn("__gain",
+        col("__sl") * col("__sl") / col("__nl") +
+          (col("__s") - col("__sl")) * (col("__s") - col("__sl")) /
+            (col("__n") - col("__nl")) -
+          col("__s") * col("__s") / col("__n"))
+    scored
+      .withColumn("__rk", row_number().over(
+        byG.orderBy(col("__gain").desc, col("__t"))))
+      .filter(col("__rk") === 1)
+      .select(col("__g").as(groupCol), col("__t").as("split_t"),
+        round(col("__gain"), 6).as("gain"),
+        round(col("__sl") / col("__nl"), 6).as("mean_left"),
+        round((col("__s") - col("__sl")) / (col("__n") - col("__nl")), 6)
+          .as("mean_right"),
+        col("__n").cast("long").as("n"))
+  }
+
+  /** Two-proportion z-test over experiment variants — the ship/no-ship
+    * primitive of every A/B readout. Input: one row per UNIT with its
+    * variant and converted flag (dedupe upstream — a unit must count
+    * once). Every unordered variant pair gets the pooled two-sample
+    * z: `z = (p_a-p_b) / sqrt(p̂(1-p̂)(1/n_a+1/n_b))`, flagged at the
+    * two-sided 5% level. All counts are integers; the z is one
+    * deterministic double expression, 6dp at the edge.
+    *
+    * One corpus aggregate to variant-sized counts; the pair join runs
+    * on the variant frame (V² for V variants — V is single digits by
+    * design of any real experiment). */
+  def abTestProportions(df: DataFrame, variantCol: String,
+      convCol: String): DataFrame = {
+    val v = df.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(convCol).cast("int").cast("long")).as("conv"))
+    val z975 = 1.959964
+    v.as("a").join(v.as("b"), col("a.variant") < col("b.variant"))
+      .withColumn("p_a", col("a.conv").cast("double") / col("a.n"))
+      .withColumn("p_b", col("b.conv").cast("double") / col("b.n"))
+      .withColumn("__pp",
+        (col("a.conv") + col("b.conv")).cast("double") /
+          (col("a.n") + col("b.n")))
+      .withColumn("z",
+        when(col("__pp") > 0 && col("__pp") < 1,
+          round((col("p_a") - col("p_b")) /
+            sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+              (lit(1.0) / col("a.n") + lit(1.0) / col("b.n"))), 6))
+          .otherwise(lit(0.0)))
+      .select(col("a.variant").as("variant_a"),
+        col("b.variant").as("variant_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        col("z"), (abs(col("z")) > z975).as("significant"))
   }
 }

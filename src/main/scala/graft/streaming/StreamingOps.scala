@@ -563,7 +563,8 @@ object StreamingOps {
     * its own baseline both dilutes and double-counts the outlier, and
     * cannot stream). `z = (x - mean)/sqrt(m2/(n-1))` with the sample
     * stddev; no flag before `minN` prior points; zero-variance
-    * baselines never divide (z = None unless the value deviates, then
+    * baselines never divide (z = None unless the value deviates from
+    * the constant baseline by more than [[ZeroVarEps]], then
     * infinite-z is reported as anomaly with z = None).
     *
     * Batch mode runs the IDENTICAL fold over each key's full history
@@ -573,19 +574,50 @@ object StreamingOps {
     * (n, mean, m2) triple per ACTIVE key — event-time retention like
     * [[transitionsStateful]].
     *
-    * SCALE CONTRACT: streaming state is O(keys), but BATCH mode holds
-    * one key's full history per task (the flatMapGroupsWithState
-    * shape every stateful sibling shares) — so the key's cardinality
-    * is both the parallelism and the per-task memory bound. Per-user /
-    * per-source keys scale with the corpus; a LOW-cardinality key
-    * (e.g. a handful of event types) over a 100 TB backfill should
-    * run the window-aggregate formulation instead (exactly the
-    * oracle's SQL — one shuffle, no per-key materialization). */
+    * SCALE CONTRACT (ENFORCED): streaming state is O(keys), but BATCH
+    * mode holds one key's full history per task (the
+    * flatMapGroupsWithState shape every stateful sibling shares) — so
+    * the key's cardinality is both the parallelism and the per-task
+    * memory bound. Per-user / per-source keys scale with the corpus;
+    * a LOW-cardinality key (e.g. a handful of event types) over a
+    * 100 TB backfill must run the window-aggregate formulation
+    * instead (exactly the oracle's SQL — AVG/STDDEV_SAMP over `ROWS
+    * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`, one shuffle, no
+    * per-key materialization). Batch mode measures rows-per-key with
+    * one aggregate pass and fails fast above
+    * [[MaxBatchHistoryPerKey]] with that fix in the message. */
+  val MaxBatchHistoryPerKey: Long = 2000000L
+  /** Zero-variance-arm tolerance: wide enough to absorb last-ulp
+    * disagreement between an exact Welford mean and a sum/n mean,
+    * narrow enough that any real deviation on O(1)-scaled values
+    * still flags. Mirrored literally in the `q_stream_anomaly`
+    * oracle SQL. */
+  val ZeroVarEps: Double = 1e-9
+
   def anomalyStateful(events: Dataset[AnomalyEvent], minN: Int = 5,
       zThreshold: Double = 3.0, retentionHours: Int = 24 * 7,
-      retainState: Boolean = true): Dataset[AnomalyRow] = {
+      retainState: Boolean = true,
+      maxBatchHistoryPerKey: Long = MaxBatchHistoryPerKey)
+      : Dataset[AnomalyRow] = {
     require(minN >= 2, s"minN must be >= 2 (sample stddev): $minN")
+    require(maxBatchHistoryPerKey >= 1,
+      s"bad maxBatchHistoryPerKey: $maxBatchHistoryPerKey")
     import events.sparkSession.implicits._
+    if (!retainState) {
+      // batch backfill: one pass measures average per-key history
+      // BEFORE any key's history is materialized in a single task
+      val r = events.toDF().agg(count(lit(1)),
+        approx_count_distinct(col("key"))).head
+      val n = r.getLong(0)
+      val k = math.max(1L, r.getLong(1))
+      require(n / k <= maxBatchHistoryPerKey,
+        s"anomalyStateful batch mode: ~${n / k} rows per key across " +
+          s"$k key(s) (> maxBatchHistoryPerKey=$maxBatchHistoryPerKey)" +
+          " — one task would hold that whole history; use the " +
+          "window-aggregate formulation instead (AVG/STDDEV_SAMP " +
+          "OVER (PARTITION BY key ORDER BY ts, event_id ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND 1 PRECEDING))")
+    }
     events.groupByKey(_.key)
       .flatMapGroupsWithState[WelfordState, AnomalyRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -608,7 +640,11 @@ object StreamingOps {
                     Some(BigDecimal((e.value - st.mean) / sd).setScale(6,
                       BigDecimal.RoundingMode.HALF_UP).toDouble)
                       .map(zz => (Some(zz), math.abs(zz) > zThreshold)).get
-                  else (None, e.value != st.mean)
+                  // tolerance, not exact inequality: the oracle's AVG
+                  // (sum/n) can differ from the Welford mean in the
+                  // last ulp for a constant history (e.g. five 0.1s),
+                  // so both sides gate on |value - mean| > 1e-9
+                  else (None, math.abs(e.value - st.mean) > ZeroVarEps)
                 }
               val n1 = st.n + 1
               val d = e.value - st.mean

@@ -14,7 +14,9 @@ import org.scalatest.matchers.should.Matchers
   * (`q_jaro_pairs`) cannot reach: odd transposition counts through the
   * integer `t/2`, the 0.7 boost-threshold boundary, match-window
   * floors on short strings, empties, and non-ASCII (accented latin,
-  * greek, CJK, astral-plane emoji) under the code-point convention.
+  * greek, CJK, astral-plane emoji) under the UTF-8 BYTE convention —
+  * this very probe exposed that DuckDB scores over encoded bytes, not
+  * code points, and the kernel was switched to match.
   *
   * Both engines end in the same double arithmetic on small integers,
   * so agreement is required to 1e-12 — effectively bit-parity with
