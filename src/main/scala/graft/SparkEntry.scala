@@ -1221,6 +1221,47 @@ object SparkEntry {
           .agg(count(lit(1)).as("n")),
         "event_type", "day", "n")),
 
+    // stats: Theil–Sen robust slope per event type over the same daily
+    // volume series — the trend MAGNITUDE complement of q_mann_kendall
+    // (MK: is it trending; TS: by how much per day); discrete median of
+    // pair slopes (the percentile_disc <-> quantile_disc cross-engine
+    // pairing q_funnel_ttc established)
+    "q_theil_sen" -> ((s, dir) =>
+      operators.Stats.theilSen(dailyVolumes(s, dir),
+        "event_type", "day", "n")),
+
+    // stats: calendar-gap EWMA smoothing of the daily volume series —
+    // alpha=0.5 makes every weight an exact power of two, so both
+    // engines see identical products; windowLen-bounded range self-join
+    "q_ewma_smooth" -> ((s, dir) =>
+      operators.Stats.ewmaSmooth(dailyVolumes(s, dir),
+        "event_type", "day", "n", alpha = 0.5, windowLen = 28)),
+
+    // stats: Gini concentration of daily volume per event type — "is
+    // this source's volume three spike days?" crawl-budget audit; rank
+    // window + decimal-exact rank sum, tie blocks commute
+    "q_gini_volume" -> ((s, dir) =>
+      operators.Stats.giniConcentration(dailyVolumes(s, dir),
+        "event_type", "n")),
+
+    // stats: single change-point per event type by binary segmentation
+    // over the daily series — WHEN did volume shift (cusum: did it);
+    // prefix-sum gain identity, integral counts keep both engines
+    // bit-identical, earliest-time argmax tie-break
+    "q_change_point" -> ((s, dir) =>
+      operators.Stats.changePoint(dailyVolumes(s, dir),
+        "event_type", "day", "n")),
+
+    // stats: two-proportion z-test across order-priority "variants"
+    // (unit = order, conversion = total price over 150k) — the A/B
+    // ship/no-ship readout; one corpus aggregate + a V^2 variant join
+    "q_ab_test" -> ((s, dir) =>
+      operators.Stats.abTestProportions(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderpriority").as("variant"),
+            (col("o_totalprice") > 150000.0).as("conv")),
+        "variant", "conv")),
+
     // stats: Benford first-digit audit of order totals per priority
     // band — fabricated/synthetic-data smell test; first digit via
     // DECIMAL STRING extraction (log10-free => engine-exact)
@@ -2583,7 +2624,27 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Daily event-volume series per event type — the shared input of
+    * the trend/smoothing/concentration/change-point family
+    * (q_mann_kendall's inline form, factored for the wave-12 ops).
+    * Integral counts keep every downstream sum exactly representable
+    * as a double, which is what makes those oracles engine-exact. */
+  private def dailyVolumes(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+
   // ---- oracles ---------------------------------------------------------
+
+  /** Shared CTE `d`: the daily event-volume series ([[dailyVolumes]]'
+    * SQL twin) feeding the trend/smoothing/concentration/change-point
+    * oracle family. */
+  private val dailyVolumeCte: String =
+    """d AS (
+      |  SELECT event_type,
+      |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)""".stripMargin
 
   /** Shared CTE: the (g, tn, tpre) post-treatment cell grid + 2x2 means.
     * `tpre` = last period strictly before g (varying base, anticipation
@@ -4678,6 +4739,111 @@ object SparkEntry {
         |       WHEN z < -1.959964 THEN 'down'
         |       ELSE 'none' END AS trend
         |FROM zz""".stripMargin,
+
+    // Theil–Sen: pair slopes with both operands cast to double before
+    // the one IEEE division (mirroring the engine), then the type-1
+    // discrete median (quantile_disc <-> percentile_disc)
+    "q_theil_sen" ->
+      s"""WITH $dailyVolumeCte,
+        |p AS (
+        |  SELECT a.event_type,
+        |    (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE)) /
+        |    (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE)) AS slope
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  ROUND(quantile_disc(slope, 0.5), 6) AS slope
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // EWMA: identical windowLen-bounded range self-join; alpha=0.5
+    // weights are exact powers of two, 6dp round absorbs summation
+    // order
+    "q_ewma_smooth" ->
+      s"""WITH $dailyVolumeCte,
+        |e AS (
+        |  SELECT a.event_type, a.day, CAST(a.n AS DOUBLE) AS n,
+        |    SUM(CAST(b.n AS DOUBLE) * power(0.5, a.day - b.day)) /
+        |    SUM(power(0.5, a.day - b.day)) AS ew
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type
+        |    AND b.day <= a.day AND b.day > a.day - 28
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, day, n, ROUND(ew, 6) AS ewma FROM e""".stripMargin,
+
+    // Gini: closed rank form; the rank sum runs in HUGEINT (exact, tie
+    // blocks commute), one double expression at the edge
+    "q_gini_volume" ->
+      s"""WITH $dailyVolumeCte,
+        |r AS (SELECT event_type, n AS x,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY n)
+        |          AS i
+        |      FROM d),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(SUM(CAST(x AS HUGEINT) * i) AS HUGEINT) AS six
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n, ROUND(CAST(sx AS DOUBLE), 2) AS total,
+        |  CASE WHEN sx > 0 THEN
+        |    ROUND(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+        |      - (n + 1.0) / n, 6)
+        |  ELSE 0.0 END AS gini
+        |FROM g""".stripMargin,
+
+    // Change point: the same prefix-sum gain identity as window
+    // aggregates; integral counts make every sum exactly representable
+    // so the argmax (gain DESC, day ASC) is deterministic cross-engine
+    "q_change_point" ->
+      s"""WITH $dailyVolumeCte,
+        |s AS (
+        |  SELECT event_type, day, CAST(n AS DOUBLE) AS x,
+        |    CAST(row_number() OVER w AS DOUBLE) AS nl,
+        |    SUM(CAST(n AS DOUBLE)) OVER w AS sl,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      AS nn,
+        |    SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS ss
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)),
+        |g AS (
+        |  SELECT *, sl * sl / nl + (ss - sl) * (ss - sl) / (nn - nl)
+        |    - ss * ss / nn AS gain
+        |  FROM s WHERE nl < nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY gain DESC, day) AS rk FROM g)
+        |SELECT event_type, day AS split_t, ROUND(gain, 6) AS gain,
+        |  ROUND(sl / nl, 6) AS mean_left,
+        |  ROUND((ss - sl) / (nn - nl), 6) AS mean_right,
+        |  CAST(nn AS BIGINT) AS n
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // A/B z-test: integer counts, one deterministic double expression;
+    // significance compares the ROUNDED z (mirroring the engine)
+    "q_ab_test" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS variant,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0
+        |             END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT a.variant AS variant_a, b.variant AS variant_b,
+        |    a.n AS n_a, b.n AS n_b,
+        |    CAST(a.conv AS DOUBLE) / a.n AS pa,
+        |    CAST(b.conv AS DOUBLE) / b.n AS pb,
+        |    CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n) AS pp
+        |  FROM v a JOIN v b ON a.variant < b.variant),
+        |z AS (
+        |  SELECT variant_a, variant_b, n_a, n_b, pa, pb,
+        |    CASE WHEN pp > 0 AND pp < 1 THEN
+        |      ROUND((pa - pb) / sqrt(pp * (1 - pp) *
+        |        (1.0 / n_a + 1.0 / n_b)), 6)
+        |    ELSE 0.0 END AS z
+        |  FROM p)
+        |SELECT variant_a, variant_b, n_a, n_b,
+        |  ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b, z,
+        |  abs(z) > 1.959964 AS significant
+        |FROM z""".stripMargin,
 
     // Benford: first digit from the decimal string of floor(value)
     // (log10-free digit => engine-exact); expected = ln(1+1/d)/ln(10)
