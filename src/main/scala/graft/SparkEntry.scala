@@ -1262,6 +1262,71 @@ object SparkEntry {
             (col("o_totalprice") > 150000.0).as("conv")),
         "variant", "conv")),
 
+    // stats: autocorrelation at lags 1..7 per event type over the
+    // daily series — weekly-periodicity fingerprint; maxLag-bounded
+    // range self-join + the proven covar_pop/stddev_pop corr pairing
+    "q_acf" -> ((s, dir) =>
+      operators.Stats.acf(dailyVolumes(s, dir),
+        "event_type", "day", "n", maxLag = 7)),
+
+    // stats: Spearman rank correlation (average-rank ties) of quantity
+    // vs price per return flag — the monotone-association complement
+    // of q_corr_matrix's Pearson; two rank windows + one aggregate
+    "q_spearman" -> ((s, dir) =>
+      operators.Stats.spearman(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // graph: Adamic-Adar link prediction on the part CO-PURCHASE graph
+    // (parts sharing an order) — "will these two parts be co-ordered
+    // next" triage; the near-dup graph is transitively-closed cliques
+    // (zero non-adjacent wedges), this one has real wedge structure.
+    // Wedge volume bounded by the same hub-degree cap as the triangle
+    // family
+    "q_adamic_adar" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+      operators.Graph.adamicAdar(edges, topK = 100)
+    }),
+
+    // search: reciprocal-rank fusion of the EXACT cosine retriever and
+    // the LSH approximate retriever over the same 10 probes — the
+    // hybrid-retrieval merge that needs no score calibration; ranks
+    // are (cos DESC, cid)-deterministic on both engines
+    "q_rrf_fusion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, probes, k = 20)
+        .withColumn("ranker", lit("exact"))
+      val approx = Similarity.lshTopK(e, probes, k = 20, nPlanes = 4)
+        .withColumn("ranker", lit("lsh"))
+      Search.rrfFuse(exact.unionByName(approx), "qid", "ranker",
+        "cid", "cos", k = 60, topK = 5)
+    }),
+
+    // event analytics: inter-arrival gap stats per event type — each
+    // event's gap to the same user's previous event, (ts, event_id)
+    // tie-broken; integral-second gaps keep the discrete quantiles
+    // BIGINT (the q_funnel_ttc lesson)
+    "q_interarrival" -> ((s, dir) =>
+      operators.Events.interArrival(events(s, dir))),
+
+    // profiling: fixed-width histogram of order totals per priority —
+    // declared 25k grid (one pass, drift-diffable); floor of one IEEE
+    // division is engine-exact
+    "q_histogram" -> ((s, dir) =>
+      operators.Profile.histogramFixed(
+        s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", "o_totalprice", width = 25000.0)),
+
+    // event analytics: day-of-week seasonality profile per event type
+    // with peak flags — engine-neutral dow (epochDay+3)%7, 0=Monday
+    "q_dow_profile" -> ((s, dir) =>
+      operators.Events.dowProfile(events(s, dir))),
+
     // stats: Benford first-digit audit of order totals per priority
     // band — fabricated/synthetic-data smell test; first digit via
     // DECIMAL STRING extraction (log10-free => engine-exact)
@@ -4844,6 +4909,169 @@ object SparkEntry {
         |  ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b, z,
         |  abs(z) > 1.959964 AS significant
         |FROM z""".stripMargin,
+
+    // ACF: lag-bounded pair join + the covar_pop/stddev_pop pairing
+    // q_corr_matrix proved; CASE-without-ELSE mirrors the engine's
+    // zero-variance null
+    "q_acf" ->
+      s"""WITH $dailyVolumeCte,
+        |p AS (
+        |  SELECT a.event_type, b.day - a.day AS lag,
+        |    CAST(a.n AS DOUBLE) AS x0, CAST(b.n AS DOUBLE) AS x1
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND b.day > a.day AND b.day <= a.day + 7)
+        |SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CASE WHEN stddev_pop(x0) <> 0 AND stddev_pop(x1) <> 0 THEN
+        |    ROUND(covar_pop(x0, x1) /
+        |      (stddev_pop(x0) * stddev_pop(x1)), 6)
+        |  END AS acf
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Spearman: average-rank ties (rank + (tie block - 1)/2 — exact
+    // k+0.5 doubles on both engines), then Pearson on the ranks
+    "q_spearman" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT g,
+        |    CAST(rank() OVER (PARTITION BY g ORDER BY x) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY g, x) AS DOUBLE) - 1.0)
+        |        / 2.0 AS rx,
+        |    CAST(rank() OVER (PARTITION BY g ORDER BY y) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY g, y) AS DOUBLE) - 1.0)
+        |        / 2.0 AS ry
+        |  FROM s)
+        |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN stddev_pop(rx) <> 0 AND stddev_pop(ry) <> 0 THEN
+        |    ROUND(covar_pop(rx, ry) /
+        |      (stddev_pop(rx) * stddev_pop(ry)), 6)
+        |  END AS rho
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Adamic-Adar: wedge enumeration over the part co-purchase graph,
+    // existing edges anti-joined out, 1/ln(deg) weights (identical
+    // IEEE terms both engines), (score DESC, a, b) deterministic top-k
+    "q_adamic_adar" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |c1 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (
+        |  SELECT lo AS z, hi AS n FROM c1
+        |  UNION ALL SELECT hi, lo FROM c1),
+        |deg AS (SELECT z, count(*) AS deg FROM sym GROUP BY 1),
+        |w AS MATERIALIZED (
+        |  SELECT w1.n AS a, w2.n AS b, w1.z AS z
+        |  FROM sym w1 JOIN sym w2 ON w1.z = w2.z AND w1.n < w2.n),
+        |nw AS (
+        |  SELECT a, b, z FROM w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM c1 e WHERE e.lo = w.a AND e.hi = w.b)),
+        |sc AS (
+        |  SELECT nw.a, nw.b,
+        |    CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    ROUND(SUM(1.0 / ln(CAST(d.deg AS DOUBLE))), 6) AS score
+        |  FROM nw JOIN deg d ON d.z = nw.z
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common_neighbors, score FROM sc
+        |QUALIFY row_number() OVER (ORDER BY score DESC, a, b) <= 100"""
+        .stripMargin,
+
+    // RRF: both retrievers replayed (exact cosine + inlined-plane LSH),
+    // per-(probe, ranker) ranks by (cos DESC, cid), fusion 1/(60+r)
+    "q_rrf_fusion" -> {
+      val terms = graft.operators.Similarity.planes(4, 64, 42L)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, CAST($terms AS BIGINT) AS bkt FROM e),
+        |ex AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROUND(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exr AS (
+        |  SELECT qid, cid, row_number() OVER
+        |      (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+        |  FROM ex
+        |  QUALIFY r <= 20),
+        |ls AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROUND(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |    AND q.bkt = c.bkt),
+        |lsr AS (
+        |  SELECT qid, cid, row_number() OVER
+        |      (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+        |  FROM ls
+        |  QUALIFY r <= 20),
+        |u AS (SELECT qid, cid, r FROM exr
+        |      UNION ALL SELECT qid, cid, r FROM lsr),
+        |f AS (
+        |  SELECT qid, cid, CAST(count(*) AS BIGINT) AS n_rankers,
+        |    ROUND(SUM(1.0 / (60 + r)), 6) AS rrf
+        |  FROM u GROUP BY 1, 2)
+        |SELECT qid, cid, n_rankers, rrf FROM f
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY qid ORDER BY rrf DESC, cid) <= 5""".stripMargin
+    },
+
+    // inter-arrival: same (ts, event_id)-ordered lag window; integral
+    // second gaps keep the discrete quantiles BIGINT
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |      lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  ROUND(AVG(gap), 6) AS mean_gap_s,
+        |  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_s,
+        |  CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // histogram: declared 25k grid, floor of one IEEE division
+    "q_histogram" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT o_orderpriority, bin,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM h GROUP BY 1, 2)
+        |SELECT o_orderpriority, bin, ROUND(bin * 25000.0, 2) AS bin_lo,
+        |  n,
+        |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY o_orderpriority)
+        |    AS DOUBLE), 6) AS share
+        |FROM c""".stripMargin,
+
+    // dow profile: engine-neutral (epochDay+3)%7 with 0=Monday —
+    // sidesteps both engines' dayofweek conventions
+    "q_dow_profile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST((CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 3)
+        |      % 7 AS INT) AS dow
+        |  FROM events),
+        |c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2)
+        |SELECT event_type, dow, n,
+        |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY event_type)
+        |    AS DOUBLE), 6) AS share,
+        |  n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
+        |FROM c""".stripMargin,
 
     // Benford: first digit from the decimal string of floor(value)
     // (log10-free digit => engine-exact); expected = ln(1+1/d)/ln(10)

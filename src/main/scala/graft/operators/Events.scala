@@ -317,4 +317,53 @@ object Events {
         round(col("dau") / col("mau").cast("double"), 6))
       .select("day", "dau", "mau", "stickiness")
   }
+
+  /** Inter-arrival gap statistics per event type: each event's gap to
+    * the SAME user's previous event (any type — "how long since this
+    * user last did anything", the engagement-cadence read), attributed
+    * to the later event's type. Ordering is `(ts, event_id)` so
+    * same-timestamp events have one deterministic predecessor on any
+    * engine. Gaps are integral epoch seconds, so the discrete
+    * median/p90 stay BIGINT (the q_funnel_ttc type lesson) and the
+    * mean is one double rounded 6dp.
+    *
+    * One user-key shuffle for the lag window, then a type-key
+    * aggregate — no joins, state O(1) per row. */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        col("ts"), unix_timestamp(col("ts")).as("__s"))
+      .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("__gap")), 6).as("mean_gap_s"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __gap)")
+          .cast("long").as("median_gap_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY __gap)")
+          .cast("long").as("p90_gap_s"))
+  }
+
+  /** Day-of-week volume profile per event type with peak-day flags —
+    * the seasonality fingerprint behind crawl scheduling and anomaly
+    * baselines. Day-of-week is ENGINE-NEUTRAL integer math:
+    * `(epochDay + 3) % 7` with 0 = Monday (epoch day 0 was a
+    * Thursday), sidestepping the Spark-1=Sunday vs DuckDB-0=Sunday
+    * convention trap entirely. `is_peak` marks the max-volume dow
+    * (ties all flagged — deterministic, no arbitrary pick). One
+    * map-only projection + one hash aggregate + a 7-row window. */
+  def dowProfile(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    events
+      .select(col("event_type"),
+        ((floor(unix_timestamp(col("ts")) / 86400) + 3) % 7)
+          .cast("int").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n") / sum("n").over(byType).cast("double"), 6))
+      .withColumn("is_peak", col("n") === max("n").over(byType))
+  }
 }

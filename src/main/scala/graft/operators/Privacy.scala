@@ -79,4 +79,5 @@ object Privacy {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("at_risk", col("class_size") < k)
   }
+
 }

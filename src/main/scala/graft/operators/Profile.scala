@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -265,5 +266,29 @@ object Profile {
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("sum_val")).as("sum_val"))
       .filter(col("n_rows") > 0)
+  }
+
+  /** Fixed-width histogram per group: `bin = floor(x / width)` — a
+    * DECLARED grid, not a min/max-derived one, so it needs ONE pass
+    * (a data-derived grid needs a scan just to size the bins and its
+    * edges shift whenever the data does — useless for cross-snapshot
+    * drift diffs). `floor` of one IEEE division is engine-exact;
+    * shares round 6dp. Empty bins are absent (sparse output — at
+    * corpus scale a dense grid join would manufacture rows). Map-only
+    * projection + one hash aggregate + a group-sized window. */
+  def histogramFixed(df: DataFrame, groupCol: String, xCol: String,
+      width: Double): DataFrame = {
+    require(width > 0, s"bad width: $width")
+    val byG = Window.partitionBy(groupCol)
+    df.filter(col(xCol).isNotNull)
+      .select(col(groupCol),
+        floor(col(xCol).cast("double") / width).cast("long").as("bin"))
+      .groupBy(groupCol, "bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(col("bin") * width, 2))
+      .withColumn("share",
+        round(col("n") / sum("n").over(byG).cast("double"), 6))
+      .select(col(groupCol), col("bin"), col("bin_lo"), col("n"),
+        col("share"))
   }
 }

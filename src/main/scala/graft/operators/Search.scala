@@ -144,4 +144,36 @@ object Search {
           x => x.cast("string"))).as("postings"))
     dfCounts.join(capped, "tok").select("tok", "df", "postings")
   }
+
+  /** Reciprocal-rank fusion across retrievers: input is a long frame
+    * `(queryCol, rankerCol, idCol, scoreCol)` of per-query candidate
+    * lists (df-/K-bounded upstream — candidate generation, not this
+    * fusion, is where scale lives); each (query, ranker) list is
+    * ranked `(score DESC, id)` — fully deterministic — and every
+    * candidate scores `Σ_r 1/(k + rank_r)`, the fusion that needs NO
+    * score calibration across retrievers (only ranks), which is why
+    * it is the default way to merge BM25 with embedding cosine. Top
+    * `topK` per query by `(rrf DESC, id)`; the rank windows partition
+    * by (query, ranker), so Spark compiles the per-query trims to
+    * WindowGroupLimit — no global sort anywhere. */
+  def rrfFuse(rankings: DataFrame, queryCol: String, rankerCol: String,
+      idCol: String, scoreCol: String, k: Int = 60, topK: Int = 10)
+      : DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    require(topK >= 1, s"bad topK: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol, rankerCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val fused = rankings
+      .withColumn("__r", row_number().over(w))
+      .groupBy(queryCol, idCol)
+      .agg(count(lit(1)).as("n_rankers"),
+        round(sum(lit(1.0) / (lit(k) + col("__r"))), 6).as("rrf"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol)
+      .orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("__fr", row_number().over(wq))
+      .filter(col("__fr") <= topK)
+      .drop("__fr")
+  }
 }

@@ -506,4 +506,74 @@ object Stats {
         round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
         col("z"), (abs(col("z")) > z975).as("significant"))
   }
+
+  /** Sample autocorrelation at lags `1..maxLag` per group — "is this
+    * source's volume weekly-periodic or a random walk?" feeds both the
+    * seasonality profile and anomaly thresholds. Defined as the
+    * Pearson correlation of the PAIRED `(x_t, x_{t+lag})` series over
+    * exactly the pairs where both endpoints exist, so calendar gaps
+    * drop pairs instead of fabricating zeros. Uses the
+    * `covar_pop / (stddev_pop · stddev_pop)` pairing [[corrMatrix]]
+    * proved cross-engine, zero-variance guarded, 6dp at the edge.
+    *
+    * Scale shape: the lag join is a maxLag-bounded range self-join on
+    * the SERIES (days, not rows) — fan-out <= maxLag per point, one
+    * group-key shuffle; [[requireBoundedSeries]] enforces the series
+    * bound upstream of the join. */
+  def acf(df: DataFrame, groupCol: String, tCol: String, xCol: String,
+      maxLag: Int = 7, maxSeriesLen: Int = MaxSeriesLen): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 365, s"bad maxLag: $maxLag")
+    val s = df.select(col(groupCol).as("__g"),
+      col(tCol).cast("long").as("__t"),
+      col(xCol).cast("double").as("__x"))
+    requireBoundedSeries(s, "acf", maxSeriesLen)
+    val sa = stddev_pop(col("x0"))
+    val sb = stddev_pop(col("x1"))
+    s.as("a").join(s.as("b"),
+        col("a.__g") === col("b.__g") &&
+          col("b.__t") > col("a.__t") &&
+          col("b.__t") <= col("a.__t") + maxLag)
+      .select(col("a.__g").as("__g"),
+        (col("b.__t") - col("a.__t")).as("lag"),
+        col("a.__x").as("x0"), col("b.__x").as("x1"))
+      .groupBy("__g", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(when(sa =!= 0.0 && sb =!= 0.0,
+          covar_pop(col("x0"), col("x1")) / (sa * sb)), 6).as("acf"))
+      .select(col("__g").as(groupCol), col("lag"), col("n_pairs"),
+        col("acf"))
+  }
+
+  /** Spearman rank correlation per group with AVERAGE-RANK ties (the
+    * textbook convention — `rank() + (|tie block| - 1)/2` is the mean
+    * of the positions a tie block occupies), then the proven
+    * `covar_pop / (stddev_pop · stddev_pop)` Pearson on the ranks.
+    * The monotone-association complement of [[corrMatrix]]'s linear
+    * Pearson: outlier-immune, captures any monotone link. Average
+    * ranks are exact small doubles (k + 0.5), so both engines rank
+    * identically; 6dp absorbs moment accumulation order.
+    *
+    * Two rank windows + one aggregate — a single group-key shuffle,
+    * no joins, no collect. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val s = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    def avgRank(c: String): Column =
+      rank().over(Window.partitionBy("__g").orderBy(col(c)))
+        .cast("double") +
+        (count(lit(1)).over(Window.partitionBy("__g", c)).cast("double") -
+          1.0) / 2.0
+    val ranked = s.withColumn("__rx", avgRank("__x"))
+      .withColumn("__ry", avgRank("__y"))
+    val sx = stddev_pop(col("__rx"))
+    val sy = stddev_pop(col("__ry"))
+    ranked.groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        round(when(sx =!= 0.0 && sy =!= 0.0,
+          covar_pop(col("__rx"), col("__ry")) / (sx * sy)), 6)
+          .as("rho"))
+      .select(col("__g").as(groupCol), col("n"), col("rho"))
+  }
 }
