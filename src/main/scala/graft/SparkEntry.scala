@@ -1327,6 +1327,31 @@ object SparkEntry {
     "q_dow_profile" -> ((s, dir) =>
       operators.Events.dowProfile(events(s, dir))),
 
+    // text analysis: OOV rate per source vs the corpus top-1000
+    // vocabulary — tokenizer-coverage audit; one corpus pass to the
+    // (source, token) counts, vocab-sized from there on
+    "q_vocab_coverage" -> ((s, dir) =>
+      operators.TextQuality.vocabCoverage(docs(s, dir),
+        "source", "text", topK = 1000)),
+
+    // profiling: language-mix Shannon entropy per source + dominant
+    // lang — contamination-soup detector; one aggregate + a
+    // group-sized window
+    "q_lang_entropy" -> ((s, dir) =>
+      operators.Profile.mixEntropy(docs(s, dir), "source", "lang")),
+
+    // stats: Fano burstiness of daily volume per event type — decimal-
+    // exact moments, Poisson=1 baseline
+    "q_burstiness" -> ((s, dir) =>
+      operators.Stats.fanoFactor(dailyVolumes(s, dir),
+        "event_type", "n")),
+
+    // event analytics: seasonality-ADJUSTED volume anomalies — each
+    // (type, day) z-scored against its own day-of-week baseline
+    // (Mondays vs Mondays); exact-moment windows over the days frame
+    "q_dow_anomaly" -> ((s, dir) =>
+      operators.Events.dowAnomaly(events(s, dir), zThreshold = 2.0)),
+
     // stats: Benford first-digit audit of order totals per priority
     // band — fabricated/synthetic-data smell test; first digit via
     // DECIMAL STRING extraction (log10-free => engine-exact)
@@ -5072,6 +5097,98 @@ object SparkEntry {
         |    AS DOUBLE), 6) AS share,
         |  n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
         |FROM c""".stripMargin,
+
+    // vocab coverage: top-K by (freq DESC, token) — identical set on
+    // both engines; OOV mass via the same left-join-null test
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT source AS src, u.tok AS tok
+        |  FROM (SELECT source,
+        |          string_split_regex(lower(trim(text)), '\s+') AS tk
+        |        FROM documents), UNNEST(tk) AS u(tok)),
+        |c AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+        |      FROM t GROUP BY 1, 2),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, SUM(c) AS freq FROM c GROUP BY 1)
+        |  QUALIFY row_number() OVER (ORDER BY freq DESC, tok) <= 1000),
+        |j AS (SELECT c.src, c.c, v.tok AS vt
+        |      FROM c LEFT JOIN v ON c.tok = v.tok)
+        |SELECT src AS source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN vt IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  ROUND(SUM(CASE WHEN vt IS NULL THEN c ELSE 0 END) /
+        |    CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // lang entropy: -sum p * ln(p)/ln(2) — the exact expression shape
+    // the engine compiles; (count DESC, cat) dominant tie-break
+    "q_lang_entropy" ->
+      """WITH c AS (
+        |  SELECT source AS g, lang AS cat, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, cat, n,
+        |    SUM(n) OVER (PARTITION BY g) AS tot,
+        |    n / CAST(SUM(n) OVER (PARTITION BY g) AS DOUBLE) AS p,
+        |    row_number() OVER (PARTITION BY g ORDER BY n DESC, cat)
+        |      AS rk
+        |  FROM c)
+        |SELECT g AS source, CAST(MAX(tot) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_cats,
+        |  ROUND(-SUM(p * ln(p) / ln(2.0)), 6) AS entropy,
+        |  MAX(CASE WHEN rk = 1 THEN cat END) AS top_cat,
+        |  ROUND(MAX(CASE WHEN rk = 1 THEN p END), 6) AS top_share
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // Fano: decimal-exact integer moments, one double expression;
+    // bursty compares the ROUNDED fano (mirroring the engine)
+    "q_burstiness" ->
+      s"""WITH $dailyVolumeCte,
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+        |      AS s1,
+        |    CAST(CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT)
+        |      AS DOUBLE) AS s2
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT event_type, n_obs, s1 / n_obs AS mean,
+        |        s2 / n_obs - (s1 / n_obs) * (s1 / n_obs) AS var
+        |      FROM a),
+        |f AS (SELECT event_type, n_obs, mean,
+        |        CASE WHEN mean > 0 THEN ROUND(var / mean, 6)
+        |             ELSE 0.0 END AS fano
+        |      FROM m)
+        |SELECT event_type, n_obs, ROUND(mean, 6) AS mean, fano,
+        |  fano > 1.0 AS bursty
+        |FROM f""".stripMargin,
+
+    // dow anomaly: same-dow baselines from exact-moment windows; null
+    // z (and no flag) for degenerate baselines
+    "q_dow_anomaly" ->
+      s"""WITH $dailyVolumeCte,
+        |dd AS (SELECT event_type, day, n,
+        |         CAST((day + 3) % 7 AS INT) AS dow FROM d),
+        |w AS (
+        |  SELECT event_type, day, dow, n,
+        |    count(*) OVER p AS k,
+        |    CAST(SUM(CAST(n AS HUGEINT)) OVER p AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(n AS HUGEINT) * n) OVER p AS DOUBLE) AS s2
+        |  FROM dd
+        |  WINDOW p AS (PARTITION BY event_type, dow)),
+        |m AS (
+        |  SELECT event_type, day, dow, n, k, s1 / k AS mean,
+        |    s2 / k - (s1 / k) * (s1 / k) AS var
+        |  FROM w),
+        |zz AS (
+        |  SELECT event_type, day, dow, n, mean,
+        |    CASE WHEN k >= 2 AND var > 0
+        |         THEN ROUND((n - mean) / sqrt(var), 6) END AS z
+        |  FROM m)
+        |SELECT event_type, day, dow, n,
+        |  ROUND(mean, 6) AS baseline_mean, z,
+        |  COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
+        |FROM zz""".stripMargin,
 
     // Benford: first digit from the decimal string of floor(value)
     // (log10-free digit => engine-exact); expected = ln(1+1/d)/ln(10)

@@ -346,6 +346,47 @@ object Events {
           .cast("long").as("p90_gap_s"))
   }
 
+  /** Seasonality-adjusted daily-volume anomalies per event type: each
+    * (type, day) volume is z-scored against the SAME DAY-OF-WEEK's
+    * distribution for that type across the whole window (a Monday is
+    * judged against Mondays — the raw z-score [[graft.operators
+    * .Profile.zscoreBy]] would flag every weekend of a weekday-heavy
+    * source). Moments come from exact integer sums over the
+    * (type, dow) window — no one-pass variance accumulator — so the z
+    * is one engine-identical double expression, 6dp. Degenerate
+    * baselines (< 2 obs or zero variance) get a null z and no flag.
+    * Shapes: one day-level reduction, then (type, dow)-partition
+    * windows over the DAYS-sized frame — corpus size appears once. */
+  def dowAnomaly(events: DataFrame, zThreshold: Double = 2.0)
+      : DataFrame = {
+    require(zThreshold > 0, s"bad zThreshold: $zThreshold")
+    val daily = events
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", ((col("day") + 3) % 7).cast("int"))
+    val w = Window.partitionBy("event_type", "dow")
+    val scored = daily
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__s1",
+        sum(col("n").cast("decimal(38,0)")).over(w).cast("double"))
+      .withColumn("__s2",
+        sum((col("n") * col("n")).cast("decimal(38,0)")).over(w)
+          .cast("double"))
+      .withColumn("__mean", col("__s1") / col("__k"))
+      .withColumn("__var",
+        col("__s2") / col("__k") - col("__mean") * col("__mean"))
+      .withColumn("z",
+        when(col("__k") >= 2 && col("__var") > 0,
+          round((col("n") - col("__mean")) / sqrt(col("__var")), 6)))
+    scored
+      .withColumn("baseline_mean", round(col("__mean"), 6))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("baseline_mean"), col("z"), col("is_anomaly"))
+  }
+
   /** Day-of-week volume profile per event type with peak-day flags —
     * the seasonality fingerprint behind crawl scheduling and anomaly
     * baselines. Day-of-week is ENGINE-NEUTRAL integer math:

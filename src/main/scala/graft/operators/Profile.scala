@@ -268,6 +268,36 @@ object Profile {
       .filter(col("n_rows") > 0)
   }
 
+  /** Categorical-mix Shannon entropy per group — "is this source one
+    * language or a contamination soup?" (group = source, category =
+    * lang is the canonical use; any categorical works). Output per
+    * group: row count, category count, entropy in bits
+    * (`-Σ p·ln(p)/ln(2)`, the exact expression shape both engines
+    * replay; 6dp absorbs term order), plus the dominant category and
+    * its share (`(count DESC, category)` tie-broken). Shapes: one hash
+    * aggregate to the (group x category) frame, then a group-sized
+    * window + aggregate — corpus size appears once. */
+  def mixEntropy(df: DataFrame, groupCol: String, catCol: String)
+      : DataFrame = {
+    val byG = Window.partitionBy("__g")
+    val c = df.select(col(groupCol).as("__g"), col(catCol).as("__c"))
+      .groupBy("__g", "__c").agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum("n").over(byG))
+      .withColumn("__p", col("n") / col("__tot").cast("double"))
+      .withColumn("__rk",
+        row_number().over(byG.orderBy(col("n").desc, col("__c"))))
+    c.groupBy("__g")
+      .agg(max("__tot").as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        round(-sum(col("__p") * log(col("__p")) / log(lit(2.0))), 6)
+          .as("entropy"),
+        max(when(col("__rk") === 1, col("__c"))).as("top_cat"),
+        round(max(when(col("__rk") === 1, col("__p"))), 6)
+          .as("top_share"))
+      .select(col("__g").as(groupCol), col("n_rows"), col("n_cats"),
+        col("entropy"), col("top_cat"), col("top_share"))
+  }
+
   /** Fixed-width histogram per group: `bin = floor(x / width)` — a
     * DECLARED grid, not a min/max-derived one, so it needs ONE pass
     * (a data-derived grid needs a scan just to size the bins and its

@@ -507,6 +507,33 @@ object Stats {
         col("z"), (abs(col("z")) > z975).as("significant"))
   }
 
+  /** Fano factor (index of dispersion, `var_pop / mean`) of an
+    * INTEGRAL series per group — the burstiness read on daily volumes:
+    * Poisson arrivals sit at 1, a bursty source (spiky crawls,
+    * replayed batches) far above, a quota-throttled one below. Both
+    * moments come from decimal-exact integer sums (`Σx`, `Σx²`) so the
+    * one double expression at the edge is engine-identical — no
+    * one-pass variance accumulator whose order could differ. */
+  def fanoFactor(df: DataFrame, groupCol: String, xCol: String)
+      : DataFrame = {
+    val x = col(xCol).cast("long")
+    df.filter(col(xCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(x.cast("decimal(38,0)")).cast("double").as("__s1"),
+        sum((x * x).cast("decimal(38,0)")).cast("double").as("__s2"))
+      .withColumn("__mean", col("__s1") / col("n_obs"))
+      .withColumn("__var",
+        col("__s2") / col("n_obs") - col("__mean") * col("__mean"))
+      .withColumn("mean", round(col("__mean"), 6))
+      .withColumn("fano",
+        when(col("__mean") > 0, round(col("__var") / col("__mean"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("bursty", col("fano") > 1.0)
+      .select(col(groupCol), col("n_obs"), col("mean"), col("fano"),
+        col("bursty"))
+  }
+
   /** Sample autocorrelation at lags `1..maxLag` per group — "is this
     * source's volume weekly-periodic or a random walk?" feeds both the
     * seasonality profile and anomaly thresholds. Defined as the

@@ -533,4 +533,35 @@ object TextQuality {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** Per-source out-of-vocabulary rate against the corpus-global top-K
+    * vocabulary — the tokenizer-coverage audit run before committing a
+    * vocab: a source whose OOV rate spikes is about to fragment into
+    * byte-level tokens and blow its fertility. Vocabulary = top `topK`
+    * tokens by corpus frequency, `(freq DESC, token)` tie-broken so
+    * both engines pick the identical set.
+    *
+    * Scale shape: ONE corpus tokenization pass reduced immediately to
+    * the (source, token) count frame — everything downstream
+    * (vocabulary top-K, the coverage join, the per-source aggregate)
+    * is vocab- x source-sized; the top-K is a K-bounded ordered limit
+    * and the membership join broadcasts. */
+  def vocabCoverage(docs: DataFrame, sourceCol: String, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 1 && topK <= 1000000, s"bad topK: $topK")
+    val counts = TrackedCaches.persist(docs
+      .select(col(sourceCol).as("__src"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("__src", "tok").agg(count(lit(1)).as("c")))
+    val vocab = counts.groupBy("tok").agg(sum("c").as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topK)
+      .select(col("tok"), lit(1).as("__in"))
+    counts.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("__src").as(sourceCol))
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("__in").isNull, col("c")).otherwise(0L))
+          .as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens") / col("n_tokens").cast("double"), 6))
+  }
 }
