@@ -133,7 +133,8 @@ object GraphRehearsal {
       val rows = Seq(
         timed(nm, "ktruss")(Graph.kTruss(e, k = 3, rounds = 4).count()),
         timed(nm, "pagerank")(Graph.pageRank(e, iterations = 5).count()),
-        timed(nm, "kcore")(Graph.kCore(e, k = 4).count())
+        timed(nm, "kcore")(Graph.kCore(e, k = 4).count()),
+        timed(nm, "adamic_adar")(Graph.adamicAdar(e, topK = 100).count())
       ).flatten
       e.unpersist(blocking = true)
       nm -> rows

@@ -744,6 +744,58 @@ object ScaleRehearsal {
           fit.unpersist(); pp.unpersist()
           n
         },
+        timed("spearman") {
+          // two rank windows over the full corpus — the row-scaling
+          // member of the wave-12/13 stats family
+          import org.apache.spark.sql.functions.{col, length}
+          graft.operators.Stats.spearman(
+            docs.select(col("source"), length(col("text")).as("nc"),
+              graft.functions.TextFunctions.tokenCount(col("text"))
+                .cast("long").as("tc")),
+            "source", "nc", "tc").count()
+        },
+        timed("interarrival") {
+          // one user-key lag window + a type aggregate — linear
+          graft.operators.Events.interArrival(evs).count()
+        },
+        timed("vocab_coverage") {
+          // one corpus tokenization pass, vocab-sized downstream
+          graft.operators.TextQuality.vocabCoverage(docs,
+            "source", "text", topK = 1000).count()
+        },
+        timed("changelog_compact") {
+          // single hash aggregate (min_by/max_by) — keys-sized output
+          import org.apache.spark.sql.functions.{col, when}
+          Dedup.changelogCompact(
+            evs.select(col("user_id"), col("event_id"),
+              when(col("event_type") === "signup", "I")
+                .when(col("event_type") === "error", "D")
+                .otherwise("U").as("op"),
+              col("value")),
+            "user_id", "event_id", "op", "value").count()
+        },
+        timed("hist_quantiles") {
+          // declared-grid histogram + bins-sized window — the no-sort
+          // quantile path
+          import org.apache.spark.sql.functions.col
+          graft.operators.Profile.histogramQuantiles(
+            evs.select(col("event_type"), col("value")),
+            "event_type", "value", width = 10.0).count()
+        },
+        timed("dow_anomaly") {
+          // representative of the day-series family (acf/theil_sen/
+          // ewma/gini/change_point/burstiness): row cost is ONLY the
+          // daily reduction; everything after is days-sized
+          graft.operators.Events.dowAnomaly(evs).count()
+        },
+        timed("centroid_drift") {
+          // dimension-bounded chained-posexplode aggregate (gram
+          // shape); label = the DGP's cluster id
+          import org.apache.spark.sql.functions.col
+          graft.operators.EmbedAlgebra.centroidDrift(
+            emb.withColumn("lbl", (col("vec_id") % 32).cast("int")),
+            "lbl", "vec_id").count()
+        },
         timed("att_vcov_pretest") {
           // cold fit + full covariance matrix + the driver-side Wald
           // solve: the K^2 pair blow-up happens map-side per unit, so

@@ -1352,6 +1352,35 @@ object SparkEntry {
     "q_dow_anomaly" -> ((s, dir) =>
       operators.Events.dowAnomaly(events(s, dir), zThreshold = 2.0)),
 
+    // CDC: changelog compaction — a day of per-key I/U/D churn
+    // (signup=I, error=D, else U over the event stream) collapsed to
+    // one net change per key via min_by/max_by on the log offset; no
+    // windows, no sort, keys-sized output
+    "q_changelog_compact" -> ((s, dir) =>
+      Dedup.changelogCompact(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          col("value")),
+        "user_id", "event_id", "op", "value")),
+
+    // profiling: mergeable quantile estimates from the declared 5k
+    // grid — p50/p90/p99 without a global sort, error <= width by
+    // construction; the histogram bins ARE the sketch
+    "q_hist_quantiles" -> ((s, dir) =>
+      operators.Profile.histogramQuantiles(
+        s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", "o_totalprice", width = 5000.0,
+        probs = Seq(0.5, 0.9, 0.99))),
+
+    // embedding algebra: centroid drift per label between the two
+    // id-hash slices — representation-stability monitor; 6dp-rounded
+    // centroids make the cosine engine-exact
+    "q_centroid_drift" -> ((s, dir) =>
+      operators.EmbedAlgebra.centroidDrift(emb(s, dir),
+        "label", "vec_id")),
+
     // stats: Benford first-digit audit of order totals per priority
     // band — fabricated/synthetic-data smell test; first digit via
     // DECIMAL STRING extraction (log10-free => engine-exact)
@@ -5189,6 +5218,94 @@ object SparkEntry {
         |  ROUND(mean, 6) AS baseline_mean, z,
         |  COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
         |FROM zz""".stripMargin,
+
+    // changelog compaction: the same min_by/max_by fold + net-op truth
+    // table
+    "q_changelog_compact" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id AS seq,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes,
+        |    min_by(op, seq) AS first_op, max_by(op, seq) AS last_op,
+        |    max_by(value, seq) AS last_val,
+        |    CAST(min(seq) AS BIGINT) AS first_seq,
+        |    CAST(max(seq) AS BIGINT) AS last_seq
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_changes, first_op, last_op, last_val,
+        |  first_seq, last_seq,
+        |  CASE WHEN last_op = 'D' THEN
+        |    CASE WHEN first_op = 'I' THEN 'N' ELSE 'D' END
+        |  ELSE
+        |    CASE WHEN first_op = 'I' THEN 'I' ELSE 'U' END
+        |  END AS net_op
+        |FROM a""".stripMargin,
+
+    // histogram quantiles: declared-grid cum counts + in-bin linear
+    // interpolation — all integer counts plus one double expression
+    "q_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS bn
+        |      FROM h GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, bin, bn,
+        |    SUM(bn) OVER (PARTITION BY g ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(bn) OVER (PARTITION BY g) AS n
+        |  FROM b),
+        |p AS (SELECT * FROM c
+        |      CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS pr(prob)),
+        |q AS (
+        |  SELECT g, prob, n, bin, bn, cum, prob * n AS target
+        |  FROM p WHERE cum >= prob * n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY g, prob ORDER BY bin) AS rk
+        |      FROM q)
+        |SELECT g AS o_orderpriority, prob, CAST(n AS BIGINT) AS n,
+        |  ROUND(bin * 5000.0 +
+        |    5000.0 * (target - (cum - bn)) / bn, 6) AS est
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // centroid drift: 6dp-rounded per-(label, slice) centroids (both
+    // engines hold identical vectors), then one cosine per label
+    "q_centroid_drift" ->
+      """WITH x AS (
+        |  SELECT label, CAST(vec_id % 2 AS INT) AS s,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, s, i, ROUND(AVG(x), 6) AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM x GROUP BY 1, 2, 3),
+        |piv AS (
+        |  SELECT label, i,
+        |    SUM(CASE WHEN s = 0 THEN c END) AS c0,
+        |    SUM(CASE WHEN s = 1 THEN c END) AS c1,
+        |    MAX(CASE WHEN s = 0 THEN cnt END) AS n0,
+        |    MAX(CASE WHEN s = 1 THEN cnt END) AS n1
+        |  FROM cent GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT label, MAX(n0) AS n0, MAX(n1) AS n1,
+        |    SUM(c0 * c1) AS dot,
+        |    SUM(c0 * c0) AS n0sq, SUM(c1 * c1) AS n1sq
+        |  FROM piv GROUP BY 1),
+        |cz AS (
+        |  SELECT label, n0, n1,
+        |    CASE WHEN n0sq > 0 AND n1sq > 0
+        |         THEN ROUND(dot / (sqrt(n0sq) * sqrt(n1sq)), 6)
+        |    END AS cosine
+        |  FROM agg)
+        |SELECT label, n0, n1, cosine,
+        |  ROUND(1.0 - cosine, 6) AS drift
+        |FROM cz""".stripMargin,
 
     // Benford: first digit from the decimal string of floor(value)
     // (log10-free digit => engine-exact); expected = ln(1+1/d)/ln(10)

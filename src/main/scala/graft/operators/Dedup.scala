@@ -724,4 +724,33 @@ object Dedup {
         sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
           lit(k.toDouble), 6).as("est"))
   }
+
+  /** CDC changelog compaction: collapse a day of per-key churn
+    * (`I`/`U`/`D` ops, `seqCol`-ordered — the log offset) to ONE net
+    * change per key, which is what a lakehouse MERGE wants to apply
+    * instead of replaying every intermediate version. Net-op truth
+    * table against the base snapshot (f = first op, l = last op):
+    * `f=I, l=D -> N` (born and died inside the log — a no-op the
+    * caller can still count as churn), `f=I, l≠D -> I`,
+    * `f∈{U,D}, l=D -> D`, `f∈{U,D}, l≠D -> U` (covers delete-then-
+    * reinsert: net is an update). Payload is the LAST change's value.
+    *
+    * One hash aggregate on the key — `min_by`/`max_by` over the unique
+    * sequence number, no windows, no sort; at 100 TB the output is
+    * keys-sized however long the log is. */
+  def changelogCompact(log: DataFrame, keyCol: String, seqCol: String,
+      opCol: String, valCol: String): DataFrame = {
+    val net = when(col("last_op") === "D",
+        when(col("first_op") === "I", lit("N")).otherwise(lit("D")))
+      .otherwise(
+        when(col("first_op") === "I", lit("I")).otherwise(lit("U")))
+    log.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_changes"),
+        min_by(col(opCol), col(seqCol)).as("first_op"),
+        max_by(col(opCol), col(seqCol)).as("last_op"),
+        max_by(col(valCol), col(seqCol)).as("last_val"),
+        min(col(seqCol)).as("first_seq"),
+        max(col(seqCol)).as("last_seq"))
+      .withColumn("net_op", net)
+  }
 }

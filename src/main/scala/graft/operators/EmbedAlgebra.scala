@@ -235,4 +235,40 @@ object EmbedAlgebra {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     spark.createDataset(rows.toIndexedSeq).toDF("tok", "comp", "value")
   }
+
+  /** Embedding centroid drift per label between two id-hash slices —
+    * the representation-stability monitor run between snapshot builds
+    * ("did this class's embedding cloud move?"). Slice `id % 2` plays
+    * the old/new snapshot split; per (label, slice) centroids come
+    * from one chained-posexplode aggregate (dimension-bounded, no
+    * self-join, the [[gram]] shape), are ROUNDED 6dp — so both engines
+    * hold bit-identical centroid vectors before any cross-term — and
+    * compared by cosine. Output per label: slice sizes, cosine, and
+    * `drift = 1 − cosine` (6dp). */
+  def centroidDrift(df: DataFrame, labelCol: String, idCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val e = df.select(col(labelCol).as("lbl"),
+        (col(idCol) % 2).cast("int").as("s"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+    val cent = e.groupBy("lbl", "s", "i")
+      .agg(round(avg(col("x").cast("double")), 6).as("c"),
+        count(lit(1)).as("cnt"))
+    val piv = cent.groupBy("lbl", "i")
+      .agg(sum(when(col("s") === 0, col("c"))).as("c0"),
+        sum(when(col("s") === 1, col("c"))).as("c1"),
+        max(when(col("s") === 0, col("cnt"))).as("n0"),
+        max(when(col("s") === 1, col("cnt"))).as("n1"))
+    piv.groupBy(col("lbl").as(labelCol))
+      .agg(max("n0").as("n0"), max("n1").as("n1"),
+        sum(col("c0") * col("c1")).as("__dot"),
+        sum(col("c0") * col("c0")).as("__n0sq"),
+        sum(col("c1") * col("c1")).as("__n1sq"))
+      .withColumn("cosine",
+        when(col("__n0sq") > 0 && col("__n1sq") > 0,
+          round(col("__dot") /
+            (sqrt(col("__n0sq")) * sqrt(col("__n1sq"))), 6)))
+      .withColumn("drift", round(lit(1.0) - col("cosine"), 6))
+      .select(col(labelCol), col("n0"), col("n1"), col("cosine"),
+        col("drift"))
+  }
 }
