@@ -796,6 +796,42 @@ object ScaleRehearsal {
             emb.withColumn("lbl", (col("vec_id") % 32).cast("int")),
             "lbl", "vec_id").count()
         },
+        timed("gap_fill") {
+          // sparse tail series (~0.1% of events) -> real gaps; spine
+          // is days-sized regardless of row count
+          import org.apache.spark.sql.functions.{col, count, floor, lit, unix_timestamp}
+          graft.operators.Temporal.gapFillDaily(
+            evs.filter(col("value") > 80.0)
+              .groupBy(col("event_type"),
+                floor(unix_timestamp(col("ts")) / 86400).cast("long")
+                  .as("day")).agg(count(lit(1)).as("n")),
+            "event_type", "day", "n").count()
+        },
+        timed("copurchase") {
+          // day x user co-activity projection: users/day grows with
+          // scale, so the LEFT-DEGREE CAP is what keeps the pair
+          // volume bounded (500^2/2 per day, flat across scales)
+          import org.apache.spark.sql.functions.{col, floor, unix_timestamp}
+          graft.operators.Graph.bipartiteProject(
+            evs.select(
+              floor(unix_timestamp(col("ts")) / 86400).cast("long")
+                .as("day"), col("user_id")),
+            "day", "user_id", maxLeftDegree = 500, minWeight = 5L)
+            .count()
+        },
+        timed("stream_changelog_batch") {
+          import org.apache.spark.sql.functions.{col, when}
+          val sp = evs.sparkSession
+          import sp.implicits._
+          graft.streaming.StreamingOps.changelogStateful(
+            evs.select(col("user_id").cast("string").as("key"),
+              col("event_id").as("seq"),
+              when(col("event_type") === "signup", "I")
+                .when(col("event_type") === "error", "D")
+                .otherwise("U").as("op"),
+              col("value")).as[graft.streaming.ChangeEvent],
+            retainState = false).count()
+        },
         timed("att_vcov_pretest") {
           // cold fit + full covariance matrix + the driver-side Wald
           // solve: the K^2 pair blow-up happens map-side per unit, so

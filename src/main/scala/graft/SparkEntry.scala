@@ -1381,6 +1381,44 @@ object SparkEntry {
       operators.EmbedAlgebra.centroidDrift(emb(s, dir),
         "label", "vec_id")),
 
+    // temporal: calendar gap fill with LOCF over the SPARSE high-value
+    // daily series (value > 220 is the ~1% tail, so real gaps exist) —
+    // days-sized spine, one group-key shuffle, span fail-fast enforced
+    "q_gap_fill" -> ((s, dir) =>
+      operators.Temporal.gapFillDaily(
+        events(s, dir).filter(col("value") > 220.0)
+          .groupBy(col("event_type"),
+            floor(unix_timestamp(col("ts")) / 86400).cast("long")
+              .as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n")),
+
+    // graph: weighted bipartite projection of (order x part)
+    // memberships onto the part co-purchase graph — how the wedge
+    // family's input graphs get BUILT; left-degree cap enforced,
+    // weight >= 2 prunes the noise tail
+    "q_copurchase" -> ((s, dir) =>
+      operators.Graph.bipartiteProject(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minWeight = 2L)),
+
+    // streaming: CDC changelog compaction — the stateful twin of
+    // q_changelog_compact with an ORDER-INSENSITIVE state monoid
+    // (first/last resolved by seq compare, so out-of-order arrival
+    // cannot change the result); batch mode == the batch operator
+    "q_stream_changelog" -> ((s, dir) => {
+      import s.implicits._
+      streaming.StreamingOps.changelogStateful(
+        events(s, dir).select(
+          col("user_id").cast("string").as("key"),
+          col("event_id").as("seq"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          col("value")).as[streaming.ChangeEvent],
+        retainState = false).toDF()
+    }),
+
     // stats: Benford first-digit audit of order totals per priority
     // band — fabricated/synthetic-data smell test; first digit via
     // DECIMAL STRING extraction (log10-free => engine-exact)
@@ -5306,6 +5344,71 @@ object SparkEntry {
         |SELECT label, n0, n1, cosine,
         |  ROUND(1.0 - cosine, 6) AS drift
         |FROM cz""".stripMargin,
+
+    // gap fill: generate_series spine + the carry-day formulation of
+    // LOCF (portable — no IGNORE NULLS dependence); filled flag from
+    // the PRE-fill null
+    "q_gap_fill" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events WHERE value > 220.0 GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS day
+        |  FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+        |        FROM d GROUP BY 1)),
+        |j AS (SELECT sp.event_type, sp.day, d.n
+        |      FROM sp LEFT JOIN d USING (event_type, day)),
+        |c AS (
+        |  SELECT *, MAX(CASE WHEN n IS NOT NULL THEN day END) OVER
+        |      (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS src_day
+        |  FROM j)
+        |SELECT c.event_type, c.day, CAST(d2.n AS DOUBLE) AS n,
+        |  c.n IS NULL AS filled
+        |FROM c LEFT JOIN d d2
+        |  ON c.event_type = d2.event_type AND c.src_day = d2.day"""
+        .stripMargin,
+
+    // bipartite projection: distinct memberships, canonical self-join,
+    // weight = shared left keys, >= 2
+    "q_copurchase" ->
+      """WITH m AS (
+        |  SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+        |  FROM lineitem)
+        |SELECT a.r AS id_a, b.r AS id_b,
+        |  CAST(count(*) AS BIGINT) AS weight
+        |FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // streaming changelog: identical net-op fold as
+    // q_changelog_compact, key as VARCHAR, NetChangeRow column names
+    "q_stream_changelog" ->
+      """WITH l AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS seq,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |a AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_changes,
+        |    min_by(op, seq) AS first_op, max_by(op, seq) AS last_op,
+        |    max_by(value, seq) AS last_val,
+        |    CAST(min(seq) AS BIGINT) AS first_seq,
+        |    CAST(max(seq) AS BIGINT) AS last_seq
+        |  FROM l GROUP BY 1)
+        |SELECT key, n_changes, first_op, last_op,
+        |  CASE WHEN last_op = 'D' THEN
+        |    CASE WHEN first_op = 'I' THEN 'N' ELSE 'D' END
+        |  ELSE
+        |    CASE WHEN first_op = 'I' THEN 'I' ELSE 'U' END
+        |  END AS net_op,
+        |  last_val, first_seq, last_seq
+        |FROM a""".stripMargin,
 
     // Benford: first digit from the decimal string of floor(value)
     // (log10-free digit => engine-exact); expected = ln(1+1/d)/ln(10)

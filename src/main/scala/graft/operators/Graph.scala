@@ -667,4 +667,45 @@ object Graph {
           .as("score"))
     scored.orderBy(col("score").desc, col("a"), col("b")).limit(topK)
   }
+
+  /** Weighted bipartite projection: (left, right) memberships — orders
+    * x parts, sessions x docs, users x templates — projected onto
+    * right-right co-occurrence edges weighted by the number of shared
+    * left keys. This is how the co-purchase / co-view graphs the
+    * wedge family consumes get BUILT. The self-join is quadratic in
+    * the LEFT-side degree (one 10k-item order contributes ~50M pairs),
+    * so `maxLeftDegree` is ENFORCED with the loud-truncation contract:
+    * over-cap left keys keep their `maxLeftDegree` lowest right-ids.
+    * `minWeight` prunes the long noise tail before it shuffles onward.
+    * Output: `(id_a, id_b, weight)` with `id_a < id_b`. */
+  def bipartiteProject(df: DataFrame, leftCol: String, rightCol: String,
+      maxLeftDegree: Int = 1000, minWeight: Long = 1L): DataFrame = {
+    require(maxLeftDegree >= 2, s"bad maxLeftDegree: $maxLeftDegree")
+    require(minWeight >= 1L, s"bad minWeight: $minWeight")
+    val m = TrackedCaches.persist(df
+      .select(col(leftCol).as("l"), col(rightCol).cast("long").as("r"))
+      .distinct())
+    val hubs = m.groupBy("l").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxLeftDegree)
+      .orderBy(col("deg").desc, col("l")).limit(5).collect()
+    val kept =
+      if (hubs.isEmpty) m
+      else {
+        System.err.println(
+          s"[graft.graph] bipartite left-degree cap $maxLeftDegree " +
+            "TRUNCATED key(s) " +
+            hubs.map(r => s"${r.get(0)} (deg ${r.getLong(1)})")
+              .mkString(", ") +
+            " — co-occurrence through dropped memberships is NOT " +
+            "counted; raise maxLeftDegree or pre-filter")
+        m.withColumn("__rk",
+            row_number().over(Window.partitionBy("l").orderBy("r")))
+          .filter(col("__rk") <= maxLeftDegree).drop("__rk")
+      }
+    kept.as("a").join(kept.as("b"),
+        col("a.l") === col("b.l") && col("a.r") < col("b.r"))
+      .groupBy(col("a.r").as("id_a"), col("b.r").as("id_b"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
 }

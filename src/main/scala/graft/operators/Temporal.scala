@@ -302,4 +302,44 @@ object Temporal {
         Seq(col("valid_from"), col("valid_to"), col("version"),
           col("is_current"))): _*)
   }
+
+  /** Calendar densification with last-observation-carried-forward —
+    * the gap fill every daily dashboard needs before a rolling window
+    * (a missing day otherwise silently shrinks the window and shifts
+    * every lag). Per group, the day spine spans `[min(day), max(day)]`
+    * (engine-side `sequence` + explode — days-sized, never row-sized);
+    * missing days take the most recent observed value and are flagged
+    * `filled = true`. The spine span per group is bounded by
+    * `maxSpanDays` (ENFORCED — a single corrupt epoch-0 row would
+    * otherwise explode the spine by decades).
+    *
+    * Shapes: one group aggregate for the spans, one days-sized
+    * left join + one LOCF window — a single group-key shuffle. */
+  def gapFillDaily(df: DataFrame, groupCol: String, dayCol: String,
+      xCol: String, maxSpanDays: Int = 36500): DataFrame = {
+    require(maxSpanDays >= 1, s"bad maxSpanDays: $maxSpanDays")
+    val spans = df.groupBy(col(groupCol).as("__g"))
+      .agg(min(col(dayCol).cast("long")).as("__lo"),
+        max(col(dayCol).cast("long")).as("__hi"))
+    val over = spans.filter(col("__hi") - col("__lo") >= maxSpanDays)
+      .orderBy(col("__g")).limit(5).collect()
+    require(over.isEmpty,
+      s"gapFillDaily: group span exceeds maxSpanDays=$maxSpanDays for " +
+        over.map(r => s"${r.get(0)} (${r.getLong(2) - r.getLong(1)} d)")
+          .mkString(", ") +
+        " — a corrupt timestamp would explode the day spine; clean or " +
+        "raise maxSpanDays")
+    val spine = spans.select(col("__g"),
+      explode(sequence(col("__lo"), col("__hi"))).as("__day"))
+    val obs = df.select(col(groupCol).as("__g"),
+      col(dayCol).cast("long").as("__day"),
+      col(xCol).cast("double").as("__x"))
+    val w = Window.partitionBy("__g").orderBy("__day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("__g", "__day"), "left")
+      .withColumn("filled", col("__x").isNull)
+      .withColumn("__x", last(col("__x"), ignoreNulls = true).over(w))
+      .select(col("__g").as(groupCol), col("__day").as(dayCol),
+        col("__x").as(xCol), col("filled"))
+  }
 }

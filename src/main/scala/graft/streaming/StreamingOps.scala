@@ -47,6 +47,17 @@ final case class TransitionStep(event_type: String, next_type: String)
 final case class LastEvent(lastUs: Long, lastId: Long, lastType: String)
 
 final case class TopKEvent(ts: java.sql.Timestamp, event_type: String)
+
+/** One CDC log record: `seq` is the log offset (unique per key). */
+final case class ChangeEvent(key: String, seq: Long, op: String,
+  value: Double)
+/** Net change per key emitted by [[StreamingOps.changelogStateful]]. */
+final case class NetChangeRow(key: String, n_changes: Long,
+  first_op: String, last_op: String, net_op: String, last_val: Double,
+  first_seq: Long, last_seq: Long)
+/** Order-insensitive compaction monoid (first/last by seq compare). */
+final case class CompactState(n: Long, firstSeq: Long, firstOp: String,
+  lastSeq: Long, lastOp: String, lastVal: Double)
 final case class TopKRow(window_start: Long, event_type: String,
     n: Long, rank: Int)
 final case class WindowCounts(counts: Map[String, Long])
@@ -665,6 +676,58 @@ object StreamingOps {
                 state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
+          }
+      }
+  }
+
+  /** Streaming CDC changelog compaction — the stateful twin of
+    * [[graft.operators.Dedup.changelogCompact]]: per key, maintain
+    * (first op, last op, count, last value) over the I/U/D stream and
+    * emit the net change. Unlike every score-then-update sibling, this
+    * state is an ORDER-INSENSITIVE monoid — first/last are resolved by
+    * comparing the log offset `seq`, so out-of-order and cross-batch
+    * arrival cannot change the result (no per-batch sort needed, and
+    * batch mode equals the batch operator by construction; pinned in
+    * Wave16Spec). Streaming emits the running net per key each batch
+    * (Update-style compaction feed); batch mode (`retainState=false`)
+    * emits once per key. State is O(keys) — a handful of scalars. */
+  def changelogStateful(events: Dataset[ChangeEvent],
+      retainState: Boolean = true, retentionHours: Int = 24 * 7)
+      : Dataset[NetChangeRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CompactState, NetChangeRow](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, it: Iterator[ChangeEvent],
+            state: GroupState[CompactState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              CompactState(0L, Long.MaxValue, "", Long.MinValue, "", 0.0))
+            it.foreach { e =>
+              val firstOp =
+                if (e.seq < st.firstSeq) e.op else st.firstOp
+              val firstSeq = math.min(e.seq, st.firstSeq)
+              val (lastOp, lastVal) =
+                if (e.seq > st.lastSeq) (e.op, e.value)
+                else (st.lastOp, st.lastVal)
+              st = CompactState(st.n + 1, firstSeq, firstOp,
+                math.max(e.seq, st.lastSeq), lastOp, lastVal)
+            }
+            if (retainState) {
+              state.update(st)
+              state.setTimeoutDuration(s"$retentionHours hours")
+            }
+            if (st.n == 0L) Iterator.empty
+            else {
+              val net =
+                if (st.lastOp == "D") { if (st.firstOp == "I") "N" else "D" }
+                else { if (st.firstOp == "I") "I" else "U" }
+              Iterator.single(NetChangeRow(key, st.n, st.firstOp,
+                st.lastOp, net, st.lastVal, st.firstSeq, st.lastSeq))
+            }
           }
       }
   }
