@@ -1402,6 +1402,29 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         "l_orderkey", "l_partkey", minWeight = 2L)),
 
+    // curation: 2-D Pareto frontier per lang over (cost = chars,
+    // gain = tokens) — budgeted doc selection via two cummax windows,
+    // NOT the quadratic dominance join
+    "q_pareto_frontier" -> ((s, dir) =>
+      operators.Sampling.paretoFrontier2D(
+        docs(s, dir).select(col("lang"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tok")),
+        "lang", "n_chars", "n_tok")),
+
+    // sources: schema-evolution read — two parquet generations (gen1
+    // predates the lang column) reconciled by a mergeSchema footer
+    // merge; the aggregate must match the single-table replay with
+    // gen1's lang nulled
+    "q_schema_evolution" -> ((s, dir) => {
+      val p = evolvedFor(s, dir)
+      graft.sources.PanelSource.readMerged(s,
+          Seq(s"$p/gen1", s"$p/gen2"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("chars"))
+    }),
+
     // streaming: CDC changelog compaction — the stateful twin of
     // q_changelog_compact with an ORDER-INSENSITIVE state monoid
     // (first/last resolved by seq compare, so out-of-order arrival
@@ -2755,6 +2778,32 @@ object SparkEntry {
       graft.sources.PanelSource.writeJsonl(d, s"$p/docs_jsonl")
       graft.sources.PanelSource.writeOrc(d, s"$p/docs_orc")
       (s"$p/docs_jsonl", s"$p/docs_orc")
+    })
+
+  /** Two-generation parquet layout (gen1 lacks `lang` — the column
+    * arrived mid-corpus) written once per (session, sfDir): the
+    * mergeSchema READ is the operator under test. */
+  private val evolvedCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def evolvedFor(s: SparkSession, dir: String): String =
+    evolvedCache.getOrElseUpdate(skey(s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft-evolved")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      val d = docs(s, dir)
+      graft.sources.PanelSource.writeParquet(
+        d.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+        s"$p/gen1")
+      graft.sources.PanelSource.writeParquet(
+        d.filter(col("doc_id") % 2 =!= 0)
+          .select("doc_id", "text", "lang"),
+        s"$p/gen2")
+      p.toString
     })
 
   /** Events table with `ts` normalized to TimestampType whatever flavor
@@ -5383,6 +5432,35 @@ object SparkEntry {
         |FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // pareto frontier: the same two-window dominance test; identical
+    // (cost, gain) duplicates all survive on both engines
+    "q_pareto_frontier" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT lang, n_chars, n_tok,
+        |    MAX(CAST(n_tok AS DOUBLE)) OVER
+        |      (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS mprev,
+        |    MAX(CAST(n_tok AS DOUBLE)) OVER
+        |      (PARTITION BY lang, n_chars) AS msame
+        |  FROM b)
+        |SELECT lang, n_chars, n_tok FROM w
+        |WHERE (mprev IS NULL OR mprev < n_tok)
+        |  AND msame = n_tok""".stripMargin,
+
+    // schema evolution: single-table replay with gen1's lang nulled
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END
+        |    AS lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(len(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // streaming changelog: identical net-op fold as
     // q_changelog_compact, key as VARCHAR, NetChangeRow column names

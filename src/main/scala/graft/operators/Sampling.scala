@@ -342,4 +342,32 @@ object Sampling {
       .select(col(idCol), col("global_pos"), col("cum_before"),
         col(tokenCol))
   }
+
+  /** 2-D Pareto frontier per group — quality-vs-cost curation under a
+    * token budget: a row survives iff no other row in its group costs
+    * at most as much AND gains at least as much with one inequality
+    * strict (identical points both survive — neither strictly
+    * dominates). NOT the naive quadratic dominance anti-join: two
+    * cummax windows express it exactly —
+    * `dominated <=> max(gain | cost' < cost) >= gain
+    *            OR max(gain | cost' = cost) > gain`
+    * — so the whole frontier costs one group-key shuffle + sort,
+    * linear at any scale. Output: the surviving input rows. */
+  def paretoFrontier2D(df: DataFrame, groupCol: String, costCol: String,
+      gainCol: String): DataFrame = {
+    val strictlyCheaper = Window.partitionBy(groupCol)
+      .orderBy(col(costCol).cast("double"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameCost = Window.partitionBy(col(groupCol), col(costCol))
+    df.filter(col(costCol).isNotNull && col(gainCol).isNotNull)
+      .withColumn("__mprev",
+        max(col(gainCol).cast("double")).over(strictlyCheaper))
+      .withColumn("__msame",
+        max(col(gainCol).cast("double")).over(sameCost))
+      .filter(
+        (col("__mprev").isNull ||
+          col("__mprev") < col(gainCol).cast("double")) &&
+        col("__msame") === col(gainCol).cast("double"))
+      .drop("__mprev", "__msame")
+  }
 }

@@ -130,4 +130,14 @@ object PanelSource {
       .option("path", path)
       .format("parquet")
       .saveAsTable(name)
+
+  /** Schema-evolution read: union parquet GENERATIONS whose schemas
+    * differ (a crawler added fields mid-corpus — the lakehouse
+    * reality). `mergeSchema` reconciles footers across all paths;
+    * columns missing from older generations null-fill, so downstream
+    * aggregates see one stable superset schema. Schema reconciliation
+    * is footer-only (no data scan), so the merge cost is O(files),
+    * not O(bytes). */
+  def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }
