@@ -1402,6 +1402,25 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         "l_orderkey", "l_partkey", minWeight = 2L)),
 
+    // sketches: KMV distinct-user estimate per event type — the
+    // approximate-distinct that IS oracle-exact (pure function of the
+    // data via md5 fractions), unlike the rows-only HLL registers
+    "q_kmv_distinct" -> ((s, dir) =>
+      operators.Sketches.kmvDistinct(events(s, dir),
+        "event_type", "user_id", k = 64)),
+
+    // stats: per-type OLS trend line + R² over the daily series — the
+    // parametric complement of q_theil_sen; one moments aggregate
+    "q_linear_fit" -> ((s, dir) =>
+      operators.Stats.linearFit(dailyVolumes(s, dir),
+        "event_type", "day", "n")),
+
+    // stats: pairwise vocabulary Jaccard between sources — the
+    // set-overlap complement of q_js_divergence's distributional
+    // distance; vocab-sized joins after one corpus pass
+    "q_vocab_overlap" -> ((s, dir) =>
+      operators.Stats.vocabOverlap(docs(s, dir), "source", "text")),
+
     // curation: 2-D Pareto frontier per lang over (cost = chars,
     // gain = tokens) — budgeted doc selection via two cummax windows,
     // NOT the quadratic dominance join
@@ -5432,6 +5451,66 @@ object SparkEntry {
         |FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // KMV: identical md5-fraction hashing, rank trim, (k-1)/kth
+    // estimate — the whole sketch replays in SQL
+    "q_kmv_distinct" ->
+      """WITH dk AS (SELECT DISTINCT event_type, user_id FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) / 1152921504606846976.0 AS f
+        |  FROM dk),
+        |r AS (SELECT event_type, f,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY f)
+        |          AS rk
+        |      FROM f),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |        MAX(f) AS kth
+        |      FROM r WHERE rk <= 64 GROUP BY 1)
+        |SELECT event_type, n_kept,
+        |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE ROUND(63 / kth, 2) END AS est_distinct
+        |FROM a""".stripMargin,
+
+    // OLS: covar_pop/var_pop slope, moment-composed intercept, corr²
+    "q_linear_fit" ->
+      s"""WITH $dailyVolumeCte,
+        |s AS (SELECT event_type, CAST(day AS DOUBLE) AS x,
+        |        CAST(n AS DOUBLE) AS y FROM d)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN var_pop(x) <> 0
+        |       THEN ROUND(covar_pop(x, y) / var_pop(x), 6) END
+        |    AS slope,
+        |  CASE WHEN var_pop(x) <> 0
+        |       THEN ROUND(AVG(y) - covar_pop(x, y) / var_pop(x)
+        |         * AVG(x), 6) END AS intercept,
+        |  CASE WHEN var_pop(x) <> 0 AND stddev_pop(y) <> 0 THEN
+        |    ROUND((covar_pop(x, y) /
+        |      (stddev_pop(x) * stddev_pop(y))) *
+        |      (covar_pop(x, y) / (stddev_pop(x) * stddev_pop(y))), 6)
+        |  END AS r2
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // vocab overlap: distinct (source, token) sets, intersection join,
+    // |A|+|B|-∩ union
+    "q_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source AS src, u.tok AS tok
+        |  FROM (SELECT source,
+        |          string_split_regex(lower(trim(text)), '\s+') AS tk
+        |        FROM documents), UNNEST(tk) AS u(tok)),
+        |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz
+        |       FROM v GROUP BY 1),
+        |i AS (SELECT a.src AS s1, b.src AS s2,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM v a JOIN v b ON a.tok = b.tok AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT i.s1, i.s2, z1.sz AS sz1, z2.sz AS sz2, i.inter,
+        |  ROUND(i.inter / CAST(z1.sz + z2.sz - i.inter AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM i JOIN sz z1 ON z1.src = i.s1
+        |JOIN sz z2 ON z2.src = i.s2""".stripMargin,
 
     // pareto frontier: the same two-window dominance test; identical
     // (cost, gain) duplicates all survive on both engines

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SketchExprs.{bloomMightContain, cmsEstimate}
@@ -93,5 +94,40 @@ object Sketches {
       .where(length(col("tok")) > 0)
     toks.groupBy(groupCol)
       .agg(approx_count_distinct(col("tok"), rsd).as("approx_distinct"))
+  }
+
+  /** KMV (k-minimum-values) distinct sketch per group — the
+    * approximate-distinct whose result is a PURE FUNCTION of the data:
+    * hash every key to a uniform fraction via md5 (the engine's
+    * seeded-randomness convention), keep the k smallest, estimate
+    * `D ≈ (k-1) / kth_min`. Unlike HLL (register layout is
+    * engine-internal — the one sketch that stayed rows-only), every
+    * intermediate here is SQL-replayable, so the ESTIMATE itself is
+    * oracle-exact. Mergeable: union two groups' keep-lists, re-take
+    * the k smallest. Groups with < k distinct keys report their exact
+    * count (the estimate arm needs a full sketch).
+    *
+    * One distinct-key aggregate + a WindowGroupLimit rank trim —
+    * everything after the distinct is k-bounded per group. */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 16, s"bad k: $k (estimate variance ~ 1/sqrt(k))")
+    // 60 bits of md5 as a fraction in [0,1) — exactly representable
+    // products, same convention as the sampling thresholds
+    val frac = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
+      16, 10).cast("double") / lit(1152921504606846976.0) // 2^60
+    val hashed = df.select(col(groupCol), col(keyCol))
+      .distinct()
+      .select(col(groupCol), frac.as("__f"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__f"))
+    hashed
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"), max(col("__f")).as("__kth"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round((lit(k) - 1) / col("__kth"), 2)))
+      .select(col(groupCol), col("n_kept"), col("est_distinct"))
   }
 }

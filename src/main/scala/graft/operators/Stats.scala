@@ -507,6 +507,60 @@ object Stats {
         col("z"), (abs(col("z")) > z975).as("significant"))
   }
 
+  /** Per-group OLS line `y = a + b·x` with R² — the parametric
+    * complement of [[theilSen]] (least squares is sharper when the
+    * noise is well-behaved; Theil–Sen survives when it is not —
+    * dashboards want both). `b = covar_pop/var_pop`,
+    * `a = ȳ − b·x̄`, `R² = corr²` via the proven
+    * `covar_pop/(stddev_pop·stddev_pop)` pairing; constant-x groups
+    * get null slope/intercept/r2. ONE aggregate over the rows — the
+    * moments shuffle, never the data. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val b = covar_pop(x, y) / var_pop(x)
+    val r = covar_pop(x, y) / (stddev_pop(x) * stddev_pop(y))
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(when(var_pop(x) =!= 0.0, b), 6).as("slope"),
+        round(when(var_pop(x) =!= 0.0, avg(y) - b * avg(x)), 6)
+          .as("intercept"),
+        round(when(var_pop(x) =!= 0.0 && stddev_pop(y) =!= 0.0, r * r),
+          6).as("r2"))
+  }
+
+  /** Pairwise VOCABULARY Jaccard between sources — the set-overlap
+    * complement of [[jsDivergence]]'s distributional distance (two
+    * sources can share every token yet weight them oppositely, and
+    * vice versa; drift triage wants both axes). One corpus pass to
+    * the distinct (source, token) frame; the intersection join and
+    * the size join are vocab- x source-sized. Pairs with ZERO shared
+    * tokens are absent (sparse output by design — at corpus scale the
+    * all-pairs zero matrix is noise). */
+  def vocabOverlap(df: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val v = graft.operators.TrackedCaches.persist(
+      df.select(col(sourceCol).as("src"),
+          explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .distinct())
+    val sizes = v.groupBy("src").agg(count(lit(1)).as("sz"))
+    v.as("a").join(v.as("b"),
+        col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("s1"), col("b.src").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("src").as("s1"),
+        col("sz").as("sz1"))), "s1")
+      .join(broadcast(sizes.select(col("src").as("s2"),
+        col("sz").as("sz2"))), "s2")
+      .select(col("s1"), col("s2"), col("sz1"), col("sz2"),
+        col("inter"),
+        round(col("inter") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Fano factor (index of dispersion, `var_pop / mean`) of an
     * INTEGRAL series per group — the burstiness read on daily volumes:
     * Poisson arrivals sit at 1, a bursty source (spiky crawls,
