@@ -507,6 +507,74 @@ object Stats {
         col("z"), (abs(col("z")) > z975).as("significant"))
   }
 
+  /** Chi-square independence test between two categoricals (is
+    * priority independent of status? is lang independent of source?) —
+    * the categorical drift/leakage check. Zero cells matter:
+    * `(0−e)²/e = e`, and summing `e` over every absent cell equals
+    * `N − Σ_observed e`, so
+    * `χ² = Σ_obs((o−e)²/e − e) + N` needs only the OBSERVED cell
+    * frame — no dense R×C materialization. Also reports Cramér's V
+    * (`sqrt(χ²/(N·min(R−1,C−1)))`, the effect size a huge-N χ²
+    * always needs next to it). One corpus aggregate to the observed
+    * cells; everything after is cells-sized. */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("__a").agg(sum("o").as("na"))
+    val rb = cells.groupBy("__b").agg(sum("o").as("nb"))
+    val totals = cells.agg(sum("o").as("nn"))
+    val joined = cells.join(broadcast(ra), "__a")
+      .join(broadcast(rb), "__b")
+      .crossJoin(broadcast(totals))
+    // na first to double: a BIGINT na*nb product would overflow at
+    // corpus-scale marginals (the oracle mirrors the same cast order)
+    val e = col("na").cast("double") * col("nb") / col("nn")
+    val agg = joined.agg(
+      sum(col("o")).as("n"),
+      count_distinct(col("__a")).as("r"),
+      count_distinct(col("__b")).as("c"),
+      sum((col("o") - e) * (col("o") - e) / e - e).as("__t"))
+    agg
+      .withColumn("dof", (col("r") - 1) * (col("c") - 1))
+      .withColumn("chi2", round(col("__t") + col("n"), 6))
+      .withColumn("cramers_v",
+        when(col("dof") > 0,
+          round(sqrt((col("__t") + col("n")) /
+            (col("n") * least(col("r") - 1, col("c") - 1))), 6))
+          .otherwise(lit(0.0)))
+      .select(col("n"), col("dof"), col("chi2"), col("cramers_v"))
+  }
+
+  /** Functional-dependency audit: does `lhsCol` determine `rhsCol`?
+    * One summary row: lhs-key counts, keys violating the FD (more
+    * than one distinct rhs), and the CONFLICTING-ROW count (rows
+    * outside their key's modal rhs — the rows a repair would touch;
+    * only the modal COUNT matters, so rhs ties need no break). The
+    * schema-inference / join-key sanity check run before trusting a
+    * column as a key. Two hash aggregates on (lhs, rhs) — the cell
+    * frame — then key-sized reductions; corpus size appears once. */
+  def fdViolations(df: DataFrame, lhsCol: String, rhsCol: String)
+      : DataFrame = {
+    val cells = df.filter(col(lhsCol).isNotNull)
+      .groupBy(col(lhsCol).as("__l"), col(rhsCol).as("__r"))
+      .agg(count(lit(1)).as("n"))
+    val perKey = cells.groupBy("__l")
+      .agg(sum("n").as("rows"),
+        count(lit(1)).as("n_rhs"),
+        max(col("n")).as("modal_n"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+        .as("violating_keys"),
+      sum(col("rows")).as("n_rows"),
+      sum(col("rows") - col("modal_n")).as("conflicting_rows"))
+      .withColumn("fd_holds", col("violating_keys") === 0L)
+      .withColumn("violation_rate",
+        round(col("conflicting_rows") / col("n_rows").cast("double"), 6))
+  }
+
   /** Per-group OLS line `y = a + b·x` with R² — the parametric
     * complement of [[theilSen]] (least squares is sharper when the
     * noise is well-behaved; Theil–Sen survives when it is not —
