@@ -2189,6 +2189,21 @@ object SparkEntry {
       Similarity.kmeansAssignExact(emb(s, dir), "vec_id", "embedding",
         k = 4, iters = 3)),
 
+    // similarity: cluster-purity eval — the k-means assignment joined
+    // back to labels, then per-cluster label-mix entropy + majority
+    // share (the "did my clusters find my classes" readout every
+    // embedding pipeline runs); composes kmeansAssignExact with
+    // Profile.mixEntropy, everything after the assignment is
+    // clusters-x-labels sized
+    "q_cluster_purity" -> ((s, dir) => {
+      val e = emb(s, dir)
+      operators.Profile.mixEntropy(
+        Similarity.kmeansAssignExact(e, "vec_id", "embedding",
+            k = 4, iters = 3)
+          .join(e.select(col("vec_id"), col("label")), "vec_id"),
+        "cluster", "label")
+    }),
+
     // similarity: product-quantization codes — 4 subspaces x 8
     // centroids, the memory-bound ANN compression (256 B -> 4 codes);
     // each subspace is the oracle-deterministic Lloyd on a slice, so
@@ -2874,6 +2889,47 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
 
   // ---- oracles ---------------------------------------------------------
+
+  /** Shared Lloyd-replay CTE chain ending in `afin(vec_id, j)` — the
+    * exact k=4 / iters=3 k-means assignment over `embeddings`, used by
+    * q_kmeans_clusters and q_cluster_purity (factored verbatim from
+    * the former's round-7 oracle). */
+  private val kmeansOracleCtes: String = {
+    def distSql(c: String) =
+      s"ROUND(list_reduce(list_sort([ (e.v[d] - $c.c[d]) * " +
+        s"(e.v[d] - $c.c[d]) for d in range(1, 65) ]), " +
+        "(a, t) -> a + t), 4)"
+    def assignSql(name: String, prev: String) =
+      s"""$name AS (
+         |  SELECT vec_id, j FROM (
+         |    SELECT e.vec_id, $prev.j,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql(prev)}, $prev.j) AS rk
+         |    FROM e CROSS JOIN $prev) WHERE rk = 1)""".stripMargin
+    val iters = (1 to 3).map { i =>
+      s"""${assignSql(s"a$i", s"c${i - 1}")},
+         |m$i AS (
+         |  SELECT a$i.j AS j, d,
+         |    ROUND(list_reduce(list_sort(list(e.v[d])), (a, t) -> a + t)
+         |      / COUNT(*), 8) AS m
+         |  FROM a$i JOIN e USING (vec_id), unnest(range(1, 65)) AS u(d)
+         |  GROUP BY a$i.j, d),
+         |c$i AS (
+         |  SELECT c${i - 1}.j, COALESCE(nm.c, c${i - 1}.c) AS c
+         |  FROM c${i - 1} LEFT JOIN (
+         |    SELECT j, list(m ORDER BY d) AS c FROM m$i GROUP BY j) nm
+         |    ON nm.j = c${i - 1}.j)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+       |  FROM e ORDER BY vec_id LIMIT 4),
+       |$iters,
+       |${assignSql("afin", "c3")}""".stripMargin
+  }
 
   /** Shared CTE `d`: the daily event-volume series ([[dailyVolumes]]'
     * SQL twin) feeding the trend/smoothing/concentration/change-point
@@ -6354,43 +6410,34 @@ object SparkEntry {
     // (list_reduce(list_sort(...)) — 0-seed == first-element seed since
     // 0.0 + x is exact), 4dp distance / 8dp centroid rounding, argmin
     // by (dist, j), emptied clusters carry the previous centroid
-    "q_kmeans_clusters" -> {
-      def distSql(c: String) =
-        s"ROUND(list_reduce(list_sort([ (e.v[d] - $c.c[d]) * " +
-          s"(e.v[d] - $c.c[d]) for d in range(1, 65) ]), " +
-          "(a, t) -> a + t), 4)"
-      def assignSql(name: String, prev: String) =
-        s"""$name AS (
-           |  SELECT vec_id, j FROM (
-           |    SELECT e.vec_id, $prev.j,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${distSql(prev)}, $prev.j) AS rk
-           |    FROM e CROSS JOIN $prev) WHERE rk = 1)""".stripMargin
-      val iters = (1 to 3).map { i =>
-        s"""${assignSql(s"a$i", s"c${i - 1}")},
-           |m$i AS (
-           |  SELECT a$i.j AS j, d,
-           |    ROUND(list_reduce(list_sort(list(e.v[d])), (a, t) -> a + t)
-           |      / COUNT(*), 8) AS m
-           |  FROM a$i JOIN e USING (vec_id), unnest(range(1, 65)) AS u(d)
-           |  GROUP BY a$i.j, d),
-           |c$i AS (
-           |  SELECT c${i - 1}.j, COALESCE(nm.c, c${i - 1}.c) AS c
-           |  FROM c${i - 1} LEFT JOIN (
-           |    SELECT j, list(m ORDER BY d) AS c FROM m$i GROUP BY j) nm
-           |    ON nm.j = c${i - 1}.j)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
-         |  FROM e ORDER BY vec_id LIMIT 4),
-         |$iters,
-         |${assignSql("afin", "c3")}
-         |SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM afin""".stripMargin
-    },
+    "q_kmeans_clusters" ->
+      s"""WITH $kmeansOracleCtes
+         |SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM afin"""
+        .stripMargin,
+
+    // cluster purity: the same Lloyd replay, assignments joined back
+    // to labels, then the q_lang_entropy mix-entropy shape per cluster
+    "q_cluster_purity" ->
+      s"""WITH $kmeansOracleCtes,
+         |lb AS (
+         |  SELECT afin.j AS g, emb2.label AS cat
+         |  FROM afin JOIN embeddings emb2 USING (vec_id)),
+         |cc AS (SELECT g, cat, CAST(count(*) AS BIGINT) AS n
+         |       FROM lb GROUP BY 1, 2),
+         |w AS (
+         |  SELECT g, cat, n,
+         |    SUM(n) OVER (PARTITION BY g) AS tot,
+         |    n / CAST(SUM(n) OVER (PARTITION BY g) AS DOUBLE) AS p,
+         |    row_number() OVER (PARTITION BY g ORDER BY n DESC, cat)
+         |      AS rk
+         |  FROM cc)
+         |SELECT CAST(g AS BIGINT) AS cluster,
+         |  CAST(MAX(tot) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_cats,
+         |  ROUND(-SUM(p * ln(p) / ln(2.0)), 6) AS entropy,
+         |  MAX(CASE WHEN rk = 1 THEN cat END) AS top_cat,
+         |  ROUND(MAX(CASE WHEN rk = 1 THEN p END), 6) AS top_share
+         |FROM w GROUP BY 1""".stripMargin,
 
     // PQ codes: the q_kmeans_clusters Lloyd replay, parameterized per
     // 16-dim subspace (k=8, 2 iters) and joined on vec_id; every CTE

@@ -46,4 +46,27 @@ class Wave19Spec extends AnyFunSuite with Matchers with SparkSpec {
     s.getAs[Boolean]("fd_holds") shouldBe false
     s.getAs[Double]("violation_rate") shouldBe 0.2
   }
+
+  test("cluster purity: separable clusters recover their labels exactly") {
+    // even ids hug the origin (label 0), odd ids hug 10 (label 1);
+    // k-means inits on vec_ids 0 and 1 — one per true cluster — so
+    // the per-cluster label mix is pure: entropy 0, top_share 1
+    val vecs = (0 until 8).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array.fill(4)(base + 0.01f * i), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val assign = Similarity.kmeansAssignExact(vecs, "vec_id",
+      "embedding", k = 2, iters = 2)
+    val purity = Profile.mixEntropy(
+        assign.join(vecs.select("vec_id", "label"), "vec_id"),
+        "cluster", "label")
+      .collect()
+    purity.length shouldBe 2
+    purity.foreach { r =>
+      r.getAs[Long]("n_rows") shouldBe 4L
+      r.getAs[Long]("n_cats") shouldBe 1L
+      r.getAs[Double]("entropy") shouldBe 0.0
+      r.getAs[Double]("top_share") shouldBe 1.0
+    }
+  }
 }
