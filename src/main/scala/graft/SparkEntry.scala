@@ -1402,6 +1402,25 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         "l_orderkey", "l_partkey", minWeight = 2L)),
 
+    // stats: PSI feature drift per event type — value distribution of
+    // the first half-window vs the second over the declared 20-wide
+    // grid, with the industry bands; one-sided bins reported, never
+    // silently dropped
+    "q_psi_drift" -> ((s, dir) =>
+      operators.Stats.psiDrift(
+        events(s, dir).withColumn("early",
+          floor(unix_timestamp(col("ts")) / 86400) < 19738),
+        "event_type", "early", "value", width = 20.0)),
+
+    // stats: exact two-sample KS per event type over the same split —
+    // the binning-free sharp complement of q_psi_drift; ECDF steps at
+    // distinct values, one sort shuffle
+    "q_ks_test" -> ((s, dir) =>
+      operators.Stats.ks2Sample(
+        events(s, dir).withColumn("early",
+          floor(unix_timestamp(col("ts")) / 86400) < 19738),
+        "event_type", "early", "value")),
+
     // stats: chi-square independence of priority x status + Cramér's
     // V — categorical leakage/drift check; zero cells handled by the
     // Σe identity, observed-cells-only frame
@@ -5523,6 +5542,81 @@ object SparkEntry {
         |FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // PSI: declared grid, both-sided bins only in the sum, one-sided
+    // counted; industry bands on the ROUNDED psi
+    "q_psi_drift" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) < 19738
+        |      AS early,
+        |    CAST(floor(value / 20.0) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, bin,
+        |        CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ca,
+        |        CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS cb
+        |      FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, bin, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM c),
+        |q AS (SELECT *, ca / CAST(na AS DOUBLE) AS pa,
+        |        cb / CAST(nb AS DOUBLE) AS pb
+        |      FROM p),
+        |s AS (
+        |  SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+        |    CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bins_common,
+        |    CAST(SUM(CASE WHEN (ca > 0) <> (cb > 0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_onesided,
+        |    ROUND(SUM(CASE WHEN ca > 0 AND cb > 0
+        |      THEN (pa - pb) * ln(pa / pb) ELSE 0.0 END), 6) AS psi
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n_a, n_b, n_bins_common, n_onesided, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'major' END AS band
+        |FROM s""".stripMargin,
+
+    // KS: value-level counts, cumulative ECDF window, max |diff|;
+    // significance compares the two ROUNDED values
+    "q_ks_test" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) < 19738
+        |      AS early,
+        |    value AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |v AS (SELECT event_type, x,
+        |        CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ca,
+        |        CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS cb
+        |      FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type,
+        |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb,
+        |    abs(SUM(ca) OVER cw /
+        |        CAST(SUM(ca) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      - SUM(cb) OVER cw /
+        |        CAST(SUM(cb) OVER (PARTITION BY event_type) AS DOUBLE))
+        |      AS d
+        |  FROM v
+        |  WINDOW cw AS (PARTITION BY event_type ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+        |  CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  ROUND(MAX(d), 6) AS ks_stat,
+        |  ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
+        |    CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) AS critical,
+        |  ROUND(MAX(d), 6) > ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
+        |    CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) AS significant
+        |FROM w GROUP BY 1""".stripMargin,
 
     // chi-square: observed cells + marginals, e = na*nb/N (na cast
     // double FIRST, mirrored), zero cells via the +N identity

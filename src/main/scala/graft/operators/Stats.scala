@@ -507,6 +507,85 @@ object Stats {
         col("z"), (abs(col("z")) > z975).as("significant"))
   }
 
+  /** Population Stability Index per group between two slices of a
+    * numeric column over a DECLARED fixed-width grid —
+    * `PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b)`, the industry-standard
+    * "did this feature's distribution move between snapshots" monitor
+    * with its conventional bands (< 0.1 stable, < 0.25 moderate, else
+    * major). Bins empty on ONE side are excluded from the sum (the
+    * deterministic convention — an eps fudge would make the result
+    * depend on an arbitrary constant) and their count is REPORTED
+    * (`n_onesided`) so a mass migration into brand-new bins is
+    * visible, not silently dropped. One hash aggregate to the
+    * (group, slice, bin) frame; bins-sized after. */
+  def psiDrift(df: DataFrame, groupCol: String, sliceCol: String,
+      xCol: String, width: Double): DataFrame = {
+    require(width > 0, s"bad width: $width")
+    val cells = df.filter(col(xCol).isNotNull && col(sliceCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        floor(col(xCol).cast("double") / width).cast("long").as("__bin"))
+      .agg(sum(when(col(sliceCol), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col(sliceCol), 1L).otherwise(0L)).as("cb"))
+    val byG = Window.partitionBy("__g")
+    val p = cells
+      .withColumn("na", sum("ca").over(byG))
+      .withColumn("nb", sum("cb").over(byG))
+      .withColumn("pa", col("ca") / col("na").cast("double"))
+      .withColumn("pb", col("cb") / col("nb").cast("double"))
+    p.groupBy("__g")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("n_bins_common"),
+        sum(when((col("ca") > 0) =!= (col("cb") > 0), 1L).otherwise(0L))
+          .as("n_onesided"),
+        round(sum(when(col("ca") > 0 && col("cb") > 0,
+          (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .otherwise(lit(0.0))), 6).as("psi"))
+      .withColumn("band",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("major"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_bins_common"), col("n_onesided"), col("psi"),
+        col("band"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group —
+    * `D = max_v |F_a(v) − F_b(v)|`, the nonparametric "same
+    * distribution?" test that needs NO binning (the sharp complement
+    * of [[psiDrift]]'s banded monitor). ECDF steps are evaluated at
+    * the distinct values via value-level counts + one cumulative
+    * window, so ties are exact and the whole test is one sort shuffle
+    * on the (group, value) frame — never a collect. Flagged at the
+    * asymptotic 5% level (`c = 1.358·sqrt((n_a+n_b)/(n_a·n_b))`).
+    * Integral-scaled counts keep the cum ratios deterministic; 6dp. */
+  def ks2Sample(df: DataFrame, groupCol: String, sliceCol: String,
+      xCol: String): DataFrame = {
+    val vals = df.filter(col(xCol).isNotNull && col(sliceCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(xCol).cast("double").as("__x"))
+      .agg(sum(when(col(sliceCol), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col(sliceCol), 1L).otherwise(0L)).as("cb"))
+    val byG = Window.partitionBy("__g")
+    val cum = byG.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("na", sum("ca").over(byG))
+      .withColumn("nb", sum("cb").over(byG))
+      .withColumn("__d", abs(
+        sum("ca").over(cum) / col("na").cast("double") -
+          sum("cb").over(cum) / col("nb").cast("double")))
+      .groupBy("__g")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        round(max("__d"), 6).as("ks_stat"))
+      .withColumn("critical",
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b")) /
+          (col("n_a") * col("n_b")).cast("double")), 6))
+      .withColumn("significant", col("ks_stat") > col("critical"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("ks_stat"), col("critical"), col("significant"))
+  }
+
   /** Chi-square independence test between two categoricals (is
     * priority independent of status? is lang independent of source?) —
     * the categorical drift/leakage check. Zero cells matter:
