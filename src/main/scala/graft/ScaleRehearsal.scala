@@ -832,6 +832,23 @@ object ScaleRehearsal {
               col("value")).as[graft.streaming.ChangeEvent],
             retainState = false).count()
         },
+        timed("psi_drift") {
+          // declared-grid bins: one corpus aggregate, bins-sized tail
+          import org.apache.spark.sql.functions.{col, floor, unix_timestamp}
+          graft.operators.Stats.psiDrift(
+            evs.withColumn("early",
+              floor(unix_timestamp(col("ts")) / 86400) % 2 === 0),
+            "event_type", "early", "value", width = 10.0).count()
+        },
+        timed("ks_test") {
+          // value-level counts + one sort window — the row-scaling
+          // member of the drift pair
+          import org.apache.spark.sql.functions.{col, floor, unix_timestamp}
+          graft.operators.Stats.ks2Sample(
+            evs.withColumn("early",
+              floor(unix_timestamp(col("ts")) / 86400) % 2 === 0),
+            "event_type", "early", "value").count()
+        },
         timed("att_vcov_pretest") {
           // cold fit + full covariance matrix + the driver-side Wald
           // solve: the K^2 pair blow-up happens map-side per unit, so
