@@ -945,6 +945,30 @@ object SparkEntry {
           TextFunctions.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))),
 
+    // evaluation: the full classifier report on the same real task —
+    // per-class precision/recall/F1 + macro and accuracy rows, all
+    // from the K^2 cell frame (sklearn zero_division=0 convention)
+    "q_class_report" -> ((s, dir) =>
+      operators.Eval.classificationReport(
+        docs(s, dir).select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred")),
+
+    // sources: permissive CSV ingest audit — the corrupted two-column
+    // layout (one malformed line per doc_id % 37) read with corruption
+    // CAPTURE (FAILFAST kills the job, DROPMALFORMED lies); bad lines
+    // are counted, never silently dropped
+    "q_csv_audit" -> ((s, dir) => {
+      val raw = graft.sources.PanelSource.readCsvAudit(s,
+        csvAuditFor(s, dir), "doc_id LONG, lang STRING")
+      raw.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_bad"),
+          count(col("doc_id")).as("n_parsed"))
+        .withColumn("bad_rate",
+          round(col("n_bad") / col("n_rows").cast("double"), 6))
+    }),
+
     // the one-call curation pass: quality floor -> repetition ceiling ->
     // exact dedup survivors; every stage ANSI-pinned, so the composed
     // pipeline hash-checks end to end
@@ -2847,6 +2871,32 @@ object SparkEntry {
       (s"$p/docs_jsonl", s"$p/docs_orc")
     })
 
+  /** Corrupted CSV layout written once per (session, sfDir): one
+    * well-formed `doc_id,lang` line per document plus one malformed
+    * line (`notanumber,<lang>` — doc_id fails the LONG coercion) per
+    * `doc_id % 37 == 0`; the PERMISSIVE corruption-capturing READ is
+    * the operator under test. */
+  private val csvAuditCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def csvAuditFor(s: SparkSession, dir: String): String =
+    csvAuditCache.getOrElseUpdate(skey(s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft-csvaudit")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      val d = docs(s, dir)
+      val good = d.select(
+        concat_ws(",", col("doc_id"), col("lang")).as("value"))
+      val bad = d.filter(col("doc_id") % 37 === 0)
+        .select(concat(lit("notanumber,"), col("lang")).as("value"))
+      good.unionByName(bad).write.text(s"$p/lines")
+      s"$p/lines"
+    })
+
   /** Two-generation parquet layout (gen1 lacks `lang` — the column
     * arrived mid-corpus) written once per (session, sfDir): the
     * mergeSchema READ is the operator under test. */
@@ -4185,6 +4235,72 @@ object SparkEntry {
       s"""WITH ${langIdCtes(Seq("lang"))}
          |SELECT lang, lang_pred, count(*) AS cnt
          |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    // classification report: same langid chain -> cell counts ->
+    // guarded ratios; macro/accuracy rows unioned like the engine
+    "q_class_report" ->
+      s"""WITH ${langIdCtes(Seq("lang"))},
+        |cells AS (
+        |  SELECT CAST(lang AS VARCHAR) AS lbl,
+        |    CAST(lang_pred AS VARCHAR) AS prd,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2),
+        |cls AS (SELECT DISTINCT cls FROM (
+        |  SELECT lbl AS cls FROM cells
+        |  UNION ALL SELECT prd FROM cells)),
+        |tpc AS (SELECT lbl AS cls, n AS tp FROM cells WHERE lbl = prd),
+        |bl AS (SELECT lbl AS cls, CAST(SUM(n) AS BIGINT) AS supp
+        |       FROM cells GROUP BY 1),
+        |bp AS (SELECT prd AS cls, CAST(SUM(n) AS BIGINT) AS predn
+        |       FROM cells GROUP BY 1),
+        |per AS (
+        |  SELECT c.cls, COALESCE(tpc.tp, 0) AS tp,
+        |    COALESCE(bl.supp, 0) AS supp,
+        |    COALESCE(bp.predn, 0) AS predn
+        |  FROM cls c LEFT JOIN tpc ON tpc.cls = c.cls
+        |  LEFT JOIN bl ON bl.cls = c.cls
+        |  LEFT JOIN bp ON bp.cls = c.cls),
+        |pr AS (
+        |  SELECT cls, supp, tp,
+        |    CASE WHEN predn > 0 THEN tp / CAST(predn AS DOUBLE)
+        |         ELSE 0.0 END AS p,
+        |    CASE WHEN supp > 0 THEN tp / CAST(supp AS DOUBLE)
+        |         ELSE 0.0 END AS r
+        |  FROM per),
+        |pf AS (SELECT cls, supp, tp, p, r,
+        |         CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+        |              ELSE 0.0 END AS f
+        |       FROM pr),
+        |tot AS (SELECT CAST(SUM(supp) AS BIGINT) AS nall,
+        |          CAST(SUM(tp) AS BIGINT) AS tpall
+        |        FROM pf)
+        |SELECT cls AS class, CAST(supp AS BIGINT) AS support,
+        |  ROUND(p, 6) AS "precision", ROUND(r, 6) AS recall,
+        |  ROUND(f, 6) AS f1
+        |FROM pf
+        |UNION ALL
+        |SELECT 'macro', nall, ROUND((SELECT AVG(p) FROM pf), 6),
+        |  ROUND((SELECT AVG(r) FROM pf), 6),
+        |  ROUND((SELECT AVG(f) FROM pf), 6)
+        |FROM tot
+        |UNION ALL
+        |SELECT 'accuracy', nall,
+        |  ROUND(tpall / CAST(nall AS DOUBLE), 6),
+        |  ROUND(tpall / CAST(nall AS DOUBLE), 6),
+        |  ROUND(tpall / CAST(nall AS DOUBLE), 6)
+        |FROM tot""".stripMargin,
+
+    // CSV audit: the corruption counts replay from the layout rule
+    // (one bad line per doc_id % 37)
+    "q_csv_audit" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS good
+        |           FROM documents),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS bad
+        |      FROM documents WHERE doc_id % 37 = 0)
+        |SELECT CAST(good + bad AS BIGINT) AS n_rows,
+        |  bad AS n_bad, good AS n_parsed,
+        |  ROUND(bad / CAST(good + bad AS DOUBLE), 6) AS bad_rate
+        |FROM g, b""".stripMargin,
 
     // the classifier oracle folds the SAME (feature, weight) constants
     // in the SAME order as TextFunctions.classifierLogit — summation

@@ -131,6 +131,26 @@ object PanelSource {
       .format("parquet")
       .saveAsTable(name)
 
+  /** Permissive CSV read with corruption CAPTURE — the ingest-QA
+    * contract: schema-coerced rows parse normally, malformed lines
+    * land whole in `_corrupt` instead of killing the job (FAILFAST) or
+    * silently vanishing (DROPMALFORMED). At 100 TB a 1e-6 bad-line
+    * rate is still a million rows — they must be countable and
+    * inspectable, not a stack trace. */
+  def readCsvAudit(spark: SparkSession, path: String,
+      schemaDdl: String): DataFrame =
+    // persisted: Spark (correctly) refuses corrupt-column-only queries
+    // over a raw CSV scan — the parse must be materialized once, which
+    // is also what an audit wants (parse once, slice bad rows many
+    // ways); TrackedCaches so harnesses can release it
+    graft.operators.TrackedCaches.persist(
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+          .add("_corrupt", org.apache.spark.sql.types.StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path))
+
   /** Schema-evolution read: union parquet GENERATIONS whose schemas
     * differ (a crawler added fields mid-corpus — the lakehouse
     * reality). `mergeSchema` reconciles footers across all paths;
