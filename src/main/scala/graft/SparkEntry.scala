@@ -1426,6 +1426,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         "l_orderkey", "l_partkey", minWeight = 2L)),
 
+    // temporal: daily OHLC resample of the value series per event
+    // type — open/close by (epoch, event_id) composite order so
+    // same-timestamp events resolve deterministically; one hash
+    // aggregate, buckets-sized output
+    "q_ohlc" -> ((s, dir) =>
+      operators.Temporal.resampleOhlc(events(s, dir), "event_type",
+        "ts", "value", "event_id", bucketSeconds = 86400L)),
+
+    // event analytics: half-life trending users — each event counts
+    // 2^(-age_days) vs the corpus's last day (exact powers of two);
+    // yesterday's burst is worth half of today's
+    "q_trending" -> ((s, dir) =>
+      operators.Events.trendingScore(events(s, dir), "user_id",
+        topK = 100)),
+
     // stats: PSI feature drift per event type — value distribution of
     // the first half-window vs the second over the declared 20-wide
     // grid, with the industry bands; one-sided bins reported, never
@@ -5658,6 +5673,56 @@ object SparkEntry {
         |FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // OHLC: open/close via first/last rows under (epoch, event_id)
+    // order (the engine's min_by/max_by composite struct), decimal-
+    // exact volume
+    "q_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT)
+        |      AS bucket_start,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |o AS (
+        |  SELECT event_type, bucket_start, value AS open
+        |  FROM b QUALIFY row_number() OVER
+        |    (PARTITION BY event_type, bucket_start
+        |     ORDER BY s, event_id) = 1),
+        |c AS (
+        |  SELECT event_type, bucket_start, value AS close
+        |  FROM b QUALIFY row_number() OVER
+        |    (PARTITION BY event_type, bucket_start
+        |     ORDER BY s DESC, event_id DESC) = 1),
+        |a AS (
+        |  SELECT event_type, bucket_start, CAST(count(*) AS BIGINT)
+        |      AS n,
+        |    MAX(value) AS high, MIN(value) AS low,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+        |      AS volume
+        |  FROM b GROUP BY 1, 2)
+        |SELECT a.event_type, a.bucket_start, a.n, o.open, a.high,
+        |  a.low, c.close, a.volume
+        |FROM a JOIN o USING (event_type, bucket_start)
+        |JOIN c USING (event_type, bucket_start)""".stripMargin,
+
+    // trending: integer day ages -> exact powers of two; top-100 by
+    // (rounded score DESC, user)
+    "q_trending" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT MAX(day) AS asof FROM d),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(n) AS BIGINT) AS n_events,
+        |    ROUND(SUM(n * power(0.5, m.asof - day)), 6) AS score
+        |  FROM d, m GROUP BY user_id, m.asof)
+        |SELECT user_id, n_days, n_events, score FROM s
+        |QUALIFY row_number() OVER (ORDER BY score DESC, user_id)
+        |  <= 100""".stripMargin,
 
     // PSI: declared grid, both-sided bins only in the sum, one-sided
     // counted; industry bands on the ROUNDED psi

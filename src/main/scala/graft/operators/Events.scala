@@ -387,6 +387,32 @@ object Events {
         col("baseline_mean"), col("z"), col("is_anomaly"))
   }
 
+  /** Half-life-decayed trending score per key: each event contributes
+    * `2^(-age_days)` relative to the corpus's LAST day (half-life =
+    * one day), so yesterday's burst counts half of today's — the
+    * "trending now" ranking that a raw count window can't express
+    * without a hard cutoff. Integer day ages keep every weight an
+    * exact power of two (engine-identical products; 6dp absorbs sum
+    * order). `asOfDay` defaults to the data's max day — computed by a
+    * scalar subquery-style join, not a collect. Output: the top
+    * `topK` keys by `(score DESC, key)`. */
+  def trendingScore(events: DataFrame, keyCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"bad topK: $topK")
+    val daily = events.select(col(keyCol).as("__k"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+      .groupBy("__k", "day").agg(count(lit(1)).as("n"))
+    val asOf = daily.agg(max("day").as("asof"))
+    daily.crossJoin(broadcast(asOf))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum("n").as("n_events"),
+        round(sum(col("n") *
+          pow(lit(0.5), col("asof") - col("day"))), 6).as("score"))
+      .orderBy(col("score").desc, col(keyCol))
+      .limit(topK)
+  }
+
   /** Day-of-week volume profile per event type with peak-day flags —
     * the seasonality fingerprint behind crawl scheduling and anomaly
     * baselines. Day-of-week is ENGINE-NEUTRAL integer math:

@@ -303,6 +303,32 @@ object Temporal {
           col("is_current"))): _*)
   }
 
+  /** OHLC resampling: per (group, fixed time bucket) the Open / High /
+    * Low / Close of a value series plus count and a decimal-exact
+    * volume sum — the downsample every metric store runs before
+    * charting or drift-diffing a high-rate series. Open/Close are
+    * `min_by`/`max_by` on `(epoch, tieCol)` (a composite struct — so
+    * same-timestamp events resolve deterministically on any engine);
+    * one hash aggregate, no windows, output is buckets-sized. */
+  def resampleOhlc(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String, tieCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds >= 1, s"bad bucketSeconds: $bucketSeconds")
+    val sec = unix_timestamp(col(tsCol))
+    val ord = struct(sec.as("s"), col(tieCol).as("t"))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol),
+        (floor(sec / bucketSeconds) * bucketSeconds).cast("long")
+          .as("bucket_start"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valCol), ord).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), ord).as("close"),
+        sum(col(valCol).cast("decimal(28,4)")).cast("double")
+          .as("volume"))
+  }
+
   /** Calendar densification with last-observation-carried-forward —
     * the gap fill every daily dashboard needs before a rolling window
     * (a missing day otherwise silently shrinks the window and shifts
