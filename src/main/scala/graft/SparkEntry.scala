@@ -5792,11 +5792,18 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
         |  CAST(MAX(nb) AS BIGINT) AS n_b,
-        |  ROUND(MAX(d), 6) AS ks_stat,
-        |  ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
-        |    CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) AS critical,
-        |  ROUND(MAX(d), 6) > ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
-        |    CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) AS significant
+        |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+        |       THEN ROUND(MAX(d), 6) END AS ks_stat,
+        |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+        |       THEN ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
+        |         CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) END AS critical,
+        |  COALESCE(
+        |    CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+        |         THEN ROUND(MAX(d), 6) END >
+        |    CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+        |         THEN ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
+        |           CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) END,
+        |    FALSE) AS significant
         |FROM w GROUP BY 1""".stripMargin,
 
     // chi-square: observed cells + marginals, e = na*nb/N (na cast

@@ -530,8 +530,14 @@ object Stats {
     val p = cells
       .withColumn("na", sum("ca").over(byG))
       .withColumn("nb", sum("cb").over(byG))
-      .withColumn("pa", col("ca") / col("na").cast("double"))
-      .withColumn("pb", col("cb") / col("nb").cast("double"))
+      // guards wrap the DIVISIONS (ANSI divide-by-zero is eager in a
+      // plain projection — the ks2Sample lesson); an all-one-slice
+      // group only ever reads these through the both-sided CASE, so
+      // the nulls are unreachable downstream
+      .withColumn("pa", when(col("na") > 0,
+        col("ca") / col("na").cast("double")))
+      .withColumn("pb", when(col("nb") > 0,
+        col("cb") / col("nb").cast("double")))
     p.groupBy("__g")
       .agg(max("na").as("n_a"), max("nb").as("n_b"),
         sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
@@ -572,16 +578,25 @@ object Stats {
     vals
       .withColumn("na", sum("ca").over(byG))
       .withColumn("nb", sum("cb").over(byG))
-      .withColumn("__d", abs(
+      // the ANSI-mode guard must wrap the DIVISION, not just the
+      // output: divide-by-zero throws before any later CASE could hide
+      // the NaN
+      .withColumn("__d", when(col("na") > 0 && col("nb") > 0, abs(
         sum("ca").over(cum) / col("na").cast("double") -
-          sum("cb").over(cum) / col("nb").cast("double")))
+          sum("cb").over(cum) / col("nb").cast("double"))))
       .groupBy("__g")
       .agg(max("na").as("n_a"), max("nb").as("n_b"),
-        round(max("__d"), 6).as("ks_stat"))
+        round(max("__d"), 6).as("__ks"))
+      // an empty slice has no ECDF: null stat, no flag (the guard also
+      // keeps the double division from manufacturing a NaN max)
+      .withColumn("ks_stat",
+        when(col("n_a") > 0 && col("n_b") > 0, col("__ks")))
       .withColumn("critical",
-        round(lit(1.358) * sqrt((col("n_a") + col("n_b")) /
-          (col("n_a") * col("n_b")).cast("double")), 6))
-      .withColumn("significant", col("ks_stat") > col("critical"))
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(lit(1.358) * sqrt((col("n_a") + col("n_b")) /
+            (col("n_a") * col("n_b")).cast("double")), 6)))
+      .withColumn("significant",
+        coalesce(col("ks_stat") > col("critical"), lit(false)))
       .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
         col("ks_stat"), col("critical"), col("significant"))
   }

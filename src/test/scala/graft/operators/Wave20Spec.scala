@@ -61,4 +61,23 @@ class Wave20Spec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().head
     same.getAs[Double]("ks_stat") shouldBe 0.0
   }
+
+  test("psiDrift: an all-one-slice group reports one-sided bins, no throw") {
+    val onlyA = Seq.fill(6)(("g", true, 3.0))
+    val r = Stats.psiDrift(frame(onlyA), "g", "early", "x", width = 5.0)
+      .collect().head
+    r.getAs[Double]("psi") shouldBe 0.0
+    r.getAs[Long]("n_bins_common") shouldBe 0L
+    r.getAs[Long]("n_onesided") shouldBe 1L
+    r.getAs[Long]("n_b") shouldBe 0L
+  }
+
+  test("ks2Sample: an empty slice yields null stat and no flag, not NaN") {
+    val onlyA = Seq(1.0, 2.0).map(("g", true, _))
+    val r = Stats.ks2Sample(frame(onlyA), "g", "early", "x")
+      .collect().head
+    Option(r.getAs[java.lang.Double]("ks_stat")) shouldBe None
+    Option(r.getAs[java.lang.Double]("critical")) shouldBe None
+    r.getAs[Boolean]("significant") shouldBe false
+  }
 }
