@@ -790,10 +790,12 @@ object ScaleRehearsal {
         },
         timed("centroid_drift") {
           // dimension-bounded chained-posexplode aggregate (gram
-          // shape); label = the DGP's cluster id
+          // shape); label modulus must be ODD — the op slices on
+          // vec_id % 2, and an even modulus gives every label a single
+          // parity (null cosines, the degenerate path)
           import org.apache.spark.sql.functions.col
           graft.operators.EmbedAlgebra.centroidDrift(
-            emb.withColumn("lbl", (col("vec_id") % 32).cast("int")),
+            emb.withColumn("lbl", (col("vec_id") % 31).cast("int")),
             "lbl", "vec_id").count()
         },
         timed("gap_fill") {

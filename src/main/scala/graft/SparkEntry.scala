@@ -2803,6 +2803,22 @@ object SparkEntry {
     "l_returnflag" -> "str", "l_linestatus" -> "str",
     "l_shipdate" -> "other")
 
+  /** Fresh temp dir with a best-effort recursive-delete shutdown hook —
+    * the one cleanup block every per-(session, sfDir) layout cache
+    * shares (repeated sessions would otherwise accumulate orphaned
+    * layout files on disk). */
+  private def tempLayoutDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   /** Bucketed lineitem/orders tables written once per (session, sfDir) —
     * the WRITE is the operator under test (hash-clustered layout), the
     * query reads them back catalog-registered so the join is
@@ -2814,19 +2830,7 @@ object SparkEntry {
     bucketedCache.getOrElseUpdate(skey(s, dir), {
       val tag = (scala.util.hashing.MurmurHash3.stringHash(dir)
         & 0x7fffffff).toHexString
-      val base = {
-        val p = java.nio.file.Files.createTempDirectory("graft-bucketed")
-        // best-effort cleanup: repeated sessions against the same dir
-        // would otherwise accumulate orphaned bucket files on disk
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(p.toFile)
-        }
-        p.toString
-      }
+      val base = tempLayoutDir("graft-bucketed")
       val fact = s"graft_b_lineitem_$tag"
       val dim = s"graft_b_orders_$tag"
       graft.sources.PanelSource.writeBucketed(
@@ -2849,14 +2853,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def partitionedFor(s: SparkSession, dir: String): String =
     partitionedCache.getOrElseUpdate(skey(s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft-partitioned")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(p.toFile)
-      }
+      val p = tempLayoutDir("graft-partitioned")
       val path = s"$p/documents"
       graft.sources.PanelSource.writePartitioned(
         s.read.parquet(s"$dir/documents.parquet"), path, Seq("lang"))
@@ -2872,14 +2869,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def formatsFor(s: SparkSession, dir: String): (String, String) =
     formatCache.getOrElseUpdate(skey(s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft-formats")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(p.toFile)
-      }
+      val p = tempLayoutDir("graft-formats")
       val d = docs(s, dir)
       graft.sources.PanelSource.writeJsonl(d, s"$p/docs_jsonl")
       graft.sources.PanelSource.writeOrc(d, s"$p/docs_orc")
@@ -2895,14 +2885,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def csvAuditFor(s: SparkSession, dir: String): String =
     csvAuditCache.getOrElseUpdate(skey(s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft-csvaudit")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(p.toFile)
-      }
+      val p = tempLayoutDir("graft-csvaudit")
       val d = docs(s, dir)
       val good = d.select(
         concat_ws(",", col("doc_id"), col("lang")).as("value"))
@@ -2919,14 +2902,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def evolvedFor(s: SparkSession, dir: String): String =
     evolvedCache.getOrElseUpdate(skey(s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft-evolved")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(p.toFile)
-      }
+      val p = tempLayoutDir("graft-evolved")
       val d = docs(s, dir)
       graft.sources.PanelSource.writeParquet(
         d.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
@@ -2935,7 +2911,7 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 =!= 0)
           .select("doc_id", "text", "lang"),
         s"$p/gen2")
-      p.toString
+      p
     })
 
   /** Events table with `ts` normalized to TimestampType whatever flavor
@@ -5796,13 +5772,13 @@ object SparkEntry {
         |       THEN ROUND(MAX(d), 6) END AS ks_stat,
         |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
         |       THEN ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
-        |         CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) END AS critical,
+        |         (CAST(MAX(na) AS DOUBLE) * MAX(nb))), 6) END AS critical,
         |  COALESCE(
         |    CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
         |         THEN ROUND(MAX(d), 6) END >
         |    CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
         |         THEN ROUND(1.358 * sqrt((MAX(na) + MAX(nb)) /
-        |           CAST(MAX(na) * MAX(nb) AS DOUBLE)), 6) END,
+        |           (CAST(MAX(na) AS DOUBLE) * MAX(nb))), 6) END,
         |    FALSE) AS significant
         |FROM w GROUP BY 1""".stripMargin,
 
@@ -5917,7 +5893,8 @@ object SparkEntry {
         |FROM i JOIN sz z1 ON z1.src = i.s1
         |JOIN sz z2 ON z2.src = i.s2""".stripMargin,
 
-    // pareto frontier: the same two-window dominance test; identical
+    // pareto frontier: distinct-cost collapse + strictly-cheaper ROWS
+    // cummax (exact for any numeric cost) joined back; identical
     // (cost, gain) duplicates all survive on both engines
     "q_pareto_frontier" ->
       """WITH b AS (
@@ -5925,18 +5902,20 @@ object SparkEntry {
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
         |      AS BIGINT) AS n_tok
         |  FROM documents),
-        |w AS (
-        |  SELECT lang, n_chars, n_tok,
-        |    MAX(CAST(n_tok AS DOUBLE)) OVER
-        |      (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)
-        |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS mprev,
-        |    MAX(CAST(n_tok AS DOUBLE)) OVER
-        |      (PARTITION BY lang, n_chars) AS msame
-        |  FROM b)
-        |SELECT lang, n_chars, n_tok FROM w
-        |WHERE (mprev IS NULL OR mprev < n_tok)
-        |  AND msame = n_tok""".stripMargin,
+        |pc AS (
+        |  SELECT lang, n_chars, MAX(CAST(n_tok AS DOUBLE)) AS msame
+        |  FROM b GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT lang, n_chars, msame,
+        |    MAX(msame) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS mprev
+        |  FROM pc)
+        |SELECT b.lang, b.n_chars, b.n_tok
+        |FROM b JOIN pm
+        |  ON b.lang = pm.lang AND b.n_chars = pm.n_chars
+        |WHERE (pm.mprev IS NULL OR pm.mprev < b.n_tok)
+        |  AND pm.msame = b.n_tok""".stripMargin,
 
     // schema evolution: single-table replay with gen1's lang nulled
     "q_schema_evolution" ->

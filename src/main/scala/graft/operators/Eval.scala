@@ -55,10 +55,13 @@ object Eval {
       col("supp").as("support"), round(col("p"), 6).as("precision"),
       round(col("r"), 6).as("recall"), round(col("f"), 6).as("f1"))
     val totals = per.agg(sum("tp").as("tpall"), sum("supp").as("nall"))
-    val macroRow = per.crossJoin(broadcast(totals))
-      .groupBy(col("nall"))
+    // built from two always-one-row aggregates (never a groupBy over
+    // `per`): an empty input must still emit the macro row — with
+    // nulls — exactly as the oracle's `SELECT ... FROM tot` does
+    val macroRow = per
       .agg(round(avg("p"), 6).as("precision"),
         round(avg("r"), 6).as("recall"), round(avg("f"), 6).as("f1"))
+      .crossJoin(broadcast(totals))
       .select(lit("macro").as("class"), col("nall").as("support"),
         col("precision"), col("recall"), col("f1"))
     val accRow = totals.select(lit("accuracy").as("class"),

@@ -371,7 +371,8 @@ object Events {
       .withColumn("__s1",
         sum(col("n").cast("decimal(38,0)")).over(w).cast("double"))
       .withColumn("__s2",
-        sum((col("n") * col("n")).cast("decimal(38,0)")).over(w)
+        // cast BEFORE the square: n*n in LONG overflows past ~3e9
+        sum(col("n").cast("decimal(38,0)") * col("n")).over(w)
           .cast("double"))
       .withColumn("__mean", col("__s1") / col("__k"))
       .withColumn("__var",

@@ -109,7 +109,8 @@ object Profile {
     val stats = df.groupBy(groupCol).agg(
       count(x).as("__n"),
       sum(x.cast("decimal(38,0)")).cast("double").as("__s1"),
-      sum((x * x).cast("decimal(38,0)")).cast("double").as("__s2"))
+      // cast BEFORE the square: x*x in LONG overflows past ~3e9
+      sum(x.cast("decimal(38,0)") * x).cast("double").as("__s2"))
     val mean = col("__s1") / col("__n")
     val varS = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
       (col("__n") - 1)

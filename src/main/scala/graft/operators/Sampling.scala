@@ -347,27 +347,32 @@ object Sampling {
     * token budget: a row survives iff no other row in its group costs
     * at most as much AND gains at least as much with one inequality
     * strict (identical points both survive — neither strictly
-    * dominates). NOT the naive quadratic dominance anti-join: two
-    * cummax windows express it exactly —
+    * dominates). NOT the naive quadratic dominance join: collapse to
+    * the DISTINCT-COST frame (per-cost max gain), take the
+    * strictly-cheaper cummax with a ROWS frame over that frame — rows
+    * offsets on distinct costs mean "previous distinct cost", exact
+    * for ANY numeric cost, where a RANGE -1 offset would silently
+    * skip costs less than one unit apart — and join the two maxima
+    * back:
     * `dominated <=> max(gain | cost' < cost) >= gain
-    *            OR max(gain | cost' = cost) > gain`
-    * — so the whole frontier costs one group-key shuffle + sort,
+    *            OR max(gain | cost' = cost) > gain`.
+    * One aggregate + one (group, cost)-key join + one group-key sort —
     * linear at any scale. Output: the surviving input rows. */
   def paretoFrontier2D(df: DataFrame, groupCol: String, costCol: String,
       gainCol: String): DataFrame = {
-    val strictlyCheaper = Window.partitionBy(groupCol)
-      .orderBy(col(costCol).cast("double"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val sameCost = Window.partitionBy(col(groupCol), col(costCol))
-    df.filter(col(costCol).isNotNull && col(gainCol).isNotNull)
-      .withColumn("__mprev",
-        max(col(gainCol).cast("double")).over(strictlyCheaper))
-      .withColumn("__msame",
-        max(col(gainCol).cast("double")).over(sameCost))
+    val in = df.filter(col(costCol).isNotNull && col(gainCol).isNotNull)
+    val perCost = in
+      .groupBy(col(groupCol).as("__pg"), col(costCol).as("__pc"))
+      .agg(max(col(gainCol).cast("double")).as("__msame"))
+      .withColumn("__mprev", max("__msame").over(
+        Window.partitionBy("__pg").orderBy("__pc")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    in.join(perCost,
+        col(groupCol) === col("__pg") && col(costCol) === col("__pc"))
       .filter(
         (col("__mprev").isNull ||
           col("__mprev") < col(gainCol).cast("double")) &&
         col("__msame") === col(gainCol).cast("double"))
-      .drop("__mprev", "__msame")
+      .drop("__pg", "__pc", "__mprev", "__msame")
   }
 }

@@ -591,10 +591,12 @@ object Stats {
       // keeps the double division from manufacturing a NaN max)
       .withColumn("ks_stat",
         when(col("n_a") > 0 && col("n_b") > 0, col("__ks")))
+      // n_a cast double BEFORE the product: a LONG n_a*n_b overflows
+      // at corpus-scale slice counts (the chiSquare marginal lesson)
       .withColumn("critical",
         when(col("n_a") > 0 && col("n_b") > 0,
           round(lit(1.358) * sqrt((col("n_a") + col("n_b")) /
-            (col("n_a") * col("n_b")).cast("double")), 6)))
+            (col("n_a").cast("double") * col("n_b"))), 6)))
       .withColumn("significant",
         coalesce(col("ks_stat") > col("critical"), lit(false)))
       .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
@@ -737,7 +739,9 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_obs"),
         sum(x.cast("decimal(38,0)")).cast("double").as("__s1"),
-        sum((x * x).cast("decimal(38,0)")).cast("double").as("__s2"))
+        // cast BEFORE the square: x*x in LONG overflows past ~3e9
+        // (the giniConcentration cast-order convention)
+        sum(x.cast("decimal(38,0)") * x).cast("double").as("__s2"))
       .withColumn("__mean", col("__s1") / col("n_obs"))
       .withColumn("__var",
         col("__s2") / col("n_obs") - col("__mean") * col("__mean"))

@@ -35,17 +35,18 @@ class Round9PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("paretoFrontier: ONE shuffle — both windows share the group key") {
+  test("paretoFrontier: equi-join on (group, cost), never a theta join") {
     withStaticPlan {
       val df = SparkEntry.queries("q_pareto_frontier")(spark, dir)
-      // lang-partitioned sort window + (lang, cost) partition window:
-      // the second is a finer partitioning of the first, so Catalyst
-      // needs at most the sort's exchange plus one more for the finer
-      // key — and never a row-count-scaling join
-      assert(exchanges(df) <= 2, s"${exchanges(df)} exchanges:\n" +
+      // distinct-cost collapse + ROWS cummax + equi-join back: a
+      // bounded number of key exchanges, and NEVER the quadratic
+      // dominance shape (nested-loop / cartesian over the rows)
+      assert(exchanges(df) <= 3, s"${exchanges(df)} exchanges:\n" +
         planOf(df))
-      assert(!planOf(df).contains("SortMergeJoin"),
-        "frontier must not be a dominance join")
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"frontier must not be a dominance join:\n$plan")
     }
   }
 

@@ -22,6 +22,15 @@ class Wave17Spec extends AnyFunSuite with Matchers with SparkSpec {
     r.sorted shouldBe Seq((1L, 5L), (1L, 5L), (2L, 7L), (3L, 9L))
   }
 
+  test("paretoFrontier2D: fractional costs inside one unit still dominate") {
+    // the RANGE -1 formulation this replaced was blind to costs less
+    // than one unit apart: A(1.0, 10) strictly dominates B(1.5, 5)
+    val df = Seq(("g", 1.0, 10L), ("g", 1.5, 5L)).toDF("g", "cost", "gain")
+    val r = Sampling.paretoFrontier2D(df, "g", "cost", "gain")
+      .collect().map(x => (x.getAs[Double]("cost"), x.getAs[Long]("gain")))
+    r.toSeq shouldBe Seq((1.0, 10L))
+  }
+
   test("readMerged: later generation's new column null-fills gen1") {
     val p = java.nio.file.Files.createTempDirectory("w17-evolve")
     try {
