@@ -74,7 +74,7 @@ def logit_mle(x, d, w, tol=1e-12, max_iter=200):
 
     The log-likelihood is strictly concave (barring separation), so the
     converged point is THE MLE regardless of iteration details; 1e-12
-    on the step is far inside the engine's 1e-7 so both agree to
+    on the step is far inside the engine's 1e-10 so both agree to
     ~machine precision at the optimum."""
     p = x.shape[1]
     beta = np.zeros(p)
