@@ -2774,6 +2774,77 @@ object SparkEntry {
         .withColumn("prob",
           round(col("cnt") / sum("cnt").over(byFrom), 6))
     }),
+
+    // survival: Kaplan-Meier product-limit + Nelson-Aalen hazard for
+    // time-to-first-big-purchase (value >= 99): duration = days from a
+    // user's first event to their first qualifying purchase, censored
+    // at last activity for never-converters — one corpus agg to the
+    // lifetime panel, then calendar-bounded windows
+    // (MaxDistinctDurations enforced)
+    "q_kaplan_meier" -> ((s, dir) => {
+      val day = floor(unix_timestamp(col("ts")) / 86400).cast("long")
+      val conv = col("event_type") === "purchase" && col("value") >= 99
+      val life = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(day).as("d0"),
+          min(when(conv, day)).as("dp"),
+          max(day).as("dl"))
+        .select(
+          when(col("dp").isNotNull, col("dp") - col("d0"))
+            .otherwise(col("dl") - col("d0")).as("dur"),
+          col("dp").isNotNull.as("observed"))
+      operators.Survival.kaplanMeier(life, "dur", "observed")
+    }),
+
+    // evaluation: Cohen's kappa between the stored lang label and the
+    // n-gram language-ID prediction — the chance-corrected single
+    // number over the same K^2 cell frame as q_lang_confusion /
+    // q_class_report
+    "q_cohens_kappa" -> ((s, dir) =>
+      operators.Eval.cohensKappa(
+        docs(s, dir).select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred")),
+
+    // event analytics: first/last-touch conversion attribution with a
+    // 7-day lookback — one user-key equi-join (conversions x touches),
+    // composite (ts, event_id) ordering everywhere, bot keys refused
+    // loudly via MaxUserEvents
+    "q_attribution" -> ((s, dir) =>
+      operators.Events.attributionCredit(events(s, dir), "user_id",
+        "ts", "event_id", "event_type", convType = "purchase",
+        lookbackDays = 7)),
+
+    // quality: referential-integrity audit of orders -> a customer
+    // snapshot with every 97th key missing (deterministic synthetic
+    // corruption, the syntheticCrawl convention) — orphan rows/keys/
+    // rate from ONE distinct-key left join
+    "q_fk_orphans" -> ((s, dir) =>
+      operators.Profile.fkAudit(
+        s.read.parquet(s"$dir/orders.parquet"), "o_custkey",
+        s.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_custkey") % 97 =!= 0),
+        "c_custkey", relation = "orders->customer_snapshot")),
+
+    // temporal: business-day (Mon-Fri) order-to-ship lead time per
+    // priority — closed-form weekday arithmetic, no calendar table,
+    // no explode; negative intervals counted out loudly
+    "q_business_days" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      operators.Temporal.businessDayLead(
+        li.join(o, col("l_orderkey") === col("o_orderkey")),
+        "o_orderpriority", "o_orderdate", "l_shipdate")
+    }),
+
+    // stats: mutual information lang x source — the information-
+    // theoretic sibling of q_chi_square's independence test; K^2 cell
+    // frame + broadcast marginals, log-ratio form (no count products)
+    "q_mutual_info" -> ((s, dir) =>
+      operators.Stats.mutualInformation(docs(s, dir), "lang",
+        "source")),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -7422,6 +7493,214 @@ object SparkEntry {
         |      sqrt((g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1)), 6)
         |  END AS zscore
         |FROM documents d JOIN g USING (source)""".stripMargin,
+
+    // Kaplan-Meier: lifetime panel -> duration cell frame -> at-risk
+    // via total minus prior removals -> exp(sum ln) product over the
+    // SAME death-row prefix; terminal n_event==n_risk pinned to 0.0
+    "q_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d0,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value >= 99
+        |      THEN CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+        |      END) AS dp,
+        |    MAX(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS dl
+        |  FROM events GROUP BY 1),
+        |life AS (
+        |  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0
+        |              ELSE dl - d0 END AS t,
+        |    dp IS NOT NULL AS obs
+        |  FROM u),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_event,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM life GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    CAST(SUM(n_event + n_censored) OVER () AS BIGINT) -
+        |    CAST(COALESCE(SUM(n_event + n_censored) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt),
+        |d AS (SELECT * FROM r WHERE n_event > 0),
+        |c AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN n_event < n_risk THEN
+        |        ln((n_risk - n_event) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp,
+        |    SUM(n_event / CAST(n_risk AS DOUBLE)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hz
+        |  FROM d)
+        |SELECT t, n_risk, n_event, n_censored,
+        |  CASE WHEN n_event = n_risk THEN 0.0
+        |       ELSE ROUND(exp(lp), 6) END AS survival,
+        |  ROUND(hz, 6) AS cum_hazard
+        |FROM c""".stripMargin,
+
+    // Cohen's kappa over the shared language-ID chain: diagonal share
+    // vs marginal chance agreement; pe arithmetic mirrors the engine
+    // (decimal product cast to double, n^2 as double*double)
+    "q_cohens_kappa" ->
+      s"""WITH ${langIdCtes(Seq("doc_id", "lang"))},
+        |cells AS (
+        |  SELECT CAST(lang AS VARCHAR) AS lbl,
+        |    CAST(lang_pred AS VARCHAR) AS prd,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pred WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT lbl, CAST(SUM(cnt) AS BIGINT) AS rn
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT prd, CAST(SUM(cnt) AS BIGINT) AS cn
+        |       FROM cells GROUP BY 1),
+        |ch AS (SELECT SUM(CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT))
+        |         AS rc
+        |       FROM rt JOIN ct ON lbl = prd),
+        |dg AS (
+        |  SELECT CAST(SUM(CASE WHEN lbl = prd THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS agree,
+        |    CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT n,
+        |  ROUND(agree / CAST(n AS DOUBLE), 6) AS po,
+        |  ROUND(CAST(rc AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  ROUND(CASE WHEN rc >= CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+        |      THEN 1.0
+        |    ELSE (agree / CAST(n AS DOUBLE) - CAST(rc AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        |      (1.0 - CAST(rc AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6)
+        |    AS kappa
+        |FROM dg CROSS JOIN ch""".stripMargin,
+
+    // attribution: the literal conversions x touches replay — strict
+    // composite (ts, event_id) precedence, 7-day lookback, first/last
+    // picks by the same composite; no-touch conversions credit
+    // '(direct)' under both models
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, ts AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT c.u, c.cts, c.cid, t.ts, t.event_id, t.event_type
+        |  FROM conv c LEFT JOIN touch t ON t.user_id = c.u
+        |    AND (t.ts < c.cts OR (t.ts = c.cts AND t.event_id < c.cid))
+        |    AND t.ts >= c.cts - INTERVAL 7 DAY),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY u, cid
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+        |      AS rf,
+        |    row_number() OVER (PARTITION BY u, cid
+        |      ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST)
+        |      AS rl
+        |  FROM j)
+        |SELECT COALESCE(event_type, '(direct)') AS event_type,
+        |  CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch,
+        |  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch
+        |FROM r WHERE rf = 1 OR rl = 1
+        |GROUP BY 1""".stripMargin,
+
+    // FK audit: distinct parent keys (every 97th dropped) left-joined
+    // from the child, one summary row
+    "q_fk_orphans" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT c_custkey AS pk FROM customer
+        |  WHERE c_custkey % 97 <> 0),
+        |j AS (
+        |  SELECT o_custkey AS fk, pk
+        |  FROM orders LEFT JOIN keys ON o_custkey = pk)
+        |SELECT 'orders->customer_snapshot' AS relation,
+        |  CAST(count(*) AS BIGINT) AS child_rows,
+        |  CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_fk,
+        |  CAST(SUM(CASE WHEN fk IS NOT NULL AND pk IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+        |  CAST(count(DISTINCT CASE WHEN fk IS NOT NULL AND pk IS NULL
+        |    THEN fk END) AS BIGINT) AS orphan_keys,
+        |  ROUND(CASE WHEN count(*) > 0 THEN
+        |    SUM(CASE WHEN fk IS NOT NULL AND pk IS NULL
+        |      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) END, 6)
+        |    AS orphan_rate
+        |FROM j""".stripMargin,
+
+    // business days: the closed-form weekday count W(d) = 5*floor(
+    // (d+3)/7) + least((d+3)%7 + 1, 5) - 3 on epoch days, interval
+    // count W(end) - W(start); negative intervals counted out
+    "q_business_days" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(floor(epoch(o_orderdate)) / 86400) AS BIGINT)
+        |      AS sd,
+        |    CAST(floor(floor(epoch(l_shipdate)) / 86400) AS BIGINT)
+        |      AS ed
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL),
+        |w AS (
+        |  SELECT g,
+        |    (5 * CAST(floor((ed + 3) / 7.0) AS BIGINT) +
+        |      least((ed + 3) % 7 + 1, 5) - 3) -
+        |    (5 * CAST(floor((sd + 3) / 7.0) AS BIGINT) +
+        |      least((sd + 3) % 7 + 1, 5) - 3) AS bd,
+        |    ed < sd AS neg
+        |  FROM j)
+        |SELECT g AS o_orderpriority,
+        |  CAST(SUM(CASE WHEN neg THEN 0 ELSE 1 END) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative,
+        |  ROUND(CASE WHEN SUM(CASE WHEN neg THEN 0 ELSE 1 END) > 0
+        |    THEN SUM(CASE WHEN neg THEN 0 ELSE bd END) /
+        |      CAST(SUM(CASE WHEN neg THEN 0 ELSE 1 END) AS DOUBLE)
+        |    END, 6) AS avg_bdays,
+        |  CAST(MIN(CASE WHEN NOT neg THEN bd END) AS BIGINT)
+        |    AS min_bdays,
+        |  CAST(MAX(CASE WHEN NOT neg THEN bd END) AS BIGINT)
+        |    AS max_bdays
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // mutual information: cell frame + marginals, log-ratio form
+    // ln c + ln n - ln cx - ln cy (never a count product); marginal
+    // entropies telescope off the same cell frame
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT CAST(lang AS VARCHAR) AS x,
+        |    CAST(source AS VARCHAR) AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+        |       FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |a AS (
+        |  SELECT MAX(n) AS n,
+        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(c AS DOUBLE)) +
+        |      ln(CAST(n AS DOUBLE)) - ln(CAST(cx AS DOUBLE)) -
+        |      ln(CAST(cy AS DOUBLE)))) AS mi_,
+        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
+        |      ln(CAST(c AS DOUBLE)))) AS hxy_,
+        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
+        |      ln(CAST(cx AS DOUBLE)))) AS hx_,
+        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
+        |      ln(CAST(cy AS DOUBLE)))) AS hy_
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y)
+        |  CROSS JOIN tt)
+        |SELECT n, ROUND(hx_, 6) AS h_x, ROUND(hy_, 6) AS h_y,
+        |  ROUND(hxy_, 6) AS h_xy, ROUND(mi_, 6) AS mi,
+        |  ROUND(CASE WHEN hx_ > 0 AND hy_ > 0
+        |    THEN mi_ / sqrt(hx_ * hy_) ELSE 0.0 END, 6) AS nmi
+        |FROM a""".stripMargin,
   ))
 
   /** The stateful sessionizer and funnel must reproduce their batch

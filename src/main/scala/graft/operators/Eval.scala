@@ -71,4 +71,52 @@ object Eval {
         col("acc").as("recall"), col("acc").as("f1"))
     perRows.unionByName(macroRow).unionByName(accRow)
   }
+
+  /** Cohen's kappa — chance-corrected agreement between label and
+    * prediction, the single-number sibling of
+    * [[classificationReport]] and the standard inter-annotator
+    * agreement stat for curation-label QA.
+    *
+    * `kappa = (p_o − p_e) / (1 − p_e)` with `p_o` the diagonal share
+    * and `p_e = Σ_k row_k·col_k / n²` the marginal chance agreement —
+    * every input an integral count from one corpus aggregate, so the
+    * ratios are single-expression doubles, oracle-exact at 6dp. The
+    * degenerate `p_e = 1` case (all mass in one cell — both marginals
+    * concentrated, hence perfect agreement) is pinned to 1.0 rather
+    * than 0/0.
+    *
+    * Scale shape: one hash aggregate to the K² cell frame; the kappa
+    * arithmetic is classes-sized. Output: one row
+    * `(n, po, pe, kappa)`. */
+  def cohensKappa(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("lbl"),
+        col(predCol).cast("string").as("prd"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("lbl").agg(sum("n").as("rn"))
+    val colTot = cells.groupBy("prd").agg(sum("n").as("cn"))
+    // marginal products can reach n² (~1e24 at corpus scale): cast to
+    // decimal(38,0) BEFORE multiplying — the chi-square/ks2Sample
+    // overflow convention
+    val chance = rowTot
+      .join(colTot, rowTot("lbl") === colTot("prd"), "inner")
+      .agg(sum(col("rn").cast("decimal(19,0)") *
+        col("cn").cast("decimal(19,0)")).as("rc"))
+    val diag = cells
+      .agg(sum(when(col("lbl") === col("prd"), col("n"))
+          .otherwise(0L)).as("agree"),
+        sum("n").as("n"))
+    val nsq = col("n").cast("decimal(19,0)") *
+      col("n").cast("decimal(19,0)")
+    val pe = col("rc").cast("double") / nsq.cast("double")
+    val po = col("agree") / col("n").cast("double")
+    diag.crossJoin(broadcast(chance))
+      .select(col("n"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        round(when(col("rc") >= nsq, lit(1.0))
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
 }

@@ -434,4 +434,79 @@ object Events {
         round(col("n") / sum("n").over(byType).cast("double"), 6))
       .withColumn("is_peak", col("n") === max("n").over(byType))
   }
+
+  /** First-touch / last-touch conversion attribution — the marketing
+    * readout: for every conversion event, which earlier touch (any
+    * non-conversion event by the same user inside the lookback
+    * window) gets the credit under each model. One row per touch
+    * type: `(event_type, first_touch, last_touch)`, plus a
+    * `(direct)` row for conversions with no in-window touch (both
+    * models credit those identically).
+    *
+    * Ordering is the composite `(ts, event_id)` everywhere — a touch
+    * precedes a conversion iff it is strictly earlier in composite
+    * order, and first/last picks inside the window use the same
+    * composite — so same-microsecond ties resolve deterministically
+    * in both engines (timestamps compare as exact microsecond
+    * integers; no epoch-float arithmetic anywhere).
+    *
+    * Scale shape: one equi-join on the user key (conversions ×
+    * touches), with candidates bounded by per-user activity inside
+    * the lookback window — never a cross join. A bot user with a
+    * huge event count breaks that bound quadratically, so
+    * [[Events.MaxUserEvents]] is enforced loudly up front (the
+    * mannKendall series-length precedent): drop or sample bot users
+    * upstream, don't let one key produce 10^10 join rows. */
+  val MaxUserEvents = 50000L
+
+  def attributionCredit(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      convType: String, lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays >= 1, s"bad lookbackDays: $lookbackDays")
+    val ev = events.select(col(userCol).as("__u"),
+      col(tsCol).as("__ts"), col(idCol).as("__id"),
+      col(typeCol).as("__ty"))
+    val hot = ev.groupBy("__u").agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxUserEvents)
+      .orderBy(col("n").desc).limit(5).collect()
+    require(hot.isEmpty,
+      s"attributionCredit: user(s) over MaxUserEvents=$MaxUserEvents " +
+        hot.map(r => s"${r.get(0)} (${r.getLong(1)})").mkString(", ") +
+        " — the per-user touch×conversion join goes quadratic on bot " +
+        "keys; filter or sample them upstream")
+    // self-join over two filters of the same frame: rename EVERY
+    // conversion-side column so no attribute is shared with the touch
+    // side (the Spark self-join ambiguity trap)
+    val conv = ev.filter(col("__ty") === convType)
+      .select(col("__u").as("__cu"), col("__ts").as("__cts"),
+        col("__id").as("__cid"))
+    val touch = ev.filter(col("__ty") =!= convType)
+    val joined = conv.join(touch,
+      col("__cu") === col("__u") &&
+        (col("__ts") < col("__cts") ||
+          (col("__ts") === col("__cts") &&
+            col("__id") < col("__cid"))) &&
+        col("__ts") >= col("__cts") -
+          expr(s"INTERVAL $lookbackDays DAYS"),
+      "left")
+      .select(col("__cu"), col("__cts"), col("__cid"), col("__ts"),
+        col("__id"), col("__ty"))
+    val byConv = Window.partitionBy("__cu", "__cid")
+    val picked = joined
+      .withColumn("__rf", row_number().over(
+        byConv.orderBy(col("__ts").asc_nulls_last,
+          col("__id").asc_nulls_last)))
+      .withColumn("__rl", row_number().over(
+        byConv.orderBy(col("__ts").desc_nulls_last,
+          col("__id").desc_nulls_last)))
+      .filter(col("__rf") === 1 || col("__rl") === 1)
+    picked
+      .groupBy(coalesce(col("__ty"), lit("(direct)")).as("event_type"))
+      .agg(
+        sum(when(col("__rf") === 1, 1L).otherwise(0L))
+          .as("first_touch"),
+        sum(when(col("__rl") === 1, 1L).otherwise(0L))
+          .as("last_touch"))
+      .orderBy("event_type")
+  }
 }

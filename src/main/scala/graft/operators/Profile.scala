@@ -365,4 +365,38 @@ object Profile {
           (col("target") - (col("cum") - col("bn"))) / col("bn"), 6))
       .select(col(groupCol), col("prob"), col("n"), col("est"))
   }
+
+  /** Referential-integrity audit — the orphan-detection pass every
+    * star-schema ingest needs before a fact table is trusted: how
+    * many child rows carry a foreign key with no matching parent,
+    * how many distinct keys are dangling, and what fraction of the
+    * child that is. Null FKs are counted separately (a null is a
+    * missing link, not a dangling one).
+    *
+    * One row: `(relation, child_rows, null_fk, orphan_rows,
+    * orphan_keys, orphan_rate)` — all integral counts plus one
+    * guarded ratio, so the audit is oracle-exact.
+    *
+    * Scale shape: the parent side is reduced to DISTINCT keys before
+    * the join (parent payload never shuffles), then one left
+    * equi-join child→keys and a single aggregate. At 100 TB the join
+    * shuffles on the key both sides exactly once; a dimension-sized
+    * parent broadcasts under AQE automatically. */
+  def fkAudit(child: DataFrame, fkCol: String, parent: DataFrame,
+      pkCol: String, relation: String): DataFrame = {
+    val keys = parent.select(col(pkCol).as("__pk")).distinct()
+    child.select(col(fkCol).as("__fk"))
+      .join(keys, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("child_rows"),
+        sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("null_fk"),
+        sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)).as("orphan_rows"),
+        count_distinct(when(col("__fk").isNotNull && col("__pk").isNull,
+          col("__fk"))).as("orphan_keys"))
+      .select(lit(relation).as("relation"), col("child_rows"),
+        col("null_fk"), col("orphan_rows"), col("orphan_keys"),
+        round(when(col("child_rows") > 0,
+          col("orphan_rows") / col("child_rows").cast("double")), 6)
+          .as("orphan_rate"))
+  }
 }

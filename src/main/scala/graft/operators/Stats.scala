@@ -823,4 +823,58 @@ object Stats {
           .as("rho"))
       .select(col("__g").as(groupCol), col("n"), col("rho"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * feature-redundancy / leakage detector: how many nats knowing X
+    * buys about Y. One row: `(n, h_x, h_y, h_xy, mi, nmi)` with
+    * `nmi = mi / sqrt(h_x·h_y)` (the sqrt normalization, 0 when
+    * either marginal is constant).
+    *
+    * Exactness: one corpus aggregate to the K² contingency frame;
+    * every probability is an integral-count ratio, every log term is
+    * evaluated as `ln c + ln n − ln c_x − ln c_y` (pure doubles, no
+    * count multiplication — `c·n` would overflow BIGINT at corpus
+    * scale), and the K²-term float sums are absorbed by 6dp.
+    *
+    * Scale shape: one hash aggregate + classes-sized BROADCAST joins
+    * for the marginals (the chiSquareIndependence pattern — never a
+    * global window over the cell frame, never a second corpus
+    * pass). */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy("__x").agg(sum("c").as("cx"))
+    val my = cells.groupBy("__y").agg(sum("c").as("cy"))
+    val tot = cells.agg(sum("c").as("n"))
+    val withMarg = cells.join(broadcast(mx), "__x")
+      .join(broadcast(my), "__y")
+      .crossJoin(broadcast(tot))
+    val p = col("c") / col("n").cast("double")
+    val agg = withMarg.agg(
+      max("n").as("n"),
+      sum(p * (log(col("c").cast("double")) +
+        log(col("n").cast("double")) -
+        log(col("cx").cast("double")) -
+        log(col("cy").cast("double")))).as("__mi"),
+      sum(p * (log(col("n").cast("double")) -
+        log(col("c").cast("double")))).as("__hxy"),
+      // marginal entropies straight off the cell frame:
+      // Σ_cells p(x,y)·ln(n/c_x) telescopes to Σ_x p(x)·ln(1/p(x))
+      sum(p * (log(col("n").cast("double")) -
+        log(col("cx").cast("double")))).as("__hx"),
+      sum(p * (log(col("n").cast("double")) -
+        log(col("cy").cast("double")))).as("__hy"))
+    agg.select(col("n"),
+      round(col("__hx"), 6).as("h_x"),
+      round(col("__hy"), 6).as("h_y"),
+      round(col("__hxy"), 6).as("h_xy"),
+      round(col("__mi"), 6).as("mi"),
+      round(when(col("__hx") > 0 && col("__hy") > 0,
+        col("__mi") / sqrt(col("__hx") * col("__hy")))
+        .otherwise(lit(0.0)), 6).as("nmi"))
+  }
 }

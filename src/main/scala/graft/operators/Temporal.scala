@@ -368,4 +368,48 @@ object Temporal {
       .select(col("__g").as(groupCol), col("__day").as(dayCol),
         col("__x").as(xCol), col("filled"))
   }
+
+  /** Count of weekdays (Mon-Fri) in epoch-day interval `(start, end]`
+    * — closed-form integer arithmetic, no calendar UDF, no
+    * per-day explode. Uses the engine-neutral dow convention
+    * `(epochDay + 3) % 7 == 0 for Monday` (epoch day 0 was a
+    * Thursday): `W(d) = 5·⌊(d+3)/7⌋ + min((d+3)%7 + 1, 5) − 3` counts
+    * weekdays in `[0, d]`, and the interval count is `W(end) −
+    * W(start)`. Every term is BIGINT math that evaluates identically
+    * in Spark and DuckDB. */
+  def weekdaysUpTo(epochDay: Column): Column =
+    lit(5L) * floor((epochDay + 3L) / 7L).cast("long") +
+      least((epochDay + 3L) % 7L + 1L, lit(5L)) - 3L
+
+  /** Business-day lead time between two timestamp columns, grouped —
+    * the SLA readout (order-to-ship in working days) that calendar-day
+    * diffs overstate by the weekend share. Lead = weekdays in
+    * `(start, end]`; same-day and weekend-spanning-only intervals
+    * count 0. Negative intervals (end before start) are data errors:
+    * counted out loudly in `n_negative`, excluded from the stats.
+    *
+    * Output per group: `(group, n, n_negative, avg_bdays, min_bdays,
+    * max_bdays)` — integral sums and bounded ratios, oracle-exact.
+    * Scale shape: map-only closed-form projection + one hash
+    * aggregate; no joins, no explode, no calendar table. */
+  def businessDayLead(df: DataFrame, groupCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val sd = floor(unix_timestamp(col(startCol)) / 86400).cast("long")
+    val ed = floor(unix_timestamp(col(endCol)) / 86400).cast("long")
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(groupCol),
+        (weekdaysUpTo(ed) - weekdaysUpTo(sd)).as("__bd"),
+        (ed < sd).as("__neg"))
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("__neg"), 0L).otherwise(1L)).as("n"),
+        sum(when(col("__neg"), 1L).otherwise(0L)).as("n_negative"),
+        round(when(sum(when(col("__neg"), 0L).otherwise(1L)) > 0,
+          sum(when(col("__neg"), 0L).otherwise(col("__bd"))) /
+            sum(when(col("__neg"), 0L).otherwise(1L)).cast("double")),
+          6).as("avg_bdays"),
+        min(when(!col("__neg"), col("__bd"))).as("min_bdays"),
+        max(when(!col("__neg"), col("__bd"))).as("max_bdays"))
+      .orderBy(groupCol)
+  }
 }
