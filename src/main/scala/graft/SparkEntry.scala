@@ -2845,6 +2845,66 @@ object SparkEntry {
     "q_mutual_info" -> ((s, dir) =>
       operators.Stats.mutualInformation(docs(s, dir), "lang",
         "source")),
+
+    // stats: weight-of-evidence / IV scoring of order priority against
+    // the finished-status target — category frame + broadcast totals,
+    // log-ratio WoE (no count products), one-sided cells emit null
+    "q_woe_iv" -> ((s, dir) =>
+      operators.Stats.weightOfEvidence(
+        s.read.parquet(s"$dir/orders.parquet")
+          .withColumn("is_f", col("o_orderstatus") === "F"),
+        "o_orderpriority", "is_f")),
+
+    // stats: additive day-of-week decomposition of the daily volume
+    // series — integer detrended series (7x - sum7, exact in any
+    // order), dow profile broadcast back; trend/seasonal/remainder
+    "q_seasonal_dow" -> ((s, dir) =>
+      operators.Stats.seasonalDow(dailyVolumes(s, dir), "event_type",
+        "day", "n")),
+
+    // quality: decile (equal-frequency) binning of order totals —
+    // percentile_disc cuts from ONE aggregate broadcast back, map-only
+    // assignment; never a corpus-wide rank window
+    "q_equal_freq_bins" -> ((s, dir) =>
+      operators.Profile.equalFreqBins(
+        s.read.parquet(s"$dir/orders.parquet"), "o_totalprice",
+        k = 10)),
+
+    // geo: nearest supplier within 20 units of every customer via
+    // 3x3 grid-cell bucketing (pure equi-join, MaxCellOccupancy
+    // enforced) — coordinates are md5-fraction synthetics (the KMV/
+    // sampling hash convention), squared-Euclidean metric (no trig,
+    // no libm divergence)
+    "q_geo_nearest" -> ((s, dir) => {
+      def frac(c: Column, tag: String) =
+        conv(substring(md5(concat(c.cast("string"), lit(tag))), 1, 15),
+          16, 10).cast("double") / lit(1152921504606846976.0)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          (frac(col("c_custkey"), "#lat") * 180 - 90).as("lat"),
+          (frac(col("c_custkey"), "#lon") * 360 - 180).as("lon"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"),
+          (frac(col("s_suppkey"), "#lat") * 180 - 90).as("lat"),
+          (frac(col("s_suppkey"), "#lon") * 360 - 180).as("lon"))
+      operators.Geo.gridNearest(cust, "c_custkey", supp, "s_suppkey",
+        "lat", "lon", radius = 20.0)
+    }),
+
+    // stats: two-proportion z-test — even vs odd user ids as A/B arms,
+    // conversion = ever purchased with value >= 99 (q_kaplan_meier's
+    // event); one corpus agg to the user frame, one to the four counts
+    "q_prop_ztest" -> ((s, dir) => {
+      val u = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg((max(when(col("event_type") === "purchase" &&
+            col("value") >= 99, 1L).otherwise(0L)) === 1L)
+          .as("converted"))
+        .select((col("user_id") % 2 === 0).as("arm_a"),
+          col("converted"))
+      operators.Stats.proportionZTest(u, "arm_a", "converted")
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -7701,6 +7761,163 @@ object SparkEntry {
         |  ROUND(CASE WHEN hx_ > 0 AND hy_ > 0
         |    THEN mi_ / sqrt(hx_ * hy_) ELSE 0.0 END, 6) AS nmi
         |FROM a""".stripMargin,
+
+    // WoE/IV: category frame + totals, log-ratio WoE mirrored term
+    // for term; one-sided cells stay null
+    "q_woe_iv" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS f,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS good,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS bad
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(good) AS BIGINT) AS gt,
+        |         CAST(SUM(bad) AS BIGINT) AS bt FROM cells)
+        |SELECT f AS o_orderpriority, good, bad,
+        |  ROUND(good / CAST(gt AS DOUBLE), 6) AS pct_good,
+        |  ROUND(bad / CAST(bt AS DOUBLE), 6) AS pct_bad,
+        |  ROUND(CASE WHEN good > 0 AND bad > 0 THEN
+        |    ln(CAST(good AS DOUBLE)) + ln(CAST(bt AS DOUBLE)) -
+        |    ln(CAST(bad AS DOUBLE)) - ln(CAST(gt AS DOUBLE)) END, 6)
+        |    AS woe,
+        |  ROUND(CASE WHEN good > 0 AND bad > 0 THEN
+        |    (good / CAST(gt AS DOUBLE) - bad / CAST(bt AS DOUBLE)) *
+        |    (ln(CAST(good AS DOUBLE)) + ln(CAST(bt AS DOUBLE)) -
+        |     ln(CAST(bad AS DOUBLE)) - ln(CAST(gt AS DOUBLE))) END, 6)
+        |    AS iv_contrib
+        |FROM cells CROSS JOIN tt""".stripMargin,
+
+    // seasonal dow: integer detrended series 7x - sum7 (exact in any
+    // order), dow profile left-joined back; the three outputs are each
+    // one float expression over integral sums
+    "q_seasonal_dow" ->
+      s"""WITH $dailyVolumeCte,
+        |t AS (
+        |  SELECT event_type AS g, day, CAST(n AS BIGINT) AS x,
+        |    CAST(SUM(n) OVER w7 AS BIGINT) AS s7,
+        |    count(*) OVER w7 AS c7,
+        |    (day + 4) % 7 AS dow
+        |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *,
+        |         CASE WHEN c7 = 7 THEN x * 7 - s7 END AS detr7
+        |       FROM t),
+        |prof AS (
+        |  SELECT g, dow, CAST(SUM(detr7) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS cd
+        |  FROM t2 WHERE detr7 IS NOT NULL GROUP BY 1, 2)
+        |SELECT t2.g AS event_type, t2.day, t2.x AS n,
+        |  ROUND(CASE WHEN c7 = 7 THEN s7 / 7.0 END, 6) AS trend,
+        |  ROUND(sd / (cd * 7.0), 6) AS seasonal,
+        |  ROUND(detr7 / 7.0 - sd / (cd * 7.0), 6) AS remainder
+        |FROM t2 LEFT JOIN prof
+        |  ON t2.g = prof.g AND t2.dow = prof.dow""".stripMargin,
+
+    // decile bins: quantile_disc cuts, v > cut assignment (ties land
+    // low), bin stats
+    "q_equal_freq_bins" ->
+      """WITH v AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |c AS (
+        |  SELECT quantile_disc(v, 0.1) AS c1, quantile_disc(v, 0.2)
+        |      AS c2,
+        |    quantile_disc(v, 0.3) AS c3, quantile_disc(v, 0.4) AS c4,
+        |    quantile_disc(v, 0.5) AS c5, quantile_disc(v, 0.6) AS c6,
+        |    quantile_disc(v, 0.7) AS c7, quantile_disc(v, 0.8) AS c8,
+        |    quantile_disc(v, 0.9) AS c9
+        |  FROM v)
+        |SELECT CAST((CASE WHEN v > c1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c7 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c8 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN v > c9 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |    AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, MIN(v) AS min_v,
+        |  MAX(v) AS max_v
+        |FROM v CROSS JOIN c GROUP BY 1""".stripMargin,
+
+    // geo nearest: identical md5-fraction coordinates, the 3x3 cell
+    // window as BETWEEN bounds, same d2 term order, composite argmin
+    "q_geo_nearest" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || '#lat'), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 * 180 - 90 AS lat,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || '#lon'), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 * 360 - 180 AS lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+        |      || '#lat'), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 * 180 - 90 AS lat,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+        |      || '#lon'), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 * 360 - 180 AS lon
+        |  FROM supplier),
+        |j AS (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |    (c.lat - s.lat) * (c.lat - s.lat) +
+        |    (c.lon - s.lon) * (c.lon - s.lon) AS d2
+        |  FROM c JOIN s
+        |    ON floor(s.lat / 20.0) BETWEEN floor(c.lat / 20.0) - 1
+        |      AND floor(c.lat / 20.0) + 1
+        |    AND floor(s.lon / 20.0) BETWEEN floor(c.lon / 20.0) - 1
+        |      AND floor(c.lon / 20.0) + 1
+        |  WHERE (c.lat - s.lat) * (c.lat - s.lat) +
+        |    (c.lon - s.lon) * (c.lon - s.lon) <= 400.0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY d2, s_suppkey) AS rk FROM j)
+        |SELECT c_custkey, s_suppkey, ROUND(d2, 6) AS dist2
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // two-proportion z: per-user conversion frame, four integral
+    // counts, the pooled-variance z mirrored term for term
+    "q_prop_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 99
+        |      THEN 1 ELSE 0 END) = 1 AS converted
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND converted
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND converted
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u),
+        |e AS (
+        |  SELECT *,
+        |    conv_a / CAST(n_a AS DOUBLE) AS pa,
+        |    conv_b / CAST(n_b AS DOUBLE) AS pb,
+        |    (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM a)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN pa END, 6) AS p_a,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN pb END, 6) AS p_b,
+        |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1
+        |    THEN (pa - pb) / sqrt(pp * (1.0 - pp) *
+        |      (1.0 / n_a + 1.0 / n_b)) END, 6) AS z,
+        |  COALESCE(CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1
+        |    THEN abs((pa - pb) / sqrt(pp * (1.0 - pp) *
+        |      (1.0 / n_a + 1.0 / n_b))) > 1.959964 END, false)
+        |    AS significant
+        |FROM e""".stripMargin,
   ))
 
   /** The stateful sessionizer and funnel must reproduce their batch

@@ -382,6 +382,92 @@ object Profile {
     * equi-join child→keys and a single aggregate. At 100 TB the join
     * shuffles on the key both sides exactly once; a dimension-sized
     * parent broadcasts under AQE automatically. */
+  /** Equal-frequency (quantile) binning of a numeric column — the
+    * histogram-with-equal-mass profile (decile tables, score bands).
+    * Cut points are the k−1 interior discrete quantiles — the value
+    * at rank `min{r : r/n >= i/k}`, exactly `percentile_disc` /
+    * DuckDB-`quantile_disc` semantics — and assignment is the
+    * map-only `1 + Σ(v > cut_i)`, so a value equal to a cut lands in
+    * the lower bin and ties never straddle engine-dependently. Per
+    * bin: `(bin, n, min_v, max_v)`. Bins can be UNEVEN under heavy
+    * ties (all copies of one value share a bin) and a constant
+    * column yields one bin — the discrete quantile convention.
+    *
+    * Scale shape — why NOT `percentile_disc` itself: Spark's exact
+    * percentile aggregate buffers a value→count map per partial, so
+    * a near-continuous 100 TB column blows the aggregation buffer.
+    * Here the cuts come from the [[GlobalOrder.valueRank]] machinery
+    * instead: monotone value-range shards (equal values always share
+    * a shard) → one map-side-combined count pass (bounded driver
+    * collect) → driver arithmetic locates each target rank's shard →
+    * ONE window job over only the k−1 needed shards extracts the cut
+    * values. Memory rides shard width, never distinct-value count;
+    * heavy ties concentrating in one shard are the same documented
+    * bound as valueRank. Then cuts broadcast back for a map-only
+    * assignment + one hash aggregate. */
+  def equalFreqBins(df: DataFrame, valueCol: String, k: Int,
+      maxShards: Int = 65536): DataFrame = {
+    require(k >= 2 && k <= 1000, s"bad k: $k")
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val binStats = (bin: Column) => v
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), min("__v").as("min_v"),
+        max("__v").as("max_v"))
+      .orderBy("bin")
+    val stats = v.agg(min("__v").as("mn"), max("__v").as("mx")).first()
+    if (stats.isNullAt(0) || stats.getDouble(0) == stats.getDouble(1))
+      return binStats(lit(1L)) // empty or constant: one bin (or none)
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    val width = (mx - mn) / maxShards
+    val shardOf = floor((col("__v") - lit(mn)) / lit(width))
+      .cast("long")
+    val counts = v.groupBy(shardOf.as("__s")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    // target rank per cut i: smallest r with r/n >= i/k — the literal
+    // cume_dist definition, evaluated in the same doubles both
+    // engines use for the percentile fraction. Small-n duplicates are
+    // KEPT (k-1 cuts always, as the SQL formulation has) so bin ids
+    // match the oracle even when several quantiles coincide.
+    val rankOfCut = (1 until k).map { i =>
+      val p = i.toDouble / k
+      val est = math.ceil(p * n).toLong
+      if ((est - 1).toDouble / n >= p) est - 1 else est
+    }
+    // walk the cumulative shard counts: rank -> (shard, rank in shard)
+    var cum = 0L
+    val where = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long)]
+    val it = rankOfCut.distinct.sorted.iterator
+    var want = if (it.hasNext) it.next() else -1L
+    counts.foreach { case (s, c) =>
+      while (want > 0 && want <= cum + c) {
+        where(want) = (s, want - cum)
+        want = if (it.hasNext) it.next() else -1L
+      }
+      cum += c
+    }
+    val bySha = where.values.toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val pick = bySha.map { case (s, rs) =>
+      col("__s") === s && col("__rn").isInCollection(rs)
+    }.reduce(_ || _)
+    val got = v.withColumn("__s", shardOf)
+      .filter(col("__s").isInCollection(bySha.keys.toSeq))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__s").orderBy("__v")))
+      .filter(pick)
+      .select("__s", "__rn", "__v").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getDouble(2))
+      .toMap
+    val cuts = rankOfCut.map(r => got(where(r)))
+    val bin = cuts.map(c =>
+      when(col("__v") > lit(c), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    binStats(bin)
+  }
+
   def fkAudit(child: DataFrame, fkCol: String, parent: DataFrame,
       pkCol: String, relation: String): DataFrame = {
     val keys = parent.select(col(pkCol).as("__pk")).distinct()

@@ -877,4 +877,119 @@ object Stats {
         col("__mi") / sqrt(col("__hx") * col("__hy")))
         .otherwise(lit(0.0)), 6).as("nmi"))
   }
+
+  /** Weight-of-evidence / information-value scoring of a categorical
+    * feature against a boolean target — the credit-scoring feature
+    * ranking ("how separative is this feature?") that doubles as a
+    * label-leakage detector in curation pipelines. Per category:
+    * `woe = ln(good_k/good_tot) − ln(bad_k/bad_tot)` in log-ratio form
+    * (`ln good_k + ln bad_tot − ln bad_k − ln good_tot`, no count
+    * products to overflow) and its IV contribution
+    * `(good_k/gt − bad_k/bt)·woe`; sum iv_contrib for the feature's
+    * IV. One-sided categories (zero goods or zero bads) have
+    * undefined WoE: emitted with null woe/iv_contrib rather than an
+    * arbitrary smoothing constant.
+    *
+    * Scale shape: one hash aggregate to the category frame, totals
+    * broadcast back; everything after is categories-sized. */
+  def weightOfEvidence(df: DataFrame, featureCol: String,
+      targetCol: String): DataFrame = {
+    val cells = df
+      .filter(col(featureCol).isNotNull && col(targetCol).isNotNull)
+      .groupBy(col(featureCol).cast("string").as("__f"))
+      .agg(sum(when(col(targetCol), 1L).otherwise(0L)).as("good"),
+        sum(when(col(targetCol), 0L).otherwise(1L)).as("bad"))
+    val tot = cells.agg(sum("good").as("gt"), sum("bad").as("bt"))
+    val woe = log(col("good").cast("double")) +
+      log(col("bt").cast("double")) -
+      log(col("bad").cast("double")) - log(col("gt").cast("double"))
+    val defined = col("good") > 0 && col("bad") > 0
+    cells.crossJoin(broadcast(tot))
+      .select(col("__f").as(featureCol), col("good"), col("bad"),
+        round(col("good") / col("gt").cast("double"), 6).as("pct_good"),
+        round(col("bad") / col("bt").cast("double"), 6).as("pct_bad"),
+        round(when(defined, woe), 6).as("woe"),
+        round(when(defined,
+          (col("good") / col("gt").cast("double") -
+            col("bad") / col("bt").cast("double")) * woe), 6)
+          .as("iv_contrib"))
+      .orderBy(featureCol)
+  }
+
+  /** Additive day-of-week seasonal decomposition of a daily series —
+    * trend (centered 7-day moving average), seasonal (the dow profile
+    * of the detrended series), remainder. The volume-dashboard
+    * decomposition that separates "weekends are slow" from "we are
+    * actually trending down".
+    *
+    * Exactness: with integral `x`, the detrended series is kept as
+    * the INTEGER `7·x − Σ₇x` (exact in any order), so the dow means
+    * are integral-numerator ratios and trend/seasonal/remainder are
+    * each a single float expression — engine-exact at 6dp. Edge rows
+    * (incomplete 7-day window) keep null trend/remainder, the
+    * standard MA convention. Day-of-week is the engine-neutral
+    * `(epochDay+4) % 7` (0=Sunday).
+    *
+    * Assumes consecutive daily rows per group (the window is ROWS,
+    * not days) — gap-fill upstream ([[Temporal.gapFillLocf]]) first
+    * if the series has holes. Scale shape: one group-key shuffle for
+    * the MA window; the dow profile is a (groups×7)-sized broadcast
+    * join back. */
+  def seasonalDow(df: DataFrame, groupCol: String, dayCol: String,
+      xCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(dayCol).cast("long").as("__day"),
+      col(xCol).cast("long").as("__x"))
+    val w7 = Window.partitionBy("__g").orderBy("__day")
+      .rowsBetween(-3, 3)
+    val t = base
+      .withColumn("__s7", sum("__x").over(w7))
+      .withColumn("__c7", count(lit(1)).over(w7))
+      .withColumn("__detr7",
+        when(col("__c7") === 7, col("__x") * 7 - col("__s7")))
+      .withColumn("__dow", (col("__day") + 4) % 7)
+    val prof = t.filter(col("__detr7").isNotNull)
+      .groupBy("__g", "__dow")
+      .agg(sum("__detr7").as("__sd"), count(lit(1)).as("__cd"))
+    t.join(broadcast(prof), Seq("__g", "__dow"), "left")
+      .select(col("__g").as(groupCol), col("__day").as(dayCol),
+        col("__x").as(xCol),
+        round(when(col("__c7") === 7, col("__s7") / 7.0), 6)
+          .as("trend"),
+        round(col("__sd") / (col("__cd") * 7.0), 6).as("seasonal"),
+        round(col("__detr7") / 7.0 -
+          col("__sd") / (col("__cd") * 7.0), 6).as("remainder"))
+      .orderBy(groupCol, dayCol)
+  }
+
+  /** Two-proportion z-test — the A/B conversion readout: arm A vs
+    * arm B conversion rates, pooled-variance z statistic, and the
+    * 5%-level flag. All inputs are integral counts from ONE corpus
+    * aggregate; every ratio is a single float expression, so the test
+    * is oracle-exact at 6dp. Degenerate pools (all converted / none /
+    * an empty arm) yield null z and a false flag, never a NaN. */
+  def proportionZTest(df: DataFrame, armCol: String,
+      outcomeCol: String): DataFrame = {
+    val a = col(armCol)
+    val o = col(outcomeCol)
+    val agg = df.filter(a.isNotNull && o.isNotNull).agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(a && o, 1L).otherwise(0L)).as("conv_a"),
+      sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!a && o, 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a") / col("n_a").cast("double")
+    val pb = col("conv_b") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")) /
+      (col("n_a") + col("n_b")).cast("double")
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(when(ok, pa), 6).as("p_a"),
+      round(when(ok, pb), 6).as("p_b"),
+      round(when(ok && pp > 0 && pp < 1, z), 6).as("z"),
+      coalesce(when(ok && pp > 0 && pp < 1,
+        abs(z) > 1.959964), lit(false)).as("significant"))
+  }
 }
