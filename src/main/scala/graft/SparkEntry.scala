@@ -2905,6 +2905,45 @@ object SparkEntry {
           col("converted"))
       operators.Stats.proportionZTest(u, "arm_a", "converted")
     }),
+
+    // baskets: association rules over order->part baskets — support /
+    // both confidences / lift, all integral-count ratios; pair join is
+    // basket-keyed (MaxBasketSize enforced), pairs seen twice+ kept
+    "q_assoc_rules" -> ((s, dir) =>
+      operators.Baskets.associationRules(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+        "l_partkey", minPairCount = 2L)),
+
+    // stats: trailing 7-day Bollinger bands + breach flags on the
+    // daily volume series — integral window sums (x^2 in decimal),
+    // one float expression per output
+    "q_rolling_bands" -> ((s, dir) =>
+      operators.Stats.rollingBands(dailyVolumes(s, dir), "event_type",
+        "day", "n", window = 7, k = 2.0)),
+
+    // evaluation: per-source ROC AUC of n_chars as an is-English
+    // scorer — Mann-Whitney rank sums kept doubled-integral in
+    // decimal(38,0); the ks2Sample value-level window shape
+    "q_grouped_auc" -> ((s, dir) =>
+      operators.Eval.groupedAuc(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        "source", "n_chars", "is_en")),
+
+    // evaluation: calibration table of the same scorer normalized by
+    // 2000 chars — per-bin mean score and positive fraction are both
+    // integral-numerator ratios (the operator contracts an INTEGRAL
+    // raw score for exactly this reason)
+    "q_calibration" -> ((s, dir) =>
+      operators.Eval.calibrationBins(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        "n_chars", maxRaw = 2000L, "is_en", bins = 10)),
+
+    // quality: p50/p90/p99 of event value per type — the grouped
+    // sharded-rank percentile machinery (distributed rank->shard
+    // location, one window over only the picked shards)
+    "q_group_percentiles" -> ((s, dir) =>
+      operators.Profile.groupedPercentiles(events(s, dir),
+        "event_type", "value", Seq(0.5, 0.9, 0.99))),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -7918,6 +7957,124 @@ object SparkEntry {
         |      (1.0 / n_a + 1.0 / n_b))) > 1.959964 END, false)
         |    AS significant
         |FROM e""".stripMargin,
+
+    // association rules: basket-keyed pair join replay, counts to
+    // double before every product
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb
+        |       FROM items),
+        |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+        |        FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, ca.c AS n_a, cb.c AS n_b, n_ab,
+        |  ROUND(n_ab / CAST(nb AS DOUBLE), 6) AS support,
+        |  ROUND(n_ab / CAST(ca.c AS DOUBLE), 6) AS conf_a_to_b,
+        |  ROUND(n_ab / CAST(cb.c AS DOUBLE), 6) AS conf_b_to_a,
+        |  ROUND(CAST(n_ab AS DOUBLE) * nb /
+        |    (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+        |FROM p JOIN cnt ca ON ca.i = item_a
+        |JOIN cnt cb ON cb.i = item_b
+        |CROSS JOIN nb""".stripMargin,
+
+    // rolling bands: trailing 7-row window, integral sums (x^2 in
+    // decimal), sample sd, breach on the UNROUNDED bounds
+    "q_rolling_bands" ->
+      s"""WITH $dailyVolumeCte,
+        |w AS (
+        |  SELECT event_type AS g, day, CAST(n AS BIGINT) AS x,
+        |    CAST(SUM(n) OVER w7 AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(n AS DECIMAL(19,0)) *
+        |      CAST(n AS DECIMAL(19,0))) OVER w7 AS DOUBLE) AS s2,
+        |    count(*) OVER w7 AS c7
+        |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT g, day, x,
+        |    CASE WHEN c7 = 7 THEN s1 / 7 END AS mean_,
+        |    CASE WHEN c7 = 7 THEN
+        |      sqrt((7.0 * s2 - s1 * s1) / (7.0 * 6.0)) END AS sd_
+        |  FROM w)
+        |SELECT g AS event_type, day, x AS n,
+        |  ROUND(mean_, 6) AS mean, ROUND(sd_, 6) AS sd,
+        |  ROUND(mean_ + 2.0 * sd_, 6) AS upper,
+        |  ROUND(mean_ - 2.0 * sd_, 6) AS lower,
+        |  COALESCE(x > mean_ + 2.0 * sd_ OR x < mean_ - 2.0 * sd_,
+        |    false) AS breach
+        |FROM b""".stripMargin,
+
+    // grouped AUC: value-level counts, doubled tie-averaged rank sum
+    // in decimal(38,0), one division
+    "q_grouped_auc" ->
+      """WITH vals AS (
+        |  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS neg
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *,
+        |    CAST(COALESCE(SUM(pos + neg) OVER (PARTITION BY g
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM vals),
+        |a AS (
+        |  SELECT g, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    SUM(CAST(pos AS DECIMAL(38,0)) *
+        |      CAST(2 * cb + pos + neg + 1 AS DECIMAL(38,0))) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT g AS source, n_pos, n_neg,
+        |  ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+        |    / (2.0 * n_pos * n_neg) END, 6) AS auc
+        |FROM a""".stripMargin,
+
+    // calibration: declared 10-bin grid on the capped score, both
+    // per-bin stats as integral-numerator ratios
+    "q_calibration" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(least(CAST(n_chars AS BIGINT), 2000)
+        |      * 10 / 2000.0) AS BIGINT), 9) AS bin,
+        |    least(CAST(n_chars AS BIGINT), 2000) AS craw,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  ROUND(SUM(craw) / (2000.0 * count(*)), 6) AS avg_score,
+        |  ROUND(SUM(pos) / CAST(count(*) AS DOUBLE), 6) AS frac_pos,
+        |  ROUND(SUM(pos) / CAST(count(*) AS DOUBLE) -
+        |    SUM(craw) / (2000.0 * count(*)), 6) AS gap
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // grouped percentiles: quantile_disc shares the cume_dist rank
+    // convention (probed: p=.99/n=10 -> 10, p=.75/n=2 -> 2)
+    "q_group_percentiles" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_disc(value, 0.5) AS p50,
+        |    quantile_disc(value, 0.9) AS p90,
+        |    quantile_disc(value, 0.99) AS p99
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT event_type, CAST(0.5 AS DOUBLE) AS pct, p50 AS value
+        |FROM q
+        |UNION ALL
+        |SELECT event_type, CAST(0.9 AS DOUBLE), p90 FROM q
+        |UNION ALL
+        |SELECT event_type, CAST(0.99 AS DOUBLE), p99 FROM q"""
+        .stripMargin,
   ))
 
   /** The stateful sessionizer and funnel must reproduce their batch

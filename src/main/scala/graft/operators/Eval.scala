@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier-evaluation reports over (label, prediction) frames — the
@@ -118,5 +119,81 @@ object Eval {
         round(pe, 6).as("pe"),
         round(when(col("rc") >= nsq, lit(1.0))
           .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  /** Per-group ROC AUC of a numeric score against a boolean label via
+    * the Mann-Whitney rank-sum identity — the threshold-free ranking
+    * quality every scorer (quality model, dup classifier, relevance
+    * heuristic) gets judged by.
+    *
+    * Tie-exact and integer-exact: scores collapse to value-level
+    * (pos, neg) counts, the tie-averaged rank sum is kept DOUBLED so
+    * it stays integral (`Σ pos_v·(2·cumBefore_v + c_v + 1)`,
+    * accumulated in decimal(38,0) — rank sums reach n²), and
+    * `AUC = (S₂ − nP·(nP+1)) / (2·nP·nN)` is ONE division. A group
+    * with no positives or no negatives has no ranking to score: null
+    * auc.
+    *
+    * Scale shape: one hash aggregate to the value-level frame, one
+    * group-partitioned cumulative window over it (the ks2Sample
+    * ECDF shape), one group-sized reduction. */
+  def groupedAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val vals = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    val byG = Window.partitionBy("__g")
+    val prior = byG.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s2term = col("pos").cast("decimal(38,0)") *
+      (lit(2) * col("__cb") + col("pos") + col("neg") + 1)
+        .cast("decimal(38,0)")
+    val agg = vals
+      .withColumn("__cb",
+        coalesce(sum(col("pos") + col("neg")).over(prior), lit(0L)))
+      .groupBy("__g")
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(s2term).as("__s2"))
+    agg.select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0,
+        (col("__s2").cast("double") -
+          col("n_pos").cast("double") * (col("n_pos") + 1)) /
+          (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
+      .orderBy(groupCol)
+  }
+
+  /** Calibration (reliability) table of an integral raw score against
+    * a boolean label — "when the scorer says 0.7, is it right 70% of
+    * the time?". The raw score is normalized by `maxRaw` (capped at
+    * 1.0) and binned on the declared `bins`-wide grid; per bin the
+    * mean predicted score and the observed positive fraction are both
+    * integral-numerator ratios (`Σ min(raw, maxRaw) / (maxRaw·n)` and
+    * `pos/n`), so the whole curve is oracle-exact — the reason the
+    * operator contracts an INTEGRAL raw score rather than summing
+    * float probabilities in shuffle order. One corpus hash aggregate;
+    * bins-sized after. */
+  def calibrationBins(df: DataFrame, rawCol: String, maxRaw: Long,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(maxRaw >= 1, s"bad maxRaw: $maxRaw")
+    require(bins >= 2 && bins <= 1000, s"bad bins: $bins")
+    val capped = least(col(rawCol).cast("long"), lit(maxRaw))
+    val bin = least(floor(capped * bins / lit(maxRaw.toDouble)),
+      lit((bins - 1).toLong)).cast("long")
+    df.filter(col(rawCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(capped).as("__sraw"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"))
+      .select(col("bin"), col("n"),
+        round(col("__sraw") / (lit(maxRaw.toDouble) * col("n")), 6)
+          .as("avg_score"),
+        round(col("pos") / col("n").cast("double"), 6).as("frac_pos"),
+        round(col("pos") / col("n").cast("double") -
+          col("__sraw") / (lit(maxRaw.toDouble) * col("n")), 6)
+          .as("gap"))
+      .orderBy("bin")
   }
 }

@@ -468,6 +468,74 @@ object Profile {
     binStats(bin)
   }
 
+  /** Per-group discrete percentiles (the p50/p90/p99 latency table)
+    * — [[equalFreqBins]]' sharded-rank machinery generalized to
+    * groups, with the driver walk replaced by a fully DISTRIBUTED
+    * rank→shard location so group count is unbounded: value-shard
+    * counts per group (one hash aggregate), cumulative-offset window
+    * over the (group, shard) frame, target ranks as column arithmetic
+    * on a broadcast percentile list, a range-located picks frame, and
+    * ONE window over only the picked shards. `percentile_disc`
+    * semantics per group (smallest value with cume_dist ≥ p),
+    * memory bounded by shard width — never by distinct values or
+    * group count. Output: `(group, pct, value)` long form. */
+  def groupedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], maxShards: Int = 65536)
+      : DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"bad percentiles: $ps")
+    require(ps == ps.sorted && ps.distinct == ps,
+      s"percentiles must be sorted distinct: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+    val stats = v.agg(min("__v").as("mn"), max("__v").as("mx")).first()
+    if (stats.isNullAt(0))
+      return v.select(col("__g").as(groupCol),
+        lit(0.0).as("pct"), col("__v").as("value")).limit(0)
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    val width = if (mx == mn) 1.0 else (mx - mn) / maxShards
+    val shardOf = floor((col("__v") - lit(mn)) / lit(width))
+      .cast("long")
+    val cnt = v.groupBy(col("__g"), shardOf.as("__s")).count()
+    val byG = Window.partitionBy("__g")
+    val cum = cnt
+      .withColumn("__cb", coalesce(sum("count").over(
+        byG.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum("count").over(byG))
+    // smallest rank r with r/n >= p, in the same doubles the disc-
+    // percentile definition uses
+    val est = ceil(col("pct") * col("__n")).cast("long")
+    val targets = cum.select("__g", "__n").distinct()
+      .crossJoin(broadcast(ps.toDF("pct")))
+      .withColumn("__r",
+        when((est - 1).cast("double") / col("__n") >= col("pct"),
+          est - 1).otherwise(est))
+    // rename EVERY pick-side column: picks shares v's lineage through
+    // cnt, so unrenamed attributes would make the re-join ambiguous
+    // (the attributionCredit self-join lesson)
+    val picks = targets.join(cum, Seq("__g"))
+      .filter(col("__r") > col("__cb") &&
+        col("__r") <= col("__cb") + col("count"))
+      .select(col("__g").as("__pg"), col("__s").as("__psh"),
+        col("pct"), (col("__r") - col("__cb")).as("__rn_want"))
+    val ranked = v.withColumn("__s", shardOf)
+      .join(picks.select("__pg", "__psh").distinct(),
+        col("__g") === col("__pg") && col("__s") === col("__psh"),
+        "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g", "__s").orderBy("__v")).cast("long"))
+    ranked.join(picks,
+        col("__g") === col("__pg") && col("__s") === col("__psh") &&
+          col("__rn") === col("__rn_want"))
+      .select(col("__g").as(groupCol), col("pct"),
+        col("__v").as("value"))
+      .orderBy(groupCol, "pct")
+  }
+
   def fkAudit(child: DataFrame, fkCol: String, parent: DataFrame,
       pkCol: String, relation: String): DataFrame = {
     val keys = parent.select(col(pkCol).as("__pk")).distinct()

@@ -962,6 +962,49 @@ object Stats {
       .orderBy(groupCol, dayCol)
   }
 
+  /** Rolling (Bollinger) bands over a daily series — trailing-window
+    * mean ± k·sd with a breach flag, the volatility-aware alerting
+    * sibling of [[ewmaSmooth]]. The first `window−1` rows of each
+    * group keep null bands (incomplete window, the MA convention).
+    *
+    * Exactness: the window accumulates the INTEGRAL sums `Σx` and
+    * `Σx²` (x² in decimal(38,0) — a corpus-scale daily count squared
+    * overflows BIGINT), so mean and the sample sd are each one float
+    * expression over exact integers; breach compares the UNROUNDED
+    * bounds, identically evaluated on both engines. Scale shape: one
+    * group-key shuffle, rows-bounded frames, no joins. */
+  def rollingBands(df: DataFrame, groupCol: String, dayCol: String,
+      xCol: String, window: Int = 7, k: Double = 2.0): DataFrame = {
+    require(window >= 2 && window <= 3650, s"bad window: $window")
+    require(k > 0, s"bad k: $k")
+    val w = Window.partitionBy("__g").orderBy("__day")
+      .rowsBetween(-(window - 1), 0)
+    val base = df.select(col(groupCol).as("__g"),
+      col(dayCol).cast("long").as("__day"),
+      col(xCol).cast("long").as("__x"))
+    val s1 = sum("__x").over(w).cast("double")
+    val s2 = sum(col("__x").cast("decimal(19,0)") *
+      col("__x").cast("decimal(19,0)")).over(w).cast("double")
+    val full = count(lit(1)).over(w) === window
+    val mean = s1 / window
+    val sd = sqrt((lit(window.toDouble) * s2 - s1 * s1) /
+      (lit(window.toDouble) * (window - 1.0)))
+    base
+      .withColumn("__mean", when(full, mean))
+      .withColumn("__sd", when(full, sd))
+      .withColumn("breach", coalesce(
+        col("__x") > col("__mean") + lit(k) * col("__sd") ||
+          col("__x") < col("__mean") - lit(k) * col("__sd"),
+        lit(false)))
+      .select(col("__g").as(groupCol), col("__day").as(dayCol),
+        col("__x").as(xCol), round(col("__mean"), 6).as("mean"),
+        round(col("__sd"), 6).as("sd"),
+        round(col("__mean") + lit(k) * col("__sd"), 6).as("upper"),
+        round(col("__mean") - lit(k) * col("__sd"), 6).as("lower"),
+        col("breach"))
+      .orderBy(groupCol, dayCol)
+  }
+
   /** Two-proportion z-test — the A/B conversion readout: arm A vs
     * arm B conversion rates, pooled-variance z statistic, and the
     * 5%-level flag. All inputs are integral counts from ONE corpus
