@@ -2944,6 +2944,61 @@ object SparkEntry {
     "q_group_percentiles" -> ((s, dir) =>
       operators.Profile.groupedPercentiles(events(s, dir),
         "event_type", "value", Seq(0.5, 0.9, 0.99))),
+
+    // cdc: order-insensitive table fingerprint per source — XOR-folded
+    // 60-bit md5 row hashes, one map-side-combinable aggregate; the
+    // cheap replication-equality check
+    "q_table_fingerprint" -> ((s, dir) =>
+      operators.Profile.tableFingerprint(docs(s, dir), "source",
+        Seq("doc_id", "text", "lang"))),
+
+    // quality: novelty curve of (user, payload) combos per day —
+    // first-seen day per key then day-sized reductions; the
+    // crawl-health readout ("are we still seeing new content?")
+    "q_novelty" -> ((s, dir) =>
+      operators.Profile.noveltyCurve(
+        events(s, dir)
+          .withColumn("day",
+            floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+          .withColumn("k",
+            concat_ws(":", col("user_id").cast("string"),
+              col("props"))),
+        "day", "k")),
+
+    // evaluation: LSH candidate recall — same-bucket pairs (the ANN
+    // candidate generator) graded against the TRUE cosine >= 0.4 pair
+    // set; the standard "how much does bucketing miss" eval
+    "q_pair_metrics" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val b = e.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), nPlanes = 4, dim = 64,
+          seed = 42L).as("bkt"))
+      val pred = b.as("a").join(b.as("b"),
+          col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"),
+          col("b.vec_id").as("id_b"))
+      val gold = Similarity.cosineNearDupPairs(e, threshold = 0.4)
+        .select("id_a", "id_b")
+      operators.Eval.setOverlapMetrics(pred, gold, Seq("id_a", "id_b"))
+    }),
+
+    // stats: feature gain scan — mutual information of three candidate
+    // features (incl. a deliberate noise feature) against is-English
+    "q_feature_gain" -> ((s, dir) =>
+      operators.Stats.featureGainScan(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        Seq("len_bucket" -> floor(col("n_chars") / 500.0),
+          "noise_mod10" -> col("n_chars") % 10,
+          "source" -> col("source")),
+        "is_en")),
+
+    // event analytics: the funnel grouped by A/B arm — level mix per
+    // arm from the shared per-user funnel
+    "q_funnel_by_arm" -> ((s, dir) =>
+      Events.funnel(events(s, dir))
+        .groupBy((col("user_id") % 2 === 0).as("arm_a"), col("level"))
+        .agg(count(lit(1)).as("n_users"))),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -3558,23 +3613,7 @@ object SparkEntry {
     // strictly-after chain at second granularity (floor(epoch) ==
     // unix_timestamp under the UTC session zone); each step's earliest
     // qualifying time replayed with a min-filter join
-    "q_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
-        |  FROM events),
-        |u AS (SELECT DISTINCT user_id FROM e),
-        |s1 AS (SELECT user_id, min(es) AS t1 FROM e
-        |       WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(es) AS t2 FROM e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND es > t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(es) AS t3 FROM e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND es > t2 GROUP BY 1)
-        |SELECT u.user_id, t1, t2, t3,
-        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level
-        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_funnel" -> funnelUserSql,
 
     // lead over the (ts, event_id) sort key; integer window sums are
     // exact so only the probability ratio needs the 6dp round
@@ -7770,36 +7809,7 @@ object SparkEntry {
     // ln c + ln n - ln cx - ln cy (never a count product); marginal
     // entropies telescope off the same cell frame
     "q_mutual_info" ->
-      """WITH cells AS (
-        |  SELECT CAST(lang AS VARCHAR) AS x,
-        |    CAST(source AS VARCHAR) AS y,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM documents
-        |  WHERE lang IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2),
-        |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
-        |       FROM cells GROUP BY 1),
-        |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
-        |       FROM cells GROUP BY 1),
-        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
-        |a AS (
-        |  SELECT MAX(n) AS n,
-        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(c AS DOUBLE)) +
-        |      ln(CAST(n AS DOUBLE)) - ln(CAST(cx AS DOUBLE)) -
-        |      ln(CAST(cy AS DOUBLE)))) AS mi_,
-        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
-        |      ln(CAST(c AS DOUBLE)))) AS hxy_,
-        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
-        |      ln(CAST(cx AS DOUBLE)))) AS hx_,
-        |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
-        |      ln(CAST(cy AS DOUBLE)))) AS hy_
-        |  FROM cells JOIN mx USING (x) JOIN my USING (y)
-        |  CROSS JOIN tt)
-        |SELECT n, ROUND(hx_, 6) AS h_x, ROUND(hy_, 6) AS h_y,
-        |  ROUND(hxy_, 6) AS h_xy, ROUND(mi_, 6) AS mi,
-        |  ROUND(CASE WHEN hx_ > 0 AND hy_ > 0
-        |    THEN mi_ / sqrt(hx_ * hy_) ELSE 0.0 END, 6) AS nmi
-        |FROM a""".stripMargin,
+      miSql("lang", "source", "lang IS NOT NULL AND source IS NOT NULL"),
 
     // WoE/IV: category frame + totals, log-ratio WoE mirrored term
     // for term; one-sided cells stay null
@@ -8075,7 +8085,157 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_type, CAST(0.99 AS DOUBLE), p99 FROM q"""
         .stripMargin,
+
+    // table fingerprint: identical 0x01-joined md5 row keys, 60-bit
+    // prefix folded under XOR (order-free on both engines)
+    "q_table_fingerprint" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT md5(concat_ws(chr(1),
+        |    CAST(doc_id AS VARCHAR), text, CAST(lang AS VARCHAR))))
+        |    AS BIGINT) AS n_distinct_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |    CAST(doc_id AS VARCHAR), text, CAST(lang AS VARCHAR))),
+        |    1, 15)) AS BIGINT)) AS xor_fingerprint
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // novelty curve: first-seen day per key, two day-sized reductions
+    // (concat_ws on both sides: skips nulls, unlike ||)
+    "q_novelty" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+        |      AS day,
+        |    concat_ws(':', CAST(user_id AS VARCHAR), props) AS k
+        |  FROM events WHERE ts IS NOT NULL),
+        |fs AS (
+        |  SELECT f AS day, CAST(count(*) AS BIGINT) AS n_first_seen
+        |  FROM (SELECT k, MIN(day) AS f FROM b GROUP BY 1)
+        |  GROUP BY 1),
+        |t AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1)
+        |SELECT t.day, n,
+        |  COALESCE(n_first_seen, CAST(0 AS BIGINT)) AS n_first_seen,
+        |  ROUND(COALESCE(n_first_seen, 0) / CAST(n AS DOUBLE), 6)
+        |    AS novelty
+        |FROM t LEFT JOIN fs ON t.day = fs.day""".stripMargin,
+
+    // pair-set overlap: LSH same-bucket candidates (the inlined plane
+    // literals of q_ann_lsh_buckets) graded against the exact cosine
+    // >= 0.4 pair set (q_cosine_neardup's formulation)
+    "q_pair_metrics" -> {
+      val terms = graft.operators.Similarity.planes(4, 64, 42L)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bk AS (SELECT vec_id, CAST($terms AS BIGINT) AS bkt FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bk a JOIN bk b ON a.bkt = b.bkt
+        |    AND a.vec_id < b.vec_id),
+        |g AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+        |c AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pred,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_gold,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM p JOIN g USING (id_a, id_b)) AS n_both)
+        |SELECT n_pred, n_gold, n_both,
+        |  ROUND(CASE WHEN n_pred > 0
+        |    THEN n_both / CAST(n_pred AS DOUBLE) END, 6)
+        |    AS "precision",
+        |  ROUND(CASE WHEN n_gold > 0
+        |    THEN n_both / CAST(n_gold AS DOUBLE) END, 6) AS recall,
+        |  ROUND(CASE WHEN n_pred + n_gold > 0
+        |    THEN 2.0 * n_both / (n_pred + n_gold) END, 6) AS f1,
+        |  ROUND(CASE WHEN n_pred + n_gold - n_both > 0
+        |    THEN n_both / CAST(n_pred + n_gold - n_both AS DOUBLE)
+        |    END, 6) AS jaccard
+        |FROM c""".stripMargin
+    },
+
+    // feature gain: the shared MI SQL per candidate feature, stacked
+    "q_feature_gain" ->
+      Seq(
+        ("len_bucket", "CAST(floor(n_chars / 500.0) AS BIGINT)",
+          "n_chars IS NOT NULL AND lang IS NOT NULL"),
+        ("noise_mod10", "n_chars % 10",
+          "n_chars IS NOT NULL AND lang IS NOT NULL"),
+        ("source", "source",
+          "source IS NOT NULL AND lang IS NOT NULL"))
+        .map { case (label, x, w) =>
+          s"SELECT '$label' AS feature, * FROM (\n" +
+            miSql(x, "lang = 'en'", w) + "\n)"
+        }.mkString("\nUNION ALL\n"),
+
+    // funnel by arm: the shared per-user funnel replay, grouped
+    "q_funnel_by_arm" ->
+      s"""WITH f AS ($funnelUserSql)
+        |SELECT user_id % 2 = 0 AS arm_a, level,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1, 2""".stripMargin,
   ))
+
+  /** Shared per-user funnel replay (q_funnel, q_stream_funnel via
+    * withSharedOracles, q_funnel_by_arm): strictly-after min chain. */
+  private val funnelUserSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, min(es) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(es) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND es > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(es) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND es > t2 GROUP BY 1)
+      |SELECT u.user_id, t1, t2, t3,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)""".stripMargin
+
+  /** Shared mutual-information SQL over `documents` (q_mutual_info,
+    * q_feature_gain): cell frame + broadcast-sized marginals in
+    * log-ratio form. */
+  private def miSql(xExpr: String, yExpr: String, where: String)
+      : String =
+    s"""WITH cells AS (
+      |  SELECT CAST($xExpr AS VARCHAR) AS x,
+      |    CAST($yExpr AS VARCHAR) AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents
+      |  WHERE $where
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+      |       FROM cells GROUP BY 1),
+      |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+      |       FROM cells GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      |a AS (
+      |  SELECT MAX(n) AS n,
+      |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(c AS DOUBLE)) +
+      |      ln(CAST(n AS DOUBLE)) - ln(CAST(cx AS DOUBLE)) -
+      |      ln(CAST(cy AS DOUBLE)))) AS mi_,
+      |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
+      |      ln(CAST(c AS DOUBLE)))) AS hxy_,
+      |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
+      |      ln(CAST(cx AS DOUBLE)))) AS hx_,
+      |    SUM(c / CAST(n AS DOUBLE) * (ln(CAST(n AS DOUBLE)) -
+      |      ln(CAST(cy AS DOUBLE)))) AS hy_
+      |  FROM cells JOIN mx USING (x) JOIN my USING (y)
+      |  CROSS JOIN tt)
+      |SELECT n, ROUND(hx_, 6) AS h_x, ROUND(hy_, 6) AS h_y,
+      |  ROUND(hxy_, 6) AS h_xy, ROUND(mi_, 6) AS mi,
+      |  ROUND(CASE WHEN hx_ > 0 AND hy_ > 0
+      |    THEN mi_ / sqrt(hx_ * hy_) ELSE 0.0 END, 6) AS nmi
+      |FROM a""".stripMargin
 
   /** The stateful sessionizer and funnel must reproduce their batch
     * window formulations, so they share those oracles verbatim. */

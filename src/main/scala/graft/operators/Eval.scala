@@ -165,6 +165,40 @@ object Eval {
       .orderBy(groupCol)
   }
 
+  /** Overlap metrics between two keyed sets (e.g. predicted duplicate
+    * pairs vs gold pairs) — precision/recall/F1/Jaccard of set
+    * membership, the standard way to grade one dedup/linkage
+    * candidate generator against another (or against labels). Rows
+    * are deduplicated per side first, so multiplicity never skews the
+    * counts; all four ratios are integral-count fractions. One full
+    * outer join on the key columns, then one reduction. */
+  def setOverlapMetrics(pred: DataFrame, gold: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "no key columns")
+    val p = pred.select(keys.map(col): _*).distinct()
+      .withColumn("__p", lit(1L))
+    val g = gold.select(keys.map(col): _*).distinct()
+      .withColumn("__g", lit(1L))
+    val agg = p.join(g, keys, "full_outer").agg(
+      sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
+      sum(coalesce(col("__g"), lit(0L))).as("n_gold"),
+      sum(when(col("__p").isNotNull && col("__g").isNotNull, 1L)
+        .otherwise(0L)).as("n_both"),
+      count(lit(1)).as("n_union"))
+    agg.select(col("n_pred"), col("n_gold"), col("n_both"),
+      round(when(col("n_pred") > 0,
+        col("n_both") / col("n_pred").cast("double")), 6)
+        .as("precision"),
+      round(when(col("n_gold") > 0,
+        col("n_both") / col("n_gold").cast("double")), 6).as("recall"),
+      round(when(col("n_pred") + col("n_gold") > 0,
+        lit(2.0) * col("n_both") / (col("n_pred") + col("n_gold"))), 6)
+        .as("f1"),
+      round(when(col("n_union") > 0,
+        col("n_both") / col("n_union").cast("double")), 6)
+        .as("jaccard"))
+  }
+
   /** Calibration (reliability) table of an integral raw score against
     * a boolean label — "when the scorer says 0.7, is it right 70% of
     * the time?". The raw score is normalized by `maxRaw` (capped at

@@ -366,6 +366,53 @@ object Profile {
       .select(col(groupCol), col("prob"), col("n"), col("est"))
   }
 
+  /** Order-insensitive table fingerprint per group — the cheap
+    * replication/CDC equality check: two snapshots (or a source and
+    * its mirror) agree iff their (row count, distinct-row count,
+    * XOR-of-row-hashes) triples agree, with no sort and no row-level
+    * diff. Row key = md5 over the selected columns joined with a
+    * 0x01 separator (concat_ws skips nulls — a null and an empty
+    * string are indistinguishable, the documented concat_ws caveat);
+    * the 60-bit hash prefix folds under XOR, which commutes — so the
+    * fingerprint is one map-side-combinable aggregate at any
+    * parallelism. */
+  def tableFingerprint(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to fingerprint")
+    val key = md5(concat_ws("\u0001",
+      cols.map(c => col(c).cast("string")): _*))
+    val h60 = conv(substring(key, 1, 15), 16, 10).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(key).as("n_distinct_rows"),
+        bit_xor(h60).as("xor_fingerprint"))
+      .orderBy(groupCol)
+  }
+
+  /** Novelty curve — per day, how much of the stream was never seen
+    * before: items, distinct keys first-seen that day, and their
+    * ratio. The crawl-health readout (a collapsing novelty rate means
+    * the crawler is re-fetching the same content). Two hash
+    * aggregates (first-seen day per key, then per-day reductions)
+    * joined days-sized — the corpus never self-joins. */
+  def noveltyCurve(df: DataFrame, dayCol: String, keyCol: String)
+      : DataFrame = {
+    val base = df
+      .filter(col(dayCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(dayCol).cast("long").as("__day"),
+        col(keyCol).as("__k"))
+    val firstSeen = base.groupBy("__k").agg(min("__day").as("__f"))
+      .groupBy(col("__f").as("__day"))
+      .agg(count(lit(1)).as("n_first_seen"))
+    base.groupBy("__day").agg(count(lit(1)).as("n"))
+      .join(firstSeen, Seq("__day"), "left")
+      .select(col("__day").as(dayCol), col("n"),
+        coalesce(col("n_first_seen"), lit(0L)).as("n_first_seen"),
+        round(coalesce(col("n_first_seen"), lit(0L)) /
+          col("n").cast("double"), 6).as("novelty"))
+      .orderBy(dayCol)
+  }
+
   /** Referential-integrity audit — the orphan-detection pass every
     * star-schema ingest needs before a fact table is trusted: how
     * many child rows carry a foreign key with no matching parent,

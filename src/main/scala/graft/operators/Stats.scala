@@ -878,6 +878,23 @@ object Stats {
         .otherwise(lit(0.0)), 6).as("nmi"))
   }
 
+  /** Feature gain scan — [[mutualInformation]] run over a list of
+    * candidate categorical features against one target, labeled and
+    * stacked: the "which column actually predicts the label"
+    * leakage/redundancy sweep run before any model is trained. Each
+    * feature costs one cell-frame aggregate; the features list is
+    * bounded (it is a column list, not data). */
+  def featureGainScan(df: DataFrame, features: Seq[(String, Column)],
+      targetCol: String): DataFrame = {
+    require(features.nonEmpty, "no features")
+    features.map { case (name, c) =>
+      mutualInformation(df.select(c.as("__feat"), col(targetCol)),
+        "__feat", targetCol)
+        .select(lit(name).as("feature"), col("n"), col("h_x"),
+          col("h_y"), col("h_xy"), col("mi"), col("nmi"))
+    }.reduce(_.unionByName(_)).orderBy("feature")
+  }
+
   /** Weight-of-evidence / information-value scoring of a categorical
     * feature against a boolean target — the credit-scoring feature
     * ranking ("how separative is this feature?") that doubles as a
