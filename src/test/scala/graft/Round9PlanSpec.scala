@@ -112,4 +112,69 @@ class Round9PlanSpec extends AnyFunSuite with SparkSpec {
       assert(plan.contains("sequence("), s"no sequence spine:\n$plan")
     }
   }
+
+  test("attribution: conv x touch is an EQUI join on the user key") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_attribution")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"attribution must join on the user key, not nested-loop:\n" +
+          plan)
+    }
+  }
+
+  test("geoNearest: the 3x3 candidate join is an EQUI join on cells") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_geo_nearest")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"grid join must be an equi join on the cell key:\n$plan")
+    }
+  }
+
+  test("mutualInformation family: marginal joins BROADCAST") {
+    withStaticPlan {
+      val plan = planOf(SparkEntry.queries("q_mutual_info")(spark, dir))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"MI marginals must broadcast back to the cell frame:\n$plan")
+      assert(!plan.contains("Window"),
+        s"MI must not ride a global window over the cell frame:\n$plan")
+    }
+  }
+
+  test("groupedPercentiles: every window is PARTITIONED (no global)") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_group_percentiles")(spark, dir)
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"unpartitioned window in grouped percentiles:\n${planOf(df)}")
+    }
+  }
+
+  test("kaplanMeier: corpus reduces BEFORE the unpartitioned windows") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_kaplan_meier")(spark, dir)
+      val plan = planOf(df)
+      // the no-partition product-limit windows are legal ONLY on the
+      // duration-cardinality frame: an aggregate must sit below them
+      val winIdx = plan.indexOf("Window")
+      assert(winIdx >= 0, s"no window in:\n$plan")
+      assert(plan.indexOf("HashAggregate", winIdx) > winIdx,
+        s"KM window not fed by the duration aggregate:\n$plan")
+    }
+  }
+
+  test("tableFingerprint: one aggregate pass, no join, no window") {
+    withStaticPlan {
+      val df = SparkEntry.queries("q_table_fingerprint")(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"fingerprint must be a single agg pass:\n$plan")
+    }
+  }
 }
