@@ -2999,6 +2999,40 @@ object SparkEntry {
       Events.funnel(events(s, dir))
         .groupBy((col("user_id") % 2 === 0).as("arm_a"), col("level"))
         .agg(count(lit(1)).as("n_users"))),
+
+    // stats: lead-lag cross-correlation signup -> purchase over the
+    // daily series — integral moments in decimal, lags-sized frame,
+    // deterministic (corr, lag) argmax
+    "q_cross_corr" -> ((s, dir) =>
+      operators.Stats.crossCorrelation(dailyVolumes(s, dir),
+        "event_type", "day", "n", seriesA = "signup",
+        seriesB = "purchase", maxLag = 7)),
+
+    // temporal: above-trend streaks — days whose volume beats the
+    // PRIOR 7-day mean (7x > sum7, no division), run-length encoded
+    // per type via the day - row_number island key
+    "q_streaks" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val flagged = dailyVolumes(s, dir)
+        .withColumn("__s7", sum("n").over(w))
+        .withColumn("__c7", count(lit(1)).over(w))
+        .withColumn("flag",
+          col("__c7") === 7 && col("n") * 7 > col("__s7"))
+      operators.Temporal.runLengths(flagged, "event_type", "day",
+        "flag")
+    }),
+
+    // event analytics: session entry/exit matrix — which type opens
+    // vs closes a session; gap-30min sessions, composite tie order,
+    // row-stochastic share per entry
+    "q_entry_exit" -> ((s, dir) =>
+      Events.entryExitMatrix(events(s, dir))),
+
+    // reporting: top-10 sources with the explicit (other) rollup row
+    "q_top_sources" -> ((s, dir) =>
+      operators.Profile.topKWithOthers(docs(s, dir), "source",
+        k = 10)),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -8179,6 +8213,115 @@ object SparkEntry {
         |SELECT user_id % 2 = 0 AS arm_a, level,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // cross-correlation: lag expansion on the A side, shifted-day
+    // equi-join, integral moments in decimal, rounded-corr argmax
+    "q_cross_corr" ->
+      s"""WITH $dailyVolumeCte,
+        |a AS (
+        |  SELECT day AS da, CAST(n AS BIGINT) AS xa,
+        |    CAST(l.lag AS BIGINT) AS lag
+        |  FROM d CROSS JOIN range(-7, 8) l(lag)
+        |  WHERE event_type = 'signup'),
+        |b AS (SELECT day AS db, CAST(n AS BIGINT) AS xb FROM d
+        |      WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(xa) AS BIGINT) AS sa,
+        |    CAST(SUM(xb) AS BIGINT) AS sb,
+        |    SUM(CAST(xa AS DECIMAL(38,0)) * CAST(xa AS DECIMAL(38,0)))
+        |      AS saa,
+        |    SUM(CAST(xb AS DECIMAL(38,0)) * CAST(xb AS DECIMAL(38,0)))
+        |      AS sbb,
+        |    SUM(CAST(xa AS DECIMAL(38,0)) * CAST(xb AS DECIMAL(38,0)))
+        |      AS sab
+        |  FROM a JOIN b ON db = da + lag GROUP BY 1),
+        |e AS (
+        |  SELECT lag, n,
+        |    CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS va,
+        |    CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vb,
+        |    CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cov
+        |  FROM m),
+        |r AS (
+        |  SELECT lag, n,
+        |    ROUND(CASE WHEN n >= 2 AND va > 0 AND vb > 0
+        |      THEN cov / sqrt(va * vb) END, 6) AS corr
+        |  FROM e)
+        |SELECT lag, n, corr,
+        |  row_number() OVER (ORDER BY corr DESC NULLS LAST, lag ASC)
+        |    = 1 AS is_best
+        |FROM r""".stripMargin,
+
+    // streaks: prior-7-day window (7x > sum7, division-free flag),
+    // day - row_number islands over the flagged rows
+    "q_streaks" ->
+      s"""WITH $dailyVolumeCte,
+        |w AS (
+        |  SELECT event_type AS g, day, CAST(n AS BIGINT) AS x,
+        |    CAST(SUM(n) OVER w7 AS BIGINT) AS s7,
+        |    count(*) OVER w7 AS c7
+        |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT g, day FROM w WHERE c7 = 7 AND x * 7 > s7),
+        |i AS (
+        |  SELECT g, day,
+        |    day - row_number() OVER (PARTITION BY g ORDER BY day)
+        |      AS isl
+        |  FROM f)
+        |SELECT g AS event_type, CAST(MIN(day) AS BIGINT) AS start_day,
+        |  CAST(MAX(day) AS BIGINT) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS len
+        |FROM i GROUP BY g, isl""".stripMargin,
+
+    // entry/exit matrix: the sessionize gap rule with composite
+    // (ts, event_id) tie order, ordered-aggregate first/last picks
+    "q_entry_exit" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS pes
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN pes IS NULL OR es - pes > 1800
+        |        THEN 1 ELSE 0 END AS nw FROM o),
+        |s AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f),
+        |fl AS (
+        |  SELECT user_id, sess,
+        |    first(event_type ORDER BY ts, event_id) AS entry_type,
+        |    last(event_type ORDER BY ts, event_id) AS exit_type
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT entry_type, exit_type,
+        |        CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM fl GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, n_sessions,
+        |  ROUND(n_sessions / CAST(SUM(n_sessions) OVER (
+        |    PARTITION BY entry_type) AS DOUBLE), 6) AS share
+        |FROM c""".stripMargin,
+
+    // top-k with (other): deterministic (count desc, category) rank
+    "q_top_sources" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, c ASC)
+        |        AS rk FROM c),
+        |g AS (
+        |  SELECT CASE WHEN rk <= 10 THEN c ELSE '(other)' END
+        |      AS category,
+        |    CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_categories
+        |  FROM r GROUP BY 1)
+        |SELECT category, n, n_categories,
+        |  ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
+        |FROM g""".stripMargin,
   ))
 
   /** Shared per-user funnel replay (q_funnel, q_stream_funnel via

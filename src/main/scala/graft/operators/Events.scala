@@ -509,4 +509,44 @@ object Events {
           .as("last_touch"))
       .orderBy("event_type")
   }
+
+  /** Session entry/exit matrix — which event type OPENS a session vs
+    * which CLOSES it, the landing/exit-page analysis behind every
+    * engagement dashboard. Sessions are the standard gap rule
+    * (`gapSeconds` of epoch-second inactivity starts a new one, the
+    * sessionize convention); first/last picks use the composite
+    * `(ts, event_id)` order so same-instant ties are deterministic.
+    * `share` is row-stochastic per entry type (the transitionMatrix
+    * convention). Two user-key window exchanges then a K²-sized
+    * aggregate. */
+  def entryExitMatrix(events: DataFrame, gapSeconds: Long = 1800L)
+      : DataFrame = {
+    require(gapSeconds >= 1, s"bad gapSeconds: $gapSeconds")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_timestamp(col("ts")).as("__es"))
+      .withColumn("__prev", lag("__es", 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__es") - col("__prev") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("__sess", sum("__new").over(
+        byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val bySess = Window.partitionBy("user_id", "__sess")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byEntry = Window.partitionBy("entry_type")
+    sess
+      .withColumn("entry_type", first("event_type").over(bySess))
+      .withColumn("exit_type", last("event_type").over(bySess))
+      .groupBy("user_id", "__sess", "entry_type", "exit_type")
+      .agg(count(lit(1)).as("__n_ev"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("share", round(col("n_sessions") /
+        sum("n_sessions").over(byEntry).cast("double"), 6))
+      .orderBy("entry_type", "exit_type")
+  }
 }

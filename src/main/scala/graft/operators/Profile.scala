@@ -366,6 +366,31 @@ object Profile {
       .select(col(groupCol), col("prob"), col("n"), col("est"))
   }
 
+  /** Top-k categories with an explicit `(other)` rollup row — the
+    * reporting table every dashboard draws ("top 10 sources, rest
+    * folded"). Rank is `(count desc, category asc)` so ties are
+    * deterministic; shares are count ratios. The rank window runs on
+    * the category frame only (one hash aggregate reduces the corpus
+    * first); its single-partition sort is category-cardinality-
+    * bounded, the accepted K-sized class. */
+  def topKWithOthers(df: DataFrame, catCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1 && k <= 100000, s"bad k: $k")
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val rk = Window.orderBy(col("__n").desc, col("__c").asc)
+    counts
+      .withColumn("__rk", row_number().over(rk))
+      .withColumn("category",
+        when(col("__rk") <= k, col("__c")).otherwise(lit("(other)")))
+      .groupBy("category")
+      .agg(sum("__n").as("n"), count(lit(1)).as("n_categories"))
+      .withColumn("share", round(col("n") /
+        sum("n").over(Window.partitionBy()).cast("double"), 6))
+      .orderBy(col("n").desc, col("category"))
+  }
+
   /** Order-insensitive table fingerprint per group — the cheap
     * replication/CDC equality check: two snapshots (or a source and
     * its mirror) agree iff their (row count, distinct-row count,

@@ -878,6 +878,61 @@ object Stats {
         .otherwise(lit(0.0)), 6).as("nmi"))
   }
 
+  /** Lead-lag cross-correlation between two daily series from the
+    * same long frame — "does signup volume LEAD purchase volume?".
+    * For every lag in `[-maxLag, maxLag]`, Pearson correlation of
+    * `A(day)` against `B(day + lag)` over the days both exist, plus
+    * an `is_best` flag on the (correlation, lag) argmax. Lags where
+    * the shifted series never overlap emit no row; a 1-day overlap
+    * emits `(lag, 1, null)`.
+    *
+    * Exactness: the six correlation moments are integral sums
+    * (products in decimal(38,0) — corpus-scale daily counts square
+    * past BIGINT), so corr is one float expression; the argmax
+    * compares those floats with a lag tie-break, deterministic on
+    * both engines. Scale shape: the A side expands by (2·maxLag+1)
+    * literal lags (days-sized × lags, bounded), one equi-join on the
+    * shifted day, one lags-sized aggregate. */
+  def crossCorrelation(df: DataFrame, seriesCol: String,
+      dayCol: String, xCol: String, seriesA: String, seriesB: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 365, s"bad maxLag: $maxLag")
+    val base = df.select(col(seriesCol).as("__s"),
+      col(dayCol).cast("long").as("__day"),
+      col(xCol).cast("long").as("__x"))
+    val a = base.filter(col("__s") === seriesA)
+      .select(col("__day").as("__da"), col("__x").as("__xa"))
+      .withColumn("lag",
+        explode(array((-maxLag to maxLag).map(l => lit(l.toLong)): _*)))
+    val b = base.filter(col("__s") === seriesB)
+      .select(col("__day").as("__db"), col("__x").as("__xb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = a.join(b, col("__db") === col("__da") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("__xa").as("sa"), sum("__xb").as("sb"),
+        sum(dec(col("__xa")) * dec(col("__xa"))).as("saa"),
+        sum(dec(col("__xb")) * dec(col("__xb"))).as("sbb"),
+        sum(dec(col("__xa")) * dec(col("__xb"))).as("sab"))
+    val n = col("n").cast("double")
+    val va = n * col("saa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double")
+    val vb = n * col("sbb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double")
+    val corr = (n * col("sab").cast("double") -
+      col("sa").cast("double") * col("sb").cast("double")) /
+      sqrt(va * vb)
+    val scored = m.select(col("lag"), col("n"),
+      round(when(col("n") >= 2 && va > 0 && vb > 0, corr), 6)
+        .as("corr"))
+    val best = Window.orderBy(col("corr").desc_nulls_last,
+      col("lag").asc)
+    // the rank window runs over the (2*maxLag+1)-row frame only
+    scored
+      .withColumn("is_best", row_number().over(best) === 1)
+      .orderBy("lag")
+  }
+
   /** Feature gain scan — [[mutualInformation]] run over a list of
     * candidate categorical features against one target, labeled and
     * stacked: the "which column actually predicts the label"

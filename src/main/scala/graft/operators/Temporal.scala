@@ -381,6 +381,29 @@ object Temporal {
     lit(5L) * floor((epochDay + 3L) / 7L).cast("long") +
       least((epochDay + 3L) % 7L + 1L, lit(5L)) - 3L
 
+  /** Run-length encoding of consecutive flagged DAYS per group — the
+    * gaps-and-islands streak detector ("how long did that anomaly
+    * last?", "longest above-trend run"). A streak is a maximal run of
+    * flagged days at step 1; a missing or unflagged day breaks it.
+    * Classic `day − row_number` island key over the flagged rows
+    * only, so the window frame is flagged-days-sized. Output one row
+    * per streak: `(group, start_day, end_day, len)`. */
+  def runLengths(df: DataFrame, groupCol: String, dayCol: String,
+      flagCol: String): DataFrame = {
+    val flagged = df.filter(col(flagCol))
+      .select(col(groupCol).as("__g"),
+        col(dayCol).cast("long").as("__day"))
+    val w = Window.partitionBy("__g").orderBy("__day")
+    flagged
+      .withColumn("__isl", col("__day") - row_number().over(w))
+      .groupBy("__g", "__isl")
+      .agg(min("__day").as("start_day"), max("__day").as("end_day"),
+        count(lit(1)).as("len"))
+      .select(col("__g").as(groupCol), col("start_day"),
+        col("end_day"), col("len"))
+      .orderBy(groupCol, "start_day")
+  }
+
   /** Business-day lead time between two timestamp columns, grouped —
     * the SLA readout (order-to-ship in working days) that calendar-day
     * diffs overstate by the weekend share. Lead = weekdays in
