@@ -3033,6 +3033,51 @@ object SparkEntry {
     "q_top_sources" -> ((s, dir) =>
       operators.Profile.topKWithOthers(docs(s, dir), "source",
         k = 10)),
+
+    // event analytics: weekly growth accounting — new/retained/
+    // resurrected/churned per week from one distinct (user, week)
+    // frame + one user-key window pass; horizon-censored churn
+    "q_growth_accounting" -> ((s, dir) =>
+      Events.growthAccounting(events(s, dir))),
+
+    // event analytics: cohort retention RATE — weeklyRetention
+    // normalized by each cohort's week-0 base (cohorts-sized window)
+    "q_retention_rate" -> ((s, dir) => {
+      val byC = Window.partitionBy("cohort_week")
+      Events.weeklyRetention(events(s, dir))
+        .withColumn("__base",
+          max(when(col("week_offset") === 0, col("n_users")))
+            .over(byC))
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          round(col("n_users") / col("__base").cast("double"), 6)
+            .as("rate"))
+    }),
+
+    // event analytics: per-step funnel latency — median/p90 seconds
+    // between consecutive reached steps, BIGINT-cast (the r8
+    // percentile_disc type lesson)
+    "q_step_latency" -> ((s, dir) => {
+      val f = Events.funnel(events(s, dir))
+      val d21 = f.filter(col("t2").isNotNull)
+        .select(lit("view->click").as("step"),
+          (col("t2") - col("t1")).as("d"))
+      val d32 = f.filter(col("t3").isNotNull)
+        .select(lit("click->purchase").as("step"),
+          (col("t3") - col("t2")).as("d"))
+      d21.unionByName(d32).groupBy("step")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
+            .cast("long").as("median_s"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY d)")
+            .cast("long").as("p90_s"))
+        .orderBy("step")
+    }),
+
+    // similarity: mutual nearest neighbors within LSH buckets — the
+    // high-precision ANN filter (one-way best matches are hub
+    // artifacts; mutual ones are genuine pairings)
+    "q_mutual_nn" -> ((s, dir) =>
+      Similarity.mutualNearestNeighbors(emb(s, dir), nPlanes = 4)),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -3681,18 +3726,70 @@ object SparkEntry {
 
     // anchor 2024-01-01 UTC = 1704067200; double division + floor on
     // both engines
-    "q_retention" ->
-      """WITH e AS (
-        |  SELECT user_id,
+    "q_retention" -> retentionSql,
+
+    // retention rate: the shared retention replay normalized by each
+    // cohort's week-0 base
+    "q_retention_rate" ->
+      s"""WITH r AS ($retentionSql)
+        |SELECT cohort_week, week_offset, n_users,
+        |  ROUND(n_users / CAST(MAX(CASE WHEN week_offset = 0
+        |    THEN n_users END) OVER (PARTITION BY cohort_week)
+        |    AS DOUBLE), 6) AS rate
+        |FROM r""".stripMargin,
+
+    // growth accounting: distinct (user, week) frame, window tags,
+    // horizon-censored churn counted into the missing week
+    "q_growth_accounting" ->
+      """WITH wu AS (
+        |  SELECT DISTINCT user_id,
         |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800.0)
-        |      AS BIGINT) AS week
-        |  FROM events),
-        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
-        |a AS (SELECT DISTINCT e.user_id, cohort_week,
-        |        week - cohort_week AS week_offset
-        |      FROM e JOIN c USING (user_id))
-        |SELECT cohort_week, week_offset, count(*) AS n_users
-        |FROM a GROUP BY 1, 2""".stripMargin,
+        |      AS BIGINT) AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (
+        |  SELECT user_id, wk,
+        |    MIN(wk) OVER (PARTITION BY user_id) AS fw,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pw,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nw
+        |  FROM wu),
+        |sc AS (
+        |  SELECT wk AS week,
+        |    CAST(SUM(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN wk <> fw AND pw = wk - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN wk <> fw AND (pw IS NULL OR
+        |      pw <> wk - 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM t GROUP BY 1),
+        |mx AS (SELECT MAX(wk) AS m FROM wu),
+        |ch AS (
+        |  SELECT wk + 1 AS week, CAST(count(*) AS BIGINT)
+        |      AS n_churned
+        |  FROM t CROSS JOIN mx
+        |  WHERE (nw IS NULL OR nw <> wk + 1) AND wk + 1 <= m
+        |  GROUP BY 1)
+        |SELECT week,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM sc FULL OUTER JOIN ch USING (week)""".stripMargin,
+
+    // step latency: diffs off the shared funnel frame, disc quantiles
+    // BIGINT-cast on both sides
+    "q_step_latency" ->
+      s"""WITH f AS ($funnelUserSql),
+        |d AS (
+        |  SELECT 'view->click' AS step, t2 - t1 AS d FROM f
+        |  WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click->purchase', t3 - t2 FROM f
+        |  WHERE t3 IS NOT NULL)
+        |SELECT step, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(d, 0.5) AS BIGINT) AS median_s,
+        |  CAST(quantile_disc(d, 0.9) AS BIGINT) AS p90_s
+        |FROM d GROUP BY 1""".stripMargin,
 
     // both engines implement classic unit-cost Levenshtein; the block
     // (last whitespace token) is part of the operator contract
@@ -8305,6 +8402,33 @@ object SparkEntry {
         |    PARTITION BY entry_type) AS DOUBLE), 6) AS share
         |FROM c""".stripMargin,
 
+    // mutual NN: same inlined planes, within-bucket best by
+    // (cos desc, id), mutuality by the reversed self-join
+    "q_mutual_nn" -> {
+      val terms = graft.operators.Similarity.planes(4, 64, 42L)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, CAST($terms AS BIGINT) AS bkt FROM e),
+        |s AS (
+        |  SELECT a.vec_id AS ida, c.vec_id AS idb,
+        |    ROUND(list_dot_product(a.v, c.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM b a JOIN b c ON a.bkt = c.bkt
+        |    AND a.vec_id <> c.vec_id),
+        |best AS (
+        |  SELECT ida, idb, cos FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY ida
+        |    ORDER BY cos DESC, idb) = 1)
+        |SELECT x.ida AS id_a, x.idb AS id_b, x.cos
+        |FROM best x JOIN best y ON x.ida = y.idb AND x.idb = y.ida
+        |WHERE x.ida < x.idb""".stripMargin
+    },
+
     // top-k with (other): deterministic (count desc, category) rank
     "q_top_sources" ->
       """WITH c AS (
@@ -8323,6 +8447,21 @@ object SparkEntry {
         |  ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
         |FROM g""".stripMargin,
   ))
+
+  /** Shared weekly-retention replay (q_retention, q_retention_rate,
+    * q_stream_retention via withSharedOracles). */
+  private val retentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800.0)
+      |      AS BIGINT) AS week
+      |  FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT e.user_id, cohort_week,
+      |        week - cohort_week AS week_offset
+      |      FROM e JOIN c USING (user_id))
+      |SELECT cohort_week, week_offset, count(*) AS n_users
+      |FROM a GROUP BY 1, 2""".stripMargin
 
   /** Shared per-user funnel replay (q_funnel, q_stream_funnel via
     * withSharedOracles, q_funnel_by_arm): strictly-after min chain. */

@@ -510,6 +510,60 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned user ledger behind every growth dashboard. Per calendar
+    * week (anchored like [[weeklyRetention]]): users first seen that
+    * week (`n_new`), users also active the immediately prior week
+    * (`n_retained`), users returning after a gap (`n_resurrected`),
+    * and users active the prior week who did not return
+    * (`n_churned`, counted INTO the week they went missing; weeks
+    * past the observation horizon get no churn row — absence after
+    * the last observed week is censoring, not churn).
+    *
+    * All counts are integral from one distinct (user, week) frame +
+    * one user-key window pass; the horizon bound is a broadcast
+    * 1-row aggregate. */
+  def growthAccounting(events: DataFrame,
+      anchorEpoch: Long = 1704067200L): DataFrame = {
+    val wu = events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        floor((unix_timestamp(col("ts")) - anchorEpoch) / 604800.0)
+          .cast("long").as("wk"))
+      .distinct()
+    val byU = Window.partitionBy("user_id").orderBy("wk")
+    val tagged = wu
+      .withColumn("__first",
+        min("wk").over(Window.partitionBy("user_id")))
+      .withColumn("__prev", lag("wk", 1).over(byU))
+      .withColumn("__next", lead("wk", 1).over(byU))
+    val statusCounts = tagged
+      .groupBy(col("wk").as("week"))
+      .agg(
+        sum(when(col("wk") === col("__first"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("wk") =!= col("__first") &&
+          col("__prev") === col("wk") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("wk") =!= col("__first") &&
+          (col("__prev").isNull || col("__prev") =!= col("wk") - 1),
+          1L).otherwise(0L)).as("n_resurrected"))
+    val horizon = broadcast(wu.agg(max("wk").as("__mx")))
+    val churn = tagged.crossJoin(horizon)
+      .filter((col("__next").isNull ||
+        col("__next") =!= col("wk") + 1) &&
+        col("wk") + 1 <= col("__mx"))
+      .groupBy((col("wk") + 1).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    statusCounts.join(churn, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
   /** Session entry/exit matrix — which event type OPENS a session vs
     * which CLOSES it, the landing/exit-page analysis behind every
     * engagement dashboard. Sessions are the standard gap rule

@@ -480,6 +480,42 @@ object Similarity {
       .select("qid", "cid", "cos")
   }
 
+  /** Mutual nearest neighbors within LSH buckets — pairs where each
+    * vector is the OTHER's best same-bucket cosine match, the classic
+    * high-precision filter on ANN candidates (a one-way best match is
+    * often a hub artifact; a mutual one is a genuine pairing). Best
+    * picks use the composite `(cos desc, id)` order so ties are
+    * deterministic; each mutual pair is emitted once (`id_a < id_b`).
+    * Scale rides the same bucket equi-join bound as [[lshTopK]] /
+    * [[semanticDedup]] — never a corpus cross join. */
+  def mutualNearestNeighbors(df: DataFrame, nPlanes: Int = 4,
+      dim: Int = 64, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bkt", lshBucket(col("v"), nPlanes, dim, seed))
+    val l = b.select(col("id").as("ida"), col("v").as("va"),
+      col("bkt"))
+    val r = b.select(col("id").as("idb"), col("v").as("vb"),
+      col("bkt").as("bktb"))
+    val best = l.join(r,
+        col("bkt") === col("bktb") && col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("ida")
+          .orderBy(col("cos").desc, col("idb"))))
+      .filter(col("__rk") === 1)
+      .select("ida", "idb", "cos")
+    // reversed copy with EVERY column renamed (the self-join lineage
+    // convention): mutual = best(a)=b AND best(b)=a
+    val rev = best.select(col("ida").as("__rb"), col("idb").as("__ra"))
+    best.join(rev,
+        col("ida") === col("__ra") && col("idb") === col("__rb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id_a"), col("idb").as("id_b"), col("cos"))
+      .orderBy("id_a")
+  }
+
   /** [[semanticDedup]] with `nPlanes` DERIVED from a cheap corpus count
     * so expected bucket occupancy stays near `targetOccupancy`: the
     * within-bucket work is O(sum of occupancy^2), so a FIXED plane
