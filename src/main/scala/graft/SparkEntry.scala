@@ -3078,6 +3078,54 @@ object SparkEntry {
     // artifacts; mutual ones are genuine pairings)
     "q_mutual_nn" -> ((s, dir) =>
       Similarity.mutualNearestNeighbors(emb(s, dir), nPlanes = 4)),
+
+    // evaluation: cumulative gains/lift table for the n_chars
+    // is-English scorer — best-decile-first cumulative capture
+    "q_gains" -> ((s, dir) =>
+      operators.Eval.gainsTable(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        "n_chars", maxRaw = 2000L, "is_en", bins = 10)),
+
+    // reporting: top event-type movers, latest week vs prior —
+    // missing weeks count 0, |delta| rank with category tie-break
+    "q_top_movers" -> ((s, dir) =>
+      operators.Profile.topMovers(
+        events(s, dir).withColumn("wk",
+          floor((unix_timestamp(col("ts")) - 1704067200L) / 604800.0)
+            .cast("long")),
+        "event_type", "wk", k = 10)),
+
+    // governance: which sources near-duplicate each other — the
+    // jaccard >= 0.8 pair graph joined back to sources, canonical
+    // (least, greatest) source pair
+    "q_dup_source_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8).select("id_a", "id_b")
+      val srcs = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(srcs.select(col("doc_id").as("id_a"),
+          col("source").as("__sa")), "id_a")
+        .join(srcs.select(col("doc_id").as("id_b"),
+          col("source").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // reporting: cumulative unique users curve — noveltyCurve's
+    // first-seen counts cumulated over the days frame
+    "q_cumulative_uniques" -> ((s, dir) => {
+      val nv = operators.Profile.noveltyCurve(
+        events(s, dir).withColumn("day",
+          floor(unix_timestamp(col("ts")) / 86400).cast("long")),
+        "day", "user_id")
+      nv.withColumn("cum_users", sum("n_first_seen").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .select(col("day"), col("n_first_seen"), col("cum_users"))
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -3775,6 +3823,97 @@ object SparkEntry {
         |  COALESCE(n_resurrected, 0) AS n_resurrected,
         |  COALESCE(n_churned, 0) AS n_churned
         |FROM sc FULL OUTER JOIN ch USING (week)""".stripMargin,
+
+    // gains: calibration's bin grid, cumulative windows best-first,
+    // lift as the one mirrored expression
+    "q_gains" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(least(CAST(n_chars AS BIGINT), 2000)
+        |      * 10 / 2000.0) AS BIGINT), 9) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |p AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(SUM(pos) AS BIGINT) AS pos
+        |      FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    CAST(SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(pos) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS tn,
+        |    CAST(SUM(pos) OVER () AS BIGINT) AS tp
+        |  FROM p)
+        |SELECT bin, n, pos,
+        |  ROUND(cn / CAST(tn AS DOUBLE), 6) AS cum_rows_share,
+        |  ROUND(CASE WHEN tp > 0 THEN cp / CAST(tp AS DOUBLE) END, 6)
+        |    AS cum_pos_share,
+        |  ROUND(CASE WHEN tp > 0 AND cn > 0 THEN
+        |    (CAST(cp AS DOUBLE) * tn) / (CAST(tp AS DOUBLE) * cn)
+        |    END, 6) AS lift
+        |FROM c""".stripMargin,
+
+    // top movers: (category, week) counts, horizon scalar, missing
+    // weeks as 0, |delta| rank
+    "q_top_movers" ->
+      """WITH c AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS c,
+        |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800.0)
+        |      AS BIGINT) AS w,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT MAX(w) AS m FROM c),
+        |g AS (
+        |  SELECT c.c, m,
+        |    CAST(SUM(CASE WHEN w = m - 1 THEN n ELSE 0 END) AS BIGINT)
+        |      AS prev_n,
+        |    CAST(SUM(CASE WHEN w = m THEN n ELSE 0 END) AS BIGINT)
+        |      AS cur_n
+        |  FROM c CROSS JOIN mx WHERE w >= m - 1 GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        ORDER BY abs(cur_n - prev_n) DESC, c ASC) AS rk
+        |      FROM g)
+        |SELECT c AS category, m AS week, prev_n, cur_n,
+        |  cur_n - prev_n AS delta,
+        |  ROUND(CASE WHEN prev_n > 0 THEN
+        |    (cur_n - prev_n) / CAST(prev_n AS DOUBLE) END, 6)
+        |    AS pct_change
+        |FROM r WHERE rk <= 10""".stripMargin,
+
+    // dup source matrix: the shared jaccard chain joined back to
+    // sources, canonical pair order
+    "q_dup_source_matrix" ->
+      s"""WITH ${jaccardCtes(0.8)},
+        |x AS (
+        |  SELECT j.id_a, j.id_b, da.source AS sa, db.source AS sb
+        |  FROM jac j
+        |  JOIN documents da ON da.doc_id = j.id_a
+        |  JOIN documents db ON db.doc_id = j.id_b)
+        |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // cumulative uniques: first-seen counts cumulated over days
+    "q_cumulative_uniques" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+        |      AS day,
+        |    user_id AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |fs AS (
+        |  SELECT f AS day, CAST(count(*) AS BIGINT) AS n_first_seen
+        |  FROM (SELECT k, MIN(day) AS f FROM b GROUP BY 1)
+        |  GROUP BY 1),
+        |t AS (SELECT day FROM b GROUP BY 1)
+        |SELECT t.day,
+        |  COALESCE(n_first_seen, CAST(0 AS BIGINT)) AS n_first_seen,
+        |  CAST(SUM(COALESCE(n_first_seen, 0)) OVER (ORDER BY t.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM t LEFT JOIN fs ON t.day = fs.day""".stripMargin,
 
     // step latency: diffs off the shared funnel frame, disc quantiles
     // BIGINT-cast on both sides

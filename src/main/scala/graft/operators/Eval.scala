@@ -165,6 +165,47 @@ object Eval {
       .orderBy(groupCol)
   }
 
+  /** Cumulative gains (lift) table — [[calibrationBins]]' decile
+    * machinery pointed at ranking quality: bins ordered best-score
+    * first, each row carrying the cumulative share of rows taken and
+    * of positives captured, plus the lift ratio ("the top 20% of the
+    * scorer captures 3.1x its share"). Same integral-raw-score
+    * contract; cumulative sums ride a bins-sized window. Lift is the
+    * single expression `(cumPos·N)/(P·cumRows)`, mirrored exactly. */
+  def gainsTable(df: DataFrame, rawCol: String, maxRaw: Long,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(maxRaw >= 1, s"bad maxRaw: $maxRaw")
+    require(bins >= 2 && bins <= 1000, s"bad bins: $bins")
+    val capped = least(col(rawCol).cast("long"), lit(maxRaw))
+    val bin = least(floor(capped * bins / lit(maxRaw.toDouble)),
+      lit((bins - 1).toLong)).cast("long")
+    val perBin = df
+      .filter(col(rawCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"))
+    // the windows run over the bins-sized frame only
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    perBin
+      .withColumn("__cn", sum("n").over(desc))
+      .withColumn("__cp", sum("pos").over(desc))
+      .withColumn("__tn", sum("n").over(tot))
+      .withColumn("__tp", sum("pos").over(tot))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("__cn") / col("__tn").cast("double"), 6)
+          .as("cum_rows_share"),
+        round(when(col("__tp") > 0,
+          col("__cp") / col("__tp").cast("double")), 6)
+          .as("cum_pos_share"),
+        round(when(col("__tp") > 0 && col("__cn") > 0,
+          (col("__cp").cast("double") * col("__tn")) /
+            (col("__tp").cast("double") * col("__cn"))), 6)
+          .as("lift"))
+      .orderBy(col("bin").desc)
+  }
+
   /** Overlap metrics between two keyed sets (e.g. predicted duplicate
     * pairs vs gold pairs) — precision/recall/F1/Jaccard of set
     * membership, the standard way to grade one dedup/linkage

@@ -391,6 +391,43 @@ object Profile {
       .orderBy(col("n").desc, col("category"))
   }
 
+  /** Top movers — the "what changed most since last week" report:
+    * per category, the latest-week count vs the prior week, ranked by
+    * absolute delta with a deterministic `(|delta| desc, category)`
+    * tie order; top `k` rows kept. Missing weeks count 0 (a category
+    * appearing or vanishing IS a move). One hash aggregate to the
+    * (category, week) frame, a broadcast 1-row horizon aggregate,
+    * then category-sized reductions. */
+  def topMovers(df: DataFrame, catCol: String, weekCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val counts = df
+      .filter(col(catCol).isNotNull && col(weekCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__c"),
+        col(weekCol).cast("long").as("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val horizon = broadcast(counts.agg(max("__w").as("__mx")))
+    val wk = counts.crossJoin(horizon)
+      .filter(col("__w") >= col("__mx") - 1)
+      .groupBy(col("__c"), col("__mx"))
+      .agg(
+        sum(when(col("__w") === col("__mx") - 1, col("__n"))
+          .otherwise(0L)).as("prev_n"),
+        sum(when(col("__w") === col("__mx"), col("__n"))
+          .otherwise(0L)).as("cur_n"))
+    val rk = Window.orderBy(abs(col("cur_n") - col("prev_n")).desc,
+      col("__c").asc)
+    wk.withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") <= k)
+      .select(col("__c").as("category"), col("__mx").as("week"),
+        col("prev_n"), col("cur_n"),
+        (col("cur_n") - col("prev_n")).as("delta"),
+        round(when(col("prev_n") > 0,
+          (col("cur_n") - col("prev_n")) /
+            col("prev_n").cast("double")), 6).as("pct_change"))
+      .orderBy(abs(col("delta")).desc, col("category"))
+  }
+
   /** Order-insensitive table fingerprint per group — the cheap
     * replication/CDC equality check: two snapshots (or a source and
     * its mirror) agree iff their (row count, distinct-row count,
