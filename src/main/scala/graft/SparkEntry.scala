@@ -8056,9 +8056,9 @@ object SparkEntry {
         |w AS (
         |  SELECT g,
         |    (5 * CAST(floor((ed + 3) / 7.0) AS BIGINT) +
-        |      least((ed + 3) % 7 + 1, 5) - 3) -
+        |      least(((ed + 3) % 7 + 7) % 7 + 1, 5) - 3) -
         |    (5 * CAST(floor((sd + 3) / 7.0) AS BIGINT) +
-        |      least((sd + 3) % 7 + 1, 5) - 3) AS bd,
+        |      least(((sd + 3) % 7 + 7) % 7 + 1, 5) - 3) AS bd,
         |    ed < sd AS neg
         |  FROM j)
         |SELECT g AS o_orderpriority,
@@ -8488,7 +8488,7 @@ object SparkEntry {
         |  FROM e)
         |SELECT lag, n, corr,
         |  row_number() OVER (ORDER BY corr DESC NULLS LAST, lag ASC)
-        |    = 1 AS is_best
+        |    = 1 AND corr IS NOT NULL AS is_best
         |FROM r""".stripMargin,
 
     // streaks: prior-7-day window (7x > sum7, division-free flag),

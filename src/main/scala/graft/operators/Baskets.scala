@@ -44,7 +44,9 @@ object Baskets {
         hot.map(r => s"${r.get(0)} (${r.getLong(1)})").mkString(", ") +
         " — the per-basket pair join is quadratic in basket size; " +
         "split or drop degenerate baskets upstream")
-    val nBaskets = items.select("__b").distinct().count()
+    // sizes IS the distinct-basket frame — count it rather than
+    // re-shuffling the cached items a third time
+    val nBaskets = sizes.count()
     val itemN = items.groupBy("__i").agg(count(lit(1)).as("cnt"))
     val pairs = items.as("a")
       .join(items.as("b"),

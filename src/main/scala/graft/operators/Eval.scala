@@ -176,7 +176,10 @@ object Eval {
       labelCol: String, bins: Int = 10): DataFrame = {
     require(maxRaw >= 1, s"bad maxRaw: $maxRaw")
     require(bins >= 2 && bins <= 1000, s"bad bins: $bins")
-    val capped = least(col(rawCol).cast("long"), lit(maxRaw))
+    // clamp BOTH ends: a negative raw score must land in bin 0, not
+    // mint a phantom negative bin outside the declared grid
+    val capped = greatest(least(col(rawCol).cast("long"),
+      lit(maxRaw)), lit(0L))
     val bin = least(floor(capped * bins / lit(maxRaw.toDouble)),
       lit((bins - 1).toLong)).cast("long")
     val perBin = df
@@ -218,9 +221,15 @@ object Eval {
     require(keys.nonEmpty, "no key columns")
     val p = pred.select(keys.map(col): _*).distinct()
       .withColumn("__p", lit(1L))
-    val g = gold.select(keys.map(col): _*).distinct()
-      .withColumn("__g", lit(1L))
-    val agg = p.join(g, keys, "full_outer").agg(
+    // null-SAFE key equality: a null-keyed row present on both sides
+    // is one shared member, not a miss on each (plain equality would
+    // deflate every metric); the gold side renames all columns so the
+    // <=> condition is unambiguous
+    val g = gold.select(keys.map(k => col(k).as(s"__gk_$k")): _*)
+      .distinct().withColumn("__g", lit(1L))
+    val cond = keys.map(k => col(k) <=> col(s"__gk_$k"))
+      .reduce(_ && _)
+    val agg = p.join(g, cond, "full_outer").agg(
       sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
       sum(coalesce(col("__g"), lit(0L))).as("n_gold"),
       sum(when(col("__p").isNotNull && col("__g").isNotNull, 1L)
@@ -254,7 +263,10 @@ object Eval {
       labelCol: String, bins: Int = 10): DataFrame = {
     require(maxRaw >= 1, s"bad maxRaw: $maxRaw")
     require(bins >= 2 && bins <= 1000, s"bad bins: $bins")
-    val capped = least(col(rawCol).cast("long"), lit(maxRaw))
+    // two-sided clamp: negative raw scores land in bin 0 (the same
+    // contract as gainsTable)
+    val capped = greatest(least(col(rawCol).cast("long"),
+      lit(maxRaw)), lit(0L))
     val bin = least(floor(capped * bins / lit(maxRaw.toDouble)),
       lit((bins - 1).toLong)).cast("long")
     df.filter(col(rawCol).isNotNull && col(labelCol).isNotNull)

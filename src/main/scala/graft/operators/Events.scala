@@ -435,6 +435,10 @@ object Events {
       .withColumn("is_peak", col("n") === max("n").over(byType))
   }
 
+  /** Hard cap on per-user event count for [[attributionCredit]] —
+    * the touch×conversion join's d² bound. */
+  val MaxUserEvents = 50000L
+
   /** First-touch / last-touch conversion attribution — the marketing
     * readout: for every conversion event, which earlier touch (any
     * non-conversion event by the same user inside the lookback
@@ -457,8 +461,6 @@ object Events {
     * [[Events.MaxUserEvents]] is enforced loudly up front (the
     * mannKendall series-length precedent): drop or sample bot users
     * upstream, don't let one key produce 10^10 join rows. */
-  val MaxUserEvents = 50000L
-
   def attributionCredit(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, typeCol: String,
       convType: String, lookbackDays: Int = 7): DataFrame = {
@@ -595,8 +597,10 @@ object Events {
     sess
       .withColumn("entry_type", first("event_type").over(bySess))
       .withColumn("exit_type", last("event_type").over(bySess))
-      .groupBy("user_id", "__sess", "entry_type", "exit_type")
-      .agg(count(lit(1)).as("__n_ev"))
+      // one row per session (every event of a session carries the
+      // same entry/exit pair)
+      .select("user_id", "__sess", "entry_type", "exit_type")
+      .distinct()
       .groupBy("entry_type", "exit_type")
       .agg(count(lit(1)).as("n_sessions"))
       .withColumn("share", round(col("n_sessions") /

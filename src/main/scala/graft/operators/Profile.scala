@@ -475,22 +475,6 @@ object Profile {
       .orderBy(dayCol)
   }
 
-  /** Referential-integrity audit — the orphan-detection pass every
-    * star-schema ingest needs before a fact table is trusted: how
-    * many child rows carry a foreign key with no matching parent,
-    * how many distinct keys are dangling, and what fraction of the
-    * child that is. Null FKs are counted separately (a null is a
-    * missing link, not a dangling one).
-    *
-    * One row: `(relation, child_rows, null_fk, orphan_rows,
-    * orphan_keys, orphan_rate)` — all integral counts plus one
-    * guarded ratio, so the audit is oracle-exact.
-    *
-    * Scale shape: the parent side is reduced to DISTINCT keys before
-    * the join (parent payload never shuffles), then one left
-    * equi-join child→keys and a single aggregate. At 100 TB the join
-    * shuffles on the key both sides exactly once; a dimension-sized
-    * parent broadcasts under AQE automatically. */
   /** Equal-frequency (quantile) binning of a numeric column — the
     * histogram-with-equal-mass profile (decile tables, score bands).
     * Cut points are the k−1 interior discrete quantiles — the value
@@ -645,6 +629,22 @@ object Profile {
       .orderBy(groupCol, "pct")
   }
 
+  /** Referential-integrity audit — the orphan-detection pass every
+    * star-schema ingest needs before a fact table is trusted: how
+    * many child rows carry a foreign key with no matching parent,
+    * how many distinct keys are dangling, and what fraction of the
+    * child that is. Null FKs are counted separately (a null is a
+    * missing link, not a dangling one).
+    *
+    * One row: `(relation, child_rows, null_fk, orphan_rows,
+    * orphan_keys, orphan_rate)` — all integral counts plus one
+    * guarded ratio, so the audit is oracle-exact.
+    *
+    * Scale shape: the parent side is reduced to DISTINCT keys before
+    * the join (parent payload never shuffles), then one left
+    * equi-join child→keys and a single aggregate. At 100 TB the join
+    * shuffles on the key both sides exactly once; a dimension-sized
+    * parent broadcasts under AQE automatically. */
   def fkAudit(child: DataFrame, fkCol: String, parent: DataFrame,
       pkCol: String, relation: String): DataFrame = {
     val keys = parent.select(col(pkCol).as("__pk")).distinct()

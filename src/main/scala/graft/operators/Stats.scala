@@ -927,9 +927,11 @@ object Stats {
         .as("corr"))
     val best = Window.orderBy(col("corr").desc_nulls_last,
       col("lag").asc)
-    // the rank window runs over the (2*maxLag+1)-row frame only
+    // the rank window runs over the (2*maxLag+1)-row frame only; an
+    // all-null corr column (nothing scorable) flags NO best lag
     scored
-      .withColumn("is_best", row_number().over(best) === 1)
+      .withColumn("is_best",
+        row_number().over(best) === 1 && col("corr").isNotNull)
       .orderBy("lag")
   }
 

@@ -372,14 +372,17 @@ object Temporal {
   /** Count of weekdays (Mon-Fri) in epoch-day interval `(start, end]`
     * — closed-form integer arithmetic, no calendar UDF, no
     * per-day explode. Uses the engine-neutral dow convention
-    * `(epochDay + 3) % 7 == 0 for Monday` (epoch day 0 was a
-    * Thursday): `W(d) = 5·⌊(d+3)/7⌋ + min((d+3)%7 + 1, 5) − 3` counts
-    * weekdays in `[0, d]`, and the interval count is `W(end) −
-    * W(start)`. Every term is BIGINT math that evaluates identically
-    * in Spark and DuckDB. */
+    * `(epochDay + 3) mod 7 == 0 for Monday` (epoch day 0 was a
+    * Thursday): `W(d) = 5·⌊(d+3)/7⌋ + min(((d+3) mod 7) + 1, 5) − 3`
+    * counts weekdays in `[0, d]` (negative for pre-1970 days, so the
+    * interval count `W(end) − W(start)` still telescopes), with mod
+    * the FLOOR modulus — both Spark's `%` and DuckDB's take the
+    * dividend's sign, which would break every pre-1970 date, so both
+    * sides spell it `((x % 7) + 7) % 7`. Every term evaluates
+    * identically in Spark and DuckDB. */
   def weekdaysUpTo(epochDay: Column): Column =
     lit(5L) * floor((epochDay + 3L) / 7L).cast("long") +
-      least((epochDay + 3L) % 7L + 1L, lit(5L)) - 3L
+      least(((epochDay + 3L) % 7L + 7L) % 7L + 1L, lit(5L)) - 3L
 
   /** Run-length encoding of consecutive flagged DAYS per group — the
     * gaps-and-islands streak detector ("how long did that anomaly

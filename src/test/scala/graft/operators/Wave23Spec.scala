@@ -110,13 +110,30 @@ class Wave23Spec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("weekdaysUpTo: closed form equals the brute-force count") {
-    // epoch day 0 = Thursday; weekday iff (d+3)%7 < 5
+    // epoch day 0 = Thursday; weekday iff floorMod(d+3, 7) < 5
     val got = spark.range(0, 200)
       .select(Temporal.weekdaysUpTo(col("id")).as("w"))
       .collect().map(_.getLong(0))
     val want = (0L until 200L).map(d =>
       (0L to d).count(x => (x + 3) % 7 < 5).toLong)
     got.toSeq shouldBe want
+  }
+
+  test("weekdaysUpTo: interval counts survive pre-1970 epoch days") {
+    // W(e) - W(s) must equal the brute weekday count in (s, e] even
+    // when s or e is negative (sign-of-dividend % broke this)
+    def weekday(d: Long) = Math.floorMod(d + 3, 7) < 5
+    val pairs = Seq((-7L, 1L), (-14L, 0L), (-30L, -3L), (-1L, 0L),
+      (-9L, -9L))
+    val exprs = pairs.map { case (s, e) =>
+      (Temporal.weekdaysUpTo(lit(e)) -
+        Temporal.weekdaysUpTo(lit(s))).as(s"d_${s}_$e")
+    }
+    val row = spark.range(1).select(exprs: _*).collect().head
+    pairs.zipWithIndex.foreach { case ((s, e), i) =>
+      val want = ((s + 1) to e).count(weekday).toLong
+      withClue(s"($s,$e]: ") { row.getLong(i) shouldBe want }
+    }
   }
 
   test("businessDayLead: weekend spans, same-day, negatives") {

@@ -125,6 +125,14 @@ class Wave24Spec extends AnyFunSuite with Matchers with SparkSpec {
     r.getBoolean(7) shouldBe false
   }
 
+  test("calibrationBins: a negative raw score lands in bin 0") {
+    val df = Seq((-5L, false), (3L, true)).toDF("raw", "y")
+    val r = Eval.calibrationBins(df, "raw", maxRaw = 10L, "y",
+      bins = 5).collect()
+    r.map(_.getLong(0)).min shouldBe 0L // never a phantom bin
+    r.find(_.getLong(0) == 0L).get.getLong(1) shouldBe 1L
+  }
+
   test("proportionZTest: degenerate pools yield null z, false flag") {
     val r = Stats.proportionZTest(
       Seq((true, true), (false, true)).toDF("arm", "out"),

@@ -50,6 +50,16 @@ class Wave26Spec extends AnyFunSuite with Matchers with SparkSpec {
     r.getDouble(6) shouldBe 0.25 // jaccard = 1/4
   }
 
+  test("setOverlapMetrics: null keys match null-safely") {
+    val pred = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+    val gold = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+    val r = Eval.setOverlapMetrics(pred, gold, Seq("a", "b"))
+      .collect().head
+    r.getLong(2) shouldBe 1L // n_both: the shared null-keyed row
+    r.getDouble(3) shouldBe 1.0
+    r.getDouble(4) shouldBe 1.0
+  }
+
   test("featureGainScan: perfect feature nmi 1, constant feature 0") {
     val df = Seq(("p", true), ("p", true), ("q", false), ("q", false))
       .toDF("x", "t")

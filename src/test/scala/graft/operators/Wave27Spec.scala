@@ -29,6 +29,17 @@ class Wave27Spec extends AnyFunSuite with Matchers with SparkSpec {
     r.find(_.getLong(0) == -2L).get.isNullAt(2) shouldBe true
   }
 
+  test("crossCorrelation: constant series flag NO best lag") {
+    val rows = (0L to 9L).map(d => ("A", d, 5L)) ++
+      (0L to 9L).map(d => ("B", d, 5L))
+    val r = Stats.crossCorrelation(rows.toDF("s", "day", "x"), "s",
+      "day", "x", "A", "B", maxLag = 3).collect()
+    r.foreach { x =>
+      x.isNullAt(2) shouldBe true // zero variance: no corr
+      x.getBoolean(3) shouldBe false // and therefore no argmax
+    }
+  }
+
   test("runLengths: islands break on gaps") {
     val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, true),
       ("g", 4L, false), ("g", 5L, true), ("g", 7L, true),
