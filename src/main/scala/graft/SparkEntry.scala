@@ -3114,6 +3114,44 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // graph: Newman modularity of the SOURCE partition over the
+    // near-dup graph — "do near-duplicates stay within sources?";
+    // one float expression over three integral aggregates
+    "q_modularity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      operators.Graph.modularity(
+        d.select(col("doc_id"), col("source")),
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+          threshold = 0.8),
+        "doc_id", "source")
+    }),
+
+    // event analytics: bounce rate per entry type — one-event
+    // sessions over the same gap-rule session chain as q_entry_exit
+    "q_bounce_rate" -> ((s, dir) =>
+      Events.bounceRate(events(s, dir))),
+
+    // reporting: hour-of-day x day-of-week activity heatmap with
+    // row-stochastic shares per dow — map-only + one 168-cell agg
+    "q_hourly_heatmap" -> ((s, dir) => {
+      val es = unix_timestamp(col("ts"))
+      val byDow = Window.partitionBy("dow")
+      events(s, dir)
+        .select(((floor(es / 86400).cast("long") + 4) % 7).as("dow"),
+          (floor(es / 3600).cast("long") % 24).as("hour"))
+        .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+        .withColumn("share_of_dow",
+          round(col("n") / sum("n").over(byDow).cast("double"), 6))
+    }),
+
+    // quality: daily p50/p90 value trend — the grouped sharded-rank
+    // percentile machinery with day groups (unbounded-group path)
+    "q_daily_median" -> ((s, dir) =>
+      operators.Profile.groupedPercentiles(
+        events(s, dir).withColumn("day",
+          floor(unix_timestamp(col("ts")) / 86400).cast("long")),
+        "day", "value", Seq(0.5, 0.9))),
+
     // reporting: cumulative unique users curve — noveltyCurve's
     // first-seen counts cumulated over the days frame
     "q_cumulative_uniques" -> ((s, dir) => {
@@ -3895,6 +3933,101 @@ object SparkEntry {
         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // modularity: the shared jaccard chain as the edge set, source
+    // partition, Q from three integral aggregates
+    "q_modularity" ->
+      s"""WITH ${jaccardCtes(0.8)},
+        |t AS (
+        |  SELECT j.id_a, j.id_b, da.source AS ca, db.source AS cb
+        |  FROM jac j
+        |  LEFT JOIN documents da ON da.doc_id = j.id_a
+        |  LEFT JOIN documents db ON db.doc_id = j.id_b),
+        |lbl AS (SELECT * FROM t
+        |        WHERE ca IS NOT NULL AND cb IS NOT NULL),
+        |deg AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT ca AS c FROM lbl
+        |    UNION ALL SELECT cb FROM lbl) GROUP BY 1),
+        |ds AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |    SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)))
+        |      AS dsq
+        |  FROM deg),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN ca IS NULL OR cb IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_unlabeled_edges,
+        |    CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS within_edges
+        |  FROM t)
+        |SELECT n_all - n_unlabeled_edges AS n_edges, n_communities,
+        |  within_edges, n_unlabeled_edges,
+        |  ROUND(CASE WHEN n_all - n_unlabeled_edges > 0 THEN
+        |    within_edges /
+        |      CAST(n_all - n_unlabeled_edges AS DOUBLE) -
+        |    CAST(dsq AS DOUBLE) /
+        |      (4.0 * CAST(n_all - n_unlabeled_edges AS DOUBLE) *
+        |       CAST(n_all - n_unlabeled_edges AS DOUBLE))
+        |    END, 6) AS modularity
+        |FROM c CROSS JOIN ds""".stripMargin,
+
+    // bounce rate: the entry/exit session chain with per-session
+    // event counts
+    "q_bounce_rate" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS pes
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN pes IS NULL OR es - pes > 1800
+        |        THEN 1 ELSE 0 END AS nw FROM o),
+        |s AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f),
+        |fl AS (
+        |  SELECT user_id, sess,
+        |    first(event_type ORDER BY ts, event_id) AS entry_type,
+        |    CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM s GROUP BY 1, 2)
+        |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounced,
+        |  ROUND(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+        |FROM fl GROUP BY 1""".stripMargin,
+
+    // hourly heatmap: engine-neutral dow, hour-of-day mod, shares
+    // per dow
+    "q_hourly_heatmap" ->
+      """WITH b AS (
+        |  SELECT (CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+        |      + 4) % 7 AS dow,
+        |    CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24
+        |      AS hour
+        |  FROM events),
+        |c AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2)
+        |SELECT dow, hour, n,
+        |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE), 6)
+        |    AS share_of_dow
+        |FROM c""".stripMargin,
+
+    // daily medians: quantile_disc per day group, long-form
+    "q_daily_median" ->
+      """WITH q AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+        |      AS day,
+        |    quantile_disc(value, 0.5) AS p50,
+        |    quantile_disc(value, 0.9) AS p90
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT day, CAST(0.5 AS DOUBLE) AS pct, p50 AS value FROM q
+        |UNION ALL
+        |SELECT day, CAST(0.9 AS DOUBLE), p90 FROM q""".stripMargin,
 
     // cumulative uniques: first-seen counts cumulated over days
     "q_cumulative_uniques" ->

@@ -512,6 +512,43 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Bounce rate per entry type — the share of sessions that open
+    * with a type and end after that ONE event, the landing-quality
+    * readout next to [[entryExitMatrix]]. Same gap-rule sessions and
+    * composite `(ts, event_id)` tie order; all ratios are
+    * integral-count fractions. */
+  def bounceRate(events: DataFrame, gapSeconds: Long = 1800L)
+      : DataFrame = {
+    require(gapSeconds >= 1, s"bad gapSeconds: $gapSeconds")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_timestamp(col("ts")).as("__es"))
+      .withColumn("__prev", lag("__es", 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__es") - col("__prev") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("__sess", sum("__new").over(
+        byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val bySess = Window.partitionBy("user_id", "__sess")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sess
+      .withColumn("entry_type", first("event_type").over(bySess))
+      .withColumn("__n_ev", count(lit(1)).over(bySess))
+      .select("user_id", "__sess", "entry_type", "__n_ev")
+      .distinct()
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__n_ev") === 1, 1L).otherwise(0L))
+          .as("n_bounced"))
+      .withColumn("bounce_rate", round(col("n_bounced") /
+        col("n_sessions").cast("double"), 6))
+      .orderBy("entry_type")
+  }
+
   /** Weekly growth accounting — the new / retained / resurrected /
     * churned user ledger behind every growth dashboard. Per calendar
     * week (anchored like [[weeklyRetention]]): users first seen that

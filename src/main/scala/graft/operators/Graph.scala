@@ -713,4 +713,62 @@ object Graph {
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minWeight)
   }
+
+  /** Newman modularity of a NODE PARTITION over an undirected simple
+    * graph — "is this community assignment better than chance?", the
+    * standard quality score for any clustering of a similarity graph
+    * (here typically: do near-duplicates stay within their source?).
+    * `Q = Σ_c m_c/m − Σ_c (d_c/2m)²` evaluated as ONE float
+    * expression over three integral aggregates (within-community
+    * edge count, total edge count, Σ d_c² in decimal — degree sums
+    * square past BIGINT at corpus scale), so the score is
+    * oracle-exact at 6dp. Edges are canonicalized
+    * (least/greatest + distinct, self-loops dropped); edges touching
+    * an unlabeled node are excluded and reported.
+    *
+    * One row: `(n_edges, n_communities, within_edges, n_unlabeled_
+    * edges, modularity)`. Scale shape: two id-keyed equi-joins
+    * (labels onto endpoints), degree and community reductions —
+    * never an all-pairs form. */
+  def modularity(nodes: DataFrame, edges: DataFrame, idCol: String,
+      commCol: String, aCol: String = "id_a", bCol: String = "id_b")
+      : DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .filter(col("__a") =!= col("__b")).distinct()
+    val lab = nodes
+      .filter(col(idCol).isNotNull && col(commCol).isNotNull)
+      .select(col(idCol).as("__id"), col(commCol).as("__c"))
+    val tagged = canon
+      .join(lab.select(col("__id").as("__a"), col("__c").as("__ca")),
+        Seq("__a"), "left")
+      .join(lab.select(col("__id").as("__b"), col("__c").as("__cb")),
+        Seq("__b"), "left")
+    val labeled = TrackedCaches.persist(
+      tagged.filter(col("__ca").isNotNull && col("__cb").isNotNull))
+    // degrees over the LABELED edge set, summed per community
+    val degrees = labeled.select(col("__ca").as("__c"))
+      .unionAll(labeled.select(col("__cb").as("__c")))
+      .groupBy("__c").agg(count(lit(1)).as("d"))
+    val dsq = degrees.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("d").cast("decimal(19,0)") * col("d")
+        .cast("decimal(19,0)")).as("__dsq"))
+    val counts = tagged.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("__ca").isNull || col("__cb").isNull, 1L)
+        .otherwise(0L)).as("n_unlabeled_edges"),
+      sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L))
+        .as("within_edges"))
+    val m = col("n_all") - col("n_unlabeled_edges")
+    counts.crossJoin(broadcast(dsq))
+      .select(m.as("n_edges"), col("n_communities"),
+        col("within_edges"), col("n_unlabeled_edges"),
+        round(when(m > 0,
+          col("within_edges") / m.cast("double") -
+            col("__dsq").cast("double") /
+              (lit(4.0) * m.cast("double") * m.cast("double"))), 6)
+          .as("modularity"))
+  }
 }
