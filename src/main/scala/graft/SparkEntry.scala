@@ -3114,6 +3114,48 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // streaming: first-seen novelty curve — the stateful one-long-
+    // per-key filter replayed in batch emit-final mode, aggregated to
+    // the SAME (day, n, n_first_seen, novelty) frame as q_novelty
+    // (shared oracle; the equality IS the cross-check)
+    "q_stream_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val base = events(s, dir)
+        .select(concat_ws(":", col("user_id").cast("string"),
+            col("props")).as("k"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long")
+            .as("day"))
+        .filter(col("day").isNotNull)
+      val fs = graft.streaming.StreamingOps
+        .firstSeenStateful(base.as[graft.streaming.NoveltyEvent],
+          emitFinal = true)
+        .toDF().groupBy(col("day"))
+        .agg(count(lit(1)).as("n_first_seen"))
+      base.groupBy("day").agg(count(lit(1)).as("n"))
+        .join(fs, Seq("day"), "left")
+        .select(col("day"), col("n"),
+          coalesce(col("n_first_seen"), lit(0L)).as("n_first_seen"),
+          round(coalesce(col("n_first_seen"), lit(0L)) /
+            col("n").cast("double"), 6).as("novelty"))
+    }),
+
+    // streaming: per-source XOR fingerprint — the (count, xor)
+    // commutative monoid as two-longs-per-group state; batch
+    // emit-final is byte-identical to the batch aggregate
+    "q_stream_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val key = md5(concat_ws("\u0001",
+        col("doc_id").cast("string"), col("text"),
+        col("lang").cast("string")))
+      val rows = docs(s, dir).select(col("source").as("group"),
+        conv(substring(key, 1, 15), 16, 10).cast("long").as("h"))
+      graft.streaming.StreamingOps
+        .fingerprintStateful(rows.as[graft.streaming.FpEvent],
+          emitFinal = true)
+        .toDF().select(col("group").as("source"), col("n_rows"),
+          col("xor_fingerprint"))
+    }),
+
     // graph: Newman modularity of the SOURCE partition over the
     // near-dup graph — "do near-duplicates stay within sources?";
     // one float expression over three integral aggregates
@@ -3933,6 +3975,15 @@ object SparkEntry {
         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // streaming fingerprint: the table-fingerprint SQL minus the
+    // distinct-row count (per-row state a stream must not hold)
+    "q_stream_fingerprint" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |    CAST(doc_id AS VARCHAR), text, CAST(lang AS VARCHAR))),
+        |    1, 15)) AS BIGINT)) AS xor_fingerprint
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // modularity: the shared jaccard chain as the edge set, source
     // partition, Q from three integral aggregates
@@ -8795,7 +8846,8 @@ object SparkEntry {
     * window formulations, so they share those oracles verbatim. */
   private def withSharedOracles(m: Map[String, String]): Map[String, String] =
     m + ("q_stream_sessionize_state" -> m("q_sessionize")) +
-      ("q_stream_funnel" -> m("q_funnel"))
+      ("q_stream_funnel" -> m("q_funnel")) +
+      ("q_stream_novelty" -> m("q_novelty"))
 
   /** Exact word-3-gram Jaccard pairs oracle (shared by the exact and the
     * LSH-verified query — LSH recall at j>=0.8 with 16x4 bands is

@@ -62,6 +62,14 @@ final case class TopKRow(window_start: Long, event_type: String,
     n: Long, rank: Int)
 final case class WindowCounts(counts: Map[String, Long])
 
+final case class NoveltyEvent(k: String, day: Long)
+final case class FirstSeenRow(k: String, day: Long)
+
+final case class FpEvent(group: String, h: Long)
+final case class FpRow(group: String, n_rows: Long,
+    xor_fingerprint: Long)
+final case class FpState(n: Long, x: Long)
+
 final case class AnomalyEvent(key: String, ts: java.sql.Timestamp,
     event_id: Long, value: Double)
 final case class AnomalyRow(key: String, ts: java.sql.Timestamp,
@@ -728,6 +736,64 @@ object StreamingOps {
               Iterator.single(NetChangeRow(key, st.n, st.firstOp,
                 st.lastOp, net, st.lastVal, st.firstSeq, st.lastSeq))
             }
+          }
+      }
+  }
+
+  /** Streaming FIRST-SEEN filter — emits each key exactly once, with
+    * the earliest day it was observed: the stateful primitive behind
+    * a live novelty curve (aggregate the emissions per day and join
+    * the day totals; `q_stream_novelty` does exactly that and shares
+    * `q_novelty`'s oracle). State per key is one long (the first
+    * day); an update emits only when a batch IMPROVES the known
+    * minimum, so replays/late data can tighten but never duplicate a
+    * day's credit downstream (consumers treat emissions as upserts
+    * keyed by `k`; in batch emit-final mode each key emits exactly
+    * once, the min).
+    *
+    * State is O(distinct keys) — the same class as [[dedupStream]],
+    * and like it the operator is for keyed novelty tracking, not
+    * unbounded-cardinality payloads. */
+  def firstSeenStateful(events: Dataset[NoveltyEvent],
+      emitFinal: Boolean = false): Dataset[FirstSeenRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[Long, FirstSeenRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[NoveltyEvent],
+            state: GroupState[Long]) =>
+          val batchMin = it.map(_.day).min
+          state.getOption match {
+            case Some(prev) if prev <= batchMin => Iterator.empty
+            case _ =>
+              if (!emitFinal) state.update(batchMin)
+              Iterator.single(FirstSeenRow(k, batchMin))
+          }
+      }
+  }
+
+  /** Streaming table fingerprint — the XOR-fold of
+    * [[graft.operators.Profile.tableFingerprint]] run as per-group
+    * state: `(count, xor)` is a commutative monoid, so the stream
+    * accumulates in ANY arrival order and the batch emit-final run is
+    * byte-identical to the batch aggregate (q_stream_fingerprint's
+    * oracle is the fingerprint SQL minus the distinct-row count,
+    * which would need per-row state a stream must not hold). State is
+    * O(groups): two longs per group. */
+  def fingerprintStateful(rows: Dataset[FpEvent],
+      emitFinal: Boolean = false): Dataset[FpRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[FpState, FpRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[FpEvent], state: GroupState[FpState]) =>
+          var st = state.getOption.getOrElse(FpState(0L, 0L))
+          it.foreach(e => st = FpState(st.n + 1L, st.x ^ e.h))
+          if (emitFinal) Iterator.single(FpRow(g, st.n, st.x))
+          else {
+            state.update(st)
+            // running snapshot per batch: consumers upsert by group
+            Iterator.single(FpRow(g, st.n, st.x))
           }
       }
   }
