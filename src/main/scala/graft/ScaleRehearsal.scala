@@ -862,6 +862,48 @@ object ScaleRehearsal {
           fit.unpersist(); pp.unpersist()
           require(r.pval >= 0 && r.pval <= 1)
           n
+        },
+        timed("assoc_rules") {
+          // baskets = users, items = integer value buckets (~40
+          // distinct per basket): pair volume = sum of per-basket
+          // quadratics, the shape MaxBasketSize bounds
+          import org.apache.spark.sql.functions.{col, floor}
+          graft.operators.Baskets.associationRules(
+            evs.select(col("user_id").as("b"),
+              floor(col("value")).cast("long").as("i")),
+            "b", "i", minPairCount = 2L).count()
+        },
+        timed("equal_freq_bins") {
+          // continuous doubles: the distinct-value stress case the
+          // sharded-rank cuts exist for (exact percentile_disc would
+          // buffer every distinct value)
+          graft.operators.Profile.equalFreqBins(evs, "value", k = 10)
+            .count()
+        },
+        timed("geo_nearest") {
+          // md5-fraction synthetic coordinates, 1:20 right/left ratio
+          import org.apache.spark.sql.functions.{col, concat, conv, lit,
+            md5, substring}
+          def frac(c: org.apache.spark.sql.Column, tag: String) =
+            conv(substring(md5(concat(c.cast("string"), lit(tag))),
+              1, 15), 16, 10).cast("double") / lit(1.15292150460684698e18)
+          val left = docs.select(col("doc_id"),
+            (frac(col("doc_id"), "#lat") * 180 - 90).as("lat"),
+            (frac(col("doc_id"), "#lon") * 360 - 180).as("lon"))
+          val right = docs.filter(col("doc_id") % 20 === 0)
+            .select(col("doc_id").as("rid"),
+              (frac(col("doc_id"), "#rlat") * 180 - 90).as("lat"),
+              (frac(col("doc_id"), "#rlon") * 360 - 180).as("lon"))
+          graft.operators.Geo.gridNearest(left, "doc_id", right, "rid",
+            "lat", "lon", radius = 10.0).count()
+        },
+        timed("modularity") {
+          val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            3, 0.8)
+          import org.apache.spark.sql.functions.col
+          graft.operators.Graph.modularity(
+            docs.select(col("doc_id"), col("source")), pairs,
+            "doc_id", "source").count()
         }).flatten
       docs.unpersist(); pan.unpersist(); emb.unpersist(); evs.unpersist()
       nm -> ops
