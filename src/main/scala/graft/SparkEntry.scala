@@ -3114,6 +3114,18 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // quality: order-of-magnitude (bit-length) histogram of document
+    // sizes — exact integer bins, no log-division float boundary
+    "q_log_histogram" -> ((s, dir) =>
+      operators.Profile.logHistogram(docs(s, dir), "n_chars")),
+
+    // quality: Tukey-fence outlier report per event type — disc
+    // p25/p75 through the sharded-rank machinery, 1.5xIQR fences,
+    // strict-outside counts
+    "q_iqr_outliers" -> ((s, dir) =>
+      operators.Profile.iqrOutliers(events(s, dir), "event_type",
+        "value")),
+
     // streaming: first-seen novelty curve — the stateful one-long-
     // per-key filter replayed in batch emit-final mode, aggregated to
     // the SAME (day, n, n_first_seen, novelty) frame as q_novelty
@@ -3975,6 +3987,45 @@ object SparkEntry {
         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // log histogram: bit length via binary-string length on both
+    // engines (never floor(ln x / ln 2))
+    "q_log_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN CAST(n_chars AS BIGINT) > 0
+        |      THEN CAST(length(format('{:b}',
+        |        CAST(n_chars AS BIGINT))) AS BIGINT)
+        |      ELSE 0 END AS bin,
+        |    CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(MIN(v) AS BIGINT) AS min_v,
+        |  CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // IQR outliers: disc quartiles per group, UNROUNDED fences in the
+    // comparison, rounded in the output
+    "q_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type, quantile_disc(value, 0.25) AS p25,
+        |    quantile_disc(value, 0.75) AS p75
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT *, p25 - 1.5 * (p75 - p25) AS lo,
+        |        p75 + 1.5 * (p75 - p25) AS hi FROM f)
+        |SELECT e.event_type, MAX(p25) AS p25, MAX(p75) AS p75,
+        |  ROUND(MAX(lo), 6) AS lo_fence, ROUND(MAX(hi), 6)
+        |    AS hi_fence,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN e.value < lo OR e.value > hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(SUM(CASE WHEN e.value < lo OR e.value > hi
+        |    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        |    AS outlier_rate
+        |FROM events e JOIN g USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // streaming fingerprint: the table-fingerprint SQL minus the
     // distinct-row count (per-row state a stream must not hold)

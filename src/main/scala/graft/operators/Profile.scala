@@ -391,6 +391,60 @@ object Profile {
       .orderBy(col("n").desc, col("category"))
   }
 
+  /** Log₂ (order-of-magnitude) histogram of a positive integral
+    * column — the "how big are documents, really" profile whose bins
+    * stay readable from bytes to gigabytes. Bin = BIT LENGTH of the
+    * value (`floor(log₂ x) + 1`), computed from the binary-string
+    * length — exact integer arithmetic, immune to the
+    * `ln(1024)/ln(2) = 9.999…` float-boundary bug a log-division bin
+    * would inherit. Non-positive values are counted out loudly in a
+    * `bin 0` row rather than dropped. One hash aggregate. */
+  def logHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.filter(v.isNotNull)
+      .select(when(v > 0, length(bin(v)).cast("long"))
+        .otherwise(lit(0L)).as("bin"), v.as("__v"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("__v").as("min_v"),
+        max("__v").as("max_v"))
+      .orderBy("bin")
+  }
+
+  /** IQR (Tukey-fence) outlier report per group — the box-plot
+    * numbers: discrete p25/p75 via [[groupedPercentiles]]' machinery,
+    * the 1.5×IQR fences, and how much of each group falls outside
+    * them. Fences are single float expressions over the exact
+    * disc-quantile values, so the whole report is oracle-exact; the
+    * fence comparison is strict (`v < lo or v > hi`), matching the
+    * Tukey convention. One extra corpus pass against the
+    * groups-sized fence frame. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val q = groupedPercentiles(df, groupCol, valueCol,
+      Seq(0.25, 0.75))
+    val fences = q.groupBy(col(groupCol).as("__fg"))
+      .agg(max(when(col("pct") === 0.25, col("value"))).as("p25"),
+        max(when(col("pct") === 0.75, col("value"))).as("p75"))
+      .withColumn("lo_fence",
+        col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("hi_fence",
+        col("p75") + lit(1.5) * (col("p75") - col("p25")))
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .join(fences, col(groupCol) === col("__fg"))
+      .groupBy(col(groupCol))
+      .agg(max("p25").as("p25"), max("p75").as("p75"),
+        round(max("lo_fence"), 6).as("lo_fence"),
+        round(max("hi_fence"), 6).as("hi_fence"),
+        count(lit(1)).as("n"),
+        sum(when(col("__v") < col("lo_fence") ||
+          col("__v") > col("hi_fence"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers") / col("n").cast("double"), 6))
+      .orderBy(groupCol)
+  }
+
   /** Top movers — the "what changed most since last week" report:
     * per category, the latest-week count vs the prior week, ranked by
     * absolute delta with a deterministic `(|delta| desc, category)`
