@@ -3119,6 +3119,41 @@ object SparkEntry {
     "q_log_histogram" -> ((s, dir) =>
       operators.Profile.logHistogram(docs(s, dir), "n_chars")),
 
+    // reporting: source concentration — HHI, effective category
+    // count, CR-4 (decimal squares; the gini's market-share sibling)
+    "q_hhi" -> ((s, dir) =>
+      operators.Profile.concentrationIndex(docs(s, dir), "source",
+        k = 4)),
+
+    // event analytics: session depth distribution — events-per-
+    // session histogram off the shared gap-rule session chain
+    "q_session_depth" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_timestamp(col("ts")).as("__es"))
+        .withColumn("__prev", lag("__es", 1).over(byUser))
+        .withColumn("__new", when(col("__prev").isNull ||
+          col("__es") - col("__prev") > 1800, 1L).otherwise(0L))
+        .withColumn("__sess", sum("__new").over(
+          byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy("user_id", "__sess")
+        .agg(count(lit(1)).as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("depth")
+    }),
+
+    // reporting: orders-per-customer distribution — the count-of-
+    // counts (degree distribution) pattern on the fact table
+    "q_orders_per_customer" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_custkey").isNotNull)
+        .groupBy("o_custkey").agg(count(lit(1)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_customers"))
+        .orderBy("k")),
+
     // quality: Tukey-fence outlier report per event type — disc
     // p25/p75 through the sharded-rank machinery, 1.5xIQR fences,
     // strict-outside counts
@@ -3987,6 +4022,60 @@ object SparkEntry {
         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // HHI: decimal count squares over n^2, rank-based CR-k
+    "q_hhi" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, c ASC)
+        |        AS rk FROM c),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |      AS sq,
+        |    CAST(SUM(CASE WHEN rk <= 4 THEN n ELSE 0 END) AS BIGINT)
+        |      AS topk
+        |  FROM r)
+        |SELECT n, n_categories,
+        |  ROUND(CAST(sq AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS hhi,
+        |  ROUND(CASE WHEN sq > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |      CAST(sq AS DOUBLE) END, 6) AS effective_categories,
+        |  ROUND(topk / CAST(n AS DOUBLE), 6) AS cr4
+        |FROM a""".stripMargin,
+
+    // session depth: the gap-rule session chain reduced to the
+    // events-per-session histogram
+    "q_session_depth" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS pes
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN pes IS NULL OR es - pes > 1800
+        |        THEN 1 ELSE 0 END AS nw FROM o),
+        |s AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f),
+        |d AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS depth
+        |      FROM s GROUP BY 1, 2)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // orders per customer: count-of-counts
+    "q_orders_per_customer" ->
+      """WITH k AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM k GROUP BY 1""".stripMargin,
 
     // log histogram: bit length via binary-string length on both
     // engines (never floor(ln x / ln 2))

@@ -391,6 +391,42 @@ object Profile {
       .orderBy(col("n").desc, col("category"))
   }
 
+  /** Concentration indices of a categorical dimension — the
+    * Herfindahl–Hirschman index `HHI = Σ share²`, its inverse (the
+    * "effective number of categories"), and the CR-k concentration
+    * ratio (top-k share, deterministic `(count desc, category)`
+    * rank) — the market-concentration numbers next to
+    * [[graft.operators.Stats.giniConcentration]]. HHI is kept as the
+    * integral-ratio `Σ c² / n²` with the squares in decimal(38,0)
+    * (corpus-scale counts square past BIGINT), so every output is
+    * one float expression. The rank window runs on the category
+    * frame only. */
+  def concentrationIndex(df: DataFrame, catCol: String, k: Int = 4)
+      : DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val rk = Window.orderBy(col("__n").desc, col("__c").asc)
+    val agg = counts
+      .withColumn("__rk", row_number().over(rk))
+      .agg(count(lit(1)).as("n_categories"),
+        sum("__n").as("n"),
+        sum(col("__n").cast("decimal(19,0)") *
+          col("__n").cast("decimal(19,0)")).as("__sq"),
+        sum(when(col("__rk") <= k, col("__n")).otherwise(0L))
+          .as("__topk"))
+    val hhi = col("__sq").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    agg.select(col("n"), col("n_categories"),
+      round(hhi, 6).as("hhi"),
+      round(when(col("__sq") > 0,
+        (col("n").cast("double") * col("n").cast("double")) /
+          col("__sq").cast("double")), 6).as("effective_categories"),
+      round(col("__topk") / col("n").cast("double"), 6)
+        .as(s"cr$k"))
+  }
+
   /** Log₂ (order-of-magnitude) histogram of a positive integral
     * column — the "how big are documents, really" profile whose bins
     * stay readable from bytes to gigabytes. Bin = BIT LENGTH of the

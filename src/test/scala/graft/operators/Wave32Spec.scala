@@ -22,6 +22,18 @@ class Wave32Spec extends AnyFunSuite with Matchers with SparkSpec {
     r(11L) shouldBe ((1L, 1024L, 1024L))
   }
 
+  test("concentrationIndex: HHI, effective categories, CR-k") {
+    // a:5 b:3 c:2 -> HHI = 38/100, eff = 100/38, CR-2 = 8/10
+    val cats = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val r = Profile.concentrationIndex(cats.toDF("c"), "c", k = 2)
+      .collect().head
+    r.getLong(0) shouldBe 10L
+    r.getLong(1) shouldBe 3L
+    r.getDouble(2) shouldBe 0.38
+    r.getDouble(3) shouldBe 2.631579
+    r.getDouble(4) shouldBe 0.8
+  }
+
   test("iqrOutliers: Tukey fences, strict-outside counts") {
     // group g: 1..11 plus 100: p25 (rank ceil(.25*12)=3) = 3,
     // p75 (rank 9) = 9 -> iqr 6 -> fences [-6, 18]; only 100 is out
