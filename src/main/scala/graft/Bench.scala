@@ -24,6 +24,10 @@ import java.nio.file.{Files, Paths}
 object Bench {
   import org.apache.spark.sql.DataFrame
 
+  /** The cold end-to-end DiD headline's name in the bench artifact.
+    * Not a `SparkEntry.queries` key — main() special-cases it. */
+  val FlagshipName = "att_fit_cold_bstrap"
+
   /** Testable timing core: min-over-reps per query; a throwing query
     * yields -1.0 and an `errors` entry (the loss-proof contract —
     * BenchLossProofSpec pins it with an injected failing query).
@@ -125,9 +129,16 @@ object Bench {
         .count()
     }
 
-    val names =
+    // the flagship is NOT a `queries` entry (it is the cold end-to-end
+    // DiD fit below) — recognize its name in arg mode so `Bench
+    // att_fit_cold_bstrap` runs exactly the flagship, instead of a
+    // phantom "key not found" error PLUS a duplicate JSON key (r9
+    // verdict "What's wrong" #3)
+    val requested =
       if (args.nonEmpty) args.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted :+ FlagshipName
+    val names = requested.filterNot(_ == FlagshipName)
+    val runFlagship = requested.contains(FlagshipName)
     // min over reps: the box is shared, so single-shot timings carry
     // external CPU-contention spikes; the minimum is the stable signal
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
@@ -142,22 +153,26 @@ object Bench {
     // multiplier bootstrap with NO shared caches — the number directly
     // comparable to the reference's end-to-end `fit(bstrap=True)` wall
     // time (BASELINE.md: 2min50s at 5 cohorts x 10 periods)
-    val coldT =
-      try {
-        val t0 = System.nanoTime()
-        val pp = graft.did.Preprocess.run(
-          PanelView.of(spark, sfDir), PanelView.config)
-        val fit = graft.did.AttGt.fit(pp, bstrap = true)
-        fit.resultDF.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        fit.unpersist(); pp.unpersist()
-        dt
-      } catch { case e: Throwable =>
-        errors("att_fit_cold_bstrap") =
-          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
-        -1.0
+    val all =
+      if (!runFlagship) results
+      else {
+        val coldT =
+          try {
+            val t0 = System.nanoTime()
+            val pp = graft.did.Preprocess.run(
+              PanelView.of(spark, sfDir), PanelView.config)
+            val fit = graft.did.AttGt.fit(pp, bstrap = true)
+            fit.resultDF.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            fit.unpersist(); pp.unpersist()
+            dt
+          } catch { case e: Throwable =>
+            errors(FlagshipName) =
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            -1.0
+          }
+        results :+ (FlagshipName -> coldT)
       }
-    val all = results :+ ("att_fit_cold_bstrap" -> coldT)
     val line = renderJson(all, errors, sfDir)
     println(line)
     // loss-proof: the driver captures only a truncated stdout tail, so

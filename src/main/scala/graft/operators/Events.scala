@@ -364,7 +364,7 @@ object Events {
       .select(col("event_type"),
         floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-      .withColumn("dow", ((col("day") + 3) % 7).cast("int"))
+      .withColumn("dow", Temporal.dowOf(col("day")))
     val w = Window.partitionBy("event_type", "dow")
     val scored = daily
       .withColumn("__k", count(lit(1)).over(w))
@@ -426,8 +426,8 @@ object Events {
     val byType = Window.partitionBy("event_type")
     events
       .select(col("event_type"),
-        ((floor(unix_timestamp(col("ts")) / 86400) + 3) % 7)
-          .cast("int").as("dow"))
+        Temporal.dowOf(floor(unix_timestamp(col("ts")) / 86400))
+          .as("dow"))
       .groupBy("event_type", "dow")
       .agg(count(lit(1)).as("n"))
       .withColumn("share",

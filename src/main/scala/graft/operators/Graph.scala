@@ -290,7 +290,14 @@ object Graph {
     * (deterministic), so post-cap wedge volume is <= maxDegree² per
     * node no matter what the input does; sub-cap graphs pay one cheap
     * degree aggregate and are returned EXACT. */
-  val DefaultMaxDegree = 10000
+  // 2000 is the measured winner, not a guess: the r9 straddling-hub
+  // rehearsal (degree-20k hub on 1M edges) read 30.7 s uncapped vs
+  // 6.4 s at maxDegree=2000, and every production near-dup graph the
+  // engine builds is banded to degrees far below it. The previous
+  // 10000 default admitted 10^8 wedge candidates per hub node — a
+  // bound that exists but does not protect. Callers with genuinely
+  // dense trusted graphs opt UP explicitly via the maxDegree param.
+  val DefaultMaxDegree = 2000
 
   // the canonical edge set feeds THREE join legs (four with degrees) —
   // without a cache an expensive upstream (the near-dup pair pipeline)

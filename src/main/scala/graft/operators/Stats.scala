@@ -1001,8 +1001,10 @@ object Stats {
     * are integral-numerator ratios and trend/seasonal/remainder are
     * each a single float expression — engine-exact at 6dp. Edge rows
     * (incomplete 7-day window) keep null trend/remainder, the
-    * standard MA convention. Day-of-week is the engine-neutral
-    * `(epochDay+4) % 7` (0=Sunday).
+    * standard MA convention. Day-of-week is the family-shared
+    * [[Temporal.dowOf]] (0=Monday); the label is internal grouping
+    * only (dropped from the output), so the convention choice cannot
+    * change results — only joinability of intermediate frames.
     *
     * Assumes consecutive daily rows per group (the window is ROWS,
     * not days) — gap-fill upstream ([[Temporal.gapFillLocf]]) first
@@ -1021,7 +1023,7 @@ object Stats {
       .withColumn("__c7", count(lit(1)).over(w7))
       .withColumn("__detr7",
         when(col("__c7") === 7, col("__x") * 7 - col("__s7")))
-      .withColumn("__dow", (col("__day") + 4) % 7)
+      .withColumn("__dow", Temporal.dowOf(col("__day")))
     val prof = t.filter(col("__detr7").isNotNull)
       .groupBy("__g", "__dow")
       .agg(sum("__detr7").as("__sd"), count(lit(1)).as("__cd"))
@@ -1042,8 +1044,11 @@ object Stats {
     * group keep null bands (incomplete window, the MA convention).
     *
     * Exactness: the window accumulates the INTEGRAL sums `Σx` and
-    * `Σx²` (x² in decimal(38,0) — a corpus-scale daily count squared
-    * overflows BIGINT), so mean and the sample sd are each one float
+    * `Σx²` (each x² factor cast to decimal(19,0) so the product
+    * promotes to decimal(38,0), as in concentrationIndex — a
+    * corpus-scale daily count squared overflows BIGINT; cast the
+    * FACTORS, not the product, or the multiply itself overflows),
+    * so mean and the sample sd are each one float
     * expression over exact integers; breach compares the UNROUNDED
     * bounds, identically evaluated on both engines. Scale shape: one
     * group-key shuffle, rows-bounded frames, no joins. */

@@ -384,6 +384,16 @@ object Temporal {
     lit(5L) * floor((epochDay + 3L) / 7L).cast("long") +
       least(((epochDay + 3L) % 7L + 7L) % 7L + 1L, lit(5L)) - 3L
 
+  /** THE engine-neutral day-of-week for the whole operator family:
+    * `((epochDay + 3) mod 7 + 7) mod 7` with 0 = Monday (epoch day 0
+    * was a Thursday), floor-modulus-safe for pre-1970 days. Shared by
+    * [[Events.dowProfile]] / [[Events.dowAnomaly]] /
+    * [[Stats.seasonalDow]] / [[weekdaysUpTo]] so siblings can join on
+    * `dow` without an off-by-one (r9 advice: seasonalDow previously
+    * labeled 0=Sunday while its siblings used 0=Monday). */
+  def dowOf(epochDay: Column): Column =
+    (((epochDay + 3L) % 7L + 7L) % 7L).cast("int")
+
   /** Run-length encoding of consecutive flagged DAYS per group — the
     * gaps-and-islands streak detector ("how long did that anomaly
     * last?", "longest above-trend run"). A streak is a maximal run of

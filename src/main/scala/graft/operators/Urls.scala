@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and URL-keyed corpus shaping — the FIRST step
+  * of every web-scale pipeline (C4 / CCNet / RefinedWeb dedup and
+  * quota-cap by canonical URL/host before touching document text; the
+  * reference has no notion of URLs at all, this is pure engine
+  * extension surface).
+  *
+  * Everything here is a MAP-ONLY Column expression chain over string
+  * functions Catalyst codegens — no UDFs, no joins, no state — so
+  * canonicalization rides the scan and the only shuffles are the ones
+  * the downstream dedup/quota aggregations own. Every rule is
+  * replayable as ANSI regex SQL (conservative syntax: no lookarounds,
+  * RE2-compatible for the DuckDB oracle).
+  *
+  * Canonical form (RFC 3986 normalization subset + the tracking-param
+  * strip every crawl pipeline applies):
+  *   1. trim;
+  *   2. drop the fragment (`#...`);
+  *   3. lowercase scheme + authority (path/query case is preserved —
+  *      it is significant);
+  *   4. drop userinfo (`user:pw@`);
+  *   5. drop default ports (`http…:80`, `https…:443`);
+  *   6. drop a leading `www.`;
+  *   7. strip tracking query params ([[Urls.TrackingParamPattern]]:
+  *      `utm_*`, `fbclid`, `gclid`, `msclkid`, `mc_eid`, `igshid`),
+  *      preserving the order of surviving params and dropping a
+  *      now-empty `?`;
+  *   8. uppercase percent-escape hex (`%2f` -> `%2F`, RFC 3986 §6.2.2.1).
+  * Punycode hosts (`xn--…`) are kept OPAQUE — no IDN decode, labels
+  * compare byte-wise, which is exactly what URL-level dedup wants.
+  */
+object Urls {
+
+  /** Query params stripped by canonicalization, as a regex
+    * alternation. Extend per deployment; keep RE2-safe. */
+  val TrackingParamPattern: String =
+    "utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid"
+
+  /** Two-label public suffixes recognized by [[registeredDomain]] — a
+    * built-in subset of the Mozilla Public Suffix List covering the
+    * high-traffic ccTLD second levels; the full PSL is data, not
+    * code, and slots into the same membership test at deploy time. */
+  val TwoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz", "co.in", "net.in",
+    "co.za", "com.br", "net.br", "org.br", "com.mx",
+    "com.ar", "com.cn", "net.cn", "org.cn", "com.tw",
+    "com.hk", "com.sg", "com.my", "co.kr", "com.tr",
+    "co.id", "co.th", "co.il", "com.ua", "com.pl")
+
+  private def lowerPrefix(u: Column): Column = {
+    // scheme + authority span: start through the char before the
+    // first of '/', '?', '#' AFTER '://'
+    val prefix = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    concat(lower(prefix), u.substr(length(prefix) + 1, length(u)))
+  }
+
+  private def stripTracking(u: Column): Column = {
+    // operate on the query separately with a '&' sentinel so EVERY
+    // param (including the first) is '&'-preceded and one global
+    // regex pass removes any run of tracked params — no iteration
+    val base = regexp_extract(u, "^([^?]*)", 1)
+    val query = regexp_extract(u, "\\?(.*)", 1)
+    val cleaned = regexp_replace(concat(lit("&"), query),
+      s"&($TrackingParamPattern)(=[^&]*)?", "")
+    val rest = regexp_replace(cleaned, "^&", "")
+    concat(base,
+      when(length(query) === 0 || length(rest) === 0, lit(""))
+        .otherwise(concat(lit("?"), rest)))
+  }
+
+  private def upperEscapes(u: Column): Column = {
+    // '%'-split: piece 1 is before any escape (NEVER transformed — a
+    // schemeless URL may legitimately start with two hex chars);
+    // every later piece that opens with 2 hex chars gets them
+    // uppercased (digits are upper-invariant, so only a-f move)
+    val parts = split(u, "%", -1)
+    val fixTail = transform(slice(parts, lit(2), size(parts) - 1), p =>
+      when(p.rlike("^[0-9a-fA-F]{2}"),
+        concat(upper(p.substr(lit(1), lit(2))),
+          p.substr(lit(3), length(p)))).otherwise(p))
+    concat(element_at(parts, 1),
+      when(size(parts) > 1,
+        concat(lit("%"), array_join(fixTail, "%"))).otherwise(lit("")))
+  }
+
+  /** The full canonicalization chain (steps 1-8 above) as one
+    * codegen'd Column expression. Null/empty in, null/empty out. */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    val noFrag = regexp_replace(t, "#.*", "")
+    val lowered = lowerPrefix(noFrag)
+    val noUser = regexp_replace(lowered,
+      "^([a-z][a-z0-9+.-]*://)[^/?#@]*@", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noUser,
+        "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    upperEscapes(stripTracking(noWww))
+  }
+
+  /** Lowercased host of a CANONICAL url (run [[canonicalizeUrl]]
+    * first — userinfo must already be gone): the authority up to any
+    * retained non-default port. Schemeless input yields ''. */
+  def hostOf(canonicalUrl: Column): Column =
+    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+
+  /** Registered (PSL-style "eTLD+1") domain of a host: the last two
+    * labels, or three when the last two are a known two-label public
+    * suffix ([[TwoLabelSuffixes]]). A host that IS a bare suffix, or
+    * has fewer than two labels, yields null. Punycode labels are
+    * opaque byte strings. */
+  def registeredDomain(host: Column): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(length(last2) === 0, lit(null))
+      .when(last2.isin(TwoLabelSuffixes: _*),
+        when(length(last3) === 0, lit(null)).otherwise(last3))
+      .otherwise(last2)
+  }
+
+  /** URL-level exact dedup: canonicalize, then elect one keeper per
+    * canonical URL — `(canonical_url, keeper id = min id, n_urls)`.
+    * One hash aggregate on the canonical key (map-side partials make
+    * hot boilerplate URLs cheap); the quadratic-free front door C4
+    * walks through before any text-level dedup. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    df.filter(col(urlCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("__id").as("keeper_id"), count(lit(1)).as("n_urls"))
+
+  /** Per-registered-domain row quota: canonicalize, extract the
+    * domain, keep at most `maxPer` rows per domain preferring high
+    * `orderCol` (ties: id asc) — [[Sampling.capPerGroup]] composed
+    * with the URL family, i.e. the C4 per-domain cap keyed the way
+    * crawls actually key it. Rows whose URL yields no registered
+    * domain (schemeless, bare-suffix, single-label hosts) are dropped
+    * — they have no quota bucket. WindowGroupLimit pre-trims map-side
+    * like every capPerGroup call. */
+  def hostQuota(df: DataFrame, idCol: String, urlCol: String,
+      orderCol: String, maxPer: Int): DataFrame = {
+    require(maxPer >= 1, s"maxPer must be >= 1: $maxPer")
+    val withDom = df.filter(col(urlCol).isNotNull)
+      .withColumn("registered_domain",
+        registeredDomain(hostOf(canonicalizeUrl(col(urlCol)))))
+      .filter(col("registered_domain").isNotNull)
+    Sampling.capPerGroup(withDom, "registered_domain", orderCol,
+      idCol, maxPer)
+  }
+
+  /** Per-group TOKEN-budget quota (the mixture-building sibling of
+    * [[hostQuota]]'s row cap): rows are ranked inside each group by
+    * (`orderCol` desc, id asc) and kept while the RUNNING token sum
+    * (including the current row) stays within `budget` — so one
+    * giant document cannot be skipped in favor of later small ones
+    * (greedy prefix, not knapsack: deterministic and one window pass).
+    * Output adds `cum_tokens`, the running total through the kept
+    * row. One group-key shuffle; rows-bounded running-sum frame. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String,
+      tokenCol: String, orderCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col(orderCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    df.withColumn("cum_tokens",
+        sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

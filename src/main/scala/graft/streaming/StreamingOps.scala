@@ -753,21 +753,45 @@ object StreamingOps {
     *
     * State is O(distinct keys) — the same class as [[dedupStream]],
     * and like it the operator is for keyed novelty tracking, not
-    * unbounded-cardinality payloads. */
+    * unbounded-cardinality payloads. For key spaces that DO grow
+    * forever (URLs, doc hashes), opt into `retentionHours > 0`: idle
+    * keys are dropped after that much processing time, bounding state
+    * at O(keys active within the retention window) — the
+    * [[changelogStateful]] retention contract. The cost is precise:
+    * a key re-seen after expiry re-emits with its post-expiry minimum
+    * day, so with retention on, downstream consumers must MIN-merge
+    * emissions per key (the true first emission already happened
+    * before expiry, so min-merge stays exact); with the default
+    * `retentionHours = 0` each key emits improving minima only and
+    * plain upsert-by-key is sound. */
   def firstSeenStateful(events: Dataset[NoveltyEvent],
-      emitFinal: Boolean = false): Dataset[FirstSeenRow] = {
+      emitFinal: Boolean = false,
+      retentionHours: Int = 0): Dataset[FirstSeenRow] = {
     import events.sparkSession.implicits._
+    require(retentionHours >= 0, s"bad retentionHours: $retentionHours")
+    val timeoutConf =
+      if (retentionHours > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.k)
       .flatMapGroupsWithState[Long, FirstSeenRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (k: String, it: Iterator[NoveltyEvent],
             state: GroupState[Long]) =>
-          val batchMin = it.map(_.day).min
-          state.getOption match {
-            case Some(prev) if prev <= batchMin => Iterator.empty
-            case _ =>
-              if (!emitFinal) state.update(batchMin)
-              Iterator.single(FirstSeenRow(k, batchMin))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def arm(): Unit =
+              if (retentionHours > 0 && !emitFinal)
+                state.setTimeoutDuration(s"$retentionHours hours")
+            val batchMin = it.map(_.day).min
+            state.getOption match {
+              case Some(prev) if prev <= batchMin =>
+                arm(); Iterator.empty
+              case _ =>
+                if (!emitFinal) { state.update(batchMin); arm() }
+                Iterator.single(FirstSeenRow(k, batchMin))
+            }
           }
       }
   }

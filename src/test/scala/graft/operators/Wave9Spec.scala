@@ -61,6 +61,25 @@ class Wave9Spec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 8L -> 1L)
   }
 
+  test("wedge-family default hub cap is the MEASURED 2000") {
+    // r9 verdict #4: 10000 admitted 10^8 wedges per hub at default;
+    // 2000 is the value the straddling-hub rehearsal measured the win
+    // at (30.7 s -> 6.4 s). Dense trusted graphs opt UP explicitly.
+    Graph.DefaultMaxDegree shouldBe 2000
+  }
+
+  test("dowOf: one shared engine-neutral convention, 0=Monday, " +
+    "pre-1970-safe") {
+    // epoch day 0 = Thursday 1970-01-01 -> dow 3; day 4 = Monday ->
+    // 0; day 10 = Sunday -> 6; day -1 = Wednesday -> 2 (naive
+    // (d+3)%7 gives -5 there); day -7 = Thursday -> 3
+    val out = Seq(0L, 4L, 10L, -1L, -7L).toDF("d")
+      .select(Temporal.dowOf(org.apache.spark.sql.functions.col("d"))
+        .as("dow"))
+      .collect().map(_.getInt(0)).toSeq
+    out shouldBe Seq(3, 0, 6, 2, 3)
+  }
+
   test("mannKendall fails fast past maxSeriesLen, names the fix") {
     val long = (1 to 11).map(i => ("g", i.toLong, i.toDouble))
       .toDF("g", "t", "x")

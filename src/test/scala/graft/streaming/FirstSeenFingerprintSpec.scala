@@ -42,6 +42,27 @@ class FirstSeenFingerprintSpec extends AnyFunSuite with Matchers
     } finally q.stop()
   }
 
+  test("firstSeenStateful with retention: batch results unchanged " +
+    "(the timeout only bounds streaming state, never the answer " +
+    "within a window)") {
+    // NOTE deliberately batch-mode: a streaming ProcessingTimeTimeout
+    // query never settles under processAllAvailable (the engine keeps
+    // scheduling timeout-check batches), so like changelogStateful the
+    // retention path is pinned via the batch twin + the documented
+    // MIN-merge consumer contract
+    val evs = Seq(NoveltyEvent("a", 5L), NoveltyEvent("a", 2L),
+      NoveltyEvent("b", 7L))
+    val out = StreamingOps.firstSeenStateful(evs.toDS(),
+      emitFinal = true, retentionHours = 24).collect().sortBy(_.k)
+    out.map(r => (r.k, r.day)).toSeq shouldBe Seq(("a", 2L), ("b", 7L))
+  }
+
+  test("firstSeenStateful rejects a negative retention") {
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.firstSeenStateful(
+        Seq(NoveltyEvent("a", 1L)).toDS(), retentionHours = -1)
+  }
+
   test("fingerprintStateful: any arrival order, same (n, xor)") {
     val rows = Seq(FpEvent("g", 3L), FpEvent("g", 12L),
       FpEvent("g", 7L), FpEvent("h", 5L))
