@@ -3293,6 +3293,51 @@ object SparkEntry {
         .select(col("doc_id"), col("registered_domain"),
           col("cum_tokens"))
     }),
+
+    // paragraph-level exact dedup (RefinedWeb line-dedup at paragraph
+    // granularity): natural '\n\n' boundaries, corpus-global keeper
+    // election on md5(paragraph), documents reassembled in order —
+    // the boilerplate killer token-window segmentation straddles
+    "q_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(paraDocs(s, dir), "doc_id", "text")),
+
+    // compliance: CC license-id extraction (link detection, not
+    // phrase detection) + public-domain declarations — map-only
+    // codegen'd regex; per-license corpus counts
+    "q_license_tags" -> ((s, dir) =>
+      licDocs(s, dir)
+        .select(operators.Compliance.licenseTag(col("text"))
+          .as("license"))
+        .groupBy(coalesce(col("license"), lit("none")).as("license"))
+        .agg(count(lit(1)).as("n"))),
+
+    // compliance: robots-directive flags (noindex / nofollow / noai
+    // word-boundary tokens) + the indexable keep/drop policy bit
+    "q_robots_filter" -> ((s, dir) =>
+      operators.Compliance.robotsFlags(robotsDocs(s, dir), "text")
+        .select(col("doc_id"), col("noindex"), col("nofollow"),
+          col("noai"), col("indexable"))),
+
+    // encoding QA: mojibake DETECTION — engine-neutral signature
+    // regex (shared constant with the oracle), artifact count per doc
+    "q_mojibake_flag" -> ((s, dir) =>
+      mojiDocs(s, dir).select(col("doc_id"),
+          regexp_count(col("text"),
+            lit(graft.functions.MojibakeRepairExpr.MojibakeSignature))
+            .cast("long").as("n_artifacts"))
+        .withColumn("is_mojibake", col("n_artifacts") > 0)),
+
+    // encoding QA: mojibake REPAIR — strict CP1252->UTF-8 inverse
+    // transcode to a fixpoint (double-encoding heals in two passes);
+    // fixture-keyed oracle (no ANSI CP1252), the compression_ratio
+    // precedent
+    "q_mojibake_repair" -> ((s, dir) => {
+      val rep = graft.functions.MojibakeRepairExpr
+        .mojibakeRepair(col("text"))
+      mojiDocs(s, dir).select(col("doc_id"),
+        md5(rep).as("repaired_md5"),
+        (rep =!= col("text")).as("is_changed"))
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -3332,6 +3377,76 @@ object SparkEntry {
         lit(".example.net/dup?utm_source=share")))
       .otherwise(concat(lit("https://www.example.com/item/"), id % 40))
       .as("url"))
+  }
+
+  /** Three-paragraph synth for paragraph dedup: two text slices
+    * around a SHARED boilerplate paragraph (by doc_id % 3) — the
+    * cross-document duplicate class the operator exists to kill.
+    * SQL twin: the `pd` CTE in q_paragraph_dedup's oracle replays the
+    * three parts directly (the synth parts contain no '\n\n', so the
+    * split is exactly the parts). */
+  private def paraDocs(s: SparkSession, dir: String): DataFrame = {
+    val m = (col("doc_id") % 3).cast("int")
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("\n\n",
+        substring(col("text"), 1, 80),
+        when(m === 0,
+          lit("Subscribe to our newsletter for weekly updates."))
+          .when(m === 1,
+            lit("All rights reserved. Contact us for licensing."))
+          .otherwise(lit("Related articles you may also like.")),
+        substring(col("text"), 81, 80)).as("text"))
+  }
+
+  /** License-sentence synth (doc_id % 6): CC link variants covering
+    * the kind alternation (by / by-sa / by-nc-nd), one public-domain
+    * declaration, two clean classes. */
+  private def licDocs(s: SparkSession, dir: String): DataFrame = {
+    val m = (col("doc_id") % 6).cast("int")
+    docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(m === 0, lit(" Licensed under " +
+          "https://creativecommons.org/licenses/by/4.0/ terms."))
+        .when(m === 1, lit(" License: " +
+          "https://creativecommons.org/licenses/by-sa/3.0/"))
+        .when(m === 2, lit(" " +
+          "https://creativecommons.org/licenses/by-nc-nd/2.5/deed.en"))
+        .when(m === 3,
+          lit(" This work is dedicated to the Public Domain (CC0)."))
+        .otherwise(lit(""))).as("text"))
+  }
+
+  /** Robots-directive synth (doc_id % 5): meta-tag and bare-token
+    * variants; '%5 >= 3' stays clean (and 'noindexing'-style
+    * substrings never appear, so word boundaries are what's tested
+    * in the spec, not here). */
+  private def robotsDocs(s: SparkSession, dir: String): DataFrame = {
+    val m = (col("doc_id") % 5).cast("int")
+    docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(m === 0,
+          lit(" <meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(m === 1, lit(" <meta name=\"robots\" content=\"noai\">"))
+        .when(m === 2, lit(" robots directive: nofollow"))
+        .otherwise(lit(""))).as("text"))
+  }
+
+  /** Mojibake synth (doc_id % 8): four single-encoded artifact
+    * classes (Ã©, Ã¯, â€œ...â€™, Â°), one double-encoded (ÃƒÂ©),
+    * three clean. Artifacts are spelled in \\u escapes so the Scala
+    * source, the SQL literal, and the Python fixture generator are
+    * provably the same codepoints. */
+  private def mojiDocs(s: SparkSession, dir: String): DataFrame = {
+    val m = (col("doc_id") % 8).cast("int")
+    docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(m === 0, lit(" caf\u00C3\u00A9"))
+        .when(m === 1, lit(" na\u00C3\u00AFve"))
+        .when(m === 2,
+          lit(" \u00E2\u20AC\u0153quote\u00E2\u20AC\u2122"))
+        .when(m === 3, lit(" 25\u00C2\u00B0 outside"))
+        .when(m === 4, lit(" \u00C3\u0192\u00C2\u00A9clair"))
+        .otherwise(lit(""))).as("text"))
   }
 
   /** Deterministic synthetic nightly crawl over the corpus snapshot:
@@ -9018,6 +9133,100 @@ object SparkEntry {
         |  FROM dom WHERE registered_domain IS NOT NULL)
         |SELECT doc_id, registered_domain, cum_tokens
         |FROM c WHERE cum_tokens <= 3000""".stripMargin,
+
+    // paragraph dedup: the pd CTE replays the three synth parts
+    // directly (they contain no blank line, so the operator's split
+    // is exactly the parts); keeper election = row_number over the
+    // paragraph text, reassembly = ordered string_agg
+    "q_paragraph_dedup" ->
+      """WITH pd AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS p, 1 AS p_no
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'Subscribe to our newsletter for weekly updates.'
+        |    WHEN 1 THEN 'All rights reserved. Contact us for licensing.'
+        |    ELSE 'Related articles you may also like.' END, 2
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, substr(text, 81, 80), 3 FROM documents),
+        |cl AS (SELECT doc_id, p_no, trim(p) AS p FROM pd
+        |       WHERE length(trim(p)) > 0),
+        |k AS (SELECT doc_id, p_no, p, row_number() OVER
+        |        (PARTITION BY p ORDER BY doc_id, p_no) AS rn FROM cl),
+        |kept AS (SELECT doc_id, p_no, p FROM k WHERE rn = 1)
+        |SELECT doc_id,
+        |  string_agg(p, chr(10) || chr(10) ORDER BY p_no) AS text_dedup,
+        |  count(*) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // license extraction: same link regex (RE2-conservative), CASE
+    // fallback to the public-domain phrase class
+    "q_license_tags" ->
+      """WITH lic AS (SELECT doc_id, text || CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN ' Licensed under https://creativecommons.org/licenses/by/4.0/ terms.'
+        |    WHEN 1 THEN ' License: https://creativecommons.org/licenses/by-sa/3.0/'
+        |    WHEN 2 THEN ' https://creativecommons.org/licenses/by-nc-nd/2.5/deed.en'
+        |    WHEN 3 THEN ' This work is dedicated to the Public Domain (CC0).'
+        |    ELSE '' END AS text FROM documents),
+        |x AS (SELECT text,
+        |    regexp_extract(text,
+        |      'creativecommons\.org/licenses/(by(?:-nc)?(?:-sa|-nd)?)/([0-9]\.[0-9])',
+        |      1) AS kind,
+        |    regexp_extract(text,
+        |      'creativecommons\.org/licenses/(by(?:-nc)?(?:-sa|-nd)?)/([0-9]\.[0-9])',
+        |      2) AS ver
+        |  FROM lic),
+        |t AS (SELECT CASE WHEN kind <> '' THEN 'cc-' || kind || '-' || ver
+        |    WHEN regexp_matches(text, 'CC0|[Pp]ublic [Dd]omain')
+        |      THEN 'public-domain' END AS license FROM x)
+        |SELECT coalesce(license, 'none') AS license, count(*) AS n
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // robots flags: ASCII word-boundary token matches, identical
+    // regexes both engines
+    "q_robots_filter" ->
+      """WITH rob AS (SELECT doc_id, text || CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN ' <meta name="robots" content="noindex, nofollow">'
+        |    WHEN 1 THEN ' <meta name="robots" content="noai">'
+        |    WHEN 2 THEN ' robots directive: nofollow'
+        |    ELSE '' END AS text FROM documents)
+        |SELECT doc_id,
+        |  regexp_matches(text, '\bnoindex\b') AS noindex,
+        |  regexp_matches(text, '\bnofollow\b') AS nofollow,
+        |  regexp_matches(text, '\bnoai\b') AS noai,
+        |  NOT regexp_matches(text, '\bnoindex\b')
+        |    AND NOT regexp_matches(text, '\bnoai\b') AS indexable
+        |FROM rob""".stripMargin,
+
+    // mojibake detection: the shared signature constant interpolated
+    // verbatim (no backslashes, no ASCII quotes — safe as a SQL
+    // literal); counts are non-overlapping left-to-right matches on
+    // both engines
+    "q_mojibake_flag" ->
+      s"""WITH $mojiCte
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '$mojiSig')) AS BIGINT)
+        |    AS n_artifacts,
+        |  length(regexp_extract_all(text, '$mojiSig')) > 0 AS is_mojibake
+        |FROM moji""".stripMargin,
+
+    // mojibake repair: fixture join (no ANSI CP1252 transcode) — the
+    // compression_ratio precedent; Python recomputes every repair
+    // independently, keyed by the raw-corpus fingerprint the SQL
+    // replays (fp CTE text MUST stay identical to FP_SQL in
+    // gen_mojibake_fixture.py)
+    "q_mojibake_repair" ->
+      s"""WITH fp AS (SELECT md5(string_agg(doc_id || ':' || md5(text), ';'
+        |  ORDER BY doc_id)) AS fp FROM documents)
+        |SELECT f.doc_id, f.repaired_md5, f.is_changed
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/mojibake_repair.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'doc_id': 'BIGINT',
+        |                  'repaired_md5': 'VARCHAR',
+        |                  'is_changed': 'BOOLEAN'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,
@@ -9203,6 +9412,24 @@ object SparkEntry {
       |         ELSE l2 END AS registered_domain
       |  FROM domp)""".stripMargin
   }
+
+  /** SQL twin of [[mojiDocs]], built from the same codepoints so the
+    * Scala lit()s and the SQL literals are provably identical. */
+  private val mojiCte: String = {
+    def u(cps: Int*): String = cps.map(_.toChar).mkString
+    s"""moji AS (
+      |  SELECT doc_id, text || CASE CAST(doc_id % 8 AS INT)
+      |    WHEN 0 THEN ' caf${u(0xC3, 0xA9)}'
+      |    WHEN 1 THEN ' na${u(0xC3, 0xAF)}ve'
+      |    WHEN 2 THEN ' ${u(0xE2, 0x20AC, 0x153)}quote${u(0xE2, 0x20AC, 0x2122)}'
+      |    WHEN 3 THEN ' 25${u(0xC2, 0xB0)} outside'
+      |    WHEN 4 THEN ' ${u(0xC3, 0x192, 0xC2, 0xA9)}clair'
+      |    ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+  }
+
+  private val mojiSig: String =
+    graft.functions.MojibakeRepairExpr.MojibakeSignature
 
   private val shingleCtes: String =
     """toks AS (

@@ -689,6 +689,44 @@ object Dedup {
       .select(col("did").as(idCol), col("text_dedup"))
   }
 
+  /** RefinedWeb-style PARAGRAPH-level exact dedup — [[segmentDedup]]
+    * with NATURAL boundaries instead of fixed token windows: the text
+    * is split on `delim` (literal, default blank line), each
+    * trimmed non-empty paragraph duplicated anywhere in the corpus
+    * keeps only its first occurrence (min (id, para_no)), and each
+    * document is reassembled from its surviving paragraphs in order,
+    * `delim`-joined. Documents whose every paragraph loses disappear
+    * (C4's emptied pages). This is the formulation that kills
+    * boilerplate blocks (nav bars, subscribe banners, license
+    * footers) that token-window segmentation straddles.
+    *
+    * Scale shape identical to segmentDedup: paragraphs shuffle ONCE
+    * keyed by md5(paragraph) for the window-min keeper election, then
+    * once by id for reassembly; a pathologically hot paragraph
+    * (the boilerplate this exists to remove) concentrates only
+    * (id, para_no) pairs on its reducer, not text. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n\n"): DataFrame = {
+    require(delim.nonEmpty, "paragraphDedup: empty delimiter")
+    val paras = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("did"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("p_no", "p")))
+      .withColumn("p", trim(col("p")))
+      .filter(length(col("p")) > 0)
+    val w = Window.partitionBy(md5(col("p")))
+    paras
+      .withColumn("keeper", min(struct(col("did"), col("p_no"))).over(w))
+      .filter(col("keeper.did") === col("did") &&
+        col("keeper.p_no") === col("p_no"))
+      .groupBy("did")
+      .agg(array_join(
+          transform(sort_array(collect_list(struct(col("p_no"), col("p")))),
+            s => s("p")), delim).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+      .select(col("did").as(idCol), col("text_dedup"), col("n_kept"))
+  }
+
   /** MinHash Jaccard ESTIMATE next to the exact score, md5-flavored so
     * the ESTIMATOR ITSELF is cross-engine-replayable: permutation `i`'s
     * signature is `min(md5(i || '|' || shingle))` (lexicographic min on
