@@ -180,6 +180,10 @@ object GraphRehearsal {
           maxDegree = Int.MaxValue).count())
       timedHub(s"ktruss_cap$cap")(
         Graph.kTruss(h, k = 3, rounds = 4, maxDegree = cap).count())
+      // the DEFAULT path: since r10 DefaultMaxDegree IS the measured
+      // 2000 — this row proves the protection is on without opt-in
+      timedHub(s"ktruss_default${Graph.DefaultMaxDegree}")(
+        Graph.kTruss(h, k = 3, rounds = 4).count())
       h.unpersist(blocking = true)
     }
 

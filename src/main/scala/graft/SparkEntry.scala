@@ -3283,10 +3283,15 @@ object SparkEntry {
     // the row cap: greedy prefix by (size desc, id) while the running
     // sum stays within budget; one group-key window pass
     "q_domain_token_budget" -> ((s, dir) => {
+      // step-wise columns, not one nested expression — the nested
+      // form quadruplicates the canonical regex tree and costs ~3 s
+      // of ANALYSIS time per run (see Urls.withRegisteredDomain)
       val d = urlDocs(s, dir)
-        .withColumn("registered_domain", operators.Urls.registeredDomain(
-          operators.Urls.hostOf(
-            operators.Urls.canonicalizeUrl(col("url")))))
+        .withColumn("__canon",
+          operators.Urls.canonicalizeUrl(col("url")))
+        .withColumn("__host", operators.Urls.hostOf(col("__canon")))
+        .withColumn("registered_domain",
+          operators.Urls.registeredDomain(col("__host")))
         .filter(col("registered_domain").isNotNull)
       operators.Urls.tokenBudgetPerGroup(d, "registered_domain",
           "n_chars", "n_chars", "doc_id", budget = 3000L)

@@ -147,15 +147,33 @@ object Urls {
     * domain (schemeless, bare-suffix, single-label hosts) are dropped
     * — they have no quota bucket. WindowGroupLimit pre-trims map-side
     * like every capPerGroup call. */
+  /** Step-wise `registered_domain` derivation. Each stage lands in a
+    * named column before the next consumes it — NOT a style choice:
+    * `registeredDomain(hostOf(canonicalizeUrl(u)))` as one expression
+    * duplicates the whole canonical regex tree four times (last2/
+    * last3/branch references), and Catalyst pays the blowup at
+    * ANALYSIS time — measured ~3 s of flat per-query planning cost at
+    * any data size. Attribute references keep each tree single. */
+  private def withRegisteredDomain(df: DataFrame, urlCol: String)
+      : DataFrame =
+    df.withColumn("__canon", canonicalizeUrl(col(urlCol)))
+      .withColumn("__host", hostOf(col("__canon")))
+      .withColumn("registered_domain", registeredDomain(col("__host")))
+      .drop("__canon", "__host")
+
   def hostQuota(df: DataFrame, idCol: String, urlCol: String,
       orderCol: String, maxPer: Int): DataFrame = {
     require(maxPer >= 1, s"maxPer must be >= 1: $maxPer")
-    val withDom = df.filter(col(urlCol).isNotNull)
-      .withColumn("registered_domain",
-        registeredDomain(hostOf(canonicalizeUrl(col(urlCol)))))
-      .filter(col("registered_domain").isNotNull)
+    val withDom = withRegisteredDomain(
+      df.filter(col(urlCol).isNotNull), urlCol)
+    // quota-less rows (null domain) are dropped AFTER the rank window,
+    // not before: a pre-window filter gets pushed through the project
+    // and rewritten in terms of the full canonical regex tree
+    // (predicate substitution), multiplying optimizer work; post-window
+    // the null partition just ranks and falls out — same result
     Sampling.capPerGroup(withDom, "registered_domain", orderCol,
-      idCol, maxPer)
+        idCol, maxPer)
+      .filter(col("registered_domain").isNotNull)
   }
 
   /** Per-group TOKEN-budget quota (the mixture-building sibling of
