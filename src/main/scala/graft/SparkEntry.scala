@@ -3259,11 +3259,11 @@ object SparkEntry {
     // codegen'd regex chain, no UDFs; the front door of C4/CCNet/
     // RefinedWeb-style corpus shaping
     "q_url_canonical" -> ((s, dir) =>
-      urlDocs(s, dir).select(col("doc_id"),
-          operators.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+      operators.Urls.withCanonicalUrl(urlDocs(s, dir), "url")
         .withColumn("host", operators.Urls.hostOf(col("canonical_url")))
         .withColumn("registered_domain",
-          operators.Urls.registeredDomain(col("host")))),
+          operators.Urls.registeredDomain(col("host")))
+        .select("doc_id", "canonical_url", "host", "registered_domain")),
 
     // URL-level exact dedup: one keeper (min doc_id) per canonical
     // URL — ONE hash aggregate with map-side partials; the
@@ -3286,9 +3286,8 @@ object SparkEntry {
       // step-wise columns, not one nested expression — the nested
       // form quadruplicates the canonical regex tree and costs ~3 s
       // of ANALYSIS time per run (see Urls.withRegisteredDomain)
-      val d = urlDocs(s, dir)
-        .withColumn("__canon",
-          operators.Urls.canonicalizeUrl(col("url")))
+      val d = operators.Urls.withCanonicalUrl(
+          urlDocs(s, dir), "url", "__canon")
         .withColumn("__host", operators.Urls.hostOf(col("__canon")))
         .withColumn("registered_domain",
           operators.Urls.registeredDomain(col("__host")))
@@ -3342,6 +3341,64 @@ object SparkEntry {
       mojiDocs(s, dir).select(col("doc_id"),
         md5(rep).as("repaired_md5"),
         (rep =!= col("text")).as("is_changed"))
+    }),
+
+    // compliance: ACTUAL robots.txt semantics (UA group selection
+    // with exact-beats-star, longest-prefix match, Allow tie-win,
+    // empty Disallow, absent robots) evaluated per crawled URL —
+    // lines-sized parse + ONE domain-key join + per-url argmax
+    "q_robots_eval" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        ("example.com", "User-agent: *\nDisallow: /search\n" +
+          "Allow: /search?q=caf\nDisallow: /item/\n# housekeeping"),
+        ("example.co.uk", "User-agent: graftbot\nDisallow: /\n" +
+          "User-agent: *\nAllow: /"),
+        ("example.net", "User-agent: *\nDisallow:"),
+        ("example.org", "User-agent: *\nDisallow: /IMG/\n" +
+          "Disallow: /p"),
+        ("example.com.au", "User-agent: smith\n" +
+          "User-agent: graftbot\nDisallow: /p"))
+        .toDF("domain", "robots")
+      operators.Compliance.robotsEval(rules, "domain", "robots",
+        urlDocs(s, dir), "doc_id", "url", agent = "graftbot")
+    }),
+
+    // web signal: anchor-text aggregation per canonical link target —
+    // one (target, term) hash agg + WindowGroupLimit top-k
+    "q_anchor_topk" -> ((s, dir) => {
+      val u = urlDocs(s, dir)
+      val targets = u.filter(col("doc_id") < 97)
+        .select(col("doc_id").as("tid"), col("url").as("target_url_raw"))
+      val links = docs(s, dir).select(
+          ((col("doc_id") * 7 + 3) % 97).as("tid"),
+          substring(col("text"), 1, 30).as("anchor"))
+        .join(targets, "tid")
+      operators.Urls.anchorTopTerms(links, "target_url_raw", "anchor",
+        k = 3)
+    }),
+
+    // web signal: domain-level link-graph degrees (distinct in/out
+    // partner domains + self-link edges) — two hash aggs, no windows
+    "q_domain_links" -> ((s, dir) => {
+      val u = urlDocs(s, dir)
+      val targets = u.filter(col("doc_id") < 97)
+        .select(col("doc_id").as("tid"), col("url").as("target_url"))
+      val edges = u.select(col("url").as("src_url"),
+          ((col("doc_id") * 7 + 3) % 97).as("tid"))
+        .join(targets, "tid")
+      operators.Urls.domainLinkStats(edges, "src_url", "target_url")
+    }),
+
+    // storage dedup: content-defined chunking (gear-hash FastCDC
+    // subset) — boundaries set by content so edits shift only local
+    // chunks; fixture-keyed oracle (the gear table derives from
+    // md5("gear|b") so Python rebuilds it exactly)
+    "q_cdc_chunks" -> ((s, dir) => {
+      val cs = graft.functions.CdcChunksExpr.cdcChunks(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        size(cs).cast("long").as("n_chunks"),
+        md5(concat_ws(",", cs)).as("chunks_md5"))
     }),
   )
 
@@ -9231,6 +9288,149 @@ object SparkEntry {
         |       columns = {'input_fp': 'VARCHAR', 'doc_id': 'BIGINT',
         |                  'repaired_md5': 'VARCHAR',
         |                  'is_changed': 'BOOLEAN'}) f, fp
+        |WHERE f.input_fp = fp.fp""".stripMargin,
+
+    // robots.txt evaluation: the full parse (comment strip, directive
+    // split, consecutive-UA grouping via lag + running sum, agent
+    // rank, best-rank rule union) + longest-prefix argmax, replayed
+    // with the same windows; rb columns are rdom/robots to dodge the
+    // urlCtes `dom` CTE name
+    "q_robots_eval" ->
+      s"""WITH $urlCtes,
+        |rb(rdom, robots) AS (VALUES
+        |  ('example.com', 'User-agent: *' || chr(10) ||
+        |    'Disallow: /search' || chr(10) ||
+        |    'Allow: /search?q=caf' || chr(10) ||
+        |    'Disallow: /item/' || chr(10) || '# housekeeping'),
+        |  ('example.co.uk', 'User-agent: graftbot' || chr(10) ||
+        |    'Disallow: /' || chr(10) || 'User-agent: *' || chr(10) ||
+        |    'Allow: /'),
+        |  ('example.net', 'User-agent: *' || chr(10) || 'Disallow:'),
+        |  ('example.org', 'User-agent: *' || chr(10) ||
+        |    'Disallow: /IMG/' || chr(10) || 'Disallow: /p'),
+        |  ('example.com.au', 'User-agent: smith' || chr(10) ||
+        |    'User-agent: graftbot' || chr(10) || 'Disallow: /p')),
+        |ls AS (SELECT rdom, string_split(robots, chr(10)) AS l FROM rb),
+        |lns AS (SELECT rdom, i AS ln,
+        |    trim(regexp_replace(l[i], '#.*', '')) AS clean
+        |  FROM ls, UNNEST(range(1, len(l) + 1)) AS u(i)),
+        |dirs AS (SELECT rdom, ln,
+        |    lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))
+        |      AS directive,
+        |    trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1))
+        |      AS value
+        |  FROM lns WHERE length(clean) > 0),
+        |d2 AS (SELECT * FROM dirs
+        |  WHERE directive IN ('user-agent', 'allow', 'disallow')),
+        |g1 AS (SELECT *, lag(directive) OVER
+        |    (PARTITION BY rdom ORDER BY ln) AS pd FROM d2),
+        |g2 AS (SELECT *, CASE WHEN directive = 'user-agent'
+        |    AND (pd IS NULL OR pd <> 'user-agent') THEN 1 ELSE 0 END
+        |    AS gs FROM g1),
+        |g3 AS (SELECT *, sum(gs) OVER (PARTITION BY rdom ORDER BY ln
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g2),
+        |g4 AS (SELECT * FROM g3 WHERE grp > 0),
+        |ag AS (SELECT rdom, grp,
+        |    CASE WHEN max(CASE WHEN lower(value) = 'graftbot'
+        |        THEN 1 ELSE 0 END) = 1 THEN 2
+        |      WHEN max(CASE WHEN value = '*' THEN 1 ELSE 0 END) = 1
+        |        THEN 1 ELSE 0 END AS rnk
+        |  FROM g4 WHERE directive = 'user-agent' GROUP BY rdom, grp),
+        |agf AS (SELECT * FROM ag WHERE rnk > 0),
+        |br AS (SELECT rdom, max(rnk) AS best FROM agf GROUP BY rdom),
+        |rules AS (SELECT g4.rdom, g4.directive AS rule_dir,
+        |    g4.value AS rule_path
+        |  FROM g4
+        |  JOIN agf ON agf.rdom = g4.rdom AND agf.grp = g4.grp
+        |  JOIN br ON br.rdom = g4.rdom AND br.best = agf.rnk
+        |  WHERE g4.directive IN ('allow', 'disallow')
+        |    AND length(g4.value) > 0),
+        |tgt AS (SELECT doc_id, canonical_url, registered_domain,
+        |    CASE WHEN length(t) = 0 THEN '/' ELSE t END AS target
+        |  FROM (SELECT doc_id, canonical_url, registered_domain,
+        |      regexp_extract(canonical_url,
+        |        '^[a-z][a-z0-9+.-]*://[^/?#]*([/?].*)?', 1) AS t
+        |    FROM dom)),
+        |j AS (SELECT tgt.doc_id, tgt.canonical_url,
+        |    tgt.registered_domain, rules.rule_dir, rules.rule_path,
+        |    CASE WHEN rules.rule_path IS NOT NULL
+        |      AND starts_with(tgt.target, rules.rule_path)
+        |      THEN 1 ELSE 0 END AS hit
+        |  FROM tgt LEFT JOIN rules
+        |    ON rules.rdom = tgt.registered_domain),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hit DESC,
+        |      CASE WHEN hit = 1 THEN length(rule_path) END DESC,
+        |      CASE WHEN rule_dir = 'allow' THEN 1 ELSE 0 END DESC,
+        |      rule_path DESC) AS rn
+        |  FROM j)
+        |SELECT doc_id, canonical_url, registered_domain,
+        |  CASE WHEN hit = 1 THEN rule_path END AS matched_rule,
+        |  CASE WHEN hit = 1 THEN (rule_dir = 'allow') END
+        |    AS rule_is_allow,
+        |  (hit = 0) OR (rule_dir = 'allow') AS allowed
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    // anchor-text top-k: canonical target from the shared canon CTE,
+    // whitespace tokenization, (count desc, term) rank
+    "q_anchor_topk" ->
+      s"""WITH $urlCtes,
+        |tg AS (SELECT doc_id AS tid, canonical_url FROM canon
+        |       WHERE doc_id < 97),
+        |lk AS (SELECT (d.doc_id * 7 + 3) % 97 AS tid,
+        |       substr(d.text, 1, 30) AS anchor FROM documents d),
+        |tok AS (SELECT tg.canonical_url AS target_url,
+        |    unnest(string_split_regex(lower(trim(lk.anchor)), '\\s+'))
+        |      AS term
+        |  FROM lk JOIN tg USING (tid)),
+        |ct AS (SELECT target_url, term, count(*) AS n FROM tok
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY target_url
+        |    ORDER BY n DESC, term) AS rn FROM ct)
+        |SELECT target_url, term, n FROM rk WHERE rn <= 3""".stripMargin,
+
+    // domain link degrees: distinct-partner counts + self-edge sum
+    // over the aggregated domain-pair frame
+    "q_domain_links" ->
+      s"""WITH $urlCtes,
+        |e AS (SELECT d.doc_id AS sid, (d.doc_id * 7 + 3) % 97 AS tid
+        |      FROM documents d),
+        |p AS (SELECT s.registered_domain AS sd,
+        |    t.registered_domain AS td
+        |  FROM e
+        |  JOIN dom s ON s.doc_id = e.sid
+        |  JOIN dom t ON t.doc_id = e.tid
+        |  WHERE s.registered_domain IS NOT NULL
+        |    AND t.registered_domain IS NOT NULL),
+        |a AS (SELECT sd, td, count(*) AS n FROM p GROUP BY 1, 2),
+        |o AS (SELECT sd AS domain,
+        |    count(DISTINCT CASE WHEN td <> sd THEN td END) AS n_out,
+        |    SUM(CASE WHEN td = sd THEN n ELSE 0 END) AS n_self
+        |  FROM a GROUP BY 1),
+        |i AS (SELECT td AS domain,
+        |    count(DISTINCT CASE WHEN sd <> td THEN sd END) AS n_in
+        |  FROM a GROUP BY 1)
+        |SELECT coalesce(o.domain, i.domain) AS domain,
+        |  CAST(coalesce(n_out, 0) AS BIGINT) AS n_out,
+        |  CAST(coalesce(n_in, 0) AS BIGINT) AS n_in,
+        |  CAST(coalesce(n_self, 0) AS BIGINT) AS n_self
+        |FROM o FULL JOIN i ON o.domain = i.domain""".stripMargin,
+
+    // content-defined chunking: fixture join (the gear table and the
+    // boundary rule are rebuilt independently in Python from
+    // md5("gear|b") — no JVM constants); fp CTE text MUST stay
+    // identical to FP_SQL in gen_cdc_fixture.py
+    "q_cdc_chunks" ->
+      s"""WITH fp AS (SELECT md5(string_agg(doc_id || ':' || md5(text), ';'
+        |  ORDER BY doc_id)) AS fp FROM documents)
+        |SELECT f.doc_id, f.n_chunks, f.chunks_md5
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/cdc_chunks.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'input_fp': 'VARCHAR', 'doc_id': 'BIGINT',
+        |                  'n_chunks': 'BIGINT',
+        |                  'chunks_md5': 'VARCHAR'}) f, fp
         |WHERE f.input_fp = fp.fp""".stripMargin,
   ))
 

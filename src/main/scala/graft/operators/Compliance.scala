@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-compliance scanners — the robots/licensing triage every
@@ -50,4 +51,110 @@ object Compliance {
   def filterIndexable(df: DataFrame, textCol: String): DataFrame =
     robotsFlags(df, textCol).filter(col("indexable"))
       .drop("noindex", "nofollow", "noai", "indexable")
+
+  /** robots.txt EVALUATION — not token sniffing like [[robotsFlags]]
+    * but the actual exclusion-protocol semantics a crawler applies:
+    * parse each domain's robots.txt into user-agent groups, select
+    * the group for `agent` (exact agent beats the `*` group; rules of
+    * equally-specific groups union — the RFC 9309 "combine" reading),
+    * then per URL pick the LONGEST-prefix-matching Allow/Disallow
+    * rule, Allow winning length ties (Google semantics). No matching
+    * rule, an empty-value Disallow, or a domain with no robots.txt
+    * means allowed. Wildcards (`*`/`$`) in rule paths are explicitly
+    * out of scope for v1 (documented; they need a regex-translation
+    * pass, not a different join shape).
+    *
+    * The match target is path + query of the CANONICAL url (paths are
+    * case-sensitive per the protocol — canonicalization deliberately
+    * preserves path/query case). Multiple consecutive `User-agent`
+    * lines form ONE group (RFC); `#` comments and blank lines are
+    * stripped.
+    *
+    * Inputs: `rules(domainCol, robotsCol)` — one robots.txt blob per
+    * registered domain; `urls(idCol, urlCol)` — raw URLs.
+    * Output: `(id, canonical_url, registered_domain, matched_rule,
+    * rule_is_allow, allowed)`.
+    *
+    * Scale shape: the parse is lines-sized (explode over robots
+    * blobs, two windows over the LINES frame — robots files are KB,
+    * domains are the partition key); the evaluation is ONE equi-join
+    * urls-to-rules on the domain key followed by a per-url argmax
+    * window. A megadomain's rule list rides the join as (domain,
+    * rules)-sized rows, never url-sized. */
+  def robotsEval(rules: DataFrame, domainCol: String, robotsCol: String,
+      urls: DataFrame, idCol: String, urlCol: String,
+      agent: String = "*"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // ---- parse: robots blob -> (domain, grp, directive, value) ----
+    val lines = rules.select(col(domainCol).as("__dom"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("ln", "line")))
+      .withColumn("clean", trim(regexp_replace(col("line"), "#.*", "")))
+      .filter(length(col("clean")) > 0)
+      .withColumn("directive",
+        lower(regexp_extract(col("clean"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_extract(col("clean"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+    val byDom = Window.partitionBy("__dom").orderBy("ln")
+    val grouped = lines
+      .withColumn("prev_directive", lag("directive", 1).over(byDom))
+      // a UA line starts a new group unless it directly follows
+      // another UA line (consecutive UA lines share one group)
+      .withColumn("grp_start",
+        (col("directive") === "user-agent" &&
+          (col("prev_directive").isNull ||
+            col("prev_directive") =!= "user-agent")).cast("int"))
+      .withColumn("grp", sum("grp_start").over(
+        byDom.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("grp") > 0) // rules before any UA line are ignored
+    val agents = grouped.filter(col("directive") === "user-agent")
+      .groupBy("__dom", "grp")
+      .agg(max((lower(col("value")) === agentLc).cast("int"))
+          .as("exact"),
+        max((col("value") === "*").cast("int")).as("star"))
+      .withColumn("rank",
+        when(col("exact") === 1, 2).when(col("star") === 1, 1)
+          .otherwise(0))
+      .filter(col("rank") > 0)
+    val bestRank = agents.groupBy("__dom")
+      .agg(max("rank").as("best_rank"))
+    val activeRules = grouped
+      .filter(col("directive").isin("allow", "disallow") &&
+        length(col("value")) > 0)
+      .join(agents.select(col("__dom"), col("grp"), col("rank")),
+        Seq("__dom", "grp"))
+      .join(bestRank, Seq("__dom"))
+      .filter(col("rank") === col("best_rank"))
+      .select(col("__dom"), col("directive").as("rule_dir"),
+        col("value").as("rule_path"))
+    // ---- evaluate: longest matching rule per url ----
+    val canon = Urls.withCanonicalUrl(
+        urls.select(col(idCol).as("__id"), col(urlCol)), urlCol)
+      .withColumn("__host", Urls.hostOf(col("canonical_url")))
+      .withColumn("registered_domain",
+        Urls.registeredDomain(col("__host")))
+      .withColumn("__target", {
+        val p = regexp_extract(col("canonical_url"),
+          "^[a-z][a-z0-9+.-]*://[^/?#]*([/?].*)?", 1)
+        when(length(p) === 0, lit("/")).otherwise(p)
+      })
+    val matched = canon.join(activeRules,
+        canon("registered_domain") === activeRules("__dom"), "left")
+      .withColumn("hit",
+        col("rule_path").isNotNull &&
+          col("__target").startsWith(col("rule_path")))
+    val perUrl = Window.partitionBy("__id")
+    matched
+      .withColumn("best", max(when(col("hit"), struct(
+          length(col("rule_path")).as("len"),
+          (col("rule_dir") === "allow").cast("int").as("is_allow"),
+          col("rule_path").as("p")))).over(perUrl))
+      .groupBy(col("__id").as(idCol))
+      .agg(first("canonical_url").as("canonical_url"),
+        first("registered_domain").as("registered_domain"),
+        first(col("best.p")).as("matched_rule"),
+        first(col("best.is_allow") === 1).as("rule_is_allow"),
+        first(col("best").isNull || col("best.is_allow") === 1)
+          .as("allowed"))
+  }
 }

@@ -91,7 +91,17 @@ object Urls {
   }
 
   /** The full canonicalization chain (steps 1-8 above) as one
-    * codegen'd Column expression. Null/empty in, null/empty out. */
+    * codegen'd Column expression. Null/empty in, null/empty out.
+    *
+    * SCALAR-USE ONLY (a probe, a literal, a one-column select): each
+    * internal step references its input several times (lowerPrefix
+    * x4, the tracking strip x5, the escape fix x4), so as ONE
+    * expression the base tree is duplicated ~80x — measured as
+    * multi-MiB serialized task binaries and seconds of codegen when
+    * this lands in a join/window stage. DataFrame operators must use
+    * [[withCanonicalUrl]], which materializes every step as an
+    * attribute-bound column (CollapseProject will not re-inline:
+    * regex ops are non-cheap and multiply referenced). */
   def canonicalizeUrl(url: Column): Column = {
     val t = trim(url)
     val noFrag = regexp_replace(t, "#.*", "")
@@ -104,6 +114,50 @@ object Urls {
       "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
     upperEscapes(stripTracking(noWww))
+  }
+
+  /** [[canonicalizeUrl]] for DataFrames: identical semantics, but
+    * every canonical step lands in its own named column before the
+    * next consumes it, so each regex tree exists ONCE in the plan.
+    * This is the difference between a KB-sized and a 17 MiB task
+    * binary (measured on the domain-link query, which needs the chain
+    * twice). */
+  def withCanonicalUrl(df: DataFrame, urlCol: String,
+      outCol: String = "canonical_url"): DataFrame = {
+    val pfxPat = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+    val stepped = df
+      .withColumn("__u1", regexp_replace(trim(col(urlCol)), "#.*", ""))
+      .withColumn("__pfx", regexp_extract(col("__u1"), pfxPat, 1))
+      .withColumn("__u2", concat(lower(col("__pfx")),
+        col("__u1").substr(length(col("__pfx")) + 1,
+          length(col("__u1")))))
+      .withColumn("__u3", regexp_replace(col("__u2"),
+        "^([a-z][a-z0-9+.-]*://)[^/?#@]*@", "$1"))
+      .withColumn("__u4", regexp_replace(
+        regexp_replace(col("__u3"),
+          "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+        "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"))
+      .withColumn("__u5", regexp_replace(col("__u4"),
+        "^(https?://)www\\.", "$1"))
+      .withColumn("__base", regexp_extract(col("__u5"), "^([^?]*)", 1))
+      .withColumn("__q", regexp_extract(col("__u5"), "\\?(.*)", 1))
+      .withColumn("__rest", regexp_replace(
+        regexp_replace(concat(lit("&"), col("__q")),
+          s"&($TrackingParamPattern)(=[^&]*)?", ""), "^&", ""))
+      .withColumn("__u6", concat(col("__base"),
+        when(length(col("__q")) === 0 || length(col("__rest")) === 0,
+          lit("")).otherwise(concat(lit("?"), col("__rest")))))
+      .withColumn("__parts", split(col("__u6"), "%", -1))
+      .withColumn(outCol, concat(element_at(col("__parts"), 1),
+        when(size(col("__parts")) > 1, concat(lit("%"), array_join(
+          transform(slice(col("__parts"), lit(2),
+            size(col("__parts")) - 1), p =>
+            when(p.rlike("^[0-9a-fA-F]{2}"),
+              concat(upper(p.substr(lit(1), lit(2))),
+                p.substr(lit(3), length(p)))).otherwise(p)), "%")))
+          .otherwise(lit(""))))
+    stepped.drop("__u1", "__pfx", "__u2", "__u3", "__u4", "__u5",
+      "__base", "__q", "__rest", "__u6", "__parts")
   }
 
   /** Lowercased host of a CANONICAL url (run [[canonicalizeUrl]]
@@ -133,9 +187,8 @@ object Urls {
     * walks through before any text-level dedup. */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String)
       : DataFrame =
-    df.filter(col(urlCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    withCanonicalUrl(df.filter(col(urlCol).isNotNull), urlCol)
+      .select(col(idCol).as("__id"), col("canonical_url"))
       .groupBy("canonical_url")
       .agg(min("__id").as("keeper_id"), count(lit(1)).as("n_urls"))
 
@@ -147,6 +200,34 @@ object Urls {
     * domain (schemeless, bare-suffix, single-label hosts) are dropped
     * — they have no quota bucket. WindowGroupLimit pre-trims map-side
     * like every capPerGroup call. */
+  /** The registrable host DIRECTLY from a raw url — semantically the
+    * composition hostOf(canonicalizeUrl(u)) for any http(s) or
+    * schemeless input (authority after userinfo, before port;
+    * lowercased; `www.` stripped for http/https), but as a ~40-node
+    * expression on the BASE column. This exists for FILTER predicates:
+    * a null-domain filter written against the derived
+    * `registered_domain` attribute gets pushdown-substituted through
+    * every canonical step (measured: a 48,000-node Filter and a
+    * 17-26 MiB task binary on the domain-link query); the same
+    * predicate written via this probe on the raw column pushes to the
+    * scan untouched. */
+  def rawRegistrableHost(url: Column): Column = {
+    val t = trim(url)
+    val auth = regexp_extract(t,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    when(t.rlike("^(?i)https?://"),
+      regexp_replace(lower(auth), "^www\\.", ""))
+      .otherwise(lower(auth))
+  }
+
+  /** Drop rows with no registrable domain, predicated on the RAW url
+    * column (scan-pushable, never substituted — see
+    * [[rawRegistrableHost]]). */
+  private def filterRegistrable(df: DataFrame, urlCol: String)
+      : DataFrame =
+    df.filter(col(urlCol).isNotNull &&
+      registeredDomain(rawRegistrableHost(col(urlCol))).isNotNull)
+
   /** Step-wise `registered_domain` derivation. Each stage lands in a
     * named column before the next consumes it — NOT a style choice:
     * `registeredDomain(hostOf(canonicalizeUrl(u)))` as one expression
@@ -156,7 +237,7 @@ object Urls {
     * any data size. Attribute references keep each tree single. */
   private def withRegisteredDomain(df: DataFrame, urlCol: String)
       : DataFrame =
-    df.withColumn("__canon", canonicalizeUrl(col(urlCol)))
+    withCanonicalUrl(df, urlCol, "__canon")
       .withColumn("__host", hostOf(col("__canon")))
       .withColumn("registered_domain", registeredDomain(col("__host")))
       .drop("__canon", "__host")
@@ -174,6 +255,74 @@ object Urls {
     Sampling.capPerGroup(withDom, "registered_domain", orderCol,
         idCol, maxPer)
       .filter(col("registered_domain").isNotNull)
+  }
+
+  /** Anchor-text aggregation — the classic web-corpus relevance
+    * signal (what OTHER pages call a target url): canonicalize the
+    * link target, tokenize the anchor text (lowercase, whitespace
+    * split), count per (target, term), keep the top `k` terms per
+    * target by (count desc, term asc — deterministic).
+    *
+    * Scale shape: one hash aggregate on (target, term) with map-side
+    * partials, then a rank window Spark rewrites to WindowGroupLimit
+    * (map-side pre-trim — a mega-target ships k rows per mapper, not
+    * its whole anchor vocabulary). */
+  def anchorTopTerms(links: DataFrame, targetUrlCol: String,
+      anchorCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = withCanonicalUrl(
+        links.filter(col(targetUrlCol).isNotNull &&
+          col(anchorCol).isNotNull),
+        targetUrlCol, "target_url")
+      .select(col("target_url"),
+        explode(split(lower(trim(col(anchorCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = toks.groupBy("target_url", "term")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("target_url").orderBy(col("n").desc, col("term"))
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Domain-level link-graph degree stats over raw (source url,
+    * target url) edges: per registered domain, distinct outbound /
+    * inbound partner domains and the self-link edge count — the
+    * hub/authority triage a crawl scheduler reads before anything
+    * expensive (PageRank) runs. Edges whose either side yields no
+    * registered domain are dropped — predicated on the RAW url
+    * columns via [[rawRegistrableHost]], NOT on the derived
+    * `registered_domain` attributes: a derived-column null filter
+    * gets pushdown-substituted through every canonical step
+    * (measured: a 48,000-node Filter, a 17-26 MiB serialized task
+    * binary, seconds of codegen), while the raw probe pushes to the
+    * scan at ~80 expression nodes. Two hash aggregates over the
+    * DISTINCT domain-pair frame; no windows, no joins. */
+  def domainLinkStats(edges: DataFrame, srcUrlCol: String,
+      tgtUrlCol: String): DataFrame = {
+    val pairs = withRegisteredDomain(
+      withRegisteredDomain(
+        filterRegistrable(filterRegistrable(edges, srcUrlCol),
+          tgtUrlCol), srcUrlCol)
+        .withColumnRenamed("registered_domain", "src_domain"),
+      tgtUrlCol)
+      .withColumnRenamed("registered_domain", "tgt_domain")
+      .select("src_domain", "tgt_domain")
+    val agg = pairs.groupBy("src_domain", "tgt_domain")
+      .agg(count(lit(1)).as("n_edges"))
+    val out = agg.groupBy(col("src_domain").as("domain"))
+      .agg(countDistinct(when(col("tgt_domain") =!= col("src_domain"),
+          col("tgt_domain"))).as("n_out"),
+        sum(when(col("tgt_domain") === col("src_domain"),
+          col("n_edges")).otherwise(0L)).as("n_self"))
+    val in = agg.groupBy(col("tgt_domain").as("domain"))
+      .agg(countDistinct(when(col("src_domain") =!= col("tgt_domain"),
+        col("src_domain"))).as("n_in"))
+    out.join(in, Seq("domain"), "full")
+      .select(col("domain"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("n_self"), lit(0L)).as("n_self"))
   }
 
   /** Per-group TOKEN-budget quota (the mixture-building sibling of

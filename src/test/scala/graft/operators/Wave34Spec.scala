@@ -78,6 +78,46 @@ class Wave34Spec extends AnyFunSuite with Matchers with SparkSpec {
     out.head.getLong(2) shouldBe 2L
   }
 
+  test("robotsEval: group selection, longest-match, allow tie-win, " +
+    "empty disallow, missing robots") {
+    val rules = Seq(
+      ("example.com", "User-agent: *\nDisallow: /search\n" +
+        "Allow: /search?q=caf\nDisallow: /item/\n# comment"),
+      ("example.co.uk", "User-agent: graftbot\nDisallow: /\n" +
+        "User-agent: *\nAllow: /"),
+      ("example.net", "User-agent: *\nDisallow:"),
+      ("multi.example", "User-agent: smith\nUser-agent: graftbot\n" +
+        "Disallow: /p")).toDF("domain", "robots")
+    val urls = Seq(
+      (1L, "https://example.com/free/page"),
+      (2L, "https://example.com/search?q=caf%c3%a9&x=1"),
+      (3L, "https://example.com/search/other"),
+      (4L, "https://example.com/item/9"),
+      (5L, "https://www.example.co.uk/anything"),
+      (6L, "https://example.net/whatever"),
+      (7L, "https://sub.multi.example/page"),
+      (8L, "https://norobots.example/x"),
+      (9L, "https://multi.example/x")).toDF("id", "url")
+    val out = Compliance.robotsEval(rules, "domain", "robots",
+        urls, "id", "url", agent = "graftbot")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[String]("matched_rule")),
+          r.getAs[Boolean]("allowed"))).toMap
+    out(1L) shouldBe ((None, true)) // no rule matches
+    // Allow '/search?q=caf' (13) beats Disallow '/search' (7); the
+    // canonical target has the %-escape uppercased, prefix still hits
+    out(2L) shouldBe ((Some("/search?q=caf"), true))
+    out(3L) shouldBe ((Some("/search"), false))
+    out(4L) shouldBe ((Some("/item/"), false))
+    // exact-agent group (rank 2) wins over the * Allow group
+    out(5L) shouldBe ((Some("/"), false))
+    out(6L) shouldBe ((None, true)) // empty Disallow = no rule
+    // multi-UA group includes graftbot; '/page' startsWith '/p'
+    out(7L) shouldBe ((Some("/p"), false))
+    out(8L) shouldBe ((None, true)) // no robots.txt for the domain
+    out(9L) shouldBe ((None, true)) // '/x' does not match '/p'
+  }
+
   private def rep(t: String): String =
     Seq(t).toDF("t")
       .select(MojibakeRepairExpr.mojibakeRepair(col("t")).as("r"))
