@@ -3226,7 +3226,8 @@ object SparkEntry {
       val es = unix_timestamp(col("ts"))
       val byDow = Window.partitionBy("dow")
       events(s, dir)
-        .select(((floor(es / 86400).cast("long") + 4) % 7).as("dow"),
+        .select(operators.Temporal.dowOf(floor(es / 86400).cast("long"))
+            .cast("long").as("dow"),
           (floor(es / 3600).cast("long") % 24).as("hour"))
         .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
         .withColumn("share_of_dow",
@@ -4444,12 +4445,13 @@ object SparkEntry {
         |    CAST(count(*) AS DOUBLE), 6) AS bounce_rate
         |FROM fl GROUP BY 1""".stripMargin,
 
-    // hourly heatmap: engine-neutral dow, hour-of-day mod, shares
-    // per dow
+    // hourly heatmap: the shared engine-neutral dow (Temporal.dowOf,
+    // 0 = Monday — one convention across the operator family),
+    // hour-of-day mod, shares per dow
     "q_hourly_heatmap" ->
       """WITH b AS (
         |  SELECT (CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
-        |      + 4) % 7 AS dow,
+        |      + 3) % 7 AS dow,
         |    CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24
         |      AS hour
         |  FROM events),
@@ -8696,7 +8698,7 @@ object SparkEntry {
         |  SELECT event_type AS g, day, CAST(n AS BIGINT) AS x,
         |    CAST(SUM(n) OVER w7 AS BIGINT) AS s7,
         |    count(*) OVER w7 AS c7,
-        |    (day + 4) % 7 AS dow
+        |    (day + 3) % 7 AS dow
         |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |t2 AS (SELECT *,
