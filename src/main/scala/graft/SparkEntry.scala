@@ -3401,6 +3401,63 @@ object SparkEntry {
         size(cs).cast("long").as("n_chunks"),
         md5(concat_ws(",", cs)).as("chunks_md5"))
     }),
+
+    // RAG eval: per-query MRR / recall@k / NDCG@k over a synthetic
+    // deterministic retrieval run — ONE rank window pair + query agg
+    "q_ranking_metrics" -> ((s, dir) =>
+      operators.Eval.rankingMetrics(
+        docs(s, dir).select((col("doc_id") % 25).as("query"),
+          col("doc_id").as("doc"),
+          ((col("doc_id") * 2654435761L) % 1000003L).as("score"),
+          greatest(lit(3) - (col("doc_id") * 3 + col("doc_id") % 25)
+            % 11, lit(0)).as("rel")),
+        "query", "doc", "score", "rel", k = 10)),
+
+    // code-eval: unbiased pass@k per task from (n, c) sample counts —
+    // a FIXED 64-sample budget per task (rank window Spark trims
+    // map-side via WindowGroupLimit), so n is scale-invariant and the
+    // estimator's n<=1000 exactness cap never bites at any sf; then
+    // exact integer falling factorials, one final division
+    "q_pass_at_k" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey") % 97).orderBy("o_orderkey")
+      val counts = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 64)
+        .groupBy((col("o_custkey") % 97).as("task"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("c"))
+      operators.Eval.passAtK(counts, "task", "n", "c", k = 5)
+    }),
+
+    // LLM-judge leaderboard: win rate + Wilson 95% CI per model over
+    // pairwise battles (ties half a point) — one explode + hash agg
+    "q_win_rate" -> ((s, dir) => {
+      val battles = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(concat(lit("m"), col("l_orderkey") % 5).as("model_a"),
+          concat(lit("m"), col("l_partkey") % 5).as("model_b"),
+          when((col("l_orderkey") + col("l_partkey")) % 3 === 0,
+            "a").when((col("l_orderkey") + col("l_partkey")) % 3 === 1,
+            "b").otherwise("tie").as("winner"))
+        .filter(col("model_a") =!= col("model_b"))
+      operators.Eval.winRateWilson(battles, "model_a", "model_b",
+        "winner")
+    }),
+
+    // labeling QA: Fleiss' kappa over a complete items x raters grid
+    // (integer-numerator formula — no cross-item float sums)
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val grid = s.read.parquet(s"$dir/orders.parquet")
+        .select((col("o_orderkey") % 200).as("item")).distinct()
+        .select(col("item"),
+          explode(sequence(lit(1), lit(3))).as("rater"))
+        .withColumn("cat",
+          when((col("item") * 7 + col("rater") * 13) % 10 < 6, "A")
+            .when((col("item") + col("rater")) % 2 === 0, "B")
+            .otherwise("C"))
+      operators.Eval.fleissKappa(grid, "item", "rater", "cat")
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -9434,6 +9491,127 @@ object SparkEntry {
         |                  'n_chunks': 'BIGINT',
         |                  'chunks_md5': 'VARCHAR'}) f, fp
         |WHERE f.input_fp = fp.fp""".stripMargin,
+
+    // ranking metrics: same rank windows (score desc / rel desc, doc
+    // tiebreak), DCG replayed with ln-ratio log2 to match Spark's
+    // log(2.0, x) formulation
+    "q_ranking_metrics" ->
+      """WITH r AS (
+        |  SELECT doc_id % 25 AS query, doc_id AS doc,
+        |    (doc_id * 2654435761) % 1000003 AS score,
+        |    greatest(3 - (doc_id * 3 + doc_id % 25) % 11, 0) AS rel
+        |  FROM documents),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY query
+        |      ORDER BY score DESC, doc) AS rk,
+        |    row_number() OVER (PARTITION BY query
+        |      ORDER BY rel DESC, doc) AS irk
+        |  FROM r)
+        |SELECT query,
+        |  CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rel,
+        |  ROUND(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rk END),
+        |    0.0), 6) AS rr,
+        |  ROUND(CASE WHEN SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) > 0
+        |    THEN SUM(CASE WHEN rel > 0 AND rk <= 10 THEN 1 ELSE 0 END)
+        |      / CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+        |        AS DOUBLE) END, 6) AS recall_at_k,
+        |  ROUND(CASE WHEN SUM(CASE WHEN irk <= 10 THEN
+        |      (pow(2.0, rel) - 1.0) / (ln(CAST(irk AS DOUBLE) + 1.0)
+        |        / ln(2.0)) ELSE 0.0 END) > 0
+        |    THEN SUM(CASE WHEN rk <= 10 THEN (pow(2.0, rel) - 1.0)
+        |        / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0))
+        |        ELSE 0.0 END)
+        |      / SUM(CASE WHEN irk <= 10 THEN (pow(2.0, rel) - 1.0)
+        |        / (ln(CAST(irk AS DOUBLE) + 1.0) / ln(2.0))
+        |        ELSE 0.0 END) END, 6) AS ndcg_at_k
+        |FROM rk GROUP BY query""".stripMargin,
+
+    // pass@k (k=5): fixed 64-sample budget per task (same rank
+    // window), exact integer falling factorials, one division
+    "q_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT o_custkey % 97 AS task, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_custkey % 97
+        |      ORDER BY o_orderkey) AS rk
+        |  FROM orders),
+        |t AS (
+        |  SELECT task, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM s WHERE rk <= 64 GROUP BY 1)
+        |SELECT task, n, c,
+        |  ROUND(1.0 - CAST(greatest(n-c, 0) * greatest(n-c-1, 0)
+        |      * greatest(n-c-2, 0) * greatest(n-c-3, 0)
+        |      * greatest(n-c-4, 0) AS DOUBLE)
+        |    / CAST(n * (n-1) * (n-2) * (n-3) * (n-4) AS DOUBLE), 6)
+        |    AS pass_at_k
+        |FROM t WHERE n >= 5""".stripMargin,
+
+    // win rate + Wilson CI: both sides credited, ties = half point
+    // (kept integral as 2x points); 1.96*1.96 written as the product
+    // so the double matches Spark's z*z exactly
+    "q_win_rate" ->
+      """WITH b AS (
+        |  SELECT 'm' || (l_orderkey % 5) AS model_a,
+        |    'm' || (l_partkey % 5) AS model_b,
+        |    CASE (l_orderkey + l_partkey) % 3 WHEN 0 THEN 'a'
+        |      WHEN 1 THEN 'b' ELSE 'tie' END AS winner
+        |  FROM lineitem WHERE (l_orderkey % 5) <> (l_partkey % 5)),
+        |s AS (
+        |  SELECT model_a AS model, CASE winner WHEN 'a' THEN 2
+        |    WHEN 'tie' THEN 1 ELSE 0 END AS p2 FROM b
+        |  UNION ALL
+        |  SELECT model_b, CASE winner WHEN 'b' THEN 2 WHEN 'tie' THEN 1
+        |    ELSE 0 END FROM b),
+        |a AS (SELECT model, CAST(count(*) AS BIGINT) AS n_battles,
+        |    CAST(SUM(p2) AS BIGINT) AS p2 FROM s GROUP BY 1),
+        |w AS (SELECT model, n_battles,
+        |    CAST(n_battles AS DOUBLE) AS nn,
+        |    p2 / (2.0 * CAST(n_battles AS DOUBLE)) AS p
+        |  FROM a),
+        |w2 AS (SELECT *,
+        |    1.0 + (1.96 * 1.96) / nn AS den,
+        |    (p + (1.96 * 1.96) / (2.0 * nn))
+        |      / (1.0 + (1.96 * 1.96) / nn) AS ctr,
+        |    1.96 * sqrt(p * (1.0 - p) / nn
+        |        + (1.96 * 1.96) / (4.0 * nn * nn))
+        |      / (1.0 + (1.96 * 1.96) / nn) AS rad
+        |  FROM w)
+        |SELECT model, n_battles, ROUND(p, 6) AS win_rate,
+        |  ROUND(ctr - rad, 6) AS wilson_lo,
+        |  ROUND(ctr + rad, 6) AS wilson_hi
+        |FROM w2""".stripMargin,
+
+    // Fleiss' kappa: the integer-numerator restructuring — both
+    // numerators are integral sums, kappa is exact divisions
+    "q_fleiss_kappa" ->
+      """WITH items AS (
+        |  SELECT DISTINCT o_orderkey % 200 AS item FROM orders),
+        |grid AS (SELECT item, r AS rater,
+        |    CASE WHEN (item * 7 + r * 13) % 10 < 6 THEN 'A'
+        |      WHEN (item + r) % 2 = 0 THEN 'B' ELSE 'C' END AS cat
+        |  FROM items, UNNEST([1, 2, 3]) AS u(r)),
+        |cells AS (SELECT item, cat, count(*) AS nn FROM grid
+        |          GROUP BY 1, 2),
+        |per AS (SELECT item, CAST(SUM(nn) AS BIGINT) AS ni,
+        |    CAST(SUM(nn * nn) AS BIGINT) AS sq FROM cells GROUP BY 1),
+        |cats AS (SELECT cat, CAST(SUM(nn) AS BIGINT) AS nj FROM cells
+        |         GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(MAX(ni) AS BIGINT) AS r,
+        |    CAST(SUM(sq) AS BIGINT) AS ssq FROM per),
+        |cj AS (SELECT CAST(SUM(nj * nj) AS BIGINT) AS snj2 FROM cats),
+        |f AS (SELECT cnt, r,
+        |    (ssq - cnt * r) / CAST(cnt * r * (r - 1) AS DOUBLE)
+        |      AS pbar,
+        |    snj2 / CAST((cnt * r) * (cnt * r) AS DOUBLE) AS pe
+        |  FROM tot, cj)
+        |SELECT cnt AS n_items, r AS n_raters,
+        |  ROUND(pbar, 6) AS p_bar, ROUND(pe, 6) AS p_e,
+        |  ROUND(CASE WHEN pe < 1.0 THEN (pbar - pe) / (1.0 - pe)
+        |    ELSE 1.0 END, 6) AS kappa
+        |FROM f""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

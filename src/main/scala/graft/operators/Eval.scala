@@ -283,4 +283,178 @@ object Eval {
           .as("gap"))
       .orderBy("bin")
   }
+
+  /** Per-query retrieval metrics over a ranked run — the RAG-eval
+    * readout: rows are `(query, doc, score, rel)` with INTEGER graded
+    * relevance (0 = not relevant); candidates are ranked by
+    * (score desc, doc asc — deterministic tiebreak) and the top `k`
+    * scored. Output one row per query that has at least one candidate:
+    * `(query, n_rel, rr, recall_at_k, ndcg_at_k)` where `rr` is the
+    * reciprocal rank of the FIRST relevant candidate at any depth
+    * (0 when none), recall@k counts rel>0 docs inside the cutoff over
+    * all rel>0 docs (null when the query has no relevant docs — the
+    * undefined case, distinct from 0), and NDCG@k uses the standard
+    * (2^rel − 1)/log2(rank+1) gain with the ideal ranking from the
+    * query's own relevance multiset (null when IDCG = 0).
+    *
+    * Scale shape: ONE rank window per query partition (Spark trims it
+    * map-side via WindowGroupLimit for the rank filter), then a
+    * query-keyed aggregate; the DCG sums are ≤ k + n_rel terms of
+    * magnitude ~1 rounded at 6dp (the jsDivergence float-sum
+    * precedent). */
+  def rankingMetrics(runs: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"bad k: $k")
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(docCol))
+    // ideal rank: the query's own rels, best first (ties broken by
+    // doc for determinism — the discount only sees the position)
+    val wi = Window.partitionBy(queryCol)
+      .orderBy(col(relCol).desc, col(docCol))
+    val ranked = runs
+      .filter(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(scoreCol).isNotNull && col(relCol).isNotNull)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(relCol).cast("long").as("__rel"),
+        row_number().over(w).as("__rk"),
+        row_number().over(wi).as("__irk"))
+    val log2p1 = (r: org.apache.spark.sql.Column) =>
+      log(2.0, r.cast("double") + 1.0)
+    val gain = pow(lit(2.0), col("__rel")) - 1.0
+    ranked.groupBy(col("__q").as(queryCol))
+      .agg(
+        sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("__rel") > 0, col("__rk"))).as("__frk"),
+        sum(when(col("__rel") > 0 && col("__rk") <= k, 1L)
+          .otherwise(0L)).as("__hit"),
+        sum(when(col("__rk") <= k, gain / log2p1(col("__rk")))
+          .otherwise(0.0)).as("__dcg"),
+        sum(when(col("__irk") <= k, gain / log2p1(col("__irk")))
+          .otherwise(0.0)).as("__idcg"))
+      .select(col(queryCol),
+        col("n_rel"),
+        round(coalesce(lit(1.0) / col("__frk"), lit(0.0)), 6).as("rr"),
+        round(when(col("n_rel") > 0,
+          col("__hit") / col("n_rel").cast("double")), 6)
+          .as("recall_at_k"),
+        round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")), 6)
+          .as("ndcg_at_k"))
+  }
+
+  /** Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", eq. 1) per task over
+    * `(task, n samples, c correct)` counts:
+    * `pass@k = 1 − C(n−c, k)/C(n, k)`. Computed as EXACT integer
+    * falling-factorial products (`Π_{i<k}(n−c−i)` / `Π_{i<k}(n−i)`,
+    * both ≤ 2^53 under the enforced `n ≤ 1000`), folded in
+    * deterministic index order, with ONE final double division — so
+    * the value is bit-identical in any engine, no shuffle-order float
+    * sums anywhere. Tasks with n < k are dropped (the estimator is
+    * undefined there); map-only after the counts frame. */
+  def passAtK(df: DataFrame, taskCol: String, nCol: String,
+      cCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"bad k: $k")
+    val n = col(nCol).cast("long")
+    val c = col(cCol).cast("long")
+    val fall = (top: org.apache.spark.sql.Column) =>
+      aggregate(sequence(lit(0L), lit(k - 1L)), lit(1.0),
+        (acc, i) => acc * greatest(top - i, lit(0L)).cast("double"))
+    df.filter(n.isNotNull && c.isNotNull && n >= k && c >= 0 && c <= n)
+      .filter(n <= 1000) // falling factorials must stay exact in double
+      .select(col(taskCol), n.as("n"), c.as("c"),
+        round(lit(1.0) - fall(n - c) / fall(n), 6).as(s"pass_at_k"))
+  }
+
+  /** Per-model win rate with a Wilson 95% score interval over pairwise
+    * battles `(model_a, model_b, winner)` where winner ∈ {'a','b',
+    * 'tie'} — the LLM-judge leaderboard readout. Ties count half a win
+    * (the chess convention), so `wins` is in half-point units kept
+    * integral as 2×points; the rate and the Wilson bounds are
+    * one-expression doubles off integral counts (sqrt is IEEE-exact
+    * both engines). One hash aggregate after a two-row explode per
+    * battle (each battle credits both sides). */
+  def winRateWilson(df: DataFrame, modelACol: String, modelBCol: String,
+      winnerCol: String, z: Double = 1.96): DataFrame = {
+    val sides = df
+      .filter(col(modelACol).isNotNull && col(modelBCol).isNotNull &&
+        lower(col(winnerCol)).isin("a", "b", "tie"))
+      .select(explode(array(
+        struct(col(modelACol).as("model"),
+          when(lower(col(winnerCol)) === "a", 2L)
+            .when(lower(col(winnerCol)) === "tie", 1L).otherwise(0L)
+            .as("pts2")),
+        struct(col(modelBCol).as("model"),
+          when(lower(col(winnerCol)) === "b", 2L)
+            .when(lower(col(winnerCol)) === "tie", 1L).otherwise(0L)
+            .as("pts2")))).as("s"))
+      .select(col("s.model").as("model"), col("s.pts2").as("pts2"))
+    val zz = lit(z * z)
+    sides.groupBy("model")
+      .agg(count(lit(1)).as("n_battles"), sum("pts2").as("__p2"))
+      .withColumn("__n", col("n_battles").cast("double"))
+      .withColumn("__p", col("__p2") / (lit(2.0) * col("__n")))
+      .withColumn("__den", lit(1.0) + zz / col("__n"))
+      .withColumn("__ctr",
+        (col("__p") + zz / (lit(2.0) * col("__n"))) / col("__den"))
+      .withColumn("__rad", lit(z) * sqrt(
+        col("__p") * (lit(1.0) - col("__p")) / col("__n") +
+          zz / (lit(4.0) * col("__n") * col("__n"))) / col("__den"))
+      .select(col("model"), col("n_battles"),
+        round(col("__p"), 6).as("win_rate"),
+        round(col("__ctr") - col("__rad"), 6).as("wilson_lo"),
+        round(col("__ctr") + col("__rad"), 6).as("wilson_hi"))
+  }
+
+  /** Fleiss' kappa over a long `(item, rater, category)` frame — the
+    * multi-rater agreement statistic (Fleiss 1971) behind every
+    * labeling-quality audit; [[cohensKappa]] is its 2-rater sibling.
+    * REQUIRES the same number of raters n on every item (the
+    * statistic's own precondition) and refuses loudly otherwise.
+    *
+    * Restructured to INTEGER numerators so the value is oracle-exact
+    * with no cross-item float sums:
+    * `P̄ = Σ_i(Σ_j n_ij² − n) / (N·n·(n−1))` and
+    * `P̄_e = Σ_j(Σ_i n_ij)² / (N·n)²` — both numerators are integral
+    * hash-aggregate sums; kappa = (P̄−P̄_e)/(1−P̄_e) is then a handful
+    * of exact divisions. Output one row:
+    * `(n_items, n_raters, p_bar, p_e, kappa)`.
+    * Two hash aggregates ((item,cat) cells, then totals); the guard
+    * probe collects at most 3 offending items. */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+      catCol: String): DataFrame = {
+    val cells = TrackedCaches.persist(
+      df.filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+          col(catCol).isNotNull)
+        .groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+        .agg(count(lit(1)).as("__n")))
+    val perItem = cells.groupBy("__i")
+      .agg(sum("__n").as("__ni"), sum(col("__n") * col("__n")).as("__sq"))
+    val badN = perItem.select("__ni").distinct().limit(2).collect()
+    if (badN.length > 1) {
+      val witness = perItem.groupBy("__ni").count().limit(3).collect()
+        .map(r => s"n=${r.get(0)}×${r.get(1)} items").mkString(", ")
+      throw new IllegalArgumentException(
+        "fleissKappa requires the same rater count on every item; " +
+          s"got mixed counts ($witness). Complete the rating grid or " +
+          "filter to fully-rated items first.")
+    }
+    val byCat = cells.groupBy("__c").agg(sum("__n").as("__nj"))
+    val tot = perItem.agg(count(lit(1)).as("__cnt"),
+        max("__ni").as("__r"), sum("__sq").as("__ssq"))
+      .crossJoin(broadcast(
+        byCat.agg(sum(col("__nj") * col("__nj")).as("__snj2"))))
+    tot.select(col("__cnt").as("n_items"), col("__r").as("n_raters"),
+        ((col("__ssq") - col("__cnt") * col("__r")) /
+          (col("__cnt") * col("__r") * (col("__r") - 1)).cast("double"))
+          .as("__pbar"),
+        (col("__snj2") /
+          ((col("__cnt") * col("__r")) * (col("__cnt") * col("__r")))
+            .cast("double")).as("__pe"))
+      .select(col("n_items"), col("n_raters"),
+        round(col("__pbar"), 6).as("p_bar"),
+        round(col("__pe"), 6).as("p_e"),
+        round(when(col("__pe") < 1.0,
+          (col("__pbar") - col("__pe")) / (lit(1.0) - col("__pe")))
+          .otherwise(lit(1.0)), 6).as("kappa"))
+  }
 }
