@@ -3458,6 +3458,40 @@ object SparkEntry {
             .otherwise("C"))
       operators.Eval.fleissKappa(grid, "item", "rater", "cat")
     }),
+
+    // clustering eval: per-vector simplified silhouette over the SAME
+    // deterministic Lloyd run as q_kmeans_clusters — map-only after
+    // the rounds, zero cross-row float sums
+    "q_silhouette" -> ((s, dir) =>
+      Similarity.silhouetteExact(emb(s, dir), "vec_id", "embedding",
+        k = 4, iters = 3)),
+
+    // multilingual triage: Unicode-script mix per doc over planted
+    // deterministic multi-script text — codepoint-range counts
+    // (regex-engine-neutral), map-only
+    "q_script_profile" -> ((s, dir) =>
+      operators.TextQuality.scriptProfile(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 1, " Привет мир 2024")
+              .when(col("doc_id") % 4 === 2, " 你好世界")
+              .when(col("doc_id") % 4 === 3, " αβγ δέλτα")
+              .otherwise("")).as("text")),
+        "doc_id", "text")),
+
+    // mixture building: α=0.5 temperature-smoothed domain reweighting
+    // (DoReMi-lite) over per-source char budgets — one hash agg + a
+    // broadcast one-row totals join, sorted-fold denominator
+    "q_domain_mixture" -> ((s, dir) =>
+      operators.Sampling.domainMixture(docs(s, dir), "source",
+        "n_chars")),
+
+    // repetition: top word-bigram share per doc (the Gopher-style
+    // templated-boilerplate signal) — explode + (doc, gram) hash agg
+    // + WindowGroupLimit rank
+    "q_top_bigram_share" -> ((s, dir) =>
+      operators.TextQuality.topNgramShare(docs(s, dir), "doc_id",
+        "text", n = 2)),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -9612,6 +9646,117 @@ object SparkEntry {
         |  ROUND(CASE WHEN pe < 1.0 THEN (pbar - pe) / (1.0 - pe)
         |    ELSE 1.0 END, 6) AS kappa
         |FROM f""".stripMargin,
+
+    // silhouette: the q_kmeans_clusters Lloyd replay, then per vector
+    // the sorted distances to all 4 final centroids — a = rank-1,
+    // b = rank-2, silhouette from the ROUNDED 6dp sqrt distances
+    "q_silhouette" ->
+      s"""WITH $kmeansOracleCtes,
+         |ds AS (
+         |  SELECT e.vec_id, c3.j,
+         |    ROUND(list_reduce(list_sort([ (e.v[d] - c3.c[d]) *
+         |      (e.v[d] - c3.c[d]) for d in range(1, 65) ]),
+         |      (a, t) -> a + t), 4) AS d
+         |  FROM e CROSS JOIN c3),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d, j) AS rk FROM ds),
+         |ab AS (SELECT vec_id,
+         |    CAST(MAX(CASE WHEN rk = 1 THEN j END) AS BIGINT)
+         |      AS cluster,
+         |    ROUND(sqrt(MAX(CASE WHEN rk = 1 THEN d END)), 6)
+         |      AS a_dist,
+         |    ROUND(sqrt(MAX(CASE WHEN rk = 2 THEN d END)), 6)
+         |      AS b_dist
+         |  FROM rkd GROUP BY 1)
+         |SELECT vec_id, cluster, a_dist, b_dist,
+         |  ROUND(CASE WHEN greatest(a_dist, b_dist) > 0
+         |    THEN (b_dist - a_dist) / greatest(a_dist, b_dist)
+         |    ELSE 0.0 END, 6) AS silhouette
+         |FROM ab""".stripMargin,
+
+    // script profile: same planted snippets, same codepoint-range
+    // delete-and-diff counts ('g' flag — RE2 replaces first-only by
+    // default where Java replaces all)
+    "q_script_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 4 = 1 THEN ' Привет мир 2024'
+        |    WHEN doc_id % 4 = 2 THEN ' 你好世界'
+        |    WHEN doc_id % 4 = 3 THEN ' αβγ δέλτα'
+        |    ELSE '' END AS txt
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_chars,
+        |  CAST(length(txt) - length(regexp_replace(txt, '[A-Za-z]',
+        |    '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(txt) - length(regexp_replace(txt, '[Ѐ-ӿ]',
+        |    '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(txt) - length(regexp_replace(txt, '[Ͱ-Ͽ]',
+        |    '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(txt) - length(regexp_replace(txt, '[一-鿿]',
+        |    '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(txt) - length(regexp_replace(txt, '[؀-ۿ]',
+        |    '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(txt) - length(regexp_replace(txt, '[0-9]',
+        |    '', 'g')) AS BIGINT) AS n_digit
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk,
+        |  n_arabic, n_digit,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk,
+        |      n_arabic, n_digit) = 0 THEN 'none'
+        |    WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek,
+        |      n_cjk, n_arabic, n_digit) THEN 'latin'
+        |    WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek,
+        |      n_cjk, n_arabic, n_digit) THEN 'cyrillic'
+        |    WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek,
+        |      n_cjk, n_arabic, n_digit) THEN 'greek'
+        |    WHEN n_cjk = greatest(n_latin, n_cyrillic, n_greek, n_cjk,
+        |      n_arabic, n_digit) THEN 'cjk'
+        |    WHEN n_arabic = greatest(n_latin, n_cyrillic, n_greek,
+        |      n_cjk, n_arabic, n_digit) THEN 'arabic'
+        |    ELSE 'digit' END AS dominant
+        |FROM c""".stripMargin,
+
+    // domain mixture: integral char budgets, sorted-fold Σ√t
+    // denominator (the lloyd recipe), exact division chain
+    "q_domain_mixture" ->
+      """WITH g AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
+        |    list_reduce(list_sort(list(sqrt(CAST(t AS DOUBLE)))),
+        |      (a, x) -> a + x) AS st
+        |  FROM g)
+        |SELECT source, t AS n_tokens,
+        |  ROUND(t / CAST(tt AS DOUBLE), 6) AS natural_share,
+        |  ROUND(sqrt(CAST(t AS DOUBLE)) / st, 6) AS target_share,
+        |  ROUND((sqrt(CAST(t AS DOUBLE)) / st)
+        |    / (t / CAST(tt AS DOUBLE)), 6) AS weight
+        |FROM g, tot""".stripMargin,
+
+    // top bigram share: same tokenization, consecutive-pair grams,
+    // (cnt desc, gram) rank
+    "q_top_bigram_share" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS gram
+        |  FROM tk, UNNEST(range(1, len(a))) AS u(i)
+        |  WHERE len(a) >= 2),
+        |c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM g GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS tot,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, gram) AS rk
+        |  FROM c)
+        |SELECT doc_id, tot AS n_ngrams, gram AS top_gram,
+        |  cnt AS top_count,
+        |  ROUND(cnt / CAST(tot AS DOUBLE), 6) AS top_share
+        |FROM r WHERE rk = 1""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

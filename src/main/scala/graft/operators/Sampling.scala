@@ -375,4 +375,32 @@ object Sampling {
         col("__msame") === col(gainCol).cast("double"))
       .drop("__pg", "__pc", "__mprev", "__msame")
   }
+
+  /** Temperature-smoothed domain-mixture reweighting (the DoReMi /
+    * multilingual-sampling α=0.5 recipe): per group, the natural token
+    * share `p = t/T` and the smoothed target share
+    * `q = √t / Σ_g √t_g` (α = 0.5, so `t^α` is an exact `sqrt`), plus
+    * the per-group sampling weight `q/p` — upweight the tail, damp the
+    * head. The Σ√t denominator is a groups-sized sorted-fold (the
+    * kmeans/lloyd exactness recipe), never a shuffle-order float sum.
+    * Output: `(group, n_tokens, natural_share, target_share, weight)`.
+    * Scale shape: one hash aggregate to the groups frame (integral
+    * token sums), one broadcast one-row totals join. */
+  def domainMixture(df: DataFrame, groupCol: String, tokenCol: String)
+      : DataFrame = {
+    val grouped = df
+      .filter(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+    val totals = grouped.agg(sum("__t").as("__tt"),
+      aggregate(sort_array(collect_list(sqrt(col("__t")))), lit(0.0),
+        (acc, x) => acc + x).as("__st"))
+    grouped.crossJoin(broadcast(totals))
+      .withColumn("__p", col("__t") / col("__tt").cast("double"))
+      .withColumn("__q", sqrt(col("__t")) / col("__st"))
+      .select(col("__g").as(groupCol), col("__t").as("n_tokens"),
+        round(col("__p"), 6).as("natural_share"),
+        round(col("__q"), 6).as("target_share"),
+        round(col("__q") / col("__p"), 6).as("weight"))
+  }
 }

@@ -367,6 +367,34 @@ object Similarity {
     * zorderBuckets vs zorderRepartition. */
   def kmeansAssignExact(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    val (base, cents) = lloydExact(emb, idCol, vecCol, k, iters)
+    base.withColumn("cluster", assignExactCol(cents))
+      .select(col("vid").as(idCol), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Sorted-fold squared distance from the cached `v` column to a
+    * centroid literal — the oracle-deterministic distance shared by
+    * the exact Lloyd family. */
+  private def distExactTo(c: Seq[Double]): Column =
+    aggregate(
+      sort_array(zip_with(col("v"), array(c.map(lit): _*),
+        (x, y) => (x - y) * (x - y))),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Argmin cluster index over centroid literals: lexicographic struct
+    * min over (round(dist,4), j) — ties go to the lowest cluster. */
+  private def assignExactCol(cents: IndexedSeq[Seq[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(round(distExactTo(c), 4).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** The deterministic Lloyd loop behind [[kmeansAssignExact]] and
+    * [[silhouetteExact]]: returns the cached `(vid, v)` corpus and the
+    * final centroids (init = k lowest-id vectors; per-round update =
+    * sorted-fold mean rounded 8dp; an emptied cluster keeps its
+    * previous centroid). */
+  private def lloydExact(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, IndexedSeq[Seq[Double]]) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 0, s"iters must be >= 0: $iters")
     val base = TrackedCaches.persist(
@@ -375,19 +403,8 @@ object Similarity {
     var cents: IndexedSeq[Seq[Double]] = base.orderBy("vid").limit(k)
       .collect().map(_.getSeq[Double](1)).toIndexedSeq
     require(cents.length == k, s"fewer than $k vectors in the corpus")
-
-    def distTo(c: Seq[Double]): Column =
-      aggregate(
-        sort_array(zip_with(col("v"), array(c.map(lit): _*),
-          (x, y) => (x - y) * (x - y))),
-        lit(0.0), (acc, t) => acc + t)
-    def assignCol: Column =
-      array_min(array(cents.zipWithIndex.map { case (c, j) =>
-        struct(round(distTo(c), 4).as("d"), lit(j).as("j"))
-      }: _*)).getField("j")
-
     for (_ <- 1 to iters) {
-      val upd = base.withColumn("cl", assignCol)
+      val upd = base.withColumn("cl", assignExactCol(cents))
         .select(col("cl"), posexplode(col("v")))
         .groupBy("cl", "pos")
         .agg(round(
@@ -400,8 +417,44 @@ object Similarity {
         }
       cents = cents.indices.map(j => upd.getOrElse(j, cents(j)))
     }
-    base.withColumn("cluster", assignCol)
-      .select(col("vid").as(idCol), col("cluster").cast("long").as("cluster"))
+    (base, cents)
+  }
+
+  /** Simplified (centroid-based) silhouette per vector over the SAME
+    * deterministic Lloyd clustering as [[kmeansAssignExact]] — the
+    * standard "are my clusters tight and separated" readout at the
+    * only cost that scales (full silhouette is O(n²); the
+    * centroid-distance variant is the accepted large-n form and is
+    * map-only given the k centroid literals). Per vector:
+    * `a` = Euclidean distance to its own centroid, `b` = distance to
+    * the nearest OTHER centroid, silhouette = (b − a)/max(a, b)
+    * (0 when both are 0). Output:
+    * `(id, cluster, a_dist, b_dist, silhouette)` — per-vector rows, so
+    * every value is a deterministic per-row expression (sorted-fold
+    * squared distances rounded 4dp like the assignment, sqrt, ratios
+    * off the ROUNDED 6dp distances — no cross-row float sums
+    * anywhere); cluster means are one trivial aggregate downstream.
+    *
+    * Scale shape: the Lloyd rounds as in [[kmeansAssignExact]], then
+    * ONE map over the corpus with a k-entry sorted distance array in
+    * the plan. */
+  def silhouetteExact(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 clusters: $k")
+    val (base, cents) = lloydExact(emb, idCol, vecCol, k, iters)
+    val darr = array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(round(distExactTo(c), 4).as("d"), lit(j).as("j"))
+    }: _*))
+    val a = round(sqrt(element_at(darr, 1).getField("d")), 6)
+    val b = round(sqrt(element_at(darr, 2).getField("d")), 6)
+    base.select(col("vid").as(idCol),
+        element_at(darr, 1).getField("j").cast("long").as("cluster"),
+        a.as("a_dist"), b.as("b_dist"))
+      .withColumn("silhouette",
+        round(when(greatest(col("a_dist"), col("b_dist")) > 0,
+          (col("b_dist") - col("a_dist")) /
+            greatest(col("a_dist"), col("b_dist")))
+          .otherwise(lit(0.0)), 6))
   }
 
   /** Product-quantization codes: split each vector into `m` contiguous

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -563,5 +564,74 @@ object TextQuality {
           .as("oov_tokens"))
       .withColumn("oov_rate",
         round(col("oov_tokens") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Unicode-script mix per document — the multilingual-corpus triage
+    * (route by script before language-ID; catch mixed-script spam).
+    * Counts characters in EXPLICIT codepoint ranges (Latin letters,
+    * Cyrillic U+0400-04FF, Greek U+0370-03FF, CJK unified U+4E00-9FFF,
+    * Arabic U+0600-06FF, ASCII digits) rather than `\\p{script=}`
+    * classes, so the counts are regex-engine-neutral (Java and RE2
+    * script tables drift; codepoint ranges don't). `dominant` is the
+    * argmax with ties to the order above; 'none' when no class hits.
+    * Map-only, codegen'd. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[Ѐ-ӿ]",
+      "greek" -> "[Ͱ-Ͽ]",
+      "cjk" -> "[一-鿿]",
+      "arabic" -> "[؀-ۿ]",
+      "digit" -> "[0-9]")
+    val counted = classes.foldLeft(
+      df.filter(col(textCol).isNotNull).select(col(idCol),
+        col(textCol).as("__t"), length(col(textCol)).as("n_chars"))) {
+      case (d, (name, pat)) => d.withColumn(s"n_$name",
+        (col("n_chars") - length(regexp_replace(col("__t"), pat, "")))
+          .cast("long"))
+    }
+    val maxc = greatest(classes.map(c => col(s"n_${c._1}")): _*)
+    val dominant = classes.foldLeft(when(maxc === 0, lit("none"))) {
+      case (acc, (name, _)) =>
+        acc.when(col(s"n_$name") === maxc, lit(name))
+    }
+    counted.select(col(idCol) +: col("n_chars").cast("long").as("n_chars") +:
+      classes.map { case (name, _) => col(s"n_$name") } :+
+      dominant.as("dominant"): _*)
+  }
+
+  /** Top word-n-gram share per document — the Gopher-style repetition
+    * signal at n-gram granularity ("one bigram is 40% of the doc" =
+    * templated boilerplate). Tokens are lowercased whitespace splits;
+    * documents with fewer than `n` tokens are dropped (no n-grams).
+    * Output: `(id, n_ngrams, top_gram, top_count, top_share)` — all
+    * ratios integral-numerator, ties on the count break to the
+    * lexicographically smallest gram. Scale shape: one explode + one
+    * (id, gram) hash aggregate + a rank window Spark trims map-side
+    * via WindowGroupLimit. */
+  def topNgramShare(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 10, s"bad n: $n")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = transform(
+      sequence(lit(1), size(col("__toks")) - (n - 1)),
+      i => concat_ws(" ", slice(col("__toks"), i, lit(n))))
+    val exploded = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), filter(toks, t => length(t) > 0).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(grams).as("gram"))
+    val counts = exploded.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("cnt").desc, col("gram"))
+    counts
+      .withColumn("__tot", sum("cnt").over(Window.partitionBy(idCol)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__tot").as("n_ngrams"),
+        col("gram").as("top_gram"), col("cnt").as("top_count"),
+        round(col("cnt") / col("__tot").cast("double"), 6)
+          .as("top_share"))
   }
 }
