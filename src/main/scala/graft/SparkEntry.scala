@@ -3492,6 +3492,52 @@ object SparkEntry {
     "q_top_bigram_share" -> ((s, dir) =>
       operators.TextQuality.topNgramShare(docs(s, dir), "doc_id",
         "text", n = 2)),
+
+    // labeling QA: Krippendorff's alpha over a NATURALLY RAGGED grid
+    // (orders as units, line numbers as raters, return flag as the
+    // value) — the agreement statistic Fleiss refuses ragged input for
+    "q_krippendorff" -> ((s, dir) =>
+      operators.Eval.krippendorffAlpha(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_linenumber", "l_returnflag")),
+
+    // corpus planning: Chao1 vocabulary-richness estimate from the
+    // token frequency spectrum — two nested hash aggs, one exact ratio
+    "q_vocab_richness" -> ((s, dir) =>
+      operators.TextQuality.vocabRichness(docs(s, dir), "text")),
+
+    // feature audit: exact Pearson correlation matrix over
+    // declared-scale numeric columns — ONE decimal(38,0) aggregate,
+    // pairs-sized after
+    "q_corr_matrix" -> ((s, dir) =>
+      operators.Stats.pearsonMatrix(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
+          ("l_discount", 100L), ("l_tax", 100L)))),
+
+    // compliance x web: license mix per registered domain — the
+    // licenseTag and URL families composed; null-domain rows dropped
+    // via the scan-pushable RAW probe (never the derived attribute)
+    "q_license_domain_mix" -> ((s, dir) => {
+      val lic = licDocs(s, dir).select(col("doc_id"),
+        coalesce(operators.Compliance.licenseTag(col("text")),
+          lit("none")).as("license"))
+      val d = operators.Urls.withCanonicalUrl(
+          urlDocs(s, dir).filter(operators.Urls.registeredDomain(
+            operators.Urls.rawRegistrableHost(col("url"))).isNotNull),
+          "url", "__canon")
+        .withColumn("__host", operators.Urls.hostOf(col("__canon")))
+        .withColumn("registered_domain",
+          operators.Urls.registeredDomain(col("__host")))
+        .select("doc_id", "registered_domain")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("registered_domain")
+      d.join(lic, "doc_id")
+        .groupBy("registered_domain", "license")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n") / sum("n").over(w).cast("double"), 6))
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -9757,6 +9803,142 @@ object SparkEntry {
         |  cnt AS top_count,
         |  ROUND(cnt / CAST(tot AS DOUBLE), 6) AS top_share
         |FROM r WHERE rk = 1""".stripMargin,
+
+    // Krippendorff's alpha: integral T_m inner sums grouped by rater
+    // count, sorted-fold outer sum, fully integral A_e
+    "q_krippendorff" ->
+      """WITH cells AS (
+        |  SELECT l_orderkey AS i, l_returnflag AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_returnflag IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pu AS (SELECT i, CAST(SUM(n) AS BIGINT) AS nu FROM cells
+        |       GROUP BY 1 HAVING SUM(n) >= 2),
+        |kept AS (SELECT cells.*, pu.nu FROM cells JOIN pu USING (i)),
+        |tm AS (SELECT nu AS m, CAST(SUM(n * (n - 1)) AS BIGINT) AS t
+        |       FROM kept GROUP BY 1),
+        |om AS (SELECT list_reduce(list_sort(list(t / (m - 1.0))),
+        |    (a, x) -> a + x) AS occ FROM tm),
+        |nc AS (SELECT c, CAST(SUM(n) AS BIGINT) AS ncnt FROM kept
+        |       GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_units,
+        |    CAST(SUM(n) AS BIGINT) AS nn FROM kept),
+        |ae AS (SELECT CAST(SUM(ncnt * (ncnt - 1)) AS BIGINT) AS aen
+        |       FROM nc),
+        |f AS (SELECT n_units, nn,
+        |    occ / CAST(nn AS DOUBLE) AS ao,
+        |    aen / CAST(nn * (nn - 1) AS DOUBLE) AS aev
+        |  FROM tot, om, ae)
+        |SELECT n_units, nn AS n_vals, ROUND(ao, 6) AS a_o,
+        |  ROUND(aev, 6) AS a_e,
+        |  ROUND(CASE WHEN aev < 1.0 THEN (ao - aev) / (1.0 - aev)
+        |    ELSE 1.0 END, 6) AS alpha
+        |FROM f""".stripMargin,
+
+    // Chao1: singleton/doubleton spectrum, one exact ratio
+    "q_vocab_richness" ->
+      """WITH f AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  ROUND(count(*) + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+        |    / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 4)
+        |    AS chao1
+        |FROM f""".stripMargin,
+
+    // Pearson matrix: declared scales, HUGEINT-exact sufficient
+    // statistics, the identical division/sqrt chain
+    "q_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity * 1) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS HUGEINT) AS nh,
+        |    SUM(CAST(qty AS HUGEINT)) AS s1,
+        |    SUM(CAST(price AS HUGEINT)) AS s2,
+        |    SUM(CAST(disc AS HUGEINT)) AS s3,
+        |    SUM(CAST(tax AS HUGEINT)) AS s4,
+        |    SUM(CAST(qty AS HUGEINT) * qty) AS q1,
+        |    SUM(CAST(price AS HUGEINT) * price) AS q2,
+        |    SUM(CAST(disc AS HUGEINT) * disc) AS q3,
+        |    SUM(CAST(tax AS HUGEINT) * tax) AS q4,
+        |    SUM(CAST(qty AS HUGEINT) * price) AS p12,
+        |    SUM(CAST(qty AS HUGEINT) * disc) AS p13,
+        |    SUM(CAST(qty AS HUGEINT) * tax) AS p14,
+        |    SUM(CAST(price AS HUGEINT) * disc) AS p23,
+        |    SUM(CAST(price AS HUGEINT) * tax) AS p24,
+        |    SUM(CAST(disc AS HUGEINT) * tax) AS p34
+        |  FROM b),
+        |p(col_x, col_y, sa, sb, qa, qb, pp) AS (
+        |  SELECT 'l_quantity', 'l_extendedprice', s1, s2, q1, q2, p12
+        |    FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', s1, s3, q1, q3,
+        |    p13 FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', s1, s4, q1, q4, p14
+        |    FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', s2, s3,
+        |    q2, q3, p23 FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', s2, s4, q2, q4,
+        |    p24 FROM a
+        |  UNION ALL SELECT 'l_discount', 'l_tax', s3, s4, q3, q4, p34
+        |    FROM a)
+        |SELECT col_x, col_y, a.n,
+        |  ROUND(CASE WHEN CAST(nh * qa - sa * sa AS DOUBLE) > 0
+        |      AND CAST(nh * qb - sb * sb AS DOUBLE) > 0
+        |    THEN CAST(nh * pp - sa * sb AS DOUBLE)
+        |      / (sqrt(CAST(nh * qa - sa * sa AS DOUBLE))
+        |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
+        |    AS r
+        |FROM p, a""".stripMargin,
+
+    // license x domain: the lic synth joined to the canon chain's
+    // registered domain, integral within-domain shares
+    "q_license_domain_mix" ->
+      s"""WITH $urlCtes,
+        |licd AS (SELECT doc_id, text || CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN ' Licensed under https://creativecommons.org/licenses/by/4.0/ terms.'
+        |    WHEN 1 THEN ' License: https://creativecommons.org/licenses/by-sa/3.0/'
+        |    WHEN 2 THEN ' https://creativecommons.org/licenses/by-nc-nd/2.5/deed.en'
+        |    WHEN 3 THEN ' This work is dedicated to the Public Domain (CC0).'
+        |    ELSE '' END AS text FROM documents),
+        |lx AS (SELECT doc_id, text,
+        |    regexp_extract(text,
+        |      'creativecommons\\.org/licenses/(by(?:-nc)?(?:-sa|-nd)?)/([0-9]\\.[0-9])',
+        |      1) AS kind,
+        |    regexp_extract(text,
+        |      'creativecommons\\.org/licenses/(by(?:-nc)?(?:-sa|-nd)?)/([0-9]\\.[0-9])',
+        |      2) AS ver
+        |  FROM licd),
+        |lt AS (SELECT doc_id,
+        |    coalesce(CASE WHEN kind <> '' THEN 'cc-' || kind || '-' || ver
+        |      WHEN regexp_matches(text, 'CC0|[Pp]ublic [Dd]omain')
+        |        THEN 'public-domain' END, 'none') AS license
+        |  FROM lx),
+        |j AS (SELECT d.registered_domain, lt.license
+        |  FROM dom d JOIN lt USING (doc_id)
+        |  WHERE d.registered_domain IS NOT NULL),
+        |c AS (SELECT registered_domain, license,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2)
+        |SELECT registered_domain, license, n,
+        |  ROUND(n / CAST(SUM(n) OVER
+        |    (PARTITION BY registered_domain) AS DOUBLE), 6) AS share
+        |FROM c""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -457,4 +457,56 @@ object Eval {
           (col("__pbar") - col("__pe")) / (lit(1.0) - col("__pe")))
           .otherwise(lit(1.0)), 6).as("kappa"))
   }
+
+  /** Krippendorff's alpha (nominal) over a long `(item, rater,
+    * category)` frame — the agreement statistic that HANDLES the
+    * ragged grids [[fleissKappa]] refuses: units may have any number
+    * of raters; units with fewer than 2 are unpairable and dropped
+    * (the statistic's own convention).
+    *
+    * Exactness restructuring: the observed-agreement coincidence mass
+    * `Σ_u Σ_c n_uc(n_uc−1)/(n_u−1)` is grouped BY the rater count m,
+    * so the inner sums `T_m = Σ_{u:n_u=m} Σ_c n_uc(n_uc−1)` are
+    * INTEGRAL hash aggregates and only the tiny distinct-m outer sum
+    * touches floats — folded in sorted order (the lloyd recipe).
+    * Expected agreement is fully integral: `A_e = Σ_c n_c(n_c−1) /
+    * (n(n−1))` with `n_c = Σ_u n_uc`, `n = Σ_u n_u`. alpha =
+    * (A_o − A_e)/(1 − A_e). Output one row:
+    * `(n_units, n_vals, a_o, a_e, alpha)`.
+    * Two hash aggregates + a distinct-m-sized fold. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      raterCol: String, catCol: String): DataFrame = {
+    val cells = TrackedCaches.persist(
+      df.filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+          col(catCol).isNotNull)
+        .groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+        .agg(count(lit(1)).as("__n")))
+    val perUnit = cells.groupBy("__i").agg(sum("__n").as("__nu"))
+      .filter(col("__nu") >= 2)
+    val kept = TrackedCaches.persist(
+      cells.join(perUnit, Seq("__i")))
+    // integral inner sums per distinct rater count m
+    val tm = kept.groupBy(col("__nu").as("__m"))
+      .agg(sum(col("__n") * (col("__n") - 1)).as("__t"))
+    val oMass = tm.agg(
+      aggregate(sort_array(collect_list(
+          col("__t") / (col("__m") - lit(1)).cast("double"))),
+        lit(0.0), (acc, x) => acc + x).as("__occ"))
+    val nc = kept.groupBy("__c").agg(sum("__n").as("__ncnt"))
+    val totals = kept.agg(
+        countDistinct("__i").as("n_units"), sum("__n").as("__nn"))
+      .crossJoin(broadcast(nc.agg(
+        sum(col("__ncnt") * (col("__ncnt") - 1)).as("__aen"))))
+      .crossJoin(broadcast(oMass))
+    totals
+      .withColumn("__ao", col("__occ") / col("__nn").cast("double"))
+      .withColumn("__ae", col("__aen") /
+        (col("__nn") * (col("__nn") - 1)).cast("double"))
+      .select(col("n_units"), col("__nn").as("n_vals"),
+        round(col("__ao"), 6).as("a_o"),
+        round(col("__ae"), 6).as("a_e"),
+        round(when(col("__ae") < 1.0,
+          (col("__ao") - col("__ae")) / (lit(1.0) - col("__ae")))
+          .otherwise(lit(1.0)), 6).as("alpha"))
+  }
 }

@@ -1114,4 +1114,53 @@ object Stats {
       coalesce(when(ok && pp > 0 && pp < 1,
         abs(z) > 1.959964), lit(false)).as("significant"))
   }
+
+  /** Exact Pearson correlation matrix over DECLARED-SCALE numeric
+    * columns — the feature-audit pass before any modeling on tabular
+    * data. The caller declares an integer scale per column (a
+    * 2-decimal money column scales by 100); each value is rounded to
+    * that grid and all five sufficient statistics (n, Σx, Σx², Σxy)
+    * accumulate in decimal(38,0)-exact integer space (factors cast to
+    * decimal(19,0), products promoted — the concentrationIndex
+    * recipe), so `r = (nΣxy − ΣxΣy)/√(nΣx²−(Σx)²)√(nΣy²−(Σy)²)` is a
+    * handful of exact divisions, bit-identical on any engine. Rows
+    * with ANY null among the declared columns are dropped (complete
+    * cases — the contract that keeps every pair on the same n).
+    * Output one row per unordered pair (declaration order):
+    * `(col_x, col_y, n, r)`; zero-variance columns yield null r.
+    * ONE corpus aggregate; everything after is pairs-sized. */
+  def pearsonMatrix(df: DataFrame, cols: Seq[(String, Long)])
+      : DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"need 2-16 columns: ${cols.size}")
+    require(cols.forall(_._2 >= 1), "scales must be >= 1")
+    val names = cols.map(_._1)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val nonNull = names.map(c => col(c).isNotNull).reduce(_ && _)
+    val scaled = cols.map { case (c, s) =>
+      round(col(c) * s, 0).cast("decimal(19,0)").as(s"__$c") }
+    val base = df.filter(nonNull).select(scaled: _*)
+    val aggs =
+      names.map(c => sum(col(s"__$c").cast("decimal(38,0)"))
+        .as(s"__s_$c")) ++
+      names.map(c => sum(col(s"__$c") * col(s"__$c")).as(s"__q_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(col(s"__$a") * col(s"__$b")).as(s"__p_${a}_$b") }
+    val row = base.agg(count(lit(1)).as("__n"), aggs: _*)
+    val n = col("__n").cast("decimal(20,0)")
+    def dvar(c: String) =
+      (n * col(s"__q_$c") - col(s"__s_$c") * col(s"__s_$c"))
+        .cast("double")
+    val pairStructs = pairs.map { case (a, b) =>
+      val num = (n * col(s"__p_${a}_$b") -
+        col(s"__s_$a") * col(s"__s_$b")).cast("double")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("__n").as("n"),
+        round(when(dvar(a) > 0 && dvar(b) > 0,
+          num / (sqrt(dvar(a)) * sqrt(dvar(b)))), 6).as("r"))
+    }
+    row.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
+  }
 }

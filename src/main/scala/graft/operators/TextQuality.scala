@@ -634,4 +634,27 @@ object TextQuality {
         round(col("cnt") / col("__tot").cast("double"), 6)
           .as("top_share"))
   }
+
+  /** Chao1 species-richness estimate of the corpus vocabulary — "how
+    * many distinct tokens does the POPULATION hold, given this
+    * sample?" (Chao 1984, the bias-corrected form): `V + F1(F1−1) /
+    * (2(F2+1))` where F1/F2 are the singleton/doubleton counts of the
+    * token frequency spectrum — the de-dup / coverage planner's
+    * "how much new vocabulary is left out there" number next to
+    * Heaps' law. All inputs are integral (V, F1, F2, N from two
+    * nested hash aggregates), the estimate is one exact ratio.
+    * Output one row: `(n_tokens, vocab, f1, f2, chao1)`. */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    val freqs = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    freqs.agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("vocab") + col("f1") * (col("f1") - 1) /
+          (lit(2.0) * (col("f2") + 1)), 4).as("chao1"))
+  }
 }
