@@ -3515,6 +3515,37 @@ object SparkEntry {
         Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
           ("l_discount", 100L), ("l_tax", 100L)))),
 
+    // survival A/B: two-group log-rank test over the same lifetimes
+    // as q_kaplan_meier, arms by user parity — duration-cardinality
+    // windows + sorted-fold E/V accumulations
+    "q_logrank" -> ((s, dir) => {
+      val day = floor(unix_timestamp(col("ts")) / 86400).cast("long")
+      val conv = col("event_type") === "purchase" && col("value") >= 99
+      val life = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(day).as("d0"),
+          min(when(conv, day)).as("dp"),
+          max(day).as("dl"))
+        .select(
+          when(col("dp").isNotNull, col("dp") - col("d0"))
+            .otherwise(col("dl") - col("d0")).as("dur"),
+          col("dp").isNotNull.as("observed"),
+          when(col("user_id") % 2 === 0, "arm0").otherwise("arm1")
+            .as("arm"))
+      operators.Survival.logRank(life, "dur", "observed", "arm")
+    }),
+
+    // clustering eval: Adjusted Rand Index of the deterministic Lloyd
+    // clusters against gold labels — integral pair-count sums in
+    // decimal(38,0), two hash aggs
+    "q_ari" -> ((s, dir) => {
+      val cl = Similarity.kmeansAssignExact(emb(s, dir), "vec_id",
+        "embedding", k = 4, iters = 3)
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      operators.Eval.adjustedRandIndex(cl.join(lab, "vec_id"),
+        "cluster", "label")
+    }),
+
     // compliance x web: license mix per registered domain — the
     // licenseTag and URL families composed; null-domain rows dropped
     // via the scan-pushable RAW probe (never the derived attribute)
@@ -9905,6 +9936,98 @@ object SparkEntry {
         |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
         |    AS r
         |FROM p, a""".stripMargin,
+
+    // log-rank: same lifetime derivation as q_kaplan_meier plus the
+    // parity arm; integral at-risk prefix windows over the
+    // duration frame, sorted-fold E/V, identical z chain
+    "q_logrank" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d0,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value >= 99
+        |      THEN CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+        |      END) AS dp,
+        |    MAX(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS dl
+        |  FROM events GROUP BY 1),
+        |life AS (
+        |  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0
+        |      ELSE dl - d0 END AS t,
+        |    dp IS NOT NULL AS obs,
+        |    CASE WHEN user_id % 2 = 0 THEN 'arm0' ELSE 'arm1' END AS g
+        |  FROM u),
+        |byt AS (SELECT t,
+        |    CAST(SUM(CASE WHEN obs AND g = 'arm0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ea,
+        |    CAST(SUM(CASE WHEN NOT obs AND g = 'arm0' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN obs AND g = 'arm1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS eb,
+        |    CAST(SUM(CASE WHEN NOT obs AND g = 'arm1' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS cb
+        |  FROM life GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(SUM(ea + ca) OVER () AS BIGINT) AS na0,
+        |    CAST(SUM(eb + cb) OVER () AS BIGINT) AS nb0,
+        |    CAST(SUM(ea + ca) OVER () - coalesce(SUM(ea + ca) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |      PRECEDING), 0) AS BIGINT) AS na,
+        |    CAST(SUM(eb + cb) OVER () - coalesce(SUM(eb + cb) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |      PRECEDING), 0) AS BIGINT) AS nb
+        |  FROM byt),
+        |d AS (SELECT *, ea + eb AS dd, na + nb AS n FROM r
+        |      WHERE ea + eb > 0),
+        |terms AS (SELECT ea, na0, nb0,
+        |    dd * na / CAST(n AS DOUBLE) AS e1,
+        |    CASE WHEN n > 1 THEN dd * (na / CAST(n AS DOUBLE)) *
+        |      (nb / CAST(n AS DOUBLE)) *
+        |      ((n - dd) / CAST(n - 1 AS DOUBLE)) ELSE 0.0 END AS v
+        |  FROM d),
+        |agg AS (SELECT MAX(na0) AS n_a, MAX(nb0) AS n_b,
+        |    CAST(SUM(ea) AS BIGINT) AS o_a,
+        |    list_reduce(list_sort(list(e1)), (a, x) -> a + x) AS eaa,
+        |    list_reduce(list_sort(list(v)), (a, x) -> a + x) AS vv
+        |  FROM terms)
+        |SELECT 'arm0' AS group_a, 'arm1' AS group_b, n_a, n_b, o_a,
+        |  ROUND(eaa, 6) AS e_a,
+        |  ROUND(CASE WHEN vv > 0 THEN ((o_a - eaa) / sqrt(vv)) *
+        |    ((o_a - eaa) / sqrt(vv)) END, 6) AS chi2,
+        |  ROUND(CASE WHEN vv > 0 THEN (o_a - eaa) / sqrt(vv) END, 6)
+        |    AS z
+        |FROM agg""".stripMargin,
+
+    // ARI: the Lloyd replay's contingency vs gold labels, HUGEINT 2x
+    // pair-count sums, the identical halved-double division chain
+    "q_ari" ->
+      s"""WITH $kmeansOracleCtes,
+         |ct AS (SELECT afin.j AS p, emb2.label AS g,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM afin JOIN embeddings emb2 USING (vec_id)
+         |  GROUP BY 1, 2),
+         |si AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS i2 FROM ct),
+         |pa AS (SELECT p, CAST(SUM(n) AS BIGINT) AS a FROM ct
+         |       GROUP BY 1),
+         |sa AS (SELECT SUM(CAST(a AS HUGEINT) * (a - 1)) AS a2
+         |       FROM pa),
+         |gb AS (SELECT g, CAST(SUM(n) AS BIGINT) AS b FROM ct
+         |       GROUP BY 1),
+         |sb AS (SELECT SUM(CAST(b AS HUGEINT) * (b - 1)) AS b2
+         |       FROM gb),
+         |f AS (SELECT nn, i2, a2, b2,
+         |    (CAST(a2 AS DOUBLE) / 2.0) * (CAST(b2 AS DOUBLE) / 2.0)
+         |      / (CAST(CAST(nn AS HUGEINT) * (nn - 1) AS DOUBLE)
+         |        / 2.0) AS ex,
+         |    ((CAST(a2 AS DOUBLE) / 2.0) + (CAST(b2 AS DOUBLE) / 2.0))
+         |      / 2.0 AS mx
+         |  FROM si, sa, sb)
+         |SELECT nn AS n, CAST(i2 // 2 AS BIGINT) AS sum_comb,
+         |  CAST(a2 // 2 AS BIGINT) AS sum_comb_pred,
+         |  CAST(b2 // 2 AS BIGINT) AS sum_comb_gold,
+         |  ROUND(CASE WHEN mx = ex THEN 0.0
+         |    ELSE (CAST(i2 AS DOUBLE) / 2.0 - ex) / (mx - ex) END, 6)
+         |    AS ari
+         |FROM f""".stripMargin,
 
     // license x domain: the lic synth joined to the canon chain's
     // registered domain, integral within-domain shares

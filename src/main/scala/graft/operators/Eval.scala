@@ -509,4 +509,52 @@ object Eval {
           (col("__ao") - col("__ae")) / (lit(1.0) - col("__ae")))
           .otherwise(lit(1.0)), 6).as("alpha"))
   }
+
+  /** Adjusted Rand Index between a predicted clustering and gold
+    * labels (Hubert & Arabie 1985) — THE chance-corrected clustering
+    * score next to [[Profile]]-side purity/entropy. From the
+    * contingency table: `index = Σ_ij C(n_ij,2)`,
+    * `expected = Σ_i C(a_i,2)·Σ_j C(b_j,2)/C(n,2)`,
+    * `max = (Σ_i C(a_i,2) + Σ_j C(b_j,2))/2`;
+    * `ARI = (index − expected)/(max − expected)`. Every Σ is an
+    * INTEGRAL hash-aggregate sum in decimal(38,0) (pair counts square
+    * the corpus size — long overflows at ~4.3e9 rows); only the final
+    * expected/ARI divisions touch doubles, in a fixed operation
+    * order. Degenerate partitions (max == expected: everything in one
+    * cluster on both sides, or all singletons) yield ARI 0 by the
+    * sklearn convention — distinguishable from a real 0 only there.
+    * Output one row: `(n, sum_comb, sum_comb_pred, sum_comb_gold,
+    * ari)`. Two hash aggregates; contingency-sized after. */
+  def adjustedRandIndex(df: DataFrame, predCol: String,
+      goldCol: String): DataFrame = {
+    val cells = TrackedCaches.persist(
+      df.filter(col(predCol).isNotNull && col(goldCol).isNotNull)
+        .groupBy(col(predCol).as("__p"), col(goldCol).as("__g"))
+        .agg(count(lit(1)).as("__n")))
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(19,0)")
+    // 2x the C(c,2) falling product — sums stay pure integer products
+    // (no decimal/HUGEINT division mid-stream); halve in doubles only
+    val comb2x = (c: org.apache.spark.sql.Column) => dec(c) * dec(c - 1)
+    val sumIdx = cells.agg(sum(col("__n")).as("__nn"),
+      sum(comb2x(col("__n"))).as("__i2"))
+    val sa = cells.groupBy("__p").agg(sum("__n").as("__a"))
+      .agg(sum(comb2x(col("__a"))).as("__a2"))
+    val sb = cells.groupBy("__g").agg(sum("__n").as("__b"))
+      .agg(sum(comb2x(col("__b"))).as("__b2"))
+    val half = (c: org.apache.spark.sql.Column) =>
+      c.cast("double") / 2.0
+    sumIdx.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("__exp", half(col("__a2")) * half(col("__b2")) /
+        half(comb2x(col("__nn"))))
+      .withColumn("__max", (half(col("__a2")) + half(col("__b2")))
+        / 2.0)
+      .select(col("__nn").cast("long").as("n"),
+        (col("__i2") / 2).cast("long").as("sum_comb"),
+        (col("__a2") / 2).cast("long").as("sum_comb_pred"),
+        (col("__b2") / 2).cast("long").as("sum_comb_gold"),
+        round(when(col("__max") === col("__exp"), lit(0.0))
+          .otherwise((half(col("__i2")) - col("__exp")) /
+            (col("__max") - col("__exp"))), 6).as("ari"))
+  }
 }

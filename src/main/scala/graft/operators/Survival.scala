@@ -92,4 +92,82 @@ object Survival {
         "cum_hazard")
       .orderBy("t")
   }
+
+  /** Two-group log-rank test — "is arm A's survival curve different
+    * from arm B's", the significance readout on top of
+    * [[kaplanMeier]] for churn/retention A/Bs. Requires EXACTLY two
+    * distinct groups (refuses otherwise, naming what it saw).
+    *
+    * At each duration with at least one event: `E_a += d·n_a/n`,
+    * `V += d·(n_a/n)·(n_b/n)·(n−d)/(n−1)`, `O_a += d_a`;
+    * `z = (O_a−E_a)/√V`, `chi2 = z²` (1 df). Exactness: the at-risk
+    * and death counts are integral prefix sums over the
+    * duration-cardinality frame ([[MaxDistinctDurations]] enforced
+    * like KM); the E and V accumulations are sorted folds over the
+    * per-time terms, never shuffle-order float sums. Output one row:
+    * `(group_a, group_b, n_a, n_b, o_a, e_a, chi2, z)` with groups in
+    * lexicographic order. */
+  def logRank(units: DataFrame, durationCol: String,
+      observedCol: String, groupCol: String): DataFrame = {
+    val base = units
+      .select(col(durationCol).cast("long").as("t"),
+        col(observedCol).cast("boolean").as("obs"),
+        col(groupCol).cast("string").as("g"))
+      .filter(col("t").isNotNull && col("obs").isNotNull &&
+        col("g").isNotNull)
+    val groups = base.select("g").distinct().limit(3).collect()
+      .map(_.getString(0)).sorted
+    require(groups.length == 2,
+      s"logRank needs exactly 2 groups; saw ${groups.length} " +
+        s"(${groups.mkString(", ")}${if (groups.length == 3) ", ..." else ""})")
+    val Array(ga, gb) = groups
+    val byT = TrackedCaches.persist(base.groupBy("t")
+      .agg(sum(when(col("obs") && col("g") === ga, 1L).otherwise(0L))
+          .as("ea"),
+        sum(when(!col("obs") && col("g") === ga, 1L).otherwise(0L))
+          .as("ca"),
+        sum(when(col("obs") && col("g") === gb, 1L).otherwise(0L))
+          .as("eb"),
+        sum(when(!col("obs") && col("g") === gb, 1L).otherwise(0L))
+          .as("cb")))
+    val k = byT.count()
+    require(k <= MaxDistinctDurations,
+      s"logRank: $k distinct durations exceeds " +
+        s"MaxDistinctDurations=$MaxDistinctDurations — bucket " +
+        "durations upstream (days, not micros) before calling")
+    val ord = Window.orderBy("t")
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val risked = byT
+      .withColumn("__na0", sum(col("ea") + col("ca")).over(all))
+      .withColumn("__nb0", sum(col("eb") + col("cb")).over(all))
+      .withColumn("na", col("__na0") -
+        coalesce(sum(col("ea") + col("ca")).over(prior), lit(0L)))
+      .withColumn("nb", col("__nb0") -
+        coalesce(sum(col("eb") + col("cb")).over(prior), lit(0L)))
+      .withColumn("d", col("ea") + col("eb"))
+      .withColumn("n", col("na") + col("nb"))
+      .filter(col("d") > 0)
+    val terms = risked.select(col("ea"),
+      (col("d") * col("na") / col("n").cast("double")).as("__e1"),
+      when(col("n") > 1,
+        col("d") * (col("na") / col("n").cast("double")) *
+          (col("nb") / col("n").cast("double")) *
+          ((col("n") - col("d")) / (col("n") - 1).cast("double")))
+        .otherwise(lit(0.0)).as("__v"),
+      col("__na0"), col("__nb0"))
+    val agg = terms.agg(
+      max("__na0").as("n_a"), max("__nb0").as("n_b"),
+      sum("ea").as("o_a"),
+      aggregate(sort_array(collect_list(col("__e1"))), lit(0.0),
+        (acc, x) => acc + x).as("__ea"),
+      aggregate(sort_array(collect_list(col("__v"))), lit(0.0),
+        (acc, x) => acc + x).as("__vv"))
+    val z = (col("o_a") - col("__ea")) / sqrt(col("__vv"))
+    agg.select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+      col("n_a"), col("n_b"), col("o_a"),
+      round(col("__ea"), 6).as("e_a"),
+      round(when(col("__vv") > 0, z * z), 6).as("chi2"),
+      round(when(col("__vv") > 0, z), 6).as("z"))
+  }
 }
