@@ -3515,6 +3515,42 @@ object SparkEntry {
         Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
           ("l_discount", 100L), ("l_tax", 100L)))),
 
+    // governance: distinct l-diversity per quasi-identifier class —
+    // k-anonymity's stronger sibling, one hash aggregate
+    "q_l_diversity" -> ((s, dir) =>
+      operators.Privacy.lDiversity(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            (col("o_custkey") % 100).as("cust_bucket"),
+            (col("o_orderkey") % 7).as("sens")),
+        Seq("o_orderstatus", "o_orderpriority", "cust_bucket"),
+        "sens", l = 3L)),
+
+    // eval: Brier score on the same integral-score frame as
+    // q_calibration — pure integer squared-error sum, one division
+    "q_brier" -> ((s, dir) =>
+      operators.Eval.brierScore(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        "n_chars", maxRaw = 2000L, "is_en")),
+
+    // eval: SQuAD-style token-overlap F1 between overlapping
+    // deterministic text spans (multiset intersection; empty-span
+    // conventions exercised by the %17/%23 blanks)
+    "q_span_f1" -> ((s, dir) =>
+      operators.Eval.spanTokenF1(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, "")
+            .otherwise(substring(col("text"), 1, 60)).as("pred"),
+          when(col("doc_id") % 23 === 0, "")
+            .otherwise(substring(col("text"), 21, 60)).as("gold")),
+        "doc_id", "pred", "gold")),
+
+    // embeddings QA: per-vector cosine to its label centroid —
+    // sorted-fold centroids, index-ordered per-row folds
+    "q_label_cohesion" -> ((s, dir) =>
+      Similarity.labelCohesion(emb(s, dir), "vec_id", "embedding",
+        "label")),
+
     // survival A/B: two-group log-rank test over the same lifetimes
     // as q_kaplan_meier, arms by user parity — duration-cardinality
     // windows + sorted-fold E/V accumulations
@@ -9936,6 +9972,109 @@ object SparkEntry {
         |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
         |    AS r
         |FROM p, a""".stripMargin,
+
+    // l-diversity: count + exact distinct per quasi class
+    "q_l_diversity" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  o_custkey % 100 AS cust_bucket,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT o_orderkey % 7) AS BIGINT)
+        |    AS n_sensitive,
+        |  count(DISTINCT o_orderkey % 7) < 3 AS at_risk
+        |FROM orders
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Brier: integer squared-error sum over the calibration frame
+    "q_brier" ->
+      """WITH b AS (
+        |  SELECT greatest(least(CAST(n_chars AS BIGINT), 2000), 0)
+        |      AS raw,
+        |    (lang = 'en') AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  ROUND(SUM((raw - CASE WHEN y THEN 2000 ELSE 0 END)
+        |      * (raw - CASE WHEN y THEN 2000 ELSE 0 END))
+        |    / CAST(count(*) * 4000000 AS DOUBLE), 6) AS brier
+        |FROM b""".stripMargin,
+
+    // span F1: multiset token intersection via per-(id, token) counts
+    // + a full join; SQuAD empty conventions
+    "q_span_f1" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN ''
+        |      ELSE substr(text, 1, 60) END AS pred,
+        |    CASE WHEN doc_id % 23 = 0 THEN ''
+        |      ELSE substr(text, 21, 60) END AS gold
+        |  FROM documents),
+        |cp AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cp
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(pred, ''))),
+        |      '\s+'), x -> length(x) > 0)) AS tok FROM sp)
+        |  GROUP BY 1, 2),
+        |cg AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cg
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(trim(coalesce(gold, ''))),
+        |      '\s+'), x -> length(x) > 0)) AS tok FROM sp)
+        |  GROUP BY 1, 2),
+        |j AS (SELECT coalesce(cp.doc_id, cg.doc_id) AS doc_id,
+        |    CAST(SUM(coalesce(cp, 0)) AS BIGINT) AS n_pred,
+        |    CAST(SUM(coalesce(cg, 0)) AS BIGINT) AS n_gold,
+        |    CAST(SUM(least(coalesce(cp, 0), coalesce(cg, 0)))
+        |      AS BIGINT) AS n_overlap
+        |  FROM cp FULL JOIN cg ON cp.doc_id = cg.doc_id
+        |    AND cp.tok = cg.tok
+        |  GROUP BY 1),
+        |f AS (SELECT sp.doc_id,
+        |    coalesce(n_pred, 0) AS n_pred,
+        |    coalesce(n_gold, 0) AS n_gold,
+        |    coalesce(n_overlap, 0) AS n_overlap
+        |  FROM (SELECT DISTINCT doc_id FROM sp) sp
+        |  LEFT JOIN j USING (doc_id))
+        |SELECT doc_id, n_pred, n_gold, n_overlap,
+        |  ROUND(CASE WHEN n_pred > 0
+        |    THEN n_overlap / CAST(n_pred AS DOUBLE) ELSE 0.0 END, 6)
+        |    AS "precision",
+        |  ROUND(CASE WHEN n_gold > 0
+        |    THEN n_overlap / CAST(n_gold AS DOUBLE) ELSE 0.0 END, 6)
+        |    AS recall,
+        |  ROUND(CASE WHEN n_pred = 0 AND n_gold = 0 THEN 1.0
+        |    WHEN n_overlap = 0 THEN 0.0
+        |    ELSE 2.0 * (n_overlap / CAST(n_pred AS DOUBLE))
+        |      * (n_overlap / CAST(n_gold AS DOUBLE))
+        |      / (n_overlap / CAST(n_pred AS DOUBLE)
+        |        + n_overlap / CAST(n_gold AS DOUBLE)) END, 6) AS f1
+        |FROM f""".stripMargin,
+
+    // label cohesion: per-(label, dim) sorted-fold means rounded 8dp
+    // (the lloyd update), then index-ordered per-row cosine folds
+    "q_label_cohesion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |m AS (SELECT label, d,
+        |    ROUND(list_reduce(list_sort(list(v[d])), (a, t) -> a + t)
+        |      / count(*), 8) AS m
+        |  FROM e, UNNEST(range(1, 65)) AS u(d)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY d) AS c FROM m
+        |      GROUP BY 1),
+        |x AS (SELECT e.vec_id, e.label,
+        |    list_reduce([e.v[d] * c.c[d] for d in range(1, 65)],
+        |      (a, t) -> a + t) AS dot,
+        |    list_reduce([e.v[d] * e.v[d] for d in range(1, 65)],
+        |      (a, t) -> a + t) AS qv,
+        |    list_reduce([c.c[d] * c.c[d] for d in range(1, 65)],
+        |      (a, t) -> a + t) AS qc
+        |  FROM e JOIN c USING (label))
+        |SELECT vec_id, label,
+        |  ROUND(CASE WHEN qv > 0 AND qc > 0
+        |    THEN dot / (sqrt(qv) * sqrt(qc)) ELSE 0.0 END, 6)
+        |    AS cos_centroid
+        |FROM x""".stripMargin,
 
     // log-rank: same lifetime derivation as q_kaplan_meier plus the
     // parity arm; integral at-risk prefix windows over the

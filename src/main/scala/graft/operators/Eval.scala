@@ -557,4 +557,75 @@ object Eval {
           .otherwise((half(col("__i2")) - col("__exp")) /
             (col("__max") - col("__exp"))), 6).as("ari"))
   }
+
+  /** Brier score of an INTEGRAL raw score against a boolean label —
+    * [[calibrationBins]]'s single-number sibling (mean squared error
+    * of the implied probability). Computed as
+    * `Σ(raw − y·maxRaw)² / (n·maxRaw²)`: the numerator is a pure
+    * integer hash-aggregate sum (the raw-score contract again — no
+    * float probabilities in shuffle order), one exact division at the
+    * end. Output one row: `(n, n_pos, brier)`. */
+  def brierScore(df: DataFrame, rawCol: String, maxRaw: Long,
+      labelCol: String): DataFrame = {
+    require(maxRaw >= 1, s"bad maxRaw: $maxRaw")
+    val capped = greatest(least(col(rawCol).cast("long"),
+      lit(maxRaw)), lit(0L))
+    val err = capped - when(col(labelCol), maxRaw).otherwise(0L)
+    df.filter(col(rawCol).isNotNull && col(labelCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(err * err).as("__se"))
+      .select(col("n"), col("n_pos"),
+        round(col("__se") /
+          (col("n") * lit(maxRaw * maxRaw)).cast("double"), 6)
+          .as("brier"))
+  }
+
+  /** SQuAD-style token-overlap F1 per example between a predicted and
+    * a gold text span. Tokens are lowercased whitespace splits;
+    * overlap is the MULTISET intersection (Σ min(count_pred,
+    * count_gold) per token — the convention that makes repeating a
+    * gold token not farm precision). Both-empty pairs score 1, one-
+    * empty pairs 0 (the SQuAD null-answer convention). All ratios are
+    * integral-numerator — oracle-exact.
+    *
+    * Scale shape: two explode → (id, token) hash aggregates, ONE
+    * equi-join on (id, token) (co-partitioned by the same key), then
+    * an id-keyed aggregate. Nothing is ever per-row quadratic in
+    * tokens. Output:
+    * `(id, n_pred, n_gold, n_overlap, precision, recall, f1)`. */
+  def spanTokenF1(df: DataFrame, idCol: String, predCol: String,
+      goldCol: String): DataFrame = {
+    def counts(c: String, out: String) = df
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(coalesce(col(c), lit("")))), "\\s+"))
+          .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("__id", "tok").agg(count(lit(1)).as(out))
+    val joined = counts(predCol, "cp")
+      .join(counts(goldCol, "cg"), Seq("__id", "tok"), "full")
+      .groupBy("__id")
+      .agg(sum(coalesce(col("cp"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("cg"), lit(0L))).as("n_gold"),
+        sum(least(coalesce(col("cp"), lit(0L)),
+          coalesce(col("cg"), lit(0L)))).as("n_overlap"))
+    // token-less examples never reach the counts frames: restore them
+    // from the base ids so the both-empty convention can fire
+    val base = df.select(col(idCol).as("__id")).distinct()
+    val full = base.join(joined, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    val p = col("n_overlap") / col("n_pred").cast("double")
+    val r = col("n_overlap") / col("n_gold").cast("double")
+    full.select(col("__id").as(idCol), col("n_pred"), col("n_gold"),
+      col("n_overlap"),
+      round(when(col("n_pred") > 0, p).otherwise(0.0), 6)
+        .as("precision"),
+      round(when(col("n_gold") > 0, r).otherwise(0.0), 6).as("recall"),
+      round(when(col("n_pred") === 0 && col("n_gold") === 0, 1.0)
+        .when(col("n_overlap") === 0, 0.0)
+        .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
 }

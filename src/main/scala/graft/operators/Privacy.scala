@@ -80,4 +80,21 @@ object Privacy {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /** Distinct l-diversity per quasi-identifier class ([[kAnonymity]]'s
+    * stronger sibling): a k-anonymous class is still re-identifiable
+    * when everyone in it shares the sensitive value — l-diversity
+    * additionally requires at least `l` DISTINCT sensitive values per
+    * class. One hash aggregate (count + exact distinct on the class
+    * key); all-integral output. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long = 3L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, s"bad l: $l")
+    df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
 }

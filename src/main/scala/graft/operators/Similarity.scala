@@ -438,6 +438,47 @@ object Similarity {
     * Scale shape: the Lloyd rounds as in [[kmeansAssignExact]], then
     * ONE map over the corpus with a k-entry sorted distance array in
     * the plan. */
+  /** Per-vector cosine to its LABEL's centroid — the intra-class
+    * cohesion readout ("are my labels embedding-coherent?") run before
+    * trusting labels for supervised filtering. Centroids are per-
+    * (label, dim) means computed with the [[kmeansAssignExact]] update
+    * discipline (sorted-fold sums, rounded 8dp — engine-replayable);
+    * the per-row cosine folds the dims in INDEX order, identical on
+    * any engine, rounded 6dp. Output: `(id, label, cos_centroid)` —
+    * per-vector rows, no cross-row float sums; class means are a
+    * trivial downstream aggregate.
+    *
+    * Scale shape: one posexplode + (label, dim) aggregate (labels ×
+    * dims rows), one broadcast join back, one map. */
+  def labelCohesion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val base = emb
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cents = base
+      .select(col("lbl"), posexplode(col("v")))
+      .groupBy("lbl", "pos")
+      .agg(round(
+        aggregate(sort_array(collect_list(col("col"))), lit(0.0),
+          (acc, t) => acc + t) / count(lit(1)), 8).as("m"))
+      .groupBy("lbl")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("__pm"))
+      .select(col("lbl"),
+        transform(col("__pm"), p => p.getField("m")).as("c"))
+    val dot = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t)
+    val qv = aggregate(transform(col("v"), x => x * x), lit(0.0),
+      (acc, t) => acc + t)
+    val qc = aggregate(transform(col("c"), x => x * x), lit(0.0),
+      (acc, t) => acc + t)
+    base.join(broadcast(cents), Seq("lbl"))
+      .select(col("vid").as(idCol), col("lbl").as(labelCol),
+        round(when(qv > 0 && qc > 0, dot / (sqrt(qv) * sqrt(qc)))
+          .otherwise(lit(0.0)), 6).as("cos_centroid"))
+  }
+
   def silhouetteExact(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 2, s"silhouette needs k >= 2 clusters: $k")
