@@ -3515,6 +3515,34 @@ object SparkEntry {
         Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
           ("l_discount", 100L), ("l_tax", 100L)))),
 
+    // SFT QA: chat-transcript structure over a planted role:content
+    // format — explode to lines, conv-keyed adjacency window, one agg
+    "q_chat_turns" -> ((s, dir) => {
+      val seg = (i: Int) =>
+        trim(substring(col("text"), 1 + i * 25, 25))
+      val convo = docs(s, dir).select(col("doc_id"),
+        concat(lit("user: "), seg(0), lit("\n"),
+          when(col("doc_id") % 7 === 0, "user: ")
+            .otherwise("assistant: "), seg(1), lit("\n"),
+          when(col("doc_id") % 11 === 0, "no role here\n")
+            .otherwise(""),
+          lit("user: "), seg(2), lit("\n"),
+          lit("assistant: "), seg(3)).as("text"))
+      operators.TextQuality.chatTurnStats(convo, "doc_id", "text")
+    }),
+
+    // crawl QA: markup lint (HTML tags / md headers / URLs / code
+    // fences) over planted artifacts — map-only regexp counts
+    "q_markup_lint" -> ((s, dir) => {
+      val m = (col("doc_id") % 3).cast("int")
+      val lint = docs(s, dir).select(col("doc_id"),
+        when(m === 0, concat(lit("# Title\n"), col("text"),
+          lit(" see https://ex.com/a and <div class=\"x\">hi</div>")))
+          .when(m === 1, concat(col("text"), lit("\n```\ncode\n```")))
+          .otherwise(col("text")).as("text"))
+      operators.TextQuality.markupLint(lint, "doc_id", "text")
+    }),
+
     // governance: distinct l-diversity per quasi-identifier class —
     // k-anonymity's stronger sibling, one hash aggregate
     "q_l_diversity" -> ((s, dir) =>
@@ -9972,6 +10000,83 @@ object SparkEntry {
         |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
         |    AS r
         |FROM p, a""".stripMargin,
+
+    // chat turns: same planted transcript, line explode + lag window
+    "q_chat_turns" ->
+      """WITH convo AS (
+        |  SELECT doc_id,
+        |    'user: ' || trim(substr(text, 1, 25)) || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'user: '
+        |      ELSE 'assistant: ' END || trim(substr(text, 26, 25)) ||
+        |    chr(10) ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'no role here' || chr(10)
+        |      ELSE '' END ||
+        |    'user: ' || trim(substr(text, 51, 25)) || chr(10) ||
+        |    'assistant: ' || trim(substr(text, 76, 25)) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+        |       FROM convo),
+        |lines AS (SELECT doc_id, i AS ln, l[i] AS line
+        |  FROM ls, UNNEST(range(1, len(l) + 1)) AS u(i)
+        |  WHERE length(trim(l[i])) > 0),
+        |p AS (SELECT doc_id, ln,
+        |    regexp_extract(line, '^(user|assistant|system):', 1)
+        |      AS role,
+        |    regexp_replace(line, '^(user|assistant|system):\s*', '')
+        |      AS content
+        |  FROM lines),
+        |q AS (SELECT *, lag(role) OVER
+        |    (PARTITION BY doc_id ORDER BY ln) AS prev_role FROM p),
+        |a AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN role = '' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bad_lines,
+        |    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_user,
+        |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_assistant,
+        |    CAST(SUM(CASE WHEN role <> '' AND role = prev_role
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_alternation_violations,
+        |    CAST(SUM(CASE WHEN role <> ''
+        |        AND length(trim(content)) > 0
+        |      THEN len(string_split_regex(trim(content), '\s+'))
+        |      ELSE 0 END) AS BIGINT) AS toks
+        |  FROM q GROUP BY 1)
+        |SELECT doc_id, n_lines, n_bad_lines, n_user, n_assistant,
+        |  n_alternation_violations,
+        |  n_lines - n_bad_lines AS n_turns,
+        |  ROUND(CASE WHEN n_lines - n_bad_lines > 0
+        |    THEN toks / CAST(n_lines - n_bad_lines AS DOUBLE) END, 4)
+        |    AS mean_turn_tokens
+        |FROM a""".stripMargin,
+
+    // markup lint: identical regexes, len(regexp_extract_all) counts
+    "q_markup_lint" ->
+      """WITH lint AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN '# Title' || chr(10) || text ||
+        |      ' see https://ex.com/a and <div class="x">hi</div>'
+        |    WHEN 1 THEN text || chr(10) || '```' || chr(10) ||
+        |      'code' || chr(10) || '```'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '<[a-zA-Z][^>]*>'))
+        |    AS BIGINT) AS n_html_tags,
+        |  CAST(len(regexp_extract_all(text, '(^|\n)#{1,6} '))
+        |    AS BIGINT) AS n_md_headers,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
+        |    AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '```')) AS BIGINT)
+        |    AS n_code_fences,
+        |  ROUND(CASE WHEN length(text) > 0 THEN
+        |    (len(regexp_extract_all(text, '<[a-zA-Z][^>]*>'))
+        |      + len(regexp_extract_all(text, '(^|\n)#{1,6} '))
+        |      + len(regexp_extract_all(text, '```'))) * 1000.0
+        |      / length(text) ELSE 0.0 END, 4) AS markup_rate
+        |FROM lint""".stripMargin,
 
     // l-diversity: count + exact distinct per quasi class
     "q_l_diversity" ->

@@ -657,4 +657,73 @@ object TextQuality {
         round(col("vocab") + col("f1") * (col("f1") - 1) /
           (lit(2.0) * (col("f2") + 1)), 4).as("chao1"))
   }
+
+  /** Chat-transcript structure QA for SFT corpora — per conversation
+    * in a `role: content` line format: turn counts per role, lines
+    * that parse as NO role (`n_bad_lines`), consecutive same-role
+    * turns (`n_alternation_violations` — the double-user artifact
+    * that poisons turn-taking), and the integral mean tokens per
+    * turn. Roles are `user|assistant|system`, ASCII-lowercase at line
+    * start. Scale shape: one explode to lines, one conversation-keyed
+    * window for adjacency (WindowGroupLimit-free but line-bounded),
+    * one conv aggregate — every output integral or an exact ratio. */
+  def chatTurnStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("ln", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("role", regexp_extract(col("line"),
+        "^(user|assistant|system):", 1))
+      .withColumn("content", regexp_replace(col("line"),
+        "^(user|assistant|system):\\s*", ""))
+    val w = Window.partitionBy(idCol).orderBy("ln")
+    lines
+      .withColumn("prev_role", lag("role", 1).over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("role") === "", 1L).otherwise(0L))
+          .as("n_bad_lines"),
+        sum(when(col("role") === "user", 1L).otherwise(0L))
+          .as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"),
+        sum(when(col("role") =!= "" &&
+          col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_alternation_violations"),
+        sum(when(col("role") =!= "" &&
+            length(trim(col("content"))) > 0,
+          size(split(trim(col("content")), "\\s+"))).otherwise(0L))
+          .cast("long").as("__toks"))
+      .withColumn("n_turns", col("n_lines") - col("n_bad_lines"))
+      .withColumn("mean_turn_tokens",
+        round(when(col("n_turns") > 0,
+          col("__toks") / col("n_turns").cast("double")), 4))
+      .drop("__toks")
+  }
+
+  /** Markup lint per document — the crawl-artifact audit (HTML tags,
+    * markdown headers, inline URLs, code fences) that routes docs to
+    * the right cleaning pass. Pure codegen'd regexp counts, map-only;
+    * `markup_rate` = markup hits per 1000 chars, an exact ratio off
+    * integral counts. */
+  def markupLint(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        length(t).cast("long").as("n_chars"),
+        regexp_count(t, lit("<[a-zA-Z][^>]*>")).cast("long")
+          .as("n_html_tags"),
+        regexp_count(t, lit("(^|\n)#{1,6} ")).cast("long")
+          .as("n_md_headers"),
+        regexp_count(t, lit("https?://[^\\s]+")).cast("long")
+          .as("n_urls"),
+        regexp_count(t, lit("```")).cast("long").as("n_code_fences"))
+      .withColumn("markup_rate",
+        round(when(col("n_chars") > 0,
+          (col("n_html_tags") + col("n_md_headers") +
+            col("n_code_fences")) * lit(1000.0) / col("n_chars"))
+          .otherwise(0.0), 4))
+  }
 }
