@@ -3515,6 +3515,31 @@ object SparkEntry {
         Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
           ("l_discount", 100L), ("l_tax", 100L)))),
 
+    // experimentation: Welch's t-test on event value (cents scale) by
+    // user-parity arm — decimal(38,0) sufficient stats per group
+    "q_welch_ttest" -> ((s, dir) =>
+      operators.Stats.welchTTest(
+        events(s, dir).select(col("value"),
+          when(col("user_id") % 2 === 0, "arm0").otherwise("arm1")
+            .as("arm")),
+        "value", scale = 100L, "arm")),
+
+    // experimentation: CUPED variance reduction — per-user pre/post
+    // cent sums (integral), pooled theta, per-arm adjusted means
+    "q_cuped" -> ((s, dir) => {
+      val day = floor(unix_timestamp(col("ts")) / 86400).cast("long")
+      val cents = round(col("value") * 100, 0).cast("long")
+      val users = events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"),
+          when(col("user_id") % 2 === 0, "arm0").otherwise("arm1")
+            .as("arm"))
+        .agg(sum(when(day % 28 < 14, cents).otherwise(0L)).as("pre"),
+          sum(when(day % 28 >= 14, cents).otherwise(0L)).as("post"))
+      operators.Stats.cupedAdjust(users, "pre", "post", scale = 1L,
+        "arm")
+    }),
+
     // SFT QA: chat-transcript structure over a planted role:content
     // format — explode to lines, conv-keyed adjacency window, one agg
     "q_chat_turns" -> ((s, dir) => {
@@ -10000,6 +10025,82 @@ object SparkEntry {
         |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
         |    AS r
         |FROM p, a""".stripMargin,
+
+    // Welch t-test: HUGEINT sufficient stats, the identical
+    // exact-rational variance and fixed-order t/df chain
+    "q_welch_ttest" ->
+      """WITH b AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN user_id % 2 = 0 THEN 'arm0' ELSE 'arm1' END AS g
+        |  FROM events WHERE value IS NOT NULL),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    SUM(CAST(v AS HUGEINT)) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM b WHERE g = 'arm0'),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    SUM(CAST(v AS HUGEINT)) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM b WHERE g = 'arm1'),
+        |f AS (SELECT n_a, n_b,
+        |    CAST(sa.s AS DOUBLE) / CAST(n_a * 100 AS DOUBLE) AS ma,
+        |    CAST(sb.s AS DOUBLE) / CAST(n_b * 100 AS DOUBLE) AS mb,
+        |    (CAST(CAST(n_a AS HUGEINT) * sa.q - sa.s * sa.s AS DOUBLE)
+        |      / CAST(n_a * (n_a - 1) AS DOUBLE)) / CAST(n_a AS DOUBLE)
+        |      AS se2a,
+        |    (CAST(CAST(n_b AS HUGEINT) * sb.q - sb.s * sb.s AS DOUBLE)
+        |      / CAST(n_b * (n_b - 1) AS DOUBLE)) / CAST(n_b AS DOUBLE)
+        |      AS se2b,
+        |    CAST(sa.s AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sb.s AS DOUBLE) / CAST(n_b AS DOUBLE) AS num
+        |  FROM sa, sb)
+        |SELECT 'arm0' AS group_a, 'arm1' AS group_b, n_a, n_b,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND(CASE WHEN n_a > 1 AND n_b > 1 AND se2a + se2b > 0
+        |    THEN num / sqrt(se2a + se2b) END, 6) AS t,
+        |  ROUND(CASE WHEN n_a > 1 AND n_b > 1 AND se2a + se2b > 0
+        |    THEN (se2a + se2b) * (se2a + se2b)
+        |      / (se2a * se2a / CAST(n_a - 1 AS DOUBLE)
+        |        + se2b * se2b / CAST(n_b - 1 AS DOUBLE)) END, 4) AS df
+        |FROM f""".stripMargin,
+
+    // CUPED: per-user integral cent sums, pooled theta, the same
+    // adjusted-mean chain
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'arm0' ELSE 'arm1' END
+        |      AS arm,
+        |    CAST(SUM(CASE WHEN CAST(floor(floor(epoch(ts)) / 86400)
+        |        AS BIGINT) % 28 < 14
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS pre,
+        |    CAST(SUM(CASE WHEN CAST(floor(floor(epoch(ts)) / 86400)
+        |        AS BIGINT) % 28 >= 14
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS post
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |pool AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    SUM(CAST(pre AS HUGEINT)) AS sx,
+        |    SUM(CAST(post AS HUGEINT)) AS sy,
+        |    SUM(CAST(pre AS HUGEINT) * pre) AS qx,
+        |    SUM(CAST(pre AS HUGEINT) * post) AS pxy
+        |  FROM u),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(pre AS HUGEINT)) AS gx,
+        |    SUM(CAST(post AS HUGEINT)) AS gy
+        |  FROM u GROUP BY 1),
+        |f AS (SELECT arm, n,
+        |    CAST(CAST(nn AS HUGEINT) * pxy - sx * sy AS DOUBLE)
+        |      / CAST(CAST(nn AS HUGEINT) * qx - sx * sx AS DOUBLE)
+        |      AS theta,
+        |    CAST(gx AS DOUBLE) / CAST(n * 1 AS DOUBLE) AS mpre,
+        |    CAST(gy AS DOUBLE) / CAST(n * 1 AS DOUBLE) AS mpost,
+        |    CAST(sx AS DOUBLE) / CAST(nn * 1 AS DOUBLE) AS mpreall
+        |  FROM g, pool)
+        |SELECT arm, n, ROUND(mpost, 6) AS mean_post,
+        |  ROUND(mpre, 6) AS mean_pre, ROUND(theta, 6) AS theta,
+        |  ROUND(mpost - theta * (mpre - mpreall), 6) AS mean_adj
+        |FROM f""".stripMargin,
 
     // chat turns: same planted transcript, line explode + lag window
     "q_chat_turns" ->

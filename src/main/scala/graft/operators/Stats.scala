@@ -1163,4 +1163,108 @@ object Stats {
     }
     row.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
   }
+
+  /** Welch's unequal-variance t-test on a DECLARED-SCALE metric
+    * between exactly two groups — the default A/B readout on means
+    * (money metrics are 2-decimal: scale 100). Sufficient statistics
+    * (n, Σv, Σv²) accumulate in decimal(38,0) integer space per
+    * group; the sample variance is the exact-rational form
+    * `(nΣv² − (Σv)²)/(n(n−1))` and the t statistic and
+    * Welch–Satterthwaite df are a fixed-order double chain off those
+    * integers — oracle-exact. Groups are lexicographically ordered;
+    * refuses anything but exactly 2 (the [[Survival.logRank]]
+    * contract). Output one row: `(group_a, group_b, n_a, n_b,
+    * mean_a, mean_b, t, df)` with means in NATURAL units. */
+  def welchTTest(df: DataFrame, valueCol: String, scale: Long,
+      groupCol: String): DataFrame = {
+    require(scale >= 1, s"bad scale: $scale")
+    val base = TrackedCaches.persist(df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(round(col(valueCol) * scale, 0).cast("decimal(19,0)")
+        .as("__v"), col(groupCol).cast("string").as("__g")))
+    val groups = base.select("__g").distinct().limit(3).collect()
+      .map(_.getString(0)).sorted
+    require(groups.length == 2,
+      s"welchTTest needs exactly 2 groups; saw ${groups.length} " +
+        s"(${groups.mkString(", ")}${if (groups.length == 3) ", ..." else ""})")
+    val Array(ga, gb) = groups
+    def side(g: String, sfx: String) = base.filter(col("__g") === g)
+      .agg(count(lit(1)).as(s"n_$sfx"),
+        sum(col("__v").cast("decimal(38,0)")).as(s"__s$sfx"),
+        sum(col("__v") * col("__v")).as(s"__q$sfx"))
+    val agg = side(ga, "a").crossJoin(broadcast(side(gb, "b")))
+    def nd(c: String) = col(c).cast("decimal(20,0)")
+    def vhat(sfx: String) =
+      (nd(s"n_$sfx") * col(s"__q$sfx") -
+        col(s"__s$sfx") * col(s"__s$sfx")).cast("double") /
+        (col(s"n_$sfx") * (col(s"n_$sfx") - 1)).cast("double")
+    def mean(sfx: String) =
+      col(s"__s$sfx").cast("double") /
+        (col(s"n_$sfx") * scale).cast("double")
+    val se2a = vhat("a") / col("n_a").cast("double")
+    val se2b = vhat("b") / col("n_b").cast("double")
+    // t and df are in SCALED units for the variance terms; t is
+    // scale-invariant (numerator and denominator both carry 1/scale)
+    val tStat = (col("__sa").cast("double") / col("n_a").cast("double")
+      - col("__sb").cast("double") / col("n_b").cast("double")) /
+      sqrt(se2a + se2b)
+    val dfW = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (col("n_a") - 1).cast("double") +
+        se2b * se2b / (col("n_b") - 1).cast("double"))
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    agg.select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+      col("n_a"), col("n_b"),
+      round(mean("a"), 6).as("mean_a"),
+      round(mean("b"), 6).as("mean_b"),
+      round(when(ok && se2a + se2b > 0, tStat), 6).as("t"),
+      round(when(ok && se2a + se2b > 0, dfW), 4).as("df"))
+  }
+
+  /** CUPED variance-reduction adjustment (Deng et al. 2013) — adjust
+    * each arm's post-period mean by its pre-period imbalance:
+    * `θ = cov(pre, post)/var(pre)` pooled over all units, per arm
+    * `mean_adj = mean(post) − θ·(mean(pre) − mean(pre_all))`. All
+    * sufficient statistics accumulate in decimal(38,0) integer space
+    * at the declared scale; θ and the adjusted means are fixed-order
+    * double chains — oracle-exact. Output one row per group:
+    * `(group, n, mean_post, mean_pre, theta, mean_adj)` in natural
+    * units. One pass for the pooled stats + one grouped aggregate. */
+  def cupedAdjust(df: DataFrame, preCol: String, postCol: String,
+      scale: Long, groupCol: String): DataFrame = {
+    require(scale >= 1, s"bad scale: $scale")
+    val base = TrackedCaches.persist(df
+      .filter(col(preCol).isNotNull && col(postCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(round(col(preCol) * scale, 0).cast("decimal(19,0)")
+          .as("__x"),
+        round(col(postCol) * scale, 0).cast("decimal(19,0)").as("__y"),
+        col(groupCol).cast("string").as("__g")))
+    val pooled = base.agg(count(lit(1)).as("__nn"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__qx"),
+      sum(col("__x") * col("__y")).as("__pxy"))
+    val nd = col("__nn").cast("decimal(20,0)")
+    val theta = (nd * col("__pxy") - col("__sx") * col("__sy"))
+      .cast("double") /
+      (nd * col("__qx") - col("__sx") * col("__sx")).cast("double")
+    val perG = base.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__gx"),
+        sum(col("__y").cast("decimal(38,0)")).as("__gy"))
+    perG.crossJoin(broadcast(pooled))
+      .withColumn("__theta", theta)
+      .withColumn("__mpre",
+        col("__gx").cast("double") / (col("n") * scale).cast("double"))
+      .withColumn("__mpost",
+        col("__gy").cast("double") / (col("n") * scale).cast("double"))
+      .withColumn("__mpreAll", col("__sx").cast("double") /
+        (col("__nn") * scale).cast("double"))
+      .select(col(groupCol), col("n"),
+        round(col("__mpost"), 6).as("mean_post"),
+        round(col("__mpre"), 6).as("mean_pre"),
+        round(col("__theta"), 6).as("theta"),
+        round(col("__mpost") - col("__theta") *
+          (col("__mpre") - col("__mpreAll")), 6).as("mean_adj"))
+  }
 }
