@@ -21,8 +21,10 @@ canary() {
   echo "== canary[$tag] load=$(cut -d' ' -f1-3 /proc/loadavg)"
   SPARK_GRAFT_SF_DIR="$SF" sbt -batch \
     "runMain graft.Bench $CANARY" >/dev/null 2>&1
-  echo "canary[$tag]: $(cat bench_out.json)"
-  cp bench_out.json "bench_canary_${tag}.json"
+  # arg-restricted runs write the PARTIAL file (they must never
+  # clobber the committed full-surface map)
+  echo "canary[$tag]: $(cat bench_out_partial.json)"
+  cp bench_out_partial.json "bench_canary_${tag}.json"
 }
 
 canary open

@@ -179,9 +179,16 @@ object Bench {
     // ALSO persist the complete line to a file the round artifact can
     // point at — the same move that made Verify loss-proof. Repo root
     // (the launch cwd) is the one writable, driver-visible location.
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // Arg-restricted spot runs write a SEPARATE file: bench_out.json
+    // is the full-surface map that oracle_at_scale.py's heavy-set
+    // selection and the close protocol read — a 2-query spot bench
+    // overwriting it silently shrinks the sf0.1 re-verification set
+    // (this happened in round 10; the wave-42 spot map got committed).
+    val outFile =
+      if (args.nonEmpty) "bench_out_partial.json" else "bench_out.json"
+    try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $outFile write failed: ${e.getMessage}")
     }
     // LAST stdout line: the compact summary that actually fits the
     // tail window, so the round artifact's own parse can succeed

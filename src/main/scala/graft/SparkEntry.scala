@@ -9801,11 +9801,12 @@ object SparkEntry {
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
         |    CAST(MAX(ni) AS BIGINT) AS r,
         |    CAST(SUM(sq) AS BIGINT) AS ssq FROM per),
-        |cj AS (SELECT CAST(SUM(nj * nj) AS BIGINT) AS snj2 FROM cats),
+        |cj AS (SELECT SUM(CAST(nj AS HUGEINT) * nj) AS snj2 FROM cats),
         |f AS (SELECT cnt, r,
         |    (ssq - cnt * r) / CAST(cnt * r * (r - 1) AS DOUBLE)
         |      AS pbar,
-        |    snj2 / CAST((cnt * r) * (cnt * r) AS DOUBLE) AS pe
+        |    CAST(snj2 AS DOUBLE) / CAST(CAST(cnt AS HUGEINT) * r
+        |      * cnt * r AS DOUBLE) AS pe
         |  FROM tot, cj)
         |SELECT cnt AS n_items, r AS n_raters,
         |  ROUND(pbar, 6) AS p_bar, ROUND(pe, 6) AS p_e,
@@ -9945,11 +9946,12 @@ object SparkEntry {
         |       GROUP BY 1),
         |tot AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_units,
         |    CAST(SUM(n) AS BIGINT) AS nn FROM kept),
-        |ae AS (SELECT CAST(SUM(ncnt * (ncnt - 1)) AS BIGINT) AS aen
+        |ae AS (SELECT SUM(CAST(ncnt AS HUGEINT) * (ncnt - 1)) AS aen
         |       FROM nc),
         |f AS (SELECT n_units, nn,
         |    occ / CAST(nn AS DOUBLE) AS ao,
-        |    aen / CAST(nn * (nn - 1) AS DOUBLE) AS aev
+        |    CAST(aen AS DOUBLE) / CAST(CAST(nn AS HUGEINT) * (nn - 1)
+        |      AS DOUBLE) AS aev
         |  FROM tot, om, ae)
         |SELECT n_units, nn AS n_vals, ROUND(ao, 6) AS a_o,
         |  ROUND(aev, 6) AS a_e,
@@ -10127,30 +10129,35 @@ object SparkEntry {
         |      AS content
         |  FROM lines),
         |q AS (SELECT *, lag(role) OVER
-        |    (PARTITION BY doc_id ORDER BY ln) AS prev_role FROM p),
-        |a AS (SELECT doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_lines,
-        |    CAST(SUM(CASE WHEN role = '' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_bad_lines,
+        |    (PARTITION BY doc_id ORDER BY ln) AS prev_role
+        |  FROM p WHERE role <> ''),
+        |v AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_turns,
         |    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_user,
         |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_assistant,
-        |    CAST(SUM(CASE WHEN role <> '' AND role = prev_role
-        |      THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_alternation_violations,
-        |    CAST(SUM(CASE WHEN role <> ''
-        |        AND length(trim(content)) > 0
+        |    CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_alternation_violations,
+        |    CAST(SUM(CASE WHEN length(trim(content)) > 0
         |      THEN len(string_split_regex(trim(content), '\s+'))
         |      ELSE 0 END) AS BIGINT) AS toks
-        |  FROM q GROUP BY 1)
-        |SELECT doc_id, n_lines, n_bad_lines, n_user, n_assistant,
-        |  n_alternation_violations,
-        |  n_lines - n_bad_lines AS n_turns,
-        |  ROUND(CASE WHEN n_lines - n_bad_lines > 0
-        |    THEN toks / CAST(n_lines - n_bad_lines AS DOUBLE) END, 4)
+        |  FROM q GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN role = '' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bad_lines
+        |  FROM p GROUP BY 1)
+        |SELECT b.doc_id, n_lines, n_bad_lines,
+        |  coalesce(n_user, 0) AS n_user,
+        |  coalesce(n_assistant, 0) AS n_assistant,
+        |  coalesce(n_alternation_violations, 0)
+        |    AS n_alternation_violations,
+        |  coalesce(n_turns, 0) AS n_turns,
+        |  ROUND(CASE WHEN coalesce(n_turns, 0) > 0
+        |    THEN toks / CAST(n_turns AS DOUBLE) END, 4)
         |    AS mean_turn_tokens
-        |FROM a""".stripMargin,
+        |FROM b LEFT JOIN v USING (doc_id)""".stripMargin,
 
     // markup lint: identical regexes, len(regexp_extract_all) counts
     "q_markup_lint" ->
@@ -10369,7 +10376,7 @@ object SparkEntry {
          |SELECT nn AS n, CAST(i2 // 2 AS BIGINT) AS sum_comb,
          |  CAST(a2 // 2 AS BIGINT) AS sum_comb_pred,
          |  CAST(b2 // 2 AS BIGINT) AS sum_comb_gold,
-         |  ROUND(CASE WHEN mx = ex THEN 0.0
+         |  ROUND(CASE WHEN mx = ex THEN 1.0
          |    ELSE (CAST(i2 AS DOUBLE) / 2.0 - ex) / (mx - ex) END, 6)
          |    AS ari
          |FROM f""".stripMargin,
@@ -10561,10 +10568,11 @@ object SparkEntry {
       |s6p AS (SELECT doc_id, n_chars,
       |    regexp_extract(u, '^([^?]*)', 1) AS base,
       |    regexp_extract(u, '\\?(.*)', 1) AS q,
-      |    regexp_replace(regexp_replace(
-      |      '&' || regexp_extract(u, '\\?(.*)', 1),
-      |      '&(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid)(=[^&]*)?',
-      |      '', 'g'), '^&', '') AS rest
+      |    coalesce(array_to_string(list_filter(
+      |      string_split(regexp_extract(u, '\\?(.*)', 1), '&'),
+      |      p -> NOT regexp_matches(p,
+      |        '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$$')),
+      |      '&'), '') AS rest
       |  FROM s5),
       |s6 AS (SELECT doc_id, n_chars,
       |    base || CASE WHEN q = '' OR rest = '' THEN ''

@@ -143,18 +143,24 @@ object Compliance {
       .withColumn("hit",
         col("rule_path").isNotNull &&
           col("__target").startsWith(col("rule_path")))
-    val perUrl = Window.partitionBy("__id")
+    // ONE hash aggregate finds the longest-match winner (struct max
+    // over (len, is_allow, path)) — a per-url window followed by a
+    // groupBy would reduce the url-x-rules join output twice and add
+    // a sort pass over the largest intermediate frame in the query
     matched
-      .withColumn("best", max(when(col("hit"), struct(
-          length(col("rule_path")).as("len"),
-          (col("rule_dir") === "allow").cast("int").as("is_allow"),
-          col("rule_path").as("p")))).over(perUrl))
       .groupBy(col("__id").as(idCol))
       .agg(first("canonical_url").as("canonical_url"),
         first("registered_domain").as("registered_domain"),
-        first(col("best.p")).as("matched_rule"),
-        first(col("best.is_allow") === 1).as("rule_is_allow"),
-        first(col("best").isNull || col("best.is_allow") === 1)
-          .as("allowed"))
+        max(when(col("hit"), struct(
+          length(col("rule_path")).as("len"),
+          (col("rule_dir") === "allow").cast("int").as("is_allow"),
+          col("rule_path").as("p")))).as("__best"))
+      .select(col(idCol), col("canonical_url"),
+        col("registered_domain"),
+        col("__best").getField("p").as("matched_rule"),
+        when(col("__best").isNotNull,
+          col("__best").getField("is_allow") === 1).as("rule_is_allow"),
+        (col("__best").isNull ||
+          col("__best").getField("is_allow") === 1).as("allowed"))
   }
 }

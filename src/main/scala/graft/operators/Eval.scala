@@ -345,22 +345,38 @@ object Eval {
     * Language Models Trained on Code", eq. 1) per task over
     * `(task, n samples, c correct)` counts:
     * `pass@k = 1 − C(n−c, k)/C(n, k)`. Computed as EXACT integer
-    * falling-factorial products (`Π_{i<k}(n−c−i)` / `Π_{i<k}(n−i)`,
-    * both ≤ 2^53 under the enforced `n ≤ 1000`), folded in
-    * deterministic index order, with ONE final double division — so
-    * the value is bit-identical in any engine, no shuffle-order float
-    * sums anywhere. Tasks with n < k are dropped (the estimator is
-    * undefined there); map-only after the counts frame. */
+    * falling-factorial products (`Π_{i<k}(n−c−i)` / `Π_{i<k}(n−i)`),
+    * folded in deterministic index order, with ONE final double
+    * division — so the value is bit-identical in any engine, no
+    * shuffle-order float sums anywhere. Tasks with n < k are dropped
+    * (the estimator is undefined there).
+    *
+    * Exactness bound, ENFORCED loudly: the products stay exact in a
+    * double only while `n^k ≤ 2^53`, so the per-k sample cap is
+    * `n ≤ 2^(53/k)` (k=5 → 1552; k=10 → 39; k=50 → 2). A task with
+    * more samples than the cap is an error, not a silent drop — the
+    * fix upstream is a fixed sample budget per task (a rank-window
+    * trim), not a bigger float. Map-only after the counts frame plus
+    * the bounded guard probe. */
   def passAtK(df: DataFrame, taskCol: String, nCol: String,
       cCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 1000, s"bad k: $k")
+    require(k >= 1 && k <= 50, s"bad k: $k (the n^k <= 2^53 " +
+      "exactness bound leaves no usable n past k=50)")
+    val nCap: Long = math.pow(2.0, 53.0 / k).toLong
     val n = col(nCol).cast("long")
     val c = col(cCol).cast("long")
+    val over = df.filter(n > nCap).select(col(taskCol), n.as("n"))
+      .limit(3).collect()
+    require(over.isEmpty,
+      s"passAtK(k=$k): ${over.length}+ tasks exceed the n <= $nCap " +
+        s"exactness cap (n^k must stay within 2^53), e.g. " +
+        over.map(r => s"${r.get(0)}:n=${r.get(1)}").mkString(", ") +
+        ". Trim each task to a fixed sample budget upstream " +
+        "(rank-window) before calling.")
     val fall = (top: org.apache.spark.sql.Column) =>
       aggregate(sequence(lit(0L), lit(k - 1L)), lit(1.0),
         (acc, i) => acc * greatest(top - i, lit(0L)).cast("double"))
     df.filter(n.isNotNull && c.isNotNull && n >= k && c >= 0 && c <= n)
-      .filter(n <= 1000) // falling factorials must stay exact in double
       .select(col(taskCol), n.as("n"), c.as("c"),
         round(lit(1.0) - fall(n - c) / fall(n), 6).as(s"pass_at_k"))
   }
@@ -438,18 +454,27 @@ object Eval {
           s"got mixed counts ($witness). Complete the rating grid or " +
           "filter to fully-rated items first.")
     }
+    require(badN.isEmpty || badN.head.getLong(0) >= 2,
+      "fleissKappa needs at least 2 raters per item (agreement of " +
+        "one rater with itself is undefined); got 1")
+    // category totals and the P_e denominator square CORPUS-scale
+    // counts — decimal(38,0), never long (wraps past ~3e9 ratings)
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(19,0)")
     val byCat = cells.groupBy("__c").agg(sum("__n").as("__nj"))
     val tot = perItem.agg(count(lit(1)).as("__cnt"),
         max("__ni").as("__r"), sum("__sq").as("__ssq"))
       .crossJoin(broadcast(
-        byCat.agg(sum(col("__nj") * col("__nj")).as("__snj2"))))
+        byCat.agg(sum(dec(col("__nj")) * dec(col("__nj")))
+          .as("__snj2"))))
     tot.select(col("__cnt").as("n_items"), col("__r").as("n_raters"),
         ((col("__ssq") - col("__cnt") * col("__r")) /
           (col("__cnt") * col("__r") * (col("__r") - 1)).cast("double"))
           .as("__pbar"),
-        (col("__snj2") /
-          ((col("__cnt") * col("__r")) * (col("__cnt") * col("__r")))
-            .cast("double")).as("__pe"))
+        (col("__snj2").cast("double") /
+          (dec(col("__cnt")) * dec(col("__r")) *
+            dec(col("__cnt")) * dec(col("__r"))).cast("double"))
+          .as("__pe"))
       .select(col("n_items"), col("n_raters"),
         round(col("__pbar"), 6).as("p_bar"),
         round(col("__pe"), 6).as("p_e"),
@@ -492,16 +517,20 @@ object Eval {
       aggregate(sort_array(collect_list(
           col("__t") / (col("__m") - lit(1)).cast("double"))),
         lit(0.0), (acc, x) => acc + x).as("__occ"))
+    // category totals are CORPUS-scale — their falling products go
+    // through decimal(38,0), never long (wraps past ~3e9 values)
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(19,0)")
     val nc = kept.groupBy("__c").agg(sum("__n").as("__ncnt"))
     val totals = kept.agg(
         countDistinct("__i").as("n_units"), sum("__n").as("__nn"))
       .crossJoin(broadcast(nc.agg(
-        sum(col("__ncnt") * (col("__ncnt") - 1)).as("__aen"))))
+        sum(dec(col("__ncnt")) * dec(col("__ncnt") - 1)).as("__aen"))))
       .crossJoin(broadcast(oMass))
     totals
       .withColumn("__ao", col("__occ") / col("__nn").cast("double"))
-      .withColumn("__ae", col("__aen") /
-        (col("__nn") * (col("__nn") - 1)).cast("double"))
+      .withColumn("__ae", col("__aen").cast("double") /
+        (dec(col("__nn")) * dec(col("__nn") - 1)).cast("double"))
       .select(col("n_units"), col("__nn").as("n_vals"),
         round(col("__ao"), 6).as("a_o"),
         round(col("__ae"), 6).as("a_e"),
@@ -520,9 +549,10 @@ object Eval {
     * INTEGRAL hash-aggregate sum in decimal(38,0) (pair counts square
     * the corpus size — long overflows at ~4.3e9 rows); only the final
     * expected/ARI divisions touch doubles, in a fixed operation
-    * order. Degenerate partitions (max == expected: everything in one
-    * cluster on both sides, or all singletons) yield ARI 0 by the
-    * sklearn convention — distinguishable from a real 0 only there.
+    * order. Degenerate partitions (max == expected — which happens
+    * exactly when BOTH sides are the same trivial partition: one
+    * cluster each, or all singletons each) are perfect agreement and
+    * yield ARI 1 (the sklearn convention).
     * Output one row: `(n, sum_comb, sum_comb_pred, sum_comb_gold,
     * ari)`. Two hash aggregates; contingency-sized after. */
   def adjustedRandIndex(df: DataFrame, predCol: String,
@@ -553,7 +583,7 @@ object Eval {
         (col("__i2") / 2).cast("long").as("sum_comb"),
         (col("__a2") / 2).cast("long").as("sum_comb_pred"),
         (col("__b2") / 2).cast("long").as("sum_comb_gold"),
-        round(when(col("__max") === col("__exp"), lit(0.0))
+        round(when(col("__max") === col("__exp"), lit(1.0))
           .otherwise((half(col("__i2")) - col("__exp")) /
             (col("__max") - col("__exp"))), 6).as("ari"))
   }

@@ -420,24 +420,6 @@ object Similarity {
     (base, cents)
   }
 
-  /** Simplified (centroid-based) silhouette per vector over the SAME
-    * deterministic Lloyd clustering as [[kmeansAssignExact]] — the
-    * standard "are my clusters tight and separated" readout at the
-    * only cost that scales (full silhouette is O(n²); the
-    * centroid-distance variant is the accepted large-n form and is
-    * map-only given the k centroid literals). Per vector:
-    * `a` = Euclidean distance to its own centroid, `b` = distance to
-    * the nearest OTHER centroid, silhouette = (b − a)/max(a, b)
-    * (0 when both are 0). Output:
-    * `(id, cluster, a_dist, b_dist, silhouette)` — per-vector rows, so
-    * every value is a deterministic per-row expression (sorted-fold
-    * squared distances rounded 4dp like the assignment, sqrt, ratios
-    * off the ROUNDED 6dp distances — no cross-row float sums
-    * anywhere); cluster means are one trivial aggregate downstream.
-    *
-    * Scale shape: the Lloyd rounds as in [[kmeansAssignExact]], then
-    * ONE map over the corpus with a k-entry sorted distance array in
-    * the plan. */
   /** Per-vector cosine to its LABEL's centroid — the intra-class
     * cohesion readout ("are my labels embedding-coherent?") run before
     * trusting labels for supervised filtering. Centroids are per-
@@ -479,6 +461,24 @@ object Similarity {
           .otherwise(lit(0.0)), 6).as("cos_centroid"))
   }
 
+  /** Simplified (centroid-based) silhouette per vector over the SAME
+    * deterministic Lloyd clustering as [[kmeansAssignExact]] — the
+    * standard "are my clusters tight and separated" readout at the
+    * only cost that scales (full silhouette is O(n²); the
+    * centroid-distance variant is the accepted large-n form and is
+    * map-only given the k centroid literals). Per vector:
+    * `a` = Euclidean distance to its own centroid, `b` = distance to
+    * the nearest OTHER centroid, silhouette = (b − a)/max(a, b)
+    * (0 when both are 0). Output:
+    * `(id, cluster, a_dist, b_dist, silhouette)` — per-vector rows, so
+    * every value is a deterministic per-row expression (sorted-fold
+    * squared distances rounded 4dp like the assignment, sqrt, ratios
+    * off the ROUNDED 6dp distances — no cross-row float sums
+    * anywhere); cluster means are one trivial aggregate downstream.
+    *
+    * Scale shape: the Lloyd rounds as in [[kmeansAssignExact]], then
+    * ONE map over the corpus with a k-entry sorted distance array in
+    * the plan. */
   def silhouetteExact(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 2, s"silhouette needs k >= 2 clusters: $k")

@@ -677,29 +677,37 @@ object TextQuality {
         "^(user|assistant|system):", 1))
       .withColumn("content", regexp_replace(col("line"),
         "^(user|assistant|system):\\s*", ""))
+    // adjacency runs over PARSED turns only — a stray role-less line
+    // between two same-role turns must not mask the violation (the
+    // double-user artifact is about turn order, not line order)
     val w = Window.partitionBy(idCol).orderBy("ln")
-    lines
+    val turns = lines.filter(col("role") =!= "")
       .withColumn("prev_role", lag("role", 1).over(w))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("role") === "", 1L).otherwise(0L))
-          .as("n_bad_lines"),
+      .agg(count(lit(1)).as("n_turns"),
         sum(when(col("role") === "user", 1L).otherwise(0L))
           .as("n_user"),
         sum(when(col("role") === "assistant", 1L).otherwise(0L))
           .as("n_assistant"),
-        sum(when(col("role") =!= "" &&
-          col("role") === col("prev_role"), 1L).otherwise(0L))
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
           .as("n_alternation_violations"),
-        sum(when(col("role") =!= "" &&
-            length(trim(col("content"))) > 0,
+        sum(when(length(trim(col("content"))) > 0,
           size(split(trim(col("content")), "\\s+"))).otherwise(0L))
           .cast("long").as("__toks"))
-      .withColumn("n_turns", col("n_lines") - col("n_bad_lines"))
-      .withColumn("mean_turn_tokens",
-        round(when(col("n_turns") > 0,
-          col("__toks") / col("n_turns").cast("double")), 4))
-      .drop("__toks")
+    lines.groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("role") === "", 1L).otherwise(0L))
+          .as("n_bad_lines"))
+      .join(turns, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("n_bad_lines"),
+        coalesce(col("n_user"), lit(0L)).as("n_user"),
+        coalesce(col("n_assistant"), lit(0L)).as("n_assistant"),
+        coalesce(col("n_alternation_violations"), lit(0L))
+          .as("n_alternation_violations"),
+        coalesce(col("n_turns"), lit(0L)).as("n_turns"),
+        round(when(coalesce(col("n_turns"), lit(0L)) > 0,
+          col("__toks") / col("n_turns").cast("double")), 4)
+          .as("mean_turn_tokens"))
   }
 
   /** Markup lint per document — the crawl-artifact audit (HTML tags,

@@ -62,14 +62,15 @@ object Urls {
   }
 
   private def stripTracking(u: Column): Column = {
-    // operate on the query separately with a '&' sentinel so EVERY
-    // param (including the first) is '&'-preceded and one global
-    // regex pass removes any run of tracked params — no iteration
+    // split the query on '&' and drop params whose NAME matches the
+    // tracked set under FULL anchors — a substring regex would also
+    // eat the head of params that merely START with a tracked name
+    // (gclid2, utm_sourcex) and corrupt the query; anchored
+    // name(=value)? filtering is boundary-exact and one pass
     val base = regexp_extract(u, "^([^?]*)", 1)
     val query = regexp_extract(u, "\\?(.*)", 1)
-    val cleaned = regexp_replace(concat(lit("&"), query),
-      s"&($TrackingParamPattern)(=[^&]*)?", "")
-    val rest = regexp_replace(cleaned, "^&", "")
+    val rest = array_join(filter(split(query, "&", -1), p =>
+      !p.rlike(s"^($TrackingParamPattern)(=.*)?$$")), "&")
     concat(base,
       when(length(query) === 0 || length(rest) === 0, lit(""))
         .otherwise(concat(lit("?"), rest)))
@@ -141,9 +142,9 @@ object Urls {
         "^(https?://)www\\.", "$1"))
       .withColumn("__base", regexp_extract(col("__u5"), "^([^?]*)", 1))
       .withColumn("__q", regexp_extract(col("__u5"), "\\?(.*)", 1))
-      .withColumn("__rest", regexp_replace(
-        regexp_replace(concat(lit("&"), col("__q")),
-          s"&($TrackingParamPattern)(=[^&]*)?", ""), "^&", ""))
+      .withColumn("__rest", array_join(
+        filter(split(col("__q"), "&", -1), p =>
+          !p.rlike(s"^($TrackingParamPattern)(=.*)?$$")), "&"))
       .withColumn("__u6", concat(col("__base"),
         when(length(col("__q")) === 0 || length(col("__rest")) === 0,
           lit("")).otherwise(concat(lit("?"), col("__rest")))))

@@ -49,6 +49,17 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
       "https://x.com/p?keep=1&z=2"
   }
 
+  test("canonicalize: a param whose NAME merely starts with a " +
+    "tracked literal is kept intact (full-name boundary)") {
+    canon("https://x.com/p?gclid2=a&q=1") shouldBe
+      "https://x.com/p?gclid2=a&q=1"
+    canon("https://x.com/p?fbclid_x=1&mc_eidx=2&igshid9=3") shouldBe
+      "https://x.com/p?fbclid_x=1&mc_eidx=2&igshid9=3"
+    // ...while the exact names (and utm_* prefixes) still strip
+    canon("https://x.com/p?gclid=a&utm_source2=b&q=1") shouldBe
+      "https://x.com/p?q=1"
+  }
+
   test("canonicalize: punycode hosts are opaque — no IDN decode") {
     canon("http://XN--BCHER-KVA.example/5") shouldBe
       "http://xn--bcher-kva.example/5"

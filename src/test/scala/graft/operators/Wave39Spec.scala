@@ -40,7 +40,7 @@ class Wave39Spec extends AnyFunSuite with Matchers with SparkSpec {
   }
 
   test("adjustedRandIndex: perfect match is 1, the textbook split " +
-    "is 0, degenerate one-cluster is 0") {
+    "is 0, degenerate identical one-cluster partitions are 1") {
     val perfect = Seq((1, "A"), (1, "A"), (2, "B"), (2, "B"))
       .toDF("pred", "gold")
     val p = Eval.adjustedRandIndex(perfect, "pred", "gold")
@@ -52,10 +52,11 @@ class Wave39Spec extends AnyFunSuite with Matchers with SparkSpec {
       .toDF("pred", "gold")
     Eval.adjustedRandIndex(split, "pred", "gold")
       .collect().head.getDouble(4) shouldBe 0.0
-    // everything in one cluster both sides: max == expected -> 0
+    // everything in one cluster both sides: identical trivial
+    // partitions = perfect agreement -> 1 (sklearn convention)
     val degen = Seq((1, "A"), (1, "A"), (1, "A"), (1, "A"))
       .toDF("pred", "gold")
     Eval.adjustedRandIndex(degen, "pred", "gold")
-      .collect().head.getDouble(4) shouldBe 0.0
+      .collect().head.getDouble(4) shouldBe 1.0
   }
 }

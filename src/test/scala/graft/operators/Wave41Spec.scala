@@ -30,6 +30,16 @@ class Wave41Spec extends AnyFunSuite with Matchers with SparkSpec {
     out(4L) shouldBe ((2L, 0L, 1L, 1L, 0L, 2L, 0.5))
   }
 
+  test("chatTurnStats: a role-less line BETWEEN two same-role turns " +
+    "does not mask the alternation violation") {
+    val df = Seq((1L, "user: a\njunk line\nuser: b"))
+      .toDF("id", "text")
+    val r = TextQuality.chatTurnStats(df, "id", "text")
+      .select("n_bad_lines", "n_alternation_violations", "n_turns")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((1L, 1L, 2L))
+  }
+
   test("markupLint: tag/header/url/fence counts and the per-1000 rate") {
     val text = "# H\nhello <b>x</b> see https://a.b/c\n```\ny\n```"
     val out = TextQuality.markupLint(
