@@ -3515,6 +3515,18 @@ object SparkEntry {
         Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
           ("l_discount", 100L), ("l_tax", 100L)))),
 
+    // robust stats: per-type median absolute deviation — two
+    // sharded-rank percentile passes, never a distinct-value buffer
+    "q_mad" -> ((s, dir) =>
+      operators.Profile.madByGroup(events(s, dir), "event_type",
+        "value")),
+
+    // robust stats: 10-90% trimmed mean at cents scale — disc cuts +
+    // integral cent sums
+    "q_trimmed_mean" -> ((s, dir) =>
+      operators.Profile.trimmedMean(events(s, dir), "event_type",
+        "value", scale = 100L)),
+
     // experimentation: Welch's t-test on event value (cents scale) by
     // user-parity arm — decimal(38,0) sufficient stats per group
     "q_welch_ttest" -> ((s, dir) =>
@@ -10027,6 +10039,38 @@ object SparkEntry {
         |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
         |    AS r
         |FROM p, a""".stripMargin,
+
+    // MAD: quantile_disc == percentile_disc (probed convention), two
+    // median passes
+    "q_mad" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT g, quantile_disc(v, 0.5) AS median,
+        |    CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |d AS (SELECT b.g, abs(b.v - m.median) AS dv
+        |      FROM b JOIN m USING (g)),
+        |md AS (SELECT g, quantile_disc(dv, 0.5) AS mad FROM d
+        |       GROUP BY 1)
+        |SELECT m.g AS event_type, n, median, mad
+        |FROM m JOIN md USING (g)""".stripMargin,
+
+    // trimmed mean: disc cuts, integral cent sums, one exact ratio
+    "q_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT g, quantile_disc(v, 0.1) AS lo_cut,
+        |    quantile_disc(v, 0.9) AS hi_cut FROM b GROUP BY 1),
+        |k AS (SELECT b.g, v, lo_cut, hi_cut FROM b JOIN c USING (g)
+        |      WHERE v >= lo_cut AND v <= hi_cut)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |  MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut,
+        |  ROUND(SUM(CAST(round(v * 100) AS BIGINT))
+        |    / CAST(count(*) * 100 AS DOUBLE), 6) AS trimmed_mean
+        |FROM k GROUP BY 1""".stripMargin,
 
     // Welch t-test: HUGEINT sufficient stats, the identical
     // exact-rational variance and fixed-order t/df chain

@@ -752,4 +752,66 @@ object Profile {
           col("orphan_rows") / col("child_rows").cast("double")), 6)
           .as("orphan_rate"))
   }
+
+  /** Median absolute deviation per group — the robust scale estimate
+    * (outlier-immune σ) every monitoring threshold should prefer over
+    * stddev on heavy-tailed metrics. Two [[groupedPercentiles]]
+    * passes (median of v, then median of |v − median|), so the memory
+    * story is the sharded-rank one — never a distinct-value buffer —
+    * and both medians are `percentile_disc`-exact data values.
+    * Output: `(group, n, median, mad)`. */
+  def madByGroup(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val base = TrackedCaches.persist(
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          col(valueCol).cast("double").as("__v")))
+    val med = groupedPercentiles(base, "__g", "__v", Seq(0.5))
+      .select(col("__g"), col("value").as("median"))
+    // the percentile machinery takes several passes over its input —
+    // persist the deviation frame like the base, or each pass replays
+    // the broadcast join
+    val dev = TrackedCaches.persist(
+      base.join(broadcast(med), Seq("__g"))
+        .select(col("__g"), abs(col("__v") - col("median")).as("__d")))
+    val mad = groupedPercentiles(dev, "__g", "__d", Seq(0.5))
+      .select(col("__g"), col("value").as("mad"))
+    base.groupBy("__g").agg(count(lit(1)).as("n"))
+      .join(broadcast(med), Seq("__g"))
+      .join(broadcast(mad), Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("median"),
+        col("mad"))
+  }
+
+  /** Trimmed mean per group at a DECLARED integer scale: values
+    * outside the [loQ, hiQ] `percentile_disc` band are dropped, the
+    * surviving mean is an integral-numerator ratio (cent sums in
+    * longs), so the whole estimate is oracle-exact — the robust
+    * location sibling of [[madByGroup]]'s scale. Output:
+    * `(group, n_kept, lo_cut, hi_cut, trimmed_mean)` in natural
+    * units. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Long, loQ: Double = 0.1, hiQ: Double = 0.9): DataFrame = {
+    require(scale >= 1, s"bad scale: $scale")
+    require(0 < loQ && loQ < hiQ && hiQ < 1, s"bad band [$loQ, $hiQ]")
+    val base = TrackedCaches.persist(
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          col(valueCol).cast("double").as("__v")))
+    val cuts = groupedPercentiles(base, "__g", "__v", Seq(loQ, hiQ))
+      .groupBy("__g")
+      .agg(min(when(col("pct") === loQ, col("value"))).as("lo_cut"),
+        min(when(col("pct") === hiQ, col("value"))).as("hi_cut"))
+    base.join(broadcast(cuts), Seq("__g"))
+      .filter(col("__v") >= col("lo_cut") && col("__v") <= col("hi_cut"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_kept"),
+        min("lo_cut").as("lo_cut"), min("hi_cut").as("hi_cut"),
+        sum(round(col("__v") * scale, 0).cast("long")).as("__cents"))
+      .select(col("__g").as(groupCol), col("n_kept"), col("lo_cut"),
+        col("hi_cut"),
+        round(col("__cents") /
+          (col("n_kept") * scale).cast("double"), 6)
+          .as("trimmed_mean"))
+  }
 }
