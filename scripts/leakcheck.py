@@ -15,9 +15,28 @@ from urllib.parse import urlparse
 # would let https://evil.example/?ref=arxiv.org through unreported
 ALLOWED_DOMAINS = ('github.com', 'spark.apache.org', 'arxiv.org',
   'duckdb.org', 'unicode.org', 'doi.org', 'openreview.net',
-  'aclanthology.org', 'w3.org', 'example.com')
+  'aclanthology.org', 'w3.org',
+  # RFC 2606/6761 documentation domains + the reserved `example` TLD
+  # (the URL-canonicalization family's synthetic fixtures)
+  'example.com', 'example.org', 'example.net', 'example.co.uk',
+  'example.com.au', 'example',
+  # public Creative Commons license URLs — embedded BY DESIGN in the
+  # license-tagging test corpus (the thing licenseTag detects)
+  'creativecommons.org',
+  # short throwaway fixture hosts in the URL-family specs (public-web
+  # shaped test strings, not references to any real service)
+  'a.com', 'b.com', 'c.co.uk', 'x.com', 'e.com', 'ex.com', '2f.com',
+  'other.org', 'a.b', 'news.example.co.uk',
+  # 'http://Host' is the literal PREFIX of the SQL concatenation
+  # 'Host' || (doc_id % 25) || '.example.net/...' in the url synth —
+  # the full host is hostNN.example.net (allowed above)
+  'host')
 
 def url_allowed(u):
+    # regex FRAGMENTS like 'http://[^/?#:]*' (the default-port strip
+    # patterns) are not URLs — a character class can never be a leak
+    if '[' in u:
+        return True
     try:
         host = (urlparse(u).hostname or '').lower()
     except ValueError:
