@@ -3515,6 +3515,34 @@ object SparkEntry {
         Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
           ("l_discount", 100L), ("l_tax", 100L)))),
 
+    // tail analysis: Hill estimator over the top-101 order values —
+    // TakeOrdered + one sorted log fold
+    "q_hill_tail" -> ((s, dir) =>
+      operators.Stats.hillTailIndex(
+        s.read.parquet(s"$dir/orders.parquet"), "o_totalprice",
+        k = 100)),
+
+    // dedup tuning: merge-pair yield per Jaccard threshold bin — the
+    // existing pair machinery at 0.5, binned + descending cumulative
+    "q_dedup_curve" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      pairs.groupBy((floor(col("jaccard") * 20) / 20.0).as("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above", sum("n_pairs").over(w))
+    }),
+
+    // embedding training prep: unigram^0.75 negative-sampling
+    // distribution over the top-500 vocabulary
+    "q_neg_sampling" -> ((s, dir) =>
+      operators.Sampling.negSamplingDist(docs(s, dir), "text",
+        v = 500)),
+
     // robust stats: per-type median absolute deviation — two
     // sharded-rank percentile passes, never a distinct-value buffer
     "q_mad" -> ((s, dir) =>
@@ -10039,6 +10067,54 @@ object SparkEntry {
         |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
         |    AS r
         |FROM p, a""".stripMargin,
+
+    // Hill: top-101 by value (boundary ties are value-ties — the
+    // multiset is engine-identical), sorted log fold
+    "q_hill_tail" ->
+      """WITH t AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |  ORDER BY v DESC LIMIT 101),
+        |a AS (SELECT count(*) AS m, MIN(v) AS xk,
+        |    list_reduce(list_sort(list(ln(v))), (acc, x) -> acc + x)
+        |      AS slog
+        |  FROM t)
+        |SELECT CAST(100 AS BIGINT) AS k, ROUND(xk, 6) AS x_kplus1,
+        |  ROUND((slog - m * ln(xk)) / 100.0, 6) AS hill,
+        |  ROUND(CASE WHEN (slog - m * ln(xk)) / 100.0 > 0
+        |    THEN 1.0 / ((slog - m * ln(xk)) / 100.0) END, 6)
+        |    AS tail_alpha
+        |FROM a WHERE m = 101""".stripMargin,
+
+    // dedup curve: the shared jaccard chain at 0.5, 0.05 bins,
+    // descending cumulative
+    "q_dedup_curve" ->
+      s"""WITH ${jaccardCtes(0.5)},
+        |b AS (SELECT floor(jaccard * 20) / 20.0 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM jac GROUP BY 1)
+        |SELECT bin, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_at_or_above
+        |FROM b""".stripMargin,
+
+    // negative sampling: top-500 vocab by (count desc, token),
+    // c^0.75 shares with a sorted-fold denominator
+    "q_neg_sampling" ->
+      """WITH c AS (
+        |  SELECT tok AS token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> length(x) > 0)) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1),
+        |top AS (SELECT token, c FROM c
+        |        ORDER BY c DESC, token LIMIT 500),
+        |d AS (SELECT list_reduce(list_sort(list(pow(c, 0.75))),
+        |    (acc, x) -> acc + x) AS s FROM top)
+        |SELECT token, c, ROUND(pow(c, 0.75) / s, 6) AS p
+        |FROM top, d""".stripMargin,
 
     // MAD: quantile_disc == percentile_disc (probed convention), two
     // median passes

@@ -386,6 +386,32 @@ object Sampling {
     * Output: `(group, n_tokens, natural_share, target_share, weight)`.
     * Scale shape: one hash aggregate to the groups frame (integral
     * token sums), one broadcast one-row totals join. */
+  /** word2vec-style negative-sampling distribution over the top-`v`
+    * vocabulary: `p(tok) = c^0.75 / Σ c^0.75` (Mikolov et al. 2013 —
+    * the unigram-to-the-3/4 damping that upweights the tail). The
+    * vocabulary is bounded to `v` tokens by (count desc, token asc —
+    * deterministic ties) BEFORE any float math, so the Σ denominator
+    * is a v-sized sorted fold, and driver/oracle memory is v-bounded
+    * at any corpus size. Output: `(token, c, p)`. */
+  def negSamplingDist(df: DataFrame, textCol: String, v: Int)
+      : DataFrame = {
+    require(v >= 1 && v <= 1000000, s"bad v: $v")
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.TextFunctions.tokens(
+        col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    // TakeOrdered (orderBy+limit), never an unpartitioned rank window
+    // — the vocab frame is itself corpus-scale on a 100 TB crawl
+    val top = counts.orderBy(col("c").desc, col("token")).limit(v)
+    val denom = top.agg(
+      aggregate(sort_array(collect_list(pow(col("c"), 0.75))),
+        lit(0.0), (acc, x) => acc + x).as("__s"))
+    top.crossJoin(broadcast(denom))
+      .select(col("token"), col("c"),
+        round(pow(col("c"), 0.75) / col("__s"), 6).as("p"))
+  }
+
   def domainMixture(df: DataFrame, groupCol: String, tokenCol: String)
       : DataFrame = {
     val grouped = df

@@ -1220,6 +1220,34 @@ object Stats {
       round(when(ok && se2a + se2b > 0, dfW), 4).as("df"))
   }
 
+  /** Hill tail-index estimator over the top `k` order statistics —
+    * "how heavy is this distribution's tail" (doc lengths, order
+    * values, degree distributions): `hill = (1/k)·Σ_{i≤k}
+    * ln(x_(i)/x_(k+1))`, `alpha = 1/hill` (smaller alpha = heavier
+    * tail; alpha ≤ 2 means infinite variance). The top k+1 rows ride
+    * a TakeOrdered (never a global sort); boundary ties are value-
+    * ties, so both engines see the same value multiset. The log sum
+    * is a sorted fold over k+1 doubles (x_(k+1)'s own term is
+    * ln(1)=0, so folding all k+1 equals the standard k-term sum).
+    * Output one row: `(k, x_kplus1, hill, tail_alpha)`. */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 10 && k <= 100000, s"bad k: $k")
+    val top = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("double").as("__v"))
+      .orderBy(col("__v").desc).limit(k + 1)
+    val agg = top.agg(count(lit(1)).as("__m"), min("__v").as("__xk"),
+      aggregate(sort_array(collect_list(log(col("__v")))), lit(0.0),
+        (acc, x) => acc + x).as("__slog"))
+    val hill = (col("__slog") - col("__m") * log(col("__xk"))) /
+      lit(k.toDouble)
+    agg.filter(col("__m") === k + 1) // fewer rows: estimator undefined
+      .select(lit(k).cast("long").as("k"),
+        round(col("__xk"), 6).as("x_kplus1"),
+        round(hill, 6).as("hill"),
+        round(when(hill > 0, lit(1.0) / hill), 6).as("tail_alpha"))
+  }
+
   /** CUPED variance-reduction adjustment (Deng et al. 2013) — adjust
     * each arm's post-period mean by its pre-period imbalance:
     * `θ = cov(pre, post)/var(pre)` pooled over all units, per arm
