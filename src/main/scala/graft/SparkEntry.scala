@@ -3515,6 +3515,21 @@ object SparkEntry {
         Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
           ("l_discount", 100L), ("l_tax", 100L)))),
 
+    // abuse detection: inter-event gap regularity per user (low cv of
+    // integral second gaps = automation) — one user-key lag window +
+    // decimal sufficient stats
+    "q_bot_regularity" -> ((s, dir) =>
+      operators.Events.botRegularity(events(s, dir), "user_id", "ts",
+        minEvents = 20, maxCv = 0.1)),
+
+    // dedup tuning: near-dup cluster SIZE distribution — the
+    // q_dup_components closure regrouped twice
+    "q_dup_cluster_sizes" -> ((s, dir) =>
+      componentsFor(s, dir)
+        .groupBy("comp").agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+
     // tail analysis: Hill estimator over the top-101 order values —
     // TakeOrdered + one sorted log fold
     "q_hill_tail" -> ((s, dir) =>
@@ -10067,6 +10082,43 @@ object SparkEntry {
         |        * sqrt(CAST(nh * qb - sb * sb AS DOUBLE))) END, 6)
         |    AS r
         |FROM p, a""".stripMargin,
+
+    // bot regularity: identical lag window, HUGEINT gap stats, the
+    // same exact-rational cv chain
+    "q_bot_regularity" ->
+      """WITH g AS (
+        |  SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) - lag(
+        |      CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY
+        |        CAST(floor(epoch(ts)) AS BIGINT)) AS gp
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(gp AS HUGEINT)) AS sg,
+        |    SUM(CAST(gp AS HUGEINT) * gp) AS qg
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1),
+        |f AS (SELECT user_id, n,
+        |    CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n > 1 AND CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)
+        |        > 0
+        |      THEN sqrt(CAST(CAST(n AS HUGEINT) * qg - sg * sg
+        |          AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+        |        / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) END AS cv
+        |  FROM a)
+        |SELECT user_id, n + 1 AS n_events,
+        |  ROUND(mean, 4) AS mean_gap_s, ROUND(cv, 6) AS cv,
+        |  (n + 1 >= 20) AND (CASE WHEN cv IS NOT NULL THEN cv <= 0.1
+        |    ELSE mean = 0.0 END) AS bot_like
+        |FROM f""".stripMargin,
+
+    // cluster sizes: the shared reachability closure regrouped twice
+    "q_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${componentCtes(0.8)},
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT)
+        |    AS cluster_size FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY 1""".stripMargin,
 
     // Hill: top-101 by value (boundary ties are value-ties — the
     // multiset is engine-identical), sorted log fold

@@ -644,4 +644,50 @@ object Events {
         sum("n_sessions").over(byEntry).cast("double"), 6))
       .orderBy("entry_type", "exit_type")
   }
+
+  /** Bot-regularity heuristic per user: a human's inter-event gaps
+    * are bursty, a cron job's are metronomic — so a LOW coefficient
+    * of variation of the gap series over enough events is the classic
+    * automation smell. Gaps are whole SECONDS (integral), the
+    * sufficient statistics (n, Σg, Σg²) accumulate in decimal(38,0),
+    * and mean/cv are exact-rational doubles — oracle-exact. Flags
+    * `bot_like` when `n_events ≥ minEvents` and `cv ≤ maxCv` (a
+    * zero-variance schedule is cv 0, the strongest signal). One
+    * user-key shuffle (the lag window), one aggregate. Output:
+    * `(user, n_events, mean_gap_s, cv, bot_like)` for users with at
+    * least 2 events. */
+  def botRegularity(df: DataFrame, userCol: String, tsCol: String,
+      minEvents: Int = 20, maxCv: Double = 0.1): DataFrame = {
+    require(minEvents >= 2, s"bad minEvents: $minEvents")
+    require(maxCv > 0, s"bad maxCv: $maxCv")
+    val w = Window.partitionBy(userCol).orderBy(tsCol)
+    val gaps = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        unix_timestamp(col(tsCol)).as("__s"))
+      .withColumn("__g", col("__s") -
+        lag("__s", 1).over(Window.partitionBy("__u").orderBy("__s")))
+      .filter(col("__g").isNotNull)
+    val agg = gaps.groupBy(col("__u").as(userCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__g").cast("decimal(38,0)")).as("__sg"),
+        sum(col("__g").cast("decimal(19,0)") *
+          col("__g").cast("decimal(19,0)")).as("__qg"))
+    val nd = col("__n").cast("decimal(20,0)")
+    val mean = col("__sg").cast("double") / col("__n").cast("double")
+    val vhat = (nd * col("__qg") - col("__sg") * col("__sg"))
+      .cast("double") /
+      (col("__n") * (col("__n") - 1)).cast("double")
+    val cv = when(col("__n") > 1 && mean > 0, sqrt(vhat) / mean)
+    // cv is undefined for a single gap or an all-zero gap series; the
+    // latter (identical timestamps on >= minEvents events) is itself
+    // the strongest automation signal, so it flags directly
+    val metronomic = when(cv.isNotNull, cv <= maxCv)
+      .otherwise(mean === 0.0)
+    agg.select(col(userCol),
+      (col("__n") + 1).as("n_events"),
+      round(mean, 4).as("mean_gap_s"),
+      round(cv, 6).as("cv"),
+      (col("__n") + 1 >= minEvents && metronomic).as("bot_like"))
+  }
 }
