@@ -50,6 +50,18 @@ class Wave36Spec extends AnyFunSuite with Matchers with SparkSpec {
     out.getDouble(3) shouldBe 0.0 // recall@1 misses it
   }
 
+  test("rankingMetrics: an ideally-ordered run scores ndcg 1 and " +
+    "recall 1 at any covering k") {
+    val runs = Seq(("q", "d1", 9.0, 3), ("q", "d2", 8.0, 2),
+      ("q", "d3", 7.0, 1), ("q", "d4", 6.0, 0))
+      .toDF("query", "doc", "score", "rel")
+    val r = Eval.rankingMetrics(runs, "query", "doc", "score", "rel",
+      k = 4).collect().head
+    r.getDouble(2) shouldBe 1.0 // rr
+    r.getDouble(3) shouldBe 1.0 // recall
+    r.getDouble(4) shouldBe 1.0 // ndcg
+  }
+
   test("passAtK: exact falling-factorial estimator; c=0 -> 0, " +
     "n-c<k -> 1, n<k dropped") {
     val df = Seq(("t1", 10, 3), ("t2", 5, 0), ("t3", 5, 1), ("t4", 4, 2))

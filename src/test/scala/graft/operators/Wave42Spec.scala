@@ -28,6 +28,19 @@ class Wave42Spec extends AnyFunSuite with Matchers with SparkSpec {
     r.getDouble(7) shouldBe 1.6842
   }
 
+  test("welchTTest: relabeling the groups flips the sign of t and " +
+    "keeps df (groups are lexicographic, stats symmetric)") {
+    val df = Seq(
+      (1.00, "X"), (2.00, "X"), (3.00, "X"),
+      (2.00, "B"), (4.00, "B")) // B sorts FIRST now
+      .toDF("v", "grp")
+    val r = Stats.welchTTest(df, "v", scale = 100L, "grp")
+      .collect().head
+    r.getString(0) shouldBe "B"
+    r.getDouble(6) shouldBe 0.866025 // sign flipped vs the A/B test
+    r.getDouble(7) shouldBe 1.6842
+  }
+
   test("welchTTest refuses anything but exactly two groups") {
     val three = Seq((1.0, "A"), (1.0, "B"), (1.0, "C"))
       .toDF("v", "grp")
