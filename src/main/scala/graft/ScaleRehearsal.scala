@@ -183,12 +183,33 @@ object ScaleRehearsal {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Zipf-headed domain frame for the token-budget skew rehearsal:
+    * doc_id % 5 < 2 → the ONE hot domain (40% of rows); otherwise a
+    * log-uniform (Zipf s=1) domain index over ~nDocs/10 domains.
+    * tokens in [1, 50] (the >=1 contract), deterministic md5 order
+    * column. Pure column expressions — regenerated per call, so both
+    * rehearsal shapes read identical data. */
+  private def zipfDomainFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def frac(tag: String) =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(tag))),
+        1, 15), 16, 10).cast("double") / lit(1.15292150460684698e18)
+    docs.select(col("doc_id"))
+      .withColumn("domain",
+        when(col("doc_id") % 5 < 2, lit("hot.example"))
+          .otherwise(concat(lit("d"),
+            floor(exp(frac("#z") * log(lit(20000.0)))).cast("long"))))
+      .withColumn("toks", (col("doc_id") % 50 + 1).cast("long"))
+      .withColumn("ord", frac("#o"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -904,6 +925,32 @@ object ScaleRehearsal {
           graft.operators.Graph.modularity(
             docs.select(col("doc_id"), col("source")), pairs,
             "doc_id", "source").count()
+        },
+        // ADVERSARIAL skew case for the token-budget quota (r10
+        // verdict #1): 40% of all rows land on ONE hot domain (a real
+        // crawl's Zipf head), the rest log-uniform over ~nDocs/10
+        // domains. The no-pretrim shape funnels every hot-domain row
+        // through one task's sort+cumsum; the shipped op rank-trims
+        // to `budget` rows per group map-side (WindowGroupLimit)
+        // before the cumsum window. Same output both ways — the
+        // pre-trim is semantics-free under the tokens>=1 contract.
+        timed("token_budget_zipf") {
+          graft.operators.Urls.tokenBudgetPerGroup(
+            zipfDomainFrame(docs), "domain", "toks", "ord", "doc_id",
+            budget = 2000L).count()
+        },
+        timed("token_budget_zipf_nopretrim") {
+          // the PRE-round-11 shape, kept here as the measured
+          // counterfactual: cumsum window straight on the raw frame
+          import org.apache.spark.sql.functions.{col, sum}
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("domain")
+            .orderBy(col("ord").desc, col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)
+          zipfDomainFrame(docs)
+            .withColumn("cum_tokens", sum(col("toks").cast("long")).over(w))
+            .filter(col("cum_tokens") <= 2000L).count()
         }).flatten
       docs.unpersist(); pan.unpersist(); emb.unpersist(); evs.unpersist()
       nm -> ops

@@ -9499,6 +9499,9 @@ object SparkEntry {
         |  FROM dom WHERE registered_domain IS NOT NULL)
         |SELECT doc_id, registered_domain FROM r WHERE rn <= 5""".stripMargin,
 
+    // tokens >= 1 mirrors the operator's token-BEARING contract (what
+    // licenses the WindowGroupLimit rank pre-trim; the pre-trim itself
+    // is semantics-free, so the oracle needs no rank filter)
     "q_domain_token_budget" ->
       s"""WITH $urlCtes,
         |c AS (SELECT doc_id, registered_domain,
@@ -9506,7 +9509,8 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS cum_tokens
-        |  FROM dom WHERE registered_domain IS NOT NULL)
+        |  FROM dom WHERE registered_domain IS NOT NULL
+        |    AND n_chars >= 1)
         |SELECT doc_id, registered_domain, cum_tokens
         |FROM c WHERE cum_tokens <= 3000""".stripMargin,
 

@@ -333,18 +333,43 @@ object Urls {
     * giant document cannot be skipped in favor of later small ones
     * (greedy prefix, not knapsack: deterministic and one window pass).
     * Output adds `cum_tokens`, the running total through the kept
-    * row. One group-key shuffle; rows-bounded running-sum frame. */
+    * row.
+    *
+    * CONTRACT: the quota is over token-BEARING rows — rows whose
+    * `tokenCol` is null or < 1 are dropped up front. That invariant
+    * is what makes the op skew-safe: with every surviving row adding
+    * at least one token, `cum_tokens >= row_number`, so a rank
+    * pre-trim `row_number() <= budget` over the SAME ordering is
+    * semantics-free — and unlike the running-SUM window (which has
+    * no map-side rewrite: every row of a hot Zipf domain would
+    * funnel through one task for the full sort + cumsum), the rank
+    * filter compiles to WindowGroupLimit and trims hot groups
+    * map-side BEFORE the shuffle. The cumsum window then reuses the
+    * same partitioning+ordering (one exchange, one sort) on a frame
+    * whose per-group size is bounded by `budget` rows.
+    *
+    * WindowGroupLimit only fires when the limit literal is within
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000)
+    * — deployments with larger budgets raise the threshold (rank
+    * mode streams a per-group counter over sorted rows; no heap, so
+    * a large threshold costs nothing). Bench/Verify/test sessions
+    * set it to 10,000,000. */
   def tokenBudgetPerGroup(df: DataFrame, groupCol: String,
       tokenCol: String, orderCol: String, idCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
-    val w = org.apache.spark.sql.expressions.Window
+    val tok = col(tokenCol).cast("long")
+    val ord = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(col(orderCol).desc, col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    df.withColumn("cum_tokens",
-        sum(col(tokenCol).cast("long")).over(w))
+    val preTrim = math.min(budget, Int.MaxValue.toLong).toInt
+    val w = ord.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    df.filter(tok >= 1L)
+      .withColumn("__rk", row_number().over(ord))
+      .filter(col("__rk") <= preTrim)
+      .drop("__rk")
+      .withColumn("cum_tokens", sum(tok).over(w))
       .filter(col("cum_tokens") <= budget)
   }
 }

@@ -13,6 +13,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "10000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

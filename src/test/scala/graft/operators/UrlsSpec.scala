@@ -201,6 +201,69 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Set((1L, 50L), (4L, 80L))
   }
 
+  test("tokenBudgetPerGroup: token-BEARING contract — null and " +
+    "sub-1-token rows are dropped, never billed") {
+    val df = Seq(
+      ("g", 1L, Some(50L), 9.0), ("g", 2L, Some(0L), 8.5),
+      ("g", 3L, None, 8.2), ("g", 4L, Some(-7L), 8.1),
+      ("g", 5L, Some(40L), 8.0)).toDF("grp", "id", "toks", "q")
+    val out = Urls.tokenBudgetPerGroup(df, "grp", "toks", "q", "id",
+        budget = 100L)
+      .select("id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids 2/3/4 carry no tokens: dropped up front, and id 5's running
+    // sum (50+40) is unaffected by them
+    out shouldBe Set((1L, 50L), (5L, 90L))
+  }
+
+  test("tokenBudgetPerGroup plan: the rank pre-trim compiles to " +
+    "WindowGroupLimit and both windows share ONE exchange") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // MORE rows than the budget: InferWindowGroupLimit skips the
+      // rewrite when the child's known maxRows <= limit (a
+      // LocalRelation smaller than the budget makes the trim
+      // pointless); parquet scans have unknown maxRows, so production
+      // plans always qualify
+      val df = (1L to 40L).map(i => (s"g${i % 3}", i, 1L + i % 5, i * 0.5))
+        .toDF("grp", "id", "toks", "q")
+      val out = Urls.tokenBudgetPerGroup(df, "grp", "toks", "q", "id",
+        budget = 10L)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"rank pre-trim not pushed to WindowGroupLimit — every row of " +
+          s"a hot Zipf domain would funnel through one cumsum task:\n$plan")
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        s"pre-trim + cumsum should share one group-key shuffle:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("tokenBudgetPerGroup: pre-trim is semantics-free — output " +
+    "equals the naive cumsum filter on token-bearing rows") {
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 400L).map { i =>
+      (s"g${i % 7}", i, (rng.nextInt(30) + 1).toLong, rng.nextDouble())
+    }
+    val df = rows.toDF("grp", "id", "toks", "q")
+    val got = Urls.tokenBudgetPerGroup(df, "grp", "toks", "q", "id",
+        budget = 25L)
+      .select("id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference: per-group sort by (q desc, id), greedy prefix
+    val want = rows.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(r => (-r._4, r._2))
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zip(cums).takeWhile(_._2 <= 25L)
+        .map { case (r, c) => (r._2, c) }
+    }.toSet
+    got shouldBe want
+  }
+
   test("tokenBudgetPerGroup rejects a non-positive budget") {
     an[IllegalArgumentException] should be thrownBy
       Urls.tokenBudgetPerGroup(Seq(("g", 1L, 1L, 1.0))
