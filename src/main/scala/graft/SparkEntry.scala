@@ -10697,9 +10697,43 @@ object SparkEntry {
     * `dom(doc_id, n_chars, canonical_url, host, registered_domain)`.
     * Every regex is RE2-conservative (no lookarounds) and probed in
     * DuckDB; replacement refs are DuckDB's \\1 dialect. */
+  /** SQL replay of [[operators.Urls.registeredDomain]]'s PSL
+    * longest-suffix-match, generated from the SAME parsed rule table
+    * ([[operators.Urls.Psl]]) so Spark and the oracle cannot drift:
+    * anchored last-k-label extracts `l1..l{maxRuleLen+1}`, then a
+    * CASE in rule-precedence order (exceptions longest-first, then
+    * per length k desc: exact rules, then wildcard rules with the
+    * present-label guard, then the implicit default `*`). */
+  private val pslLastKCols: String = {
+    val kmax = operators.Urls.Psl.maxRuleLen
+    (1 to kmax + 1).map { k =>
+      val pat =
+        if (k == 1) "([^.]+)$"
+        else s"((?:[^.]+\\.){${k - 1}}[^.]+)$$"
+      s"regexp_extract(host, '$pat', 1) AS l$k"
+    }.mkString(",\n      |    ")
+  }
+
+  private val pslDomainCase: String = {
+    import operators.Urls.Psl._
+    def inList(s: Set[String]): String =
+      s.toSeq.sorted.map(x => s"'$x'").mkString(", ")
+    val exc = exceptionsByLen.keys.toSeq.sorted.reverse.map { k =>
+      s"WHEN l$k IN (${inList(exceptionsByLen(k))}) THEN l$k"
+    }
+    val rules = (maxRuleLen to 2 by -1).flatMap { k =>
+      val e = exactByLen.get(k).map(s =>
+        s"WHEN l$k IN (${inList(s)}) THEN nullif(l${k + 1}, '')")
+      val w = wildcardBasesByLen.get(k - 1).map(s =>
+        s"WHEN l${k - 1} IN (${inList(s)}) AND l$k <> '' " +
+          s"THEN nullif(l${k + 1}, '')")
+      e.toSeq ++ w.toSeq
+    }
+    "CASE " + (exc ++ rules).mkString("\n      |      ") +
+      "\n      |      ELSE nullif(l2, '') END"
+  }
+
   private val urlCtes: String = {
-    val suffixes = operators.Urls.TwoLabelSuffixes
-      .map(s => s"'$s'").mkString(", ")
     s"""raw AS (
       |  SELECT doc_id, n_chars,
       |    CASE CAST(doc_id % 12 AS INT)
@@ -10765,15 +10799,10 @@ object SparkEntry {
       |    regexp_extract(canonical_url,
       |      '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host
       |  FROM canon),
-      |domp AS (SELECT *,
-      |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS l2,
-      |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS l3
+      |domp AS (SELECT *, $pslLastKCols
       |  FROM hostd),
       |dom AS (SELECT doc_id, n_chars, canonical_url, host,
-      |    CASE WHEN l2 = '' THEN NULL
-      |         WHEN l2 IN ($suffixes) THEN
-      |           CASE WHEN l3 = '' THEN NULL ELSE l3 END
-      |         ELSE l2 END AS registered_domain
+      |    $pslDomainCase AS registered_domain
       |  FROM domp)""".stripMargin
   }
 

@@ -95,6 +95,114 @@ class UrlsSpec extends AnyFunSuite with Matchers with SparkSpec {
     dom("localhost") shouldBe None
   }
 
+  test("registeredDomain PSL: previously-uncovered ccTLD second " +
+    "levels no longer mis-group to the bare suffix") {
+    // the r10 verdict's named cases — each used to collapse every
+    // site in the ccTLD into one quota/dedup bucket
+    dom("shop.acme.co.ke") shouldBe Some("acme.co.ke")
+    dom("portal.firstbank.com.ng") shouldBe Some("firstbank.com.ng")
+    dom("www.uni.or.at") shouldBe Some("uni.or.at")
+    dom("co.ke") shouldBe None // bare suffix
+  }
+
+  test("registeredDomain PSL: wildcard rules — *.ck, *.bd — match " +
+    "exactly one PRESENT label") {
+    // *.ck: any single label under ck is itself a public suffix
+    dom("www.biz.ck") shouldBe Some("www.biz.ck")
+    dom("deep.www.biz.ck") shouldBe Some("www.biz.ck")
+    dom("biz.ck") shouldBe None // b.ck IS a public suffix
+    // host == wildcard base: '*' has no label to match, default rule
+    // 'ck is a TLD' applies and a 1-label host is unregistrable
+    dom("ck") shouldBe None
+    dom("acme.com.bd") shouldBe Some("acme.com.bd")
+  }
+
+  test("registeredDomain PSL: exception rules beat their wildcard " +
+    "(!www.ck, !city.kawasaki.jp)") {
+    dom("www.ck") shouldBe Some("www.ck")
+    dom("anything.www.ck") shouldBe Some("www.ck")
+    dom("city.kawasaki.jp") shouldBe Some("city.kawasaki.jp")
+    dom("ward.city.kawasaki.jp") shouldBe Some("city.kawasaki.jp")
+    // sibling labels still ride the wildcard
+    dom("shop.chuo.kawasaki.jp") shouldBe Some("shop.chuo.kawasaki.jp")
+    dom("chuo.kawasaki.jp") shouldBe None
+    // the wildcard base itself falls to the exact rule 'jp'
+    dom("kawasaki.jp") shouldBe Some("kawasaki.jp")
+  }
+
+  test("registeredDomain PSL: three- and four-label exact rules " +
+    "(k12.ma.us ladder) pick the LONGEST match") {
+    dom("school.k12.ma.us") shouldBe Some("school.k12.ma.us")
+    dom("academy.pvt.k12.ma.us") shouldBe Some("academy.pvt.k12.ma.us")
+    dom("www.academy.pvt.k12.ma.us") shouldBe Some("academy.pvt.k12.ma.us")
+    dom("pvt.k12.ma.us") shouldBe None // bare 4-label suffix
+    dom("k12.ma.us") shouldBe None
+    dom("boston.ma.us") shouldBe Some("boston.ma.us")
+  }
+
+  test("registeredDomain PSL: private-section rules (github.io, " +
+    "3-label wildcard *.compute.amazonaws.com)") {
+    dom("user.github.io") shouldBe Some("user.github.io")
+    dom("github.io") shouldBe None
+    dom("vm.us-east-1.compute.amazonaws.com") shouldBe
+      Some("vm.us-east-1.compute.amazonaws.com")
+    dom("us-east-1.compute.amazonaws.com") shouldBe None
+    // base host itself: longest remaining match is the default rule
+    // over 'com' -> amazonaws.com
+    dom("compute.amazonaws.com") shouldBe Some("amazonaws.com")
+    dom("myblog.blogspot.co.uk") shouldBe Some("myblog.blogspot.co.uk")
+  }
+
+  test("registeredDomain PSL: punycode rules compare byte-wise " +
+    "(xn--55qx5d.cn)") {
+    dom("site.xn--55qx5d.cn") shouldBe Some("site.xn--55qx5d.cn")
+    dom("xn--55qx5d.cn") shouldBe None
+  }
+
+  test("registeredDomain PSL: pathological hosts — empty labels " +
+    "terminate the trailing-label scan like the anchored regexes") {
+    // trailing dot: no non-empty trailing label at all
+    dom("example.com.") shouldBe None
+    // double dot: only one clean trailing label survives the scan
+    dom("a..uk") shouldBe None
+    // garbage BEFORE a clean 2-label tail still matches the exact
+    // rule but there's no third label for eTLD+1
+    dom("x..co.uk") shouldBe None
+    dom("") shouldBe None
+    dom(".uk") shouldBe None
+    // and the null row stays null through the expression
+    Seq[Option[String]](None).toDF("h")
+      .select(Urls.registeredDomain(col("h")).as("d"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("registeredDomain is ONE expression node — the plan cost " +
+    "is independent of the rule-table size") {
+    val df = Seq("www.a.co.ke").toDF("h")
+      .select(Urls.registeredDomain(col("h")).as("d"))
+    val tree = df.queryExecution.optimizedPlan.expressions
+      .map(_.collect { case e => e }.size).sum
+    // kernel node + child ref + alias — versus ~1500 nodes for the
+    // when-chain form this replaced
+    assert(tree < 10, s"registeredDomain expression tree blew up: $tree nodes")
+  }
+
+  test("withCanonicalUrl fails loudly when the input schema collides " +
+    "with a stepped intermediate or the output column") {
+    val bad = Seq(("u", "x")).toDF("url", "__pfx")
+    val e = intercept[IllegalArgumentException] {
+      Urls.withCanonicalUrl(bad, "url")
+    }
+    e.getMessage should include("__pfx")
+    val bad2 = Seq(("u", "x")).toDF("url", "canonical_url")
+    intercept[IllegalArgumentException] {
+      Urls.withCanonicalUrl(bad2, "url")
+    }
+    // outCol == an explicitly-chosen fresh name on the same frame: fine
+    Urls.withCanonicalUrl(bad2.drop("canonical_url"), "url")
+      .columns should contain("canonical_url")
+  }
+
   test("withCanonicalUrl (the attribute-bound df form) is " +
     "semantically identical to the scalar expression") {
     val raws = Seq(
