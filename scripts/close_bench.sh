@@ -9,7 +9,19 @@
 #   2. runs the FULL surface N times (default 3);
 #   3. keeps the best-total full map as bench_out.json (committed),
 #      leaving every run's map as bench_out_run<i>.json;
-#   4. records uptime load next to every number (quiet-box rule).
+#   4. records uptime load next to every number (quiet-box rule);
+#   5. emits a DRIFT COEFFICIENT (close-canary total / open-canary
+#      total) and a drift-normalized best total, so cross-round
+#      comparisons stop eating the 1.1-1.2x window noise (r10
+#      verdict #6);
+#   6. runs the LEAK SCAN as the FINAL step, so the committed
+#      LEAKCHECK sidecar's scanned_commit is the tree the round
+#      actually ships (r10 verdict #4) — commit the artifacts of this
+#      script and the sidecar together, LAST.
+# A failed full run is FATAL (r10 advice: an empty $T used to be
+# swallowed as "not best" while the stale bench_out.json was still
+# copied to bench_out_run<i>.json — a failed run could end up
+# committed as the close).
 # Output is BENCH_NOTES-ready. Usage: scripts/close_bench.sh [N]
 set -u
 N="${1:-3}"
@@ -23,6 +35,11 @@ canary() {
     "runMain graft.Bench $CANARY" >/dev/null 2>&1
   # arg-restricted runs write the PARTIAL file (they must never
   # clobber the committed full-surface map)
+  if ! python3 -c "import json;json.load(open('bench_out_partial.json'))" \
+      2>/dev/null; then
+    echo "FATAL: canary[$tag] left no parseable bench_out_partial.json" >&2
+    exit 3
+  fi
   echo "canary[$tag]: $(cat bench_out_partial.json)"
   cp bench_out_partial.json "bench_canary_${tag}.json"
 }
@@ -34,10 +51,25 @@ for i in $(seq 1 "$N"); do
   echo "== full run $i/$N load=$(cut -d' ' -f1-3 /proc/loadavg)"
   SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
     2>&1 | grep -E '"metric"' | tail -1
+  SBT_RC=${PIPESTATUS[0]}
+  # fail LOUDLY on a broken run: sbt must exit 0 AND bench_out.json
+  # must carry a fresh numeric total — never let a stale map masquerade
+  # as run i's result
+  T=$(python3 -c "
+import json, sys
+d = json.load(open('bench_out.json'))
+v = d['value']
+assert isinstance(v, (int, float)) and v == v and v > 0, v
+print(v)" 2>/dev/null)
+  if [ "$SBT_RC" -ne 0 ] || [ -z "$T" ]; then
+    echo "FATAL: full run $i failed (sbt rc=$SBT_RC, total='${T:-}')" \
+      " — refusing to copy a stale/broken map as bench_out_run${i}.json" >&2
+    exit 2
+  fi
   cp bench_out.json "bench_out_run${i}.json"
-  T=$(python3 -c "import json;print(json.load(open('bench_out.json'))['value'])")
   echo "full run $i total=${T}s"
-  if [ -z "$BEST_T" ] || python3 -c "import sys;sys.exit(0 if $T < $BEST_T else 1)"; then
+  if [ -z "$BEST_T" ] || \
+      python3 -c "import sys;sys.exit(0 if $T < $BEST_T else 1)"; then
     BEST_T="$T"; BEST="bench_out_run${i}.json"
   fi
   [ "$i" -lt "$N" ] && canary "mid$i"
@@ -45,4 +77,33 @@ done
 canary close
 cp "$BEST" bench_out.json
 echo "== close: best full run = $BEST total=${BEST_T}s (of $N runs)"
-echo "== commit bench_out.json (the BEST full per-query map) + the canary ladder above into BENCH_NOTES"
+# drift coefficient: the canary ladder's close/open ratio is the
+# box-wide multiplier the window imposed on identical plans; the
+# normalized total divides it out so r(N) vs r(N+1) totals compare
+# plans, not windows
+python3 - "$BEST_T" <<'EOF'
+import json, sys
+best = float(sys.argv[1])
+def tot(tag):
+    d = json.load(open(f'bench_canary_{tag}.json'))
+    return sum(d['queries'].values())
+o, c = tot('open'), tot('close')
+drift = c / o if o else float('nan')
+print(f"== drift: canary open={o:.1f}s close={c:.1f}s "
+      f"coefficient={drift:.3f}")
+print(f"== normalized best total = {best / drift if drift else best:.1f}s "
+      f"(raw {best:.1f}s / drift {drift:.3f}) — put BOTH in BENCH_NOTES")
+EOF
+# leak scan LAST, over the exact tree being shipped: scanned_commit in
+# the sidecar must equal the close commit's parent tree — commit the
+# bench artifacts + LEAKCHECK*.json together, with NO source commits
+# after this point
+python3 scripts/leakcheck.py || {
+  echo "FATAL: leak scan failed — do NOT commit the close" >&2; exit 4; }
+python3 - <<'EOF'
+import json
+d = json.load(open('LEAKCHECK.json'))
+bad = {k: v for k, v in d.items() if isinstance(v, list) and v}
+assert not bad, f"leak scan HITS: {bad}"
+print("== leak scan clean at close — commit bench artifacts + sidecar now")
+EOF

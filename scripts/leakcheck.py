@@ -34,12 +34,20 @@ ALLOWED_DOMAINS = ('github.com', 'spark.apache.org', 'arxiv.org',
 
 def url_allowed(u):
     # regex FRAGMENTS like 'http://[^/?#:]*' (the default-port strip
-    # patterns) are not URLs — a character class can never be a leak
-    if '[' in u:
+    # patterns) are not URLs — but ONLY a bracket opening a character
+    # class in the AUTHORITY position is a fragment marker. A blanket
+    # "any '[' anywhere" would auto-allow real external URLs with
+    # brackets later in the path/query (https://host/page[1]), silently
+    # weakening the gate this header says must not be bypassable.
+    authority = u.split('://', 1)[1] if '://' in u else u
+    authority = authority.split('/', 1)[0].split('?', 1)[0]
+    if re.search(r'\[\^|\[(?:[A-Za-z0-9]+-)+[A-Za-z0-9]+\]', authority):
         return True
     try:
         host = (urlparse(u).hostname or '').lower()
     except ValueError:
+        # brackets WITHOUT class syntax in the authority (e.g. a bare
+        # IPv6 literal) land here: report, don't auto-allow
         return False
     if not host:
         return False
@@ -93,7 +101,7 @@ provenance = {
     'files_scanned': len(files),
     'n_hits': sum(len(v) for v in hits.values()),
 }
-out = {'round': 9, **provenance, 'hits': hits}
+out = {'round': 11, **provenance, 'hits': hits}
 json.dump(out, open('LEAKCHECK.json', 'w'), indent=2)
 # Regeneration-proof provenance (r7 verdict #3): the driver's own
 # post-close scanner overwrites LEAKCHECK.json WITHOUT the stamps, so

@@ -3791,18 +3791,23 @@ object SparkEntry {
         .otherwise(lit(""))).as("text"))
   }
 
-  /** Robots-directive synth (doc_id % 5): meta-tag and bare-token
-    * variants; '%5 >= 3' stays clean (and 'noindexing'-style
+  /** Robots-directive synth (doc_id % 7): meta-tag and bare-token
+    * variants including UPPERCASE/mixed-case directives (meta-robots
+    * tokens are case-insensitive in practice — the flags must catch
+    * `NOINDEX`/`NoAI`); '%7 >= 5' stays clean (and 'noindexing'-style
     * substrings never appear, so word boundaries are what's tested
     * in the spec, not here). */
   private def robotsDocs(s: SparkSession, dir: String): DataFrame = {
-    val m = (col("doc_id") % 5).cast("int")
+    val m = (col("doc_id") % 7).cast("int")
     docs(s, dir).select(col("doc_id"),
       concat(col("text"),
         when(m === 0,
           lit(" <meta name=\"robots\" content=\"noindex, nofollow\">"))
         .when(m === 1, lit(" <meta name=\"robots\" content=\"noai\">"))
         .when(m === 2, lit(" robots directive: nofollow"))
+        .when(m === 3,
+          lit(" <META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\">"))
+        .when(m === 4, lit(" opt-out: NoAI"))
         .otherwise(lit(""))).as("text"))
   }
 
@@ -9563,20 +9568,23 @@ object SparkEntry {
         |SELECT coalesce(license, 'none') AS license, count(*) AS n
         |FROM t GROUP BY 1""".stripMargin,
 
-    // robots flags: ASCII word-boundary token matches, identical
-    // regexes both engines
+    // robots flags: case-insensitive ASCII word-boundary token
+    // matches (meta-robots directives are case-insensitive in
+    // practice), identical (?i) regexes both engines
     "q_robots_filter" ->
-      """WITH rob AS (SELECT doc_id, text || CASE CAST(doc_id % 5 AS INT)
+      """WITH rob AS (SELECT doc_id, text || CASE CAST(doc_id % 7 AS INT)
         |    WHEN 0 THEN ' <meta name="robots" content="noindex, nofollow">'
         |    WHEN 1 THEN ' <meta name="robots" content="noai">'
         |    WHEN 2 THEN ' robots directive: nofollow'
+        |    WHEN 3 THEN ' <META NAME="ROBOTS" CONTENT="NOINDEX">'
+        |    WHEN 4 THEN ' opt-out: NoAI'
         |    ELSE '' END AS text FROM documents)
         |SELECT doc_id,
-        |  regexp_matches(text, '\bnoindex\b') AS noindex,
-        |  regexp_matches(text, '\bnofollow\b') AS nofollow,
-        |  regexp_matches(text, '\bnoai\b') AS noai,
-        |  NOT regexp_matches(text, '\bnoindex\b')
-        |    AND NOT regexp_matches(text, '\bnoai\b') AS indexable
+        |  regexp_matches(text, '(?i)\bnoindex\b') AS noindex,
+        |  regexp_matches(text, '(?i)\bnofollow\b') AS nofollow,
+        |  regexp_matches(text, '(?i)\bnoai\b') AS noai,
+        |  NOT regexp_matches(text, '(?i)\bnoindex\b')
+        |    AND NOT regexp_matches(text, '(?i)\bnoai\b') AS indexable
         |FROM rob""".stripMargin,
 
     // mojibake detection: the shared signature constant interpolated

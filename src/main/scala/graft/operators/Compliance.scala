@@ -36,14 +36,18 @@ object Compliance {
 
   /** Robots-directive flags from an embedded meta-robots-style tag or
     * bare directive tokens: `noindex`, `nofollow`, `noai` (the
-    * emerging AI-opt-out token), each an ASCII word-boundary match so
-    * `noindexing` does not trip it. Adds the three boolean columns
-    * plus `indexable` (= not noindex and not noai — the keep/drop
-    * policy most corpus builds apply). */
+    * emerging AI-opt-out token), each a CASE-INSENSITIVE ASCII
+    * word-boundary match — meta-robots directives are
+    * case-insensitive in practice (`NOINDEX`, `NoAI` must be
+    * classified like their lowercase forms, or the keep/drop policy
+    * silently keeps opted-out pages) — while `noindexing`-style
+    * substrings still do not trip the boundary. Adds the three
+    * boolean columns plus `indexable` (= not noindex and not noai —
+    * the keep/drop policy most corpus builds apply). */
   def robotsFlags(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("noindex", col(textCol).rlike("\\bnoindex\\b"))
-      .withColumn("nofollow", col(textCol).rlike("\\bnofollow\\b"))
-      .withColumn("noai", col(textCol).rlike("\\bnoai\\b"))
+    df.withColumn("noindex", col(textCol).rlike("(?i)\\bnoindex\\b"))
+      .withColumn("nofollow", col(textCol).rlike("(?i)\\bnofollow\\b"))
+      .withColumn("noai", col(textCol).rlike("(?i)\\bnoai\\b"))
       .withColumn("indexable", !col("noindex") && !col("noai"))
 
   /** Policy filter: rows whose text carries neither `noindex` nor

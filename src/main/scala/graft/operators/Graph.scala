@@ -299,6 +299,18 @@ object Graph {
   // dense trusted graphs opt UP explicitly via the maxDegree param.
   val DefaultMaxDegree = 2000
 
+  /** Programmatic witness of the most recent hub-cap truncation in
+    * this JVM: `Some((cap, top-5 (node, degree) trims))` after a
+    * wedge-family call actually capped a node, `None` after one that
+    * returned exact results. The stderr report makes the
+    * exact→approximate transition visible in logs; this makes it
+    * visible to CODE (harnesses assert exactness, pipelines route
+    * capped outputs differently) without plumbing a side channel
+    * through every return type. Volatile single-slot — read it right
+    * after the call whose exactness you care about. */
+  @volatile var lastHubCapTruncation: Option[(Int, Seq[(Long, Long)])] =
+    None
+
   // the canonical edge set feeds THREE join legs (four with degrees) —
   // without a cache an expensive upstream (the near-dup pair pipeline)
   // would run once per leg (the pageRank lesson, same registry so
@@ -318,6 +330,10 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .filter(col("deg") > maxDegree)
       .orderBy(col("deg").desc, col("id")).limit(5).collect()
+    lastHubCapTruncation =
+      if (hubs.isEmpty) None
+      else Some((maxDegree,
+        hubs.map(r => (r.getLong(0), r.getLong(1))).toSeq))
     if (hubs.isEmpty) canon
     else {
       System.err.println(

@@ -29,12 +29,16 @@ class Wave34Spec extends AnyFunSuite with Matchers with SparkSpec {
     lic("we discussed licenses at length") shouldBe None
   }
 
-  test("robotsFlags: word-boundary tokens; 'noindexing' is clean") {
+  test("robotsFlags: word-boundary tokens, case-insensitive; " +
+    "'noindexing' is clean") {
     val out = Compliance.robotsFlags(Seq(
       (1L, "x <meta name=\"robots\" content=\"noindex, nofollow\">"),
       (2L, "all about noindexing and noailments"),
       (3L, "opt out with noai please"),
-      (4L, "clean"))
+      (4L, "clean"),
+      (5L, "<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\">"),
+      (6L, "mixed-case opt-out: NoAI"),
+      (7L, "still clean: NOINDEXING"))
       .toDF("id", "text"), "text")
       .select("id", "noindex", "nofollow", "noai", "indexable")
       .collect().map(r => r.getLong(0) ->
@@ -44,6 +48,9 @@ class Wave34Spec extends AnyFunSuite with Matchers with SparkSpec {
     out(2L) shouldBe ((false, false, false, true))
     out(3L) shouldBe ((false, false, true, false))
     out(4L) shouldBe ((false, false, false, true))
+    out(5L) shouldBe ((true, false, false, false))
+    out(6L) shouldBe ((false, false, true, false))
+    out(7L) shouldBe ((false, false, false, true))
   }
 
   test("filterIndexable drops noindex/noai rows and the flag columns") {

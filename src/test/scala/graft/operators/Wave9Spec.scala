@@ -36,6 +36,17 @@ class Wave9Spec extends AnyFunSuite with Matchers with SparkSpec {
         maxDegree = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    // the exact→approximate transition is visible to CODE, not just
+    // stderr: the witness names the cap and the trimmed hub
+    Graph.lastHubCapTruncation shouldBe Some((4, Seq((1L, 7L))))
+  }
+
+  test("hub-degree cap witness resets to None on an exact run") {
+    Graph.triangleCounts(hubEdges.toDF("id_a", "id_b"), maxDegree = 4)
+      .collect()
+    Graph.lastHubCapTruncation.isDefined shouldBe true
+    Graph.triangleCounts(hubEdges.toDF("id_a", "id_b")).collect()
+    Graph.lastHubCapTruncation shouldBe None
   }
 
   test("hub-degree cap: post-cap wedge volume is bounded on kTruss too") {
