@@ -3323,6 +3323,26 @@ object SparkEntry {
         .select(col("doc_id"), col("noindex"), col("nofollow"),
           col("noai"), col("indexable"))),
 
+    // main-content extraction (boilerplate removal): block-level
+    // text/link-density segmentation — nav / cookie banner / footer /
+    // link-farm blocks dropped, prose kept; map-only HOF chain riding
+    // the scan, oracle replays the identical list-lambda chain
+    "q_main_content" -> ((s, dir) =>
+      operators.Boilerplate.withMainContent(htmlDocs(s, dir), "html")
+        .select(col("doc_id"), col("main_text"),
+          col("n_content_blocks"), col("n_boiler_blocks"),
+          col("main_chars"))),
+
+    // the HTML-pipeline composition: extraction feeding the standard
+    // curation pass (quality floor -> repetition ceiling -> exact
+    // dedup) on the EXTRACTED text — boilerplate no longer pollutes
+    // the quality signals
+    "q_curate_html" -> ((s, dir) =>
+      operators.TextQuality.curate(
+        operators.Boilerplate.withMainContent(htmlDocs(s, dir), "html")
+          .filter(col("main_chars") >= 1),
+        "doc_id", "main_text", minQuality = 0.7, maxRepetition = 0.5)),
+
     // encoding QA: mojibake DETECTION — engine-neutral signature
     // regex (shared constant with the oracle), artifact count per doc
     "q_mojibake_flag" -> ((s, dir) =>
@@ -3810,6 +3830,39 @@ object SparkEntry {
         .when(m === 4, lit(" opt-out: NoAI"))
         .otherwise(lit(""))).as("text"))
   }
+
+  /** Synthetic page-chrome fragments for the boilerplate-removal
+    * family: anchor-dense nav/footer/cookie-banner blocks around the
+    * document text. ONE SQL expression string builds the page, used
+    * verbatim by BOTH engines (Spark `expr` and the DuckDB oracle) so
+    * the fixture cannot drift. Variants (doc_id % 5): 0 = full chrome
+    * around one prose paragraph; 1 = nav + prose WITH an inline link
+    * + a sidebar link list; 2 = bare prose; 3 = chrome only (no
+    * content at all); 4 = chrome around a sub-minimum paragraph. */
+  private val htmlSynthExpr: String = {
+    val nav = "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+      " <a href=\"/contact\">Contact</a></nav>"
+    val cookie = "<div class=\"cookie-banner\">This site uses cookies." +
+      " <a href=\"/privacy\">Learn more</a> <a href=\"/accept\">Accept</a>" +
+      " <a href=\"/reject\">Reject</a> <a href=\"/settings\">Settings</a></div>"
+    val sidebar = "<aside><ul><li><a href=\"/cat/news\">News</a></li>" +
+      "<li><a href=\"/cat/sports\">Sports</a></li>" +
+      "<li><a href=\"/cat/tech\">Tech</a></li></ul></aside>"
+    val footer = "<footer><a href=\"/terms\">Terms of Use</a>" +
+      " <a href=\"/privacy\">Privacy Policy</a>" +
+      " <a href=\"/sitemap\">Sitemap</a></footer>"
+    s"""'<html><body>' || CASE CAST(doc_id % 5 AS INT)
+       |  WHEN 0 THEN '$nav$cookie<p>' || text || '</p>'
+       |  WHEN 1 THEN '$nav<p>' || text ||
+       |    ' See <a href="/ref">the reference page</a> for details.</p>$sidebar'
+       |  WHEN 2 THEN '<p>' || text || '</p>'
+       |  WHEN 3 THEN '$nav$cookie'
+       |  ELSE '$nav<p>Ok.</p>' END || '$footer</body></html>'"""
+      .stripMargin
+  }
+
+  private def htmlDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), expr(htmlSynthExpr).as("html"))
 
   /** Mojibake synth (doc_id % 8): four single-encoded artifact
     * classes (Ã©, Ã¯, â€œ...â€™, Â°), one double-encoded (ÃƒÂ©),
@@ -9587,6 +9640,28 @@ object SparkEntry {
         |    AND NOT regexp_matches(text, '(?i)\bnoai\b') AS indexable
         |FROM rob""".stripMargin,
 
+    // main-content extraction: the SAME html synth expression and the
+    // SAME block/anchor regexes as the engine, replayed as a DuckDB
+    // list-lambda chain (string_split_regex -> list_transform struct
+    // -> list_filter); density test is integer math both sides
+    "q_main_content" ->
+      s"""WITH h AS (SELECT doc_id, $htmlSynthExpr AS html FROM documents),
+         |$mainContentCtes
+         |SELECT doc_id, main_text, n_content_blocks, n_boiler_blocks,
+         |  main_chars
+         |FROM mc""".stripMargin,
+
+    // extraction feeding curation: identical quality/repetition/dedup
+    // CTEs as q_curate, sourced from the extracted main_text
+    "q_curate_html" ->
+      s"""WITH h AS (SELECT doc_id, $htmlSynthExpr AS html FROM documents),
+         |$mainContentCtes,
+         |${curateCtes("", 0.7, 0.5,
+            src = "(SELECT doc_id, main_text AS text FROM mc " +
+              "WHERE main_chars >= 1) mtx")}
+         |SELECT s.doc_id, k.quality, k.rep_ratio
+         |FROM surv s JOIN kept k USING (doc_id)""".stripMargin,
+
     // mojibake detection: the shared signature constant interpolated
     // verbatim (no backslashes, no ASCII quotes — safe as a SQL
     // literal); counts are non-overlapping left-to-right matches on
@@ -10878,13 +10953,50 @@ object SparkEntry {
   /** Quality/repetition curation chain over `documents $where`, ending
     * in `kept` (scored survivors of the filters) and `surv` (exact-dedup
     * min-id winners) — shared by q_curate and the pipeline oracle. */
+  /** DuckDB replay of [[operators.Boilerplate.withMainContent]] as
+    * CTEs `b/m/c/mc` over a prior `h(doc_id, html)`: the engine's
+    * block/anchor patterns interpolated verbatim, the identical
+    * strip-collapse-trim text cleaning, and the integer link-density
+    * test — `mc(doc_id, main_text, n_content_blocks, n_boiler_blocks,
+    * main_chars)`. */
+  private val mainContentCtes: String = {
+    val clean = (v: String) =>
+      s"trim(regexp_replace(regexp_replace($v, '<[^>]*>', ' ', 'g'), " +
+        s"'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    val blockPat = operators.Boilerplate.BlockTagPattern
+    val anchorPat = operators.Boilerplate.AnchorPattern
+    s"""b AS (SELECT doc_id,
+       |    string_split_regex(html, '$blockPat') AS blocks FROM h),
+       |m AS (SELECT doc_id, list_transform(blocks, bl -> struct_pack(
+       |    txt := ${clean("bl")},
+       |    alen := coalesce(list_sum(list_transform(
+       |      regexp_extract_all(bl, '$anchorPat', 1),
+       |      a -> length(${clean("a")}))), 0))) AS metas
+       |  FROM b),
+       |mcblk AS (SELECT doc_id,
+       |    list_filter(metas, s -> length(s.txt) >= 25
+       |      AND s.alen * 100 <= 33 * length(s.txt)) AS content,
+       |    list_filter(metas, s -> length(s.txt) > 0) AS nonempty
+       |  FROM m),
+       |mc AS (SELECT doc_id,
+       |    coalesce(array_to_string(
+       |      list_transform(content, s -> s.txt), chr(10)), '')
+       |      AS main_text,
+       |    CAST(len(content) AS INT) AS n_content_blocks,
+       |    CAST(len(nonempty) - len(content) AS INT) AS n_boiler_blocks,
+       |    CAST(length(coalesce(array_to_string(
+       |      list_transform(content, s -> s.txt), chr(10)), '')) AS INT)
+       |      AS main_chars
+       |  FROM mcblk)""".stripMargin
+  }
+
   private def curateCtes(where: String, minQuality: Double,
-      maxRepetition: Double): String =
+      maxRepetition: Double, src: String = "documents"): String =
     s"""c AS (
        |  SELECT doc_id, text,
        |    string_split_regex(lower(trim(text)), '\\s+') AS t,
        |    string_split(text, ' ') AS rawtoks
-       |  FROM documents $where),
+       |  FROM $src $where),
        |f AS (
        |  SELECT doc_id, text,
        |    ROUND(least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Main-content extraction (boilerplate removal) — the
+  * jusText/trafilatura-style step between raw HTML and quality
+  * scoring in every HTML-crawl training pipeline: nav bars, cookie
+  * banners, footers, and link farms score as "text" to a tag
+  * stripper ([[graft.functions.TextFunctions.stripHtml]] keeps them
+  * by design), so quality signals computed on unshaped strips are
+  * polluted by chrome the page never meant as content.
+  *
+  * Heuristic (the published block-level text/link-density family):
+  *   1. segment the page into BLOCKS at block-level tag boundaries
+  *      (`p`, `div`, `li`, `h1`-`h6`, `nav`, `footer`, `td`, ... and
+  *      `<br>`), leaving inline markup (`a`, `b`, `span`) inside its
+  *      block;
+  *   2. per block, compute the visible text (inline tags stripped,
+  *      whitespace collapsed) and the ANCHOR text length (characters
+  *      inside `<a>...</a>`);
+  *   3. keep a block iff its text is at least `minChars` long AND its
+  *      link density `anchor_chars / text_chars` is at most
+  *      `maxLinkPct`% — navigation and footers are short and almost
+  *      all anchor text; prose is long and almost none.
+  *
+  * The density test is integer math (`alen * 100 <= pct * tlen`) so
+  * both engines compare exactly — no float ratio anywhere.
+  *
+  * Scale shape: map-only — one `split` plus higher-order array
+  * functions per row, rides the scan inside whole-stage codegen, no
+  * shuffle, no UDF; the DuckDB oracle replays the identical chain
+  * with `string_split_regex`/`list_transform`/`list_filter`.
+  * Entities are NOT decoded here (a block boundary never hides inside
+  * an entity); run [[graft.functions.TextFunctions.stripHtml]]-style
+  * decoding downstream on `main_text` if the pipeline wants it. */
+object Boilerplate {
+
+  /** Block-boundary pattern: opening OR closing block-level tags with
+    * any attributes, plus `<br>`/`<br/>`. Case-insensitive; RE2-safe
+    * (no lookaround) so the oracle replays it verbatim. */
+  val BlockTagPattern: String =
+    "(?i)(?:</?(?:p|div|ul|ol|li|h[1-6]|table|thead|tbody|tr|td|th|" +
+      "nav|footer|header|aside|section|article|main|form|blockquote)" +
+      "(?:\\s[^>]*)?>|<br\\s*/?>)"
+
+  /** Anchor innards (group 1), dot-matches-newline so multi-line
+    * anchors count fully. */
+  val AnchorPattern: String = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** Visible text of a fragment: strip remaining (inline) tags,
+    * collapse whitespace — the explicit class, not \s, for the same
+    * reason stripHtml spells it out (Java \s includes \x0B, RE2's
+    * does not). */
+  private def visibleText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Adds `outCol` (the extracted main text, content blocks joined
+    * with '\n'), `n_content_blocks`, `n_boiler_blocks` (non-empty
+    * blocks judged chrome), and `main_chars`. Thresholds:
+    * `minChars` — minimum visible characters for a content block;
+    * `maxLinkPct` — maximum anchor-to-text character percentage
+    * (integer, exact in both engines). */
+  def withMainContent(df: DataFrame, htmlCol: String,
+      outCol: String = "main_text", minChars: Int = 25,
+      maxLinkPct: Int = 33): DataFrame = {
+    require(minChars >= 1, s"bad minChars: $minChars")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"bad maxLinkPct: $maxLinkPct")
+    val reserved = Seq("__blocks", "__metas", "__content", "__nonempty")
+    val clash = df.columns.toSet.intersect((reserved :+ outCol).toSet)
+    require(clash.isEmpty,
+      s"withMainContent: input already has column(s) ${clash.mkString(", ")}")
+    val metas = transform(col("__blocks"), bl => struct(
+      visibleText(bl).as("txt"),
+      coalesce(aggregate(
+        transform(regexp_extract_all(bl, lit(AnchorPattern), lit(1)),
+          a => length(visibleText(a))),
+        lit(0), (acc, x) => acc + x), lit(0)).as("alen")))
+    val isContent = (s: Column) => length(s.getField("txt")) >= minChars &&
+      s.getField("alen") * 100 <= length(s.getField("txt")) * maxLinkPct
+    df.withColumn("__blocks", split(col(htmlCol), BlockTagPattern))
+      .withColumn("__metas", metas)
+      .withColumn("__content", filter(col("__metas"), isContent))
+      .withColumn("__nonempty",
+        filter(col("__metas"), s => length(s.getField("txt")) > 0))
+      .withColumn(outCol,
+        array_join(transform(col("__content"), _.getField("txt")), "\n"))
+      .withColumn("n_content_blocks", size(col("__content")))
+      .withColumn("n_boiler_blocks",
+        size(col("__nonempty")) - size(col("__content")))
+      .withColumn("main_chars", length(col(outCol)))
+      .drop("__blocks", "__metas", "__content", "__nonempty")
+  }
+}

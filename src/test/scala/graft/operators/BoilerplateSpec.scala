@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Main-content extraction: block segmentation at block-level tags,
+  * per-block text/link density, content = long AND link-sparse. Every
+  * expectation here is hand-computed from the rule, not replayed. */
+class BoilerplateSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String, minChars: Int = 25,
+      maxLinkPct: Int = 33): (String, Int, Int) = {
+    val r = Boilerplate.withMainContent(
+      Seq((1L, html)).toDF("doc_id", "html"), "html",
+      minChars = minChars, maxLinkPct = maxLinkPct).collect().head
+    (r.getAs[String]("main_text"), r.getAs[Int]("n_content_blocks"),
+      r.getAs[Int]("n_boiler_blocks"))
+  }
+
+  test("nav, cookie banner, footer, and sub-minimum blocks are " +
+    "dropped; prose paragraphs survive in order") {
+    val html =
+      "<html><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav>" +
+        "<div class=\"cookie-banner\">This site uses cookies. " +
+        "<a href=\"/privacy\">Learn more</a> <a href=\"/accept\">Accept</a> " +
+        "<a href=\"/reject\">Reject</a> <a href=\"/settings\">Settings</a></div>" +
+        "<p>This is the actual long main content of the page, which " +
+        "goes on for a while and says things.</p>" +
+        "<p>Ok.</p>" +
+        "<footer><a href=\"/terms\">Terms of Use</a> " +
+        "<a href=\"/privacy\">Privacy Policy</a></footer>" +
+        "</body></html>"
+    val (main, nContent, nBoiler) = extract(html)
+    main shouldBe "This is the actual long main content of the page, " +
+      "which goes on for a while and says things."
+    nContent shouldBe 1
+    // nav txt, cookie txt, "Ok.", footer txt — all non-empty, all judged
+    // chrome (anchor-dense or under minChars)
+    nBoiler shouldBe 4
+  }
+
+  test("a long paragraph keeps its INLINE link and still counts as " +
+    "content (density under the ceiling)") {
+    val html = "<p>A genuinely long paragraph of real prose that talks " +
+      "about a topic at length. See <a href=\"/ref\">the reference</a> " +
+      "for details.</p>"
+    val (main, nContent, _) = extract(html)
+    nContent shouldBe 1
+    main should include("See the reference for details.")
+  }
+
+  test("link-density boundary is exact integer math: alen*100 <= " +
+    "pct*tlen keeps the block, one char past drops it") {
+    // txt = "xxxxxxxxxxxxxxxxxxxx yyyyyyyyy" (30 chars), anchor "yyyyyyyyy"
+    // twice the anchor len by varying y-count: alen*100 <= 33*30=990
+    // alen=9 -> 900 keep; alen=10 (tlen 31, 33*31=1023 vs 1000) keep;
+    // use pct=30: alen=9, tlen=30 -> 900 <= 900 keep; tlen=29 -> 870 drop
+    val mk = (pad: Int) => s"<p>${"x" * pad} <a href=\"/z\">yyyyyyyyy</a></p>"
+    // tlen = pad + 1 + 9
+    val (_, kept30, _) = extract(mk(20), minChars = 5, maxLinkPct = 30)
+    kept30 shouldBe 1 // alen*100 = 900 == 30*30
+    val (_, kept29, _) = extract(mk(19), minChars = 5, maxLinkPct = 30)
+    kept29 shouldBe 0 // 900 > 30*29 = 870
+  }
+
+  test("a boilerplate-only page yields the empty string, not null") {
+    val (main, nContent, nBoiler) = extract(
+      "<nav><a href=\"/a\">A</a> <a href=\"/b\">B</a></nav>" +
+        "<footer><a href=\"/c\">C</a></footer>")
+    main shouldBe ""
+    nContent shouldBe 0
+    nBoiler shouldBe 2
+  }
+
+  test("blocks split at block-level tags only — inline markup stays " +
+    "inside its block; <br> is a boundary") {
+    val html = "<p>first long enough paragraph with <b>bold</b> prose " +
+      "inside it<br>second long enough paragraph after a line break</p>"
+    val (main, nContent, _) = extract(html)
+    nContent shouldBe 2
+    main shouldBe "first long enough paragraph with bold prose inside " +
+      "it\nsecond long enough paragraph after a line break"
+  }
+
+  test("multi-line anchors count fully toward link density ((?is))") {
+    val html = "<li><a href=\"/x\">a navigation entry\nspanning two " +
+      "lines right here</a></li>"
+    val (_, nContent, nBoiler) = extract(html, minChars = 10)
+    nContent shouldBe 0
+    nBoiler shouldBe 1
+  }
+
+  test("withMainContent fails loudly on reserved-column collisions") {
+    val bad = Seq((1L, "<p>x</p>", "y")).toDF("doc_id", "html", "main_text")
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.withMainContent(bad, "html")
+    }
+    e.getMessage should include("main_text")
+    intercept[IllegalArgumentException] {
+      Boilerplate.withMainContent(bad.drop("main_text")
+        .withColumn("__metas", org.apache.spark.sql.functions.lit(1)),
+        "html")
+    }
+  }
+
+  test("threshold guards reject nonsense parameters") {
+    val df = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
+    intercept[IllegalArgumentException] {
+      Boilerplate.withMainContent(df, "html", minChars = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Boilerplate.withMainContent(df, "html", maxLinkPct = 101)
+    }
+  }
+}
