@@ -945,6 +945,38 @@ object SparkEntry {
           TextFunctions.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))),
 
+    // language ID, committed-weights char-n-gram model: integer
+    // substring-occurrence scores per language (CJK char count for
+    // zh), argmax + 'und' — map-only, codegen'd, zero float
+    "q_langid_ngram" -> ((s, dir) =>
+      langDocs(s, dir).select(col("doc_id"),
+        TextFunctions.langIdNgram(col("text")).as("lang_pred"))),
+
+    // its confusion matrix on the language-keyed fixture corpus (the
+    // synth text carries a REAL language signal keyed by the stored
+    // label, so the matrix measures recovery, not noise)
+    "q_lang_confusion_ngram" -> ((s, dir) =>
+      langDocs(s, dir).select(col("lang"),
+          TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))),
+
+    // head-to-head on the same fixture: the n-gram model vs the
+    // four-marker baseline, one row — the "measurably better" witness
+    "q_langid_accuracy" -> ((s, dir) =>
+      langDocs(s, dir).select(col("lang"),
+          TextFunctions.langId(col("text")).as("p_base"),
+          TextFunctions.langIdNgram(col("text")).as("p_ngram"))
+        .agg(
+          sum(when(col("p_base") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct_baseline"),
+          sum(when(col("p_ngram") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct_ngram"),
+          count(lit(1)).as("n_total"))
+        .withColumn("acc_baseline", round(
+          col("n_correct_baseline") / col("n_total").cast("double"), 6))
+        .withColumn("acc_ngram", round(
+          col("n_correct_ngram") / col("n_total").cast("double"), 6))),
+
     // evaluation: the full classifier report on the same real task —
     // per-class precision/recall/F1 + macro and accuracy rows, all
     // from the K^2 cell frame (sklearn zero_division=0 convention)
@@ -3864,6 +3896,32 @@ object SparkEntry {
   private def htmlDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), expr(htmlSynthExpr).as("html"))
 
+  /** Language-keyed synth for the language-ID eval: append one of the
+    * committed [[TextFunctions.langFixtureSentences]] (picked by
+    * doc_id % 3) keyed by the STORED lang label — the raw text is
+    * language-free gibberish, so this is what makes the confusion
+    * matrix measure signal recovery. doc_id % 10 == 9 appends nothing
+    * (the irreducible 'und' band both classifiers must miss). ONE SQL
+    * expression string, used verbatim by both engines. */
+  private val langSynthExpr: String = {
+    val arms = TextFunctions.langFixtureSentences.keys.toSeq.sorted
+      .map { l =>
+        val ss = TextFunctions.langFixtureSentences(l)
+        s"""WHEN '$l' THEN CASE CAST(doc_id % 3 AS INT)
+           |      WHEN 0 THEN ' ${ss(0)}'
+           |      WHEN 1 THEN ' ${ss(1)}'
+           |      ELSE ' ${ss(2)}' END""".stripMargin
+      }.mkString("\n    ")
+    s"""text || CASE WHEN doc_id % 10 = 9 THEN ''
+       |  ELSE CASE lang
+       |    $arms
+       |    ELSE '' END END""".stripMargin
+  }
+
+  private def langDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      expr(langSynthExpr).as("text"))
+
   /** Mojibake synth (doc_id % 8): four single-encoded artifact
     * classes (Ã©, Ã¯, â€œ...â€™, Â°), one double-encoded (ÃƒÂ©),
     * three clean. Artifacts are spelled in \\u escapes so the Scala
@@ -4396,7 +4454,8 @@ object SparkEntry {
     * q_lang_confusion): marker-occurrence scores per language, argmax
     * with the same positive-score + 'und' fallback as
     * `TextFunctions.langId`. Ends in CTE `pred(carryCols..., lang_pred)`. */
-  private def langIdCtes(carryCols: Seq[String]): String = {
+  private def langIdCtes(carryCols: Seq[String],
+      src: String = "documents"): String = {
     def occ(m: String) =
       s"CAST((len(p) - len(replace(p, '$m', ''))) / ${m.length} AS INT)"
     def score(lang: String) =
@@ -4409,7 +4468,7 @@ object SparkEntry {
       s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString("\n      ")
     val carry = carryCols.mkString(", ")
     s"""p AS (
-       |  SELECT $carry, ' ' || lower(text) || ' ' AS p FROM documents),
+       |  SELECT $carry, ' ' || lower(text) || ' ' AS p FROM $src),
        |s AS (
        |  SELECT $carry,
        |    $scoreCols
@@ -4421,6 +4480,46 @@ object SparkEntry {
        |      $caseArms
        |      ELSE 'und' END AS lang_pred
        |  FROM b)""".stripMargin
+  }
+
+  /** The char-n-gram model's SQL replay (q_langid_ngram /
+    * q_lang_confusion_ngram / q_langid_accuracy): INTEGER substring
+    * occurrence scores from the committed
+    * [[TextFunctions.langNgrams]] table (len-replace counts — the
+    * langIdCtes shape), CJK char count for zh via the shared literal
+    * class, identical argmax/tie-break/und. CTE names are
+    * `np0/ns/nb/npred` so the chain composes with the baseline's in
+    * one query. Ends in `npred(carryCols..., lang_pred)`. */
+  private def langIdNgramCtes(carryCols: Seq[String],
+      src: String = "documents"): String = {
+    def occ(m: String) =
+      s"CAST((len(np) - len(replace(np, '$m', ''))) / ${m.length} AS INT)"
+    def score(lang: String) =
+      if (lang == "zh")
+        s"CAST(len(np) - len(regexp_replace(np, " +
+          s"'${TextFunctions.CjkClass}', '', 'g')) AS INT)"
+      else TextFunctions.langNgrams(lang).map(occ).mkString(" + ")
+    val langs = TextFunctions.langNgramLangs
+    val scoreCols = langs.map(l => s"(${score(l)}) AS ns_$l")
+      .mkString(",\n    ")
+    val bestExpr = langs.map(l => s"ns_$l")
+      .mkString("greatest(", ", ", ")")
+    val caseArms = langs.map(l =>
+      s"WHEN ns_$l = nbest AND ns_$l > 0 THEN '$l'").mkString("\n      ")
+    val carry = carryCols.mkString(", ")
+    s"""np0 AS (
+       |  SELECT $carry, ' ' || lower(text) || ' ' AS np FROM $src),
+       |ns AS (
+       |  SELECT $carry,
+       |    $scoreCols
+       |  FROM np0),
+       |nb AS (SELECT *, $bestExpr AS nbest FROM ns),
+       |npred AS (
+       |  SELECT $carry,
+       |    CASE
+       |      $caseArms
+       |      ELSE 'und' END AS lang_pred
+       |  FROM nb)""".stripMargin
   }
 
   /** Gap-30min sessionization replay, shared verbatim by q_sessionize,
@@ -5654,6 +5753,42 @@ object SparkEntry {
       s"""WITH ${langIdCtes(Seq("lang"))}
          |SELECT lang, lang_pred, count(*) AS cnt
          |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    // char-n-gram language id on the language-keyed fixture corpus:
+    // the committed marker table replayed as integer len-replace
+    // counts, CJK char count for zh
+    "q_langid_ngram" ->
+      s"""WITH ld AS (SELECT doc_id, lang, $langSynthExpr AS text
+         |  FROM documents),
+         |${langIdNgramCtes(Seq("doc_id"), "ld")}
+         |SELECT doc_id, lang_pred FROM npred""".stripMargin,
+
+    "q_lang_confusion_ngram" ->
+      s"""WITH ld AS (SELECT doc_id, lang, $langSynthExpr AS text
+         |  FROM documents),
+         |${langIdNgramCtes(Seq("lang"), "ld")}
+         |SELECT lang, lang_pred, count(*) AS cnt
+         |FROM npred GROUP BY 1, 2""".stripMargin,
+
+    // both classifiers on the SAME fixture, one row: the baseline
+    // chain and the n-gram chain composed (distinct CTE names), joined
+    // on doc_id
+    "q_langid_accuracy" ->
+      s"""WITH ld AS (SELECT doc_id, lang, $langSynthExpr AS text
+         |  FROM documents),
+         |${langIdCtes(Seq("doc_id", "lang"), "ld")},
+         |${langIdNgramCtes(Seq("doc_id"), "ld")}
+         |SELECT
+         |  CAST(sum(CASE WHEN p.lang_pred = p.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct_baseline,
+         |  CAST(sum(CASE WHEN n.lang_pred = p.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct_ngram,
+         |  count(*) AS n_total,
+         |  ROUND(sum(CASE WHEN p.lang_pred = p.lang THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS acc_baseline,
+         |  ROUND(sum(CASE WHEN n.lang_pred = p.lang THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS acc_ngram
+         |FROM pred p JOIN npred n USING (doc_id)""".stripMargin,
 
     // classification report: same langid chain -> cell counts ->
     // guarded ratios; macro/accuracy rows unioned like the engine

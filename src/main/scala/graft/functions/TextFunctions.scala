@@ -100,6 +100,90 @@ object TextFunctions {
     }
   }
 
+  /** Committed char-n-gram language-ID model — the trained-classifier
+    * upgrade over the four-marker-word [[langId]] heuristic (the
+    * [[classifierWeights]] precedent: the MODEL is committed data, the
+    * OPERATOR is the scoring pass, and a bigger retrained table slots
+    * straight in). Each language carries a set of discriminative
+    * character n-grams (substrings, spaces included — so they fire
+    * across word boundaries like a real char-n-gram model); the score
+    * is the INTEGER total of substring occurrences, so both engines
+    * agree exactly with zero float anywhere. Chinese is scored by CJK
+    * character count ([[CjkClass]]) — the script itself is the
+    * n-gram signal.
+    *
+    * Discriminativeness is a SPEC-PINNED property, not a hope: no
+    * marker of language L occurs in any other language's committed
+    * fixture sentences, nor anywhere in the corpus base vocabulary
+    * (including across word boundaries) — see LangIdNgramSpec. */
+  val langNgrams: Map[String, Seq[String]] = Map(
+    "de" -> Seq("sch", "morgen", "über", "wald", "für "),
+    "en" -> Seq("quick", " lazy", "truth", "reader", "forest",
+      "morning"),
+    "es" -> Seq("ápid", "zorro", "perez", "datos", " los ",
+      "hermos", "mañan", "bosque"),
+    "fr" -> Seq("renard", "données", "forêt", " les ",
+      "chien", "belle"))
+
+  /** Committed language-keyed fixture sentences (3 per language) —
+    * the evaluation corpus for the language-ID family: the synthetic
+    * `documents.text` is language-free gibberish with an independent
+    * stored `lang` label, so the eval surface appends one of these
+    * (keyed by the STORED label) and asks each classifier to recover
+    * it. Real, public-knowledge sample text; no apostrophes so the
+    * same literal embeds in SQL. */
+  val langFixtureSentences: Map[String, Seq[String]] = Map(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "a truth worth telling is that readers enjoy clear and honest prose",
+      "every morning the villagers walk through the forest toward the market"),
+    "de" -> Seq(
+      "der schnelle braune fuchs springt über den faulen hund im wald",
+      "die wissenschaft ist eine schöne sache für alle neugierigen menschen",
+      "jeden morgen gehen die dorfbewohner durch den wald zum markt"),
+    "es" -> Seq(
+      "el rápido zorro marrón salta sobre el perro perezoso junto al río",
+      "la ciencia de los datos es una cosa hermosa para la gente curiosa",
+      "cada mañana los aldeanos caminan por el bosque hacia el mercado"),
+    "fr" -> Seq(
+      "le rapide renard brun saute par dessus le chien paresseux près de la rivière",
+      "la science des données est une belle chose pour les gens curieux",
+      "chaque matin les villageois marchent dans la forêt vers le marché"),
+    "zh" -> Seq(
+      "数据处理引擎在大规模集群上运行得非常快",
+      "机器学习模型需要大量高质量的训练数据",
+      "这个查询计划在一千个执行器上仍然有效"))
+
+  /** CJK Unified Ideographs class, written with LITERAL endpoint
+    * characters so the identical string is a valid class in Java
+    * regex and RE2 (DuckDB) — no \\u vs \\x{} dialect split. */
+  val CjkClass: String = "[一-鿿]"
+
+  /** Languages the n-gram model scores (alphabetical — also the
+    * argmax tie-break order). */
+  val langNgramLangs: Seq[String] = (langNgrams.keys.toSeq :+ "zh").sorted
+
+  /** Integer n-gram score for one language over padded lowered text;
+    * `zh` scores CJK characters. */
+  def langNgramScore(padded: Column, lang: String): Column =
+    if (lang == "zh")
+      (length(padded) -
+        length(regexp_replace(padded, CjkClass, ""))).cast("int")
+    else langNgrams(lang).map(m => occurrences(padded, m)).reduce(_ + _)
+
+  /** Char-n-gram language id: argmax of the committed integer marker
+    * scores, alphabetical tie-break, 'und' when nothing fires — the
+    * same decision shape as [[langId]], a strictly bigger and
+    * substring-level signal table. Map-only, codegen'd. */
+  def langIdNgram(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val scores = langNgramLangs.map(l => l -> langNgramScore(padded, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Common English stopwords (tiny, inlined into the plan). */
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
