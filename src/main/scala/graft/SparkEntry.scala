@@ -3765,6 +3765,41 @@ object SparkEntry {
         .withColumn("share",
           round(col("n") / sum("n").over(w).cast("double"), 6))
     }),
+
+    // ---- wave 45: persistent dedup manifests (cross-run state) ----
+
+    // incremental crawl: exact never-seen filter of the new batch
+    // (doc_id % 3 != 0) against the PRIOR run's persisted seen-set
+    // manifest (doc_id % 3 == 0, a parquet sidecar) — a bloom built
+    // from the manifest splits the batch on the scan; only might-seen
+    // rows reach the exact anti-join confirm
+    "q_manifest_unseen" -> ((s, dir) => {
+      val (seen, _, _) = manifestsFor(s, dir)
+      operators.Manifests.filterUnseen(
+        docs(s, dir).filter(col("doc_id") % 3 =!= 0), "text",
+        operators.Manifests.readSeenManifest(s, seen))
+        .select("doc_id", "source")
+    }),
+
+    // the delta report an incremental ingest logs per source before
+    // committing the batch: new vs already-seen counts vs the manifest
+    "q_manifest_delta" -> ((s, dir) => {
+      val (seen, _, _) = manifestsFor(s, dir)
+      operators.Manifests.deltaStats(
+        docs(s, dir).filter(col("doc_id") % 3 =!= 0), "text", "source",
+        operators.Manifests.readSeenManifest(s, seen))
+    }),
+
+    // cross-run distinct tracking WITHOUT re-scanning history: two
+    // runs' persisted KMV manifests merged (union of keep-lists,
+    // re-trim to k smallest) into the union-distinct estimate per
+    // source — k rows per group per manifest is all that moves
+    "q_manifest_kmv_union" -> ((s, dir) => {
+      val (_, runA, runB) = manifestsFor(s, dir)
+      operators.Manifests.kmvMergeEstimate(Seq(
+        operators.Manifests.readKmvManifest(s, runA),
+        operators.Manifests.readKmvManifest(s, runB)), "source", k = 64)
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -4026,6 +4061,31 @@ object SparkEntry {
     * aggregate must be IDENTICAL to the parquet-sourced oracle, which
     * is exactly what "format support" means. Schema is pinned on the
     * JSONL read (inference would widen ints). */
+  /** Manifest sidecars written once per (session, sfDir): the PRIOR
+    * run's seen-set (docs with doc_id % 3 == 0, keyed on exact text)
+    * and two per-run KMV manifests (runs = doc_id parity split,
+    * grouped by source, k = 64). The WRITE+READ roundtrip is part of
+    * the operator under test — manifests are durable cross-run state,
+    * so the queries must consume the parquet sidecars, not the
+    * in-session frames. */
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, String)]
+  private def manifestsFor(s: SparkSession, dir: String)
+      : (String, String, String) =
+    manifestCache.getOrElseUpdate(skey(s, dir), {
+      val p = tempLayoutDir("graft-manifests")
+      val d = docs(s, dir)
+      operators.Manifests.writeSeenManifest(
+        d.filter(col("doc_id") % 3 === 0), "text", s"$p/seen")
+      operators.Manifests.writeKmvManifest(
+        d.filter(col("doc_id") % 2 === 0), "source", "text", 64,
+        s"$p/kmv_a")
+      operators.Manifests.writeKmvManifest(
+        d.filter(col("doc_id") % 2 =!= 0), "source", "text", 64,
+        s"$p/kmv_b")
+      (s"$p/seen", s"$p/kmv_a", s"$p/kmv_b")
+    })
+
   private val formatCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def formatsFor(s: SparkSession, dir: String): (String, String) =
@@ -10808,6 +10868,65 @@ object SparkEntry {
         |  ROUND(n / CAST(SUM(n) OVER
         |    (PARTITION BY registered_domain) AS DOUBLE), 6) AS share
         |FROM c""".stripMargin,
+
+    // manifest = distinct content keys of the prior run; the batch's
+    // survivors are an exact anti-join on md5(text)
+    "q_manifest_unseen" ->
+      """WITH m AS (SELECT DISTINCT md5(text) AS key_md5
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |nb AS (SELECT doc_id, source, md5(text) AS key_md5
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, source FROM nb
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m WHERE m.key_md5 = nb.key_md5)""".stripMargin,
+
+    "q_manifest_delta" ->
+      """WITH m AS (SELECT DISTINCT md5(text) AS key_md5
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |nb AS (SELECT source, md5(text) AS key_md5
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |j AS (SELECT nb.source, m.key_md5 AS seen
+        |  FROM nb LEFT JOIN m ON nb.key_md5 = m.key_md5)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN seen IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_seen
+        |FROM j GROUP BY source""".stripMargin,
+
+    // replay both runs' KMV keep-lists (k smallest 60-bit md5
+    // fractions over distinct (source, text)), union, re-trim,
+    // estimate (k-1)/kth — the same frac convention as q_kmv_distinct
+    "q_manifest_kmv_union" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS f
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ka AS (SELECT source, f FROM (
+        |    SELECT source, f, row_number() OVER
+        |      (PARTITION BY source ORDER BY f) AS rk FROM ha)
+        |  WHERE rk <= 64),
+        |hb AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS f
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |kb AS (SELECT source, f FROM (
+        |    SELECT source, f, row_number() OVER
+        |      (PARTITION BY source ORDER BY f) AS rk FROM hb)
+        |  WHERE rk <= 64),
+        |u AS (SELECT DISTINCT source, f FROM
+        |  (SELECT * FROM ka UNION ALL SELECT * FROM kb)),
+        |r AS (SELECT source, f, row_number() OVER
+        |    (PARTITION BY source ORDER BY f) AS rk FROM u),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    MAX(f) AS kth
+        |  FROM r WHERE rk <= 64 GROUP BY 1)
+        |SELECT source, n_kept,
+        |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE ROUND(63 / kth, 2) END AS est_union
+        |FROM a""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,
