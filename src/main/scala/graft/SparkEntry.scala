@@ -3800,6 +3800,77 @@ object SparkEntry {
         operators.Manifests.readKmvManifest(s, runA),
         operators.Manifests.readKmvManifest(s, runB)), "source", k = 64)
     }),
+
+    // ---- wave 45: HTML structure profile (layout quality features) --
+
+    // per-doc table/list/code/heading/link counts + visible-text-
+    // normalized structural density — map-only regexp_count chain
+    "q_html_structure" -> ((s, dir) =>
+      operators.Boilerplate.structureStats(
+          structHtmlDocs(s, dir), "doc_id", "html")
+        .select("doc_id", "n_tables", "n_lists", "n_items", "n_code",
+          "n_headings", "n_links", "n_paras", "text_chars",
+          "struct_density")),
+
+    // corpus shaping: the same profile rolled up per source — integral
+    // sums only (corpus density = sum/sum, one rounded division)
+    "q_structure_by_source" -> ((s, dir) =>
+      operators.Boilerplate.structureStats(
+          structHtmlDocs(s, dir), "doc_id", "html")
+        .groupBy("source")
+        .agg(sum("n_tables").as("n_tables"),
+          sum("n_lists").as("n_lists"),
+          sum("n_code").as("n_code"),
+          sum("n_headings").as("n_headings"),
+          sum("n_links").as("n_links"),
+          sum("text_chars").as("text_chars"))
+        .withColumn("struct_density",
+          round((col("n_tables") + col("n_lists") + col("n_code") +
+            col("n_headings")).cast("double") /
+            greatest(col("text_chars"), lit(1L)), 6))),
+
+    // ---- wave 45: per-domain quality quotas (classifier x URLs) ----
+
+    // keep the top-3 docs per registered domain by classifier score —
+    // hostQuota's rank window (WindowGroupLimit map-side pre-trim)
+    // ordered by the committed quality model instead of size
+    "q_domain_quality_quota" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityClassifier(col("text")).as("p_keep"))
+      operators.Urls.hostQuota(
+          urlDocs(s, dir).join(scored, "doc_id"),
+          "doc_id", "url", "p_keep", maxPer = 3)
+        .select("doc_id", "registered_domain", "p_keep")
+    }),
+
+    // domain-level quality policy audit: mean classifier score per
+    // registered domain (decimal-exact sum of the 6dp scores — no
+    // cross-row float fold) + the keep/drop verdict a curation pass
+    // would apply. Null-domain rows dropped via the scan-pushable RAW
+    // probe, never the derived attribute
+    "q_domain_quality_floor" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityClassifier(col("text")).as("p_keep"))
+      val d = operators.Urls.withCanonicalUrl(
+          urlDocs(s, dir).filter(operators.Urls.registeredDomain(
+            operators.Urls.rawRegistrableHost(col("url"))).isNotNull),
+          "url", "__canon")
+        .withColumn("__host", operators.Urls.hostOf(col("__canon")))
+        .withColumn("registered_domain",
+          operators.Urls.registeredDomain(col("__host")))
+        .select("doc_id", "registered_domain")
+      d.join(scored, "doc_id")
+        .groupBy("registered_domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p_keep").cast("decimal(18,6)")).cast("double")
+            .as("__sum"))
+        .withColumn("mean_keep",
+          round(col("__sum") / col("n_docs"), 6))
+        .withColumn("keep_domain",
+          (col("mean_keep") >= 0.5 && col("n_docs") >= 5).cast("int"))
+        .select("registered_domain", "n_docs", "mean_keep",
+          "keep_domain")
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -3930,6 +4001,94 @@ object SparkEntry {
 
   private def htmlDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), expr(htmlSynthExpr).as("html"))
+
+  /** Structural-HTML synth for the layout-profile family: arms keyed
+    * by doc_id % 7 plant tables, pre/code blocks, ul/ol lists,
+    * headings, blockquotes, and inline anchors in known counts. ONE
+    * SQL expression string, used verbatim by both engines. */
+  private val structHtmlSynthExpr: String =
+    """'<html><body>' || CASE CAST(doc_id % 7 AS INT)
+      |  WHEN 0 THEN '<h1>Data</h1><table><tr><th>k</th><th>v</th></tr>' ||
+      |    '<tr><td>a</td><td>1</td></tr></table><p>' || text || '</p>'
+      |  WHEN 1 THEN '<p>' || text || '</p><pre><code>val x = ' ||
+      |    doc_id || '</code></pre>'
+      |  WHEN 2 THEN '<ul><li>alpha</li><li>beta</li>' ||
+      |    '<li><a href="/g">gamma</a></li></ul><p>' || text || '</p>'
+      |  WHEN 3 THEN '<h1>Title</h1><h2>Sub</h2><p>' || text || '</p>'
+      |  WHEN 4 THEN '<ol><li>first</li><li>second</li></ol>' ||
+      |    '<p>Use <code>graft</code>: ' || text || '</p>'
+      |  WHEN 5 THEN '<blockquote>Quoted.</blockquote><p>' || text ||
+      |    ' See <a href="/r">ref</a>.</p>'
+      |  ELSE '<p>' || text || '</p>' END || '</body></html>'"""
+      .stripMargin
+
+  private def structHtmlDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"),
+      expr(structHtmlSynthExpr).as("html"))
+
+  /** DuckDB replay of [[TextFunctions.qualityClassifier]] over
+    * `documents` — CTE chain `qd/qb/qp` ending in `qp(doc_id, p_keep)`;
+    * the feature folds replay the SAME (feature, weight) constants in
+    * the SAME order as `classifierLogit` (float + is not associative).
+    * Distinct CTE names so it composes with [[urlCtes]]. */
+  private val qualityScoreCtes: String = {
+    val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+    val fExpr = Map(
+      "log_tokens" -> "ln(len(t) + 1.0)",
+      "mean_word_len" ->
+        "CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)",
+      "stopword_ratio" ->
+        s"CAST(len(list_filter(t, x -> x IN ($swList))) AS DOUBLE) / len(t)",
+      "alpha_token_frac" ->
+        "CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t)",
+      "punct_ratio" ->
+        ("CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)" +
+          " / length(text)"),
+      "dup_bigram_frac" ->
+        "CASE WHEN len(bi) > 0 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi) ELSE 0.0 END")
+    val logit = TextFunctions.classifierWeights
+      .foldLeft(TextFunctions.classifierBias.toString) {
+        case (acc, (n, w)) => s"($acc + (${fExpr(n)}) * $w)"
+      }
+    s"""qd AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |qb AS (
+       |  SELECT doc_id, text, t,
+       |    CASE WHEN len(t) >= 2
+       |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |         ELSE CAST([] AS VARCHAR[]) END AS bi
+       |  FROM qd),
+       |qp AS (
+       |  SELECT doc_id,
+       |    ROUND(1.0 / (1.0 + exp(-($logit))), 6) AS p_keep
+       |  FROM qb)""".stripMargin
+  }
+
+  /** DuckDB replay of [[operators.Boilerplate.structureStats]] over a
+    * prior `h(doc_id, source, html)` — CTE `c` with the tag counts and
+    * the strip-collapse visible-text length. */
+  private val structStatsCte: String =
+    """c AS (SELECT doc_id, source,
+      |    CAST(length(regexp_extract_all(html, '(?i)<table[ >]'))
+      |      AS BIGINT) AS n_tables,
+      |    CAST(length(regexp_extract_all(html, '(?i)<[uo]l[ >]'))
+      |      AS BIGINT) AS n_lists,
+      |    CAST(length(regexp_extract_all(html, '(?i)<li[ >]'))
+      |      AS BIGINT) AS n_items,
+      |    CAST(length(regexp_extract_all(html, '(?i)<(pre|code)[ >]'))
+      |      AS BIGINT) AS n_code,
+      |    CAST(length(regexp_extract_all(html, '(?i)<h[1-6][ >]'))
+      |      AS BIGINT) AS n_headings,
+      |    CAST(length(regexp_extract_all(html, '(?i)<a[ >]'))
+      |      AS BIGINT) AS n_links,
+      |    CAST(length(regexp_extract_all(html, '(?i)<p[ >]'))
+      |      AS BIGINT) AS n_paras,
+      |    CAST(length(trim(regexp_replace(
+      |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS BIGINT) AS text_chars
+      |  FROM h)""".stripMargin
 
   /** Language-keyed synth for the language-ID eval: append one of the
     * committed [[TextFunctions.langFixtureSentences]] (picked by
@@ -5919,42 +6078,10 @@ object SparkEntry {
     // the classifier oracle folds the SAME (feature, weight) constants
     // in the SAME order as TextFunctions.classifierLogit — summation
     // order is part of the contract (float + is not associative)
-    "q_quality_classifier" -> {
-      val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
-      val fExpr = Map(
-        "log_tokens" -> "ln(len(t) + 1.0)",
-        "mean_word_len" ->
-          "CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)",
-        "stopword_ratio" ->
-          s"CAST(len(list_filter(t, x -> x IN ($swList))) AS DOUBLE) / len(t)",
-        "alpha_token_frac" ->
-          "CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t)",
-        "punct_ratio" ->
-          ("CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)" +
-            " / length(text)"),
-        "dup_bigram_frac" ->
-          "CASE WHEN len(bi) > 0 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi) ELSE 0.0 END")
-      val logit = TextFunctions.classifierWeights
-        .foldLeft(TextFunctions.classifierBias.toString) {
-          case (acc, (n, w)) => s"($acc + (${fExpr(n)}) * $w)"
-        }
-      s"""WITH d AS (
-         |  SELECT doc_id, text,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS t
-         |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, text, t,
-         |    CASE WHEN len(t) >= 2
-         |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-         |         ELSE CAST([] AS VARCHAR[]) END AS bi
-         |  FROM d),
-         |p AS (
-         |  SELECT doc_id,
-         |    ROUND(1.0 / (1.0 + exp(-($logit))), 6) AS p_keep
-         |  FROM b)
+    "q_quality_classifier" ->
+      s"""WITH $qualityScoreCtes
          |SELECT doc_id, p_keep, CAST(p_keep >= 0.5 AS INT) AS keep
-         |FROM p""".stripMargin
-    },
+         |FROM qp""".stripMargin,
 
     "q_stopword_ratio" -> {
       val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
@@ -10927,6 +11054,66 @@ object SparkEntry {
         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
         |       ELSE ROUND(63 / kth, 2) END AS est_union
         |FROM a""".stripMargin,
+
+    // structure profile: opening-tag regex hits + the extractor's
+    // strip-collapse visible-text length; density = ints / ints
+    "q_html_structure" ->
+      s"""WITH h AS (SELECT doc_id, source,
+        |    $structHtmlSynthExpr AS html FROM documents),
+        |$structStatsCte
+        |SELECT doc_id, n_tables, n_lists, n_items, n_code, n_headings,
+        |  n_links, n_paras, text_chars,
+        |  ROUND(CAST(n_tables + n_lists + n_code + n_headings AS DOUBLE)
+        |    / GREATEST(text_chars, 1), 6) AS struct_density
+        |FROM c""".stripMargin,
+
+    "q_structure_by_source" ->
+      s"""WITH h AS (SELECT doc_id, source,
+        |    $structHtmlSynthExpr AS html FROM documents),
+        |$structStatsCte,
+        |g AS (SELECT source,
+        |    CAST(SUM(n_tables) AS BIGINT) AS n_tables,
+        |    CAST(SUM(n_lists) AS BIGINT) AS n_lists,
+        |    CAST(SUM(n_code) AS BIGINT) AS n_code,
+        |    CAST(SUM(n_headings) AS BIGINT) AS n_headings,
+        |    CAST(SUM(n_links) AS BIGINT) AS n_links,
+        |    CAST(SUM(text_chars) AS BIGINT) AS text_chars
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tables, n_lists, n_code, n_headings, n_links,
+        |  text_chars,
+        |  ROUND(CAST(n_tables + n_lists + n_code + n_headings AS DOUBLE)
+        |    / GREATEST(text_chars, 1), 6) AS struct_density
+        |FROM g""".stripMargin,
+
+    // rank within domain by (p_keep desc, doc_id), keep 3; the
+    // null-domain partition ranks and falls out, like q_host_quota
+    "q_domain_quality_quota" ->
+      s"""WITH $urlCtes,
+        |$qualityScoreCtes,
+        |qj AS (SELECT d.doc_id, d.registered_domain, qp.p_keep
+        |  FROM dom d JOIN qp USING (doc_id)),
+        |qr AS (SELECT *, row_number() OVER
+        |    (PARTITION BY registered_domain
+        |     ORDER BY p_keep DESC, doc_id) AS rk
+        |  FROM qj)
+        |SELECT doc_id, registered_domain, p_keep FROM qr
+        |WHERE rk <= 3 AND registered_domain IS NOT NULL""".stripMargin,
+
+    "q_domain_quality_floor" ->
+      s"""WITH $urlCtes,
+        |$qualityScoreCtes,
+        |qj AS (SELECT d.registered_domain, qp.p_keep
+        |  FROM dom d JOIN qp USING (doc_id)
+        |  WHERE d.registered_domain IS NOT NULL),
+        |qa AS (SELECT registered_domain,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(p_keep AS DECIMAL(18,6))) AS DOUBLE) AS s
+        |  FROM qj GROUP BY 1)
+        |SELECT registered_domain, n_docs,
+        |  ROUND(s / n_docs, 6) AS mean_keep,
+        |  CAST(ROUND(s / n_docs, 6) >= 0.5 AND n_docs >= 5 AS INT)
+        |    AS keep_domain
+        |FROM qa""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -56,6 +56,43 @@ object Boilerplate {
     trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** Per-document HTML STRUCTURE profile — tables, lists, code
+    * blocks, headings, links, paragraphs — the layout features a
+    * quality classifier wants alongside the text signals (code-heavy
+    * and table-heavy pages behave differently in training mixes than
+    * prose, whatever their token stats say). Counts are opening-tag
+    * regex hits (explicit `[ >]` boundary, no regex-dialect `\b` /
+    * `\s` divergence); `text_chars` is the visible-text length after
+    * the same strip-collapse cleaning the extractor uses; the density
+    * is structural elements per visible character (integer inputs, one
+    * rounded division — cross-engine exact).
+    *
+    * Map-only: a handful of codegen'd `regexp_count`s riding the scan,
+    * no shuffle, no UDF. */
+  def structureStats(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val reserved = Seq("n_tables", "n_lists", "n_items", "n_code",
+      "n_headings", "n_links", "n_paras", "text_chars", "struct_density")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"structureStats: input already has column(s) ${clash.mkString(", ")}")
+    val h = col(htmlCol)
+    def cnt(pat: String): Column =
+      regexp_count(h, lit("(?i)" + pat)).cast("long")
+    df.withColumn("n_tables", cnt("<table[ >]"))
+      .withColumn("n_lists", cnt("<[uo]l[ >]"))
+      .withColumn("n_items", cnt("<li[ >]"))
+      .withColumn("n_code", cnt("<(pre|code)[ >]"))
+      .withColumn("n_headings", cnt("<h[1-6][ >]"))
+      .withColumn("n_links", cnt("<a[ >]"))
+      .withColumn("n_paras", cnt("<p[ >]"))
+      .withColumn("text_chars", length(visibleText(h)).cast("long"))
+      .withColumn("struct_density",
+        round((col("n_tables") + col("n_lists") + col("n_code") +
+          col("n_headings")).cast("double") /
+          greatest(col("text_chars"), lit(1L)), 6))
+  }
+
   /** Adds `outCol` (the extracted main text, content blocks joined
     * with '\n'), `n_content_blocks`, `n_boiler_blocks` (non-empty
     * blocks judged chrome), and `main_chars`. Thresholds:

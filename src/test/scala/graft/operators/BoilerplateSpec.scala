@@ -117,4 +117,32 @@ class BoilerplateSpec extends AnyFunSuite with Matchers with SparkSpec {
       Boilerplate.withMainContent(df, "html", maxLinkPct = 101)
     }
   }
+
+  test("structureStats: hand-counted layout profile") {
+    val html = "<html><body><H1>T</H1><table><tr><td>a</td></tr></table>" +
+      "<ul><li>x</li><li><a href=\"/y\">y</a></li></ul>" +
+      "<pre><code>val z = 1</code></pre><p>hello world</p></body></html>"
+    val got = Boilerplate.structureStats(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .select("n_tables", "n_lists", "n_items", "n_code", "n_headings",
+        "n_links", "n_paras", "text_chars")
+      .collect().head
+    got.getLong(0) shouldBe 1L // table
+    got.getLong(1) shouldBe 1L // ul
+    got.getLong(2) shouldBe 2L // li
+    got.getLong(3) shouldBe 2L // pre + code
+    got.getLong(4) shouldBe 1L // H1 (case-insensitive)
+    got.getLong(5) shouldBe 1L // anchor
+    got.getLong(6) shouldBe 1L // <p> but NOT <pre>
+    // visible text: "T a x y val z = 1 hello world" = 29 chars
+    got.getLong(7) shouldBe 29L
+  }
+
+  test("structureStats rejects reserved-column collisions") {
+    val bad = Seq((1L, "<p>x</p>", 3L)).toDF("doc_id", "html", "n_links")
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.structureStats(bad, "doc_id", "html")
+    }
+    e.getMessage should include("n_links")
+  }
 }
