@@ -3829,6 +3829,47 @@ object SparkEntry {
             col("n_headings")).cast("double") /
             greatest(col("text_chars"), lit(1L)), 6))),
 
+    // text analysis: winnowing (MOSS) fingerprint sets — the
+    // guaranteed-coverage substring-contamination complement of
+    // q_rolling_fp's single chained digest; map-only array math
+    "q_winnow_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.winnowFingerprints(col("text"), k = 4, w = 4)
+          .as("__fps"))
+        .select(col("doc_id"), size(col("__fps")).as("n_fps"),
+          md5(array_join(col("__fps"), "|")).as("fp_digest"))),
+
+    // ---- wave 45: generation-eval metrics (BLEU / ROUGE) ----
+
+    // corpus BLEU-2 between a candidate and reference pair planted on
+    // the corpus (overlapping substrings; %19/%29 arms are empty —
+    // the zero-candidate edge): pooled clipped-precision sums +
+    // brevity penalty, one row
+    "q_bleu" -> ((s, dir) =>
+      operators.Eval.corpusBleu(bleuPairs(s, dir),
+        "doc_id", "cand", "ref", maxN = 2)),
+
+    // ROUGE-2 per document over the same pairs: clipped bigram
+    // overlap precision/recall/F1
+    "q_rouge_n" -> ((s, dir) =>
+      operators.Eval.rougeN(bleuPairs(s, dir),
+        "doc_id", "cand", "ref", n = 2)),
+
+    // ---- wave 45: corpus-frequency boilerplate (CCNet-style) ----
+
+    // blocks whose exact visible text recurs in >= 50 distinct docs —
+    // the frequency complement of q_main_content's density heuristic
+    // (site chrome renders identically on every page)
+    "q_boiler_block_freq" -> ((s, dir) =>
+      operators.Boilerplate.frequentBlocks(htmlDocs(s, dir),
+        "doc_id", "html", minDocs = 50L)),
+
+    // per-doc templatedness: share of the page's blocks that are
+    // corpus-frequent — a quality feature the classifier family reads
+    "q_boiler_block_ratio" -> ((s, dir) =>
+      operators.Boilerplate.withBlockFrequencyStats(htmlDocs(s, dir),
+        "doc_id", "html", minDocs = 50L)),
+
     // ---- wave 45: per-domain quality quotas (classifier x URLs) ----
 
     // keep the top-3 docs per registered domain by classifier score —
@@ -4025,6 +4066,60 @@ object SparkEntry {
   private def structHtmlDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("source"),
       expr(structHtmlSynthExpr).as("html"))
+
+  /** Candidate/reference pair synth for the generation-eval metrics:
+    * overlapping substrings of the text (cand = chars 1-80, ref =
+    * chars 11-90), with empty-candidate (%19) and empty-reference
+    * (%29) arms so the zero-gram conventions are exercised. SQL twin:
+    * [[bleuPairCte]]. */
+  private def bleuPairs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 19 === 0, "")
+        .otherwise(substring(col("text"), 1, 80)).as("cand"),
+      when(col("doc_id") % 29 === 0, "")
+        .otherwise(substring(col("text"), 11, 80)).as("ref"))
+
+  private val bleuPairCte: String =
+    """pr AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 19 = 0 THEN ''
+      |      ELSE substr(text, 1, 80) END AS cand,
+      |    CASE WHEN doc_id % 29 = 0 THEN ''
+      |      ELSE substr(text, 11, 80) END AS ref
+      |  FROM documents),
+      |btok AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(cand)), '\s+'),
+      |      x -> len(x) > 0) AS tc,
+      |    list_filter(string_split_regex(lower(trim(ref)), '\s+'),
+      |      x -> len(x) > 0) AS tr
+      |  FROM pr),
+      |bgr AS (SELECT doc_id,
+      |    CASE WHEN len(tc) >= 2 THEN list_transform(range(1, len(tc)),
+      |      i -> tc[i] || ' ' || tc[i+1]) ELSE CAST([] AS VARCHAR[])
+      |      END AS gc,
+      |    CASE WHEN len(tr) >= 2 THEN list_transform(range(1, len(tr)),
+      |      i -> tr[i] || ' ' || tr[i+1]) ELSE CAST([] AS VARCHAR[])
+      |      END AS gr
+      |  FROM btok)""".stripMargin
+
+  /** DuckDB replay of [[operators.Boilerplate.frequentBlocks]] over a
+    * prior `h(doc_id, html)` — CTEs `nb` (non-empty block occurrences)
+    * and `fq` (blocks in >= 50 distinct docs). Identical split/clean
+    * chain as [[mainContentCtes]]. */
+  private val blockFreqCtes: String = {
+    val clean = (v: String) =>
+      s"trim(regexp_replace(regexp_replace($v, '<[^>]*>', ' ', 'g'), " +
+        s"'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    val blockPat = operators.Boilerplate.BlockTagPattern
+    s"""bb AS (SELECT doc_id, ${clean("u.bl")} AS block_text
+       |  FROM (SELECT doc_id,
+       |      string_split_regex(html, '$blockPat') AS blocks FROM h) t,
+       |    UNNEST(t.blocks) AS u(bl)),
+       |nb AS (SELECT doc_id, block_text FROM bb
+       |  WHERE length(block_text) > 0),
+       |db AS (SELECT DISTINCT doc_id, block_text FROM nb),
+       |fq AS (SELECT block_text, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM db GROUP BY 1 HAVING count(*) >= 50)""".stripMargin
+  }
 
   /** DuckDB replay of [[TextFunctions.qualityClassifier]] over
     * `documents` — CTE chain `qd/qb/qp` ending in `qp(doc_id, p_keep)`;
@@ -11084,6 +11179,130 @@ object SparkEntry {
         |  ROUND(CAST(n_tables + n_lists + n_code + n_headings AS DOUBLE)
         |    / GREATEST(text_chars, 1), 6) AS struct_density
         |FROM g""".stripMargin,
+
+    // winnowing replay: k=4 shingle md5s, w=4 window minima, distinct
+    // sorted; array_to_string([]) is NULL in DuckDB -> coalesce ''
+    "q_winnow_fp" ->
+      """WITH wt AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |wg AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 4 THEN list_transform(
+        |      range(1, len(t) - 2),
+        |      i -> md5(array_to_string(t[i:i+3], ' ')))
+        |    ELSE CAST([] AS VARCHAR[]) END AS g
+        |  FROM wt),
+        |wm AS (SELECT doc_id,
+        |    CASE WHEN len(g) >= 4 THEN list_transform(
+        |      range(1, len(g) - 2), i -> list_min(g[i:i+3]))
+        |    WHEN len(g) > 0 THEN [list_min(g)]
+        |    ELSE CAST([] AS VARCHAR[]) END AS mins
+        |  FROM wg),
+        |wf AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps
+        |  FROM wm)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+        |  md5(coalesce(array_to_string(fps, '|'), '')) AS fp_digest
+        |FROM wf""".stripMargin,
+
+    // corpus BLEU-2: integral clipped/total sums per order, then the
+    // one-expression precision/BP/geo-mean replayed verbatim
+    "q_bleu" ->
+      s"""WITH $bleuPairCte,
+        |tot AS (SELECT
+        |    CAST(SUM(len(tc)) AS BIGINT) AS ctotal_1,
+        |    CAST(SUM(len(tr)) AS BIGINT) AS rtotal_1,
+        |    CAST(SUM(GREATEST(len(tc) - 1, 0)) AS BIGINT) AS ctotal_2,
+        |    CAST(SUM(GREATEST(len(tr) - 1, 0)) AS BIGINT) AS rtotal_2
+        |  FROM btok),
+        |c1 AS (SELECT doc_id, gram, count(*) AS cp FROM
+        |    (SELECT doc_id, unnest(tc) AS gram FROM btok) GROUP BY 1, 2),
+        |r1 AS (SELECT doc_id, gram, count(*) AS rp FROM
+        |    (SELECT doc_id, unnest(tr) AS gram FROM btok) GROUP BY 1, 2),
+        |o1 AS (SELECT coalesce(CAST(SUM(LEAST(cp, rp)) AS BIGINT), 0)
+        |    AS clipped_1
+        |  FROM c1 JOIN r1 ON c1.doc_id = r1.doc_id AND c1.gram = r1.gram),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cp FROM
+        |    (SELECT doc_id, unnest(gc) AS gram FROM bgr) GROUP BY 1, 2),
+        |r2 AS (SELECT doc_id, gram, count(*) AS rp FROM
+        |    (SELECT doc_id, unnest(gr) AS gram FROM bgr) GROUP BY 1, 2),
+        |o2 AS (SELECT coalesce(CAST(SUM(LEAST(cp, rp)) AS BIGINT), 0)
+        |    AS clipped_2
+        |  FROM c2 JOIN r2 ON c2.doc_id = r2.doc_id AND c2.gram = r2.gram)
+        |SELECT ctotal_1 AS c_len, rtotal_1 AS r_len,
+        |  ROUND(CASE WHEN ctotal_1 > 0
+        |    THEN clipped_1 / CAST(ctotal_1 AS DOUBLE) ELSE 0.0 END, 6)
+        |    AS p1,
+        |  ROUND(CASE WHEN ctotal_2 > 0
+        |    THEN clipped_2 / CAST(ctotal_2 AS DOUBLE) ELSE 0.0 END, 6)
+        |    AS p2,
+        |  ROUND(CASE WHEN ctotal_1 = 0 THEN 0.0
+        |    WHEN ctotal_1 > rtotal_1 THEN 1.0
+        |    ELSE exp(1.0 - rtotal_1 / CAST(ctotal_1 AS DOUBLE)) END, 6)
+        |    AS bp,
+        |  ROUND(CASE WHEN clipped_1 > 0 AND ctotal_1 > 0
+        |      AND clipped_2 > 0 AND ctotal_2 > 0
+        |    THEN (CASE WHEN ctotal_1 > rtotal_1 THEN 1.0
+        |      ELSE exp(1.0 - rtotal_1 / CAST(ctotal_1 AS DOUBLE)) END)
+        |      * exp((ln(clipped_1 / CAST(ctotal_1 AS DOUBLE))
+        |        + ln(clipped_2 / CAST(ctotal_2 AS DOUBLE))) / 2)
+        |    ELSE 0.0 END, 6) AS bleu
+        |FROM tot, o1, o2""".stripMargin,
+
+    // ROUGE-2 per doc: full-join clipped counts, spanTokenF1's
+    // zero-conventions (both-empty -> 1, no overlap -> 0)
+    "q_rouge_n" ->
+      s"""WITH $bleuPairCte,
+        |c2 AS (SELECT doc_id, gram, count(*) AS cp FROM
+        |    (SELECT doc_id, unnest(gc) AS gram FROM bgr) GROUP BY 1, 2),
+        |r2 AS (SELECT doc_id, gram, count(*) AS rp FROM
+        |    (SELECT doc_id, unnest(gr) AS gram FROM bgr) GROUP BY 1, 2),
+        |j AS (SELECT coalesce(c2.doc_id, r2.doc_id) AS doc_id,
+        |    coalesce(cp, 0) AS cp, coalesce(rp, 0) AS rp
+        |  FROM c2 FULL JOIN r2
+        |    ON c2.doc_id = r2.doc_id AND c2.gram = r2.gram),
+        |a AS (SELECT doc_id, CAST(SUM(cp) AS BIGINT) AS c_grams,
+        |    CAST(SUM(rp) AS BIGINT) AS r_grams,
+        |    CAST(SUM(LEAST(cp, rp)) AS BIGINT) AS n_overlap
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT d.doc_id, coalesce(c_grams, 0) AS c_grams,
+        |    coalesce(r_grams, 0) AS r_grams,
+        |    coalesce(n_overlap, 0) AS n_overlap
+        |  FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id))
+        |SELECT doc_id, c_grams, r_grams, n_overlap,
+        |  ROUND(CASE WHEN c_grams > 0
+        |    THEN n_overlap / CAST(c_grams AS DOUBLE) ELSE 0.0 END, 6)
+        |    AS precision,
+        |  ROUND(CASE WHEN r_grams > 0
+        |    THEN n_overlap / CAST(r_grams AS DOUBLE) ELSE 0.0 END, 6)
+        |    AS recall,
+        |  ROUND(CASE WHEN c_grams = 0 AND r_grams = 0 THEN 1.0
+        |    WHEN n_overlap = 0 THEN 0.0
+        |    ELSE 2.0 * (n_overlap / CAST(c_grams AS DOUBLE))
+        |      * (n_overlap / CAST(r_grams AS DOUBLE))
+        |      / ((n_overlap / CAST(c_grams AS DOUBLE))
+        |        + (n_overlap / CAST(r_grams AS DOUBLE))) END, 6) AS f1
+        |FROM f""".stripMargin,
+
+    // corpus-frequency boilerplate: identical block split + clean as
+    // the main-content replay, distinct per doc, HAVING-count
+    "q_boiler_block_freq" ->
+      s"""WITH h AS (SELECT doc_id, $htmlSynthExpr AS html
+        |  FROM documents),
+        |$blockFreqCtes
+        |SELECT block_text, n_docs FROM fq""".stripMargin,
+
+    "q_boiler_block_ratio" ->
+      s"""WITH h AS (SELECT doc_id, $htmlSynthExpr AS html
+        |  FROM documents),
+        |$blockFreqCtes,
+        |bj AS (SELECT nb.doc_id,
+        |    CASE WHEN fq.block_text IS NULL THEN 0 ELSE 1 END AS isf
+        |  FROM nb LEFT JOIN fq ON nb.block_text = fq.block_text)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(isf) AS BIGINT) AS n_freq_blocks,
+        |  ROUND(CAST(SUM(isf) AS DOUBLE) / count(*), 6) AS freq_ratio
+        |FROM bj GROUP BY 1""".stripMargin,
 
     // rank within domain by (p_keep desc, doc_id), keep 3; the
     // null-domain partition ranks and falls out, like q_host_quota

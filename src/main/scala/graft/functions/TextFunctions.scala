@@ -319,6 +319,37 @@ object TextFunctions {
   def rollingFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(17L), (acc, tok) => xxhash64(acc, tok))
 
+  /** Winnowing fingerprint selection (the MOSS scheme: Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03): md5-hash every k-token shingle,
+    * slide a w-window over the hash sequence, keep each window's
+    * minimum, return the distinct selected hashes sorted. The
+    * guarantee: any token run of length >= w + k - 1 shared by two
+    * documents shares at least one selected fingerprint — so
+    * winnowed sets support substring-plagiarism/contamination
+    * detection at ~2/(w+1) the density of full shingling. Documents
+    * with fewer than w shingles keep their single minimum (standard
+    * short-doc degradation); fewer than k tokens select nothing.
+    *
+    * Map-only higher-order array math riding the scan — no shuffle,
+    * no UDF; md5-hex hashes replay on any engine, and hex strings
+    * order identically everywhere (set semantics, position-free like
+    * [[fingerprint]]). */
+  def winnowFingerprints(c: Column, k: Int = 4, w: Int = 4): Column = {
+    require(k >= 2 && k <= 16, s"bad shingle size k=$k")
+    require(w >= 2 && w <= 64, s"bad window size w=$w")
+    val toks = filter(tokens(c), t => length(t) > 0)
+    val grams = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => md5(array_join(slice(toks, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val mins = when(size(grams) >= w,
+        transform(sequence(lit(0), size(grams) - w),
+          i => array_min(slice(grams, i + 1, lit(w)))))
+      .when(size(grams) > 0, array(array_min(grams)))
+      .otherwise(array().cast("array<string>"))
+    array_sort(array_distinct(mins))
+  }
+
   /** Cross-engine rolling fingerprint: chained md5 fold
     * `h := md5(h || '|' || token)` seeded with "graft" — order-sensitive
     * like [[rollingFingerprint]] but reproducible on any SQL engine with

@@ -56,6 +56,58 @@ object Boilerplate {
     trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** Exploded non-empty visible blocks `(idCol, block_text)` — one
+    * row per block occurrence (NOT distinct; a page repeating its nav
+    * emits it twice). */
+  private def explodedBlocks(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(col(htmlCol), BlockTagPattern)).as("__raw"))
+      .select(col(idCol), visibleText(col("__raw")).as("block_text"))
+      .filter(length(col("block_text")) > 0)
+
+  /** Corpus-FREQUENCY boilerplate — the CCNet-style complement of the
+    * per-page density heuristic in [[withMainContent]]: a block whose
+    * exact visible text recurs across `minDocs`+ distinct documents is
+    * chrome (nav bars, cookie banners, footers render identically on
+    * every page of a site), however long or link-free it is. Returns
+    * `(block_text, n_docs)` for the recurring blocks.
+    *
+    * Scale shape: one distinct + one hash aggregate over the exploded
+    * block stream (map-side partials); the output is bounded above by
+    * corpus_blocks / minDocs — the repetition that makes a block
+    * boilerplate is exactly what keeps this table small. */
+  def frequentBlocks(df: DataFrame, idCol: String, htmlCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    explodedBlocks(df, idCol, htmlCol)
+      .distinct()
+      .groupBy("block_text")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document boilerplate exposure vs the corpus-frequency set:
+    * total non-empty blocks, how many are corpus-frequent, and the
+    * ratio — the "how templated is this page" quality feature. The
+    * frequent-block table joins back to the block stream (AQE
+    * broadcasts it when small — see [[frequentBlocks]]'s bound);
+    * integral counts, one rounded division. Documents whose page has
+    * no non-empty block produce no row. */
+  def withBlockFrequencyStats(df: DataFrame, idCol: String,
+      htmlCol: String, minDocs: Long): DataFrame = {
+    val freq = frequentBlocks(df, idCol, htmlCol, minDocs)
+      .select(col("block_text"), lit(1).as("__freq"))
+    explodedBlocks(df, idCol, htmlCol)
+      .join(freq, Seq("block_text"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__freq").isNotNull, 1L).otherwise(0L))
+          .as("n_freq_blocks"))
+      .withColumn("freq_ratio",
+        round(col("n_freq_blocks").cast("double") / col("n_blocks"), 6))
+  }
+
   /** Per-document HTML STRUCTURE profile — tables, lists, code
     * blocks, headings, links, paragraphs — the layout features a
     * quality classifier wants alongside the text signals (code-heavy

@@ -624,6 +624,120 @@ object Eval {
     * an id-keyed aggregate. Nothing is ever per-row quadratic in
     * tokens. Output:
     * `(id, n_pred, n_gold, n_overlap, precision, recall, f1)`. */
+  /** Whitespace tokens of a text column, lower-cased, empty strings
+    * dropped (an empty text splits to [""]). */
+  private def cleanToks(c: String): org.apache.spark.sql.Column =
+    filter(split(lower(trim(coalesce(col(c), lit("")))), "\\s+"),
+      t => length(t) > 0)
+
+  /** Space-joined n-grams of the clean token list (empty when the
+    * text has fewer than n tokens). */
+  private def ngrams(c: String, n: Int): org.apache.spark.sql.Column = {
+    val t = cleanToks(c)
+    when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-(doc, gram) occurrence counts. */
+  private def gramCounts(df: DataFrame, idCol: String, c: String,
+      n: Int, out: String): DataFrame =
+    df.select(col(idCol).as("__id"), explode(ngrams(c, n)).as("gram"))
+      .groupBy("__id", "gram").agg(count(lit(1)).as(out))
+
+  /** ROUGE-N per document: clipped n-gram overlap between a candidate
+    * (summary/generation) and a reference, with the
+    * precision/recall/F1 triple — the summarization-eval staple.
+    * Counts are CLIPPED (each reference n-gram credits at most its own
+    * multiplicity), the property that makes ROUGE robust to candidate
+    * repetition. Conventions as [[spanTokenF1]]: both-empty → f1 = 1,
+    * zero overlap → 0.
+    *
+    * Scale shape: one hash aggregate per side on (doc, gram) with
+    * map-side partials, one join on the same key — n-gram streams
+    * never cross documents, so the shuffle is key-local and the
+    * per-doc output is one row. */
+  def rougeN(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"bad n-gram order: $n")
+    val joined = gramCounts(df, idCol, candCol, n, "cp")
+      .join(gramCounts(df, idCol, refCol, n, "cg"),
+        Seq("__id", "gram"), "full")
+      .groupBy("__id")
+      .agg(sum(coalesce(col("cp"), lit(0L))).as("c_grams"),
+        sum(coalesce(col("cg"), lit(0L))).as("r_grams"),
+        sum(least(coalesce(col("cp"), lit(0L)),
+          coalesce(col("cg"), lit(0L)))).as("n_overlap"))
+    val base = df.select(col(idCol).as("__id")).distinct()
+    val full = base.join(joined, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("c_grams"), lit(0L)).as("c_grams"),
+        coalesce(col("r_grams"), lit(0L)).as("r_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    val p = col("n_overlap") / col("c_grams").cast("double")
+    val r = col("n_overlap") / col("r_grams").cast("double")
+    full.select(col("__id").as(idCol), col("c_grams"), col("r_grams"),
+      col("n_overlap"),
+      round(when(col("c_grams") > 0, p).otherwise(0.0), 6)
+        .as("precision"),
+      round(when(col("r_grams") > 0, r).otherwise(0.0), 6).as("recall"),
+      round(when(col("c_grams") === 0 && col("r_grams") === 0, 1.0)
+        .when(col("n_overlap") === 0, 0.0)
+        .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
+
+  /** Corpus-level BLEU-N (default BLEU-2): modified n-gram precisions
+    * `p_n = Σ clipped_n / Σ cand_grams_n` pooled over the corpus (the
+    * standard corpus-BLEU pooling — NOT a mean of per-sentence
+    * scores), brevity penalty `min(1, exp(1 - r/c))` on total token
+    * lengths, geometric mean of the precisions. One row:
+    * `(c_len, r_len, p1..pN, bp, bleu)`. Zero anywhere (no candidate
+    * grams at some order, or zero overlap) → bleu = 0, the standard
+    * unsmoothed convention.
+    *
+    * Every corpus sum is integral (exact in any engine); the only
+    * floats are the final one-expression divisions/exp — replayed
+    * verbatim by the SQL oracle. Scale shape: maxN gram-keyed
+    * join+aggregate passes, each shuffling only (doc, gram) keys. */
+  def corpusBleu(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"bad maxN: $maxN")
+    val perN = (1 to maxN).map { n =>
+      val clipped = gramCounts(df, idCol, candCol, n, "cp")
+        .join(gramCounts(df, idCol, refCol, n, "cg"),
+          Seq("__id", "gram"), "inner")
+        .agg(coalesce(sum(least(col("cp"), col("cg"))), lit(0L))
+          .as(s"clipped_$n"))
+      val totals = df.select(
+          greatest(size(cleanToks(candCol)) - n + 1, lit(0))
+            .cast("long").as("ct"),
+          greatest(size(cleanToks(refCol)) - n + 1, lit(0))
+            .cast("long").as("rt"))
+        .agg(sum("ct").as(s"ctotal_$n"), sum("rt").as(s"rtotal_$n"))
+      clipped.crossJoin(totals) // one-row frames
+    }
+    val joined = perN.reduce(_ crossJoin _)
+    val cLen = col("ctotal_1")
+    val rLen = col("rtotal_1")
+    val ps = (1 to maxN).map(n =>
+      col(s"clipped_$n") / col(s"ctotal_$n").cast("double"))
+    val allPositive = (1 to maxN)
+      .map(n => col(s"clipped_$n") > 0 && col(s"ctotal_$n") > 0)
+      .reduce(_ && _)
+    val bp = when(cLen > rLen, 1.0)
+      .otherwise(exp(lit(1.0) - rLen.cast("double") / cLen))
+    val bleu = when(allPositive,
+        bp * exp(ps.map(log).reduce(_ + _) / maxN)).otherwise(0.0)
+    joined.select(
+      (Seq(cLen.as("c_len"), rLen.as("r_len")) ++
+        (1 to maxN).map(n => round(
+          when(col(s"ctotal_$n") > 0, ps(n - 1)).otherwise(0.0), 6)
+          .as(s"p$n")) ++
+        Seq(round(when(cLen > 0, bp).otherwise(0.0), 6).as("bp"),
+          round(bleu, 6).as("bleu"))): _*)
+  }
+
   def spanTokenF1(df: DataFrame, idCol: String, predCol: String,
       goldCol: String): DataFrame = {
     def counts(c: String, out: String) = df

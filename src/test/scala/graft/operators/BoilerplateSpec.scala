@@ -118,6 +118,29 @@ class BoilerplateSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("frequentBlocks + withBlockFrequencyStats: hand-computed corpus") {
+    // footer in all 4 docs, nav in 3, body text unique per doc
+    val docs = Seq(
+      (1L, "<nav>Home About</nav><p>unique one</p><footer>Terms</footer>"),
+      (2L, "<nav>Home About</nav><p>unique two</p><footer>Terms</footer>"),
+      (3L, "<nav>Home About</nav><footer>Terms</footer>"),
+      // nav repeated TWICE in one doc: distinct-per-doc must count it once
+      (4L, "<p>unique four</p><footer>Terms</footer>" +
+        "<div>solo block</div><div>solo block</div>")
+    ).toDF("doc_id", "html")
+    val freq = Boilerplate.frequentBlocks(docs, "doc_id", "html", 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("Home About" -> 3L, "Terms" -> 4L))
+    // doc 4: blocks = [unique four, Terms, solo block, solo block]
+    // (solo appears twice in ONE doc -> n_docs=1, not frequent)
+    val ratios = Boilerplate.withBlockFrequencyStats(
+        docs, "doc_id", "html", 3L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ratios == Map(
+      1L -> (3L, 2L), 2L -> (3L, 2L), 3L -> (2L, 2L), 4L -> (4L, 1L)))
+  }
+
   test("structureStats: hand-counted layout profile") {
     val html = "<html><body><H1>T</H1><table><tr><td>a</td></tr></table>" +
       "<ul><li>x</li><li><a href=\"/y\">y</a></li></ul>" +
