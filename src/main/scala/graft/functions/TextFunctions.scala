@@ -295,6 +295,30 @@ object TextFunctions {
       case "dup_bigram_frac" => dupNgramFrac(c, 2)
     }
 
+  /** The same features over PRE-BOUND token/bigram array attributes —
+    * identical ops in identical order, so the float results are
+    * bit-equal to [[classifierFeature]]; only the tree shape differs
+    * (each array derived once instead of per-feature). */
+  private def classifierFeatureT(t: Column, bi: Column, raw: Column,
+      name: String): Column =
+    name match {
+      case "log_tokens" => log(size(t).cast("double") + 1.0)
+      case "mean_word_len" =>
+        aggregate(t, lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / size(t)
+      case "stopword_ratio" =>
+        val sw = array(stopwords.map(lit): _*)
+        size(filter(t, x => array_contains(sw, x))).cast("double") /
+          size(t)
+      case "alpha_token_frac" =>
+        size(filter(t, x => x.rlike("[a-z]"))).cast("double") / size(t)
+      case "punct_ratio" => punctRatio(raw)
+      case "dup_bigram_frac" =>
+        when(size(bi) > 0,
+          lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
+          .otherwise(0.0)
+    }
+
   /** Linear-model logit over the committed weights (left fold in
     * declaration order). */
   def classifierLogit(c: Column): Column =
@@ -305,6 +329,43 @@ object TextFunctions {
   /** Logistic keep-probability of the committed quality model, 6dp. */
   def qualityClassifier(c: Column): Column =
     round(lit(1.0) / (lit(1.0) + exp(-classifierLogit(c))), 6)
+
+  /** Stepped (attribute-bound) classifier scoring: binds the token
+    * array and raw-bigram list as columns ONCE, then folds the
+    * committed weights over those attributes — float-identical to
+    * [[qualityClassifier]] (same ops, same fold order; pinned by
+    * CodegenBudgetSpec) but with the token split appearing once
+    * instead of 5x in the expression tree. Use this form whenever the
+    * score feeds a LARGER fused map stage: the higher-order feature
+    * lambdas are CodegenFallback (interpreted per occurrence), so the
+    * one-expression form re-derives and re-traverses the token array
+    * five times per row inside the fused stage — measured as a
+    * 2.7 -> 10.2 s q_domain_quality_quota regression at sf0.1 (cold),
+    * restored to 2.4 s by this binding; the cost scales linearly with
+    * corpus size. */
+  def withQualityScore(df: org.apache.spark.sql.DataFrame,
+      textCol: String, outCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("__qc_t", "__qc_bi", outCol)
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"withQualityScore: input already has column(s) ${clash.mkString(", ")}")
+    val t = col("__qc_t")
+    val logit = classifierWeights.foldLeft(lit(classifierBias): Column) {
+      case (acc, (name, w)) =>
+        acc + classifierFeatureT(t, col("__qc_bi"), col(textCol),
+          name) * w
+    }
+    df.withColumn("__qc_t", tokens(col(textCol)))
+      .withColumn("__qc_bi",
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", slice(t, i, lit(2)))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn(outCol,
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
+      .drop("__qc_t", "__qc_bi")
+  }
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. Stable across engines (md5 is md5 everywhere). */
