@@ -3855,6 +3855,63 @@ object SparkEntry {
       operators.Eval.rougeN(bleuPairs(s, dir),
         "doc_id", "cand", "ref", n = 2)),
 
+    // ---- wave 46: eval metrics, embedding mining, prep stats ----
+
+    // chrF (char n-gram F, beta=2, orders 1-3) over the same pairs —
+    // the tokenizer-free MT metric next to BLEU
+    "q_chrf" -> ((s, dir) =>
+      operators.Eval.corpusChrF(bleuPairs(s, dir),
+        "doc_id", "cand", "ref", maxN = 3)),
+
+    // generation diversity: distinct-1/distinct-2 per source
+    "q_distinct_ngrams" -> ((s, dir) =>
+      operators.Eval.distinctNgrams(docs(s, dir), "source", "text",
+        maxN = 2)),
+
+    // hard-negative mining: top-2 nearest DIFFERENT-label vectors per
+    // anchor — the contrastive-training pair source
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), k = 2)
+    }),
+
+    // matryoshka truncation eval: full-dim top-k pairs with the
+    // 16-dim-prefix cosine next to the full cosine
+    "q_matryoshka" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.matryoshkaEval(e, e.filter(col("vec_id") < 10),
+        k = 3, truncDim = 16)
+    }),
+
+    // T5 span-corruption prep stats: deterministic md5 coin, maximal
+    // masked runs, encoder/decoder lengths before materialization
+    "q_span_corruption" -> ((s, dir) =>
+      operators.Chunking.spanCorruptionStats(docs(s, dir),
+        "doc_id", "text", maskPct = 15)),
+
+    // crawler fetch routing: path-extension media class x distinct
+    // registered domains
+    "q_url_media_route" -> ((s, dir) =>
+      operators.Urls.withCanonicalUrl(urlDocs(s, dir), "url")
+        .withColumn("__host", operators.Urls.hostOf(col("canonical_url")))
+        .withColumn("registered_domain",
+          operators.Urls.registeredDomain(col("__host")))
+        .withColumn("route",
+          operators.Urls.mediaRoute(col("canonical_url")))
+        .groupBy("route")
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("registered_domain")).as("n_domains"))),
+
+    // rank agreement between two scorers (doc length in chars vs in
+    // tokens) per source: tie-aware Kendall tau-b, enforced group cap
+    "q_kendall_tau" -> ((s, dir) =>
+      operators.Stats.kendallTauB(
+        docs(s, dir).select(col("source"), col("doc_id"),
+          col("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tok")),
+        "source", "doc_id", "n_chars", "n_tok", maxPerGroup = 1000)),
+
     // ---- wave 45: corpus-frequency boilerplate (CCNet-style) ----
 
     // blocks whose exact visible text recurs in >= 50 distinct docs —
@@ -11184,6 +11241,209 @@ object SparkEntry {
         |  ROUND(CAST(n_tables + n_lists + n_code + n_headings AS DOUBLE)
         |    / GREATEST(text_chars, 1), 6) AS struct_density
         |FROM g""".stripMargin,
+
+    // chrF: whitespace-free char streams, per-order clipped sums,
+    // beta=2 F per order from UNROUNDED P/R, mean of orders
+    "q_chrf" -> {
+      def gramsCte(n: Int): String =
+        s"""cg$n AS (SELECT doc_id, gram, count(*) AS cp FROM
+          |    (SELECT doc_id, unnest(CASE WHEN length(sc) >= $n
+          |      THEN list_transform(range(1, length(sc) - ${n - 1} + 1),
+          |        i -> substr(sc, i, $n))
+          |      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM cs)
+          |    GROUP BY 1, 2),
+          |rg$n AS (SELECT doc_id, gram, count(*) AS rp FROM
+          |    (SELECT doc_id, unnest(CASE WHEN length(sr) >= $n
+          |      THEN list_transform(range(1, length(sr) - ${n - 1} + 1),
+          |        i -> substr(sr, i, $n))
+          |      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM cs)
+          |    GROUP BY 1, 2),
+          |o$n AS (SELECT coalesce(CAST(SUM(LEAST(cp, rp)) AS BIGINT), 0)
+          |    AS clipped_$n
+          |  FROM cg$n JOIN rg$n ON cg$n.doc_id = rg$n.doc_id
+          |    AND cg$n.gram = rg$n.gram)""".stripMargin
+      val pr = (1 to 3).map { n =>
+        s"""CASE WHEN ctotal_$n > 0
+           |  THEN clipped_$n / CAST(ctotal_$n AS DOUBLE)
+           |  ELSE 0.0 END AS up$n,
+           |CASE WHEN rtotal_$n > 0
+           |  THEN clipped_$n / CAST(rtotal_$n AS DOUBLE)
+           |  ELSE 0.0 END AS ur$n""".stripMargin
+      }.mkString(",\n")
+      val fs = (1 to 3).map(n =>
+        s"CASE WHEN 4.0 * up$n + ur$n > 0 " +
+          s"THEN 5.0 * up$n * ur$n / (4.0 * up$n + ur$n) " +
+          s"ELSE 0.0 END AS f$n").mkString(",\n")
+      s"""WITH $bleuPairCte,
+        |cs AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(cand)), '\\s+', '', 'g') AS sc,
+        |    regexp_replace(lower(trim(ref)), '\\s+', '', 'g') AS sr
+        |  FROM pr),
+        |tot AS (SELECT
+        |    CAST(SUM(GREATEST(length(sc) - 0, 0)) AS BIGINT) AS ctotal_1,
+        |    CAST(SUM(GREATEST(length(sr) - 0, 0)) AS BIGINT) AS rtotal_1,
+        |    CAST(SUM(GREATEST(length(sc) - 1, 0)) AS BIGINT) AS ctotal_2,
+        |    CAST(SUM(GREATEST(length(sr) - 1, 0)) AS BIGINT) AS rtotal_2,
+        |    CAST(SUM(GREATEST(length(sc) - 2, 0)) AS BIGINT) AS ctotal_3,
+        |    CAST(SUM(GREATEST(length(sr) - 2, 0)) AS BIGINT) AS rtotal_3
+        |  FROM cs),
+        |${gramsCte(1)},
+        |${gramsCte(2)},
+        |${gramsCte(3)},
+        |u AS (SELECT
+        |$pr
+        |  FROM tot, o1, o2, o3),
+        |ff AS (SELECT *,
+        |$fs
+        |  FROM u)
+        |SELECT ROUND(up1, 6) AS p1, ROUND(ur1, 6) AS r1,
+        |  ROUND(up2, 6) AS p2, ROUND(ur2, 6) AS r2,
+        |  ROUND(up3, 6) AS p3, ROUND(ur3, 6) AS r3,
+        |  ROUND(((f1 + f2) + f3) / 3, 6) AS chrf
+        |FROM ff""".stripMargin
+    },
+
+    "q_distinct_ngrams" ->
+      """WITH dt AS (SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |u1 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_1,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS uniq_1
+        |  FROM (SELECT source, unnest(t) AS gram FROM dt) GROUP BY 1),
+        |g2 AS (SELECT source, CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS g FROM dt),
+        |u2 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_2,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS uniq_2
+        |  FROM (SELECT source, unnest(g) AS gram FROM g2) GROUP BY 1)
+        |SELECT coalesce(u1.source, u2.source) AS source,
+        |  coalesce(total_1, 0) AS total_1, coalesce(uniq_1, 0) AS uniq_1,
+        |  ROUND(CASE WHEN coalesce(total_1, 0) > 0
+        |    THEN coalesce(uniq_1, 0) / CAST(total_1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS distinct_1,
+        |  coalesce(total_2, 0) AS total_2, coalesce(uniq_2, 0) AS uniq_2,
+        |  ROUND(CASE WHEN coalesce(total_2, 0) > 0
+        |    THEN coalesce(uniq_2, 0) / CAST(total_2 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS distinct_2
+        |FROM u1 FULL JOIN u2 ON u1.source = u2.source""".stripMargin,
+
+    // hard negatives: q_cosine_topk's replay + the label-mismatch
+    // join predicate
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROUND(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+        |    AND c.label <> q.label)
+        |SELECT qid, cid, cos FROM p
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, cid) <= 2""".stripMargin,
+
+    // matryoshka: rank by FULL cosine, report the 16-dim-prefix
+    // cosine next to it
+    "q_matryoshka" ->
+      """WITH e AS (SELECT vec_id,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    ROUND(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos_full,
+        |    ROUND(list_dot_product(q.v[1:16], c.v[1:16]) /
+        |      (sqrt(list_dot_product(q.v[1:16], q.v[1:16])) *
+        |       sqrt(list_dot_product(c.v[1:16], c.v[1:16]))), 6)
+        |      AS cos_trunc
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT qid, cid, cos_full, cos_trunc FROM p
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos_full DESC, cid) <= 3""".stripMargin,
+
+    // span corruption: the identical md5 coin per (doc, position),
+    // span starts = mask on with predecessor off
+    "q_span_corruption" ->
+      """WITH st AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sm AS (SELECT doc_id, len(t) AS n,
+        |    CASE WHEN len(t) >= 1 THEN list_transform(
+        |      range(1, len(t) + 1),
+        |      i -> (CAST(('0x' || substr(md5(doc_id || '#' || i), 1, 8))
+        |        AS BIGINT) % 100) < 15)
+        |    ELSE CAST([] AS BOOLEAN[]) END AS m
+        |  FROM st),
+        |sc AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,
+        |    CAST(len(list_filter(range(1, n + 1),
+        |      i -> m[i] AND (i = 1 OR NOT m[i-1]))) AS BIGINT)
+        |      AS n_spans
+        |  FROM sm)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        |  n_tokens - n_masked + n_spans AS input_len,
+        |  n_masked + n_spans AS target_len
+        |FROM sc""".stripMargin,
+
+    // media routing: path extension of the canonical url, CASE route
+    "q_url_media_route" ->
+      s"""WITH $urlCtes,
+        |mr AS (SELECT doc_id, registered_domain,
+        |    lower(regexp_extract(regexp_extract(canonical_url,
+        |      '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '\\.([a-zA-Z0-9]{1,5})$$', 1)) AS ext
+        |  FROM dom),
+        |rt AS (SELECT doc_id, registered_domain,
+        |    CASE
+        |      WHEN ext IN ('jpg','jpeg','png','gif','webp','svg','ico')
+        |        THEN 'image'
+        |      WHEN ext IN ('mp4','webm','avi','mov','mkv') THEN 'video'
+        |      WHEN ext IN ('mp3','wav','ogg','flac') THEN 'audio'
+        |      WHEN ext IN ('js','mjs') THEN 'script'
+        |      WHEN ext IN ('css') THEN 'style'
+        |      WHEN ext IN ('pdf','doc','docx','xls','xlsx','ppt')
+        |        THEN 'document'
+        |      WHEN ext IN ('zip','gz','tar','rar','7z') THEN 'archive'
+        |      WHEN ext IN ('json','xml','csv') THEN 'data'
+        |      WHEN ext IN ('html','htm','php','asp','aspx','jsp')
+        |        OR ext = '' THEN 'page'
+        |      ELSE 'other' END AS route
+        |  FROM mr)
+        |SELECT route, CAST(count(*) AS BIGINT) AS n_urls,
+        |  count(DISTINCT registered_domain) AS n_domains
+        |FROM rt GROUP BY 1""".stripMargin,
+
+    // Kendall tau-b: exact within-group pair join (group size capped
+    // in the engine), four integral pair counts, one division
+    "q_kendall_tau" ->
+      """WITH ks AS (SELECT source, doc_id,
+        |    CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS DOUBLE) AS y
+        |  FROM documents),
+        |kp AS (SELECT a.source, a.x AS xa, a.y AS ya,
+        |    b.x AS xb, b.y AS yb
+        |  FROM ks a JOIN ks b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id),
+        |kg AS (SELECT source, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tx,
+        |    CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ty
+        |  FROM kp GROUP BY 1)
+        |SELECT source, n0, nc, nd, tx, ty,
+        |  CASE WHEN n0 > tx AND n0 > ty
+        |    THEN ROUND((nc - nd) / sqrt(CAST(n0 - tx AS DOUBLE) *
+        |      CAST(n0 - ty AS DOUBLE)), 6) END AS tau_b
+        |FROM kg""".stripMargin,
 
     // winnowing replay: k=4 shingle md5s, w=4 window minima, distinct
     // sorted; array_to_string([]) is NULL in DuckDB -> coalesce ''

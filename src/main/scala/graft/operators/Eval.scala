@@ -738,6 +738,100 @@ object Eval {
           round(bleu, 6).as("bleu"))): _*)
   }
 
+  /** Whitespace-free lower-cased character stream of a text column —
+    * chrF's preprocessing (whitespace carries no signal at the char
+    * level). */
+  private def chrStream(c: String): org.apache.spark.sql.Column =
+    regexp_replace(lower(trim(coalesce(col(c), lit("")))), "\\s+", "")
+
+  /** Character n-grams of the char stream. */
+  private def charGrams(c: String, n: Int)
+      : org.apache.spark.sql.Column = {
+    val s = chrStream(c)
+    when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - n + 1),
+          i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def charGramCounts(df: DataFrame, idCol: String, c: String,
+      n: Int, out: String): DataFrame =
+    df.select(col(idCol).as("__id"), explode(charGrams(c, n)).as("gram"))
+      .groupBy("__id", "gram").agg(count(lit(1)).as(out))
+
+  /** Corpus chrF (character n-gram F-score, beta = 2, orders
+    * 1..maxN): per-order clipped char-gram overlap pooled over the
+    * corpus (sacrebleu's corpus-statistic pooling), then
+    * `F_n = 5 P R / (4 P + R)` and chrF = mean of the F_n. The
+    * tokenizer-free MT/generation metric — robust to morphology and
+    * segmentation where BLEU is brittle. One row:
+    * `(p1, r1, .., pN, rN, chrf)`, every input sum integral.
+    *
+    * Scale shape: maxN gram-keyed join+aggregate passes like
+    * [[corpusBleu]]; char-gram streams are ~5x token streams but
+    * still (doc, gram)-keyed — no cross-document state. */
+  def corpusChrF(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"bad maxN: $maxN")
+    val perN = (1 to maxN).map { n =>
+      val clipped = charGramCounts(df, idCol, candCol, n, "cp")
+        .join(charGramCounts(df, idCol, refCol, n, "cg"),
+          Seq("__id", "gram"), "inner")
+        .agg(coalesce(sum(least(col("cp"), col("cg"))), lit(0L))
+          .as(s"clipped_$n"))
+      val totals = df.select(
+          greatest(length(chrStream(candCol)) - n + 1, lit(0))
+            .cast("long").as("ct"),
+          greatest(length(chrStream(refCol)) - n + 1, lit(0))
+            .cast("long").as("rt"))
+        .agg(sum("ct").as(s"ctotal_$n"), sum("rt").as(s"rtotal_$n"))
+      clipped.crossJoin(totals) // one-row frames
+    }
+    val joined = perN.reduce(_ crossJoin _)
+    def p(n: Int) = when(col(s"ctotal_$n") > 0,
+      col(s"clipped_$n") / col(s"ctotal_$n").cast("double"))
+      .otherwise(0.0)
+    def r(n: Int) = when(col(s"rtotal_$n") > 0,
+      col(s"clipped_$n") / col(s"rtotal_$n").cast("double"))
+      .otherwise(0.0)
+    def f(n: Int) = when(lit(4.0) * p(n) + r(n) > 0,
+      lit(5.0) * p(n) * r(n) / (lit(4.0) * p(n) + r(n)))
+      .otherwise(0.0)
+    val chrf = (1 to maxN).map(f).reduce(_ + _) / maxN
+    joined.select(
+      ((1 to maxN).flatMap(n => Seq(round(p(n), 6).as(s"p$n"),
+        round(r(n), 6).as(s"r$n"))) :+
+        round(chrf, 6).as("chrf")): _*)
+  }
+
+  /** Generation-diversity distinct-n per group: unique n-grams over
+    * total n-grams (distinct-1/distinct-2 of the self-BLEU family) —
+    * the degenerate-decoding tripwire (mode collapse shows up as a
+    * cratering distinct-2 long before eval loss moves). Two
+    * gram-keyed aggregates per order; integral counts, one rounded
+    * division. */
+  def distinctNgrams(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"bad maxN: $maxN")
+    val perN = (1 to maxN).map { n =>
+      df.select(col(groupCol).as("__g"),
+          explode(ngrams(textCol, n)).as("gram"))
+        .groupBy("__g")
+        .agg(count(lit(1)).as(s"total_$n"),
+          count_distinct(col("gram")).as(s"uniq_$n"))
+    }
+    val joined = perN.reduce(_.join(_, Seq("__g"), "full"))
+    joined.select(
+      (Seq(col("__g").as(groupCol)) ++
+        (1 to maxN).flatMap { n =>
+          val t = coalesce(col(s"total_$n"), lit(0L))
+          val u = coalesce(col(s"uniq_$n"), lit(0L))
+          Seq(t.as(s"total_$n"), u.as(s"uniq_$n"),
+            round(when(t > 0, u / t.cast("double")).otherwise(0.0), 6)
+              .as(s"distinct_$n"))
+        }): _*)
+  }
+
   def spanTokenF1(df: DataFrame, idCol: String, predCol: String,
       goldCol: String): DataFrame = {
     def counts(c: String, out: String) = df

@@ -58,6 +58,59 @@ object Similarity {
       .select("qid", "cid", "cos")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each query (anchor), the top-k most-similar corpus vectors with
+    * a DIFFERENT label — the "close but wrong" examples a triplet or
+    * InfoNCE loss wants. Same broadcast-scan shape as
+    * [[bruteForceTopK]] (queries broadcast, corpus scanned once, rank
+    * window rewritten to WindowGroupLimit), with the label-mismatch
+    * predicate applied inside the join so same-class pairs never
+    * leave the map side. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), col(labelCol).as("qlbl")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      col(labelCol).as("clbl"))
+    val scored = c.join(q,
+        col("qid") =!= col("cid") && col("qlbl") =!= col("clbl"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos")
+  }
+
+  /** Matryoshka truncation eval: for each query's exact top-k
+    * neighbors (ranked by FULL-dimension cosine), the cosine
+    * recomputed on the first `truncDim` coordinates — the number an
+    * embedding-compression decision reads ("how much similarity
+    * survives a prefix truncation"). One broadcast scan computes both
+    * cosines; ranking uses the full-dim score so the pair set equals
+    * [[bruteForceTopK]]'s. */
+  def matryoshkaEval(corpus: DataFrame, queries: DataFrame, k: Int,
+      truncDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && truncDim >= 1,
+      s"bad k=$k / truncDim=$truncDim")
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_full"),
+        round(cosine(slice(col("qv"), 1, truncDim),
+          slice(col("cv"), 1, truncDim)), 6).as("cos_trunc"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_full").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos_full", "cos_trunc")
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
     * Exact O(n^2) arithmetic, organized as a triangular block-pair join:
     * vectors hash into `nBlocks` blocks, the (nBlocks choose 2)+nBlocks

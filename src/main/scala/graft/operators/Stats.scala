@@ -802,6 +802,56 @@ object Stats {
     *
     * Two rank windows + one aggregate — a single group-key shuffle,
     * no joins, no collect. */
+  /** Kendall's tau-b rank correlation per group — the tie-aware rank
+    * agreement two scorers/judges/rankers get compared by (Spearman's
+    * complement: tau counts pairwise inversions, so it is the one to
+    * quote for top-k ranking stability). Computed exactly from the
+    * O(m^2) within-group pair join, which is why the group size is a
+    * HARD enforced cap, not advice: rows beyond `maxPerGroup` (in
+    * deterministic (idCol) order) are rejected loudly — at corpus
+    * scale you compare rankings of bounded k, never unbounded groups.
+    * All four pair counts are integral; tau-b's one division is the
+    * only float.
+    *
+    * tau_b = (nc - nd) / sqrt((n0 - tx) * (n0 - ty)), n0 = m(m-1)/2,
+    * tx/ty = pairs tied in x / in y (both-tied counted in each). */
+  def kendallTauB(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String, maxPerGroup: Int = 1000)
+      : DataFrame = {
+    require(maxPerGroup >= 2 && maxPerGroup <= 10000,
+      s"bad maxPerGroup: $maxPerGroup (pairs grow as its square)")
+    val s = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    // enforced cap with a loud witness (the hub-cap convention)
+    val over = s.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPerGroup).limit(3).collect()
+    require(over.isEmpty,
+      s"kendallTauB: group(s) over maxPerGroup=$maxPerGroup: " +
+        over.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ") +
+        " — rank a bounded top-k per group first")
+    val a = s.select(col("__g"), col("__id").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = s.select(col("__g"), col("__id").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    val pairs = a.join(b, Seq("__g")).filter(col("__ia") < col("__ib"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(dx * dy > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(dx * dy < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(dx === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(dy === 0, 1L).otherwise(0L)).as("ty"))
+    pairs.withColumn("tau_b",
+        when((col("n0") > col("tx")) && (col("n0") > col("ty")),
+          round((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("tx")).cast("double") *
+              (col("n0") - col("ty")).cast("double")), 6)))
+      .select(groupCol, "n0", "nc", "nd", "tx", "ty", "tau_b")
+  }
+
   def spearman(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val s = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)

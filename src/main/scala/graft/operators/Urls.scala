@@ -380,6 +380,32 @@ object Urls {
       .filter(col("registered_domain").isNotNull)
   }
 
+  /** Path-extension media route of a CANONICAL url — the fetch-router
+    * triage a crawler applies before downloading (images/video go to
+    * media pipelines, scripts/styles are usually skipped, pages go to
+    * the HTML extractor). Extension = the last dot-suffix of the path
+    * (1-5 alphanumerics, query/fragment already stripped by
+    * canonicalization), lower-cased; no extension routes to `page`
+    * (the web's default). */
+  def mediaRoute(canonicalUrl: Column): Column = {
+    val path = regexp_extract(canonicalUrl,
+      "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val ext = lower(regexp_extract(path, "\\.([a-zA-Z0-9]{1,5})$", 1))
+    when(ext.isin("jpg", "jpeg", "png", "gif", "webp", "svg", "ico"),
+        "image")
+      .when(ext.isin("mp4", "webm", "avi", "mov", "mkv"), "video")
+      .when(ext.isin("mp3", "wav", "ogg", "flac"), "audio")
+      .when(ext.isin("js", "mjs"), "script")
+      .when(ext.isin("css"), "style")
+      .when(ext.isin("pdf", "doc", "docx", "xls", "xlsx", "ppt"),
+        "document")
+      .when(ext.isin("zip", "gz", "tar", "rar", "7z"), "archive")
+      .when(ext.isin("json", "xml", "csv"), "data")
+      .when(ext.isin("html", "htm", "php", "asp", "aspx", "jsp") ||
+        ext === "", "page")
+      .otherwise("other")
+  }
+
   /** Anchor-text aggregation — the classic web-corpus relevance
     * signal (what OTHER pages call a target url): canonicalize the
     * link target, tokenize the anchor text (lowercase, whitespace
