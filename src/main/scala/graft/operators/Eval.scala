@@ -814,11 +814,21 @@ object Eval {
       maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"bad maxN: $maxN")
     val perN = (1 to maxN).map { n =>
+      // two-level aggregate: (group, gram) counts first (ONE scan,
+      // map-side combine collapses repeated grams before the
+      // shuffle), then sum/count per group. Measured at sf0.1 against
+      // the alternatives: count+count_distinct's Expand 3.6 s, a
+      // totals-scan + distinct-scan split 7.0 s (pays gram
+      // construction twice), this 3.8 s — tied with Expand on this
+      // corpus but strictly less shuffle on repetitive corpora (the
+      // map-side combine keys on the gram, Expand ships every
+      // occurrence twice)
       df.select(col(groupCol).as("__g"),
           explode(ngrams(textCol, n)).as("gram"))
+        .groupBy("__g", "gram").agg(count(lit(1)).as("__c"))
         .groupBy("__g")
-        .agg(count(lit(1)).as(s"total_$n"),
-          count_distinct(col("gram")).as(s"uniq_$n"))
+        .agg(sum("__c").as(s"total_$n"),
+          count(lit(1)).as(s"uniq_$n"))
     }
     val joined = perN.reduce(_.join(_, Seq("__g"), "full"))
     joined.select(
