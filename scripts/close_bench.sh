@@ -86,12 +86,18 @@ import json, sys
 best = float(sys.argv[1])
 def tot(tag):
     d = json.load(open(f'bench_canary_{tag}.json'))
-    return sum(d['queries'].values())
+    qs = d['queries']
+    # Bench writes -1.0 sentinels for failed queries: a failed canary
+    # must abort the close, not silently corrupt the drift coefficient
+    bad = {k: v for k, v in qs.items() if v < 0}
+    assert not bad, f"canary[{tag}] had FAILED queries: {bad}"
+    return sum(qs.values())
 o, c = tot('open'), tot('close')
-drift = c / o if o else float('nan')
+assert o > 0 and c > 0, f"degenerate canary totals open={o} close={c}"
+drift = c / o
 print(f"== drift: canary open={o:.1f}s close={c:.1f}s "
       f"coefficient={drift:.3f}")
-print(f"== normalized best total = {best / drift if drift else best:.1f}s "
+print(f"== normalized best total = {best / drift:.1f}s "
       f"(raw {best:.1f}s / drift {drift:.3f}) — put BOTH in BENCH_NOTES")
 EOF
 # leak scan LAST, over the exact tree being shipped: scanned_commit in
@@ -103,7 +109,12 @@ python3 scripts/leakcheck.py || {
 python3 - <<'EOF'
 import json
 d = json.load(open('LEAKCHECK.json'))
-bad = {k: v for k, v in d.items() if isinstance(v, list) and v}
-assert not bad, f"leak scan HITS: {bad}"
+# hit lists live UNDER d['hits'] (top level is round/commit/counts) —
+# check both the per-category lists and the n_hits counter so a
+# format drift in either direction cannot sneak a hit past the gate
+bad = {k: v for k, v in d.get('hits', {}).items()
+       if isinstance(v, list) and v}
+assert not bad and d.get('n_hits', 1) == 0, \
+    f"leak scan HITS (n_hits={d.get('n_hits')}): {bad}"
 print("== leak scan clean at close — commit bench artifacts + sidecar now")
 EOF

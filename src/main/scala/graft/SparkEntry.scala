@@ -4372,11 +4372,6 @@ object SparkEntry {
       path
     })
 
-  /** JSONL + ORC round-trip layouts written once per (session, sfDir):
-    * the WRITE+READ is the operator under test — the downstream
-    * aggregate must be IDENTICAL to the parquet-sourced oracle, which
-    * is exactly what "format support" means. Schema is pinned on the
-    * JSONL read (inference would widen ints). */
   /** Manifest sidecars written once per (session, sfDir): the PRIOR
     * run's seen-set (docs with doc_id % 3 == 0, keyed on exact text)
     * and two per-run KMV manifests (runs = doc_id parity split,
@@ -4402,6 +4397,11 @@ object SparkEntry {
       (s"$p/seen", s"$p/kmv_a", s"$p/kmv_b")
     })
 
+  /** JSONL + ORC round-trip layouts written once per (session, sfDir):
+    * the WRITE+READ is the operator under test — the downstream
+    * aggregate must be IDENTICAL to the parquet-sourced oracle, which
+    * is exactly what "format support" means. Schema is pinned on the
+    * JSONL read (inference would widen ints). */
   private val formatCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def formatsFor(s: SparkSession, dir: String): (String, String) =
@@ -11696,15 +11696,6 @@ object SparkEntry {
       |  SELECT -doc_id - 1 AS doc_id, text
       |  FROM documents WHERE doc_id % 17 = 0)""".stripMargin
 
-  /** SQL twin of [[urlDocs]] + [[operators.Urls.canonicalizeUrl]] /
-    * hostOf / registeredDomain: the raw synth CASE, then one CTE per
-    * canonical step (fragment, lowercase prefix, userinfo, default
-    * ports, www, tracking strip with the '&'-sentinel, %-escape
-    * uppercase via the split/transform trick), then host + domain.
-    * Exposes `canon(doc_id, n_chars, canonical_url)` and
-    * `dom(doc_id, n_chars, canonical_url, host, registered_domain)`.
-    * Every regex is RE2-conservative (no lookarounds) and probed in
-    * DuckDB; replacement refs are DuckDB's \\1 dialect. */
   /** SQL replay of [[operators.Urls.registeredDomain]]'s PSL
     * longest-suffix-match, generated from the SAME parsed rule table
     * ([[operators.Urls.Psl]]) so Spark and the oracle cannot drift:
@@ -11741,6 +11732,15 @@ object SparkEntry {
       "\n      |      ELSE nullif(l2, '') END"
   }
 
+  /** SQL twin of [[urlDocs]] + [[operators.Urls.canonicalizeUrl]] /
+    * hostOf / registeredDomain: the raw synth CASE, then one CTE per
+    * canonical step (fragment, lowercase prefix, userinfo, default
+    * ports, www, tracking strip with the '&'-sentinel, %-escape
+    * uppercase via the split/transform trick), then host + domain.
+    * Exposes `canon(doc_id, n_chars, canonical_url)` and
+    * `dom(doc_id, n_chars, canonical_url, host, registered_domain)`.
+    * Every regex is RE2-conservative (no lookarounds) and probed in
+    * DuckDB; replacement refs are DuckDB's \\1 dialect. */
   private val urlCtes: String = {
     s"""raw AS (
       |  SELECT doc_id, n_chars,
@@ -11875,9 +11875,6 @@ object SparkEntry {
       |  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)"""
       .stripMargin
 
-  /** Quality/repetition curation chain over `documents $where`, ending
-    * in `kept` (scored survivors of the filters) and `surv` (exact-dedup
-    * min-id winners) — shared by q_curate and the pipeline oracle. */
   /** DuckDB replay of [[operators.Boilerplate.withMainContent]] as
     * CTEs `b/m/c/mc` over a prior `h(doc_id, html)`: the engine's
     * block/anchor patterns interpolated verbatim, the identical
@@ -11915,6 +11912,9 @@ object SparkEntry {
        |  FROM mcblk)""".stripMargin
   }
 
+  /** Quality/repetition curation chain over `documents $where`, ending
+    * in `kept` (scored survivors of the filters) and `surv` (exact-dedup
+    * min-id winners) — shared by q_curate and the pipeline oracle. */
   private def curateCtes(where: String, minQuality: Double,
       maxRepetition: Double, src: String = "documents"): String =
     s"""c AS (

@@ -18,6 +18,14 @@ object TextFunctions {
   /** Lower-cased whitespace tokens. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Whitespace tokens with empty strings dropped and null text
+    * treated as empty — THE clean-token convention shared by the
+    * generation-eval metrics, span-corruption prep, and winnowing
+    * (one definition so the engine/oracle token contract cannot fork
+    * across operators). */
+  def cleanTokens(c: Column): Column =
+    filter(tokens(coalesce(c, lit(""))), t => length(t) > 0)
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -398,7 +406,7 @@ object TextFunctions {
   def winnowFingerprints(c: Column, k: Int = 4, w: Int = 4): Column = {
     require(k >= 2 && k <= 16, s"bad shingle size k=$k")
     require(w >= 2 && w <= 64, s"bad window size w=$w")
-    val toks = filter(tokens(c), t => length(t) > 0)
+    val toks = cleanTokens(c)
     val grams = when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
           i => md5(array_join(slice(toks, i + 1, lit(k)), " "))))

@@ -77,14 +77,16 @@ object Boilerplate {
     * block stream (map-side partials); the output is bounded above by
     * corpus_blocks / minDocs — the repetition that makes a block
     * boilerplate is exactly what keeps this table small. */
-  def frequentBlocks(df: DataFrame, idCol: String, htmlCol: String,
-      minDocs: Long): DataFrame = {
-    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    explodedBlocks(df, idCol, htmlCol)
-      .distinct()
+  private def frequentFrom(blocks: DataFrame, minDocs: Long): DataFrame =
+    blocks.distinct()
       .groupBy("block_text")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  def frequentBlocks(df: DataFrame, idCol: String, htmlCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    frequentFrom(explodedBlocks(df, idCol, htmlCol), minDocs)
   }
 
   /** Per-document boilerplate exposure vs the corpus-frequency set:
@@ -96,9 +98,15 @@ object Boilerplate {
     * no non-empty block produce no row. */
   def withBlockFrequencyStats(df: DataFrame, idCol: String,
       htmlCol: String, minDocs: Long): DataFrame = {
-    val freq = frequentBlocks(df, idCol, htmlCol, minDocs)
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // the exploded stream (regex split + per-block strip over every
+    // page — the dominant cost) feeds BOTH join legs: cache it once
+    // (the pageRank edge-set lesson), don't re-derive per leg
+    val blocks = TrackedCaches.persist(
+      explodedBlocks(df, idCol, htmlCol))
+    val freq = frequentFrom(blocks, minDocs)
       .select(col("block_text"), lit(1).as("__freq"))
-    explodedBlocks(df, idCol, htmlCol)
+    blocks
       .join(freq, Seq("block_text"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_blocks"),

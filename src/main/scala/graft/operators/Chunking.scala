@@ -52,6 +52,43 @@ object Chunking {
           .as("chunk_text"))
   }
 
+  /** T5-style span-corruption PREP stats: a deterministic md5 coin
+    * (`hash(doc '#' position) % 100 < maskPct`) marks tokens for
+    * masking, maximal masked runs become sentinel spans, and the
+    * output reports what the batch builder needs to size
+    * encoder/decoder sequences BEFORE materializing them:
+    * `input_len = n_tokens - n_masked + n_spans` (unmasked tokens +
+    * one sentinel per span) and `target_len = n_masked + n_spans`
+    * (masked tokens + sentinels). Seeded-randomness convention: the
+    * md5 coin is a pure function of (id, position), so every engine —
+    * and every re-run — draws the same spans.
+    *
+    * Map-only higher-order array math riding the scan; no shuffle. */
+  def spanCorruptionStats(df: DataFrame, idCol: String, textCol: String,
+      maskPct: Int = 15): DataFrame = {
+    require(maskPct >= 1 && maskPct <= 99, s"bad maskPct: $maskPct")
+    val t = graft.functions.TextFunctions.cleanTokens(col(textCol))
+    val n = size(t)
+    // 1-based positions; 32 bits of md5 as the coin
+    val m = transform(sequence(lit(1), n),
+      i => (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit("#"), i.cast("string"))), 1, 8), 16, 10).cast("long") %
+        100) < maskPct)
+    val nMasked = size(filter(m, x => x))
+    // a span starts where the mask is on and its predecessor is off:
+    // zip the mask against itself shifted right by one (false-seeded)
+    val prev = concat(array(lit(false)), slice(m, lit(1), n - 1))
+    val nSpans = size(filter(zip_with(m, prev, (cur, pv) => cur && !pv),
+      x => x))
+    df.select(col(idCol),
+        when(n >= 1, n).otherwise(0).cast("long").as("n_tokens"),
+        when(n >= 1, nMasked).otherwise(0).cast("long").as("n_masked"),
+        when(n >= 1, nSpans).otherwise(0).cast("long").as("n_spans"))
+      .withColumn("input_len",
+        col("n_tokens") - col("n_masked") + col("n_spans"))
+      .withColumn("target_len", col("n_masked") + col("n_spans"))
+  }
+
   /** Concat-and-cut sequence packing — the step after chunking in a
     * pretraining pipeline: lay the chunks end to end in a deterministic
     * order and cut every `maxTokens`, assigning each chunk the sequence
@@ -78,44 +115,6 @@ object Chunking {
     * cluster parallelism — pass an explicit `nBuckets` when the layout
     * must reproduce across environments, not just across reruns and
     * partitionings within one. */
-  /** T5-style span-corruption PREP stats: a deterministic md5 coin
-    * (`hash(doc '#' position) % 100 < maskPct`) marks tokens for
-    * masking, maximal masked runs become sentinel spans, and the
-    * output reports what the batch builder needs to size
-    * encoder/decoder sequences BEFORE materializing them:
-    * `input_len = n_tokens - n_masked + n_spans` (unmasked tokens +
-    * one sentinel per span) and `target_len = n_masked + n_spans`
-    * (masked tokens + sentinels). Seeded-randomness convention: the
-    * md5 coin is a pure function of (id, position), so every engine —
-    * and every re-run — draws the same spans.
-    *
-    * Map-only higher-order array math riding the scan; no shuffle. */
-  def spanCorruptionStats(df: DataFrame, idCol: String, textCol: String,
-      maskPct: Int = 15): DataFrame = {
-    require(maskPct >= 1 && maskPct <= 99, s"bad maskPct: $maskPct")
-    val t = filter(split(lower(trim(coalesce(col(textCol), lit("")))),
-      "\\s+"), x => length(x) > 0)
-    val n = size(t)
-    // 1-based positions; 32 bits of md5 as the coin
-    val m = transform(sequence(lit(1), n),
-      i => (conv(substring(md5(concat(col(idCol).cast("string"),
-        lit("#"), i.cast("string"))), 1, 8), 16, 10).cast("long") %
-        100) < maskPct)
-    val nMasked = size(filter(m, x => x))
-    // a span starts where the mask is on and its predecessor is off:
-    // zip the mask against itself shifted right by one (false-seeded)
-    val prev = concat(array(lit(false)), slice(m, lit(1), n - 1))
-    val nSpans = size(filter(zip_with(m, prev, (cur, pv) => cur && !pv),
-      x => x))
-    df.select(col(idCol),
-        when(n >= 1, n).otherwise(0).cast("long").as("n_tokens"),
-        when(n >= 1, nMasked).otherwise(0).cast("long").as("n_masked"),
-        when(n >= 1, nSpans).otherwise(0).cast("long").as("n_spans"))
-      .withColumn("input_len",
-        col("n_tokens") - col("n_masked") + col("n_spans"))
-      .withColumn("target_len", col("n_masked") + col("n_spans"))
-  }
-
   def packSequences(chunks: DataFrame, idCol: String, chunkNoCol: String,
       nTokensCol: String, maxTokens: Int, nBuckets: Int = 0,
       salt: String = "", maxBucketTokens: Long = 1L << 30): DataFrame = {

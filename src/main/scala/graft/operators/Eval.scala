@@ -611,24 +611,11 @@ object Eval {
           .as("brier"))
   }
 
-  /** SQuAD-style token-overlap F1 per example between a predicted and
-    * a gold text span. Tokens are lowercased whitespace splits;
-    * overlap is the MULTISET intersection (Σ min(count_pred,
-    * count_gold) per token — the convention that makes repeating a
-    * gold token not farm precision). Both-empty pairs score 1, one-
-    * empty pairs 0 (the SQuAD null-answer convention). All ratios are
-    * integral-numerator — oracle-exact.
-    *
-    * Scale shape: two explode → (id, token) hash aggregates, ONE
-    * equi-join on (id, token) (co-partitioned by the same key), then
-    * an id-keyed aggregate. Nothing is ever per-row quadratic in
-    * tokens. Output:
-    * `(id, n_pred, n_gold, n_overlap, precision, recall, f1)`. */
-  /** Whitespace tokens of a text column, lower-cased, empty strings
-    * dropped (an empty text splits to [""]). */
+  /** The engine-wide clean-token convention
+    * ([[graft.functions.TextFunctions.cleanTokens]]) over a named
+    * column. */
   private def cleanToks(c: String): org.apache.spark.sql.Column =
-    filter(split(lower(trim(coalesce(col(c), lit("")))), "\\s+"),
-      t => length(t) > 0)
+    graft.functions.TextFunctions.cleanTokens(col(c))
 
   /** Space-joined n-grams of the clean token list (empty when the
     * text has fewer than n tokens). */
@@ -842,6 +829,19 @@ object Eval {
         }): _*)
   }
 
+  /** SQuAD-style token-overlap F1 per example between a predicted and
+    * a gold text span. Tokens are lowercased whitespace splits;
+    * overlap is the MULTISET intersection (Σ min(count_pred,
+    * count_gold) per token — the convention that makes repeating a
+    * gold token not farm precision). Both-empty pairs score 1, one-
+    * empty pairs 0 (the SQuAD null-answer convention). All ratios are
+    * integral-numerator — oracle-exact.
+    *
+    * Scale shape: two explode → (id, token) hash aggregates, ONE
+    * equi-join on (id, token) (co-partitioned by the same key), then
+    * an id-keyed aggregate. Nothing is ever per-row quadratic in
+    * tokens. Output:
+    * `(id, n_pred, n_gold, n_overlap, precision, recall, f1)`. */
   def spanTokenF1(df: DataFrame, idCol: String, predCol: String,
       goldCol: String): DataFrame = {
     def counts(c: String, out: String) = df

@@ -791,17 +791,6 @@ object Stats {
         col("acf"))
   }
 
-  /** Spearman rank correlation per group with AVERAGE-RANK ties (the
-    * textbook convention — `rank() + (|tie block| - 1)/2` is the mean
-    * of the positions a tie block occupies), then the proven
-    * `covar_pop / (stddev_pop · stddev_pop)` Pearson on the ranks.
-    * The monotone-association complement of [[corrMatrix]]'s linear
-    * Pearson: outlier-immune, captures any monotone link. Average
-    * ranks are exact small doubles (k + 0.5), so both engines rank
-    * identically; 6dp absorbs moment accumulation order.
-    *
-    * Two rank windows + one aggregate — a single group-key shuffle,
-    * no joins, no collect. */
   /** Kendall's tau-b rank correlation per group — the tie-aware rank
     * agreement two scorers/judges/rankers get compared by (Spearman's
     * complement: tau counts pairwise inversions, so it is the one to
@@ -852,6 +841,17 @@ object Stats {
       .select(groupCol, "n0", "nc", "nd", "tx", "ty", "tau_b")
   }
 
+  /** Spearman rank correlation per group with AVERAGE-RANK ties (the
+    * textbook convention — `rank() + (|tie block| - 1)/2` is the mean
+    * of the positions a tie block occupies), then the proven
+    * `covar_pop / (stddev_pop · stddev_pop)` Pearson on the ranks.
+    * The monotone-association complement of [[corrMatrix]]'s linear
+    * Pearson: outlier-immune, captures any monotone link. Average
+    * ranks are exact small doubles (k + 0.5), so both engines rank
+    * identically; 6dp absorbs moment accumulation order.
+    *
+    * Two rank windows + one aggregate — a single group-key shuffle,
+    * no joins, no collect. */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val s = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
