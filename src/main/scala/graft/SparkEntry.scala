@@ -3855,6 +3855,18 @@ object SparkEntry {
       operators.Eval.rougeN(bleuPairs(s, dir),
         "doc_id", "cand", "ref", n = 2)),
 
+    // the write-back half of the incremental loop: next run's
+    // seen-set = old manifest UNION batch keys, deduped; the merged
+    // key count must equal the distinct content keys of the whole
+    // corpus (prior run + batch partition it)
+    "q_manifest_update" -> ((s, dir) => {
+      val (seen, _, _) = manifestsFor(s, dir)
+      val updated = operators.Manifests.updatedSeenManifest(
+        operators.Manifests.readSeenManifest(s, seen),
+        docs(s, dir).filter(col("doc_id") % 3 =!= 0), "text")
+      updated.agg(count(lit(1)).as("n_keys"))
+    }),
+
     // ---- wave 46: eval metrics, embedding mining, prep stats ----
 
     // chrF (char n-gram F, beta=2, orders 1-3) over the same pairs —
@@ -11241,6 +11253,12 @@ object SparkEntry {
         |  ROUND(CAST(n_tables + n_lists + n_code + n_headings AS DOUBLE)
         |    / GREATEST(text_chars, 1), 6) AS struct_density
         |FROM g""".stripMargin,
+
+    // prior run (doc_id % 3 = 0) and batch (the rest) partition the
+    // corpus, so the merged manifest is the corpus's distinct key set
+    "q_manifest_update" ->
+      """SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_keys
+        |FROM documents""".stripMargin,
 
     // chrF: whitespace-free char streams, per-order clipped sums,
     // beta=2 F per order from UNROUNDED P/R, mean of orders

@@ -101,6 +101,18 @@ object Manifests {
           .as("n_seen"))
   }
 
+  /** The write-back half of the incremental loop: the next run's
+    * seen-set = old manifest ∪ the batch's keys, deduped — one
+    * union + hash-distinct over fixed-width keys, no touch of
+    * historical raw data. Returns the merged manifest frame (callers
+    * write it with `.write.parquet` to a NEW path and swap — never
+    * overwrite the manifest a concurrent reader may be probing). */
+  def updatedSeenManifest(manifest: DataFrame, batch: DataFrame,
+      keyCol: String): DataFrame =
+    manifest.select(col("key_md5"))
+      .unionByName(batch.select(keyMd5(col(keyCol)).as("key_md5")))
+      .distinct()
+
   /** Builds the per-group KMV manifest rows `(group, f)` — the k
     * smallest 60-bit md5 fractions over the DISTINCT keys of each
     * group. One distinct aggregate + a rank window Spark rewrites to

@@ -87,6 +87,23 @@ class ManifestsSpec extends AnyFunSuite with SparkSpec {
     assert(back == direct && back.size == 16)
   }
 
+  test("updatedSeenManifest closes the loop: re-probe drops everything") {
+    val history = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((3L, "alpha"), (4L, "gamma"), (5L, "gamma"))
+      .toDF("doc_id", "text")
+    val path = tmp("manifest-upd") + "/m"
+    Manifests.writeSeenManifest(history, "text", path)
+    val updated = Manifests.updatedSeenManifest(
+      Manifests.readSeenManifest(spark, path), batch, "text")
+    // alpha, beta, gamma — batch-internal dups and re-crawls deduped
+    assert(updated.count() == 3L)
+    // the defining property: a second pass of the SAME batch against
+    // the updated manifest finds nothing new
+    val again = Manifests.filterUnseen(batch, "text", updated)
+    assert(again.count() == 0L)
+    TrackedCaches.releaseAll()
+  }
+
   test("small groups report exact counts (sketch not full)") {
     val run = Seq(("tiny", "a"), ("tiny", "b"), ("tiny", "a"))
       .toDF("source", "key")
