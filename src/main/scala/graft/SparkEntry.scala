@@ -3985,6 +3985,102 @@ object SparkEntry {
         .select("registered_domain", "n_docs", "mean_keep",
           "keep_domain")
     }),
+
+    // ----- round-11 wave 47: preference ratings, policy blocklist,
+    // toxicity triage, bitext mining, conformal gating, SRM,
+    // memorization risk -----
+
+    // arena-style leaderboard: Bradley-Terry MM strength ratings over
+    // a synthetic battle log (higher model index usually wins, with
+    // deterministic ties and upsets so the fit has real signal) — the
+    // battle log collapses to the models^2 frame in ONE aggregate,
+    // then 3 broadcast MM rounds
+    "q_bradley_terry" -> ((s, dir) => {
+      val ok = col("l_orderkey")
+      val pk = col("l_partkey")
+      val battles = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(concat(lit("m"), ok % 5).as("model_a"),
+          concat(lit("m"), pk % 5).as("model_b"),
+          when((ok + pk) % 4 === 0, "tie")
+            .when(((ok % 5) > (pk % 5)) =!= ((ok + pk) % 9 === 0), "a")
+            .otherwise("b").as("winner"))
+        .filter(col("model_a") =!= col("model_b"))
+      operators.Eval.bradleyTerry(battles, "model_a", "model_b",
+        "winner", iters = 3)
+    }),
+
+    // UT1-style category blocklist keyed by eTLD+1: canonical chain ->
+    // registered domain -> literal-map category probe, map-only
+    "q_url_blocklist" -> ((s, dir) =>
+      operators.Compliance.urlBlocklistAudit(urlDocs(s, dir),
+        "doc_id", "url")),
+
+    // toxicity triage against the committed integer-severity lexicon
+    // (planted tails so every bucket is populated); hits ride a
+    // broadcast join, zero-hit docs restored by one left join
+    "q_toxicity_score" -> ((s, dir) => {
+      val tail = when(col("doc_id") % 6 === 0,
+          " this is stupid garbage and i hate it")
+        .when(col("doc_id") % 6 === 1,
+          " you are a pathetic loser just shut up")
+        .when(col("doc_id") % 6 === 2, " lovely thoughtful wonderful essay")
+        .when(col("doc_id") % 6 === 3,
+          " i will destroy this worthless trash heap")
+        .when(col("doc_id") % 6 === 4, " die die die you disgusting moron")
+        .otherwise("")
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), tail).as("text"))
+      operators.TextQuality.toxicityScore(d, "doc_id", "text")
+    }),
+
+    // bitext mining gate: Gale-Church length statistics + lexical
+    // overlap over candidate pairs (identical / truncated / doubled /
+    // reversed targets exercise all four verdicts) — map-only
+    "q_bitext_align" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val pairs = docs(s, dir).select(col("doc_id"),
+        col("text").as("src"),
+        when(m === 0, col("text"))
+          .when(m === 1, substring(col("text"), 1, 30))
+          .when(m === 2, concat(col("text"), lit(" "), col("text")))
+          .otherwise(reverse(col("text"))).as("tgt"))
+      operators.Linkage.bitextAlign(pairs, "doc_id", "src", "tgt")
+    }),
+
+    // split-conformal threshold + test-split coverage per event type
+    // (alpha=0.1): deterministic order-statistic pick, integral counts
+    "q_conformal_threshold" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("event_type"),
+        col("value"),
+        when(col("user_id") % 3 < 2, "cal").otherwise("test").as("split"))
+      operators.Stats.conformalSplit(ev, "event_type", "event_id",
+        "value", "split", alpha = 0.1)
+    }),
+
+    // sample-ratio-mismatch: observed arm counts vs the designed
+    // 40/30/20/10 split (the assignment matches the design, so chi2
+    // reads near its null value — the healthy-experiment fixture)
+    "q_srm_check" -> ((s, dir) => {
+      val m = col("user_id") % 10
+      val ev = events(s, dir).select(
+        when(m < 4, "arm_a").when(m < 7, "arm_b").when(m < 9, "arm_c")
+          .otherwise("arm_d").as("arm"))
+      operators.Stats.srmCheck(ev, "arm",
+        Seq("arm_a" -> 0.4, "arm_b" -> 0.3, "arm_c" -> 0.2,
+          "arm_d" -> 0.1))
+    }),
+
+    // memorization-risk triage: corpus dup multiplicity x intra-doc
+    // repetition (planted boilerplate dups so the flag fires)
+    "q_memorization_risk" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          "subscribe now subscribe now subscribe now")
+          .when(col("doc_id") % 7 === 1,
+            "all rights reserved all rights reserved")
+          .otherwise(col("text")).as("text"))
+      operators.Dedup.memorizationRisk(d, "doc_id", "text")
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -11616,6 +11712,235 @@ object SparkEntry {
         |  CAST(ROUND(s / n_docs, 6) >= 0.5 AND n_docs >= 5 AS INT)
         |    AS keep_domain
         |FROM qa""".stripMargin,
+
+    // Bradley-Terry: 3 MM rounds unrolled as CTE pairs (update, then
+    // mean-1 renormalize); every numerator is integral, rank ordered
+    // by the ROUNDED rating so last-bit float drift cannot flip it
+    "q_bradley_terry" ->
+      """WITH b AS (
+        |  SELECT 'm' || (l_orderkey % 5) AS model_a,
+        |    'm' || (l_partkey % 5) AS model_b,
+        |    CASE WHEN (l_orderkey + l_partkey) % 4 = 0 THEN 'tie'
+        |      WHEN ((l_orderkey % 5) > (l_partkey % 5))
+        |        <> ((l_orderkey + l_partkey) % 9 = 0) THEN 'a'
+        |      ELSE 'b' END AS winner
+        |  FROM lineitem WHERE (l_orderkey % 5) <> (l_partkey % 5)),
+        |sym AS (
+        |  SELECT model, opp, CAST(SUM(p2) AS BIGINT) AS w2,
+        |    CAST(2 * COUNT(*) AS BIGINT) AS g2
+        |  FROM (
+        |    SELECT model_a AS model, model_b AS opp,
+        |      CASE winner WHEN 'a' THEN 2 WHEN 'tie' THEN 1 ELSE 0 END
+        |        AS p2 FROM b
+        |    UNION ALL
+        |    SELECT model_b, model_a,
+        |      CASE winner WHEN 'b' THEN 2 WHEN 'tie' THEN 1 ELSE 0 END
+        |    FROM b)
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT DISTINCT model, 1.0 AS rating FROM sym),
+        |u1 AS (SELECT s.model,
+        |    CAST(SUM(s.w2) AS DOUBLE)
+        |      / SUM(s.g2 / (rm.rating + ro.rating)) AS raw
+        |  FROM sym s JOIN r0 rm ON s.model = rm.model
+        |    JOIN r0 ro ON s.opp = ro.model GROUP BY 1),
+        |r1 AS (SELECT model, raw * (SELECT COUNT(*) FROM u1)
+        |    / (SELECT SUM(raw) FROM u1) AS rating FROM u1),
+        |u2 AS (SELECT s.model,
+        |    CAST(SUM(s.w2) AS DOUBLE)
+        |      / SUM(s.g2 / (rm.rating + ro.rating)) AS raw
+        |  FROM sym s JOIN r1 rm ON s.model = rm.model
+        |    JOIN r1 ro ON s.opp = ro.model GROUP BY 1),
+        |r2 AS (SELECT model, raw * (SELECT COUNT(*) FROM u2)
+        |    / (SELECT SUM(raw) FROM u2) AS rating FROM u2),
+        |u3 AS (SELECT s.model,
+        |    CAST(SUM(s.w2) AS DOUBLE)
+        |      / SUM(s.g2 / (rm.rating + ro.rating)) AS raw
+        |  FROM sym s JOIN r2 rm ON s.model = rm.model
+        |    JOIN r2 ro ON s.opp = ro.model GROUP BY 1),
+        |r3 AS (SELECT model, raw * (SELECT COUNT(*) FROM u3)
+        |    / (SELECT SUM(raw) FROM u3) AS rating FROM u3),
+        |g AS (SELECT model, CAST(SUM(g2) / 2 AS BIGINT) AS n_battles
+        |  FROM sym GROUP BY 1)
+        |SELECT g.model, g.n_battles, ROUND(r3.rating, 6) AS rating,
+        |  CAST(row_number() OVER (ORDER BY ROUND(r3.rating, 6) DESC,
+        |    g.model) AS INT) AS rank
+        |FROM g JOIN r3 ON g.model = r3.model""".stripMargin,
+
+    // blocklist: same registered-domain CTE stack, category = the
+    // committed seed table as a CASE (eTLD+1 equality IS the match)
+    "q_url_blocklist" ->
+      s"""WITH $urlCtes,
+        |cat AS (SELECT doc_id, registered_domain,
+        |    CASE registered_domain
+        |      WHEN 'example.org' THEN 'ads'
+        |      WHEN 'example.net' THEN 'tracker'
+        |      WHEN 'example.com.au' THEN 'shopping'
+        |      WHEN 'xn--bcher-kva.example' THEN 'piracy'
+        |      WHEN 'casino-palace.example' THEN 'gambling'
+        |      WHEN 'malware-drop.example' THEN 'malware'
+        |    END AS c
+        |  FROM dom)
+        |SELECT doc_id, registered_domain,
+        |  coalesce(c, 'allowed') AS category,
+        |  c IS NOT NULL AS blocked
+        |FROM cat""".stripMargin,
+
+    // toxicity: clean-token unigram join against the VALUES lexicon,
+    // multi-word entries via the length-difference substring count,
+    // bucket thresholds applied to the ROUNDED score on both sides
+    "q_toxicity_score" ->
+      """WITH tox AS (SELECT doc_id, text || CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN ' this is stupid garbage and i hate it'
+        |    WHEN 1 THEN ' you are a pathetic loser just shut up'
+        |    WHEN 2 THEN ' lovely thoughtful wonderful essay'
+        |    WHEN 3 THEN ' i will destroy this worthless trash heap'
+        |    WHEN 4 THEN ' die die die you disgusting moron'
+        |    ELSE '' END AS text FROM documents),
+        |lex AS (SELECT * FROM (VALUES
+        |  ('hate', 2), ('hateful', 2), ('kill', 3), ('die', 2),
+        |  ('stupid', 1), ('idiot', 2), ('moron', 2), ('dumb', 1),
+        |  ('trash', 1), ('garbage', 1), ('loser', 1), ('pathetic', 1),
+        |  ('disgusting', 2), ('worthless', 2), ('attack', 1),
+        |  ('destroy', 1), ('violent', 2), ('abuse', 2), ('threat', 2))
+        |  v(tok, sev)),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks,
+        |    lower(text) AS lc
+        |  FROM tox),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS h1,
+        |    CAST(SUM(sev) AS BIGINT) AS s1
+        |  FROM e JOIN lex USING (tok) GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST((len(lc) - len(replace(lc, 'shut up', ''))) // 7
+        |      AS BIGINT) AS h2
+        |  FROM t),
+        |j AS (SELECT b.doc_id, b.n_toks,
+        |    coalesce(h.h1, 0) + b.h2 AS tox_hits,
+        |    coalesce(h.s1, 0) + b.h2 AS tox_sev
+        |  FROM base b LEFT JOIN h USING (doc_id)),
+        |sc AS (SELECT doc_id, n_toks, tox_hits, tox_sev,
+        |    ROUND(CASE WHEN n_toks > 0
+        |      THEN CAST(tox_sev AS DOUBLE) / n_toks ELSE 0.0 END, 6)
+        |      AS tox_score
+        |  FROM j)
+        |SELECT doc_id, n_toks, tox_hits, tox_sev, tox_score,
+        |  CASE WHEN tox_hits = 0 THEN 'none'
+        |    WHEN tox_score >= 0.10 THEN 'high'
+        |    WHEN tox_score >= 0.03 THEN 'medium'
+        |    ELSE 'low' END AS bucket
+        |FROM sc""".stripMargin,
+
+    // bitext gate: Gale-Church delta (c=1, s2=6.8) + distinct-token
+    // overlap, the aligned verdict off the ROUNDED signals
+    "q_bitext_align" ->
+      """WITH p AS (SELECT doc_id, text AS src,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN text
+        |      WHEN 1 THEN substr(text, 1, 30)
+        |      WHEN 2 THEN text || ' ' || text
+        |      ELSE reverse(text) END AS tgt
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(src) AS BIGINT) AS src_chars,
+        |    CAST(len(tgt) AS BIGINT) AS tgt_chars,
+        |    ROUND(CASE WHEN len(src) > 0
+        |      THEN (CAST(len(tgt) AS DOUBLE) - len(src))
+        |        / sqrt(len(src) * 6.8) ELSE 0.0 END, 6) AS len_delta,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(src)), '\s+'),
+        |      x -> x <> '')) AS st,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(tgt)), '\s+'),
+        |      x -> x <> '')) AS tt
+        |  FROM p),
+        |o AS (SELECT doc_id, src_chars, tgt_chars, len_delta,
+        |    ROUND(CASE WHEN least(len(st), len(tt)) > 0
+        |      THEN CAST(len(list_intersect(st, tt)) AS DOUBLE)
+        |        / least(len(st), len(tt))
+        |      ELSE 0.0 END, 6) AS lex_overlap
+        |  FROM m)
+        |SELECT doc_id, src_chars, tgt_chars, len_delta, lex_overlap,
+        |  src_chars > 0 AND abs(len_delta) < 2.33 AND lex_overlap >= 0.05
+        |    AS aligned
+        |FROM o""".stripMargin,
+
+    // conformal: ceil((n+1)*(1-alpha)) order statistic with the
+    // (score, id) tiebreak, coverage on the test split
+    "q_conformal_threshold" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CASE WHEN user_id % 3 < 2 THEN 'cal' ELSE 'test' END AS split
+        |  FROM events),
+        |cal AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn
+        |  FROM e WHERE split = 'cal'),
+        |ca AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+        |    CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k
+        |  FROM e WHERE split = 'cal' GROUP BY 1),
+        |thr AS (SELECT ca.event_type, ca.n_cal, ca.k,
+        |    ROUND(c.value, 6) AS threshold
+        |  FROM ca JOIN cal c
+        |    ON ca.event_type = c.event_type AND c.rn = ca.k),
+        |cov AS (SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN e.value <= t.threshold THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cv
+        |  FROM e JOIN thr t USING (event_type)
+        |  WHERE e.split = 'test' GROUP BY 1)
+        |SELECT t.event_type, t.n_cal, t.k, t.threshold,
+        |  coalesce(c.n_test, 0) AS n_test,
+        |  ROUND(CASE WHEN c.n_test > 0
+        |    THEN CAST(c.cv AS DOUBLE) / c.n_test END, 6) AS coverage
+        |FROM thr t LEFT JOIN cov c USING (event_type)""".stripMargin,
+
+    // SRM: integral arm counts vs the designed 40/30/20/10 weights;
+    // weights cast to DOUBLE so both engines do double arithmetic
+    "q_srm_check" ->
+      """WITH a AS (SELECT CASE WHEN user_id % 10 < 4 THEN 'arm_a'
+        |    WHEN user_id % 10 < 7 THEN 'arm_b'
+        |    WHEN user_id % 10 < 9 THEN 'arm_c'
+        |    ELSE 'arm_d' END AS arm FROM events),
+        |c AS (SELECT arm, CAST(count(*) AS BIGINT) AS observed
+        |  FROM a GROUP BY 1),
+        |w AS (SELECT arm, CAST(weight AS DOUBLE) AS weight FROM (VALUES
+        |  ('arm_a', 0.4), ('arm_b', 0.3), ('arm_c', 0.2),
+        |  ('arm_d', 0.1)) v(arm, weight)),
+        |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS nn FROM c),
+        |j AS (SELECT w.arm, coalesce(c.observed, 0) AS observed,
+        |    n.nn * w.weight AS expected
+        |  FROM w LEFT JOIN c USING (arm) CROSS JOIN n),
+        |k AS (SELECT arm, observed, expected,
+        |    (observed - expected) * (observed - expected) / expected
+        |      AS contrib
+        |  FROM j)
+        |SELECT arm, observed, ROUND(expected, 6) AS expected,
+        |  ROUND(contrib, 6) AS contrib,
+        |  ROUND(SUM(contrib) OVER (), 6) AS chi2,
+        |  CAST(3 AS BIGINT) AS df
+        |FROM k""".stripMargin,
+
+    // memorization risk: md5-fingerprint dup multiplicity x the
+    // single-space repetition ratio, ln on the exact integer count
+    "q_memorization_risk" ->
+      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 'subscribe now subscribe now subscribe now'
+        |    WHEN 1 THEN 'all rights reserved all rights reserved'
+        |    ELSE text END AS text FROM documents),
+        |f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    ROUND(1.0 -
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS rep_ratio
+        |  FROM d),
+        |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM f GROUP BY 1),
+        |j AS (SELECT f.doc_id, c.dup_count, f.rep_ratio,
+        |    ROUND(ln(CAST(c.dup_count AS DOUBLE)) * (1.0 + f.rep_ratio), 6)
+        |      AS risk
+        |  FROM f JOIN c USING (fp))
+        |SELECT doc_id, dup_count, rep_ratio, risk,
+        |  dup_count >= 2 AND risk >= 0.7 AS flagged
+        |FROM j""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

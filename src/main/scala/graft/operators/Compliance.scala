@@ -167,4 +167,57 @@ object Compliance {
         (col("__best").isNull ||
           col("__best").getField("is_allow") === 1).as("allowed"))
   }
+
+  /** Category URL blocklist — the UT1/Shallalist-style domain filter
+    * every web-corpus build applies before content-level quality
+    * scoring (C4 dropped pages on a bad-words list; RefinedWeb and
+    * FineWeb both key a category blocklist by registered domain).
+    * The table is DATA keyed by eTLD+1: matching a URL means
+    * canonicalize, take the PSL registered domain, and look it up —
+    * subdomains are covered for free (`cdn.ads-site.example` resolves
+    * to its registrable apex before the lookup), which is exactly the
+    * UT1 matching contract. This committed seed table is the
+    * engine-fixture analogue of the real ~4M-entry list; the real
+    * list drops in as a broadcast table without changing the shape. */
+  val UrlBlocklist: Seq[(String, String)] = Seq(
+    "example.org" -> "ads",
+    "example.net" -> "tracker",
+    "example.com.au" -> "shopping",
+    "xn--bcher-kva.example" -> "piracy",
+    "casino-palace.example" -> "gambling",
+    "malware-drop.example" -> "malware")
+
+  /** Blocklist category for a REGISTERED-DOMAIN column (null when the
+    * domain is not listed). A literal-map lookup — codegen'd, rides
+    * the scan; with a production-sized list this becomes a broadcast
+    * join on the same key and the rest of the plan is unchanged. */
+  def blocklistCategory(registeredDomain: Column): Column = {
+    val m = map(UrlBlocklist.flatMap {
+      case (d, c) => Seq(lit(d), lit(c)) }: _*)
+    element_at(m, registeredDomain)
+  }
+
+  /** Per-URL blocklist audit: canonical URL chain -> registered
+    * domain -> category, `blocked` flag. Map-only (the canonical
+    * chain + one literal-map probe); stepped columns so the regex
+    * chain is bound once (the Urls.withRegisteredDomain lesson). */
+  def urlBlocklistAudit(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    Urls.withCanonicalUrl(df.select(col(idCol), col(urlCol)), urlCol,
+        "__canon")
+      .withColumn("__host", Urls.hostOf(col("__canon")))
+      .withColumn("registered_domain",
+        Urls.registeredDomain(col("__host")))
+      .withColumn("category", blocklistCategory(col("registered_domain")))
+      .select(col(idCol), col("registered_domain"),
+        coalesce(col("category"), lit("allowed")).as("category"),
+        col("category").isNotNull.as("blocked"))
+
+  /** Keep-policy filter: drop rows whose registered domain is on the
+    * blocklist. The front-door drop every corpus build applies. */
+  def filterUnblocked(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    df.join(urlBlocklistAudit(df, idCol, urlCol)
+        .filter(!col("blocked")).select(col(idCol)),
+      Seq(idCol), "left_semi")
 }

@@ -791,4 +791,36 @@ object Dedup {
         max(col(seqCol)).as("last_seq"))
       .withColumn("net_op", net)
   }
+
+  /** Memorization-risk triage — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") / Carlini et al.
+    * 2023 (extraction scales with duplication) signal composite:
+    * sequences a model is most likely to regurgitate are the ones
+    * that are (a) duplicated across the corpus and (b) internally
+    * repetitive (low-entropy templates memorize fastest). Per doc:
+    * exact-duplicate multiplicity (corpus-wide, via the md5
+    * fingerprint group), intra-doc token repetition, and
+    * `risk = ln(dup_count) * (1 + rep_ratio)` — zero for unique
+    * docs, growing with both signals; `flagged` marks the
+    * dedup-before-training candidates (duplicated AND above
+    * `riskFloor`).
+    *
+    * Scale shape: ONE hash aggregate on the 32-char md5 (map-side
+    * combine; text never shuffles) broadcast-or-shuffle-joined back
+    * by fingerprint; the repetition signal is map-only. Exactly the
+    * [[exactGroups]] plan plus a projection. */
+  def memorizationRisk(df: DataFrame, idCol: String, textCol: String,
+      riskFloor: Double = 0.7): DataFrame = {
+    val counts = df.select(fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("dup_count"))
+    val risk = log(col("dup_count").cast("double")) *
+      (lit(1.0) + col("rep_ratio"))
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"),
+        repetitionRatio(col(textCol)).as("rep_ratio"))
+      .join(counts, Seq("fp"))
+      .select(col(idCol), col("dup_count"), col("rep_ratio"),
+        round(risk, 6).as("risk"))
+      .withColumn("flagged",
+        col("dup_count") >= 2 && col("risk") >= riskFloor)
+  }
 }

@@ -876,4 +876,74 @@ object Eval {
         .when(col("n_overlap") === 0, 0.0)
         .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
   }
+
+  /** Bradley-Terry strength ratings from pairwise battles — the
+    * arena-style leaderboard model behind LLM preference rankings
+    * (Chatbot-Arena-style `winner in {a, b, tie}` logs). Fits by
+    * `iters` rounds of the MM update
+    * `p_i <- W_i / sum_j n_ij / (p_i + p_j)`, ties credited half a
+    * win to each side (kept integral as 2x points, the [[winRateWilson]]
+    * convention), ratings renormalized to mean 1 each round so the
+    * scale cannot drift.
+    *
+    * Scale shape: ONE hash aggregate collapses the (possibly 100 TB)
+    * battle log to the symmetric model x opponent count frame —
+    * at most `maxModels`^2 rows, enforced by a bounded witness probe —
+    * and every MM round after that is a broadcast join + hash
+    * aggregate on that tiny frame. The battle log is touched exactly
+    * once. Output: `(model, n_battles, rating, rank)`, rating rounded
+    * 6dp, rank ordered by the ROUNDED rating (ties by model) so the
+    * ordering is stable under last-bit float drift. */
+  def bradleyTerry(df: DataFrame, modelACol: String, modelBCol: String,
+      winnerCol: String, iters: Int = 3, maxModels: Int = 1000)
+      : DataFrame = {
+    require(iters >= 1 && iters <= 20, s"bad iters: $iters")
+    val pts = (side: String, me: String, other: String) =>
+      df.select(col(me).as("model"), col(other).as("opp"),
+        when(col(winnerCol) === side, 2L)
+          .when(col(winnerCol) === "tie", 1L).otherwise(0L).as("p2"))
+    val sym = pts("a", modelACol, modelBCol)
+      .unionAll(pts("b", modelBCol, modelACol))
+      .groupBy("model", "opp")
+      .agg(sum("p2").as("w2"), (count(lit(1)) * 2L).as("g2"))
+      .persist()
+    val over = sym.select("model").distinct()
+      .limit(maxModels + 1).collect()
+    require(over.length <= maxModels,
+      s"more than $maxModels models — raise maxModels only if the " +
+        "model universe is genuinely that large (the MM frame is " +
+        "models^2)")
+    var ratings = sym.select("model").distinct()
+      .withColumn("rating", lit(1.0))
+    for (_ <- 1 to iters) {
+      val oppRatings = ratings
+        .select(col("model").as("opp"), col("rating").as("opp_rating"))
+      val upd = sym
+        .join(broadcast(ratings), Seq("model"))
+        .join(broadcast(oppRatings), Seq("opp"))
+        .groupBy("model")
+        .agg((sum("w2") /
+          sum(col("g2") / (col("rating") + col("opp_rating"))))
+          .as("raw"))
+      val tot = upd.agg(sum("raw").as("__t"),
+        count(lit(1)).cast("double").as("__m"))
+      // each round references the previous ratings plan THREE times
+      // (model join, opp join, renormalization total) — without
+      // truncation the lineage is 3^iters and AQE replans every copy.
+      // localCheckpoint materializes the models-sized frame eagerly
+      // (the standard Spark iterative-algorithm idiom), so every MM
+      // round is one small job over the persisted sym frame
+      ratings = upd.crossJoin(broadcast(tot))
+        .select(col("model"),
+          (col("raw") * col("__m") / col("__t")).as("rating"))
+        .localCheckpoint()
+    }
+    val games = sym.groupBy("model")
+      .agg((sum("g2") / 2L).cast("long").as("n_battles"))
+    val out = games.join(ratings, Seq("model"))
+      .withColumn("rating", round(col("rating"), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rating").desc, col("model"))))
+    out
+  }
 }

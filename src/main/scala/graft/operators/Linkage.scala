@@ -220,4 +220,46 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select("name1", "name2", "n1", "n2", "rank_dist", "dist")
   }
+
+  /** Gale-Church-style bitext alignment scoring for CANDIDATE
+    * source/target pairs — the length-statistics gate of every
+    * parallel-corpus mining pipeline (Gale & Church 1993: character
+    * counts of mutual translations are tightly linearly related;
+    * pairs whose length delta is a statistical outlier are
+    * misalignments). `delta = (lt - ls*c) / sqrt(ls * s2)` with the
+    * paper's canonical `c = 1.0`, `s2 = 6.8`; a lexical-overlap
+    * ratio (shared distinct clean tokens / min vocab — cognates,
+    * numbers, names survive translation) is the second signal, and
+    * `aligned` = |delta| < `maxAbsDelta` AND overlap >= `minOverlap`.
+    *
+    * Map-only arithmetic over already-paired rows plus one bounded
+    * array intersection per pair — the pairing itself (by id, by
+    * position, by hunalign-ish anchor) is the caller's join; this
+    * operator scores whatever candidate frame arrives, so it
+    * composes with any 100 TB mining shape without owning a
+    * shuffle. Empty/degenerate sources yield delta 0 and stay
+    * unaligned (a zero-length source has no length evidence). */
+  def bitextAlign(pairs: DataFrame, idCol: String, srcCol: String,
+      tgtCol: String, maxAbsDelta: Double = 2.33,
+      minOverlap: Double = 0.05): DataFrame = {
+    val ls = length(coalesce(col(srcCol), lit(""))).cast("double")
+    val lt = length(coalesce(col(tgtCol), lit(""))).cast("double")
+    val delta = when(ls > 0, (lt - ls) / sqrt(ls * lit(6.8)))
+      .otherwise(0.0)
+    val st = array_distinct(graft.functions.TextFunctions
+      .cleanTokens(col(srcCol)))
+    val tt = array_distinct(graft.functions.TextFunctions
+      .cleanTokens(col(tgtCol)))
+    val minV = least(size(st), size(tt))
+    val overlap = when(minV > 0,
+      size(array_intersect(st, tt)).cast("double") / minV)
+      .otherwise(0.0)
+    pairs.select(col(idCol),
+        ls.cast("long").as("src_chars"), lt.cast("long").as("tgt_chars"),
+        round(delta, 6).as("len_delta"),
+        round(overlap, 6).as("lex_overlap"))
+      .withColumn("aligned",
+        col("src_chars") > 0 && abs(col("len_delta")) < maxAbsDelta &&
+          col("lex_overlap") >= minOverlap)
+  }
 }

@@ -1345,4 +1345,94 @@ object Stats {
         round(col("__mpost") - col("__theta") *
           (col("__mpre") - col("__mpreAll")), 6).as("mean_adj"))
   }
+
+  /** Split-conformal prediction threshold per group — the
+    * distribution-free calibration step behind selective prediction
+    * and LLM-router confidence gating (Vovk et al.; Angelopoulos &
+    * Bates 2023 tutorial): on the CALIBRATION split take the
+    * `ceil((n_cal+1)*(1-alpha))`-th smallest nonconformity score as
+    * the threshold, then report empirical coverage (`score <=
+    * threshold`) on the TEST split, which is guaranteed `>= 1-alpha`
+    * in expectation under exchangeability.
+    *
+    * The order statistic is picked by `row_number` over
+    * `(score, id)` — the id tiebreak makes the pick deterministic
+    * under duplicate scores. One window over the calibration split
+    * (per-group, so skew is bounded by the largest group's
+    * calibration slice) + one hash aggregate per split; counts
+    * integral, coverage one guarded division. */
+  def conformalSplit(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, splitCol: String, alpha: Double = 0.1)
+      : DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha: $alpha")
+    val cal = df.filter(col(splitCol) === "cal")
+    val ranked = cal.withColumn("__rn", row_number().over(
+      Window.partitionBy(groupCol).orderBy(col(scoreCol), col(idCol))))
+    val calAgg = cal.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("__k",
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+    // the +1 quantile index can exceed n_cal for tiny groups — the
+    // standard convention is then "no finite threshold" (coverage
+    // cannot be guaranteed); those groups drop from the output, the
+    // caller's signal to collect more calibration data
+    val thr = calAgg.join(ranked.select(col(groupCol),
+        col("__rn"), col(scoreCol).cast("double").as("__s")),
+        Seq(groupCol), "left")
+      .filter(col("__rn") === col("__k"))
+      .select(col(groupCol), col("n_cal"), col("__k").as("k"),
+        round(col("__s"), 6).as("threshold"))
+    val covered = df.filter(col(splitCol) === "test")
+      .join(thr, Seq(groupCol), "inner")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col(scoreCol).cast("double") <= col("threshold"), 1L)
+          .otherwise(0L)).as("__cov"))
+    thr.join(covered, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_cal"), col("k"), col("threshold"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        round(when(col("n_test") > 0,
+          col("__cov").cast("double") / col("n_test"))
+          .otherwise(lit(null)), 6).as("coverage"))
+  }
+
+  /** Sample-ratio-mismatch check — the first diagnostic every
+    * experimentation platform runs before reading an A/B test
+    * (Fabijan et al. 2019: SRM is the most common invalidator):
+    * chi-square of observed arm counts against the DESIGNED
+    * allocation `weights`. Output one row per arm (observed,
+    * expected, contribution) plus the shared `chi2` and `df`
+    * columns; compare chi2 to the critical value for k-1 df.
+    *
+    * One hash aggregate over the assignment log (integral counts);
+    * expected counts and contributions are single-expression doubles
+    * off those integers, and the chi2 total is a sum over the
+    * ARM-sized frame (bounded by the weights list, not the data). */
+  def srmCheck(df: DataFrame, armCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must cover all arms and sum to 1")
+    val spark = df.sparkSession
+    val w = spark.createDataFrame(weights).toDF("arm", "weight")
+    val counts = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("observed"))
+    val joined = broadcast(w).join(counts, Seq("arm"), "left")
+      .select(col("arm"), col("weight"),
+        coalesce(col("observed"), lit(0L)).as("observed"))
+      .crossJoin(broadcast(
+        counts.agg(sum("observed").cast("long").as("__n"))))
+      .withColumn("expected", col("__n") * col("weight"))
+      .withColumn("contrib",
+        (col("observed") - col("expected")) *
+          (col("observed") - col("expected")) / col("expected"))
+    joined
+      .withColumn("chi2", sum("contrib").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("arm"), col("observed"),
+        round(col("expected"), 6).as("expected"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("chi2"), 6).as("chi2"),
+        lit(weights.size - 1L).as("df"))
+  }
 }

@@ -734,4 +734,68 @@ object TextQuality {
             col("n_code_fences")) * lit(1000.0) / col("n_chars"))
           .otherwise(0.0), 4))
   }
+
+  /** Committed toxicity seed lexicon: term -> integer severity. The
+    * engine fixture for the badwords list every corpus build applies
+    * (C4's blocklist, HateBERT-style lexica); severities are INTEGERS
+    * so the per-document aggregation is exact. The production list
+    * drops in as a broadcast table — same shape, bigger data. */
+  val ToxicityLexicon: Seq[(String, Int)] = Seq(
+    "hate" -> 2, "hateful" -> 2, "kill" -> 3, "die" -> 2,
+    "stupid" -> 1, "idiot" -> 2, "moron" -> 2, "dumb" -> 1,
+    "trash" -> 1, "garbage" -> 1, "loser" -> 1, "pathetic" -> 1,
+    "disgusting" -> 2, "worthless" -> 2, "shut up" -> 1,
+    "attack" -> 1, "destroy" -> 1, "violent" -> 2, "abuse" -> 2,
+    "threat" -> 2)
+
+  /** Per-document toxicity scoring against [[ToxicityLexicon]] —
+    * token-exact (clean whitespace tokens, so `hateful` does not
+    * double-fire `hate`; the one multi-word entry matches as a
+    * bigram). Emits hit/severity counts, a per-token normalized
+    * score, and the triage bucket (`none/low/medium/high`) the
+    * keep/review/drop policy keys on.
+    *
+    * Scale shape: explode tokens -> broadcast inner join on the
+    * lexicon (only HITS survive the join — the shuffle carries
+    * matched tokens, not the corpus) -> per-doc hash aggregate, then
+    * a left join back to the doc frame for exact zero fill. All
+    * counts integral; the score is one guarded division. */
+  def toxicityScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val uni = ToxicityLexicon.filter(!_._1.contains(" "))
+    val bi = ToxicityLexicon.filter(_._1.contains(" "))
+    val lex = spark.createDataFrame(uni.map(t => (t._1, t._2)))
+      .toDF("tok", "sev")
+    val base = df.select(col(idCol), cleanTokens(col(textCol)).as("__t"),
+      lower(coalesce(col(textCol), lit(""))).as("__lc"))
+    val hits = base.select(col(idCol), explode(col("__t")).as("tok"))
+      .join(broadcast(lex), Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("h1"), sum("sev").as("s1"))
+    // the rare multi-word entries ride as codegen'd substring counts
+    // (bounded by lexicon size, not corpus size)
+    val biHits = bi.map { case (phrase, sev) =>
+      val n = occurrences(col("__lc"), phrase).cast("long")
+      (n, n * sev)
+    }
+    val (h2, s2) =
+      if (biHits.isEmpty) (lit(0L), lit(0L))
+      else (biHits.map(_._1).reduce(_ + _), biHits.map(_._2).reduce(_ + _))
+    base.select(col(idCol), size(col("__t")).cast("long").as("n_toks"),
+        h2.as("__h2"), s2.as("__s2"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"),
+        (coalesce(col("h1"), lit(0L)) + col("__h2")).as("tox_hits"),
+        (coalesce(col("s1"), lit(0L)) + col("__s2")).as("tox_sev"))
+      .withColumn("tox_score",
+        round(when(col("n_toks") > 0,
+          col("tox_sev").cast("double") / col("n_toks"))
+          .otherwise(0.0), 6))
+      .withColumn("bucket",
+        when(col("tox_hits") === 0, "none")
+          .when(col("tox_score") >= 0.10, "high")
+          .when(col("tox_score") >= 0.03, "medium")
+          .otherwise("low"))
+  }
 }
