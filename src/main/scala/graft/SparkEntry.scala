@@ -4081,6 +4081,74 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       operators.Dedup.memorizationRisk(d, "doc_id", "text")
     }),
+
+    // ----- round-11 wave 48: serving + preference-data analytics -----
+
+    // speculative decoding: per-config acceptance and tokens/step from
+    // a per-position accept log (draft k=4; acceptance depends on the
+    // config so the three configs separate)
+    "q_spec_decode" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("step"),
+          concat(lit("cfg"), col("o_orderkey") % 3).as("config"),
+          explode(sequence(lit(1), lit(4))).as("pos"))
+        .withColumn("accepted",
+          (col("step") + col("pos") * (lit(1) + col("step") % 3)) % 4 > 0)
+      operators.Eval.specDecodeStats(o, "config", "step", "pos",
+        "accepted", k = 4)
+    }),
+
+    // model-cascade quality/cost frontier at four confidence
+    // thresholds (small model's confidence and both correctness bits
+    // are deterministic functions of the order key)
+    "q_cascade_frontier" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(((col("o_orderkey") % 20) / 20.0).as("conf"),
+          ((col("o_orderkey") % 20) + (col("o_orderkey") % 7) >= 10)
+            .as("small_ok"),
+          (col("o_orderkey") % 7 > 0).as("large_ok"))
+      operators.Eval.cascadeFrontier(o, "conf", "small_ok", "large_ok",
+        thresholds = Seq(0.2, 0.4, 0.6, 0.8), largeCost = 10.0)
+    }),
+
+    // DPO preference-margin health per prompt family (decimal-exact
+    // margin sums; reward values are deterministic double arithmetic)
+    "q_dpo_margin" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(concat(lit("p"), col("l_partkey") % 4).as("family"),
+          ((col("l_orderkey") % 13).cast("double") * 0.5).as("chosen"),
+          ((col("l_partkey") % 11).cast("double") * 0.4).as("rejected"))
+      operators.Eval.dpoMarginStats(li, "family", "chosen", "rejected")
+    }),
+
+    // RAG grounding: answer-trigram coverage against the retrieved
+    // context (full / truncated / unrelated context thirds)
+    "q_grounding" -> ((s, dir) => {
+      val m = col("doc_id") % 3
+      val d = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 120).as("ans"),
+        when(m === 0, col("text"))
+          .when(m === 1, concat(substring(col("text"), 1, 60),
+            lit(" unrelated filler phrases entirely")))
+          .otherwise(lit("different content words only here")).as("ctx"))
+      operators.Eval.groundingCoverage(d, "doc_id", "ans", "ctx", n = 3)
+    }),
+
+    // KV-cache prefix sharing: five planted system-prompt variants in
+    // front of the corpus, measured at prefix lengths 4/8/16
+    "q_prefix_share" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(lit("system prompt variant "), col("doc_id") % 5,
+          lit(" : "), col("text")).as("text"))
+      operators.Chunking.prefixShareStats(d, "doc_id", "text",
+        prefixLens = Seq(4, 8, 16))
+    }),
+
+    // Neyman allocation of a 10k labeling budget across event types
+    // (decimal-exact moments; sd off the exact sums)
+    "q_neyman_alloc" -> ((s, dir) =>
+      operators.Sampling.neymanAllocation(events(s, dir), "event_type",
+        "value", totalN = 10000L)),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -11941,6 +12009,167 @@ object SparkEntry {
         |SELECT doc_id, dup_count, rep_ratio, risk,
         |  dup_count >= 2 AND risk >= 0.7 AS flagged
         |FROM j""".stripMargin,
+
+    // speculative decoding: leading-accept length via min(reject pos),
+    // never a sort; all counts integral
+    "q_spec_decode" ->
+      """WITH p AS (SELECT o_orderkey AS step,
+        |    'cfg' || (o_orderkey % 3) AS config,
+        |    unnest([1, 2, 3, 4]) AS pos
+        |  FROM orders),
+        |a AS (SELECT config, step, pos,
+        |    ((step + pos * (1 + step % 3)) % 4) > 0 AS acc FROM p),
+        |l AS (SELECT config, step,
+        |    coalesce(min(CASE WHEN NOT acc THEN pos END), 5) - 1 AS lead
+        |  FROM a GROUP BY 1, 2),
+        |s AS (SELECT config, CAST(count(*) AS BIGINT) AS n_steps,
+        |    CAST(SUM(lead) AS BIGINT) AS accepted_tokens
+        |  FROM l GROUP BY 1)
+        |SELECT config, n_steps, accepted_tokens,
+        |  ROUND(CAST(accepted_tokens + n_steps AS DOUBLE) / n_steps, 6)
+        |    AS tokens_per_step,
+        |  ROUND(CAST(accepted_tokens AS DOUBLE) / (n_steps * 4), 6)
+        |    AS accept_rate
+        |FROM s""".stripMargin,
+
+    // cascade frontier: thresholds cast to DOUBLE so both engines
+    // compare doubles; correctness bits as CASE 1/0
+    "q_cascade_frontier" ->
+      """WITH o AS (SELECT
+        |    (o_orderkey % 20) / CAST(20.0 AS DOUBLE) AS conf,
+        |    CASE WHEN (o_orderkey % 20) + (o_orderkey % 7) >= 10
+        |      THEN 1 ELSE 0 END AS so,
+        |    CASE WHEN o_orderkey % 7 > 0 THEN 1 ELSE 0 END AS lo
+        |  FROM orders),
+        |x AS (SELECT conf, so, lo,
+        |    unnest([CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+        |      CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)]) AS threshold
+        |  FROM o),
+        |g AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN conf < threshold THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_large,
+        |    CAST(SUM(CASE WHEN conf < threshold THEN lo ELSE so END)
+        |      AS BIGINT) AS n_correct
+        |  FROM x GROUP BY 1)
+        |SELECT threshold, n, n_large,
+        |  ROUND(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy,
+        |  ROUND(((n - n_large) + n_large * CAST(10.0 AS DOUBLE)) / n, 6)
+        |    AS avg_cost
+        |FROM g""".stripMargin,
+
+    // DPO margins: identical double reward arithmetic (explicit DOUBLE
+    // casts — DuckDB literals are DECIMAL), decimal-exact margin sums
+    "q_dpo_margin" ->
+      """WITH li AS (SELECT 'p' || (l_partkey % 4) AS family,
+        |    CAST(l_orderkey % 13 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+        |      AS chosen,
+        |    CAST(l_partkey % 11 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |      AS rejected
+        |  FROM lineitem),
+        |m AS (SELECT family,
+        |    CAST(ROUND(chosen - rejected, 6) AS DECIMAL(18,6)) AS mg
+        |  FROM li),
+        |a AS (SELECT family, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    SUM(mg) AS s,
+        |    CAST(SUM(CASE WHEN mg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_wins,
+        |    CAST(SUM(CASE WHEN mg > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_big
+        |  FROM m GROUP BY 1)
+        |SELECT family, n_pairs,
+        |  ROUND(CAST(s AS DOUBLE) / n_pairs, 6) AS mean_margin,
+        |  ROUND(CAST(n_wins AS DOUBLE) / n_pairs, 6) AS win_rate,
+        |  ROUND(CAST(n_big AS DOUBLE) / n_pairs, 6) AS big_margin_rate
+        |FROM a""".stripMargin,
+
+    // grounding: distinct answer trigrams vs context trigrams, same
+    // clean-token + space-joined-gram convention as the Spark side
+    "q_grounding" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(text, 1, 120) AS ans,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN text
+        |      WHEN 1 THEN substr(text, 1, 60) ||
+        |        ' unrelated filler phrases entirely'
+        |      ELSE 'different content words only here' END AS ctx
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(ans)), '\s+'),
+        |      x -> x <> '') AS at,
+        |    list_filter(string_split_regex(lower(trim(ctx)), '\s+'),
+        |      x -> x <> '') AS ct
+        |  FROM d),
+        |g AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(at) >= 3
+        |      THEN list_transform(range(1, len(at) - 1),
+        |        i -> at[i] || ' ' || at[i+1] || ' ' || at[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS ag,
+        |    list_distinct(CASE WHEN len(ct) >= 3
+        |      THEN list_transform(range(1, len(ct) - 1),
+        |        i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS cg
+        |  FROM t),
+        |c AS (SELECT doc_id, CAST(len(ag) AS BIGINT) AS n_ans_grams,
+        |    CAST(len(list_intersect(ag, cg)) AS BIGINT) AS n_grounded
+        |  FROM g),
+        |o AS (SELECT doc_id, n_ans_grams, n_grounded,
+        |    ROUND(CASE WHEN n_ans_grams > 0
+        |      THEN CAST(n_grounded AS DOUBLE) / n_ans_grams
+        |      ELSE 0.0 END, 6) AS coverage
+        |  FROM c)
+        |SELECT doc_id, n_ans_grams, n_grounded, coverage,
+        |  coverage >= 0.5 AS grounded
+        |FROM o""".stripMargin,
+
+    // prefix sharing: md5 of the space-joined token prefix, two-level
+    // aggregation; a short prompt keys on its whole token list
+    "q_prefix_share" ->
+      """WITH d AS (SELECT doc_id,
+        |    'system prompt variant ' || (doc_id % 5) || ' : ' || text
+        |      AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM d),
+        |e AS (SELECT doc_id, toks, unnest([4, 8, 16]) AS prefix_len
+        |  FROM t),
+        |b AS (SELECT prefix_len,
+        |    CAST(least(len(toks), prefix_len) AS BIGINT) AS plen,
+        |    CAST(len(toks) AS BIGINT) AS ntok,
+        |    md5(array_to_string(list_slice(toks, 1, prefix_len), ' '))
+        |      AS pkey
+        |  FROM e),
+        |g AS (SELECT prefix_len, pkey, CAST(count(*) AS BIGINT) AS cnt,
+        |    min(plen) AS plen, CAST(SUM(ntok) AS BIGINT) AS gtok
+        |  FROM b GROUP BY 1, 2)
+        |SELECT prefix_len, CAST(SUM(cnt) AS BIGINT) AS n_prompts,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM((cnt - 1) * plen) AS BIGINT) AS saved_tokens,
+        |  ROUND(CASE WHEN SUM(gtok) > 0
+        |    THEN CAST(SUM((cnt - 1) * plen) AS DOUBLE) / SUM(gtok)
+        |    ELSE 0.0 END, 6) AS save_ratio
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // Neyman allocation: decimal-exact moments, sd/shares as identical
+    // single-expression doubles, half-up rounding via floor(x + 0.5)
+    "q_neyman_alloc" ->
+      """WITH b AS (SELECT event_type AS stratum,
+        |    CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS x FROM events),
+        |a AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS s, SUM(x * x) AS q FROM b GROUP BY 1),
+        |f AS (SELECT * FROM a WHERE n >= 2),
+        |w AS (SELECT stratum, n,
+        |    sqrt((CAST(q AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+        |      AS sd
+        |  FROM f),
+        |ww AS (SELECT *, n * sd AS wgt FROM w),
+        |t AS (SELECT *, SUM(wgt) OVER () AS tot FROM ww)
+        |SELECT stratum, n, ROUND(sd, 6) AS sd,
+        |  ROUND(wgt / tot, 6) AS alloc_share,
+        |  CAST(floor(CAST(10000.0 AS DOUBLE) * wgt / tot + 0.5)
+        |    AS BIGINT) AS n_alloc
+        |FROM t""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -165,4 +165,50 @@ object Chunking {
           floor(col("start_tok") / maxTokens)).as("seq_id"),
         (col("start_tok") % maxTokens).cast("int").as("seq_offset"))
   }
+
+  /** KV-cache prefix-sharing analytics — the serving-side planner for
+    * prefix caching (vLLM/SGLang automatic prefix cache, hosted-API
+    * prompt caching): prompts that share their
+    * first L tokens reuse one cached prefix, so per candidate prefix
+    * length this measures how many cache groups exist and how many
+    * tokens sharing would save (`(group size - 1) * prefix length`
+    * per group — the first member pays, the rest hit).
+    *
+    * A prompt shorter than L keys on its whole token list (two short
+    * prompts share only when IDENTICAL — exactly the cache's
+    * behavior). Shape: the token array is built once, the bounded
+    * prefix-length list explodes it |lens|-fold in the MAP stage
+    * only; grouping keys are md5 digests of the prefix (32-char
+    * shuffle rows, never prompt text), two hash aggregates with
+    * partials. Output per length: prompts, distinct groups, saved
+    * tokens, and the savings ratio against total prompt tokens. */
+  def prefixShareStats(df: DataFrame, idCol: String, textCol: String,
+      prefixLens: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(prefixLens.nonEmpty && prefixLens.size <= 16 &&
+      prefixLens.forall(l => l >= 1 && l <= 4096),
+      "prefixLens must be a small literal list of positive lengths")
+    val toks = graft.functions.TextFunctions.cleanTokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(array(prefixLens.map(lit): _*)).as("prefix_len"))
+      .select(col("prefix_len"),
+        least(size(col("__t")).cast("long"), col("prefix_len").cast("long"))
+          .as("__plen"),
+        size(col("__t")).cast("long").as("__ntok"),
+        md5(concat_ws(" ", slice(col("__t"), lit(1), col("prefix_len"))))
+          .as("__key"))
+    val groups = base.groupBy("prefix_len", "__key")
+      .agg(count(lit(1)).as("__cnt"), min("__plen").as("__plen"),
+        sum("__ntok").as("__gtok"))
+    groups.groupBy("prefix_len")
+      .agg(sum("__cnt").as("n_prompts"),
+        count(lit(1)).as("n_groups"),
+        sum((col("__cnt") - 1L) * col("__plen")).as("saved_tokens"),
+        sum("__gtok").as("total_tokens"))
+      .select(col("prefix_len"), col("n_prompts"), col("n_groups"),
+        col("saved_tokens"),
+        round(when(col("total_tokens") > 0,
+          col("saved_tokens").cast("double") / col("total_tokens"))
+          .otherwise(0.0), 6).as("save_ratio"))
+  }
 }

@@ -946,4 +946,118 @@ object Eval {
         Window.orderBy(col("rating").desc, col("model"))))
     out
   }
+
+  /** Speculative-decoding acceptance analytics — the serving-side
+    * readout for draft-model tuning (Leviathan et al. 2023): a step
+    * drafts `k` tokens, the target model accepts a PREFIX of them,
+    * and throughput is `leading accepts + 1` tokens per target pass
+    * (the +1 is the target's own sample). Input: one row per drafted
+    * position `(config, step, pos in 1..k, accepted)`. Output per
+    * config: steps, accepted draft tokens, tokens-per-step, and the
+    * positional accept rate.
+    *
+    * Two hash aggregates, both with map-side partials: (config, step)
+    * -> leading-accept length via `min(reject position)` (order never
+    * materializes — no window, no sort), then config-level integral
+    * sums. */
+  def specDecodeStats(df: DataFrame, cfgCol: String, stepCol: String,
+      posCol: String, acceptedCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 128, s"bad draft length: $k")
+    val lead = df.groupBy(col(cfgCol).as("config"), col(stepCol).as("__s"))
+      .agg((coalesce(min(when(!col(acceptedCol), col(posCol))),
+        lit(k + 1L)) - 1L).cast("long").as("__lead"))
+    lead.groupBy("config")
+      .agg(count(lit(1)).as("n_steps"),
+        sum("__lead").as("accepted_tokens"))
+      .select(col("config"), col("n_steps"), col("accepted_tokens"),
+        round((col("accepted_tokens") + col("n_steps")).cast("double")
+          / col("n_steps"), 6).as("tokens_per_step"),
+        round(col("accepted_tokens").cast("double")
+          / (col("n_steps") * k), 6).as("accept_rate"))
+  }
+
+  /** Model-cascade routing frontier — the quality/cost curve behind
+    * small-model-first serving (FrugalGPT-style): route to the LARGE
+    * model when the small model's confidence is below each threshold,
+    * read accuracy and average cost per threshold. Input: one row per
+    * example with the small model's confidence and both models'
+    * correctness; `largeCost` is the large model's cost in
+    * small-model units.
+    *
+    * One pass: each row is compared against the thresholds list
+    * (bounded, an explode over a literal array) and partial
+    * aggregation collapses to |thresholds| rows per partition before
+    * the shuffle — the corpus never shuffles. */
+  def cascadeFrontier(df: DataFrame, scoreCol: String,
+      smallOkCol: String, largeOkCol: String,
+      thresholds: Seq[Double], largeCost: Double = 10.0): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 100,
+      "thresholds must be a bounded literal list")
+    df.select(col(scoreCol).as("__sc"),
+        col(smallOkCol).cast("long").as("__so"),
+        col(largeOkCol).cast("long").as("__lo"))
+      .select(col("*"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__sc") < col("threshold"), 1L).otherwise(0L))
+          .as("n_large"),
+        sum(when(col("__sc") < col("threshold"), col("__lo"))
+          .otherwise(col("__so"))).as("n_correct"))
+      .select(col("threshold"), col("n"), col("n_large"),
+        round(col("n_correct").cast("double") / col("n"), 6)
+          .as("accuracy"),
+        round(((col("n") - col("n_large")) +
+          col("n_large") * largeCost) / col("n"), 6).as("avg_cost"))
+  }
+
+  /** Preference-margin statistics per group — the DPO/reward-model
+    * dataset health check: margin = chosen reward - rejected reward;
+    * a mostly-positive margin distribution with some mass near zero
+    * is healthy, inverted margins flag label noise. Margins are
+    * rounded to 6dp and summed as DECIMAL(18,6) (exact — no
+    * cross-row float accumulation); counts integral. */
+  def dpoMarginStats(df: DataFrame, groupCol: String, chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val m = round(col(chosenCol).cast("double") -
+      col(rejectedCol).cast("double"), 6).cast("decimal(18,6)")
+    df.select(col(groupCol), m.as("__m"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("__m").as("__sum"),
+        sum(when(col("__m") > 0, 1L).otherwise(0L)).as("n_wins"),
+        sum(when(col("__m") > 0.5, 1L).otherwise(0L)).as("n_big"))
+      .select(col(groupCol), col("n_pairs"),
+        round(col("__sum").cast("double") / col("n_pairs"), 6)
+          .as("mean_margin"),
+        round(col("n_wins").cast("double") / col("n_pairs"), 6)
+          .as("win_rate"),
+        round(col("n_big").cast("double") / col("n_pairs"), 6)
+          .as("big_margin_rate"))
+  }
+
+  /** RAG grounding coverage — the attribution/faithfulness proxy:
+    * fraction of the answer's distinct word n-grams that appear in
+    * the retrieved context (Gao et al. ALCE-style n-gram grounding).
+    * Answer and context arrive on ONE row, so this is map-only: two
+    * n-gram constructions, one array intersection, one guarded
+    * division — zero shuffles at any corpus size. An answer with no
+    * n-grams (shorter than n tokens) reads coverage 0 and ungrounded:
+    * nothing checkable was claimed. */
+  def groundingCoverage(df: DataFrame, idCol: String, ansCol: String,
+      ctxCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"bad n: $n")
+    df.select(col(idCol),
+        array_distinct(ngrams(ansCol, n)).as("__a"),
+        array_distinct(ngrams(ctxCol, n)).as("__c"))
+      .select(col(idCol),
+        size(col("__a")).cast("long").as("n_ans_grams"),
+        size(array_intersect(col("__a"), col("__c"))).cast("long")
+          .as("n_grounded"))
+      .withColumn("coverage",
+        round(when(col("n_ans_grams") > 0,
+          col("n_grounded").cast("double") / col("n_ans_grams"))
+          .otherwise(0.0), 6))
+      .withColumn("grounded", col("coverage") >= 0.5)
+  }
 }

@@ -429,4 +429,40 @@ object Sampling {
         round(col("__q"), 6).as("target_share"),
         round(col("__q") / col("__p"), 6).as("weight"))
   }
+
+  /** Neyman (optimal) allocation for stratified sampling — the
+    * variance-minimizing split of a fixed labeling/eval budget across
+    * strata (Neyman 1934; the standard refinement of proportional
+    * allocation): `n_h ∝ N_h * s_h`, so big AND noisy strata get more
+    * of the budget. The per-stratum standard deviation comes from the
+    * data itself: values are rounded to 6dp and summed as
+    * DECIMAL(18,6) / DECIMAL(38,12) (exact moments — no cross-row
+    * float accumulation); sd and the shares are single-expression
+    * doubles off those exact sums. `n_alloc` is the share of
+    * `totalN`, rounded half-up deterministically.
+    *
+    * ONE hash aggregate over the corpus; everything after lives on
+    * the strata-sized frame (the final share normalization is a
+    * window over that bounded frame, not the data). */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valCol: String, totalN: Long): DataFrame = {
+    require(totalN >= 1, s"bad totalN: $totalN")
+    val x = round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+    val agg = df.select(col(stratumCol).as("stratum"), x.as("__x"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum("__x").as("__s"),
+        sum(col("__x") * col("__x")).as("__q"))
+      .filter(col("n") >= 2) // a 1-row stratum has no variance signal
+    val sd = sqrt((col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / col("n"))
+      / (col("n") - 1))
+    val w = agg.withColumn("__w", col("n") * sd)
+      .withColumn("__tot", sum("__w").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    w.select(col("stratum"), col("n"), round(sd, 6).as("sd"),
+      round(col("__w") / col("__tot"), 6).as("alloc_share"),
+      floor(lit(totalN.toDouble) * col("__w") / col("__tot") + 0.5)
+        .cast("long").as("n_alloc"))
+  }
 }
