@@ -220,4 +220,32 @@ object Compliance {
     df.join(urlBlocklistAudit(df, idCol, urlCol)
         .filter(!col("blocked")).select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** Credential/secret scanning — the leak gate every corpus build
+    * runs before training (checked-in API keys and private keys are
+    * the canonical "model memorized a secret" incident class; cf.
+    * gitleaks/trufflehog pattern families). Five conservative,
+    * RE2-safe pattern classes, counted per document:
+    * AWS-style access-key ids, PEM private-key headers, bearer
+    * tokens, bare 40-hex digests (sha1-length secrets), and
+    * `password = ...` assignments. Pure codegen'd regexp counts —
+    * map-only at any scale; `has_secret` is the drop/review flag. */
+  def secretScan(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        regexp_count(t, lit("AKIA[0-9A-Z]{16}")).cast("long")
+          .as("n_aws_key"),
+        regexp_count(t, lit("-----BEGIN [A-Z ]*PRIVATE KEY-----"))
+          .cast("long").as("n_private_key"),
+        regexp_count(t, lit("(?i)bearer [a-z0-9_.=-]{20,}")).cast("long")
+          .as("n_bearer"),
+        regexp_count(t, lit("\\b[0-9a-f]{40}\\b")).cast("long")
+          .as("n_hex40"),
+        regexp_count(t, lit("(?i)password\\s*[:=]\\s*[^\\s]{6,}"))
+          .cast("long").as("n_password"))
+      .withColumn("has_secret",
+        col("n_aws_key") + col("n_private_key") + col("n_bearer") +
+          col("n_hex40") + col("n_password") > 0)
+  }
 }

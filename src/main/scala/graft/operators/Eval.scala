@@ -1060,4 +1060,48 @@ object Eval {
           .otherwise(0.0), 6))
       .withColumn("grounded", col("coverage") >= 0.5)
   }
+
+  /** Self-consistency (majority-vote) eval — how much sampling k
+    * answers and voting buys over one sample (Wang et al. 2023,
+    * "Self-Consistency Improves Chain of Thought Reasoning"). Input:
+    * one row per sampled answer `(config, prompt, answer, gold)`.
+    * The majority answer per prompt is the max-count one, COUNT TIES
+    * BROKEN BY LEXICOGRAPHICALLY SMALLEST answer (deterministic, and
+    * what `ORDER BY votes DESC, answer` replays in SQL). Per config:
+    * prompts, majority-vote accuracy, pooled single-sample accuracy
+    * (total correct samples / total samples — integral, not a float
+    * mean of per-prompt means), and the pooled top-vote share (how
+    * decisive the votes are).
+    *
+    * Shape: one (config, prompt, answer) hash aggregate, two windows
+    * partitioned by prompt (bounded by samples-per-prompt), one
+    * config-level integral aggregate. */
+  def selfConsistency(df: DataFrame, cfgCol: String, promptCol: String,
+      answerCol: String, goldCol: String): DataFrame = {
+    val counts = df.groupBy(col(cfgCol).as("config"),
+        col(promptCol).as("__p"), col(goldCol).as("__gold"),
+        col(answerCol).as("__ans"))
+      .agg(count(lit(1)).as("__c"))
+    val byPrompt = Window.partitionBy("config", "__p")
+    val top = counts
+      .withColumn("__rn", row_number().over(
+        byPrompt.orderBy(col("__c").desc, col("__ans"))))
+      .withColumn("__n", sum("__c").over(byPrompt))
+      .withColumn("__corr", sum(when(col("__ans") === col("__gold"),
+        col("__c")).otherwise(0L)).over(byPrompt))
+      .filter(col("__rn") === 1)
+    top.groupBy("config")
+      .agg(count(lit(1)).as("n_prompts"),
+        sum((col("__ans") === col("__gold")).cast("long")).as("__mok"),
+        sum("__c").as("__topc"),
+        sum("__corr").as("__corrs"),
+        sum("__n").as("__ns"))
+      .select(col("config"), col("n_prompts"),
+        round(col("__mok").cast("double") / col("n_prompts"), 6)
+          .as("majority_acc"),
+        round(col("__corrs").cast("double") / col("__ns"), 6)
+          .as("sample_acc"),
+        round(col("__topc").cast("double") / col("__ns"), 6)
+          .as("vote_share"))
+  }
 }

@@ -798,4 +798,48 @@ object TextQuality {
           .when(col("tox_score") >= 0.03, "medium")
           .otherwise("low"))
   }
+
+  /** Label-conditional n-gram lift — the data-poisoning / backdoor
+    * triage scan (Wallace et al. 2021-style trigger phrases): a
+    * bigram whose frequency INSIDE one label class is far above its
+    * corpus rate is a candidate injected trigger (or at minimum a
+    * template artifact worth reviewing). `lift(g, l) =
+    * (c_gl / n_l) / (c_g / N)` off four integral counts; top `topK`
+    * per label by (lift DESC, gram) after a `minCount` floor.
+    *
+    * Shape: ONE corpus-touching aggregate to the (label, gram) count
+    * frame (map-side combine keys on the gram, so repeated grams
+    * collapse before the shuffle); gram and label marginals re-derive
+    * FROM that frame — the corpus is exploded exactly once; the
+    * final rank window runs on the minCount-filtered frame and
+    * compiles to WindowGroupLimit. */
+  def poisonLift(df: DataFrame, labelCol: String, textCol: String,
+      minCount: Int = 5, topK: Int = 5): DataFrame = {
+    require(minCount >= 1 && topK >= 1 && topK <= 1000,
+      s"bad minCount/topK: $minCount/$topK")
+    val t = cleanTokens(col(textCol))
+    val bi = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat(element_at(t, i + 1), lit(" "),
+            element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val lg = df.select(col(labelCol).as("label"), explode(bi).as("gram"))
+      .groupBy("label", "gram").agg(count(lit(1)).as("c_lg"))
+    val g = lg.groupBy("gram").agg(sum("c_lg").as("c_g"))
+    val l = lg.groupBy("label").agg(sum("c_lg").as("n_l"))
+    val tot = l.agg(sum("n_l").as("n_tot"))
+    val lift = lg.filter(col("c_lg") >= minCount)
+      .join(g, Seq("gram"))
+      .join(broadcast(l), Seq("label"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        round((col("c_lg").cast("double") / col("n_l")) /
+          (col("c_g").cast("double") / col("n_tot")), 6))
+    lift.withColumn("rank", row_number().over(
+        Window.partitionBy("label")
+          .orderBy(col("lift").desc, col("gram"))))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("gram"), col("c_lg"), col("c_g"),
+        col("lift"), col("rank"))
+  }
 }
