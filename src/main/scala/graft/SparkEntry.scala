@@ -4218,6 +4218,63 @@ object SparkEntry {
       operators.TextQuality.poisonLift(d, "source", "text",
         minCount = 5, topK = 5)
     }),
+
+    // ----- round-11 wave 50: judge bias, refusal, BoN scaling,
+    // agent-trace QA -----
+
+    // judge position bias: the winner rule carries a genuine
+    // first-position boost (the %3 clause fires regardless of model
+    // strength), so win_rate_first - win_rate_second reads positive
+    "q_position_bias" -> ((s, dir) => {
+      val ok = col("l_orderkey")
+      val pk = col("l_partkey")
+      val battles = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(concat(lit("m"), ok % 5).as("model_a"),
+          concat(lit("m"), pk % 5).as("model_b"),
+          when((ok + pk) % 5 === 0, "tie")
+            .when(((ok % 5) > (pk % 5)) || (ok + pk) % 3 === 0, "a")
+            .otherwise("b").as("winner"))
+      operators.Eval.positionBias(battles, "model_a", "model_b",
+        "winner")
+    }),
+
+    // refusal-rate readout across three synthetic model configs with
+    // planted refusal/compliance tails
+    "q_refusal_rate" -> ((s, dir) => {
+      val m = col("doc_id") % 5
+      val tail = when(m === 0, " I cannot help with that request.")
+        .when(m === 1, " Sorry, but I won't do that.")
+        .when(m === 2, " As an AI assistant I must decline.")
+        .when(m === 3, " Sure, here is the answer you asked for.")
+        .otherwise("")
+      val d = docs(s, dir).select(
+        concat(lit("m"), col("doc_id") % 3).as("config"),
+        concat(col("text"), tail).as("completion"))
+      operators.Eval.refusalRate(d, "config", "completion")
+    }),
+
+    // best-of-n scaling curve: exact order-statistics estimator over
+    // 5 deterministic reward samples per prompt
+    "q_best_of_n" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("prompt"),
+          explode(sequence(lit(1), lit(5))).as("i"))
+        .select(col("prompt"), col("i").as("id"),
+          (((col("prompt") * 7 + col("i") * 13) % 20).cast("double") *
+            0.25).as("reward"))
+      operators.Eval.bestOfN(o, "prompt", "id", "reward", k = 5)
+    }),
+
+    // agent-trace tool-call pairing QA over the event stream (clicks
+    // as calls, views as results — the synthetic protocol fixture)
+    "q_tool_call_qa" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("role",
+        when(col("event_type") === "click", "call")
+          .when(col("event_type") === "view", "result")
+          .otherwise("other"))
+      operators.Events.toolCallPairingQa(e, "user_id", "event_id",
+        "ts", "role")
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -12398,6 +12455,128 @@ object SparkEntry {
         |    ORDER BY lift DESC, gram) AS INT) AS rank FROM x)
         |SELECT label, gram, c_lg, c_g, lift, rank
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // position bias: unordered pair key, integral win counts split by
+    // the smaller model's presentation position
+    "q_position_bias" ->
+      """WITH b AS (
+        |  SELECT 'm' || (l_orderkey % 5) AS ma,
+        |    'm' || (l_partkey % 5) AS mb,
+        |    CASE WHEN (l_orderkey + l_partkey) % 5 = 0 THEN 'tie'
+        |      WHEN ((l_orderkey % 5) > (l_partkey % 5))
+        |        OR (l_orderkey + l_partkey) % 3 = 0 THEN 'a'
+        |      ELSE 'b' END AS winner
+        |  FROM lineitem WHERE (l_orderkey % 5) <> (l_partkey % 5)),
+        |s AS (SELECT least(ma, mb) AS model_lo,
+        |    greatest(ma, mb) AS model_hi,
+        |    CASE WHEN ma = least(ma, mb) THEN 1 ELSE 0 END AS f,
+        |    CASE WHEN (ma = least(ma, mb) AND winner = 'a')
+        |      OR (ma <> least(ma, mb) AND winner = 'b')
+        |      THEN 1 ELSE 0 END AS w
+        |  FROM b),
+        |a AS (SELECT model_lo, model_hi,
+        |    CAST(SUM(f) AS BIGINT) AS n_first,
+        |    CAST(count(*) - SUM(f) AS BIGINT) AS n_second,
+        |    CAST(SUM(f * w) AS BIGINT) AS wf,
+        |    CAST(SUM((1 - f) * w) AS BIGINT) AS ws
+        |  FROM s GROUP BY 1, 2),
+        |o AS (SELECT model_lo, model_hi, n_first, n_second,
+        |    ROUND(CASE WHEN n_first > 0
+        |      THEN CAST(wf AS DOUBLE) / n_first END, 6)
+        |      AS win_rate_first,
+        |    ROUND(CASE WHEN n_second > 0
+        |      THEN CAST(ws AS DOUBLE) / n_second END, 6)
+        |      AS win_rate_second
+        |  FROM a)
+        |SELECT *, ROUND(win_rate_first - win_rate_second, 6)
+        |  AS position_delta
+        |FROM o""".stripMargin,
+
+    // refusal rate: the committed marker list as a LIKE chain over
+    // the lowercased completion
+    "q_refusal_rate" ->
+      """WITH d AS (SELECT 'm' || (doc_id % 3) AS config,
+        |    lower(text || CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN ' I cannot help with that request.'
+        |      WHEN 1 THEN ' Sorry, but I won''t do that.'
+        |      WHEN 2 THEN ' As an AI assistant I must decline.'
+        |      WHEN 3 THEN ' Sure, here is the answer you asked for.'
+        |      ELSE '' END) AS lc
+        |  FROM documents),
+        |r AS (SELECT config,
+        |    CASE WHEN lc LIKE '%i cannot%' OR lc LIKE '%i can''t%'
+        |      OR lc LIKE '%i won''t%' OR lc LIKE '%i am unable%'
+        |      OR lc LIKE '%i''m unable%' OR lc LIKE '%as an ai%'
+        |      OR lc LIKE '%sorry, but i%' THEN 1 ELSE 0 END AS rf
+        |  FROM d)
+        |SELECT config, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(rf) AS BIGINT) AS n_refused,
+        |  ROUND(CAST(SUM(rf) AS DOUBLE) / count(*), 6) AS refusal_rate
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // best-of-n: exact binomial-ratio weights as integer VALUES rows,
+    // value-sorted folds, decimal-exact cross-prompt means
+    "q_best_of_n" -> {
+      def comb(a: Int, b: Int): Long =
+        if (b < 0 || b > a) 0L
+        else (1 to b).foldLeft(1L)((acc, i) => acc * (a - b + i) / i)
+      val rows = (for { n <- 1 to 5; rn <- 1 to 5 }
+        yield s"($n, $rn, ${comb(rn - 1, n - 1)}, ${comb(5, n)})")
+        .mkString(", ")
+      s"""WITH p AS (SELECT o_orderkey AS prompt,
+         |    unnest([1, 2, 3, 4, 5]) AS id
+         |  FROM orders),
+         |r AS (SELECT prompt, id,
+         |    CAST((prompt * 7 + id * 13) % 20 AS DOUBLE)
+         |      * CAST(0.25 AS DOUBLE) AS rw
+         |  FROM p),
+         |rk AS (SELECT prompt, rw,
+         |    row_number() OVER (PARTITION BY prompt ORDER BY rw, id)
+         |      AS rn
+         |  FROM r),
+         |w(n, rn, num, den) AS (VALUES $rows),
+         |t AS (SELECT rk.prompt, w.n,
+         |    CAST(w.num AS DOUBLE) / w.den * rk.rw AS term
+         |  FROM rk JOIN w ON w.rn = rk.rn),
+         |b AS (SELECT prompt, n,
+         |    CAST(ROUND(list_reduce(list_sort(list(term)),
+         |      (a, c) -> a + c), 6) AS DECIMAL(18,6)) AS bo
+         |  FROM t GROUP BY 1, 2)
+         |SELECT n, CAST(count(*) AS BIGINT) AS n_prompts,
+         |  ROUND(CAST(SUM(bo) AS DOUBLE) / count(*), 6) AS mean_best
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
+    // tool-call pairing: lead/lag over (ts, event_id), integral
+    // violation counts
+    "q_tool_call_qa" ->
+      """WITH e AS (SELECT user_id AS trace, event_id, ts,
+        |    CASE event_type WHEN 'click' THEN 'call'
+        |      WHEN 'view' THEN 'result' ELSE 'other' END AS role
+        |  FROM events),
+        |f AS (SELECT *,
+        |    lead(role, 1) OVER (PARTITION BY trace
+        |      ORDER BY ts, event_id) AS nxt,
+        |    lag(role, 1) OVER (PARTITION BY trace
+        |      ORDER BY ts, event_id) AS prv
+        |  FROM e)
+        |SELECT trace, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN role = 'call' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_calls,
+        |  CAST(SUM(CASE WHEN role = 'result' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_results,
+        |  CAST(SUM(CASE WHEN role = 'call'
+        |    AND (nxt IS NULL OR nxt <> 'result') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dangling_calls,
+        |  CAST(SUM(CASE WHEN role = 'result'
+        |    AND (prv IS NULL OR prv <> 'call') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS orphan_results,
+        |  SUM(CASE WHEN role = 'call'
+        |    AND (nxt IS NULL OR nxt <> 'result') THEN 1 ELSE 0 END) = 0
+        |  AND SUM(CASE WHEN role = 'result'
+        |    AND (prv IS NULL OR prv <> 'call') THEN 1 ELSE 0 END) = 0
+        |    AS well_formed
+        |FROM f GROUP BY 1""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -690,4 +690,40 @@ object Events {
       round(cv, 6).as("cv"),
       (col("__n") + 1 >= minEvents && metronomic).as("bot_like"))
   }
+
+  /** Agent-trace tool-call pairing QA — the structural lint for
+    * agentic training traces (a `call` must be answered by the next
+    * protocol event being its `result`; dangling calls and orphan
+    * results are malformed episodes that corrupt tool-use
+    * fine-tuning). Input: one row per protocol event with a role in
+    * {call, result, other}; order within a trace is `(tsCol, idCol)`
+    * — the id tiebreak makes simultaneous events deterministic.
+    *
+    * Per trace: call/result counts, `dangling_calls` (call NOT
+    * immediately followed by a result), `orphan_results` (result not
+    * immediately preceded by a call), and the `well_formed` flag.
+    * One window per trace (lead + lag in a single pass), then one
+    * hash aggregate — traces are the partition key, so skew is
+    * bounded by the longest trace. */
+  def toolCallPairingQa(df: DataFrame, traceCol: String, idCol: String,
+      tsCol: String, roleCol: String): DataFrame = {
+    val w = Window.partitionBy(traceCol).orderBy(col(tsCol), col(idCol))
+    val flagged = df
+      .withColumn("__next", lead(col(roleCol), 1).over(w))
+      .withColumn("__prev", lag(col(roleCol), 1).over(w))
+    flagged.groupBy(col(traceCol).as("trace"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col(roleCol) === "call", 1L).otherwise(0L))
+          .as("n_calls"),
+        sum(when(col(roleCol) === "result", 1L).otherwise(0L))
+          .as("n_results"),
+        sum(when(col(roleCol) === "call" &&
+          (col("__next").isNull || col("__next") =!= "result"), 1L)
+          .otherwise(0L)).as("dangling_calls"),
+        sum(when(col(roleCol) === "result" &&
+          (col("__prev").isNull || col("__prev") =!= "call"), 1L)
+          .otherwise(0L)).as("orphan_results"))
+      .withColumn("well_formed",
+        col("dangling_calls") === 0 && col("orphan_results") === 0)
+  }
 }
