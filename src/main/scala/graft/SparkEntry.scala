@@ -4275,6 +4275,57 @@ object SparkEntry {
       operators.Events.toolCallPairingQa(e, "user_id", "event_id",
         "ts", "role")
     }),
+
+    // ----- round-11 wave 51: paired tests, FDR, power planning,
+    // context-position recall, sequential monitoring -----
+
+    // paired model comparison: same examples, two correctness bits
+    "q_mcnemar" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select((col("o_orderkey") % 7 > 0).as("a_ok"),
+          (col("o_orderkey") % 5 > 0).as("b_ok"))
+      operators.Stats.mcnemar(o, "a_ok", "b_ok")
+    }),
+
+    // Benjamini-Hochberg over a 20-test p-value frame
+    "q_bh_fdr" -> ((s, dir) => {
+      val t = s.read.parquet(s"$dir/orders.parquet")
+        .select((col("o_orderkey") % 20).as("i")).distinct()
+        .select(concat(lit("t"), col("i")).as("test"),
+          (((col("i") * 37) % 100 + 1).cast("double") / 1000.0).as("p"))
+      operators.Stats.bhCorrect(t, "test", "p", q = 0.05)
+    }),
+
+    // experiment sizing: n-per-arm across 25 effect-size scenarios
+    "q_power_analysis" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .select((lit(0.05) + (col("n_nationkey") % 10) * 0.01).as("p1"),
+          (lit(0.06) + (col("n_nationkey") % 10) * 0.01 +
+            (col("n_nationkey") % 3) * 0.005).as("p2"))
+      operators.Stats.powerTwoProportions(n, "p1", "p2")
+    }),
+
+    // lost-in-the-middle: recall binned by needle position (edges
+    // easy, middle hard by construction)
+    "q_needle_recall" -> ((s, dir) => {
+      val m = col("o_orderkey") % 100
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(concat(lit("c"), col("o_orderkey") % 2).as("config"),
+          (m.cast("double") / 100.0).as("pos_frac"),
+          when(m < 20 || m >= 80, col("o_orderkey") % 7 > 0)
+            .otherwise(col("o_orderkey") % 3 === 0).as("correct"))
+      operators.Eval.positionRecallCurve(o, "config", "pos_frac",
+        "correct", bins = 10)
+    }),
+
+    // SPRT monitor: 8 concurrent experiments walked in event order
+    "q_sprt" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(concat(lit("e"), col("user_id") % 8).as("experiment"),
+          col("event_id"), (col("value") > 50.0).as("success"))
+      operators.Stats.sprtDecision(e, "experiment", "event_id",
+        "success", p0 = 0.5, p1 = 0.6)
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -12577,6 +12628,133 @@ object SparkEntry {
         |    AND (prv IS NULL OR prv <> 'call') THEN 1 ELSE 0 END) = 0
         |    AS well_formed
         |FROM f GROUP BY 1""".stripMargin,
+
+    // McNemar: integral discordant cells, continuity correction
+    "q_mcnemar" ->
+      """WITH o AS (SELECT (o_orderkey % 7 > 0) AS a_ok,
+        |    (o_orderkey % 5 > 0) AS b_ok FROM orders),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11
+        |  FROM o)
+        |SELECT n, n10, n01, n11,
+        |  ROUND(CASE WHEN n10 + n01 > 0
+        |    THEN (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+        |      / CAST(n10 + n01 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS chi2
+        |FROM a""".stripMargin,
+
+    // BH: running MIN from the largest rank (order-insensitive — no
+    // float-sum hazard), significance off the rounded adjusted p
+    "q_bh_fdr" ->
+      """WITH t AS (SELECT DISTINCT 't' || (o_orderkey % 20) AS test,
+        |    CAST((o_orderkey % 20) * 37 % 100 + 1 AS DOUBLE)
+        |      / CAST(1000.0 AS DOUBLE) AS p
+        |  FROM orders),
+        |r AS (SELECT test, p,
+        |    CAST(row_number() OVER (ORDER BY p, test) AS INT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM t),
+        |a AS (SELECT test, p, rank,
+        |    ROUND(least(1.0, min(p * m / rank) OVER (
+        |      ORDER BY rank DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS adj_p
+        |  FROM r)
+        |SELECT test, ROUND(p, 6) AS p, rank, adj_p,
+        |  adj_p <= 0.05 AS significant
+        |FROM a""".stripMargin,
+
+    // needle recall: integral bin counts, top bin absorbs the edge
+    "q_needle_recall" ->
+      """WITH o AS (SELECT 'c' || (o_orderkey % 2) AS config,
+        |    CAST(o_orderkey % 100 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+        |      AS pos_frac,
+        |    CASE WHEN (o_orderkey % 100) < 20 OR (o_orderkey % 100) >= 80
+        |      THEN o_orderkey % 7 > 0
+        |      ELSE o_orderkey % 3 = 0 END AS correct
+        |  FROM orders),
+        |b AS (SELECT config,
+        |    CAST(least(9, floor(pos_frac * 10)) AS BIGINT) AS pos_bin,
+        |    CASE WHEN correct THEN 1 ELSE 0 END AS c
+        |  FROM o)
+        |SELECT config, pos_bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(c) AS BIGINT) AS n_correct,
+        |  ROUND(CAST(SUM(c) AS DOUBLE) / count(*), 6) AS recall
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // power: the z constants are the OPERATOR's doubles interpolated
+    // at full shortest-round-trip precision — a quantile FUNCTION is
+    // not ANSI, a quantile CONSTANT is
+    "q_power_analysis" -> {
+      val za = 1.959963984540054
+      val zp = 0.8416212335729143
+      s"""WITH s AS (SELECT
+         |    CAST(0.05 AS DOUBLE) + (n_nationkey % 10)
+         |      * CAST(0.01 AS DOUBLE) AS p1,
+         |    CAST(0.06 AS DOUBLE) + (n_nationkey % 10)
+         |      * CAST(0.01 AS DOUBLE) + (n_nationkey % 3)
+         |      * CAST(0.005 AS DOUBLE) AS p2
+         |  FROM nation),
+         |x AS (SELECT p1, p2,
+         |    CAST($za AS DOUBLE)
+         |      * sqrt(CAST(2.0 AS DOUBLE) * ((p1 + p2) / 2.0)
+         |        * (1.0 - (p1 + p2) / 2.0)) +
+         |    CAST($zp AS DOUBLE)
+         |      * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num,
+         |    abs(p1 - p2) AS d
+         |  FROM s)
+         |SELECT p1, p2,
+         |  CASE WHEN d > 0
+         |    THEN CAST(ceil((num / d) * (num / d)) AS BIGINT) END
+         |    AS n_per_arm
+         |FROM x""".stripMargin
+    },
+
+    // SPRT: the LLR increments and boundaries are the operator's
+    // driver-computed doubles interpolated verbatim; the cumsum adds
+    // the identical values in the identical (event_id) order
+    "q_sprt" -> {
+      val incS = math.log(0.6 / 0.5)
+      val incF = math.log(0.4 / 0.5)
+      val up = math.log(0.95 / 0.05)
+      val lo = math.log(0.05 / 0.95)
+      s"""WITH e AS (SELECT 'e' || (user_id % 8) AS experiment,
+         |    event_id, value > 50.0 AS success
+         |  FROM events),
+         |w AS (SELECT experiment, event_id,
+         |    CAST(row_number() OVER (PARTITION BY experiment
+         |      ORDER BY event_id) AS BIGINT) AS rn,
+         |    SUM(CASE WHEN success THEN CAST($incS AS DOUBLE)
+         |      ELSE CAST($incF AS DOUBLE) END) OVER (
+         |      PARTITION BY experiment ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS llr
+         |  FROM e),
+         |x AS (SELECT *, CASE WHEN llr >= CAST($up AS DOUBLE)
+         |      THEN 'accept_p1'
+         |    WHEN llr <= CAST($lo AS DOUBLE) THEN 'accept_p0'
+         |    END AS crossing
+         |  FROM w),
+         |f AS (SELECT experiment,
+         |    CAST(count(*) AS BIGINT) AS n_obs,
+         |    min(CASE WHEN crossing IS NOT NULL THEN rn END)
+         |      AS first_rn,
+         |    ROUND(arg_max(llr, rn), 6) AS llr_final
+         |  FROM x GROUP BY 1),
+         |d AS (SELECT x.experiment, x.crossing AS dec
+         |  FROM x JOIN f ON x.experiment = f.experiment
+         |    AND x.rn = f.first_rn)
+         |SELECT f.experiment, f.n_obs,
+         |  coalesce(d.dec, 'continue') AS decision,
+         |  coalesce(f.first_rn, f.n_obs) AS n_at_decision,
+         |  f.llr_final
+         |FROM f LEFT JOIN d USING (experiment)""".stripMargin
+    },
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -1212,4 +1212,23 @@ object Eval {
         round(col("__s").cast("double") / col("n_prompts"), 6)
           .as("mean_best"))
   }
+
+  /** Needle-position recall curve — the lost-in-the-middle readout
+    * (Liu et al. 2023): retrieval accuracy binned by where in the
+    * context the needle sat (`posFrac` in [0,1]; the top bin absorbs
+    * the 1.0 edge). One integral aggregate over the eval log; the
+    * output is (configs x bins)-sized. */
+  def positionRecallCurve(df: DataFrame, cfgCol: String,
+      posFracCol: String, correctCol: String, bins: Int = 10)
+      : DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bad bins: $bins")
+    val b = least(lit(bins - 1L),
+      floor(col(posFracCol).cast("double") * bins)).cast("long")
+    df.select(col(cfgCol).as("config"), b.as("pos_bin"),
+        col(correctCol).cast("long").as("__c"))
+      .groupBy("config", "pos_bin")
+      .agg(count(lit(1)).as("n"), sum("__c").as("n_correct"))
+      .withColumn("recall",
+        round(col("n_correct").cast("double") / col("n"), 6))
+  }
 }

@@ -1435,4 +1435,129 @@ object Stats {
         round(col("chi2"), 6).as("chi2"),
         lit(weights.size - 1L).as("df"))
   }
+
+  /** McNemar's test for PAIRED model comparison — the correct
+    * significance test when two models answer the SAME examples
+    * (Dietterich 1998): only the discordant cells carry signal.
+    * Emits the discordant counts and the continuity-corrected
+    * statistic `(|n01 - n10| - 1)^2 / (n01 + n10)` (1 df); all
+    * counts integral from ONE corpus aggregate, the statistic a
+    * single guarded expression. */
+  def mcnemar(df: DataFrame, aOkCol: String, bOkCol: String)
+      : DataFrame = {
+    val a = col(aOkCol).cast("boolean")
+    val b = col(bOkCol).cast("boolean")
+    df.agg(count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"))
+      .withColumn("chi2",
+        round(when(col("n10") + col("n01") > 0,
+          (abs(col("n10") - col("n01")) - 1) *
+            (abs(col("n10") - col("n01")) - 1) /
+            (col("n10") + col("n01")).cast("double"))
+          .otherwise(0.0), 6))
+  }
+
+  /** Benjamini-Hochberg FDR correction — the multiple-testing step
+    * every eval suite with dozens of metric comparisons needs
+    * (Benjamini & Hochberg 1995). Adjusted p for the k-th smallest
+    * p-value is `min_{j >= k} p_(j) * m / j` (monotone step-down),
+    * computed as a running MIN from the largest rank — min is
+    * order-insensitive, so there is no cross-row float-sum hazard at
+    * all. `significant` applies the `q` cutoff to the 6dp-rounded
+    * adjusted p on both engines. The frame is tests-sized (bounded
+    * by the eval suite, not the corpus), so the single unpartitioned
+    * rank window is safe by construction. */
+  def bhCorrect(df: DataFrame, testCol: String, pCol: String,
+      q: Double = 0.05): DataFrame = {
+    require(q > 0 && q < 1, s"bad q: $q")
+    val ranked = df.select(col(testCol).as("test"),
+        col(pCol).cast("double").as("p"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p"), col("test"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked
+      .withColumn("adj_p", round(least(lit(1.0),
+        min(col("p") * col("m") / col("rank")).over(
+          Window.orderBy(col("rank").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+        6))
+      .select(col("test"), round(col("p"), 6).as("p"), col("rank"),
+        col("adj_p"))
+      .withColumn("significant", col("adj_p") <= q)
+  }
+
+  /** Two-proportion sample-size (power) calculation — the "how long
+    * must this A/B run" planner: per scenario row `(p1, p2)`, the
+    * classical normal-approximation `n per arm =
+    * ((z_a * sqrt(2 pbar qbar) + z_b * sqrt(p1 q1 + p2 q2)) / |d|)^2`
+    * rounded UP. The z quantiles arrive as explicit doubles (defaults
+    * are the two-sided 5% / 80%-power constants) so the arithmetic is
+    * engine-replayable — a quantile FUNCTION is not ANSI, a quantile
+    * CONSTANT is. Map-only over the scenarios frame. */
+  def powerTwoProportions(df: DataFrame, p1Col: String, p2Col: String,
+      zAlpha: Double = 1.959963984540054,
+      zPower: Double = 0.8416212335729143): DataFrame = {
+    val p1 = col(p1Col).cast("double")
+    val p2 = col(p2Col).cast("double")
+    val pbar = (p1 + p2) / 2.0
+    val num = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zPower) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val d = abs(p1 - p2)
+    df.select(col(p1Col), col(p2Col))
+      .withColumn("n_per_arm",
+        when(d > 0, ceil((num / d) * (num / d)).cast("long")))
+  }
+
+  /** SPRT (sequential probability ratio test) decision replay — the
+    * always-valid early-stopping monitor (Wald 1945): per experiment,
+    * walk the observations in sequence order accumulating the
+    * log-likelihood ratio for `p1` vs `p0` Bernoulli outcomes, and
+    * stop at the first crossing of `ln((1-beta)/alpha)` (accept p1)
+    * or `ln(beta/(1-alpha))` (accept p0). The two per-observation LLR
+    * increments are caller-visible DOUBLES (computed once on the
+    * driver) and the cumulative sum is a window in sequence order —
+    * both engines add the identical values in the identical order,
+    * so the walk replays exactly.
+    *
+    * Output per experiment: decision (`accept_p1` / `accept_p0` /
+    * `continue`), observations consumed at decision time, and the
+    * final LLR. One window + one aggregate per experiment. */
+  def sprtDecision(df: DataFrame, expCol: String, seqCol: String,
+      successCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"bad p0/p1: $p0/$p1")
+    val up = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    val incS = math.log(p1 / p0)
+    val incF = math.log((1.0 - p1) / (1.0 - p0))
+    val w = Window.partitionBy(expCol).orderBy(col(seqCol))
+    val walked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__llr", sum(
+        when(col(successCol).cast("boolean"), lit(incS))
+          .otherwise(lit(incF))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cross",
+        when(col("__llr") >= up, "accept_p1")
+          .when(col("__llr") <= lo, "accept_p0"))
+    walked.groupBy(col(expCol).as("experiment"))
+      .agg(count(lit(1)).as("n_obs"),
+        // struct-min skips null entries, so the min is the FIRST
+        // crossing (by observation index) with its decision attached
+        min(when(col("__cross").isNotNull,
+          struct(col("__rn").cast("long").as("s"),
+            col("__cross").as("d")))).as("__fc"),
+        round(max_by(col("__llr"), col(seqCol)), 6).as("llr_final"))
+      .select(col("experiment"), col("n_obs"),
+        coalesce(col("__fc").getField("d"), lit("continue"))
+          .as("decision"),
+        coalesce(col("__fc").getField("s"), col("n_obs"))
+          .as("n_at_decision"),
+        col("llr_final"))
+  }
 }
