@@ -4326,6 +4326,56 @@ object SparkEntry {
       operators.Stats.sprtDecision(e, "experiment", "event_id",
         "success", p0 = 0.5, p1 = 0.6)
     }),
+
+    // ----- round-11 wave 52: collection yield, provenance, serving
+    // QA, dedup QA -----
+
+    // rejection-sampling yield: 4 samples per prompt, reward bar 7.0
+    "q_rejection_yield" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(concat(lit("c"), col("o_orderkey") % 2).as("config"),
+          col("o_orderkey").as("prompt"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .withColumn("reward",
+          ((col("prompt") * 3 + col("i") * 7) % 10).cast("double"))
+      operators.Eval.rejectionSamplingYield(o, "config", "prompt",
+        "reward", threshold = 7.0)
+    }),
+
+    // watermark detection: every ninth doc carries an 80-token
+    // green-list run, the rest read natural z ~ 0
+    "q_watermark_detect" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 9 === 0,
+          repeat(lit(" delta omega token green list water tag seed"),
+            10)).otherwise("")).as("text"))
+      operators.TextQuality.watermarkZScore(d, "doc_id", "text")
+    }),
+
+    // truncation audit: planted clean/truncated completion endings
+    "q_truncation_audit" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val d = docs(s, dir).select(
+        concat(lit("m"), col("doc_id") % 3).as("config"),
+        concat(col("text"),
+          when(m === 0, ".").when(m === 1, " and then the")
+            .when(m === 2, "!\"").otherwise("?")).as("completion"))
+      operators.TextQuality.truncationAudit(d, "config", "completion")
+    }),
+
+    // normalization-merge audit: 40 shared bodies in three casing/
+    // spacing variants — every dup group is a normalization merge
+    "q_norm_merge_audit" -> ((s, dir) => {
+      val base = concat(lit("shared document body number "),
+        col("doc_id") % 40)
+      val wide = concat(lit("shared  document  body  number  "),
+        col("doc_id") % 40)
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, base)
+          .when(col("doc_id") % 3 === 1, upper(base))
+          .otherwise(wide).as("text"))
+      operators.Dedup.normalizationMergeAudit(d, "doc_id", "text")
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -12755,6 +12805,110 @@ object SparkEntry {
          |  f.llr_final
          |FROM f LEFT JOIN d USING (experiment)""".stripMargin
     },
+
+    // rejection yield: pooled integral counts
+    "q_rejection_yield" ->
+      """WITH p AS (SELECT 'c' || (o_orderkey % 2) AS config,
+        |    o_orderkey AS prompt, unnest([1, 2, 3, 4]) AS i
+        |  FROM orders),
+        |r AS (SELECT config, prompt,
+        |    CAST((prompt * 3 + i * 7) % 10 AS DOUBLE) AS reward
+        |  FROM p),
+        |pp AS (SELECT config, prompt, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN reward >= 7.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pass
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT config, CAST(count(*) AS BIGINT) AS n_prompts,
+        |    CAST(SUM(n) AS BIGINT) AS n_samples,
+        |    CAST(SUM(pass) AS BIGINT) AS n_pass,
+        |    CAST(SUM(CASE WHEN pass > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ok
+        |  FROM pp GROUP BY 1)
+        |SELECT config, n_prompts, n_samples, n_pass,
+        |  ROUND(CAST(n_pass AS DOUBLE) / n_samples, 6) AS pass_rate,
+        |  ROUND(CAST(ok AS DOUBLE) / n_prompts, 6) AS prompt_yield,
+        |  ROUND(CASE WHEN n_pass > 0
+        |    THEN CAST(n_samples AS DOUBLE) / n_pass END, 6)
+        |    AS expected_tries
+        |FROM a""".stripMargin,
+
+    // watermark: the same md5 green rule (first hex digit < '8'),
+    // integral green counts, single-expression z
+    "q_watermark_detect" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0 THEN repeat(
+        |      ' delta omega token green list water tag seed', 10)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM d),
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(len(list_filter(toks,
+        |      x -> substr(md5(x || 'wm1'), 1, 1) < '8')) AS BIGINT)
+        |      AS n_green
+        |  FROM t),
+        |z AS (SELECT doc_id, n_toks, n_green,
+        |    ROUND(CASE WHEN n_toks > 0
+        |      THEN (CAST(n_green AS DOUBLE) - n_toks / 2.0)
+        |        / sqrt(n_toks / 4.0)
+        |      ELSE 0.0 END, 6) AS z_score
+        |  FROM c)
+        |SELECT doc_id, n_toks, n_green, z_score,
+        |  z_score >= 4.0 AS watermarked
+        |FROM z""".stripMargin,
+
+    // truncation audit: same trailing-quote strip + sentence-final
+    // class, integral rates
+    "q_truncation_audit" ->
+      """WITH d AS (SELECT 'm' || (doc_id % 3) AS config,
+        |    text || CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '.' WHEN 1 THEN ' and then the'
+        |      WHEN 2 THEN '!"' ELSE '?' END AS completion
+        |  FROM documents),
+        |s AS (SELECT config, rtrim(completion) AS t FROM d),
+        |f AS (SELECT config,
+        |    CASE WHEN length(t) = 0 THEN 0
+        |      WHEN regexp_matches(rtrim(regexp_replace(t,
+        |        '["'')\]]+$', '')), '[.!?]$') THEN 1 ELSE 0 END AS ok,
+        |    CASE WHEN length(t) > 0 THEN 1 ELSE 0 END AS ne
+        |  FROM s)
+        |SELECT config, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(ne) AS BIGINT) AS n_nonempty,
+        |  CAST(SUM(ok) AS BIGINT) AS n_clean_end,
+        |  ROUND(CASE WHEN SUM(ne) > 0
+        |    THEN CAST(SUM(ne) - SUM(ok) AS DOUBLE) / SUM(ne)
+        |    ELSE 0.0 END, 6) AS truncation_rate
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // normalization-merge audit: two-level exact aggregate on md5
+    // keys only
+    "q_norm_merge_audit" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'shared document body number '
+        |        || (doc_id % 40)
+        |      WHEN 1 THEN upper('shared document body number '
+        |        || (doc_id % 40))
+        |      ELSE 'shared  document  body  number  '
+        |        || (doc_id % 40) END AS text
+        |  FROM documents),
+        |f AS (SELECT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS fp,
+        |    md5(text) AS raw
+        |  FROM d),
+        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT raw) AS BIGINT) AS vars
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_groups,
+        |  CAST(SUM(CASE WHEN vars > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_norm_merged,
+        |  max(n) AS max_group, max(vars) AS max_variants
+        |FROM g""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -823,4 +823,28 @@ object Dedup {
       .withColumn("flagged",
         col("dup_count") >= 2 && col("risk") >= riskFloor)
   }
+
+  /** Normalization-merge audit — dedup QA for the [[fingerprint]]
+    * convention itself: the fingerprint is md5 of the
+    * whitespace-normalized lowercased text, so a fingerprint group
+    * holding MORE THAN ONE distinct raw text means the normalization
+    * (not byte equality) merged them. A corpus where most dup groups
+    * are normalization merges needs a human look at the
+    * normalization rules before the dedup pass deletes data. One
+    * two-level exact aggregate (md5 keys only — text never
+    * shuffles); output is one summary row. */
+  def normalizationMergeAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perFp = df.select(fingerprint(col(textCol)).as("fp"),
+        md5(col(textCol)).as("raw"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(col("raw")).as("__vars"))
+    perFp.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("__vars") > 1, 1L).otherwise(0L))
+          .as("n_norm_merged"),
+        max("__n").as("max_group"),
+        max("__vars").as("max_variants"))
+  }
 }

@@ -1231,4 +1231,34 @@ object Eval {
       .withColumn("recall",
         round(col("n_correct").cast("double") / col("n"), 6))
   }
+
+  /** Rejection-sampling yield — the RAFT/rejection-finetuning data
+    * planner: per config, how much of the sampled budget clears the
+    * reward bar, what fraction of prompts yield at least one keeper,
+    * and the expected tries per keeper (the cost multiplier for the
+    * next collection run). Pooled integral counts off one
+    * (config, prompt) aggregate. */
+  def rejectionSamplingYield(df: DataFrame, cfgCol: String,
+      promptCol: String, rewardCol: String, threshold: Double)
+      : DataFrame = {
+    val perPrompt = df.groupBy(col(cfgCol).as("config"),
+        col(promptCol).as("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(rewardCol).cast("double") >= threshold, 1L)
+          .otherwise(0L)).as("__pass"))
+    perPrompt.groupBy("config")
+      .agg(count(lit(1)).as("n_prompts"),
+        sum("__n").as("n_samples"),
+        sum("__pass").as("n_pass"),
+        sum(when(col("__pass") > 0, 1L).otherwise(0L)).as("__ok"))
+      .select(col("config"), col("n_prompts"), col("n_samples"),
+        col("n_pass"),
+        round(col("n_pass").cast("double") / col("n_samples"), 6)
+          .as("pass_rate"),
+        round(col("__ok").cast("double") / col("n_prompts"), 6)
+          .as("prompt_yield"),
+        round(when(col("n_pass") > 0,
+          col("n_samples").cast("double") / col("n_pass")), 6)
+          .as("expected_tries"))
+  }
 }

@@ -851,4 +851,51 @@ object TextQuality {
       .select(col("label"), col("gram"), col("c_lg"), col("c_g"),
         col("lift"), col("rank"))
   }
+
+  /** Green-list watermark detection (Kirchenbauer et al. 2023): a
+    * watermarking sampler boosts tokens whose seeded hash lands in
+    * the "green" half of the vocabulary, so watermarked text shows a
+    * green fraction far above 1/2 — `z = (g - n/2) / sqrt(n/4)`, flag
+    * at `z >= zThreshold` (the paper's detection test, one-proposal
+    * variant keyed on the token itself). The green rule here is the
+    * engine's replayable one: first hex digit of `md5(token || salt)`
+    * below '8' (an exact 1/2 split both engines compute identically).
+    * Map-only: token filter + integral counts per document. */
+  def watermarkZScore(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "wm1", zThreshold: Double = 4.0): DataFrame = {
+    val toks = cleanTokens(col(textCol))
+    val green = filter(toks, t =>
+      substring(md5(concat(t, lit(salt))), 1, 1) < "8")
+    df.select(col(idCol), size(toks).cast("long").as("n_toks"),
+        size(green).cast("long").as("n_green"))
+      .withColumn("z_score",
+        round(when(col("n_toks") > 0,
+          (col("n_green").cast("double") - col("n_toks") / 2.0) /
+            sqrt(col("n_toks") / 4.0)).otherwise(0.0), 6))
+      .withColumn("watermarked", col("z_score") >= zThreshold)
+  }
+
+  /** Truncation audit — the serving-QA readout for completions cut
+    * off by max-token limits or bad stop sequences: per config, the
+    * fraction of completions that end on sentence-final punctuation
+    * (after trailing whitespace/quotes strip) vs mid-stream. Pure
+    * codegen'd string expressions, one integral aggregate. */
+  def truncationAudit(df: DataFrame, cfgCol: String, textCol: String)
+      : DataFrame = {
+    val t = rtrim(coalesce(col(textCol), lit("")))
+    val bare = rtrim(regexp_replace(t, "[\"')\\]]+$", ""))
+    val clean = bare.rlike("[.!?]$")
+    df.select(col(cfgCol).as("config"),
+        when(length(t) === 0, 0L)
+          .when(clean, 1L).otherwise(0L).as("__ok"),
+        when(length(t) > 0, 1L).otherwise(0L).as("__ne"))
+      .groupBy("config")
+      .agg(count(lit(1)).as("n"),
+        sum("__ne").as("n_nonempty"),
+        sum("__ok").as("n_clean_end"))
+      .withColumn("truncation_rate",
+        round(when(col("n_nonempty") > 0,
+          (col("n_nonempty") - col("n_clean_end")).cast("double") /
+            col("n_nonempty")).otherwise(0.0), 6))
+  }
 }
