@@ -902,11 +902,14 @@ object Eval {
       df.select(col(me).as("model"), col(other).as("opp"),
         when(col(winnerCol) === side, 2L)
           .when(col(winnerCol) === "tie", 1L).otherwise(0L).as("p2"))
-    val sym = pts("a", modelACol, modelBCol)
-      .unionAll(pts("b", modelBCol, modelACol))
-      .groupBy("model", "opp")
-      .agg(sum("p2").as("w2"), (count(lit(1)) * 2L).as("g2"))
-      .persist()
+    // registered with the shared cache registry so long-lived
+    // drivers (Bench walks 380+ queries) release it between queries
+    // instead of accumulating an untracked persist per call
+    val sym = graft.operators.TrackedCaches.persist(
+      pts("a", modelACol, modelBCol)
+        .unionAll(pts("b", modelBCol, modelACol))
+        .groupBy("model", "opp")
+        .agg(sum("p2").as("w2"), (count(lit(1)) * 2L).as("g2")))
     val over = sym.select("model").distinct()
       .limit(maxModels + 1).collect()
     require(over.length <= maxModels,

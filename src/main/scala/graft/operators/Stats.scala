@@ -1376,12 +1376,16 @@ object Stats {
     // standard convention is then "no finite threshold" (coverage
     // cannot be guaranteed); those groups drop from the output, the
     // caller's signal to collect more calibration data
-    val thr = calAgg.join(ranked.select(col(groupCol),
-        col("__rn"), col(scoreCol).cast("double").as("__s")),
-        Seq(groupCol), "left")
-      .filter(col("__rn") === col("__k"))
-      .select(col(groupCol), col("n_cal"), col("__k").as("k"),
-        round(col("__s"), 6).as("threshold"))
+    // the thresholds frame is consumed twice (coverage join + final
+    // select); it is groups-sized but its lineage carries the FULL
+    // calibration-split window — persist so the window runs once
+    val thr = TrackedCaches.persist(
+      calAgg.join(ranked.select(col(groupCol),
+          col("__rn"), col(scoreCol).cast("double").as("__s")),
+          Seq(groupCol), "left")
+        .filter(col("__rn") === col("__k"))
+        .select(col(groupCol), col("n_cal"), col("__k").as("k"),
+          round(col("__s"), 6).as("threshold")))
     val covered = df.filter(col(splitCol) === "test")
       .join(thr, Seq(groupCol), "inner")
       .groupBy(groupCol)
@@ -1528,9 +1532,24 @@ object Stats {
     * final LLR. One window + one aggregate per experiment. */
   def sprtDecision(df: DataFrame, expCol: String, seqCol: String,
       successCol: String, p0: Double, p1: Double,
-      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+      alpha: Double = 0.05, beta: Double = 0.05,
+      maxObsPerExperiment: Long = 10000000L): DataFrame = {
     require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
       s"bad p0/p1: $p0/$p1")
+    // the per-experiment cumsum is inherently sequential — one task
+    // walks one experiment (the same skewed-key window class as the
+    // r10 token-budget finding, but with NO rank pre-trim possible:
+    // the crossing can happen anywhere). Enforce the bound instead
+    // of silently funneling a 100 TB experiment through one task; a
+    // monitor that has not decided within the cap should truncate
+    // upstream (SPRT's expected sample size is tiny compared to it)
+    val over = df.groupBy(expCol).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxObsPerExperiment).limit(1).collect()
+    require(over.isEmpty,
+      s"sprtDecision: experiment ${over.headOption.map(_.get(0))} " +
+        s"exceeds maxObsPerExperiment=$maxObsPerExperiment — the " +
+        "per-experiment walk is single-task; truncate or shard the " +
+        "monitor window upstream")
     val up = math.log((1.0 - beta) / alpha)
     val lo = math.log(beta / (1.0 - alpha))
     val incS = math.log(p1 / p0)

@@ -767,8 +767,13 @@ object TextQuality {
     val bi = ToxicityLexicon.filter(_._1.contains(" "))
     val lex = spark.createDataFrame(uni.map(t => (t._1, t._2)))
       .toDF("tok", "sev")
-    val base = df.select(col(idCol), cleanTokens(col(textCol)).as("__t"),
-      lower(coalesce(col(textCol), lit(""))).as("__lc"))
+    // base feeds BOTH the explode->join hit path and the zero-fill
+    // doc frame — the cache boundary stops the tokenizer running
+    // twice over the corpus (and keeps pushdown from substituting it
+    // into the scan, the TrackedCaches doctrine)
+    val base = TrackedCaches.persist(
+      df.select(col(idCol), cleanTokens(col(textCol)).as("__t"),
+        lower(coalesce(col(textCol), lit(""))).as("__lc")))
     val hits = base.select(col(idCol), explode(col("__t")).as("tok"))
       .join(broadcast(lex), Seq("tok"))
       .groupBy(idCol)
