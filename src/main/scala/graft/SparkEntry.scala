@@ -4369,6 +4369,30 @@ object SparkEntry {
       operators.TextQuality.truncationAudit(d, "config", "completion")
     }),
 
+    // one-number calibration summary over the same integral-score
+    // bins as q_calibration: ECE + MCE
+    "q_ece" -> ((s, dir) =>
+      operators.Eval.expectedCalibrationError(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        "n_chars", maxRaw = 2000L, "is_en", bins = 10)),
+
+    // shipped-mix audit: KL of realized token shares against the
+    // designed uniform 20-source mix
+    "q_mix_kl" -> ((s, dir) =>
+      operators.Sampling.mixtureKl(docs(s, dir), "source", "n_chars",
+        (0 until 20).map(i => s"src$i" -> 0.05))),
+
+    // judge reliability: repeated verdicts per pair, flip rate over
+    // multi-trial pairs
+    "q_judge_flip" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") % 300).as("pair_id"),
+          when(col("l_orderkey") % 3 === 0, "a")
+            .when(col("l_partkey") % 5 < 3, "a").otherwise("b")
+            .as("verdict"))
+      operators.Eval.judgeFlipRate(li, "pair_id", "verdict")
+    }),
+
     // normalization-merge audit: 40 shared bodies in three casing/
     // spacing variants — every dup group is a normalization merge
     "q_norm_merge_audit" -> ((s, dir) => {
@@ -12889,6 +12913,70 @@ object SparkEntry {
         |    THEN CAST(SUM(ne) - SUM(ok) AS DOUBLE) / SUM(ne)
         |    ELSE 0.0 END, 6) AS truncation_rate
         |FROM f GROUP BY 1""".stripMargin,
+
+    // ECE/MCE: the q_calibration bin CTE, bin-ordered fold of the
+    // weighted rounded gaps
+    "q_ece" ->
+      """WITH b0 AS (
+        |  SELECT least(CAST(floor(least(CAST(n_chars AS BIGINT), 2000)
+        |      * 10 / 2000.0) AS BIGINT), 9) AS bin,
+        |    least(CAST(n_chars AS BIGINT), 2000) AS craw,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    ROUND(SUM(pos) / CAST(count(*) AS DOUBLE) -
+        |      SUM(craw) / (2000.0 * count(*)), 6) AS gap
+        |  FROM b0 GROUP BY 1),
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    list_reduce(list(abs(gap) * n ORDER BY bin),
+        |      (a, c) -> a + c) AS ws,
+        |    max(abs(gap)) AS mce
+        |  FROM b)
+        |SELECT nn AS n, ROUND(ws / nn, 6) AS ece, ROUND(mce, 6) AS mce
+        |FROM a""".stripMargin,
+
+    // mixture KL: integral shares, stratum-ordered fold, double
+    // target weights
+    "q_mix_kl" ->
+      """WITH sh AS (SELECT source AS stratum,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS t FROM sh),
+        |j AS (SELECT stratum, toks, tt.t,
+        |    CAST(0.05 AS DOUBLE) AS q,
+        |    CAST(toks AS DOUBLE) / tt.t AS p
+        |  FROM sh CROSS JOIN tt),
+        |k AS (SELECT stratum, t, p, q,
+        |    CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0.0 END AS term
+        |  FROM j)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |  max(t) AS total_tokens,
+        |  ROUND(list_reduce(list(term ORDER BY stratum),
+        |    (a, c) -> a + c), 6) AS kl,
+        |  ROUND(max(abs(p - q)), 6) AS max_abs_gap
+        |FROM k""".stripMargin,
+
+    // judge flip rate: two-level integral counts
+    "q_judge_flip" ->
+      """WITH v AS (SELECT l_orderkey % 300 AS pair_id,
+        |    CASE WHEN l_orderkey % 3 = 0 THEN 'a'
+        |      WHEN l_partkey % 5 < 3 THEN 'a' ELSE 'b' END AS verdict
+        |  FROM lineitem),
+        |p AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(count(DISTINCT verdict) AS BIGINT) AS v
+        |  FROM v GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN t >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi,
+        |  CAST(SUM(CASE WHEN t >= 2 AND v > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flipped,
+        |  ROUND(CASE WHEN SUM(CASE WHEN t >= 2 THEN 1 ELSE 0 END) > 0
+        |    THEN CAST(SUM(CASE WHEN t >= 2 AND v > 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |      / SUM(CASE WHEN t >= 2 THEN 1 ELSE 0 END) END, 6)
+        |    AS flip_rate
+        |FROM p""".stripMargin,
 
     // normalization-merge audit: two-level exact aggregate on md5
     // keys only

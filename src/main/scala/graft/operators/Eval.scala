@@ -1216,6 +1216,44 @@ object Eval {
           .as("mean_best"))
   }
 
+  /** Expected calibration error — the one-number summary over
+    * [[calibrationBins]] (Guo et al. 2017): `sum_b n_b/N *
+    * |acc_b - conf_b|`, plus the max-bin gap (MCE). The per-bin gaps
+    * come off the bins frame's 6dp-rounded columns, the bin weights
+    * are integral, and the <= bins cross-bin sum folds in bin order
+    * (sorted fold), so the number replays exactly in SQL. */
+  def expectedCalibrationError(df: DataFrame, rawCol: String,
+      maxRaw: Long, labelCol: String, bins: Int = 10): DataFrame = {
+    val b = calibrationBins(df, rawCol, maxRaw, labelCol, bins)
+    b.agg(sum("n").as("n"),
+        aggregate(sort_array(collect_list(
+          struct(col("bin"), (abs(col("gap")) * col("n")).as("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("__ws"),
+        max(abs(col("gap"))).as("__mce"))
+      .select(col("n"),
+        round(col("__ws") / col("n"), 6).as("ece"),
+        round(col("__mce"), 6).as("mce"))
+  }
+
+  /** Judge self-agreement — re-judge the same pair and count flips
+    * (the reliability denominator under every LLM-judge eval): a
+    * multi-trial pair is CONSISTENT when all its trials return one
+    * verdict. Two integral aggregates; pairs with a single trial are
+    * excluded from the flip rate (nothing to disagree with). */
+  def judgeFlipRate(df: DataFrame, pairCol: String, verdictCol: String)
+      : DataFrame = {
+    val per = df.groupBy(col(pairCol).as("__pair"))
+      .agg(count(lit(1)).as("__t"),
+        count_distinct(col(verdictCol)).as("__v"))
+    per.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__t") >= 2, 1L).otherwise(0L)).as("n_multi"),
+        sum(when(col("__t") >= 2 && col("__v") > 1, 1L).otherwise(0L))
+          .as("n_flipped"))
+      .withColumn("flip_rate",
+        round(when(col("n_multi") > 0,
+          col("n_flipped").cast("double") / col("n_multi")), 6))
+  }
+
   /** Needle-position recall curve — the lost-in-the-middle readout
     * (Liu et al. 2023): retrieval accuracy binned by where in the
     * context the needle sat (`posFrac` in [0,1]; the top bin absorbs

@@ -465,4 +465,45 @@ object Sampling {
       floor(lit(totalN.toDouble) * col("__w") / col("__tot") + 0.5)
         .cast("long").as("n_alloc"))
   }
+
+  /** Mixture-KL audit — did the SHIPPED training mix match the
+    * designed one: KL(realized || target) over token shares, plus the
+    * worst absolute share gap. The realized shares are integral token
+    * ratios; every observed stratum MUST appear in the target list
+    * (witness-probed) so a silently-missing stratum cannot read as
+    * divergence zero. ONE corpus aggregate to the strata frame; the
+    * <= |target| KL terms fold in stratum order (sorted fold). */
+  def mixtureKl(df: DataFrame, stratumCol: String, tokenCol: String,
+      target: Seq[(String, Double)]): DataFrame = {
+    require(target.nonEmpty &&
+      math.abs(target.map(_._2).sum - 1.0) < 1e-9 &&
+      target.forall(_._2 > 0),
+      "target must cover the mix with positive weights summing to 1")
+    val spark = df.sparkSession
+    val t = spark.createDataFrame(target).toDF("stratum", "q")
+    val shares = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(col(tokenCol).cast("long")).as("toks"))
+    val missing = shares.join(broadcast(t), Seq("stratum"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"mixtureKl: observed stratum ${missing.headOption.map(_.get(0))} " +
+        "is not in the target mix — add it (KL against a zero target " +
+        "weight is infinite, not zero)")
+    val joined = shares.join(broadcast(t), Seq("stratum"))
+      .crossJoin(broadcast(shares.agg(
+        sum("toks").cast("long").as("__tt"))))
+      .withColumn("__p", col("toks").cast("double") / col("__tt"))
+      .withColumn("__term",
+        when(col("__p") > 0, col("__p") * log(col("__p") / col("q")))
+          .otherwise(0.0))
+    joined.agg(count(lit(1)).as("n_strata"),
+        max("__tt").as("total_tokens"),
+        aggregate(sort_array(collect_list(
+          struct(col("stratum"), col("__term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__kl"),
+        max(abs(col("__p") - col("q"))).as("__gap"))
+      .select(col("n_strata"), col("total_tokens"),
+        round(col("__kl"), 6).as("kl"),
+        round(col("__gap"), 6).as("max_abs_gap"))
+  }
 }
