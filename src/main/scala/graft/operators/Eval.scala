@@ -921,14 +921,26 @@ object Eval {
     for (_ <- 1 to iters) {
       val oppRatings = ratings
         .select(col("model").as("opp"), col("rating").as("opp_rating"))
+      // sorted folds (the mixtureKl/personalizedPageRank doctrine):
+      // the MM denominator per model and the renormalization total are
+      // double sums whose accumulation order would otherwise depend on
+      // partitioning — fold them in (opp, model) order so the result
+      // is bit-identical across engines and shuffles. Both lists are
+      // bounded by maxModels (the witness probe above), so collect_list
+      // stays a <= models-sized in-memory frame.
       val upd = sym
         .join(broadcast(ratings), Seq("model"))
         .join(broadcast(oppRatings), Seq("opp"))
         .groupBy("model")
-        .agg((sum("w2") /
-          sum(col("g2") / (col("rating") + col("opp_rating"))))
-          .as("raw"))
-      val tot = upd.agg(sum("raw").as("__t"),
+        .agg(sum("w2").as("__w2"),
+          aggregate(sort_array(collect_list(struct(col("opp"),
+            (col("g2") / (col("rating") + col("opp_rating"))).as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")).as("__den"))
+        .select(col("model"), (col("__w2") / col("__den")).as("raw"))
+      val tot = upd.agg(
+        aggregate(sort_array(collect_list(
+          struct(col("model"), col("raw").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("__t"),
         count(lit(1)).cast("double").as("__m"))
       // each round references the previous ratings plan THREE times
       // (model join, opp join, renormalization total) — without

@@ -1420,6 +1420,17 @@ object Stats {
     val w = spark.createDataFrame(weights).toDF("arm", "weight")
     val counts = df.groupBy(col(armCol).as("arm"))
       .agg(count(lit(1)).as("observed"))
+    // witness probe (the mixtureKl pattern): an observed arm missing
+    // from the designed weights would silently drop from the output
+    // while its rows still count in __n — every expected count, the
+    // chi2, and the df would then be computed against an incomplete
+    // design. The probe is one bounded job over the arms-sized frame.
+    val missing = counts.join(broadcast(w), Seq("arm"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"srmCheck: observed arm ${missing.headOption.map(_.get(0))} is " +
+        "not in the designed weights — add it (its rows count in the " +
+        "total, so every expected count would be wrong)")
     val joined = broadcast(w).join(counts, Seq("arm"), "left")
       .select(col("arm"), col("weight"),
         coalesce(col("observed"), lit(0L)).as("observed"))
@@ -1550,6 +1561,21 @@ object Stats {
         s"exceeds maxObsPerExperiment=$maxObsPerExperiment — the " +
         "per-experiment walk is single-task; truncate or shard the " +
         "monitor window upstream")
+    // determinism guard: the walk is ordered by seqCol ALONE, so a
+    // duplicate sequence value inside an experiment would make
+    // row_number, the cumulative LLR path, and hence decision /
+    // n_at_decision (and max_by's llr_final) nondeterministic across
+    // engines and partitionings. Require uniqueness outright — a
+    // sequential test with ambiguous observation order is ill-posed,
+    // and the probe is one bounded aggregate.
+    val dup = df.groupBy(col(expCol), col(seqCol))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"sprtDecision: duplicate $seqCol=${dup.headOption.map(_.get(1))} " +
+        s"in experiment ${dup.headOption.map(_.get(0))} — the walk " +
+        "order (and the decision) would be nondeterministic; " +
+        "disambiguate the sequence column upstream")
     val up = math.log((1.0 - beta) / alpha)
     val lo = math.log(beta / (1.0 - alpha))
     val incS = math.log(p1 / p0)

@@ -748,12 +748,18 @@ object TextQuality {
     "attack" -> 1, "destroy" -> 1, "violent" -> 2, "abuse" -> 2,
     "threat" -> 2)
 
-  /** Per-document toxicity scoring against [[ToxicityLexicon]] —
-    * token-exact (clean whitespace tokens, so `hateful` does not
-    * double-fire `hate`; the one multi-word entry matches as a
-    * bigram). Emits hit/severity counts, a per-token normalized
-    * score, and the triage bucket (`none/low/medium/high`) the
-    * keep/review/drop policy keys on.
+  /** Per-document toxicity scoring against [[ToxicityLexicon]].
+    * Single-word entries are token-exact (clean whitespace tokens, so
+    * `hateful` does not double-fire `hate`). Multi-word entries match
+    * by RAW SUBSTRING CONTAINMENT on the lowercased text — NOT
+    * token-bigram-exact: `shut upward` fires `shut up`, and no
+    * whitespace collapse is applied before the count. This is the C4
+    * blocklist convention (plain containment) and keeps the check a
+    * codegen'd expression; a token-exact phrase match would need the
+    * joined clean-token stream on both the engine and oracle sides.
+    * Emits hit/severity counts, a per-token normalized score, and the
+    * triage bucket (`none/low/medium/high`) the keep/review/drop
+    * policy keys on.
     *
     * Scale shape: explode tokens -> broadcast inner join on the
     * lexicon (only HITS survive the join — the shuffle carries
