@@ -928,6 +928,38 @@ object SparkEntry {
           TextFunctions.qualityClassifier(col("text")).as("p_keep"))
         .withColumn("keep", (col("p_keep") >= 0.5).cast("int"))),
 
+    // text analysis: the EMBEDDING quality head (FineWeb-Edu recipe) —
+    // committed-weights linear head scored map-only over the
+    // embeddings scan (weights are inline literals: zero shuffle, no
+    // side table); the oracle replays the identical 6dp weights via
+    // list_dot_product in the same index-ordered fold
+    "q_embed_quality" -> ((s, dir) =>
+      operators.EmbedQuality.scoreVectors(emb(s, dir), "vec_id",
+        "embedding")),
+
+    // head-to-head: embed head vs the six-signal text classifier on
+    // the SAME joined rows against the shared synthetic target
+    // label <= 4 (the q_langid_accuracy precedent — and the honest
+    // readout: the embed head only wins in-sample at sf0.001, see
+    // EmbedQuality's scaladoc)
+    "q_embed_quality_h2h" -> ((s, dir) =>
+      operators.EmbedQuality.headToHead(docs(s, dir), emb(s, dir),
+        "doc_id", "text", "vec_id", "embedding", "label")),
+
+    // calibration of the embed head against its training target —
+    // the q_ece composition with the 6dp score scaled to an exact
+    // integral raw (round(p*1e6): both engines round the same double)
+    "q_embed_quality_ece" -> ((s, dir) =>
+      operators.Eval.expectedCalibrationError(
+        operators.EmbedQuality.scoreVectors(emb(s, dir), "vec_id",
+            "embedding")
+          .join(emb(s, dir).select(col("vec_id"),
+            (col("label") <= 4).cast("boolean").as("is_edu")),
+            Seq("vec_id"))
+          .withColumn("milli",
+            round(col("p_keep_embed") * 1e6, 0).cast("long")),
+        "milli", maxRaw = 1000000L, "is_edu", bins = 10)),
+
     // text analysis: composite quality score
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -4621,6 +4653,12 @@ object SparkEntry {
     * the feature folds replay the SAME (feature, weight) constants in
     * the SAME order as `classifierLogit` (float + is not associative).
     * Distinct CTE names so it composes with [[urlCtes]]. */
+  /** Inlined 6dp weight literals of the committed embed-quality head
+    * ([[operators.EmbedQuality.weights]]) — both engines parse the same
+    * decimal literals to the same doubles. */
+  private val embedHeadW: String =
+    operators.EmbedQuality.weights.mkString(", ")
+
   private val qualityScoreCtes: String = {
     val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
     val fExpr = Map(
@@ -6672,6 +6710,78 @@ object SparkEntry {
       s"""WITH $qualityScoreCtes
          |SELECT doc_id, p_keep, CAST(p_keep >= 0.5 AS INT) AS keep
          |FROM qp""".stripMargin,
+
+    // embed head: the same 6dp weight literals the engine inlines,
+    // replayed via list_dot_product (index-ordered fold on both
+    // engines); pred thresholds the ROUNDED score
+    "q_embed_quality" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id,
+         |    ROUND(1.0 / (1.0 + exp(-(list_dot_product(
+         |      embedding::DOUBLE[], [$embedHeadW])
+         |      + (${operators.EmbedQuality.bias})))), 6) AS p_keep_embed
+         |  FROM embeddings)
+         |SELECT vec_id, p_keep_embed,
+         |  p_keep_embed >= 0.5 AS pred_keep
+         |FROM sc""".stripMargin,
+
+    // head-to-head: text-feature head (qualityScoreCtes' qp) vs embed
+    // head on the joined rows; means via the integral p*1e6 trick so
+    // no cross-row double fold rides either engine's partitioning
+    "q_embed_quality_h2h" ->
+      s"""WITH $qualityScoreCtes,
+         |es AS (
+         |  SELECT vec_id AS doc_id,
+         |    ROUND(1.0 / (1.0 + exp(-(list_dot_product(
+         |      embedding::DOUBLE[], [$embedHeadW])
+         |      + (${operators.EmbedQuality.bias})))), 6) AS p_embed,
+         |    label <= 4 AS y
+         |  FROM embeddings),
+         |j AS (SELECT qp.doc_id, qp.p_keep AS p_text, es.p_embed, es.y
+         |  FROM qp JOIN es USING (doc_id))
+         |SELECT 'embed_head' AS method, CAST(count(*) AS BIGINT) AS n,
+         |  ROUND(SUM(CASE WHEN (p_embed >= 0.5) = y THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+         |  ROUND(SUM(CAST(round(p_embed * 1000000, 0) AS BIGINT))
+         |    / 1000000.0 / count(*), 6) AS mean_score
+         |FROM j
+         |UNION ALL
+         |SELECT 'text_features', CAST(count(*) AS BIGINT),
+         |  ROUND(SUM(CASE WHEN (p_text >= 0.5) = y THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6),
+         |  ROUND(SUM(CAST(round(p_text * 1000000, 0) AS BIGINT))
+         |    / 1000000.0 / count(*), 6)
+         |FROM j""".stripMargin,
+
+    // embed-head ECE: the q_ece bin CTE over the integral
+    // round(p*1e6) raw against the training target label <= 4
+    "q_embed_quality_ece" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id,
+         |    ROUND(1.0 / (1.0 + exp(-(list_dot_product(
+         |      embedding::DOUBLE[], [$embedHeadW])
+         |      + (${operators.EmbedQuality.bias})))), 6) AS p,
+         |    label <= 4 AS y
+         |  FROM embeddings),
+         |b0 AS (
+         |  SELECT least(CAST(floor(greatest(least(
+         |      CAST(round(p * 1000000, 0) AS BIGINT), 1000000), 0)
+         |      * 10 / 1000000.0) AS BIGINT), 9) AS bin,
+         |    greatest(least(CAST(round(p * 1000000, 0) AS BIGINT),
+         |      1000000), 0) AS craw,
+         |    CASE WHEN y THEN 1 ELSE 0 END AS pos
+         |  FROM sc WHERE p IS NOT NULL AND y IS NOT NULL),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    ROUND(SUM(pos) / CAST(count(*) AS DOUBLE) -
+         |      SUM(craw) / (1000000.0 * count(*)), 6) AS gap
+         |  FROM b0 GROUP BY 1),
+         |a AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    list_reduce(list(abs(gap) * n ORDER BY bin),
+         |      (a, c) -> a + c) AS ws,
+         |    max(abs(gap)) AS mce
+         |  FROM b)
+         |SELECT nn AS n, ROUND(ws / nn, 6) AS ece, ROUND(mce, 6) AS mce
+         |FROM a""".stripMargin,
 
     "q_stopword_ratio" -> {
       val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")

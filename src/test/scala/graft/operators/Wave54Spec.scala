@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Round-12 wave 54: the embedding-quality head (FineWeb-Edu pattern)
+  * plus the round's determinism guards (srmCheck arm coverage,
+  * sprtDecision unique sequence, bradleyTerry sorted folds). */
+class Wave54Spec extends AnyFunSuite with Matchers with SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("EmbedQuality: committed head has 64 6dp weights") {
+    EmbedQuality.weights.length shouldBe EmbedQuality.dim
+    all(EmbedQuality.weights.map(w =>
+      math.abs(w * 1e6 - math.rint(w * 1e6)))) should be < 1e-6
+  }
+
+  test("EmbedQuality: in-sample accuracy at sf0.001 matches the " +
+    "trainer fixture (0.646)") {
+    // the exact quantity scripts/gen_embed_quality_fixture.py prints:
+    // 6dp-rounded score thresholded at 0.5 vs label <= 4, on the
+    // corpus the head was trained on
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val acc = EmbedQuality.scoreVectors(e, "vec_id", "embedding")
+      .join(e.select(col("vec_id"), (col("label") <= 4).as("y")),
+        Seq("vec_id"))
+      .agg(avg(when(col("pred_keep") === col("y"), 1.0).otherwise(0.0)))
+      .as[Double].head()
+    acc shouldBe 0.646 +- 1e-9
+  }
+
+  test("EmbedQuality: scores are 6dp probabilities in [0, 1]") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s = EmbedQuality.scoreVectors(e, "vec_id", "embedding")
+      .agg(min("p_keep_embed"), max("p_keep_embed")).head()
+    s.getDouble(0) should be >= 0.0
+    s.getDouble(1) should be <= 1.0
+  }
+
+  test("EmbedQuality.scoreVectors: map-only — zero exchanges " +
+    "(weights are inline literals, no side table)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = EmbedQuality.scoreVectors(e, "vec_id", "embedding")
+      .queryExecution.executedPlan.collect {
+        case x: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => x
+      }.size
+    n shouldBe 0
+  }
+
+  test("EmbedQuality.headToHead: paired readout, both methods see " +
+    "the same n") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = EmbedQuality.headToHead(docs, e, "doc_id", "text",
+      "vec_id", "embedding", "label").collect()
+    r.length shouldBe 2
+    r.map(_.getLong(1)).distinct.length shouldBe 1
+    all(r.map(_.getDouble(2))) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("srmCheck: an observed arm missing from the designed weights " +
+    "trips the witness probe") {
+    val df = Seq("a", "a", "b", "rogue").toDF("arm")
+    val e = intercept[IllegalArgumentException] {
+      Stats.srmCheck(df, "arm", Seq("a" -> 0.5, "b" -> 0.5)).collect()
+    }
+    e.getMessage should include("rogue")
+  }
+
+  test("sprtDecision: duplicate sequence values trip the " +
+    "determinism guard") {
+    val df = Seq(("e1", 1L, true), ("e1", 1L, false), ("e1", 2L, true))
+      .toDF("exp", "seq", "ok")
+    val e = intercept[IllegalArgumentException] {
+      Stats.sprtDecision(df, "exp", "seq", "ok", p0 = 0.5, p1 = 0.7)
+        .collect()
+    }
+    e.getMessage should include("nondeterministic")
+  }
+
+  test("bradleyTerry: sorted-fold MM still ranks the dominant model " +
+    "first with ratings summing to the model count") {
+    val battles = Seq.tabulate(30) { i =>
+      if (i % 3 == 0) ("m1", "m2", "b") else ("m1", "m2", "a")
+    } ++ Seq.tabulate(10)(_ => ("m2", "m3", "a"))
+    val r = Eval.bradleyTerry(battles.toDF("ma", "mb", "w"),
+      "ma", "mb", "w").orderBy("rank").collect()
+    r.head.getString(0) shouldBe "m1"
+    r.map(_.getDouble(2)).sum shouldBe 3.0 +- 1e-4
+  }
+}
