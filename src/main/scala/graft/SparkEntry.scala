@@ -769,6 +769,40 @@ object SparkEntry {
         docs(s, dir).filter(col("text").isNotNull), "text",
         nMerges = 48)),
 
+    // text analysis: unigram-LM (SentencePiece-style) tokenizer
+    // TRAINING by hard-EM over the word-frequency table — one corpus
+    // pass, then vocab-sized EM rounds. Exact-integer Viterbi (big-int
+    // cross-multiplication, no floats) makes the learned vocab a pure
+    // function of the corpus; the oracle joins the committed fixture
+    // trained by an INDEPENDENT Python implementation, keyed by the
+    // same replayable corpus fingerprint as q_bpe_train
+    "q_unigram_train" -> ((s, dir) =>
+      operators.UnigramTrain.trainDF(
+        docs(s, dir).filter(col("text").isNotNull), "text")),
+
+    // text analysis: unigram piece counts under the COMMITTED
+    // (sf0.001-trained, Python-written) vocab — the q_bpe_count
+    // pattern: per-doc fixture joined on md5(text)
+    "q_unigram_count" -> ((s, dir) =>
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          functions.UnigramCountExpr.unigramCount(col("text"))
+            .as("n_uni"))),
+
+    // text analysis: unigram-tokenizer fertility per language — the
+    // q_bpe_fertility surface with the unigram encoder, so the two
+    // tokenizer families are comparable row-for-row
+    "q_unigram_fertility" -> ((s, dir) =>
+      docs(s, dir).filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(sum(functions.UnigramCountExpr.unigramCount(col("text")))
+            .as("n_uni"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_ws"))
+        .select(col("lang"), col("n_uni"), col("n_ws"),
+          round(col("n_uni").cast("double") / col("n_ws"), 6)
+            .as("fertility"))),
+
     // text analysis: REAL byte-level BPE token counts (GPT-2 algorithm
     // over the committed merge table). BPE itself is not
     // SQL-expressible; the oracle joins the committed fixture CSV —
@@ -6371,6 +6405,44 @@ object SparkEntry {
         |       header = true,
         |       columns = {'fp': 'VARCHAR', 'n_bpe': 'BIGINT'}) f
         |  ON d.text IS NOT NULL AND md5(d.text) = f.fp""".stripMargin,
+
+    // unigram trainer: committed independent-Python fixture keyed by
+    // the replayable corpus fingerprint (the q_bpe_train contract)
+    "q_unigram_train" ->
+      s"""SELECT f.rank, f.piece, f.cnt
+        |FROM read_csv('${new java.io.File(
+             "src/test/resources/unigram_vocab.csv").getAbsolutePath}',
+        |       header = true, quote = '"',
+        |       columns = {'corpus_fp': 'VARCHAR', 'rank': 'BIGINT',
+        |                  'piece': 'VARCHAR', 'cnt': 'BIGINT'}) f
+        |WHERE f.corpus_fp = (
+        |  SELECT md5(string_agg(md5(text), '' ORDER BY doc_id))
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
+
+    "q_unigram_count" ->
+      s"""SELECT d.doc_id, f.n_uni
+        |FROM documents d
+        |JOIN read_csv('${new java.io.File(
+             "src/test/resources/unigram_counts.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'fp': 'VARCHAR', 'n_uni': 'BIGINT'}) f
+        |  ON d.text IS NOT NULL AND md5(d.text) = f.fp""".stripMargin,
+
+    "q_unigram_fertility" ->
+      s"""WITH b AS (
+        |  SELECT d.lang, f.n_uni,
+        |    CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+        |      AS BIGINT) AS n_ws
+        |  FROM documents d
+        |  JOIN read_csv('${new java.io.File(
+             "src/test/resources/unigram_counts.csv").getAbsolutePath}',
+        |       header = true,
+        |       columns = {'fp': 'VARCHAR', 'n_uni': 'BIGINT'}) f
+        |    ON d.text IS NOT NULL AND md5(d.text) = f.fp)
+        |SELECT lang, CAST(SUM(n_uni) AS BIGINT) AS n_uni,
+        |  CAST(SUM(n_ws) AS BIGINT) AS n_ws,
+        |  ROUND(CAST(SUM(n_uni) AS DOUBLE) / SUM(n_ws), 6) AS fertility
+        |FROM b GROUP BY lang""".stripMargin,
 
     "q_bpe_fertility" ->
       s"""WITH b AS (
