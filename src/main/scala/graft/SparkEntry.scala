@@ -2291,6 +2291,25 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), threshold = 0.4, nPlanes = 4)),
 
+    // similarity: GRAPH ANN (HNSW-class) — beam search over the
+    // two-layer LSH k-NN graph. Both the graph build and the
+    // fixed-round beam walk are deterministic (6dp + id tiebreaks), so
+    // the approximate answer is a pure function of (corpus, seeds) and
+    // the oracle replays the whole thing as an unrolled CTE chain
+    "q_ann_graph_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.graphBeamSearch(e, e.filter(col("vec_id") < 10),
+        Similarity.nnGraph(e), k = 5)
+    }),
+
+    // its honesty meter: recall@5 of the beam answer vs the exact
+    // brute-force top-5, one row per query — oracle-exact end to end
+    "q_ann_graph_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.graphAnnRecall(e, e.filter(col("vec_id") < 10),
+        Similarity.nnGraph(e), k = 5)
+    }),
+
     // similarity: LSH-bucketed approximate top-k (scale path).
     // Oracle-gated in r8: "approximate" means approximate vs the TRUE
     // top-k, but the output is a deterministic pure function of
@@ -4692,6 +4711,64 @@ object SparkEntry {
     * decimal literals to the same doubles. */
   private val embedHeadW: String =
     operators.EmbedQuality.weights.mkString(", ")
+
+  /** DuckDB CTE chain replaying [[operators.Similarity.nnGraph]]
+    * (seeds 42/43, nPlanes 4, degree 4) plus the 2-round,
+    * beamWidth-8, self-seeded beam walk of
+    * [[operators.Similarity.graphBeamSearch]] over queries
+    * `vec_id < 10`. Ends in `f(qid, node, cos, rk)` — the scored
+    * last-round candidates — and `bq(qid, qv)`; the two graph-ANN
+    * oracles share this prefix and differ only in the final SELECT. */
+  private val annGraphCtes: String = {
+    def terms(seed: Long) = operators.Similarity.planes(4, 64, seed)
+      .zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    def layer(i: Int, seed: Long) =
+      s"""b$i AS (SELECT vec_id, v, CAST(${terms(seed)} AS BIGINT) AS bkt
+         |  FROM e),
+         |p$i AS (
+         |  SELECT a.vec_id AS src, c.vec_id AS dst,
+         |    ROUND(list_dot_product(a.v, c.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) *
+         |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |  FROM b$i a JOIN b$i c
+         |    ON a.bkt = c.bkt AND a.vec_id <> c.vec_id),
+         |l$i AS (SELECT src, dst FROM p$i
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, dst) <= 4)""".stripMargin
+    def round(i: Int, prev: String) =
+      s"""c$i AS (SELECT DISTINCT qid, node FROM (
+         |  SELECT qid, node FROM $prev
+         |  UNION ALL
+         |  SELECT $prev.qid, g.dst AS node FROM $prev
+         |    JOIN g ON $prev.node = g.src)),
+         |s$i AS (
+         |  SELECT c$i.qid, c$i.node,
+         |    ROUND(list_dot_product(bq.qv, n.v) /
+         |      (sqrt(list_dot_product(bq.qv, bq.qv)) *
+         |       sqrt(list_dot_product(n.v, n.v))), 6) AS cos
+         |  FROM c$i JOIN e n ON c$i.node = n.vec_id
+         |    JOIN bq ON c$i.qid = bq.qid),
+         |be$i AS (SELECT qid, node FROM s$i
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, node) <= 8)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${layer(1, 42L)},
+       |${layer(2, 43L)},
+       |g AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM l1 UNION ALL SELECT src, dst FROM l2
+       |  UNION ALL SELECT dst AS src, src AS dst FROM l1
+       |  UNION ALL SELECT dst AS src, src AS dst FROM l2)),
+       |bq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |be0 AS (SELECT qid, qid AS node FROM bq),
+       |${round(1, "be0")},
+       |${round(2, "be1")},
+       |f AS (SELECT qid, node, cos, row_number() OVER (
+       |  PARTITION BY qid ORDER BY cos DESC, node) AS rk FROM s2)"""
+      .stripMargin
+  }
 
   private val qualityScoreCtes: String = {
     val swList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
@@ -9662,6 +9739,39 @@ object SparkEntry {
          |SELECT vec_id, bkt FROM e
          |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
     },
+
+    // graph ANN: the full two-layer graph build + 2-round beam walk
+    // unrolled as CTEs; top-5 non-self beam members per query
+    "q_ann_graph_topk" ->
+      s"""WITH $annGraphCtes
+         |SELECT qid, node AS cid, cos FROM f
+         |WHERE rk <= 8 AND node <> qid
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |  ORDER BY cos DESC, node) <= 5""".stripMargin,
+
+    // graph ANN recall: beam top-5 left-joined from the exact
+    // brute-force top-5 (the q_cosine_topk ranking), hits / 5
+    "q_ann_graph_recall" ->
+      s"""WITH $annGraphCtes,
+         |t AS (SELECT qid, node AS cid FROM f
+         |  WHERE rk <= 8 AND node <> qid
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, node) <= 5),
+         |bfp AS (
+         |  SELECT bq.qid, c.vec_id AS cid,
+         |    ROUND(list_dot_product(bq.qv, c.v) /
+         |      (sqrt(list_dot_product(bq.qv, bq.qv)) *
+         |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |  FROM bq JOIN e c ON c.vec_id <> bq.qid
+         |  QUALIFY row_number() OVER (PARTITION BY bq.qid
+         |    ORDER BY cos DESC, c.vec_id) <= 5)
+         |SELECT bfp.qid,
+         |  CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  ROUND(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    / 5.0, 6) AS recall
+         |FROM bfp LEFT JOIN t ON bfp.qid = t.qid AND bfp.cid = t.cid
+         |GROUP BY 1""".stripMargin,
 
     // exact top-k: with nProbe = nLists every candidate is scored, so the
     // IVF path must reproduce the brute-force oracle bit-for-bit

@@ -663,6 +663,125 @@ object Similarity {
       .orderBy("id_a")
   }
 
+  /** LSH-layered k-NN GRAPH construction — the prebuilt neighbor graph
+    * a graph-ANN (HNSW-class) search walks. Per hash layer (one seed
+    * each), every vector keeps its top-`degree` same-bucket cosine
+    * neighbors (deterministic `(cos 6dp desc, id asc)` order); layers
+    * union and the graph is made undirected. MULTIPLE layers are the
+    * point: a single signed-projection layer can only connect
+    * same-bucket nodes, but different seeds cut the space differently,
+    * so the union is cross-bucket-navigable — beam search can reach
+    * true neighbors no single probe finds.
+    *
+    * Scale: each layer is the [[lshTopK]] bucket equi-join (never a
+    * cross join), the rank pre-trims via WindowGroupLimit, and the
+    * edge list is at most `2 * degree * layers * n` rows. Construction
+    * is the expensive half of graph ANN everywhere (HNSW inserts are
+    * sequential); this distributed bucket formulation is the honest
+    * batch equivalent, trading HNSW's long-range links for hash-layer
+    * diversity. */
+  def nnGraph(df: DataFrame, degree: Int = 4, nPlanes: Int = 4,
+      dim: Int = 64, seeds: Seq[Long] = Seq(42L, 43L),
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(degree >= 1 && degree <= 64, s"bad degree: $degree")
+    require(seeds.nonEmpty && seeds.size <= 8,
+      s"bad layer count: ${seeds.size}")
+    val layers = seeds.map { s =>
+      val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bkt", lshBucket(col("v"), nPlanes, dim, s))
+      val l = b.select(col("id").as("src"), col("v").as("sv"),
+        col("bkt"))
+      val r = b.select(col("id").as("dst"), col("v").as("dv"),
+        col("bkt").as("bktd"))
+      l.join(r, col("bkt") === col("bktd") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(cosine(col("sv"), col("dv")), 6).as("cos"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+        .filter(col("__rk") <= degree)
+        .select("src", "dst")
+    }
+    val e = layers.reduce(_ unionAll _)
+    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Beam search over a prebuilt neighbor graph ([[nnGraph]]) — the
+    * HNSW-style query path as ITERATIVE BOUNDED JOINS: each round
+    * expands the beam by one graph hop (beam join edges), scores the
+    * candidates exactly, and keeps the top `beamWidth` per query by
+    * `(cos 6dp desc, id asc)`. Queries are corpus-internal and
+    * self-seeded (the entry point is the query's own node). After
+    * `rounds` hops the top `k` non-self beam members are the answer.
+    *
+    * Every round is (beam x degree)-bounded — never a cross join (the
+    * plan spec asserts it) — and cut with localCheckpoint (the
+    * iterative-loop lineage discipline). Fully deterministic: rounded
+    * scores, id tiebreaks, so the result replays exactly in SQL as an
+    * unrolled CTE chain — a graph-ANN whose approximate answer is
+    * still a pure function of (corpus, seeds). */
+  def graphBeamSearch(corpus: DataFrame, queries: DataFrame,
+      graph: DataFrame, k: Int, beamWidth: Int = 8, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1 && beamWidth > k,
+      s"need beamWidth > k: $beamWidth <= $k")
+    require(rounds >= 1 && rounds <= 8, s"bad rounds: $rounds")
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
+    val g = graph.select(col("src"), col("dst"))
+    val rank = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("node"))
+    var beam = q.select(col("qid"), col("qid").as("node"))
+    var scored: DataFrame = null
+    for (r <- 1 to rounds) {
+      val cand = beam.unionAll(
+          beam.join(g, col("node") === col("src"))
+            .select(col("qid"), col("dst").as("node")))
+        .distinct()
+      scored = cand.join(cv, Seq("node")).join(q, Seq("qid"))
+        .select(col("qid"), col("node"),
+          round(cosine(col("qv"), col("nv")), 6).as("cos"))
+      // the final answer reads the LAST round's scored candidates
+      // directly — materializing a beam that nothing consumes would
+      // pay one extra window+checkpoint job per query batch
+      if (r < rounds)
+        beam = scored.withColumn("__rk", row_number().over(rank))
+          .filter(col("__rk") <= beamWidth)
+          .select("qid", "node")
+          .localCheckpoint()
+    }
+    // final answer: the last round's beam, self excluded, top-k
+    scored.withColumn("__rk", row_number().over(rank))
+      .filter(col("__rk") <= beamWidth && col("node") =!= col("qid"))
+      .withColumn("__rk2", row_number().over(rank))
+      .filter(col("__rk2") <= k)
+      .select(col("qid"), col("node").as("cid"), col("cos"))
+  }
+
+  /** Recall@k report for [[graphBeamSearch]] against the exact
+    * [[bruteForceTopK]] answer — the honesty meter every approximate
+    * index ships with. One row per query: hits inside the true top-k
+    * and the recall ratio. Both sides are deterministic (6dp + id
+    * tiebreaks), so the whole report replays in SQL. */
+  def graphAnnRecall(corpus: DataFrame, queries: DataFrame,
+      graph: DataFrame, k: Int, beamWidth: Int = 8, rounds: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val t = graphBeamSearch(corpus, queries, graph, k, beamWidth,
+      rounds, idCol, vecCol)
+    val bf = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    bf.select(col("qid"), col("cid"))
+      .join(t.select(col("qid"), col("cid"), lit(1L).as("__hit")),
+        Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+  }
+
   /** [[semanticDedup]] with `nPlanes` DERIVED from a cheap corpus count
     * so expected bucket occupancy stays near `targetOccupancy`: the
     * within-bucket work is O(sum of occupancy^2), so a FIXED plane

@@ -63,6 +63,55 @@ class Wave54Spec extends AnyFunSuite with Matchers with SparkSpec {
     all(r.map(_.getDouble(2))) should (be >= 0.0 and be <= 1.0)
   }
 
+  test("nnGraph: undirected, distinct, layer-bounded edges") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.nnGraph(e).cache()
+    try {
+      val n = g.count()
+      g.distinct().count() shouldBe n
+      // undirected: every edge's reverse is present
+      val rev = g.select(col("dst").as("src"), col("src").as("dst"))
+      g.except(rev).count() shouldBe 0
+      g.filter(col("src") === col("dst")).count() shouldBe 0
+    } finally g.unpersist()
+  }
+
+  test("graphBeamSearch: walks a hop beyond the entry's own edges") {
+    // hand graph: 0-1, 1-2 (chain). Vectors: 2 is the true nearest to
+    // 0 but only reachable through 1. One round from self {0} reaches
+    // {0,1}; two rounds reach {0,1,2} and rank 2 first.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.6f, 0.8f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val g = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val q = vecs.filter($"vec_id" === 0L)
+    val one = Similarity.graphBeamSearch(vecs, q, g, k = 1,
+      beamWidth = 4, rounds = 1).collect()
+    one.map(_.getLong(1)) shouldBe Array(1L)
+    val two = Similarity.graphBeamSearch(vecs, q, g, k = 1,
+      beamWidth = 4, rounds = 2).collect()
+    two.map(_.getLong(1)) shouldBe Array(2L)
+  }
+
+  test("graphBeamSearch: no cartesian/nested-loop join in the plan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.graphBeamSearch(e, e.filter($"vec_id" < 10),
+      Similarity.nnGraph(e), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("graphAnnRecall: emits one bounded row per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.graphAnnRecall(e, e.filter($"vec_id" < 10),
+      Similarity.nnGraph(e), k = 5).collect()
+    r.length shouldBe 10
+    all(r.map(_.getDouble(2))) should (be >= 0.0 and be <= 1.0)
+  }
+
   test("srmCheck: an observed arm missing from the designed weights " +
     "trips the witness probe") {
     val df = Seq("a", "a", "b", "rogue").toDF("arm")
