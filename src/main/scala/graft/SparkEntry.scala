@@ -3886,6 +3886,39 @@ object SparkEntry {
         operators.Manifests.readKmvManifest(s, runB)), "source", k = 64)
     }),
 
+    // manifest LIFECYCLE proof: three incremental runs through the
+    // append-only key-prefix layout (initial partitioned write + two
+    // bloom-pruned appends that never rewrite history) + a compaction
+    // swap — the result must equal the one-shot full rewrite, i.e.
+    // exactly the distinct md5 keys of the whole corpus. The bloom
+    // sidecar round-trips inside the same pipeline (the second append
+    // probes through the persisted sidecar)
+    "q_manifest_compact" -> ((s, dir) => {
+      val p = tempLayoutDir("graft-manifest-compact")
+      val d = docs(s, dir)
+      // prefixLen 1 (16 partitions): the capacity knob tuned to the
+      // test corpus; production histories use the default 2 (256)
+      operators.Manifests.writeSeenManifestPartitioned(
+        d.filter(col("doc_id") % 3 === 0), "text", s"$p/seen",
+        prefixLen = 1)
+      operators.Manifests.appendSeenManifest(s,
+        d.filter(col("doc_id") % 3 === 1), "text", s"$p/seen",
+        prefixLen = 1)
+      // steady-state path: persisted bloom sidecar drives the probe
+      operators.Manifests.writeBloomSidecar(s,
+        s.read.parquet(s"$p/seen"), s"$p/seen_bloom")
+      val (bloom, _) = operators.Manifests.readBloomSidecar(s,
+        s"$p/seen_bloom")
+      val fresh = operators.Manifests.filterUnseenWithBloom(
+        d.filter(col("doc_id") % 3 === 2), "text",
+        s.read.parquet(s"$p/seen"), bloom)
+      operators.Manifests.appendSeenManifest(s, fresh, "text",
+        s"$p/seen", prefixLen = 1)
+      operators.Manifests.compactSeenManifest(s, s"$p/seen")
+      s.read.parquet(s"$p/seen")
+        .select(col("key_md5"), col("kp").cast("string").as("kp"))
+    }),
+
     // ---- wave 45: HTML structure profile (layout quality features) --
 
     // per-doc table/list/code/heading/link counts + visible-text-
@@ -11971,6 +12004,14 @@ object SparkEntry {
     // corpus, so the merged manifest is the corpus's distinct key set
     "q_manifest_update" ->
       """SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_keys
+        |FROM documents""".stripMargin,
+
+    // append+compact ≡ full rewrite: the compacted layout must hold
+    // exactly the distinct md5 keys of the whole corpus, each under
+    // its 2-hex-char prefix partition
+    "q_manifest_compact" ->
+      """SELECT DISTINCT md5(text) AS key_md5,
+        |  substr(md5(text), 1, 1) AS kp
         |FROM documents""".stripMargin,
 
     // chrF: whitespace-free char streams, per-order clipped sums,

@@ -112,6 +112,58 @@ class Wave54Spec extends AnyFunSuite with Matchers with SparkSpec {
     all(r.map(_.getDouble(2))) should (be >= 0.0 and be <= 1.0)
   }
 
+  test("manifest lifecycle: append touches no historical file, " +
+    "compact dedupes and shrinks, result == full rewrite") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("wave54-manifest").toString
+    val p = s"$dir/seen"
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).map(_.toSeq.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))).getOrElse(Nil)
+      walk(new java.io.File(p))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    }
+    val a = (1 to 40).map(i => s"doc-$i").toDF("k")
+    val b = (30 to 70).map(i => s"doc-$i").toDF("k")
+    Manifests.writeSeenManifestPartitioned(a, "k", p)
+    val before = files()
+    Manifests.appendSeenManifest(spark, b, "k", p)
+    val after = files()
+    // history untouched: every pre-append file still present
+    before.subsetOf(after) shouldBe true
+    after.size should be > before.size
+    // layout content == full rewrite of the union, duplicate-free
+    val keys = spark.read.parquet(p).select("key_md5")
+    keys.count() shouldBe 70
+    keys.distinct().count() shouldBe 70
+    Manifests.compactSeenManifest(spark, p)
+    files().size should be < after.size
+    spark.read.parquet(p).select("key_md5").collect().map(_.getString(0))
+      .sorted shouldBe keys.collect().map(_.getString(0)).sorted
+  }
+
+  test("bloom sidecar: persisted probe filters exactly like the " +
+    "rebuilt-bloom path") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("wave54-bloom").toString
+    val seen = (1 to 50).map(i => s"u-$i").toDF("k")
+    val batch = (40 to 90).map(i => s"u-$i").toDF("k")
+    Manifests.writeSeenManifestPartitioned(seen, "k", s"$dir/seen")
+    val m = spark.read.parquet(s"$dir/seen")
+    Manifests.writeBloomSidecar(spark, m, s"$dir/bloom")
+    val (bloom, n) = Manifests.readBloomSidecar(spark, s"$dir/bloom")
+    n shouldBe 50
+    val viaSidecar = Manifests
+      .filterUnseenWithBloom(batch, "k", m, bloom)
+      .collect().map(_.getString(0)).sorted
+    val viaRebuild = Manifests.filterUnseen(batch, "k", m)
+      .collect().map(_.getString(0)).sorted
+    viaSidecar shouldBe viaRebuild
+    viaSidecar shouldBe (51 to 90).map(i => s"u-$i").sorted.toArray
+  }
+
   test("srmCheck: an observed arm missing from the designed weights " +
     "trips the witness probe") {
     val df = Seq("a", "a", "b", "rogue").toDF("arm")
