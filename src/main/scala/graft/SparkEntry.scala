@@ -3998,6 +3998,15 @@ object SparkEntry {
       operators.Eval.distinctNgrams(docs(s, dir), "source", "text",
         maxN = 2)),
 
+    // the 64-bit gram-hash opt-in: identical output absent hash
+    // collisions (expected ~u^2/2^65 — zero on any testable corpus),
+    // ~5-10x less shuffle on long-gram corpora; the SAME exact oracle
+    // gates it, so a collision would fail loudly here, which is
+    // precisely the documented risk bound
+    "q_distinct_ngrams_hashed" -> ((s, dir) =>
+      operators.Eval.distinctNgrams(docs(s, dir), "source", "text",
+        maxN = 2, hashGrams = true)),
+
     // hard-negative mining: top-2 nearest DIFFERENT-label vectors per
     // anchor — the contrastive-training pair source
     "q_hard_negatives" -> ((s, dir) => {
@@ -4752,6 +4761,35 @@ object SparkEntry {
     * `vec_id < 10`. Ends in `f(qid, node, cos, rk)` — the scored
     * last-round candidates — and `bq(qid, qv)`; the two graph-ANN
     * oracles share this prefix and differ only in the final SELECT. */
+  /** Shared by q_distinct_ngrams and its hashed opt-in twin: the
+    * hashed variant's OUTPUT is identical absent 64-bit collisions,
+    * so the same exact SQL gates both (a collision fails loudly). */
+  private val oracleDistinctNgrams: String =
+    """WITH dt AS (SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |u1 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_1,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS uniq_1
+        |  FROM (SELECT source, unnest(t) AS gram FROM dt) GROUP BY 1),
+        |g2 AS (SELECT source, CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS g FROM dt),
+        |u2 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_2,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS uniq_2
+        |  FROM (SELECT source, unnest(g) AS gram FROM g2) GROUP BY 1)
+        |SELECT coalesce(u1.source, u2.source) AS source,
+        |  coalesce(total_1, 0) AS total_1, coalesce(uniq_1, 0) AS uniq_1,
+        |  ROUND(CASE WHEN coalesce(total_1, 0) > 0
+        |    THEN coalesce(uniq_1, 0) / CAST(total_1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS distinct_1,
+        |  coalesce(total_2, 0) AS total_2, coalesce(uniq_2, 0) AS uniq_2,
+        |  ROUND(CASE WHEN coalesce(total_2, 0) > 0
+        |    THEN coalesce(uniq_2, 0) / CAST(total_2 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS distinct_2
+        |FROM u1 FULL JOIN u2 ON u1.source = u2.source""".stripMargin
+
   private val annGraphCtes: String = {
     def terms(seed: Long) = operators.Similarity.planes(4, 64, seed)
       .zipWithIndex.map { case (p, j) =>
@@ -12075,31 +12113,9 @@ object SparkEntry {
         |FROM ff""".stripMargin
     },
 
-    "q_distinct_ngrams" ->
-      """WITH dt AS (SELECT source,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> len(x) > 0) AS t
-        |  FROM documents),
-        |u1 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_1,
-        |    CAST(count(DISTINCT gram) AS BIGINT) AS uniq_1
-        |  FROM (SELECT source, unnest(t) AS gram FROM dt) GROUP BY 1),
-        |g2 AS (SELECT source, CASE WHEN len(t) >= 2
-        |    THEN list_transform(range(1, len(t)),
-        |      i -> t[i] || ' ' || t[i+1])
-        |    ELSE CAST([] AS VARCHAR[]) END AS g FROM dt),
-        |u2 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_2,
-        |    CAST(count(DISTINCT gram) AS BIGINT) AS uniq_2
-        |  FROM (SELECT source, unnest(g) AS gram FROM g2) GROUP BY 1)
-        |SELECT coalesce(u1.source, u2.source) AS source,
-        |  coalesce(total_1, 0) AS total_1, coalesce(uniq_1, 0) AS uniq_1,
-        |  ROUND(CASE WHEN coalesce(total_1, 0) > 0
-        |    THEN coalesce(uniq_1, 0) / CAST(total_1 AS DOUBLE)
-        |    ELSE 0.0 END, 6) AS distinct_1,
-        |  coalesce(total_2, 0) AS total_2, coalesce(uniq_2, 0) AS uniq_2,
-        |  ROUND(CASE WHEN coalesce(total_2, 0) > 0
-        |    THEN coalesce(uniq_2, 0) / CAST(total_2 AS DOUBLE)
-        |    ELSE 0.0 END, 6) AS distinct_2
-        |FROM u1 FULL JOIN u2 ON u1.source = u2.source""".stripMargin,
+    "q_distinct_ngrams_hashed" -> oracleDistinctNgrams,
+
+    "q_distinct_ngrams" -> oracleDistinctNgrams,
 
     // hard negatives: q_cosine_topk's replay + the label-mismatch
     // join predicate
