@@ -1254,6 +1254,24 @@ object SparkEntry {
     "q_dup_passage" -> ((s, dir) =>
       Dedup.dupPassageStats(docs(s, dir), "doc_id", "text", k = 8)),
 
+    // dedup: ExactSubstr MAXIMAL matches (Lee et al. 2022) — the
+    // arbitrary-length upgrade over q_dup_passage's fixed-k windows:
+    // per cross-doc pair, each maximal shared run of >= 8 tokens
+    // counted exactly once (left-maximality filter) with its true
+    // length (right-capped at 16; the cap value IS the truncation
+    // signal). Whole pipeline is deterministic string math -> full
+    // DuckDB oracle, not fixture-keyed
+    "q_exact_substr" -> ((s, dir) =>
+      operators.ExactSubstr.maximalMatchStats(docs(s, dir), "doc_id",
+        "text")),
+
+    // its occupancy-cap witness: grams dropped from matching by the
+    // maxOcc boilerplate guard, with their position counts — the
+    // "no silent caps" readout
+    "q_exact_substr_dropped" -> ((s, dir) =>
+      operators.ExactSubstr.droppedGrams(docs(s, dir), "doc_id",
+        "text")),
+
     // streaming: the foreachBatch snapshot maintainer's merge step,
     // folded over the crawl as two micro-batches (updates, then
     // inserts) — sequential merges must equal the one-shot MERGE
@@ -7607,6 +7625,58 @@ object SparkEntry {
         |  CAST(greatest(len(t.t) - 7, 0) AS BIGINT) AS n_windows,
         |  CAST(COALESCE(dup.dupw, 0) AS BIGINT) AS dup_windows
         |FROM toks t LEFT JOIN dup ON t.doc_id = dup.doc_id""".stripMargin,
+
+    // ExactSubstr maximal matches: suffix rows bucket by leading
+    // 8-gram; left-maximality dedups run interiors; lookahead windows
+    // (8) recover true length capped at 16; occ cap 50
+    "q_exact_substr" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sfx AS (
+        |  SELECT doc_id,
+        |    array_to_string(t[i+1 : i+8], ' ') AS gram,
+        |    CASE WHEN i > 0 THEN t[i] END AS prev,
+        |    t[i+9 : i+16] AS ext
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+        |        FROM dt WHERE len(t) >= 8)),
+        |occ AS (SELECT gram FROM sfx GROUP BY 1 HAVING count(*) <= 50),
+        |keep AS (SELECT sfx.* FROM sfx JOIN occ USING (gram)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.ext AS ea, b.ext AS eb
+        |  FROM keep a JOIN keep b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  WHERE a.prev IS NULL OR b.prev IS NULL OR a.prev <> b.prev),
+        |ml AS (
+        |  SELECT doc_a, doc_b,
+        |    8 + CASE WHEN mism = 0
+        |        THEN least(len(ea), len(eb))
+        |        ELSE mism - 1 END AS mlen
+        |  FROM (SELECT doc_a, doc_b, ea, eb,
+        |      list_position(list_transform(
+        |        range(1, least(len(ea), len(eb)) + 1),
+        |        j -> coalesce(ea[j] = eb[j], false)), false) AS mism
+        |    FROM pairs))
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(max(mlen) AS BIGINT) AS max_len,
+        |  CAST(sum(mlen) AS BIGINT) AS total_len
+        |FROM ml GROUP BY 1, 2""".stripMargin,
+
+    "q_exact_substr_dropped" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sfx AS (
+        |  SELECT array_to_string(t[i+1 : i+8], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+        |        FROM dt WHERE len(t) >= 8))
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_positions
+        |FROM sfx GROUP BY 1 HAVING count(*) > 50""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql(0.8),
     "q_cross_neardup" ->

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** ExactSubstr-style duplicate detection (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"):
+  * MAXIMAL repeated token runs of length >= `minLen` across document
+  * pairs — the arbitrary-length sibling of the fixed-k
+  * [[Dedup.dupPassageStats]] window approximation.
+  *
+  * Distributed formulation (the suffix-array insight without a global
+  * suffix sort): any shared run of length >= L contains its own
+  * leading L-gram, so suffix positions BUCKET by that gram — the
+  * equi-join on the gram key is the distributed analogue of "adjacent
+  * in the suffix array". A run of length M appears at M-L+1 bucket
+  * positions, but only the LEFT-MAXIMAL one (preceding tokens differ,
+  * or a document starts) survives the filter, so each maximal match
+  * is counted exactly once per pair. The match's full length is then
+  * recovered by comparing the bounded lookahead windows carried on
+  * each suffix row.
+  *
+  * Honest approximation bounds (vs the true suffix-array method):
+  *  - match length is RIGHT-CAPPED at `minLen + maxExtend`: a longer
+  *    true run reports exactly the cap (visible — a reported length
+  *    equal to the cap IS the truncation signal), because each row
+  *    carries only `maxExtend` lookahead tokens;
+  *  - grams occurring at more than `maxOcc` suffix positions are
+  *    DROPPED from matching (boilerplate guard — the same skew bound
+  *    every bucket-join in this engine enforces). Never silent:
+  *    [[droppedGrams]] reports exactly what the cap removed.
+  *  - cross-document pairs only (`doc_a < doc_b`); within-document
+  *    repeats are [[Dedup.dupPassageStats]]'s job.
+  *
+  * Scale shape: suffix rows are one per token position (the corpus
+  * token count — the same volume every shingle-dedup pass here
+  * ships), each carrying L+maxExtend+1 tokens; the gram equi-join is
+  * occupancy-bounded by `maxOcc`, so no bucket ever goes quadratic
+  * unbounded. Everything is deterministic string math — the WHOLE
+  * pipeline (tokens, grams, left-maximality, extension compare)
+  * replays in SQL, so the output is DuckDB-oracle-exact, not
+  * fixture-keyed. */
+object ExactSubstr {
+
+  /** Suffix rows: one per token position with at least `minLen`
+    * tokens remaining — (id, pos, gram key, previous token, bounded
+    * lookahead). Map-only on the scan. */
+  private def suffixes(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxExtend: Int): DataFrame = {
+    val toks = TextFunctions.cleanTokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= minLen)
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), size(col("__t")) - minLen), i =>
+          struct(
+            array_join(slice(col("__t"), i + 1, lit(minLen)), " ")
+              .as("gram"),
+            when(i > 0, element_at(col("__t"), i)).as("prev"),
+            slice(col("__t"), i + minLen + 1, lit(maxExtend)).as("ext")))))
+      .select(col("__id"), col("pos").cast("long").as("pos"),
+        col("col.gram").as("gram"), col("col.prev").as("prev"),
+        col("col.ext").as("ext"))
+  }
+
+  /** Per-pair maximal-match statistics:
+    * `(doc_a, doc_b, n_matches, max_len, total_len)` — one row per
+    * document pair sharing at least one maximal run of `minLen`+
+    * tokens. Lengths in tokens, capped at `minLen + maxExtend`. */
+  def maximalMatchStats(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, maxExtend: Int = 8, maxOcc: Long = 50L)
+      : DataFrame = {
+    require(minLen >= 2 && minLen <= 64, s"bad minLen: $minLen")
+    require(maxExtend >= 1 && maxExtend <= 256,
+      s"bad maxExtend: $maxExtend")
+    require(maxOcc >= 2, s"bad maxOcc: $maxOcc")
+    val sfx = suffixes(df, idCol, textCol, minLen, maxExtend)
+    // occupancy guard: one (gram -> positions) count, grams above the
+    // cap drop from matching (reported by droppedGrams, never silent)
+    val occ = sfx.groupBy("gram").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") <= maxOcc)
+      .select("gram")
+    val keep = sfx.join(occ, Seq("gram"))
+    val a = keep.select(col("gram"), col("__id").as("doc_a"),
+      col("prev").as("__pa"), col("ext").as("__ea"))
+    val b = keep.select(col("gram").as("__gb"), col("__id").as("doc_b"),
+      col("prev").as("__pb"), col("ext").as("__eb"))
+    val pairs = a.join(b,
+        col("gram") === col("__gb") && col("doc_a") < col("doc_b") &&
+          // left-maximality: the tokens BEFORE the gram differ (or a
+          // document boundary) — interior positions of a longer run
+          // fail this, so each maximal run is counted exactly once
+          (col("__pa").isNull || col("__pb").isNull ||
+            col("__pa") =!= col("__pb")))
+    // extension length: first lookahead mismatch (array_position of
+    // the first false; 0 = no mismatch within the windows)
+    val z = zip_with(col("__ea"), col("__eb"),
+      (x, y) => coalesce(x === y, lit(false)))
+    val mism = array_position(z, false)
+    val extLen = when(mism === 0,
+        least(size(col("__ea")), size(col("__eb"))))
+      .otherwise(mism - 1).cast("long")
+    pairs.select(col("doc_a"), col("doc_b"),
+        (lit(minLen.toLong) + extLen).as("__mlen"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_matches"),
+        max("__mlen").as("max_len"),
+        sum("__mlen").as("total_len"))
+  }
+
+  /** The occupancy cap's witness: every gram [[maximalMatchStats]]
+    * dropped, with its suffix-position count — the "no silent caps"
+    * readout an operator that bounds coverage must ship. */
+  def droppedGrams(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, maxExtend: Int = 8, maxOcc: Long = 50L)
+      : DataFrame = {
+    require(maxOcc >= 2, s"bad maxOcc: $maxOcc")
+    suffixes(df, idCol, textCol, minLen, maxExtend)
+      .groupBy("gram").agg(count(lit(1)).as("n_positions"))
+      .filter(col("n_positions") > maxOcc)
+  }
+}

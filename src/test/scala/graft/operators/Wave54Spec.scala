@@ -164,6 +164,63 @@ class Wave54Spec extends AnyFunSuite with Matchers with SparkSpec {
     viaSidecar shouldBe (51 to 90).map(i => s"u-$i").sorted.toArray
   }
 
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("ExactSubstr: a planted 12-token shared run is ONE maximal " +
+    "match of length 12 (dupPassageStats sees 5 windows)") {
+    val run = words("shared", 12)
+    val df = Seq(
+      (1L, s"${words("alpha", 10)} $run ${words("beta", 10)}"),
+      (2L, s"${words("gamma", 10)} $run ${words("delta", 10)}"))
+      .toDF("doc_id", "text")
+    val r = ExactSubstr.maximalMatchStats(df, "doc_id", "text",
+      minLen = 8, maxExtend = 8).collect()
+    r.length shouldBe 1
+    r.head.getLong(2) shouldBe 1L   // one maximal match, not 5
+    r.head.getLong(3) shouldBe 12L  // true length recovered
+    // the fixed-k sibling reports the same duplication as 5 sliding
+    // 8-windows — correct for its contract, but lengthless
+    val dp = Dedup.dupPassageStats(df, "doc_id", "text", k = 8)
+      .filter($"dup_windows" > 0).collect()
+    dp.map(_.getLong(2)).sum shouldBe 10L // 5 windows per doc
+  }
+
+  test("ExactSubstr: a run past minLen+maxExtend reports exactly the " +
+    "cap (the visible truncation signal)") {
+    val run = words("long", 30)
+    val df = Seq(
+      (1L, s"${words("a", 9)} $run ${words("b", 9)}"),
+      (2L, s"${words("c", 9)} $run ${words("d", 9)}"))
+      .toDF("doc_id", "text")
+    val r = ExactSubstr.maximalMatchStats(df, "doc_id", "text",
+      minLen = 8, maxExtend = 8).collect()
+    r.head.getLong(3) shouldBe 16L
+  }
+
+  test("ExactSubstr: identical docs match once at the boundary " +
+    "(left-maximality via null prev)") {
+    val t = words("tok", 20)
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = ExactSubstr.maximalMatchStats(df, "doc_id", "text",
+      minLen = 8, maxExtend = 16).collect()
+    r.length shouldBe 1
+    r.head.getLong(2) shouldBe 1L
+    r.head.getLong(3) shouldBe 20L
+  }
+
+  test("ExactSubstr: the occupancy cap drops boilerplate grams " +
+    "LOUDLY via droppedGrams") {
+    val boiler = words("boil", 8)
+    val df = (1L to 6L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val dropped = ExactSubstr.droppedGrams(df, "doc_id", "text",
+      minLen = 8, maxOcc = 5L).collect()
+    dropped.length shouldBe 1
+    dropped.head.getLong(1) shouldBe 6L
+    ExactSubstr.maximalMatchStats(df, "doc_id", "text",
+      minLen = 8, maxOcc = 5L).count() shouldBe 0L
+  }
+
   test("srmCheck: an observed arm missing from the designed weights " +
     "trips the witness probe") {
     val df = Seq("a", "a", "b", "rogue").toDF("arm")
