@@ -4551,6 +4551,98 @@ object SparkEntry {
           .otherwise(wide).as("text"))
       operators.Dedup.normalizationMergeAudit(d, "doc_id", "text")
     }),
+
+    // ----- round-12 wave 55: annotation QA, preference data prep,
+    // scaling fits, curriculum + privacy signals, chat-log QA -----
+
+    // Cohen's kappa over a synthesized two-rater log (deterministic
+    // key arithmetic, the q_judge_flip input convention): rater_b
+    // agrees on ~70% of items, disagrees by a category shift else
+    "q_cohen_kappa" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") % 3).cast("string").as("rater_a"),
+          when((col("l_orderkey") + col("l_partkey")) % 10 < 7,
+            (col("l_orderkey") % 3).cast("string"))
+            .otherwise(((col("l_orderkey") + 1) % 3).cast("string"))
+            .as("rater_b"))
+      operators.Stats.cohenKappa(li, "rater_a", "rater_b")
+    }),
+
+    // Fleiss' kappa: a fixed 5-rater panel (documents x region cross
+    // — exactly one rating per (doc, region)) with md5-derived
+    // three-way ratings, replayable bit-for-bit in SQL
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val panel = docs(s, dir).select(col("doc_id"))
+        .crossJoin(s.read.parquet(s"$dir/region.parquet")
+          .select(col("r_regionkey")))
+        .withColumn("__h", substring(md5(concat(
+          col("doc_id").cast("string"), lit("-"),
+          col("r_regionkey").cast("string"))), 1, 1))
+        .select(col("doc_id"),
+          when(col("__h") < "6", "good")
+            .when(col("__h") < "b", "ok").otherwise("bad").as("rating"))
+      operators.Stats.fleissKappa(panel, "doc_id", "rating")
+    }),
+
+    // preference pairs from k-way rankings (every 20th order as a
+    // prompt, line items as candidates ranked by price) — the
+    // InstructGPT pair-expansion step
+    "q_pref_pairs" -> ((s, dir) => {
+      val ranked = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("prompt"),
+          col("l_linenumber").cast("long").as("cand"),
+          col("l_extendedprice"), col("l_linenumber"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("prompt")
+            .orderBy(col("l_extendedprice"), col("l_linenumber"))))
+        .select("prompt", "cand", "rk")
+      operators.Eval.pairsFromRankings(ranked, "prompt", "cand", "rk")
+    }),
+
+    // scaling-law log-log fit per event_type over (value, derived-y)
+    // points — the zipfSlope moment pairing on a second surface
+    "q_scaling_fit" -> ((s, dir) =>
+      operators.Stats.scalingLawFit(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type").as("cfg"), col("value"),
+            ((col("event_id") % 9) + 1).cast("double").as("yv")),
+        "cfg", "value", "yv")),
+
+    // Flesch reading ease + FK grade per doc — integral word/
+    // sentence/vowel-group counts, two float expressions
+    "q_readability" -> ((s, dir) =>
+      operators.TextQuality.fleschKincaid(docs(s, dir), "doc_id",
+        "text")),
+
+    // PII scan over a deterministically PII-planted corpus (the
+    // q_norm_merge_audit synthesis convention — the raw testdata
+    // carries none, so the plant makes every count a real check)
+    "q_pii_scan" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact: alice.smith@example.com")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-867-5309 now")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" from host 192.168.1.77")).otherwise(lit("")))
+          .as("text"))
+      operators.Compliance.piiScan(planted, "doc_id", "text")
+    }),
+
+    // degenerate-generation loop detector: longest identical-token
+    // run per document
+    "q_max_token_run" -> ((s, dir) =>
+      operators.TextQuality.maxTokenRun(docs(s, dir), "doc_id",
+        "text")),
+
+    // chat-log structure QA: per-user turn alternation violations
+    // over the event stream (ts order, event_id tiebreak)
+    "q_turn_alternation" -> ((s, dir) =>
+      operators.Events.turnAlternation(
+        s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", "event_type")),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -13424,6 +13516,194 @@ object SparkEntry {
         |    AS n_norm_merged,
         |  max(n) AS max_group, max(vars) AS max_variants
         |FROM g""".stripMargin,
+
+    // ----- round-12 wave 55 oracles -----
+
+    "q_cohen_kappa" ->
+      """WITH r AS (
+        |  SELECT CAST(l_orderkey % 3 AS VARCHAR) AS a,
+        |    CASE WHEN (l_orderkey + l_partkey) % 10 < 7
+        |      THEN CAST(l_orderkey % 3 AS VARCHAR)
+        |      ELSE CAST((l_orderkey + 1) % 3 AS VARCHAR) END AS b
+        |  FROM lineitem),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(SUM(c) AS DECIMAL(38,0)) AS ra
+        |  FROM cells GROUP BY 1),
+        |mb AS (SELECT b AS a, CAST(SUM(c) AS DECIMAL(38,0)) AS rb
+        |  FROM cells GROUP BY 1),
+        |pe AS (SELECT coalesce(SUM(ra * rb), 0) AS pen
+        |  FROM ma JOIN mb USING (a)),
+        |agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM cells)
+        |SELECT n, ROUND(agree / CAST(n AS DOUBLE), 6) AS po,
+        |  ROUND(CAST(pen AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * n), 6) AS pe,
+        |  ROUND(CASE WHEN ROUND(CAST(pen AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * n), 6) < 1.0
+        |    THEN (ROUND(agree / CAST(n AS DOUBLE), 6) -
+        |          ROUND(CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6))
+        |      / (1.0 - ROUND(CAST(pen AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * n), 6)) END, 6) AS kappa
+        |FROM agg CROSS JOIN pe""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH panel AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '-' ||
+        |        CAST(r.r_regionkey AS VARCHAR)), 1, 1) < '6' THEN 'good'
+        |      WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '-' ||
+        |        CAST(r.r_regionkey AS VARCHAR)), 1, 1) < 'b' THEN 'ok'
+        |      ELSE 'bad' END AS rating
+        |  FROM documents d CROSS JOIN region r),
+        |nij AS (SELECT doc_id, rating, CAST(count(*) AS BIGINT) AS c
+        |  FROM panel GROUP BY 1, 2),
+        |meta AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS items
+        |  FROM panel),
+        |s2 AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c)
+        |    AS DECIMAL(38,0)) AS s2 FROM nij),
+        |csq AS (SELECT SUM(cs * cs) AS csq FROM (
+        |  SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS cs
+        |  FROM nij GROUP BY rating)),
+        |f AS (SELECT items, 5 AS raters,
+        |    ROUND((CAST(s2 AS DOUBLE) - 5.0 * items) /
+        |      ((5.0 * items) * 4), 6) AS p_bar,
+        |    ROUND(CAST(csq AS DOUBLE) /
+        |      ((5.0 * items) * (5.0 * items)), 6) AS p_e
+        |  FROM meta CROSS JOIN s2 CROSS JOIN csq)
+        |SELECT items AS n_items, CAST(raters AS BIGINT) AS n_raters,
+        |  p_bar, p_e,
+        |  ROUND(CASE WHEN p_e < 1.0
+        |    THEN (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+        |FROM f""".stripMargin,
+
+    "q_pref_pairs" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey AS prompt,
+        |    CAST(l_linenumber AS BIGINT) AS cand,
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice, l_linenumber) AS BIGINT) AS rk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0)
+        |SELECT w.prompt, w.cand AS winner, l.cand AS loser,
+        |  l.rk - w.rk AS margin
+        |FROM ranked w JOIN ranked l
+        |  ON w.prompt = l.prompt AND w.rk < l.rk""".stripMargin,
+
+    "q_scaling_fit" ->
+      """WITH pts AS (
+        |  SELECT event_type AS config, ln(value) AS x,
+        |    ln(CAST(event_id % 9 + 1 AS DOUBLE)) AS y
+        |  FROM events
+        |  WHERE value > 0 AND CAST(event_id % 9 + 1 AS DOUBLE) > 0)
+        |SELECT config, CAST(count(*) AS BIGINT) AS n_points,
+        |  ROUND(CASE WHEN var_pop(x) <> 0.0
+        |    THEN covar_pop(x, y) / var_pop(x) END, 6) AS slope,
+        |  ROUND(CASE WHEN var_pop(x) <> 0.0
+        |    THEN avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) END, 6)
+        |    AS intercept,
+        |  ROUND(CASE WHEN var_pop(x) <> 0.0 AND var_pop(y) <> 0.0
+        |    THEN covar_pop(x, y) * covar_pop(x, y) /
+        |      (var_pop(x) * var_pop(y)) END, 6) AS r2
+        |FROM pts GROUP BY 1""".stripMargin,
+
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |  greatest(CAST(length(regexp_extract_all(text, '[.!?]+'))
+        |    AS BIGINT), 1) AS n_sentences,
+        |  CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syllables,
+        |  ROUND(CASE WHEN len(list_filter(string_split_regex(
+        |      lower(trim(text)), '\s+'), x -> len(x) > 0)) > 0
+        |    THEN 206.835
+        |      - 1.015 * CAST(len(list_filter(string_split_regex(
+        |          lower(trim(text)), '\s+'), x -> len(x) > 0)) AS BIGINT)
+        |        / greatest(CAST(length(regexp_extract_all(text, '[.!?]+'))
+        |          AS BIGINT), 1)
+        |      - 84.6 * CAST(length(regexp_extract_all(lower(text),
+        |          '[aeiouy]+')) AS BIGINT)
+        |        / CAST(len(list_filter(string_split_regex(
+        |            lower(trim(text)), '\s+'), x -> len(x) > 0))
+        |          AS BIGINT) END, 6) AS reading_ease,
+        |  ROUND(CASE WHEN len(list_filter(string_split_regex(
+        |      lower(trim(text)), '\s+'), x -> len(x) > 0)) > 0
+        |    THEN 0.39 * CAST(len(list_filter(string_split_regex(
+        |          lower(trim(text)), '\s+'), x -> len(x) > 0)) AS BIGINT)
+        |        / greatest(CAST(length(regexp_extract_all(text, '[.!?]+'))
+        |          AS BIGINT), 1)
+        |      + 11.8 * CAST(length(regexp_extract_all(lower(text),
+        |          '[aeiouy]+')) AS BIGINT)
+        |        / CAST(len(list_filter(string_split_regex(
+        |            lower(trim(text)), '\s+'), x -> len(x) > 0))
+        |          AS BIGINT)
+        |      - 15.59 END, 6) AS fk_grade
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    "q_pii_scan" ->
+      """WITH planted AS (
+        |  SELECT doc_id, coalesce(text, '')
+        |    || CASE WHEN doc_id % 7 = 0
+        |        THEN ' contact: alice.smith@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |        THEN ' call 555-867-5309 now' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |        THEN ' from host 192.168.1.77' ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(length(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_email,
+        |    CAST(length(regexp_extract_all(text,
+        |      '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+        |      AS BIGINT) AS n_phone,
+        |    CAST(length(regexp_extract_all(text,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |      AS BIGINT) AS n_ipv4
+        |  FROM planted WHERE text IS NOT NULL)
+        |SELECT doc_id, n_email, n_phone, n_ipv4,
+        |  n_email + n_phone + n_ipv4 > 0 AS has_pii
+        |FROM c""".stripMargin,
+
+    "q_max_token_run" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, t[i] AS tok, i
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM dt)),
+        |runs AS (SELECT doc_id, i,
+        |    CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id
+        |      ORDER BY i) THEN 0 ELSE 1 END AS chg
+        |  FROM tok),
+        |grp AS (SELECT doc_id,
+        |    SUM(chg) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM runs),
+        |rl AS (SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM grp GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(len) AS max_run FROM rl GROUP BY 1)
+        |SELECT d.doc_id, coalesce(mx.max_run, 0) AS max_run
+        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        |LEFT JOIN mx USING (doc_id)""".stripMargin,
+
+    "q_turn_alternation" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)
+        |      THEN 1 ELSE 0 END AS same
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(SUM(same) AS BIGINT) AS n_violations,
+        |  ROUND(CASE WHEN count(*) > 1
+        |    THEN SUM(same) / CAST(count(*) - 1 AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS violation_rate
+        |FROM w GROUP BY 1""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

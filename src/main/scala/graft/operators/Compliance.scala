@@ -248,4 +248,29 @@ object Compliance {
         col("n_aws_key") + col("n_private_key") + col("n_bearer") +
           col("n_hex40") + col("n_password") > 0)
   }
+
+  /** PII pattern scan — the privacy sibling of [[secretScan]]: email
+    * addresses, US-style phone numbers, and IPv4 literals counted per
+    * document, plus the triage flag. Patterns are RE2-safe (no
+    * lookaround/backrefs) so the identical regex runs on Spark (Java)
+    * and the DuckDB oracle (RE2); counts are integral, the scan is
+    * map-only codegen'd regexp_count riding the scan — zero shuffle
+    * at any corpus size. A production redaction pass keys on exactly
+    * these counts before masking. */
+  def piiScan(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        regexp_count(t,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+          .cast("long").as("n_email"),
+        regexp_count(t, lit("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"))
+          .cast("long").as("n_phone"),
+        regexp_count(t,
+          lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"))
+          .cast("long").as("n_ipv4"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_phone") + col("n_ipv4") > 0)
+  }
 }

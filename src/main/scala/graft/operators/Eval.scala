@@ -1326,4 +1326,32 @@ object Eval {
           col("n_samples").cast("double") / col("n_pass")), 6)
           .as("expected_tries"))
   }
+
+  /** Preference-pair construction from k-way rankings — the reward-
+    * model data-prep step that turns one ranked list of k candidates
+    * into its k(k-1)/2 (winner, loser) training pairs (the InstructGPT
+    * recipe). Ranks must be UNIQUE within a prompt (witness-probed:
+    * a tie makes the pair direction undefined — break ties upstream).
+    *
+    * One self-equi-join on the prompt key with the rank inequality
+    * applied inside it; output is bounded by k^2 per prompt. Emits
+    * `(prompt, winner, loser, margin)` with margin = rank gap. */
+  def pairsFromRankings(df: DataFrame, promptCol: String,
+      candCol: String, rankCol: String): DataFrame = {
+    val dup = df.groupBy(col(promptCol), col(rankCol))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"pairsFromRankings: duplicate rank ${dup.headOption.map(_.get(1))} " +
+        s"in prompt ${dup.headOption.map(_.get(0))} — pair direction " +
+        "undefined; disambiguate ranks upstream")
+    val w = df.select(col(promptCol).as("prompt"),
+      col(candCol).as("winner"), col(rankCol).cast("long").as("__rw"))
+    val l = df.select(col(promptCol).as("prompt"),
+      col(candCol).as("loser"), col(rankCol).cast("long").as("__rl"))
+    w.join(l, Seq("prompt"))
+      .filter(col("__rw") < col("__rl"))
+      .select(col("prompt"), col("winner"), col("loser"),
+        (col("__rl") - col("__rw")).as("margin"))
+  }
 }

@@ -726,4 +726,28 @@ object Events {
       .withColumn("well_formed",
         col("dangling_calls") === 0 && col("orphan_results") === 0)
   }
+
+  /** Turn-alternation audit per stream — conversation-data QA: in a
+    * well-formed chat log roles alternate, so two consecutive events
+    * of the same type are a structure violation (dropped turn, double
+    * send, merge artifact). Orders each stream by (ts, id) — the id
+    * tiebreak keeps the walk deterministic under timestamp ties — and
+    * counts `type == lag(type)` breaks. One window per stream + one
+    * integral aggregate. */
+  def turnAlternation(events: DataFrame, streamCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(streamCol)
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__same",
+        when(col(typeCol) === lag(col(typeCol), 1).over(w), 1L)
+          .otherwise(0L))
+      .groupBy(col(streamCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum("__same").as("n_violations"))
+      .withColumn("violation_rate",
+        round(when(col("n_turns") > 1,
+          col("n_violations").cast("double") / (col("n_turns") - 1))
+          .otherwise(0.0), 6))
+  }
 }

@@ -1605,4 +1605,111 @@ object Stats {
           .as("n_at_decision"),
         col("llr_final"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement of TWO raters over
+    * the same items (Cohen 1960), the first QA statistic on any
+    * human-labeled preference/safety dataset: `kappa =
+    * (po - pe) / (1 - pe)` with `po` the raw agreement rate and `pe`
+    * the marginal-product chance rate.
+    *
+    * One corpus pass to the (a, b) contingency cells (category^2-
+    * bounded); margins come off that frame. Every sum is integral
+    * (DECIMAL products, exact at any corpus size), so po/pe/kappa are
+    * single divisions off exact integers — oracle-exact. Perfect
+    * chanceless agreement (pe = 1, a single shared category) has no
+    * defined kappa: null. */
+  def cohenKappa(df: DataFrame, raterACol: String, raterBCol: String)
+      : DataFrame = {
+    val cells = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val ra = cells.groupBy("__a")
+      .agg(sum("__c").cast("decimal(38,0)").as("__ra"))
+    val rb = cells.groupBy(col("__b").as("__a"))
+      .agg(sum("__c").cast("decimal(38,0)").as("__rb"))
+    val peNum = ra.join(rb, Seq("__a"))
+      .agg(coalesce(sum(col("__ra") * col("__rb")),
+        lit(0).cast("decimal(38,0)")).as("__pe_num"))
+    cells.agg(sum("__c").as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .as("__agree"))
+      .crossJoin(broadcast(peNum))
+      .select(col("n"),
+        round(col("__agree").cast("double") / col("n"), 6).as("po"),
+        round(col("__pe_num").cast("double") /
+          (col("n").cast("double") * col("n")), 6).as("pe"))
+      .withColumn("kappa",
+        round(when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6))
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement of a FIXED panel of
+    * `n` raters over many items (Fleiss 1971), from the long
+    * `(item, category)` ratings frame. Requires every item to carry
+    * exactly the same rating count (witness-probed — unequal panels
+    * make the statistic ill-defined).
+    *
+    * All moments are integral: `S2 = sum n_ij^2` and the per-category
+    * column-sum squares accumulate in DECIMAL, so P-bar and Pe are
+    * exact-integer ratios — oracle-exact. */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String)
+      : DataFrame = {
+    val d = df.filter(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(catCol).cast("string").as("__k"))
+    val perItem = d.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val panel = perItem.agg(min("__n").as("__lo"), max("__n").as("__hi"),
+      count(lit(1)).as("__items")).head()
+    val (lo, hi, items) =
+      (panel.getLong(0), panel.getLong(1), panel.getLong(2))
+    require(lo == hi,
+      s"fleissKappa: unequal rating counts per item ($lo..$hi) — the " +
+        "statistic requires a fixed rater panel; filter or complete " +
+        "the ratings upstream")
+    require(lo >= 2, s"fleissKappa: need >= 2 ratings per item, got $lo")
+    val nij = d.groupBy("__i", "__k").agg(count(lit(1)).as("__c"))
+    val s2 = nij.agg(sum((col("__c") * col("__c"))
+      .cast("decimal(38,0)")).as("__s2"))
+    val colSq = nij.groupBy("__k")
+      .agg(sum("__c").cast("decimal(38,0)").as("__cs"))
+      .agg(sum(col("__cs") * col("__cs")).as("__csq"))
+    val nN = lo.toDouble * items
+    s2.crossJoin(broadcast(colSq))
+      .select(lit(items).as("n_items"), lit(lo).as("n_raters"),
+        round((col("__s2").cast("double") - nN) /
+          (nN * (lo - 1)), 6).as("p_bar"),
+        round(col("__csq").cast("double") / (nN * nN), 6).as("p_e"))
+      .withColumn("kappa",
+        round(when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))), 6))
+  }
+
+  /** Log-log least-squares fit per config — the scaling-law readout
+    * (Kaplan et al. 2020; Hoffmann et al. 2022): slope, intercept,
+    * and r^2 of `ln y ~ ln x` over each config's (compute, loss)
+    * points. Rows with non-positive x or y drop (no defined log).
+    * The covar_pop/var_pop moment pairing is the proven zipfSlope
+    * oracle contract; r^2 guards zero variance on either axis. */
+  def scalingLawFit(df: DataFrame, cfgCol: String, xCol: String,
+      yCol: String): DataFrame =
+    df.filter(col(xCol).cast("double") > 0 &&
+        col(yCol).cast("double") > 0)
+      .select(col(cfgCol).as("config"),
+        log(col(xCol).cast("double")).as("__x"),
+        log(col(yCol).cast("double")).as("__y"))
+      .groupBy("config")
+      .agg(count(lit(1)).as("n_points"),
+        round(when(var_pop(col("__x")) =!= 0.0,
+          covar_pop(col("__x"), col("__y")) / var_pop(col("__x"))), 6)
+          .as("slope"),
+        round(when(var_pop(col("__x")) =!= 0.0,
+          avg(col("__y")) -
+            covar_pop(col("__x"), col("__y")) / var_pop(col("__x")) *
+              avg(col("__x"))), 6).as("intercept"),
+        round(when(var_pop(col("__x")) =!= 0.0 &&
+            var_pop(col("__y")) =!= 0.0,
+          covar_pop(col("__x"), col("__y")) *
+            covar_pop(col("__x"), col("__y")) /
+            (var_pop(col("__x")) * var_pop(col("__y")))), 6).as("r2"))
 }

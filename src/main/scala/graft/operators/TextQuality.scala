@@ -909,4 +909,64 @@ object TextQuality {
           (col("n_nonempty") - col("n_clean_end")).cast("double") /
             col("n_nonempty")).otherwise(0.0), 6))
   }
+
+  /** Flesch reading-ease + Flesch-Kincaid grade per document — the
+    * classic curriculum/difficulty signal (Kincaid et al. 1975),
+    * computed from three INTEGRAL counts: words (clean tokens),
+    * sentences (runs of `.!?`, floored at 1 for any non-empty text),
+    * and syllables approximated as vowel-group runs `[aeiouy]+` over
+    * the lowercased text (whitespace breaks groups, so the corpus
+    * count equals the per-word sum; vowel-less tokens contribute 0 —
+    * a documented heuristic deviation from dictionary syllables).
+    * Map-only codegen'd regexp counts; the two scores are single
+    * float expressions off exact integers — oracle-exact at 6dp. */
+  def fleschKincaid(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        size(cleanTokens(t)).cast("long").as("n_words"),
+        greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("reading_ease",
+        round(when(col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * col("n_words") / col("n_sentences") -
+            lit(84.6) * col("n_syllables") / col("n_words")), 6))
+      .withColumn("fk_grade",
+        round(when(col("n_words") > 0,
+          lit(0.39) * col("n_words") / col("n_sentences") +
+            lit(11.8) * col("n_syllables") / col("n_words") -
+            lit(15.59)), 6))
+  }
+
+  /** Longest run of consecutive IDENTICAL tokens per document — the
+    * degenerate-generation loop detector (a sampler stuck on one
+    * token shows up here long before perplexity moves; the period-1
+    * case of repetition-loop QA). Explode with positions, the
+    * lag-change-flag running-sum trick to number runs, then two
+    * bounded aggregates; every count integral — oracle-exact.
+    * Documents with no tokens report 0. */
+  def maxTokenRun(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(cleanTokens(col(textCol))))
+    val byDoc = Window.partitionBy("__id").orderBy("pos")
+    val runs = base
+      .withColumn("__chg",
+        when(col("col") === lag(col("col"), 1).over(byDoc), 0L)
+          .otherwise(1L))
+      .withColumn("__run", sum("__chg").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("__id", "__run").agg(count(lit(1)).as("__len"))
+      .groupBy("__id").agg(max("__len").as("max_run"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"))
+      .join(runs, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
 }
