@@ -4643,6 +4643,43 @@ object SparkEntry {
       operators.Events.turnAlternation(
         s.read.parquet(s"$dir/events.parquet"),
         "user_id", "ts", "event_id", "event_type")),
+
+    // ----- round-12 wave 56: drift & concentration monitoring -----
+
+    // population stability index between the even/odd doc halves over
+    // n_chars (calibrationBins buckets, Laplace-smoothed shares)
+    "q_psi" -> ((s, dir) =>
+      operators.Stats.psi(
+        docs(s, dir).withColumn("split",
+          when(col("doc_id") % 2 === 0, "ref").otherwise("cur")),
+        "split", "n_chars", maxRaw = 2000L, bins = 10)),
+
+    // two-sample KS over event values: purchase vs signup
+    // distributions (exact integer ECDFs on the distinct-value frame)
+    "q_ks_test" -> ((s, dir) =>
+      operators.Stats.ksTest2(
+        s.read.parquet(s"$dir/events.parquet"), "event_type", "value",
+        "purchase", "signup")),
+
+    // corpus concentration by source: HHI, Gini, top-k shares over
+    // integral char-mass weights
+    "q_concentration" -> ((s, dir) =>
+      operators.Stats.concentration(docs(s, dir), "source",
+        "n_chars")),
+
+    // Benford first-digit audit of the event value column (integer
+    // cents, string first digit — no float log10 on either engine)
+    "q_benford" -> ((s, dir) =>
+      operators.Stats.benford(
+        s.read.parquet(s"$dir/events.parquet"), "value")),
+
+    // two-sided CUSUM drift walk per event_type over the value
+    // sequence (running sum + running min — no sequential loop)
+    "q_cusum" -> ((s, dir) =>
+      operators.Stats.cusumDrift(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        "event_id", "value", target = 100.0, slack = 5.0,
+        threshold = 500.0)),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -13704,6 +13741,153 @@ object SparkEntry {
         |    THEN SUM(same) / CAST(count(*) - 1 AS DOUBLE)
         |    ELSE 0.0 END, 6) AS violation_rate
         |FROM w GROUP BY 1""".stripMargin,
+
+    // ----- round-12 wave 56 oracles -----
+
+    "q_psi" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END
+        |      AS split,
+        |    CAST(n_chars AS BIGINT) AS raw
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b0 AS (SELECT least(CAST(floor(greatest(least(raw, 2000), 0)
+        |      * 10 / 2000.0) AS BIGINT), 9) AS bin,
+        |    CASE WHEN split = 'ref' THEN 1 ELSE 0 END AS ir,
+        |    CASE WHEN split = 'cur' THEN 1 ELSE 0 END AS ic
+        |  FROM d),
+        |c AS (SELECT bin, CAST(SUM(ir) AS BIGINT) AS nr,
+        |    CAST(SUM(ic) AS BIGINT) AS nc FROM b0 GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 10)) AS bin),
+        |f AS (SELECT sp.bin, coalesce(nr, 0) AS nr,
+        |    coalesce(nc, 0) AS nc FROM sp LEFT JOIN c USING (bin)),
+        |t AS (SELECT CAST(SUM(nr) AS BIGINT) AS tnr,
+        |    CAST(SUM(nc) AS BIGINT) AS tnc FROM f),
+        |terms AS (SELECT bin, nr, nc,
+        |    ((nc + 1) / CAST(tnc + 10 AS DOUBLE) -
+        |     (nr + 1) / CAST(tnr + 10 AS DOUBLE)) *
+        |      ln(((nc + 1) / CAST(tnc + 10 AS DOUBLE)) /
+        |         ((nr + 1) / CAST(tnr + 10 AS DOUBLE))) AS term
+        |  FROM f CROSS JOIN t)
+        |SELECT CAST(SUM(nr) AS BIGINT) AS n_ref,
+        |  CAST(SUM(nc) AS BIGINT) AS n_cur,
+        |  ROUND(list_reduce(list(term ORDER BY bin), (a, c) -> a + c),
+        |    6) AS psi
+        |FROM terms""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH d AS (
+        |  SELECT event_type AS s, value AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'signup')),
+        |c AS (SELECT v,
+        |    CAST(SUM(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN s = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+        |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM c),
+        |g AS (SELECT v, na, nb,
+        |    abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+        |      AS gap
+        |  FROM e),
+        |m AS (SELECT v, na, nb, gap, max(gap) OVER () AS dmax FROM g),
+        |a AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    ROUND(max(gap), 6) AS d_stat,
+        |    min(CASE WHEN ROUND(gap, 6) = ROUND(dmax, 6) THEN v END)
+        |      AS d_at
+        |  FROM m)
+        |SELECT n_a, n_b, d_stat, d_at,
+        |  ROUND(least(1.0, 2.0 * exp(-2.0 * d_stat * d_stat *
+        |    CAST(n_a * n_b AS DOUBLE) / (n_a + n_b))), 6) AS p_approx
+        |FROM a""".stripMargin,
+
+    "q_concentration" ->
+      """WITH g AS (
+        |  SELECT source AS grp,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS w
+        |  FROM documents WHERE CAST(n_chars AS BIGINT) > 0
+        |  GROUP BY 1),
+        |r AS (SELECT grp, w,
+        |    row_number() OVER (ORDER BY w, grp) AS i,
+        |    row_number() OVER (ORDER BY w DESC, grp) AS rd
+        |  FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(w) AS BIGINT) AS total_w,
+        |  ROUND(CAST(SUM(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) /
+        |    (CAST(SUM(w) AS DOUBLE) * SUM(w)), 6) AS hhi,
+        |  ROUND(CASE WHEN count(*) > 1
+        |    THEN 2.0 * CAST(SUM(CAST(i AS DECIMAL(38,0)) * w)
+        |        AS DOUBLE) / (count(*) * CAST(SUM(w) AS DOUBLE)) -
+        |      CAST(count(*) + 1 AS DOUBLE) / count(*)
+        |    ELSE 0.0 END, 6) AS gini,
+        |  ROUND(CAST(SUM(CASE WHEN rd = 1 THEN w ELSE 0 END)
+        |    AS DOUBLE) / SUM(w), 6) AS top1_share,
+        |  ROUND(CAST(SUM(CASE WHEN rd <= 10 THEN w ELSE 0 END)
+        |    AS DOUBLE) / SUM(w), 6) AS top10_share
+        |FROM r""".stripMargin,
+
+    "q_benford" -> {
+      val cases = operators.Stats.BenfordExpected
+        .map { case (d, e) => s"WHEN $d THEN $e" }.mkString(" ")
+      s"""WITH c AS (
+         |  SELECT CAST(round(CAST(value AS DOUBLE) * 100, 0)
+         |    AS BIGINT) AS cents
+         |  FROM events),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+         |    AS INT) AS digit
+         |  FROM c WHERE cents > 0),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n,
+         |    CASE digit $cases END AS expected
+         |  FROM g),
+         |x AS (SELECT digit, n_obs,
+         |    ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS share, expected,
+         |    ROUND((n_obs - n * expected) * (n_obs - n * expected) /
+         |      (n * expected), 6) AS contrib
+         |  FROM t)
+         |SELECT digit, n_obs, share, expected, contrib,
+         |  ROUND(SUM(contrib) OVER (), 6) AS chi2
+         |FROM x""".stripMargin
+    },
+
+    "q_cusum" ->
+      """WITH w AS (
+        |  SELECT event_type AS stream, event_id AS seq,
+        |    CAST(value AS DOUBLE) AS x
+        |  FROM events),
+        |p AS (SELECT stream, seq,
+        |    SUM(x - 105.0) OVER (PARTITION BY stream ORDER BY seq
+        |      ROWS UNBOUNDED PRECEDING) AS cp,
+        |    SUM(x - 95.0) OVER (PARTITION BY stream ORDER BY seq
+        |      ROWS UNBOUNDED PRECEDING) AS cn,
+        |    row_number() OVER (PARTITION BY stream ORDER BY seq)
+        |      AS rn
+        |  FROM w),
+        |s AS (SELECT stream, rn,
+        |    cp - least(0.0, min(cp) OVER (PARTITION BY stream
+        |      ORDER BY rn ROWS UNBOUNDED PRECEDING)) AS sp,
+        |    greatest(0.0, max(cn) OVER (PARTITION BY stream
+        |      ORDER BY rn ROWS UNBOUNDED PRECEDING)) - cn AS sn
+        |  FROM p),
+        |c AS (SELECT stream, rn, sp, sn,
+        |    CASE WHEN sp > 500.0 THEN 'drift_up'
+        |         WHEN sn > 500.0 THEN 'drift_down' END AS crossing
+        |  FROM s)
+        |SELECT stream, CAST(count(*) AS BIGINT) AS n_obs,
+        |  coalesce(min_by(crossing, rn)
+        |    FILTER (WHERE crossing IS NOT NULL), 'in_control')
+        |    AS decision,
+        |  coalesce(CAST(min(rn) FILTER (WHERE crossing IS NOT NULL)
+        |    AS BIGINT), count(*)) AS n_at_decision,
+        |  ROUND(max(sp), 6) AS s_up_max,
+        |  ROUND(max(sn), 6) AS s_down_max
+        |FROM c GROUP BY 1""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -1712,4 +1712,231 @@ object Stats {
           covar_pop(col("__x"), col("__y")) *
             covar_pop(col("__x"), col("__y")) /
             (var_pop(col("__x")) * var_pop(col("__y")))), 6).as("r2"))
+
+  /** Population stability index between a reference and a current
+    * split — the standard between-run drift monitor on any scored or
+    * measured feature (PSI < 0.1 stable, > 0.25 shifted): integral
+    * raw values bucket exactly like [[graft.operators.Eval
+    * .calibrationBins]] (two-sided clamp, `bins` equal-width buckets
+    * over [0, maxRaw]), shares are LAPLACE-SMOOTHED `(n_b + 1) /
+    * (N + bins)` so empty buckets contribute finitely and
+    * deterministically (no epsilon convention to fork on), and the
+    * <= bins PSI terms fold in bin order. One hash aggregate over the
+    * data + a bins-sized spine — oracle-exact. */
+  def psi(df: DataFrame, splitCol: String, rawCol: String,
+      maxRaw: Long, bins: Int = 10, refLabel: String = "ref",
+      curLabel: String = "cur"): DataFrame = {
+    require(maxRaw >= 1 && bins >= 2 && bins <= 1000,
+      s"bad maxRaw=$maxRaw bins=$bins")
+    val spark = df.sparkSession
+    val capped = greatest(least(col(rawCol).cast("long"),
+      lit(maxRaw)), lit(0L))
+    val bin = least(floor(capped * bins / lit(maxRaw.toDouble)),
+      lit((bins - 1).toLong)).cast("long")
+    val counts = df
+      .filter(col(rawCol).isNotNull &&
+        col(splitCol).isin(refLabel, curLabel))
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(col(splitCol) === refLabel, 1L).otherwise(0L))
+          .as("__nr"),
+        sum(when(col(splitCol) === curLabel, 1L).otherwise(0L))
+          .as("__nc"))
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val filled = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__nr"), lit(0L)).as("__nr"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pr = (col("__nr") + 1).cast("double") /
+      (sum("__nr").over(tot) + bins)
+    val pc = (col("__nc") + 1).cast("double") /
+      (sum("__nc").over(tot) + bins)
+    filled
+      .withColumn("__term", (pc - pr) * log(pc / pr))
+      .agg(sum("__nr").as("n_ref"), sum("__nc").as("n_cur"),
+        round(aggregate(sort_array(collect_list(
+          struct(col("bin"), col("__term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")), 6).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test — the nonparametric "did this
+    * metric's DISTRIBUTION move" check (the mean-based monitors above
+    * miss shape changes): D = max over values of |ECDF_a - ECDF_b|,
+    * plus the asymptotic p-value `2 exp(-2 lambda^2)`,
+    * `lambda = D sqrt(na nb / (na + nb))` (clamped to 1).
+    *
+    * The ECDFs are exact integer ratios accumulated over the
+    * VALUE-ordered distinct-value frame; `d_at` reports the smallest
+    * value attaining D (deterministic tiebreak). The one global
+    * window runs over the distinct-value frame, not the corpus —
+    * bounded by value cardinality (the global-order class, documented
+    * like weightedMedian). */
+  def ksTest2(df: DataFrame, splitCol: String, valueCol: String,
+      aLabel: String, bLabel: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull &&
+        col(splitCol).isin(aLabel, bLabel))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(splitCol) === aLabel, 1L).otherwise(0L))
+          .as("__ca"),
+        sum(when(col(splitCol) === bLabel, 1L).otherwise(0L))
+          .as("__cb"))
+    val byV = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ecdf = counts
+      .withColumn("__na", sum("__ca").over(tot))
+      .withColumn("__nb", sum("__cb").over(tot))
+      .withColumn("__gap", abs(
+        sum("__ca").over(byV).cast("double") / col("__na") -
+          sum("__cb").over(byV).cast("double") / col("__nb")))
+    ecdf.withColumn("__dmax", max("__gap").over(tot))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        round(max("__gap"), 6).as("d_stat"),
+        min(when(round(col("__gap"), 6) ===
+          round(col("__dmax"), 6), col("v"))).as("d_at"))
+      .withColumn("p_approx", round(least(lit(1.0),
+        lit(2.0) * exp(lit(-2.0) * col("d_stat") * col("d_stat") *
+          (col("n_a") * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")))), 6))
+  }
+
+  /** Concentration report over group weights — "how much of the
+    * corpus is one domain": HHI (sum of squared shares), the Gini
+    * coefficient, and top-1/top-10 shares. The shape monitor behind
+    * every per-domain cap decision ([[graft.operators.Urls]]).
+    *
+    * Every moment is integral: Gini rides `sum(rank * w)` over the
+    * (weight asc, group asc) total order — invariant under tie
+    * permutations, since tied weights contribute identically — and
+    * HHI's squared sums stay in DECIMAL. The rank window runs over
+    * the GROUPS frame (domains, not rows). Single-group input reads
+    * gini 0, hhi 1. */
+  def concentration(df: DataFrame, groupCol: String, wCol: String)
+      : DataFrame = {
+    val g = df.filter(col(wCol).cast("long") > 0)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(wCol).cast("long")).as("__w"))
+    val asc = Window.orderBy(col("__w"), col("__g"))
+    val desc = Window.orderBy(col("__w").desc, col("__g"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    g.withColumn("__i", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("__w").as("total_w"),
+        sum((col("__w") * col("__w")).cast("decimal(38,0)"))
+          .as("__sq"),
+        sum((col("__i") * col("__w")).cast("decimal(38,0)"))
+          .as("__iw"),
+        sum(when(col("__rd") === 1, col("__w")).otherwise(0L))
+          .as("__t1"),
+        sum(when(col("__rd") <= 10, col("__w")).otherwise(0L))
+          .as("__t10"))
+      .select(col("n_groups"), col("total_w"),
+        round(col("__sq").cast("double") /
+          (col("total_w").cast("double") * col("total_w")), 6)
+          .as("hhi"),
+        round(when(col("n_groups") > 1,
+          lit(2.0) * col("__iw").cast("double") /
+            (col("n_groups") * col("total_w").cast("double")) -
+            (col("n_groups") + 1).cast("double") / col("n_groups"))
+          .otherwise(0.0), 6).as("gini"),
+        round(col("__t1").cast("double") / col("total_w"), 6)
+          .as("top1_share"),
+        round(col("__t10").cast("double") / col("total_w"), 6)
+          .as("top10_share"))
+  }
+
+  /** Benford first-digit expected shares, 6dp literals — inlined
+    * identically into the oracle SQL so no engine ever computes a
+    * logarithm for them. */
+  val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** Benford's-law audit of a positive metric column — the synthetic-
+    * data / fraud tripwire (fabricated or templated numbers flunk the
+    * first-digit law). The value is fixed to INTEGER CENTS
+    * (`round(v * 100)`), so the first digit comes off the decimal
+    * string — no float log10 near power boundaries on either engine.
+    * Output one row per digit (observed, share, expected, chi2
+    * contribution) plus the shared chi2 (8 df) via the srmCheck
+    * window pattern. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100, 0)
+      .cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val expected = BenfordExpected.foldLeft(lit(0.0)) {
+      case (acc, (d, e)) => when(col("digit") === d, e).otherwise(acc)
+    }
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    df.filter(cents > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("__n", sum("n_obs").over(tot))
+      .withColumn("share",
+        round(col("n_obs").cast("double") / col("__n"), 6))
+      .withColumn("expected", expected)
+      .withColumn("contrib", round(
+        (col("n_obs") - col("__n") * col("expected")) *
+          (col("n_obs") - col("__n") * col("expected")) /
+          (col("__n") * col("expected")), 6))
+      .withColumn("chi2", round(sum("contrib").over(tot), 6))
+      .select("digit", "n_obs", "share", "expected", "contrib", "chi2")
+  }
+
+  /** Two-sided CUSUM drift monitor per stream (Page 1954) — the
+    * change-point detector behind "did this metric drift mid-run":
+    * `S+_t = max(0, S+_{t-1} + x_t - target - slack)` and the mirror
+    * `S-`, first crossing of `h` decides. The recursion is
+    * window-expressible without a sequential loop: `S+_t = P_t -
+    * min(0, min_{j<=t} P_j)` with `P` the cumulative sum of
+    * `x - target - slack` — a running sum plus a running min, both
+    * over the (seq-ordered, uniqueness-probed like sprtDecision)
+    * per-stream window. One window pass + one aggregate. */
+  def cusumDrift(df: DataFrame, streamCol: String, seqCol: String,
+      valueCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"bad slack=$slack threshold=$threshold")
+    val dup = df.groupBy(col(streamCol), col(seqCol))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"cusumDrift: duplicate $seqCol=${dup.headOption.map(_.get(1))} " +
+        s"in stream ${dup.headOption.map(_.get(0))} — the walk order " +
+        "would be nondeterministic")
+    val w = Window.partitionBy(streamCol).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol).cast("double")
+    val walked = df
+      .withColumn("__p", sum(x - target - slack).over(w))
+      .withColumn("__n", sum(x - target + slack).over(w))
+      .withColumn("__sp", col("__p") - least(lit(0.0),
+        min("__p").over(w)))
+      .withColumn("__sn", greatest(lit(0.0),
+        max("__n").over(w)) - col("__n"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(streamCol).orderBy(col(seqCol))))
+      .withColumn("__cross",
+        when(col("__sp") > threshold, "drift_up")
+          .when(col("__sn") > threshold, "drift_down"))
+    walked.groupBy(col(streamCol).as("stream"))
+      .agg(count(lit(1)).as("n_obs"),
+        min(when(col("__cross").isNotNull,
+          struct(col("__rn").cast("long").as("s"),
+            col("__cross").as("d")))).as("__fc"),
+        round(max("__sp"), 6).as("s_up_max"),
+        round(max("__sn"), 6).as("s_down_max"))
+      .select(col("stream"), col("n_obs"),
+        coalesce(col("__fc").getField("d"), lit("in_control"))
+          .as("decision"),
+        coalesce(col("__fc").getField("s"), col("n_obs"))
+          .as("n_at_decision"),
+        col("s_up_max"), col("s_down_max"))
+  }
 }
