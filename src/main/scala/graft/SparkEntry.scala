@@ -4680,6 +4680,59 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"), "event_type",
         "event_id", "value", target = 100.0, slack = 5.0,
         threshold = 500.0)),
+
+    // ----- round-12 wave 57: robust stats, forecasting QA, FIM prep,
+    // judge ensembles, win-rate matrices -----
+
+    // robust MAD-rule outliers per event_type (percentile_disc
+    // medians, the quantile_disc cross-engine contract)
+    "q_mad_outliers" -> ((s, dir) =>
+      operators.Stats.madOutliers(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        "value", k = 3.0)),
+
+    // seasonality detector: seasonal-naive vs naive MAE per stream,
+    // exact integer-cents errors
+    "q_mase" -> ((s, dir) =>
+      operators.Stats.seasonalMase(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        "event_id", "value", season = 5)),
+
+    // fill-in-the-middle training splits: deterministic 40/20/40
+    // char split, md5-fingerprinted spans
+    "q_fim_split" -> ((s, dir) =>
+      operators.Chunking.fimSplit(docs(s, dir), "doc_id", "text")),
+
+    // judge-panel majority vote over the fleiss panel synthesis
+    // (5 deterministic md5-derived ratings per doc)
+    "q_judge_majority" -> ((s, dir) => {
+      val panel = docs(s, dir).select(col("doc_id"))
+        .crossJoin(s.read.parquet(s"$dir/region.parquet")
+          .select(col("r_regionkey")))
+        .withColumn("__h", substring(md5(concat(
+          col("doc_id").cast("string"), lit("-"),
+          col("r_regionkey").cast("string"))), 1, 1))
+        .select(col("doc_id"),
+          when(col("__h") < "6", "good")
+            .when(col("__h") < "b", "ok").otherwise("bad").as("rating"))
+      operators.Eval.judgeMajority(panel, "doc_id", "rating")
+    }),
+
+    // pairwise win-rate matrix over the q_bradley_terry battle log —
+    // the raw counts the fitted ratings must be consistent with
+    "q_winrate_matrix" -> ((s, dir) => {
+      val ok = col("l_orderkey")
+      val pk = col("l_partkey")
+      val battles = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(concat(lit("m"), ok % 5).as("model_a"),
+          concat(lit("m"), pk % 5).as("model_b"),
+          when((ok + pk) % 4 === 0, "tie")
+            .when(((ok % 5) > (pk % 5)) =!= ((ok + pk) % 9 === 0), "a")
+            .otherwise("b").as("winner"))
+        .filter(col("model_a") =!= col("model_b"))
+      operators.Eval.winrateMatrix(battles, "model_a", "model_b",
+        "winner")
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -13888,6 +13941,124 @@ object SparkEntry {
         |  ROUND(max(sp), 6) AS s_up_max,
         |  ROUND(max(sn), 6) AS s_down_max
         |FROM c GROUP BY 1""".stripMargin,
+
+    // ----- round-12 wave 57 oracles -----
+
+    "q_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT g, quantile_disc(x, 0.5) AS median
+        |  FROM b GROUP BY 1),
+        |a AS (SELECT b.g, b.x, m.median, abs(b.x - m.median) AS ad
+        |  FROM b JOIN m USING (g)),
+        |md AS (SELECT g, quantile_disc(ad, 0.5) AS mad
+        |  FROM a GROUP BY 1)
+        |SELECT a.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  ROUND(a.median, 6) AS median, ROUND(md.mad, 6) AS mad,
+        |  CAST(SUM(CASE WHEN a.ad > 3.0 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  ROUND(SUM(CASE WHEN a.ad > 3.0 * md.mad THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+        |FROM a JOIN md USING (g)
+        |GROUP BY a.g, a.median, md.mad""".stripMargin,
+
+    "q_mase" ->
+      """WITH w AS (
+        |  SELECT event_type AS stream, event_id AS seq,
+        |    CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |l AS (SELECT stream,
+        |    abs(c - lag(c, 1) OVER (PARTITION BY stream
+        |      ORDER BY seq)) AS e1,
+        |    abs(c - lag(c, 5) OVER (PARTITION BY stream
+        |      ORDER BY seq)) AS em
+        |  FROM w)
+        |SELECT stream, CAST(count(*) AS BIGINT) AS n_obs,
+        |  ROUND(CAST(SUM(e1) AS DOUBLE) / 100.0 / count(e1), 6)
+        |    AS mae_naive,
+        |  ROUND(CASE WHEN count(em) > 0
+        |    THEN CAST(SUM(em) AS DOUBLE) / 100.0 / count(em) END, 6)
+        |    AS mae_seasonal,
+        |  ROUND(CASE WHEN count(em) > 0 AND SUM(e1) > 0
+        |    THEN (CAST(SUM(em) AS DOUBLE) * count(e1)) /
+        |      (SUM(e1) * count(em)) END, 6) AS mase
+        |FROM l GROUP BY 1""".stripMargin,
+
+    "q_fim_split" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    substr(text, 1,
+        |      CAST(floor(length(text) * 2 / 5.0) AS INT)) AS p,
+        |    substr(text,
+        |      CAST(floor(length(text) * 2 / 5.0) AS INT) + 1,
+        |      CAST(floor(length(text) / 5.0) AS INT)) AS m,
+        |    substr(text,
+        |      CAST(floor(length(text) * 2 / 5.0) AS INT) +
+        |      CAST(floor(length(text) / 5.0) AS INT) + 1,
+        |      length(text)) AS s
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(length(p) AS BIGINT) AS prefix_len,
+        |  CAST(length(m) AS BIGINT) AS middle_len,
+        |  CAST(length(s) AS BIGINT) AS suffix_len,
+        |  md5(p) AS prefix_md5, md5(m) AS middle_md5,
+        |  md5(s) AS suffix_md5
+        |FROM f""".stripMargin,
+
+    "q_judge_majority" ->
+      """WITH panel AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '-' ||
+        |        CAST(r.r_regionkey AS VARCHAR)), 1, 1) < '6' THEN 'good'
+        |      WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '-' ||
+        |        CAST(r.r_regionkey AS VARCHAR)), 1, 1) < 'b' THEN 'ok'
+        |      ELSE 'bad' END AS rating
+        |  FROM documents d CROSS JOIN region r),
+        |c AS (SELECT doc_id AS item, rating AS verdict,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM panel GROUP BY 1, 2),
+        |rk AS (SELECT item, verdict, n, row_number() OVER (
+        |    PARTITION BY item ORDER BY n DESC, verdict) AS r
+        |  FROM c)
+        |SELECT item, CAST(SUM(n) AS BIGINT) AS n_votes,
+        |  max(CASE WHEN r = 1 THEN verdict END) AS majority,
+        |  max(CASE WHEN r = 1 THEN n END) -
+        |    coalesce(max(CASE WHEN r = 2 THEN n END), 0) AS margin,
+        |  count(*) = 1 AS unanimous
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    "q_winrate_matrix" ->
+      """WITH battles AS (
+        |  SELECT 'm' || CAST(l_orderkey % 5 AS VARCHAR) AS a,
+        |    'm' || CAST(l_partkey % 5 AS VARCHAR) AS b,
+        |    CASE WHEN (l_orderkey + l_partkey) % 4 = 0 THEN 'tie'
+        |      WHEN ((l_orderkey % 5) > (l_partkey % 5)) <>
+        |        ((l_orderkey + l_partkey) % 9 = 0) THEN 'a'
+        |      ELSE 'b' END AS winner
+        |  FROM lineitem
+        |  WHERE 'm' || CAST(l_orderkey % 5 AS VARCHAR) <>
+        |    'm' || CAST(l_partkey % 5 AS VARCHAR)),
+        |canon AS (
+        |  SELECT least(a, b) AS model_lo, greatest(a, b) AS model_hi,
+        |    CASE WHEN winner = 'tie' THEN 'tie'
+        |      WHEN (winner = 'a') = (a <= b) THEN 'lo'
+        |      ELSE 'hi' END AS w
+        |  FROM battles)
+        |SELECT model_lo, model_hi, CAST(count(*) AS BIGINT) AS games,
+        |  CAST(SUM(CASE WHEN w = 'lo' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS wins_lo,
+        |  CAST(SUM(CASE WHEN w = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS wins_hi,
+        |  CAST(SUM(CASE WHEN w = 'tie' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties,
+        |  ROUND(CASE WHEN SUM(CASE WHEN w = 'lo' THEN 1 ELSE 0 END) +
+        |      SUM(CASE WHEN w = 'hi' THEN 1 ELSE 0 END) > 0
+        |    THEN SUM(CASE WHEN w = 'lo' THEN 1 ELSE 0 END) /
+        |      CAST(SUM(CASE WHEN w = 'lo' THEN 1 ELSE 0 END) +
+        |        SUM(CASE WHEN w = 'hi' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    END, 6) AS winrate_lo
+        |FROM canon GROUP BY 1, 2""".stripMargin,
   ))
 
   /** Shared weekly-retention replay (q_retention, q_retention_rate,

@@ -211,4 +211,33 @@ object Chunking {
           col("saved_tokens").cast("double") / col("total_tokens"))
           .otherwise(0.0), 6).as("save_ratio"))
   }
+
+  /** Fill-in-the-middle split (Bavarian et al. 2022, the FIM
+    * training transform): each document splits deterministically into
+    * prefix / middle / suffix by CHARACTER position — the middle
+    * spans [40%, 60%) (integer arithmetic: start = floor(2*len/5),
+    * length = floor(len/5)), so the split is a pure function of the
+    * text and replays exactly. Emits the three span lengths plus
+    * their md5s (the hash, not the span, crosses the wire — the
+    * downstream pack step re-derives spans from the source column).
+    * Map-only, codegen'd, zero shuffle. */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val len = length(t)
+    val midStart = floor(len * 2 / lit(5.0)).cast("int")
+    val midLen = floor(len / lit(5.0)).cast("int")
+    df.filter(t.isNotNull)
+      .select(col(idCol), len.cast("long").as("n_chars"),
+        substr(t, lit(1), midStart).as("__p"),
+        substr(t, midStart + 1, midLen).as("__m"),
+        substr(t, midStart + midLen + 1, len).as("__s"))
+      .select(col(idCol), col("n_chars"),
+        length(col("__p")).cast("long").as("prefix_len"),
+        length(col("__m")).cast("long").as("middle_len"),
+        length(col("__s")).cast("long").as("suffix_len"),
+        md5(col("__p")).as("prefix_md5"),
+        md5(col("__m")).as("middle_md5"),
+        md5(col("__s")).as("suffix_md5"))
+  }
 }

@@ -1327,6 +1327,64 @@ object Eval {
           .as("expected_tries"))
   }
 
+  /** Majority-vote aggregation of a judge panel per item — the
+    * ensemble step on top of [[judgeFlipRate]]: winning verdict
+    * (ties break to the lexicographically smallest — deterministic),
+    * vote margin (top minus runner-up count), and the unanimity
+    * flag. One (item, verdict) count aggregate + one rank window
+    * over the verdicts-per-item frame (bounded by the verdict
+    * alphabet). */
+  def judgeMajority(df: DataFrame, itemCol: String, verdictCol: String)
+      : DataFrame = {
+    val counts = df
+      .filter(col(itemCol).isNotNull && col(verdictCol).isNotNull)
+      .groupBy(col(itemCol).as("item"),
+        col(verdictCol).as("verdict"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("__c").desc, col("verdict"))
+    counts.withColumn("__rk", row_number().over(w))
+      .groupBy("item")
+      .agg(sum("__c").as("n_votes"),
+        max(when(col("__rk") === 1, col("verdict"))).as("majority"),
+        max(when(col("__rk") === 1, col("__c"))).as("__top"),
+        coalesce(max(when(col("__rk") === 2, col("__c"))), lit(0L))
+          .as("__second"),
+        count(lit(1)).as("__nv"))
+      .select(col("item"), col("n_votes"), col("majority"),
+        (col("__top") - col("__second")).as("margin"),
+        (col("__nv") === 1).as("unanimous"))
+  }
+
+  /** Pairwise win-rate matrix from a battle log — the raw readout
+    * behind [[bradleyTerry]]'s fitted ratings (and the sanity check
+    * on them): one row per unordered model pair with games, each
+    * side's wins, ties, and the lexicographically-smaller model's
+    * win rate over decided games. One canonicalize-map + one hash
+    * aggregate; integral counts, one guarded division. */
+  def winrateMatrix(df: DataFrame, modelACol: String,
+      modelBCol: String, winnerCol: String): DataFrame = {
+    val a = col(modelACol)
+    val b = col(modelBCol)
+    df.filter(a =!= b)
+      .select(least(a, b).as("model_lo"),
+        greatest(a, b).as("model_hi"),
+        when(col(winnerCol) === "tie", "tie")
+          .when((col(winnerCol) === "a") === (a <= b), "lo")
+          .otherwise("hi").as("__w"))
+      .groupBy("model_lo", "model_hi")
+      .agg(count(lit(1)).as("games"),
+        sum(when(col("__w") === "lo", 1L).otherwise(0L))
+          .as("wins_lo"),
+        sum(when(col("__w") === "hi", 1L).otherwise(0L))
+          .as("wins_hi"),
+        sum(when(col("__w") === "tie", 1L).otherwise(0L)).as("ties"))
+      .withColumn("winrate_lo",
+        round(when(col("wins_lo") + col("wins_hi") > 0,
+          col("wins_lo").cast("double") /
+            (col("wins_lo") + col("wins_hi"))), 6))
+  }
+
   /** Preference-pair construction from k-way rankings — the reward-
     * model data-prep step that turns one ranked list of k candidates
     * into its k(k-1)/2 (winner, loser) training pairs (the InstructGPT

@@ -1889,6 +1889,81 @@ object Stats {
       .select("digit", "n_obs", "share", "expected", "contrib", "chi2")
   }
 
+  /** Robust outlier report per group via the median absolute
+    * deviation — the robust-statistics sibling of z-scoring (one bad
+    * heavy tail wrecks a mean/stddev rule; the MAD rule survives 50%
+    * contamination). Flags `|x - median| > k * MAD`. Both medians are
+    * `percentile_disc` DATA VALUES (the proven quantile_disc
+    * cross-engine contract), so every comparison runs on identical
+    * doubles in both engines. Two grouped quantile passes + one
+    * counting aggregate; groups with MAD 0 (over half the mass on one
+    * value) flag any deviation, the standard degenerate-MAD
+    * convention. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    val x = col(valCol).cast("double")
+    val base = df.filter(x.isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val med = base.groupBy("__g")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __x)")
+        .as("median"))
+    val withAd = base.join(med, Seq("__g"))
+      .withColumn("__ad", abs(col("__x") - col("median")))
+    val mad = withAd.groupBy("__g")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __ad)")
+        .as("mad"))
+    withAd.join(mad, Seq("__g"))
+      .groupBy(col("__g").as(groupCol), col("median"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col(groupCol), col("n"), round(col("median"), 6)
+          .as("median"),
+        round(col("mad"), 6).as("mad"), col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6)
+          .as("outlier_rate"))
+  }
+
+  /** Seasonal MASE readout per stream — "is there period-`season`
+    * structure": the MAE of the seasonal-naive forecast (lag season)
+    * over the MAE of the naive forecast (lag 1); well under 1 means
+    * the seasonal lag predicts better, i.e. real periodicity
+    * (Hyndman & Koehler 2006's scaling denominator, used here as a
+    * seasonality detector). The walk is (seq-ordered, uniqueness-
+    * probed) and every error is INTEGER CENTS, so the MAEs are exact
+    * integer ratios — oracle-exact with zero float accumulation. */
+  def seasonalMase(df: DataFrame, streamCol: String, seqCol: String,
+      valCol: String, season: Int = 5): DataFrame = {
+    require(season >= 2 && season <= 10000, s"bad season: $season")
+    val dup = df.groupBy(col(streamCol), col(seqCol))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"seasonalMase: duplicate $seqCol=${dup.headOption.map(_.get(1))} " +
+        s"in stream ${dup.headOption.map(_.get(0))} — walk order " +
+        "would be nondeterministic")
+    val w = Window.partitionBy(streamCol).orderBy(col(seqCol))
+    val walked = df
+      .withColumn("__c",
+        round(col(valCol).cast("double") * 100, 0).cast("long"))
+      .withColumn("__e1", abs(col("__c") - lag("__c", 1).over(w)))
+      .withColumn("__em", abs(col("__c") - lag("__c", season).over(w)))
+    walked.groupBy(col(streamCol).as("stream"))
+      .agg(count(lit(1)).as("n_obs"),
+        count(col("__e1")).as("__n1"), sum("__e1").as("__s1"),
+        count(col("__em")).as("__nm"), sum("__em").as("__sm"))
+      .select(col("stream"), col("n_obs"),
+        round(col("__s1").cast("double") / 100.0 / col("__n1"), 6)
+          .as("mae_naive"),
+        round(when(col("__nm") > 0,
+          col("__sm").cast("double") / 100.0 / col("__nm")), 6)
+          .as("mae_seasonal"),
+        round(when(col("__nm") > 0 && col("__s1") > 0,
+          (col("__sm").cast("double") * col("__n1")) /
+            (col("__s1") * col("__nm"))), 6).as("mase"))
+  }
+
   /** Two-sided CUSUM drift monitor per stream (Page 1954) — the
     * change-point detector behind "did this metric drift mid-run":
     * `S+_t = max(0, S+_{t-1} + x_t - target - slack)` and the mirror
