@@ -4718,6 +4718,39 @@ object SparkEntry {
       operators.Eval.judgeMajority(panel, "doc_id", "rating")
     }),
 
+    // ----- round-12 wave 58: RLVR prep, curation planning, ROUGE-L --
+
+    // GRPO group-relative advantages: prompts = orders, samples =
+    // line numbers, INTEGER rewards = l_quantity — exact moments
+    "q_grpo_advantage" -> ((s, dir) =>
+      operators.Eval.groupAdvantage(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 20 === 0)
+          .select(col("l_orderkey").as("prompt"),
+            col("l_linenumber").cast("long").as("sample"),
+            col("l_quantity").cast("long").as("reward")),
+        "prompt", "sample", "reward")),
+
+    // quality-threshold sweep over the six-signal classifier score:
+    // docs and char mass kept per candidate tau
+    "q_threshold_sweep" -> ((s, dir) =>
+      operators.Profile.thresholdSweep(
+        TextFunctions.withQualityScore(
+          docs(s, dir).select(col("doc_id"), col("text"),
+            col("n_chars")), "text", "p_keep"),
+        "p_keep", "n_chars",
+        thresholds = Seq(0.1, 0.3, 0.5, 0.7, 0.9))),
+
+    // ROUGE-L against the reversed-token reference (a real LCS DP
+    // answer, not a trivial subsequence); LCS itself rides the
+    // committed independent-Python fixture in the oracle
+    "q_rouge_l" -> ((s, dir) =>
+      operators.Eval.rougeL(
+        docs(s, dir).withColumn("ref",
+          array_join(reverse(TextFunctions.cleanTokens(col("text"))),
+            " ")),
+        "doc_id", "text", "ref")),
+
     // pairwise win-rate matrix over the q_bradley_terry battle log —
     // the raw counts the fitted ratings must be consistent with
     "q_winrate_matrix" -> ((s, dir) => {
@@ -13941,6 +13974,74 @@ object SparkEntry {
         |  ROUND(max(sp), 6) AS s_up_max,
         |  ROUND(max(sn), 6) AS s_down_max
         |FROM c GROUP BY 1""".stripMargin,
+
+    // ----- round-12 wave 58 oracles -----
+
+    "q_grpo_advantage" ->
+      """WITH s AS (
+        |  SELECT l_orderkey AS prompt,
+        |    CAST(l_linenumber AS BIGINT) AS sample,
+        |    CAST(l_quantity AS BIGINT) AS reward
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |g AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(reward) AS BIGINT) AS sr,
+        |    CAST(SUM(reward * reward) AS BIGINT) AS srr
+        |  FROM s GROUP BY 1)
+        |SELECT s.prompt, s.sample, s.reward, g.n_samples,
+        |  ROUND(CASE WHEN g.n_samples > 1 AND
+        |      CAST(srr AS DOUBLE) / n_samples -
+        |        (CAST(sr AS DOUBLE) / n_samples) *
+        |        (CAST(sr AS DOUBLE) / n_samples) > 0
+        |    THEN (s.reward - CAST(sr AS DOUBLE) / n_samples) /
+        |      sqrt(CAST(srr AS DOUBLE) / n_samples -
+        |        (CAST(sr AS DOUBLE) / n_samples) *
+        |        (CAST(sr AS DOUBLE) / n_samples))
+        |    ELSE 0.0 END, 6) AS advantage
+        |FROM s JOIN g USING (prompt)""".stripMargin,
+
+    "q_threshold_sweep" ->
+      s"""WITH $qualityScoreCtes,
+         |sc AS (SELECT q.doc_id, ROUND(q.p_keep, 6) AS s,
+         |    CAST(d.n_chars AS BIGINT) AS w
+         |  FROM qp q JOIN documents d USING (doc_id)),
+         |taus AS (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS tau)
+         |SELECT tau,
+         |  CAST(SUM(CASE WHEN s >= tau THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN s >= tau THEN w ELSE 0 END) AS BIGINT)
+         |    AS w_kept,
+         |  ROUND(SUM(CASE WHEN s >= tau THEN 1 ELSE 0 END) /
+         |    CAST(count(*) AS DOUBLE), 6) AS frac_docs,
+         |  ROUND(CASE WHEN SUM(w) > 0
+         |    THEN SUM(CASE WHEN s >= tau THEN w ELSE 0 END) /
+         |      CAST(SUM(w) AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS frac_weight
+         |FROM sc CROSS JOIN taus GROUP BY 1""".stripMargin,
+
+    "q_rouge_l" -> {
+      val fx = new java.io.File(
+        "src/test/resources/rouge_lcs.csv").getAbsolutePath
+      s"""WITH dt AS (
+         |  SELECT doc_id, md5(text) AS fp,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |j AS (SELECT dt.doc_id, f.lcs, dt.n AS n_cand,
+         |    dt.n AS n_ref
+         |  FROM dt JOIN read_csv('$fx', header = true,
+         |    columns = {'fp': 'VARCHAR', 'lcs': 'BIGINT'}) f
+         |    ON dt.fp = f.fp),
+         |pr AS (SELECT doc_id, lcs, n_cand, n_ref,
+         |    ROUND(CASE WHEN n_cand > 0
+         |      THEN CAST(lcs AS DOUBLE) / n_cand ELSE 0.0 END, 6) AS p,
+         |    ROUND(CASE WHEN n_ref > 0
+         |      THEN CAST(lcs AS DOUBLE) / n_ref ELSE 0.0 END, 6) AS r
+         |  FROM j)
+         |SELECT doc_id, lcs, n_cand, n_ref, p, r,
+         |  ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+         |    ELSE 0.0 END, 6) AS f
+         |FROM pr""".stripMargin
+    },
 
     // ----- round-12 wave 57 oracles -----
 

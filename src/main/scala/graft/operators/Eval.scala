@@ -1327,6 +1327,65 @@ object Eval {
           .as("expected_tries"))
   }
 
+  /** ROUGE-L per (candidate, reference) pair (Lin 2004) — the
+    * LCS-based member that completes the BLEU-2 / ROUGE-2 / chrF
+    * generation-eval family: precision = LCS/|cand|, recall =
+    * LCS/|ref|, F = 2PR/(P+R). The LCS runs as the codegen'd-eval
+    * [[graft.functions.LcsTokensExpr]] (O(n*m) primitive DP per row,
+    * map-only, zero shuffle); token counts are the clean-token
+    * convention. LCS is not ANSI-expressible, so the oracle joins the
+    * committed independent-Python fixture keyed by md5 of the source
+    * text (the q_bpe_count contract). Both-empty pairs score 0. */
+  def rougeL(df: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val lcs = graft.functions.LcsTokensExpr
+      .lcsTokens(col(candCol), col(refCol))
+    val nc = size(graft.functions.TextFunctions.cleanTokens(
+      col(candCol))).cast("long")
+    val nr = size(graft.functions.TextFunctions.cleanTokens(
+      col(refCol))).cast("long")
+    df.filter(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(col(idCol), lcs.as("lcs"), nc.as("n_cand"),
+        nr.as("n_ref"))
+      .withColumn("p", round(when(col("n_cand") > 0,
+        col("lcs").cast("double") / col("n_cand")).otherwise(0.0), 6))
+      .withColumn("r", round(when(col("n_ref") > 0,
+        col("lcs").cast("double") / col("n_ref")).otherwise(0.0), 6))
+      .withColumn("f", round(when(col("p") + col("r") > 0,
+        lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+        .otherwise(0.0), 6))
+  }
+
+  /** Group-relative advantage normalization (the GRPO/RLVR data-prep
+    * step, Shao et al. 2024): per prompt, each sample's advantage is
+    * its reward standardized against the prompt GROUP —
+    * `(r - mean) / std_pop` — so one prompt's reward scale cannot
+    * dominate the policy gradient. Rewards are INTEGERS (or integer
+    * cents upstream), so the group moments are exact-integer sums and
+    * the one float expression `(r - sr/n) / sqrt(srr/n - (sr/n)^2)`
+    * is mirrored literally in the oracle. Zero-variance groups (all
+    * samples equal — nothing to prefer) and singletons emit advantage
+    * 0, the standard GRPO convention. One grouped aggregate + one
+    * broadcast-join back; no window. */
+  def groupAdvantage(df: DataFrame, promptCol: String, idCol: String,
+      rewardCol: String): DataFrame = {
+    val r = col(rewardCol).cast("long")
+    val g = df.groupBy(col(promptCol).as("prompt"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(r).as("__sr"), sum(r * r).as("__srr"))
+    val mean = col("__sr").cast("double") / col("n_samples")
+    val varp = col("__srr").cast("double") / col("n_samples") -
+      mean * mean
+    df.select(col(promptCol).as("prompt"), col(idCol).as("sample"),
+        r.as("reward"))
+      .join(g, Seq("prompt"))
+      .select(col("prompt"), col("sample"), col("reward"),
+        col("n_samples"),
+        round(when(col("n_samples") > 1 && varp > 0,
+          (col("reward") - mean) / sqrt(varp)).otherwise(0.0), 6)
+          .as("advantage"))
+  }
+
   /** Majority-vote aggregation of a judge panel per item — the
     * ensemble step on top of [[judgeFlipRate]]: winning verdict
     * (ties break to the lexicographically smallest — deterministic),

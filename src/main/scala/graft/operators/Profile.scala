@@ -814,4 +814,37 @@ object Profile {
           (col("n_kept") * scale).cast("double"), 6)
           .as("trimmed_mean"))
   }
+
+  /** Quality-threshold sweep — the curve a filter-threshold decision
+    * reads ("at tau = 0.6 we keep 40% of docs but 55% of tokens"):
+    * for each candidate threshold, documents kept (score >= tau) and
+    * their integral weight mass, as counts and fractions of the
+    * corpus. One scan exploded over the THRESHOLDS literal array
+    * (thresholds x rows, thresholds is a handful) + one hash
+    * aggregate; integral counts, two guarded divisions. Thresholds
+    * are compared against the 6dp-rounded score on both engines, so
+    * the boundary cannot drift. */
+  def thresholdSweep(df: DataFrame, scoreCol: String, wCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 99,
+      s"bad thresholds: ${thresholds.size}")
+    val tauDf = df.sparkSession
+      .createDataFrame(thresholds.map(Tuple1(_))).toDF("tau")
+    df.select(round(col(scoreCol).cast("double"), 6).as("__s"),
+        col(wCol).cast("long").as("__w"))
+      .crossJoin(broadcast(tauDf))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__s") >= col("tau"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum("__w").as("__tw"),
+        sum(when(col("__s") >= col("tau"), col("__w")).otherwise(0L))
+          .as("w_kept"))
+      .select(col("tau"), col("n_kept"), col("w_kept"),
+        round(col("n_kept").cast("double") / col("__n"), 6)
+          .as("frac_docs"),
+        round(when(col("__tw") > 0,
+          col("w_kept").cast("double") / col("__tw")).otherwise(0.0), 6)
+          .as("frac_weight"))
+  }
 }
