@@ -11,10 +11,18 @@ from pandas.testing import assert_frame_equal
 
 sf, out = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
-con = duckdb.connect()
-for t in ['region','nation','customer','supplier','part','orders',
-          'lineitem','events','documents','embeddings']:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+
+def fresh_con():
+    c = duckdb.connect()
+    for t in ['region', 'nation', 'customer', 'supplier', 'part',
+              'orders', 'lineitem', 'events', 'documents',
+              'embeddings']:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return c
+
+
+con = fresh_con()
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 fail = 0
 names = sorted(only) if only else sorted(oracle)
@@ -34,7 +42,27 @@ for name in names:
         fail += 1
         continue
     spark = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-    ora = con.sql(oracle[name]).df()
+    # the oracle runs OUTSIDE the compare try so a compare mismatch
+    # stays a compare FAIL — but it gets its own guard + ONE retry on
+    # a fresh connection: the r11 driver (and an r12 local run under
+    # concurrent load) hit DuckDB "Failed to allocate 32768 bytes"
+    # ~100 queries into the batch while the same query passes
+    # isolated — buffer accumulation across one long-lived
+    # connection, not the query. A crash here used to kill the WHOLE
+    # gate; now it records a per-query FAIL and the close protocol's
+    # isolated re-run separates contention from plan bugs.
+    try:
+        ora = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f'{name}: RETRY on fresh connection '
+              f'after {type(e).__name__}')
+        try:
+            con = fresh_con()
+            ora = con.sql(oracle[name]).df()
+        except Exception as e2:
+            print(f'{name}: FAIL oracle exec {str(e2)[:300]}')
+            fail += 1
+            continue
     try:
         s = spark.reindex(sorted(spark.columns), axis=1)
         o = ora.reindex(sorted(ora.columns), axis=1)
