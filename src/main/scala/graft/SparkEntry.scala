@@ -4718,6 +4718,32 @@ object SparkEntry {
       operators.Eval.judgeMajority(panel, "doc_id", "rating")
     }),
 
+    // ----- round-12 wave 59: sweep scheduling + hybrid retrieval ----
+
+    // successive-halving replay over a 16-config x 3-rung sweep log
+    // (integral metrics); promotions are rank-sequential per rung
+    "q_successive_halving" -> ((s, dir) =>
+      operators.Eval.successiveHalving(
+        docs(s, dir).groupBy((col("doc_id") % 16).as("config"),
+            (col("doc_id") % 3).as("rung"))
+          .agg(sum(col("n_chars").cast("long")).cast("double")
+            .as("metric")),
+        "config", "rung", "metric")),
+
+    // reciprocal-rank fusion of a length-ranked and an md5-ranked run
+    // (the hybrid-search merge shape; both runs deterministic)
+    "q_rrf_fusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val runA = d.select(lit("q0").as("q"), col("doc_id"),
+        row_number().over(Window.orderBy(col("n_chars").desc,
+          col("doc_id"))).as("rank"))
+      val runB = d.select(lit("q0").as("q"), col("doc_id"),
+        row_number().over(Window.orderBy(
+          coalesce(md5(col("text")), lit("")), col("doc_id")))
+          .as("rank"))
+      operators.Eval.rrfFusion(runA, runB, "q", "doc_id", "rank")
+    }),
+
     // ----- round-12 wave 58: RLVR prep, curation planning, ROUGE-L --
 
     // GRPO group-relative advantages: prompts = orders, samples =
@@ -13974,6 +14000,61 @@ object SparkEntry {
         |  ROUND(max(sp), 6) AS s_up_max,
         |  ROUND(max(sn), 6) AS s_down_max
         |FROM c GROUP BY 1""".stripMargin,
+
+    // ----- round-12 wave 59 oracles -----
+
+    // three unrolled promotion rungs: 16 -> 8 -> 4 -> champions
+    "q_successive_halving" ->
+      """WITH m AS (
+        |  SELECT doc_id % 16 AS config, doc_id % 3 AS rung,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) AS metric
+        |  FROM documents GROUP BY 1, 2),
+        |r0 AS (SELECT config, rung, metric, row_number() OVER (
+        |    ORDER BY metric DESC, config) AS rk
+        |  FROM m WHERE rung = 0),
+        |s1 AS (SELECT m.config, m.rung, m.metric
+        |  FROM m JOIN r0 ON m.config = r0.config
+        |  WHERE r0.rk <= 8 AND m.rung = 1),
+        |r1 AS (SELECT config, rung, metric, row_number() OVER (
+        |    ORDER BY metric DESC, config) AS rk FROM s1),
+        |s2 AS (SELECT m.config, m.rung, m.metric
+        |  FROM m JOIN r1 ON m.config = r1.config
+        |  WHERE r1.rk <= 4 AND m.rung = 2)
+        |SELECT config, CAST(last_rung AS BIGINT) AS last_rung,
+        |  last_metric, CAST(n_rungs_survived AS BIGINT)
+        |    AS n_rungs_survived, champion
+        |FROM (
+        |  SELECT config, rung AS last_rung, metric AS last_metric,
+        |    1 AS n_rungs_survived, false AS champion
+        |  FROM r0 WHERE rk > 8
+        |  UNION ALL
+        |  SELECT config, rung, metric, 2, false FROM r1 WHERE rk > 4
+        |  UNION ALL
+        |  SELECT config, rung, metric, 3, true FROM s2)""".stripMargin,
+
+    "q_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    coalesce(md5(text), '') AS h FROM documents),
+        |ra AS (SELECT 'q0' AS query, doc_id AS doc,
+        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |      AS BIGINT) AS rnk
+        |  FROM d),
+        |rb AS (SELECT 'q0' AS query, doc_id AS doc,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+        |      AS rnk
+        |  FROM d),
+        |f AS (SELECT coalesce(ra.query, rb.query) AS query,
+        |    coalesce(ra.doc, rb.doc) AS doc,
+        |    ROUND(coalesce(CAST(1.0 AS DOUBLE) / (60 + ra.rnk), 0.0) +
+        |      coalesce(CAST(1.0 AS DOUBLE) / (60 + rb.rnk), 0.0), 6)
+        |      AS score
+        |  FROM ra FULL JOIN rb
+        |    ON ra.query = rb.query AND ra.doc = rb.doc)
+        |SELECT query, doc, score,
+        |  CAST(row_number() OVER (PARTITION BY query
+        |    ORDER BY score DESC, doc) AS BIGINT) AS fused_rank
+        |FROM f
+        |QUALIFY fused_rank <= 20""".stripMargin,
 
     // ----- round-12 wave 58 oracles -----
 

@@ -1327,6 +1327,104 @@ object Eval {
           .as("expected_tries"))
   }
 
+  /** Successive-halving replay (Jamieson & Talwalkar 2016; the ASHA
+    * promotion rule) over a hyperparameter-sweep log `(config, rung,
+    * metric)`: all configs start at the lowest rung; at each rung the
+    * top `ceil(n / eta)` by `(metric desc, config asc)` promote to
+    * the next. Output one row per config: the last rung it was
+    * evaluated at under the schedule, its metric there, how many
+    * rungs it survived, and the champion flag.
+    *
+    * The promotion recursion is inherently rung-sequential, so the
+    * loop runs over the COLLECTED sorted rung list (witness-bounded
+    * at 16 — budget ladders are single digits everywhere) with one
+    * rank window per rung over the shrinking survivors frame.
+    * Promoted configs missing a metric at the next rung trip a loud
+    * probe (an incomplete sweep log silently mis-ranks otherwise). */
+  def successiveHalving(df: DataFrame, cfgCol: String, rungCol: String,
+      metricCol: String, eta: Int = 2): DataFrame = {
+    require(eta >= 2 && eta <= 10, s"bad eta: $eta")
+    val base = df.select(col(cfgCol).as("config"),
+      col(rungCol).cast("long").as("rung"),
+      col(metricCol).cast("double").as("metric"))
+    val rungs = base.select("rung").distinct()
+      .orderBy("rung").limit(17).collect().map(_.getLong(0))
+    require(rungs.nonEmpty && rungs.length <= 16,
+      s"successiveHalving: ${rungs.length} rungs — budget ladders " +
+        "are single digits; check the rung column")
+    val dup = base.groupBy("config", "rung")
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"successiveHalving: duplicate (config, rung) " +
+        s"${dup.headOption.map(r => (r.get(0), r.get(1)))} — one " +
+        "metric per cell required")
+    var out: DataFrame = null
+    var survivors = base.filter(col("rung") === rungs.head)
+      .select("config", "rung", "metric")
+    for (i <- rungs.indices) {
+      val n = survivors.count()
+      val keep = if (i == rungs.length - 1) n
+        else math.ceil(n.toDouble / eta).toLong
+      val ranked = survivors.withColumn("__rk", row_number().over(
+        Window.orderBy(col("metric").desc, col("config"))))
+      val stays = ranked.filter(col("__rk") <= keep)
+      val drops = ranked.filter(col("__rk") > keep)
+        .select(col("config"), col("rung").as("last_rung"),
+          col("metric").as("last_metric"),
+          lit(i + 1L).as("n_rungs_survived"),
+          lit(false).as("champion"))
+      out = if (out == null) drops else out.unionByName(drops)
+      if (i == rungs.length - 1) {
+        out = out.unionByName(stays.select(col("config"),
+          col("rung").as("last_rung"), col("metric").as("last_metric"),
+          lit(i + 1L).as("n_rungs_survived"), lit(true).as("champion")))
+      } else {
+        val next = base.filter(col("rung") === rungs(i + 1))
+        val promoted = stays.select("config")
+          .join(next, Seq("config"), "left")
+        val missing = promoted.filter(col("metric").isNull)
+          .limit(1).collect()
+        require(missing.isEmpty,
+          s"successiveHalving: promoted config " +
+            s"${missing.headOption.map(_.get(0))} has no metric at " +
+            s"rung ${rungs(i + 1)} — incomplete sweep log")
+        survivors = promoted.select("config", "rung", "metric")
+          .localCheckpoint()
+      }
+    }
+    out
+  }
+
+  /** Reciprocal-rank fusion of two retrieval runs (Cormack et al.
+    * 2009) — the hybrid-search merge (BM25 + dense is the canonical
+    * pair): fused score = sum over runs of `1 / (kRrf + rank)`,
+    * missing docs contribute 0. The two-term sum is written in fixed
+    * order (runA + runB), ranks are integers, so the score is
+    * bit-identical on any engine; the fused ranking orders by
+    * (6dp score desc, doc asc). One full outer equi-join per run
+    * pair + one per-query rank window (WindowGroupLimit trims to
+    * topN map-side). */
+  def rrfFusion(runA: DataFrame, runB: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, kRrf: Int = 60,
+      topN: Int = 20): DataFrame = {
+    require(kRrf >= 1 && topN >= 1, s"bad kRrf=$kRrf topN=$topN")
+    def side(df: DataFrame, s: String) =
+      df.select(col(queryCol).as("query"), col(docCol).as("doc"),
+        (lit(1.0) / (lit(kRrf) + col(rankCol).cast("long")))
+          .as(s))
+    side(runA, "__sa").join(side(runB, "__sb"),
+        Seq("query", "doc"), "full_outer")
+      .withColumn("score", round(
+        coalesce(col("__sa"), lit(0.0)) +
+          coalesce(col("__sb"), lit(0.0)), 6))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("query")
+          .orderBy(col("score").desc, col("doc"))))
+      .filter(col("fused_rank") <= topN)
+      .select("query", "doc", "score", "fused_rank")
+  }
+
   /** ROUGE-L per (candidate, reference) pair (Lin 2004) — the
     * LCS-based member that completes the BLEU-2 / ROUGE-2 / chrF
     * generation-eval family: precision = LCS/|cand|, recall =
