@@ -4718,6 +4718,28 @@ object SparkEntry {
       operators.Eval.judgeMajority(panel, "doc_id", "rating")
     }),
 
+    // ----- round-12 wave 60: vocab sizing, code-switch QA, JSON -----
+
+    // vocabulary coverage CURVE: cumulative token-mass share at the
+    // top-10/100/1000 type ranks (tokenizer-sizing readout; the
+    // rate-flavored sibling of q_vocab_coverage's per-source OOV)
+    "q_coverage_curve" -> ((s, dir) =>
+      operators.TextQuality.coverageCurve(docs(s, dir), "text",
+        cuts = Seq(10, 100, 1000))),
+
+    // mixed-language detection: char-n-gram language id on each
+    // character half of the language-keyed fixture corpus
+    "q_lang_purity" -> ((s, dir) =>
+      operators.TextQuality.langPurity(langDocs(s, dir), "doc_id",
+        "text")),
+
+    // semi-structured audit: the '$.k' field of the events props
+    // JSON column per event_type (presence + integral stats)
+    "q_json_field" -> ((s, dir) =>
+      operators.Events.jsonFieldStats(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        "props", "$.k")),
+
     // ----- round-12 wave 59: sweep scheduling + hybrid retrieval ----
 
     // successive-halving replay over a 16-config x 3-rung sweep log
@@ -5779,7 +5801,7 @@ object SparkEntry {
     * `np0/ns/nb/npred` so the chain composes with the baseline's in
     * one query. Ends in `npred(carryCols..., lang_pred)`. */
   private def langIdNgramCtes(carryCols: Seq[String],
-      src: String = "documents"): String = {
+      src: String = "documents", prefix: String = ""): String = {
     def occ(m: String) =
       s"CAST((len(np) - len(replace(np, '$m', ''))) / ${m.length} AS INT)"
     def score(lang: String) =
@@ -5795,19 +5817,19 @@ object SparkEntry {
     val caseArms = langs.map(l =>
       s"WHEN ns_$l = nbest AND ns_$l > 0 THEN '$l'").mkString("\n      ")
     val carry = carryCols.mkString(", ")
-    s"""np0 AS (
+    s"""${prefix}np0 AS (
        |  SELECT $carry, ' ' || lower(text) || ' ' AS np FROM $src),
-       |ns AS (
+       |${prefix}ns AS (
        |  SELECT $carry,
        |    $scoreCols
-       |  FROM np0),
-       |nb AS (SELECT *, $bestExpr AS nbest FROM ns),
-       |npred AS (
+       |  FROM ${prefix}np0),
+       |${prefix}nb AS (SELECT *, $bestExpr AS nbest FROM ${prefix}ns),
+       |${prefix}npred AS (
        |  SELECT $carry,
        |    CASE
        |      $caseArms
        |      ELSE 'und' END AS lang_pred
-       |  FROM nb)""".stripMargin
+       |  FROM ${prefix}nb)""".stripMargin
   }
 
   /** Gap-30min sessionization replay, shared verbatim by q_sessionize,
@@ -14000,6 +14022,63 @@ object SparkEntry {
         |  ROUND(max(sp), 6) AS s_up_max,
         |  ROUND(max(sn), 6) AS s_down_max
         |FROM c GROUP BY 1""".stripMargin,
+
+    // ----- round-12 wave 60 oracles -----
+
+    "q_coverage_curve" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(list_filter(string_split_regex(
+        |      lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1),
+        |r AS (SELECT tok, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+        |      AS rk,
+        |    SUM(n) OVER (ORDER BY n DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    CAST(count(*) OVER () AS BIGINT) AS nt,
+        |    SUM(n) OVER () AS tt
+        |  FROM c),
+        |cuts AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT)
+        |    AS rank_cut)
+        |SELECT cuts.rank_cut, r.nt AS n_types,
+        |  CAST(r.cum AS BIGINT) AS covered_tokens,
+        |  CAST(r.tt AS BIGINT) AS total_tokens,
+        |  ROUND(CAST(r.cum AS DOUBLE) / r.tt, 6) AS coverage
+        |FROM r JOIN cuts ON r.rk = least(cuts.rank_cut, r.nt)"""
+        .stripMargin,
+
+    "q_lang_purity" ->
+      s"""WITH ld AS (SELECT doc_id, lang, $langSynthExpr AS text
+         |  FROM documents),
+         |hh AS (SELECT doc_id,
+         |    substr(coalesce(text, ''), 1,
+         |      CAST(floor(length(coalesce(text, '')) / 2.0) AS INT))
+         |      AS text
+         |  FROM ld),
+         |th AS (SELECT doc_id,
+         |    substr(coalesce(text, ''),
+         |      CAST(floor(length(coalesce(text, '')) / 2.0) AS INT)
+         |        + 1,
+         |      length(coalesce(text, ''))) AS text
+         |  FROM ld),
+         |${langIdNgramCtes(Seq("doc_id"), "hh", "h1_")},
+         |${langIdNgramCtes(Seq("doc_id"), "th", "h2_")}
+         |SELECT a.doc_id, a.lang_pred AS lang_head,
+         |  b.lang_pred AS lang_tail,
+         |  a.lang_pred = b.lang_pred AS consistent
+         |FROM h1_npred a JOIN h2_npred b USING (doc_id)""".stripMargin,
+
+    "q_json_field" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT)) AS BIGINT) AS n_with_field,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_value,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // ----- round-12 wave 59 oracles -----
 

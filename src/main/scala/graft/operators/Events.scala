@@ -727,6 +727,23 @@ object Events {
         col("dangling_calls") === 0 && col("orphan_results") === 0)
   }
 
+  /** Semi-structured field statistics over a JSON string column —
+    * the props/metadata audit every event pipeline runs before
+    * trusting a field: per group, how many rows carry the path, and
+    * the extracted integral value's sum/max. Extraction is
+    * `get_json_object` (codegen'd, map-only); a malformed document or
+    * a missing path reads NULL and counts as absent — identical
+    * semantics to the oracle's json_extract_string. */
+  def jsonFieldStats(events: DataFrame, groupCol: String,
+      jsonCol: String, path: String): DataFrame = {
+    val v = get_json_object(col(jsonCol), path).cast("long")
+    events.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        count(v).as("n_with_field"),
+        sum(v).as("sum_value"),
+        max(v).as("max_value"))
+  }
+
   /** Turn-alternation audit per stream — conversation-data QA: in a
     * well-formed chat log roles alternate, so two consecutive events
     * of the same type are a structure violation (dropped turn, double

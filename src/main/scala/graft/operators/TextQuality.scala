@@ -942,6 +942,62 @@ object TextQuality {
             lit(15.59)), 6))
   }
 
+  /** Vocabulary coverage curve — "how much of the corpus do the top-k
+    * token types cover": cumulative token-mass share at each rank
+    * cut over the (count desc, token asc) type ranking. The
+    * tokenizer-sizing readout (a 10k vocab covering 97% vs 97.9% is a
+    * fertility decision). Counts and cumulative sums are integral;
+    * the one global window runs over the VOCAB frame, not the corpus
+    * (the bounded global-order class, like ksTest2). Cuts beyond the
+    * vocab clamp to the last type (coverage 1). */
+  def coverageCurve(df: DataFrame, textCol: String,
+      cuts: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1), s"bad cuts: $cuts")
+    val counts = df
+      .select(explode(cleanTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val byRank = Window.orderBy(col("__c").desc, col("tok"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("__rk", row_number().over(byRank))
+      .withColumn("__cum", sum("__c").over(
+        byRank.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__nt", count(lit(1)).over(tot))
+      .withColumn("__tt", sum("__c").over(tot))
+    val cutsDf = broadcast(df.sparkSession
+      .createDataFrame(cuts.map(c => Tuple1(c.toLong)))
+      .toDF("rank_cut"))
+    ranked.join(cutsDf,
+        col("__rk") === least(col("rank_cut"), col("__nt")))
+      .select(col("rank_cut"), col("__nt").as("n_types"),
+        col("__cum").as("covered_tokens"),
+        col("__tt").as("total_tokens"),
+        round(col("__cum").cast("double") / col("__tt"), 6)
+          .as("coverage"))
+  }
+
+  /** Mixed-language (code-switching) detection per document: the
+    * char-n-gram language id applied independently to the first and
+    * second CHARACTER halves — a document whose halves disagree is
+    * either code-switched or too short/noisy to classify, and either
+    * way deserves a second look before a language-pure training
+    * split trusts its label. Map-only (two codegen'd scorer chains
+    * over substrings), deterministic halves via integer arithmetic. */
+  def langPurity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val half = floor(length(t) / lit(2.0)).cast("int")
+    val h1 = substr(t, lit(1), half)
+    val h2 = substr(t, half + 1, length(t))
+    df.select(col(idCol),
+        graft.functions.TextFunctions.langIdNgram(h1).as("lang_head"),
+        graft.functions.TextFunctions.langIdNgram(h2).as("lang_tail"))
+      .withColumn("consistent",
+        col("lang_head") === col("lang_tail"))
+  }
+
   /** Longest run of consecutive IDENTICAL tokens per document — the
     * degenerate-generation loop detector (a sampler stuck on one
     * token shows up here long before perplexity moves; the period-1
