@@ -4718,6 +4718,35 @@ object SparkEntry {
       operators.Eval.judgeMajority(panel, "doc_id", "rating")
     }),
 
+    // ----- round-12 wave 61: metric uncertainty, relative ranks,
+    // epoch planning -----
+
+    // generic multiplier-bootstrap SE for the corpus mean-n_chars
+    // (64 md5-Rademacher replicates, ONE wide aggregate pass)
+    "q_metric_boot" -> ((s, dir) =>
+      operators.Stats.bootstrapMeanSe(docs(s, dir), "doc_id",
+        "n_chars", b = 64)),
+
+    // within-source percentile rank of doc length (deterministic
+    // row_number flavor, (value, id) tiebreak)
+    "q_percent_rank" -> ((s, dir) => {
+      val bySrc = Window.partitionBy("source")
+      docs(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("__n", count(lit(1)).over(bySrc))
+        .withColumn("pr", round(when(col("__n") > 1,
+          (row_number().over(bySrc.orderBy(col("n_chars"),
+            col("doc_id"))) - 1).cast("double") / (col("__n") - 1))
+          .otherwise(0.0), 6))
+        .select("doc_id", "source", "n_chars", "pr")
+    }),
+
+    // epoch-repetition plan: uniform 2M-token budget over sources,
+    // epochs capped at 4 (the data-constrained-scaling planner)
+    "q_epoch_plan" -> ((s, dir) =>
+      operators.Sampling.epochPlan(docs(s, dir), "source", "n_chars",
+        totalBudget = 2000000L, maxEpochs = 4.0)),
+
     // ----- round-12 wave 60: vocab sizing, code-switch QA, JSON -----
 
     // vocabulary coverage CURVE: cumulative token-mass share at the
@@ -14022,6 +14051,62 @@ object SparkEntry {
         |  ROUND(max(sp), 6) AS s_up_max,
         |  ROUND(max(sn), 6) AS s_down_max
         |FROM c GROUP BY 1""".stripMargin,
+
+    // ----- round-12 wave 61 oracles -----
+
+    "q_metric_boot" -> {
+      def sgn(j: Int) =
+        s"(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-' || " +
+          s"$j), 1, 1) < '8' THEN 1 ELSE -1 END)"
+      val aggs = (0 until 64).map { j =>
+        s"CAST(SUM(${sgn(j)} * CAST(n_chars AS BIGINT)) " +
+          s"AS DECIMAL(38,0)) AS sx$j,\n    " +
+          s"CAST(SUM(${sgn(j)}) AS DECIMAL(38,0)) AS s$j"
+      }.mkString(",\n    ")
+      val terms = (0 until 64).map { j =>
+        s"((CAST(sx$j * n - s$j * tot AS DOUBLE) / " +
+          s"CAST(n * n AS DOUBLE)) * (CAST(sx$j * n - s$j * tot " +
+          s"AS DOUBLE) / CAST(n * n AS DOUBLE)))"
+      }.mkString(" +\n    ")
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(SUM(CAST(n_chars AS BIGINT)) AS DECIMAL(38,0))
+         |      AS tot,
+         |    $aggs
+         |  FROM documents WHERE n_chars IS NOT NULL)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+         |  ROUND(sqrt(($terms) / 64), 6) AS se_boot
+         |FROM a""".stripMargin
+    },
+
+    "q_percent_rank" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |  FROM d)
+        |SELECT doc_id, source, n_chars,
+        |  ROUND(CASE WHEN n > 1
+        |    THEN CAST(rk - 1 AS DOUBLE) / (n - 1)
+        |    ELSE 0.0 END, 6) AS pr
+        |FROM r""".stripMargin,
+
+    "q_epoch_plan" ->
+      """WITH m AS (SELECT source,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS nk FROM m)
+        |SELECT source, mass,
+        |  ROUND(CAST(2000000 AS DOUBLE) / nk, 6) AS quota,
+        |  ROUND(least(4.0, ROUND(CAST(2000000 AS DOUBLE) / nk, 6)
+        |    / mass), 6) AS epochs,
+        |  ROUND(mass * ROUND(least(4.0,
+        |    ROUND(CAST(2000000 AS DOUBLE) / nk, 6) / mass), 6), 2)
+        |    AS planned_tokens
+        |FROM m CROSS JOIN k""".stripMargin,
 
     // ----- round-12 wave 60 oracles -----
 

@@ -506,4 +506,32 @@ object Sampling {
         round(col("__kl"), 6).as("kl"),
         round(col("__gap"), 6).as("max_abs_gap"))
   }
+
+  /** Epoch-repetition plan per source (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": up to ~4 epochs of
+    * repeated data behave near-fresh): given a total token budget
+    * split by uniform target share, each source's quota over its mass
+    * gives the epoch count, capped at `maxEpochs` — the planner's
+    * readout of which sources will repeat and which leave budget
+    * unused. One hash aggregate to the sources frame; integral
+    * masses, two rounded divisions. */
+  def epochPlan(df: DataFrame, sourceCol: String, tokenCol: String,
+      totalBudget: Long, maxEpochs: Double = 4.0): DataFrame = {
+    require(totalBudget > 0 && maxEpochs >= 1.0,
+      s"bad budget=$totalBudget maxEpochs=$maxEpochs")
+    val mass = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol).cast("long")).as("mass"))
+    val nSrc = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    mass
+      .withColumn("__k", count(lit(1)).over(nSrc))
+      .withColumn("quota",
+        round(lit(totalBudget.toDouble) / col("__k"), 6))
+      .withColumn("epochs",
+        round(least(lit(maxEpochs),
+          col("quota") / col("mass")), 6))
+      .withColumn("planned_tokens",
+        round(col("mass") * col("epochs"), 2))
+      .select("source", "mass", "quota", "epochs", "planned_tokens")
+  }
 }
