@@ -101,7 +101,7 @@ provenance = {
     'files_scanned': len(files),
     'n_hits': sum(len(v) for v in hits.values()),
 }
-out = {'round': 11, **provenance, 'hits': hits}
+out = {'round': 12, **provenance, 'hits': hits}
 json.dump(out, open('LEAKCHECK.json', 'w'), indent=2)
 # Regeneration-proof provenance (r7 verdict #3): the driver's own
 # post-close scanner overwrites LEAKCHECK.json WITHOUT the stamps, so
