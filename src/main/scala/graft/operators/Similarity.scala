@@ -707,6 +707,28 @@ object Similarity {
       .distinct()
   }
 
+  /** [[nnGraph]] with the per-layer plane count DERIVED from a cheap
+    * corpus count so expected bucket occupancy stays near
+    * `targetOccupancy` — the [[semanticDedupAuto]] discipline. A FIXED
+    * plane count is quadratic in disguise: within-bucket pair work is
+    * O(sum occupancy^2), and the round-12 fresh-DGP rehearsal measured
+    * the fixed-4-plane build at exponent 1.61 (7.7 s -> 312 s at 10x,
+    * 50k vectors / 16 buckets = 3125^2 x 16 x layers pairs) versus the
+    * bounded-occupancy build's sublinear decade. Use THIS at scale;
+    * the fixed-plane flavor remains for small oracle-pinned corpora
+    * where the plane literals are inlined into the SQL twin. */
+  def nnGraphAuto(df: DataFrame, degree: Int = 4,
+      targetOccupancy: Int = 128, dim: Int = 64,
+      seeds: Seq[Long] = Seq(42L, 43L), idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(targetOccupancy >= 8, s"bad targetOccupancy: $targetOccupancy")
+    val n = df.count()
+    val nPlanes = math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+    nnGraph(df, degree, nPlanes, dim, seeds, idCol, vecCol)
+  }
+
   /** Beam search over a prebuilt neighbor graph ([[nnGraph]]) — the
     * HNSW-style query path as ITERATIVE BOUNDED JOINS: each round
     * expands the beam by one graph hop (beam join edges), scores the

@@ -76,6 +76,14 @@ class Wave54Spec extends AnyFunSuite with Matchers with SparkSpec {
     } finally g.unpersist()
   }
 
+  test("nnGraphAuto: derives 4 planes on small corpora (identical " +
+    "graph to the fixed-plane build) and more at scale") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = Similarity.nnGraphAuto(e).collect().toSet
+    val fixed = Similarity.nnGraph(e).collect().toSet
+    auto shouldBe fixed
+  }
+
   test("graphBeamSearch: walks a hop beyond the entry's own edges") {
     // hand graph: 0-1, 1-2 (chain). Vectors: 2 is the true nearest to
     // 0 but only reachable through 1. One round from self {0} reaches
