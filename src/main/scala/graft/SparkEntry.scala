@@ -4720,6 +4720,22 @@ object SparkEntry {
       operators.Eval.judgeMajority(panel, "doc_id", "rating")
     }),
 
+    // ----- round-12 wave 62: two-sample drift completions -----
+
+    // Mann-Whitney U on the q_ks_test pair: the location test next to
+    // KS's shape test (fractional pooled ranks, tie-corrected z)
+    "q_mann_whitney" -> ((s, dir) =>
+      operators.Stats.mannWhitney(
+        s.read.parquet(s"$dir/events.parquet"), "event_type", "value",
+        "purchase", "signup")),
+
+    // Wasserstein-1 on the same pair: drift magnitude in value units
+    // (gap-weighted ECDF area, value-ordered fold)
+    "q_wasserstein" -> ((s, dir) =>
+      operators.Stats.wasserstein1(
+        s.read.parquet(s"$dir/events.parquet"), "event_type", "value",
+        "purchase", "signup")),
+
     // ----- round-12 wave 61: metric uncertainty, relative ranks,
     // epoch planning -----
 
@@ -14053,6 +14069,73 @@ object SparkEntry {
         |  ROUND(max(sp), 6) AS s_up_max,
         |  ROUND(max(sn), 6) AS s_down_max
         |FROM c GROUP BY 1""".stripMargin,
+
+    // ----- round-12 wave 62 oracles -----
+
+    "q_mann_whitney" ->
+      """WITH p AS (
+        |  SELECT event_type AS s, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'signup')),
+        |r AS (SELECT s,
+        |    CAST(rank() OVER (ORDER BY v) AS DOUBLE) +
+        |      (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS fr
+        |  FROM p),
+        |tc AS (SELECT coalesce(SUM(t * t * t - t), 0) AS tsum FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS t FROM p GROUP BY v)),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN s = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN s = 'purchase' THEN fr ELSE 0.0 END) AS ra
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |  ROUND(ra - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0, 6)
+        |    AS u_stat,
+        |  ROUND(CASE WHEN sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+        |      ((CAST(n_a AS DOUBLE) + n_b + 1) -
+        |        CAST(tsum AS DOUBLE) /
+        |        ((CAST(n_a AS DOUBLE) + n_b) *
+        |         (CAST(n_a AS DOUBLE) + n_b - 1)))) > 0
+        |    THEN ((ra - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0) -
+        |      CAST(n_a AS DOUBLE) * n_b / 2.0) /
+        |      sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+        |        ((CAST(n_a AS DOUBLE) + n_b + 1) -
+        |          CAST(tsum AS DOUBLE) /
+        |          ((CAST(n_a AS DOUBLE) + n_b) *
+        |           (CAST(n_a AS DOUBLE) + n_b - 1))))
+        |    END, 6) AS z
+        |FROM a CROSS JOIN tc""".stripMargin,
+
+    "q_wasserstein" ->
+      """WITH d AS (
+        |  SELECT event_type AS s, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'signup')),
+        |c AS (SELECT v,
+        |    CAST(SUM(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN s = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+        |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+        |    lead(v) OVER (ORDER BY v) - v AS gap
+        |  FROM c),
+        |t AS (SELECT v, na, nb,
+        |    CASE WHEN gap IS NOT NULL
+        |      THEN abs(CAST(cca AS DOUBLE) / na -
+        |        CAST(ccb AS DOUBLE) / nb) * gap
+        |      ELSE 0.0 END AS term
+        |  FROM e)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  ROUND(list_reduce(list(term ORDER BY v), (a, c) -> a + c),
+        |    6) AS w1
+        |FROM t""".stripMargin,
 
     // ----- round-12 wave 61 oracles -----
 

@@ -1889,6 +1889,89 @@ object Stats {
       .select("digit", "n_obs", "share", "expected", "contrib", "chi2")
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) — the two-sample LOCATION
+    * test completing the drift family ([[ksTest2]] tests shape, this
+    * tests "did the median move", robust to outliers where a t-test
+    * is not): U = sum of sample-A pooled fractional ranks minus
+    * nA(nA+1)/2, with the tie-corrected normal approximation.
+    *
+    * Exactness: fractional ranks are exact half-integers, and any sum
+    * of half-integers below 2^52 is exact in IEEE doubles REGARDLESS
+    * of accumulation order — so U is partition-invariant with no
+    * sorted fold needed; the tie correction `sum(t^3 - t)` is
+    * integral. One rank window over the pooled frame + one aggregate;
+    * z and its two-sided p are single mirrored float expressions. */
+  def mannWhitney(df: DataFrame, splitCol: String, valueCol: String,
+      aLabel: String, bLabel: String): DataFrame = {
+    val pool = df
+      .filter(col(valueCol).isNotNull &&
+        col(splitCol).isin(aLabel, bLabel))
+      .select(col(splitCol).as("__s"),
+        col(valueCol).cast("double").as("__v"))
+    val fr = rank().over(Window.orderBy(col("__v"))).cast("double") +
+      (count(lit(1)).over(Window.partitionBy("__v")) - 1) / 2.0
+    val ties = pool.groupBy("__v").agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * col("__t") * col("__t") -
+        col("__t")), lit(0L)).as("__tc"))
+    val agg = pool.withColumn("__r", fr)
+      .agg(sum(when(col("__s") === aLabel, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(col("__s") === bLabel, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__s") === aLabel, col("__r")).otherwise(0.0))
+          .as("__ra"))
+      .crossJoin(broadcast(ties))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val u = col("__ra") - na * (na + 1) / 2.0
+    val mu = na * nb / 2.0
+    val sig = sqrt(na * nb / 12.0 *
+      ((n + 1) - col("__tc").cast("double") / (n * (n - 1))))
+    // z only — compare to the usual critical values (+-1.96 at 5%);
+    // a cross-engine erf approximation would add noise, not rigor
+    agg.select(col("n_a"), col("n_b"),
+      round(u, 6).as("u_stat"),
+      round(when(sig > 0, (u - mu) / sig), 6).as("z"))
+  }
+
+  /** One-dimensional Wasserstein-1 (earth-mover) distance between two
+    * samples — the drift MAGNITUDE in the metric's own units
+    * ([[ksTest2]]'s D is unitless; "the length distribution moved by
+    * 37 tokens" is the actionable readout): `W1 = integral of
+    * |ECDF_a - ECDF_b|`, computed as the gap-weighted sum over the
+    * sorted distinct-value frame. ECDFs are exact integer ratios;
+    * the <= |values| terms fold in value order (sorted fold), so the
+    * number replays exactly. Same bounded global-order class as
+    * ksTest2. */
+  def wasserstein1(df: DataFrame, splitCol: String, valueCol: String,
+      aLabel: String, bLabel: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull &&
+        col(splitCol).isin(aLabel, bLabel))
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(col(splitCol) === aLabel, 1L).otherwise(0L))
+          .as("__ca"),
+        sum(when(col(splitCol) === bLabel, 1L).otherwise(0L))
+          .as("__cb"))
+    val byV = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts
+      .withColumn("__na", sum("__ca").over(tot))
+      .withColumn("__nb", sum("__cb").over(tot))
+      .withColumn("__gap",
+        lead(col("v"), 1).over(Window.orderBy("v")) - col("v"))
+      .withColumn("__term", when(col("__gap").isNotNull,
+        abs(sum("__ca").over(byV).cast("double") / col("__na") -
+          sum("__cb").over(byV).cast("double") / col("__nb")) *
+          col("__gap")).otherwise(0.0))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        round(aggregate(sort_array(collect_list(
+          struct(col("v"), col("__term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")), 6).as("w1"))
+  }
+
   /** Generic multiplier-bootstrap standard error for a corpus MEAN —
     * the did/MBoot Rademacher machinery lifted to arbitrary metrics
     * ("mean doc quality 0.62 ± what?"): replicate b perturbs the mean
