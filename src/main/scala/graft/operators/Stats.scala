@@ -1895,31 +1895,39 @@ object Stats {
     * is not): U = sum of sample-A pooled fractional ranks minus
     * nA(nA+1)/2, with the tie-corrected normal approximation.
     *
-    * Exactness: fractional ranks are exact half-integers, and any sum
-    * of half-integers below 2^52 is exact in IEEE doubles REGARDLESS
-    * of accumulation order — so U is partition-invariant with no
-    * sorted fold needed; the tie correction `sum(t^3 - t)` is
-    * integral. One rank window over the pooled frame + one aggregate;
-    * z and its two-sided p are single mirrored float expressions. */
+    * Scale shape: the rank-sum NEVER ranks rows. Every row sharing a
+    * value v gets the same fractional rank cumBefore_v + (t_v+1)/2
+    * (cumBefore = pooled count strictly below v, t = tie size), so
+    * sample A's rank-sum collapses to the VALUE-level identity
+    * `sum_v ca_v * (cumBefore_v + (t_v+1)/2)` over the grouped counts
+    * frame — the same bounded-global-order class as [[ksTest2]] and
+    * [[wasserstein1]] (one window over distinct values, map-side
+    * combined counts feeding it), not a single-reducer sort of the
+    * corpus. Exactness: each grouped term is integer x half-integer =
+    * half-integer, and any sum of half-integers below 2^52 is exact
+    * in IEEE doubles REGARDLESS of accumulation order — bit-identical
+    * to the row-level rank-sum the oracle computes; the tie
+    * correction `sum(t^3 - t)` is integral. */
   def mannWhitney(df: DataFrame, splitCol: String, valueCol: String,
       aLabel: String, bLabel: String): DataFrame = {
-    val pool = df
+    val counts = df
       .filter(col(valueCol).isNotNull &&
         col(splitCol).isin(aLabel, bLabel))
-      .select(col(splitCol).as("__s"),
-        col(valueCol).cast("double").as("__v"))
-    val fr = rank().over(Window.orderBy(col("__v"))).cast("double") +
-      (count(lit(1)).over(Window.partitionBy("__v")) - 1) / 2.0
-    val ties = pool.groupBy("__v").agg(count(lit(1)).as("__t"))
-      .agg(coalesce(sum(col("__t") * col("__t") * col("__t") -
-        col("__t")), lit(0L)).as("__tc"))
-    val agg = pool.withColumn("__r", fr)
-      .agg(sum(when(col("__s") === aLabel, 1L).otherwise(0L))
-          .as("n_a"),
-        sum(when(col("__s") === bLabel, 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("__s") === aLabel, col("__r")).otherwise(0.0))
-          .as("__ra"))
-      .crossJoin(broadcast(ties))
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(col(splitCol) === aLabel, 1L).otherwise(0L))
+          .as("__ca"),
+        count(lit(1)).as("__t"))
+    val cumBefore = coalesce(sum(col("__t")).over(Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val agg = counts
+      .withColumn("__below", cumBefore)
+      .agg(sum("__ca").as("n_a"),
+        sum(col("__t") - col("__ca")).as("n_b"),
+        sum(col("__ca").cast("double") *
+          (col("__below").cast("double") +
+            (col("__t").cast("double") + 1.0) / 2.0)).as("__ra"),
+        coalesce(sum(col("__t") * col("__t") * col("__t") -
+          col("__t")), lit(0L)).as("__tc"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val n = na + nb
