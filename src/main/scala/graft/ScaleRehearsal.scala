@@ -979,6 +979,20 @@ object ScaleRehearsal {
         // documented in BENCH_NOTES rather than re-paid every run:
         // 7.7 s at 1x -> 312.0 s at 10x, exponent 1.61 — the
         // occupancy^2 blowup nnGraphAuto exists to bound)
+        timed("ann_graph_mp_recall") {
+          // multi-probe build on the CLUSTERED DGP (this rehearsal's
+          // embeddings ARE clustered — 32 centroids, the shape real
+          // corpora have): out = mean recall@5 in thousandths, so the
+          // printed row carries the quality number next to the time;
+          // the VERDICT bar (>= 0.8) is asserted in MultiProbeAnnSpec
+          val g = graft.operators.Similarity.nnGraphMultiProbeAuto(emb)
+          val r = graft.operators.Similarity.graphAnnRecall(emb,
+            emb.filter(org.apache.spark.sql.functions.col("vec_id")
+              < 10), g, k = 5)
+            .agg(org.apache.spark.sql.functions.avg("recall"))
+            .head().getDouble(0)
+          math.round(r * 1000)
+        },
         timed("manifest_append") {
           // the incremental path: write 1/3, append the other 2/3 in
           // two batches — cost tracks the BATCH, not the manifest

@@ -2330,6 +2330,23 @@ object SparkEntry {
         Similarity.nnGraphAuto(e), k = 5)
     }),
 
+    // multi-probe graph ANN: same beam walk over the richer
+    // nnGraphMultiProbe edges (each vector also probes its 2
+    // lowest-margin bit-flip buckets per layer) — the recall lever,
+    // still a pure function of (corpus, seeds) replayed by the oracle
+    "q_ann_graph_mp_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.graphBeamSearch(e, e.filter(col("vec_id") < 10),
+        Similarity.nnGraphMultiProbeAuto(e), k = 5)
+    }),
+
+    // and its recall meter vs exact brute force, oracle-exact
+    "q_ann_graph_mp_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.graphAnnRecall(e, e.filter(col("vec_id") < 10),
+        Similarity.nnGraphMultiProbeAuto(e), k = 5)
+    }),
+
     // similarity: LSH-bucketed approximate top-k (scale path).
     // Oracle-gated in r8: "approximate" means approximate vs the TRUE
     // top-k, but the output is a deterministic pure function of
@@ -5118,25 +5135,68 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS distinct_2
         |FROM u1 FULL JOIN u2 ON u1.source = u2.source""".stripMargin
 
-  private val annGraphCtes: String = {
-    def terms(seed: Long) = operators.Similarity.planes(4, 64, seed)
+  private val annGraphCtes: String = annGraphCtesGen(probes = 0)
+
+  /** Unrolled SQL twin of the graph-ANN build + beam walk. `probes`
+    * = 0 replays [[operators.Similarity.nnGraph]]; `probes` > 0
+    * replays [[operators.Similarity.nnGraphMultiProbe]] — per layer,
+    * each vector additionally probes the buckets reached by flipping
+    * its `probes` lowest-|projection| hash bits (quantized-margin
+    * rank `(round(|proj|,6), j)`, the cross-engine ordering
+    * discipline). `b$i` is MATERIALIZED (referenced 2-4x per layer). */
+  private def annGraphCtesGen(probes: Int): String = {
+    def pl(seed: Long) = operators.Similarity.planes(4, 64, seed)
+    def terms(seed: Long) = pl(seed)
       .zipWithIndex.map { case (p, j) =>
         s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
           s" THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-    def layer(i: Int, seed: Long) =
-      s"""b$i AS (SELECT vec_id, v, CAST(${terms(seed)} AS BIGINT) AS bkt
+    def probeCtes(i: Int, seed: Long) = {
+      val projRows = pl(seed).zipWithIndex.map { case (p, j) =>
+        s"SELECT vec_id, $j AS j, list_dot_product(v," +
+          s" [${p.mkString(", ")}]) AS proj FROM e"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""pr$i AS ($projRows),
+         |fl$i AS (
+         |  SELECT pr.vec_id, b.bkt, pr.j FROM pr$i pr
+         |  JOIN b$i b ON b.vec_id = pr.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY pr.vec_id
+         |    ORDER BY ROUND(abs(pr.proj), 6), pr.j) <= $probes),
+         |pb$i AS (
+         |  SELECT vec_id, bkt AS pbkt FROM b$i
+         |  UNION ALL
+         |  SELECT vec_id, xor(bkt, CAST(1 << j AS BIGINT)) AS pbkt
+         |  FROM fl$i),""".stripMargin
+    }
+    def layer(i: Int, seed: Long) = {
+      val pairs =
+        if (probes == 0)
+          s"""p$i AS (
+             |  SELECT a.vec_id AS src, c.vec_id AS dst,
+             |    ROUND(list_dot_product(a.v, c.v) /
+             |      (sqrt(list_dot_product(a.v, a.v)) *
+             |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+             |  FROM b$i a JOIN b$i c
+             |    ON a.bkt = c.bkt AND a.vec_id <> c.vec_id)""".stripMargin
+        else
+          s"""${probeCtes(i, seed)}
+             |p$i AS (
+             |  SELECT a.vec_id AS src, c.vec_id AS dst,
+             |    ROUND(list_dot_product(av.v, c.v) /
+             |      (sqrt(list_dot_product(av.v, av.v)) *
+             |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+             |  FROM pb$i a
+             |  JOIN e av ON av.vec_id = a.vec_id
+             |  JOIN b$i c
+             |    ON a.pbkt = c.bkt AND c.vec_id <> a.vec_id)""".stripMargin
+      s"""b$i AS MATERIALIZED (
+         |  SELECT vec_id, v, CAST(${terms(seed)} AS BIGINT) AS bkt
          |  FROM e),
-         |p$i AS (
-         |  SELECT a.vec_id AS src, c.vec_id AS dst,
-         |    ROUND(list_dot_product(a.v, c.v) /
-         |      (sqrt(list_dot_product(a.v, a.v)) *
-         |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
-         |  FROM b$i a JOIN b$i c
-         |    ON a.bkt = c.bkt AND a.vec_id <> c.vec_id),
+         |$pairs,
          |l$i AS (SELECT src, dst FROM p$i
          |  QUALIFY row_number() OVER (PARTITION BY src
          |    ORDER BY cos DESC, dst) <= 4)""".stripMargin
+    }
     def round(i: Int, prev: String) =
       s"""c$i AS (SELECT DISTINCT qid, node FROM (
          |  SELECT qid, node FROM $prev
@@ -10205,6 +10265,36 @@ object SparkEntry {
     // brute-force top-5 (the q_cosine_topk ranking), hits / 5
     "q_ann_graph_recall" ->
       s"""WITH $annGraphCtes,
+         |t AS (SELECT qid, node AS cid FROM f
+         |  WHERE rk <= 8 AND node <> qid
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, node) <= 5),
+         |bfp AS (
+         |  SELECT bq.qid, c.vec_id AS cid,
+         |    ROUND(list_dot_product(bq.qv, c.v) /
+         |      (sqrt(list_dot_product(bq.qv, bq.qv)) *
+         |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |  FROM bq JOIN e c ON c.vec_id <> bq.qid
+         |  QUALIFY row_number() OVER (PARTITION BY bq.qid
+         |    ORDER BY cos DESC, c.vec_id) <= 5)
+         |SELECT bfp.qid,
+         |  CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  ROUND(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    / 5.0, 6) AS recall
+         |FROM bfp LEFT JOIN t ON bfp.qid = t.qid AND bfp.cid = t.cid
+         |GROUP BY 1""".stripMargin,
+
+    // multi-probe graph ANN: the probes=2 build unrolled the same way
+    "q_ann_graph_mp_topk" ->
+      s"""WITH ${annGraphCtesGen(2)}
+         |SELECT qid, node AS cid, cos FROM f
+         |WHERE rk <= 8 AND node <> qid
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |  ORDER BY cos DESC, node) <= 5""".stripMargin,
+
+    "q_ann_graph_mp_recall" ->
+      s"""WITH ${annGraphCtesGen(2)},
          |t AS (SELECT qid, node AS cid FROM f
          |  WHERE rk <= 8 AND node <> qid
          |  QUALIFY row_number() OVER (PARTITION BY qid
