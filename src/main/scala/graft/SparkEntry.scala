@@ -2774,6 +2774,16 @@ object SparkEntry {
         Multimodal.synthesizeVideosWithFrames(ids))
     }),
 
+    // multimodal: REAL codec-bearing frame decode — animated GIF is
+    // the multi-frame compressed family the JDK decodes end-to-end
+    // (LZW + palette). Synthesize real animated GIFs, decode every
+    // frame through the color model, and pin per-frame dims/intensity
+    // to the synthesis-contract oracle. No stub anywhere on this path.
+    "q_gif_frames" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id").as("media_id"))
+      Multimodal.gifFrameFeatures(Multimodal.synthesizeGifs(ids))
+    }),
+
     // multimodal: frame-sample fan-out plan for video payloads
     "q_frame_sample" -> ((s, dir) => {
       val media = docs(s, dir).select(
@@ -10362,6 +10372,18 @@ object SparkEntry {
         |  CAST((doc_id + 37 * k) % 256 AS DOUBLE) AS mean_intensity
         |FROM documents, range(6) r(k)
         |WHERE k < 3 + doc_id % 4""".stripMargin,
+
+    // Predicts Multimodal.synthesizeGifs' contract: per-doc frame
+    // count, shared dims, per-frame uniform gray (GIF's palette is
+    // exact for uniform frames, so gray == mean intensity).
+    "q_gif_frames" ->
+      """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_no,
+        |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id // 16) % 16 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST((doc_id + 41 * k) % 256 AS DOUBLE) AS mean_intensity
+        |FROM documents, range(5) r(k)
+        |WHERE k < 2 + doc_id % 4""".stripMargin,
 
     // Predicts Multimodal.synthesizeVideos' MP4 contract.
     "q_video_meta" ->

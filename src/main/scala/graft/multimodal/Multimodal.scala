@@ -751,10 +751,136 @@ object Multimodal {
     spark.createDataFrame(out, mediaSchema)
   }
 
+  /** REAL animated-GIF frame decode — the codec-bearing multi-frame
+    * family the JDK CAN decode end-to-end (closing the r12 gap where
+    * compressed VIDEO codecs degrade to the labeled stub: H.264 needs
+    * a codec the JDK doesn't ship; GIF's LZW decoder it does). One
+    * ImageReader per payload, `getNumImages(allowSearch = true)` to
+    * count frames, `read(k)` per frame. Frame pixels are read through
+    * the COLOR MODEL (getRGB), not the raster: GIF decodes to an
+    * indexed raster whose single band holds palette indices — raster
+    * samples would average indices, not intensities — so channels is
+    * reported as 3 (RGB through the palette) and mean intensity
+    * averages r, g, b over all pixels on the 0..255 scale.
+    *
+    * Same distributed shape as [[videoFrameFeatures]]: per-partition
+    * iterator pass, no shuffle, no collect; payloads that are not GIF
+    * (or truncated mid-stream) yield no rows rather than killing the
+    * job. */
+  def gifFrameFeatures(media: DataFrame, everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val spark = media.sparkSession
+    val out = media.select("media_id", "bytes").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        gifFrames(bytes).toSeq.flatMap { case (n, read) =>
+          (0 until n by everyNth).flatMap { k =>
+            read(k).map { im =>
+              val (w, h) = (im.getWidth, im.getHeight)
+              var sum = 0.0
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                im.getRGB(0, y, w, 1, row, 0, w)
+                var i = 0
+                while (i < w) {
+                  val p = row(i)
+                  sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                  i += 1
+                }
+                y += 1
+              }
+              Row(id, k, w, h, 3,
+                math.rint(sum / (w.toLong * h * 3) * 1e6) / 1e6)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, frameFeatureSchema)
+  }
+
+  /** Open a GIF payload: Some((frameCount, frame reader)) when the
+    * bytes parse as GIF, None otherwise. The per-frame reader returns
+    * None for frames that fail mid-stream (truncation) so callers
+    * degrade per-frame, not per-file. */
+  private def gifFrames(bytes: Array[Byte])
+      : Option[(Int, Int => Option[java.awt.image.BufferedImage])] = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) None
+      else Some((n, (k: Int) =>
+        try Option(reader.read(k))
+        catch { case scala.util.control.NonFatal(_) => None }))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a real multi-frame animated GIF via the JDK writer's
+    * sequence API; every frame is a uniform-gray full frame (exact
+    * through GIF's 256-color palette, so decoded mean intensity ==
+    * gray bit-for-bit). */
+  def syntheticGif(width: Int, height: Int, grays: Seq[Int])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val im = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g2 = im.createGraphics()
+      g2.setColor(new java.awt.Color(g, g, g))
+      g2.fillRect(0, 0, width, height)
+      g2.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(im, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** Deterministic media frame of REAL animated-GIF payloads keyed by
+    * `media_id`: n_frames = 2 + id % 4, width = 8 + id % 16,
+    * height = 8 + (id / 16) % 16, frame k's uniform gray
+    * (= exact mean intensity) = (id + 41 * k) % 256. The derivation
+    * is what the DuckDB oracle for `q_gif_frames` predicts. */
+  def synthesizeGifs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+      rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val grays = (0 until (2 + (id % 4)).toInt)
+            .map(k => ((id + 41 * k) % 256).toInt)
+          val bytes = syntheticGif(8 + (id % 16).toInt,
+            8 + ((id / 16) % 16).toInt, grays)
+          Row(id, "gif", bytes, null)
+        }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
   /** STUB decoder for video FRAME payloads that carry a compressed
     * codec (H.264 etc. — the JDK ships no video codec; PNG/JPEG frames
     * indexed by real sample tables decode for real, see
-    * [[videoFrameFeatures]]) and for image payloads ImageIO rejects.
+    * [[videoFrameFeatures]]; animated GIF decodes for real via
+    * [[gifFrameFeatures]]) and for image payloads ImageIO rejects.
+    * PERMANENTLY ADJUDICATED (SURVEY §8): compressed video codecs stay
+    * on this labeled stub in this zero-egress, no-native-codec
+    * environment; the distributed plumbing around it is real and
+    * exercised by the PNG-in-mdat and GIF families.
     * Deterministic in the payload bytes so tests and reruns are stable:
     * "dimensions" come from a byte-sum hash, "intensity" is the mean
     * byte value. */
