@@ -2106,8 +2106,14 @@ object SparkEntry {
     // candidates only; the two-phase IR design whose quadratic work is
     // candidate-bounded
     "q_lexical_pairs" -> ((s, dir) =>
+      // maxDfAbs = the documented production constant: the rare-token
+      // candidate self-join fans out as df^2 per token, so an absolute
+      // df cap is what keeps candidate volume linear in corpus size
+      // (the r13 full-surface sf1 one-shot caught the uncapped run
+      // OOMing the context at 50k docs). No-op at the gate SFs
+      // (max df there is far below 1000).
       Search.lexicalCosinePairs(docs(s, dir), "doc_id", "text",
-        maxDfFrac = 0.7, minCos = 0.75)),
+        maxDfFrac = 0.7, minCos = 0.75, maxDfAbs = 1000L)),
 
     // decontamination: per-doc count of 3-gram collisions with the
     // benchmark slice (doc_id % 20 == 0 plays the eval set); broadcast
@@ -4090,13 +4096,30 @@ object SparkEntry {
 
     // rank agreement between two scorers (doc length in chars vs in
     // tokens) per source: tie-aware Kendall tau-b, enforced group cap
-    "q_kendall_tau" -> ((s, dir) =>
-      operators.Stats.kendallTauB(
-        docs(s, dir).select(col("source"), col("doc_id"),
-          col("n_chars"),
-          TextFunctions.tokenCount(col("text")).cast("long")
-            .as("n_tok")),
-        "source", "doc_id", "n_chars", "n_tok", maxPerGroup = 1000)),
+    "q_kendall_tau" -> ((s, dir) => {
+      // tau is a pair-quadratic statistic; kendallTauB's maxPerGroup
+      // guard refuses loudly past 1000 rows/group. The production
+      // pattern (r13, caught by the sf1 one-shot where source groups
+      // hit 2500): deterministically subsample each group to ~800
+      // rows with the temperature_mix md5-threshold rule — exact
+      // no-op whenever a group is already <= 800 (every gate SF), and
+      // a replayable pure function of doc_id at scale.
+      val base = docs(s, dir).select(col("source"), col("doc_id"),
+        col("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      val thr = base.groupBy("source")
+        .agg(count(lit(1)).as("__n"))
+        .select(col("source"), when(col("__n") <= 800, lit("g"))
+          .otherwise(format_string("%08x",
+            floor(lit(800.0) / col("__n") * lit(4294967296.0))
+              .cast("long"))).as("__thr"))
+      val sampled = base.join(broadcast(thr), "source")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 8)
+          < col("__thr"))
+        .drop("__thr")
+      operators.Stats.kendallTauB(sampled,
+        "source", "doc_id", "n_chars", "n_tok", maxPerGroup = 1000)
+    }),
 
     // ---- wave 45: corpus-frequency boilerplate (CCNet-style) ----
 
@@ -9657,7 +9680,7 @@ object SparkEntry {
         |  FROM p0 JOIN d USING (tok) CROSS JOIN stats),
         |rare AS MATERIALIZED (
         |  SELECT doc_id, p0.tok FROM p0 JOIN d USING (tok)
-        |  CROSS JOIN stats WHERE dfreq <= 0.7 * n),
+        |  CROSS JOIN stats WHERE dfreq <= 0.7 * n AND dfreq <= 1000),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM rare a JOIN rare b
@@ -12701,11 +12724,18 @@ object SparkEntry {
     // Kendall tau-b: exact within-group pair join (group size capped
     // in the engine), four integral pair counts, one division
     "q_kendall_tau" ->
-      """WITH ks AS (SELECT source, doc_id,
+      """WITH k0 AS (SELECT source, doc_id,
         |    CAST(n_chars AS DOUBLE) AS x,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
         |      AS DOUBLE) AS y
         |  FROM documents),
+        |kc AS (SELECT source, count(*) AS n FROM k0 GROUP BY 1),
+        |kt AS (SELECT source, CASE WHEN n <= 800 THEN 'g'
+        |    ELSE printf('%08x', CAST(floor(800.0 / n * 4294967296)
+        |      AS BIGINT)) END AS thr
+        |  FROM kc),
+        |ks AS (SELECT k0.* FROM k0 JOIN kt USING (source)
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < kt.thr),
         |kp AS (SELECT a.source, a.x AS xa, a.y AS ya,
         |    b.x AS xb, b.y AS yb
         |  FROM ks a JOIN ks b
