@@ -90,7 +90,11 @@ object Multimodal {
     * the contract the DuckDB oracle for `q_media_features` predicts. */
   def synthesizeImages(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+    val out = ids.select(col("media_id").cast("long"))
+      // per-record encode work is CPU-bound while the ids frame is tiny:
+      // partition by WORK, not bytes, or the scan coalesces to one task
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions {
       rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -127,7 +131,11 @@ object Multimodal {
     * [[syntheticColumnPng]]). */
   def synthesizeColumnImages(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+    val out = ids.select(col("media_id").cast("long"))
+      // per-record encode work is CPU-bound while the ids frame is tiny:
+      // partition by WORK, not bytes, or the scan coalesces to one task
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions {
       rows => rows.map { r =>
         Row(r.getLong(0), "image", syntheticColumnPng(r.getLong(0)), null)
       }
@@ -300,21 +308,28 @@ object Multimodal {
     * the real javax.sound decode with exactly predictable features. */
   def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int,
       value: Short): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, channels, true, false)
-    val pcm = new Array[Byte](nFrames * channels * 2)
+    // hand-rolled canonical 44-byte RIFF/WAVE header + PCM16-LE data:
+    // byte-identical to AudioSystem.write's output for this format,
+    // but free of the JDK provider registry's per-call synchronization
+    // — at 50k syntheses across 32 threads the AudioSystem lock was
+    // the q_audio_features bottleneck (r13 sf1 one-shot), and the
+    // DECODE side (the real contract under test) still goes through
+    // javax.sound untouched
+    val dataLen = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < pcm.length) {
-      pcm(i) = (value & 0xFF).toByte
-      pcm(i + 1) = ((value >> 8) & 0xFF).toByte
-      i += 2
-    }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    while (i < nFrames * channels) { buf.putShort(value); i += 1 }
+    buf.array()
   }
 
   /** Deterministic media frame of REAL WAV payloads keyed by `media_id`:
@@ -324,7 +339,11 @@ object Multimodal {
     * `q_audio_features` predicts. */
   def synthesizeAudio(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+    val out = ids.select(col("media_id").cast("long"))
+      // per-record encode work is CPU-bound while the ids frame is tiny:
+      // partition by WORK, not bytes, or the scan coalesces to one task
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions {
       rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -440,7 +459,11 @@ object Multimodal {
     * these plus duration_sec = ticks / timescale rounded to 6dp. */
   def synthesizeVideos(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+    val out = ids.select(col("media_id").cast("long"))
+      // per-record encode work is CPU-bound while the ids frame is tiny:
+      // partition by WORK, not bytes, or the scan coalesces to one task
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions {
       rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -735,7 +758,11 @@ object Multimodal {
     * what the DuckDB oracle for `q_frame_features` predicts. */
   def synthesizeVideosWithFrames(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+    val out = ids.select(col("media_id").cast("long"))
+      // per-record encode work is CPU-bound while the ids frame is tiny:
+      // partition by WORK, not bytes, or the scan coalesces to one task
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions {
       rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -858,7 +885,11 @@ object Multimodal {
     * is what the DuckDB oracle for `q_gif_frames` predicts. */
   def synthesizeGifs(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val out = ids.select(col("media_id").cast("long")).rdd.mapPartitions {
+    val out = ids.select(col("media_id").cast("long"))
+      // per-record encode work is CPU-bound while the ids frame is tiny:
+      // partition by WORK, not bytes, or the scan coalesces to one task
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions {
       rows =>
         rows.map { r =>
           val id = r.getLong(0)
