@@ -3249,6 +3249,15 @@ object SparkEntry {
     "q_mutual_nn" -> ((s, dir) =>
       Similarity.mutualNearestNeighbors(emb(s, dir), nPlanes = 4)),
 
+    // the occupancy-derived scale path for the same operator: at every
+    // test SF the near-balanced testdata derives exactly 4 planes
+    // (OccupancyPlanesSpec pins it), so the SAME inlined-literal
+    // oracle gates it — while on cluster-skewed corpora the derivation
+    // escalates and keeps the in-bucket pair work bounded (the r13
+    // sf1 adjudication's missing scale path, now oracle-gated)
+    "q_mutual_nn_auto" -> ((s, dir) =>
+      Similarity.mutualNearestNeighborsAuto(emb(s, dir))),
+
     // evaluation: cumulative gains/lift table for the n_chars
     // is-English scorer — best-decile-first cumulative capture
     "q_gains" -> ((s, dir) =>
@@ -5167,6 +5176,37 @@ object SparkEntry {
         |    THEN coalesce(uniq_2, 0) / CAST(total_2 AS DOUBLE)
         |    ELSE 0.0 END, 6) AS distinct_2
         |FROM u1 FULL JOIN u2 ON u1.source = u2.source""".stripMargin
+
+  /** Mutual-NN replay shared by `q_mutual_nn` (fixed 4 planes) and
+    * `q_mutual_nn_auto` (occupancy-derived — resolves to the same 4
+    * planes on every near-balanced test SF, pinned by
+    * OccupancyPlanesSpec, so one oracle gates both). `b` MATERIALIZED
+    * per the r13 CTE audit (self-joined). */
+  private val mutualNnSql: String = {
+    val terms = graft.operators.Similarity.planes(4, 64, 42L)
+      .zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS MATERIALIZED (
+      |  SELECT vec_id, v, CAST($terms AS BIGINT) AS bkt FROM e),
+      |s AS (
+      |  SELECT a.vec_id AS ida, c.vec_id AS idb,
+      |    ROUND(list_dot_product(a.v, c.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      |  FROM b a JOIN b c ON a.bkt = c.bkt
+      |    AND a.vec_id <> c.vec_id),
+      |best AS (
+      |  SELECT ida, idb, cos FROM s
+      |  QUALIFY row_number() OVER (PARTITION BY ida
+      |    ORDER BY cos DESC, idb) = 1)
+      |SELECT x.ida AS id_a, x.idb AS id_b, x.cos
+      |FROM best x JOIN best y ON x.ida = y.idb AND x.idb = y.ida
+      |WHERE x.ida < x.idb""".stripMargin
+  }
 
   private val annGraphCtes: String = annGraphCtesGen(probes = 0)
 
@@ -11283,30 +11323,8 @@ object SparkEntry {
 
     // mutual NN: same inlined planes, within-bucket best by
     // (cos desc, id), mutuality by the reversed self-join
-    "q_mutual_nn" -> {
-      val terms = graft.operators.Similarity.planes(4, 64, 42L)
-        .zipWithIndex.map { case (p, j) =>
-          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
-            s" THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |b AS (SELECT vec_id, v, CAST($terms AS BIGINT) AS bkt FROM e),
-        |s AS (
-        |  SELECT a.vec_id AS ida, c.vec_id AS idb,
-        |    ROUND(list_dot_product(a.v, c.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) *
-        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
-        |  FROM b a JOIN b c ON a.bkt = c.bkt
-        |    AND a.vec_id <> c.vec_id),
-        |best AS (
-        |  SELECT ida, idb, cos FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY ida
-        |    ORDER BY cos DESC, idb) = 1)
-        |SELECT x.ida AS id_a, x.idb AS id_b, x.cos
-        |FROM best x JOIN best y ON x.ida = y.idb AND x.idb = y.ida
-        |WHERE x.ida < x.idb""".stripMargin
-    },
+    "q_mutual_nn_auto" -> mutualNnSql,
+    "q_mutual_nn" -> mutualNnSql,
 
     // top-k with (other): deterministic (count desc, category) rank
     "q_top_sources" ->

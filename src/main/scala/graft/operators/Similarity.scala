@@ -960,6 +960,24 @@ object Similarity {
     semanticDedup(df, threshold, nPlanes, dim, seed, idCol, vecCol)
   }
 
+  /** [[mutualNearestNeighbors]] with the plane count derived from the
+    * measured occupancy tail ([[occupancyPlanes]]) — the scale path
+    * for the one fixed-plane quadratic the r13 sf1 one-shot measured
+    * (exp 0.97 at fixed 4 planes on 20k vectors: in-bucket occupancy
+    * grows linearly with n, so the best-match pair work is quadratic
+    * BY CONSTRUCTION unless planes track the corpus). Near-balanced
+    * corpora at the oracle SFs derive exactly 4 planes, so the same
+    * inlined-literal SQL twin gates this flavor too. */
+  def mutualNearestNeighborsAuto(df: DataFrame,
+      targetOccupancy: Int = 128, dim: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(targetOccupancy >= 8, s"bad targetOccupancy: $targetOccupancy")
+    val nPlanes = occupancyPlanes(df, df.count(), targetOccupancy, dim,
+      seed, vecCol)
+    mutualNearestNeighbors(df, nPlanes, dim, seed, idCol, vecCol)
+  }
+
   /** SemDeDup-style semantic dedup: signed-projection buckets partition
     * the embedding space (shuffle-free transform), then EXACT cosine is
     * computed only within a bucket, and a vector is removed when a
