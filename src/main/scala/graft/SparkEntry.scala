@@ -2315,6 +2315,11 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), threshold = 0.4, nPlanes = 4)),
 
+    // occupancy-derived scale path, same inlined-literal oracle (every
+    // test SF derives 4 planes — OccupancyPlanesSpec)
+    "q_semantic_dedup_auto" -> ((s, dir) =>
+      Similarity.semanticDedupAuto(emb(s, dir), threshold = 0.4)),
+
     // similarity: GRAPH ANN (HNSW-class) — beam search over the
     // two-layer LSH k-NN graph. Both the graph build and the
     // fixed-round beam walk are deterministic (6dp + id tiebreaks), so
@@ -5176,6 +5181,30 @@ object SparkEntry {
         |    THEN coalesce(uniq_2, 0) / CAST(total_2 AS DOUBLE)
         |    ELSE 0.0 END, 6) AS distinct_2
         |FROM u1 FULL JOIN u2 ON u1.source = u2.source""".stripMargin
+
+  /** SemDeDup replay shared by `q_semantic_dedup` (fixed 4 planes)
+    * and `q_semantic_dedup_auto` (occupancy-derived — 4 planes on
+    * every near-balanced test SF, OccupancyPlanesSpec). `e` carries
+    * the bucket; MATERIALIZED (self-joined + final projection). */
+  private val semanticDedupSql: String = {
+    val terms = graft.operators.Similarity.planes(4, 64, 42L)
+      .zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    CAST($terms AS BIGINT) AS bkt
+       |  FROM embeddings),
+       |removed AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) *
+       |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+       |SELECT vec_id, bkt FROM e
+       |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
+  }
 
   /** Mutual-NN replay shared by `q_mutual_nn` (fixed 4 planes) and
     * `q_mutual_nn_auto` (occupancy-derived — resolves to the same 4
@@ -10305,25 +10334,8 @@ object SparkEntry {
     // SemDeDup replay: same inlined planes as q_ann_lsh_buckets, exact
     // within-bucket cosine (rounded 6dp pre-threshold), greedy min-id
     // kill rule, survivors by anti-join
-    "q_semantic_dedup" -> {
-      val terms = graft.operators.Similarity.planes(4, 64, 42L)
-        .zipWithIndex.map { case (p, j) =>
-          s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) > 0" +
-            s" THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    CAST($terms AS BIGINT) AS bkt
-         |  FROM embeddings),
-         |removed AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-         |  WHERE ROUND(list_dot_product(a.v, b.v) /
-         |    (sqrt(list_dot_product(a.v, a.v)) *
-         |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
-         |SELECT vec_id, bkt FROM e
-         |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin
-    },
+    "q_semantic_dedup" -> semanticDedupSql,
+    "q_semantic_dedup_auto" -> semanticDedupSql,
 
     // graph ANN: the full two-layer graph build + 2-round beam walk
     // unrolled as CTEs; top-5 non-self beam members per query

@@ -952,11 +952,14 @@ object Similarity {
   def semanticDedupAuto(df: DataFrame, threshold: Double,
       targetOccupancy: Int = 128, dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(targetOccupancy >= 1, s"bad targetOccupancy: $targetOccupancy")
-    val n = df.count()
-    val nPlanes = math.min(24, math.max(4,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
-        math.log(2.0)).toInt))
+    require(targetOccupancy >= 8, s"bad targetOccupancy: $targetOccupancy")
+    // r13: derive from the MEASURED occupancy tail, not the
+    // balanced-split expectation — on cluster-skewed corpora the
+    // expectation under-splits and the in-bucket pair work goes
+    // quadratic in cluster size (the [[occupancyPlanes]] rationale;
+    // near-balanced corpora derive the same count either way)
+    val nPlanes = occupancyPlanes(df, df.count(), targetOccupancy, dim,
+      seed, vecCol)
     semanticDedup(df, threshold, nPlanes, dim, seed, idCol, vecCol)
   }
 
