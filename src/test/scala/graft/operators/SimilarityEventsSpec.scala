@@ -183,14 +183,21 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.getLong(0)).toSet
-    // 500 vectors, occupancy 128 -> ceil(log2(500/128)) = 2, floored
-    // at 4 planes: must equal the explicit 4-plane run
+    // 500 near-balanced vectors, occupancy 128: expectation floor =
+    // 4 planes and the measured p99 (~31 per bucket) never escalates,
+    // so the r13 measured-occupancy derivation must equal the
+    // explicit 4-plane run
     ids(Similarity.semanticDedupAuto(emb, 0.4, targetOccupancy = 128)) shouldBe
       ids(Similarity.semanticDedup(emb, 0.4, nPlanes = 4))
-    // occupancy 1 -> ceil(log2(500)) = 9 planes: more buckets, and the
-    // result must equal the explicit 9-plane run
-    ids(Similarity.semanticDedupAuto(emb, 0.4, targetOccupancy = 1)) shouldBe
-      ids(Similarity.semanticDedup(emb, 0.4, nPlanes = 9))
+    // occupancy 8 -> expectation ceil(log2(500/8)) = 6 planes; p99 at
+    // 64 buckets (~15) stays under the 4x slack, so no escalation:
+    // must equal the explicit 6-plane run
+    ids(Similarity.semanticDedupAuto(emb, 0.4, targetOccupancy = 8)) shouldBe
+      ids(Similarity.semanticDedup(emb, 0.4, nPlanes = 6))
+    // sub-8 targets are rejected loudly (an occupancy bound below the
+    // degree of any useful neighbor set is a misconfiguration)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.semanticDedupAuto(emb, 0.4, targetOccupancy = 1)
   }
 
   test("semanticDedup candidate generation is an equi-join, no cartesian") {
