@@ -20,6 +20,18 @@ class Round13PlanSpec extends AnyFunSuite with SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("media synthesis partitions by WORK, not bytes: a tiny ids " +
+    "frame still fans out to the session's full parallelism") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("media_id"))
+    val parts = graft.multimodal.Multimodal.synthesizeAudio(ids)
+      .rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism,
+      s"per-record encode must not serialize: $parts partitions < " +
+        s"${spark.sparkContext.defaultParallelism} (the r13 sf1 finding: " +
+        "a 5 MB parquet coalesced 50k CPU-bound syntheses onto one task)")
+  }
+
   test("mannWhitney: every window ranks the grouped VALUE frame — " +
     "no no-partition window ever sees corpus rows") {
     withStaticPlan {
