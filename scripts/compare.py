@@ -20,7 +20,19 @@ def fresh_con():
     # shared box, where DuckDB's default limit (80% of physical RAM)
     # is a lie. With an explicit limit + a temp dir, out-of-core
     # operators page to disk instead of raising OutOfMemoryException.
-    c.sql("SET memory_limit='16GB'")
+    # The limit is min(16GB, 25% of physical RAM) overridable via
+    # GRAFT_DUCKDB_MEM — a hardcoded 16GB would be LOOSER than the
+    # default on a small box and OOM the host before DuckDB spills.
+    mem = os.environ.get('GRAFT_DUCKDB_MEM')
+    if not mem:
+        try:
+            with open('/proc/meminfo') as f:
+                kb = int(next(l for l in f
+                              if l.startswith('MemTotal')).split()[1])
+            mem = f"{min(16, max(1, kb // 4 // 1048576))}GB"
+        except Exception:
+            mem = '16GB'
+    c.sql(f"SET memory_limit='{mem}'")
     c.sql("SET temp_directory='/tmp/duckdb_spill'")
     c.sql("SET threads=8")
     for t in ['region', 'nation', 'customer', 'supplier', 'part',

@@ -44,6 +44,13 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [copies]")
     val (in, out) = (args(0), args(1))
     val copies = if (args.length > 2) args(2).toInt else 10
+    // 26 is a hard ceiling, not a style choice: copy c's caesar
+    // rotation is c mod 26, so copy 26 would reproduce copy 0's text
+    // VERBATIM and silently reintroduce the quadratic-dedup
+    // duplication the rotation exists to avoid (and c >= 64 would
+    // break the embedding circular shift's slice lengths)
+    require(copies >= 1 && copies <= 26,
+      s"copies must be in [1, 26], got $copies")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -54,8 +61,10 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
+    // cast to long at the plan level so int-typed key columns from a
+    // foreign generator don't throw in getLong
     def stride(df: DataFrame, k: String): Long =
-      df.agg(max(col(k))).head().getLong(0) + 1L
+      df.agg(max(col(k).cast("long"))).head().getLong(0) + 1L
 
     val docs = rd("documents")
     val emb = rd("embeddings")

@@ -801,53 +801,60 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        gifFrames(bytes).toSeq.flatMap { case (n, read) =>
-          (0 until n by everyNth).flatMap { k =>
-            read(k).map { im =>
-              val (w, h) = (im.getWidth, im.getHeight)
-              var sum = 0.0
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                im.getRGB(0, y, w, 1, row, 0, w)
-                var i = 0
-                while (i < w) {
-                  val p = row(i)
-                  sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-                  i += 1
-                }
-                y += 1
-              }
-              Row(id, k, w, h, 3,
-                math.rint(sum / (w.toLong * h * 3) * 1e6) / 1e6)
+        gifFrames(bytes, everyNth).map { case (k, im) =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          var sum = 0.0
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            im.getRGB(0, y, w, 1, row, 0, w)
+            var i = 0
+            while (i < w) {
+              val p = row(i)
+              sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              i += 1
             }
+            y += 1
           }
+          Row(id, k, w, h, 3,
+            math.rint(sum / (w.toLong * h * 3) * 1e6) / 1e6)
         }
       }
     }
     spark.createDataFrame(out, frameFeatureSchema)
   }
 
-  /** Open a GIF payload: Some((frameCount, frame reader)) when the
-    * bytes parse as GIF, None otherwise. The per-frame reader returns
-    * None for frames that fail mid-stream (truncation) so callers
-    * degrade per-frame, not per-file. */
-  private def gifFrames(bytes: Array[Byte])
-      : Option[(Int, Int => Option[java.awt.image.BufferedImage])] = {
+  /** Decode every `everyNth`-th frame of a GIF payload eagerly and
+    * return (frameIndex, image) pairs; Nil when the bytes don't parse
+    * as GIF. Frames that fail mid-stream (truncation) are skipped so
+    * callers degrade per-frame, not per-file. Eager decode is what
+    * lets the reader be DISPOSED before returning: the lazy-reader
+    * shape this replaces leaked a FileCacheImageInputStream (an fd
+    * plus an on-disk temp file under ImageIO's default cache) per
+    * payload until JVM exit — fatal on 50k-payload sf1 runs. The
+    * MemoryCacheImageInputStream wrapper also keeps the cache on-heap
+    * so no temp file exists even transiently. */
+  private def gifFrames(bytes: Array[Byte], everyNth: Int)
+      : Seq[(Int, java.awt.image.BufferedImage)] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
+      if (!readers.hasNext) return Nil
       val reader = readers.next()
-      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
-      reader.setInput(iis, false, true)
-      val n = reader.getNumImages(true)
-      if (n <= 0) None
-      else Some((n, (k: Int) =>
-        try Option(reader.read(k))
-        catch { case scala.util.control.NonFatal(_) => None }))
-    } catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) return Nil
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        if (n <= 0) Nil
+        else (0 until n by everyNth).flatMap { k =>
+          (try Option(reader.read(k))
+           catch { case scala.util.control.NonFatal(_) => None })
+            .map(k -> _)
+        }
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+    finally iis.close()
   }
 
   /** Encode a real multi-frame animated GIF via the JDK writer's

@@ -821,13 +821,23 @@ object Similarity {
     var p = math.min(24, math.max(4,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
         math.log(2.0)).toInt))
+    // empty corpus: no buckets to measure (the percentile aggregate
+    // would be null) — the expectation estimate, floored at 4, is the
+    // answer, exactly as the pre-measurement derivation returned
+    if (n <= 0) return p
     val bound = slack.toLong * targetOccupancy
     while (p < 24) {
-      val occ99 = df
+      // EXACT percentile, not approx_percentile: the grouped frame is
+      // at most 2^p rows, and approx_percentile is not
+      // partition-invariant — near the slack boundary an approximate
+      // tail could flip the derived plane count run-to-run, breaking
+      // the documented pure-function-of-(corpus, seed) contract the
+      // inlined-literal oracles replay against
+      val occ99 = math.ceil(df
         .select(lshBucket(col(vecCol), p, dim, seed).as("bkt"))
         .groupBy("bkt").count()
-        .agg(expr("approx_percentile(count, 0.99)").cast("long"))
-        .head().getLong(0)
+        .agg(expr("percentile(count, 0.99)"))
+        .head().getDouble(0)).toLong
       if (occ99 <= bound) return p
       p += math.max(1, math.ceil(
         math.log(occ99.toDouble / bound) / math.log(2.0)).toInt)

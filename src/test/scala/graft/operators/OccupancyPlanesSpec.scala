@@ -54,4 +54,20 @@ class OccupancyPlanesSpec extends AnyFunSuite with SparkSpec {
     assert(p > expect,
       s"skewed corpus must escalate: derived $p <= expectation $expect")
   }
+
+  test("an empty corpus returns the floored expectation estimate " +
+    "instead of NPEing on a null percentile") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val e = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    // pre-fix this threw: groupBy over zero rows -> percentile null ->
+    // head().getDouble NPE; the Auto operators must return empty on
+    // empty input, not crash
+    assert(Similarity.occupancyPlanes(e, 0L, targetOccupancy = 128,
+      dim = 64, seed = 42L, vecCol = "embedding") == 4)
+    assert(Similarity.semanticDedupAuto(e, threshold = 0.9).count() == 0L)
+  }
 }
