@@ -42,15 +42,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [copies]")
-    val (in, out) = (args(0), args(1))
-    val copies = if (args.length > 2) args(2).toInt else 10
-    // 26 is a hard ceiling, not a style choice: copy c's caesar
-    // rotation is c mod 26, so copy 26 would reproduce copy 0's text
-    // VERBATIM and silently reintroduce the quadratic-dedup
-    // duplication the rotation exists to avoid (and c >= 64 would
-    // break the embedding circular shift's slice lengths)
-    require(copies >= 1 && copies <= 26,
-      s"copies must be in [1, 26], got $copies")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -59,6 +50,23 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    spark.stop()
+  }
+
+  /** The generator body, callable from specs: every future 10x
+    * exponent claim rests on this contract, so ScaleUpSpec pins it on
+    * a small 2-copy build rather than trusting the prose above. */
+  def build(spark: SparkSession, in: String, out: String,
+      copies: Int): Unit = {
+    // 26 is a hard ceiling, not a style choice: copy c's caesar
+    // rotation is c mod 26, so copy 26 would reproduce copy 0's text
+    // VERBATIM and silently reintroduce the quadratic-dedup
+    // duplication the rotation exists to avoid (and c >= 64 would
+    // break the embedding circular shift's slice lengths)
+    require(copies >= 1 && copies <= 26,
+      s"copies must be in [1, 26], got $copies")
 
     def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
     // cast to long at the plan level so int-typed key columns from a
@@ -137,6 +145,5 @@ object ScaleUp {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t -> $out/$t.parquet")
     }
-    spark.stop()
   }
 }
