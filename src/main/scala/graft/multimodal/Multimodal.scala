@@ -253,6 +253,82 @@ object Multimodal {
     * the payload can't be converted. */
   private[multimodal] def audioDecode(bytes: Array[Byte])
       : Option[(Int, Int, Int, Long, Double)] =
+    // canonical PCM WAV (the dominant payload class) decodes on the
+    // hand-rolled RIFF walk below; everything else (AIFF/AU, a-law,
+    // u-law, float, extensible WAV) falls through to the JDK path
+    riffPcmDecode(bytes).orElse(audioDecodeJdk(bytes))
+
+  /** Hand-rolled RIFF/WAVE parse for canonical PCM (format tag 1,
+    * 8/16-bit) — the decode-side mirror of [[syntheticWav]]'s
+    * encode-side fix: `AudioSystem.getAudioInputStream` takes the
+    * provider registry's global lock PER CALL, which serializes
+    * decodes across all executor threads in one JVM (the r13 sf1
+    * one-shot measured `audio_features` at isolated exponent 1.10 —
+    * linear work behind a lock). Bit-identical to the JDK path for
+    * this payload class: same fmt-chunk fields, n_frames =
+    * dataLen/blockAlign (floored, as WaveFileReader computes it),
+    * 16-bit mean over little-endian pairs, 8-bit unsigned samples
+    * scaled by 256 to the 16-bit reporting scale. Returns None to
+    * FALL BACK, not to reject: any structural surprise (non-PCM tag,
+    * inconsistent block align, chunk overrun, truncation) defers to
+    * `javax.sound` so behavior off the fast path is unchanged. */
+  private[multimodal] def riffPcmDecode(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] = {
+    if (bytes.length < 12) return None
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def cc(o: Int): String = new String(bytes, o, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (cc(0) != "RIFF" || cc(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = cc(off)
+      val len = u32(off + 4)
+      if (off + 8 + len > bytes.length) return None
+      if (id == "fmt " && len >= 16 && fmt.isEmpty)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt,
+          u16(off + 20), u16(off + 22)))
+      else if (id == "data" && data.isEmpty)
+        data = Some((off + 8, len.toInt))
+      // RIFF chunks pad to even byte boundaries
+      off += 8 + len.toInt + (len.toInt & 1)
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, block, bits)), Some((dOff, dLen)))
+          if ch >= 1 && rate > 0 && (bits == 16 || bits == 8) &&
+            block == ch * (bits / 8) =>
+        val mean =
+          if (bits == 16) {
+            var sum = 0.0; var n = 0; var i = dOff
+            val end = dOff + dLen
+            while (i + 1 < end) {
+              val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+              sum += math.abs(s.toInt); n += 1; i += 2
+            }
+            if (n == 0) 0.0 else sum / n
+          } else {
+            // WAV 8-bit is PCM_UNSIGNED; scale to the 16-bit scale
+            var sum = 0.0; var i = dOff
+            val end = dOff + dLen
+            while (i < end) {
+              sum += math.abs((bytes(i) & 0xFF) - 128) * 256.0; i += 1
+            }
+            if (dLen == 0) 0.0 else sum / dLen
+          }
+        Some((rate, ch, bits, (dLen / block).toLong, mean))
+      case _ => None
+    }
+  }
+
+  /** The `javax.sound` decode path (AIFF/AU containers, compressed or
+    * float WAV encodings the fast path defers) — see [[audioDecode]]
+    * for the semantics both paths share. */
+  private[multimodal] def audioDecodeJdk(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
