@@ -119,6 +119,16 @@ if python3 -c "import json;json.load(open('bench_out_partial.json'))" \
 else
   echo "WARN: top-10 isolated re-measure failed (non-fatal)" >&2
 fi
+# r14 (VERDICT r13 #4): sf1 SCALE canary — a pinned 25-entry subset on
+# the 10x scale-up against committed per-entry bounds, two-stage
+# (isolated re-measure absorbs the box's documented contention
+# spikes). A confirmed breach blocks the close like a red oracle:
+# scale regressions between rounds were previously invisible because
+# everything at sf0.1 sits near the job-overhead floor.
+machine sf1canary
+bash scripts/sf1_canary.sh || {
+  echo "FATAL: sf1 scale canary breached — do NOT commit the close" >&2
+  exit 6; }
 machine final
 echo ']}' >> "$MACHINE_LOG.tmp"
 mv "$MACHINE_LOG.tmp" "$MACHINE_LOG"

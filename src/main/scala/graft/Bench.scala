@@ -28,6 +28,16 @@ object Bench {
     * Not a `SparkEntry.queries` key — main() special-cases it. */
   val FlagshipName = "att_fit_cold_bstrap"
 
+  /** Warm bootstrap-pass timing: builds + materializes the DiD fit
+    * UNTIMED, then times only `MBoot.run` over the persisted IF
+    * table. The decade table's mboot >1 exponent reads carried the
+    * COLD fit+preprocess inside the timing — this entry is the number
+    * that answers "is the bootstrap pass itself sublinear" without
+    * the fit conflated in. Like the flagship, not a `queries` entry
+    * (its value is a wall time, not a frame); recognized by name in
+    * arg mode. */
+  val MbootWarmName = "mboot_pass_warm"
+
   /** Testable timing core: min-over-reps per query; a throwing query
     * yields -1.0 and an `errors` entry (the loss-proof contract —
     * BenchLossProofSpec pins it with an injected failing query).
@@ -137,9 +147,12 @@ object Bench {
     // verdict "What's wrong" #3)
     val requested =
       if (args.nonEmpty) args.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted :+ FlagshipName
-    val names = requested.filterNot(_ == FlagshipName)
+      else SparkEntry.queries.keys.toSeq.sorted :+ MbootWarmName :+
+        FlagshipName
+    val names =
+      requested.filterNot(n => n == FlagshipName || n == MbootWarmName)
     val runFlagship = requested.contains(FlagshipName)
+    val runMbootWarm = requested.contains(MbootWarmName)
     // min over reps: the box is shared, so single-shot timings carry
     // external CPU-contention spikes; the minimum is the stable signal
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
@@ -148,8 +161,40 @@ object Bench {
     // mirroring Verify's `__verify_error` + `_errors.json` discipline —
     // a crashing query must be VISIBLE in the artifact, not blended in
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results =
+    val results0 =
       timeQueries(spark, sfDir, names, reps, SparkEntry.queries, errors)
+    // warm bootstrap-pass split (VERDICT r13 #5): the mboot query
+    // timings carry the cold fit+preprocess, which muddied the decade
+    // table's only >1 exponent reads. Build + MATERIALIZE the fit
+    // untimed (ifTable.count() forces the persisted IF frame), then
+    // time only the bootstrap contraction — min over reps like every
+    // other entry.
+    val results =
+      if (!runMbootWarm) results0
+      else {
+        val warmT =
+          try {
+            val pp = graft.did.Preprocess.run(
+              PanelView.of(spark, sfDir), PanelView.config)
+            val fit = graft.did.AttGt.fit(pp)
+            val cfg = pp.config
+            fit.ifTable.count()
+            val t = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              graft.did.MBoot.run(fit.ifTable, fit.cells.length, pp.n,
+                cfg.biters, cfg.alp, cfg.seed)
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            fit.unpersist(); pp.unpersist()
+            t
+          } catch { case e: Throwable =>
+            errors(MbootWarmName) =
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            -1.0
+          }
+        graft.operators.TrackedCaches.releaseAll()
+        results0 :+ (MbootWarmName -> warmT)
+      }
     // honest cold-path headline: full preprocess + ATT(g,t) fit +
     // multiplier bootstrap with NO shared caches — the number directly
     // comparable to the reference's end-to-end `fit(bstrap=True)` wall

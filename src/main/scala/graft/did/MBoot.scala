@@ -110,21 +110,40 @@ object MBoot {
       infs(t) = triplets(t)._3
       t += 1
     }
+    // the MT draw stream is sequential BY CONTRACT (b-major over
+    // units — the fixture replays it draw for draw), but the
+    // contraction is embarrassingly parallel over b: pre-draw every
+    // sign into a bitset (one bit per (b, unit): ~19 MB at 150k units
+    // x 1000 draws where a double matrix would be 1.2 GB), then fan
+    // the B x nnz inner loop across cores. Per-draw accumulation
+    // order (t ascending) is unchanged, so results are BIT-IDENTICAL
+    // to the sequential loop — r14: the warm bootstrap pass at 10x
+    // was serialized on one core (7.5 s) while 31 sat idle.
     val rng = new MersenneTwister(seed)
-    val out = Array.ofDim[Double](biters, k)
-    val ub = new Array[Double](units.length)
+    val nU = units.length
+    val signs = new java.util.BitSet(biters * nU)
     var b = 0
+    var idx = 0
     while (b < biters) {
       var i = 0
-      while (i < ub.length) {
-        ub(i) = if (rng.nextBoolean()) 1.0 else -1.0; i += 1
+      while (i < nU) {
+        if (rng.nextBoolean()) signs.set(idx)
+        i += 1; idx += 1
       }
-      val acc = new Array[Double](k)
-      t = 0
-      while (t < nnz) { acc(cIx(t)) += infs(t) * ub(uIx(t)); t += 1 }
-      var j = 0
-      while (j < k) { out(b)(j) = acc(j) / n; j += 1 }
       b += 1
+    }
+    val out = Array.ofDim[Double](biters, k)
+    java.util.stream.IntStream.range(0, biters).parallel().forEach { bb =>
+      val base = bb * nU
+      val acc = new Array[Double](k)
+      var tt = 0
+      while (tt < nnz) {
+        val s = if (signs.get(base + uIx(tt))) 1.0 else -1.0
+        acc(cIx(tt)) += infs(tt) * s
+        tt += 1
+      }
+      var j = 0
+      while (j < k) { out(bb)(j) = acc(j) / n; j += 1 }
     }
     out
   }
