@@ -2367,6 +2367,41 @@ object SparkEntry {
         beamWidth = 16)
     }),
 
+    // INCREMENTAL index maintenance (r14): fold a 10% fresh batch
+    // into the layered index built on the other 90% — per layer,
+    // edges live only within a bucket, so untouched-bucket rows keep
+    // verbatim (broadcast bucket-list filter, map-side) and touched
+    // buckets recompute over full membership, which EQUALS the full
+    // rebuild row for row. The oracle therefore replays the ordinary
+    // full-graph build — the equality IS the contract
+    // (NnGraphMaintenanceSpec pins it at the layered level too)
+    "q_ann_graph_upsert" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val old = e.filter(col("vec_id") % 10 =!= 0)
+      val fresh = e.filter(col("vec_id") % 10 === 0)
+      Similarity.flattenNnGraph(Similarity.nnGraphUpsert(
+        Similarity.nnGraphLayered(old), old, fresh))
+    }),
+
+    // incremental DELETE: drop every 10th vector and heal adjacency —
+    // equals the rebuild on survivors (oracle: same CTEs, filtered e)
+    "q_ann_graph_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.flattenNnGraph(Similarity.nnGraphDelete(
+        Similarity.nnGraphLayered(e), e,
+        e.filter(col("vec_id") % 10 === 0).select("vec_id")))
+    }),
+
+    // the measured rebuild trigger for a pinned-layout index: layout
+    // planes are fixed at creation (maintenance depends on it), so
+    // this is the periodic check that says when occupancy drift makes
+    // the O(corpus) rebuild due. Oracle: the expectation formula —
+    // exact while testdata never escalates (the same adjudicated
+    // assumption every inlined-plane oracle rides, pinned by
+    // OccupancyPlanesSpec)
+    "q_ann_graph_stale" -> ((s, dir) =>
+      Similarity.graphIndexStale(emb(s, dir), currentPlanes = 4)),
+
     // similarity: LSH-bucketed approximate top-k (scale path).
     // Oracle-gated in r8: "approximate" means approximate vs the TRUE
     // top-k, but the output is a deterministic pure function of
@@ -5256,9 +5291,10 @@ object SparkEntry {
     * rank `(round(|proj|,6), j)`, the cross-engine ordering
     * discipline). `b$i` is MATERIALIZED (referenced 2-4x per layer).
     * `degree`/`beam` mirror the Spark-side knobs (the mp pair runs
-    * degree=8/beam=16 since the r14 recall sweep). */
+    * degree=8/beam=16 since the r14 recall sweep); `eWhere` restricts
+    * the corpus (the delete-maintenance twin rebuilds on survivors). */
   private def annGraphCtesGen(probes: Int, degree: Int = 4,
-      beam: Int = 8): String = {
+      beam: Int = 8, eWhere: String = ""): String = {
     def pl(seed: Long) = operators.Similarity.planes(4, 64, seed)
     def terms(seed: Long) = pl(seed)
       .zipWithIndex.map { case (p, j) =>
@@ -5327,7 +5363,7 @@ object SparkEntry {
          |be$i AS (SELECT qid, node FROM s$i
          |  QUALIFY row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, node) <= $beam)""".stripMargin
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$eWhere),
        |${layer(1, 42L)},
        |${layer(2, 43L)},
        |g AS (SELECT DISTINCT src, dst FROM (
@@ -10389,6 +10425,28 @@ object SparkEntry {
          |WHERE rk <= 16 AND node <> qid
          |QUALIFY row_number() OVER (PARTITION BY qid
          |  ORDER BY cos DESC, node) <= 5""".stripMargin,
+
+    // maintenance twins: the upsert/delete result EQUALS the full
+    // rebuild (per-layer bucket locality), so the oracle is the plain
+    // graph build — on the whole corpus for upsert, on survivors for
+    // delete. Unreferenced beam CTEs in the shared blob stay dead.
+    "q_ann_graph_upsert" ->
+      s"""WITH ${annGraphCtesGen(0)}
+         |SELECT src, dst FROM g""".stripMargin,
+
+    "q_ann_graph_delete" ->
+      s"""WITH ${annGraphCtesGen(0,
+             eWhere = " WHERE vec_id % 10 <> 0")}
+         |SELECT src, dst FROM g""".stripMargin,
+
+    "q_ann_graph_stale" ->
+      """SELECT COUNT(*) AS n_vectors,
+        |  4 AS current_planes,
+        |  GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 128.0)) AS INT))
+        |    AS recommended_planes,
+        |  GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 128.0)) AS INT)) > 4
+        |    AS stale
+        |FROM embeddings""".stripMargin,
 
     "q_ann_graph_mp_recall" ->
       s"""WITH ${annGraphCtesGen(2, degree = 8, beam = 16)},

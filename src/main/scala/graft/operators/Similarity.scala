@@ -687,24 +687,179 @@ object Similarity {
     require(degree >= 1 && degree <= 64, s"bad degree: $degree")
     require(seeds.nonEmpty && seeds.size <= 8,
       s"bad layer count: ${seeds.size}")
+    // same kernel as the stored-index family so the direct build and
+    // nnGraphLayered+flatten cannot drift
     val layers = seeds.map { s =>
-      val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("bkt", lshBucket(col("v"), nPlanes, dim, s))
-      val l = b.select(col("id").as("src"), col("v").as("sv"),
-        col("bkt"))
-      val r = b.select(col("id").as("dst"), col("v").as("dv"),
-        col("bkt").as("bktd"))
-      l.join(r, col("bkt") === col("bktd") && col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          round(cosine(col("sv"), col("dv")), 6).as("cos"))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
-        .filter(col("__rk") <= degree)
+      layerEdges(df, df, degree, nPlanes, dim, s, idCol, vecCol)
         .select("src", "dst")
     }
     val e = layers.reduce(_ unionAll _)
     e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+  }
+
+  /** `(id, v, bkt)` projection of a corpus under one hash layer — the
+    * bucket column computed ONCE so downstream joins are plain
+    * equi-joins, not expression re-evaluations. */
+  private def bucketed(df: DataFrame, nPlanes: Int, dim: Int,
+      seed: Long, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bkt", lshBucket(col("v"), nPlanes, dim, seed))
+
+  /** Directed top-`degree` same-bucket adjacency over pre-bucketed
+    * frames — the shared kernel of [[nnGraph]] and the
+    * incremental-maintenance family. */
+  private def topDegreeEdges(lb: DataFrame, rb: DataFrame,
+      degree: Int): DataFrame = {
+    val l = lb.select(col("id").as("src"), col("v").as("sv"), col("bkt"))
+    val r = rb.select(col("id").as("dst"), col("v").as("dv"),
+      col("bkt").as("bktd"))
+    l.join(r, col("bkt") === col("bktd") && col("src") =!= col("dst"))
+      .select(col("bkt"), col("src"), col("dst"),
+        round(cosine(col("sv"), col("dv")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+      .filter(col("__rk") <= degree)
+      .select("bkt", "src", "dst")
+  }
+
+  private def layerEdges(lhs: DataFrame, rhs: DataFrame, degree: Int,
+      nPlanes: Int, dim: Int, seed: Long, idCol: String,
+      vecCol: String): DataFrame =
+    topDegreeEdges(bucketed(lhs, nPlanes, dim, seed, idCol, vecCol),
+      bucketed(rhs, nPlanes, dim, seed, idCol, vecCol), degree)
+
+  /** STORED-INDEX flavor of [[nnGraph]]: the per-layer directed
+    * top-`degree` adjacency `(layer, bkt, src, dst)` BEFORE the
+    * flatten — the format the incremental maintenance operators
+    * ([[nnGraphUpsert]], [[nnGraphDelete]]) update in place. The
+    * carried `bkt` (src's bucket in that layer) is what makes
+    * maintenance a map-side prune: touched rows select by a broadcast
+    * bucket-list filter, no corpus join. [[flattenNnGraph]] of this
+    * frame equals [[nnGraph]] exactly (NnGraphMaintenanceSpec). */
+  def nnGraphLayered(df: DataFrame, degree: Int = 4, nPlanes: Int = 4,
+      dim: Int = 64, seeds: Seq[Long] = Seq(42L, 43L),
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(degree >= 1 && degree <= 64, s"bad degree: $degree")
+    require(seeds.nonEmpty && seeds.size <= 8,
+      s"bad layer count: ${seeds.size}")
+    seeds.zipWithIndex.map { case (s, i) =>
+      layerEdges(df, df, degree, nPlanes, dim, s, idCol, vecCol)
+        .select(lit(i).as("layer"), col("bkt"), col("src"), col("dst"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The beam-searchable undirected edge set of a layered index —
+    * identical to what [[nnGraph]] builds directly. */
+  def flattenNnGraph(layered: DataFrame): DataFrame = {
+    val e = layered.select(col("src"), col("dst"))
+    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** INCREMENTAL index maintenance — fold a batch of NEW vectors into
+    * an existing layered index without an O(corpus) rebuild: the
+    * daily-append contract of a 100 TB embedding pipeline, the exact
+    * mirror of the manifest-based incremental dedup. Per layer, edges
+    * live only within a bucket, so the ONLY rows a new batch can
+    * change are those in buckets the batch lands in: untouched-bucket
+    * rows are kept verbatim via a broadcast bucket-list filter
+    * (map-side, no join), and touched buckets are recomputed over
+    * their full membership — which makes the result EQUAL, row for
+    * row, to `nnGraphLayered(old ++ fresh)` (all scoring is 6dp +
+    * id-tiebreak deterministic; the oracle replays the full rebuild).
+    *
+    * Touch cost ∝ occupancy of touched buckets, not corpus size: the
+    * recompute side prunes both corpus scans by the broadcast bucket
+    * list, so a corpus table written partitioned/bucketed by bucket id
+    * reads only the touched partitions. `fresh` ids must be disjoint
+    * from `corpus` ids (the usual append contract; violations surface
+    * as duplicate src rows). Plane count is PINNED at index creation —
+    * the layout is versioned like any IVF/LSH index; use
+    * [[graphIndexStale]] as the measured rebuild trigger when
+    * occupancy drifts. */
+  def nnGraphUpsert(layered: DataFrame, corpus: DataFrame,
+      fresh: DataFrame, degree: Int = 4, nPlanes: Int = 4,
+      dim: Int = 64, seeds: Seq[Long] = Seq(42L, 43L),
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(degree >= 1 && degree <= 64, s"bad degree: $degree")
+    val full = corpus.select(col(idCol), col(vecCol))
+      .unionAll(fresh.select(col(idCol), col(vecCol)))
+    seeds.zipWithIndex.map { case (s, i) =>
+      // the batch's bucket list: small (<= batch size), broadcastable
+      val touched = fresh
+        .select(lshBucket(col(vecCol), nPlanes, dim, s).as("bkt"))
+        .distinct()
+      val kept = layered.filter(col("layer") === i)
+        .join(broadcast(touched), Seq("bkt"), "left_anti")
+      // one corpus scan: hash each row's bucket ONCE, broadcast-semi
+      // down to the touched footprint, and MATERIALIZE it — the
+      // candidate set is batch-footprint-sized (<= |batch| buckets x
+      // occupancy), and the self-join below must not re-run the scan
+      // + hash once per side
+      val inTouched = bucketed(full, nPlanes, dim, s, idCol, vecCol)
+        .join(broadcast(touched), Seq("bkt"), "left_semi")
+        .localCheckpoint()
+      val recomputed = topDegreeEdges(inTouched, inTouched, degree)
+        .select(lit(i).as("layer"), col("bkt"), col("src"), col("dst"))
+      kept.select("layer", "bkt", "src", "dst").unionAll(recomputed)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Incremental DELETE: drop `dead` ids from a layered index and heal
+    * the adjacency. Edges only exist within a bucket, so every row a
+    * deletion can invalidate (a dead src, or a live src whose list
+    * references a dead dst) lives in one of the dead nodes' buckets —
+    * recomputing exactly those buckets over their surviving members
+    * reproduces `nnGraphLayered(corpus minus dead)` row for row. Same
+    * broadcast-prune cost shape as [[nnGraphUpsert]]. `dead` is a
+    * one-column frame of ids. */
+  def nnGraphDelete(layered: DataFrame, corpus: DataFrame,
+      dead: DataFrame, degree: Int = 4, nPlanes: Int = 4,
+      dim: Int = 64, seeds: Seq[Long] = Seq(42L, 43L),
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val deadIds = dead.select(col(dead.columns.head).as("__dead"))
+    val survivors = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(deadIds), col(idCol) === col("__dead"),
+        "left_anti")
+    seeds.zipWithIndex.map { case (s, i) =>
+      val touched = corpus
+        .join(broadcast(deadIds), col(idCol) === col("__dead"),
+          "left_semi")
+        .select(lshBucket(col(vecCol), nPlanes, dim, s).as("bkt"))
+        .distinct()
+      val kept = layered.filter(col("layer") === i)
+        .join(broadcast(touched), Seq("bkt"), "left_anti")
+      // same one-scan + materialize discipline as the upsert path
+      val inTouched = bucketed(survivors, nPlanes, dim, s, idCol,
+        vecCol)
+        .join(broadcast(touched), Seq("bkt"), "left_semi")
+        .localCheckpoint()
+      val recomputed = topDegreeEdges(inTouched, inTouched, degree)
+        .select(lit(i).as("layer"), col("bkt"), col("src"), col("dst"))
+      kept.select("layer", "bkt", "src", "dst").unionAll(recomputed)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Measured REBUILD TRIGGER for a pinned-layout index: one row
+    * `(n_vectors, current_planes, recommended_planes, stale)` where
+    * `recommended` is the [[occupancyPlanes]] derivation on today's
+    * corpus. Incremental maintenance holds the bucket layout fixed
+    * (it must — changing planes moves every bucket boundary), so
+    * occupancy drifts as the corpus grows; this is the cheap periodic
+    * check that says when the O(corpus) rebuild is actually due. */
+  def graphIndexStale(df: DataFrame, currentPlanes: Int,
+      targetOccupancy: Int = 128, dim: Int = 64, seed: Long = 42L,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val rec = occupancyPlanes(df, n, targetOccupancy, dim, seed, vecCol)
+    Seq((n, currentPlanes, rec, rec > currentPlanes))
+      .toDF("n_vectors", "current_planes", "recommended_planes", "stale")
   }
 
   /** [[nnGraph]] with the per-layer plane count DERIVED from a cheap
