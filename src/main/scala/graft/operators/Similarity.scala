@@ -693,10 +693,21 @@ object Similarity {
       layerEdges(df, df, degree, nPlanes, dim, s, idCol, vecCol)
         .select("src", "dst")
     }
-    val e = layers.reduce(_ unionAll _)
-    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    undirect(layers.reduce(_ unionAll _))
   }
+
+  /** Both directions of a directed edge list in ONE pass (explode),
+    * deduplicated — replaces the `e.unionAll(e.select(dst, src))`
+    * idiom, which referenced the (expensive — bucket join + rank
+    * window per layer) edge computation TWICE and therefore ran it
+    * twice (r14; the symEdges lesson from Graph.scala). Same row
+    * multiset, so `distinct()` output is unchanged. */
+  private def undirect(e: DataFrame): DataFrame =
+    e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .distinct()
 
   /** `(id, v, bkt)` projection of a corpus under one hash layer — the
     * bucket column computed ONCE so downstream joins are plain
@@ -752,11 +763,8 @@ object Similarity {
 
   /** The beam-searchable undirected edge set of a layered index —
     * identical to what [[nnGraph]] builds directly. */
-  def flattenNnGraph(layered: DataFrame): DataFrame = {
-    val e = layered.select(col("src"), col("dst"))
-    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-  }
+  def flattenNnGraph(layered: DataFrame): DataFrame =
+    undirect(layered.select(col("src"), col("dst")))
 
   /** INCREMENTAL index maintenance — fold a batch of NEW vectors into
     * an existing layered index without an O(corpus) rebuild: the
@@ -947,9 +955,7 @@ object Similarity {
         .filter(col("__rk") <= degree)
         .select("src", "dst")
     }
-    val e = layers.reduce(_ unionAll _)
-    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    undirect(layers.reduce(_ unionAll _))
   }
 
   /** Plane count derived from the MEASURED bucket-occupancy tail, not

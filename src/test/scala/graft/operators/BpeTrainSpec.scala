@@ -49,6 +49,27 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(m.head == (("a", "b")))
   }
 
+  test("driver tier equals the distributed round loop (r14 tier split)") {
+    import spark.implicits._
+    val texts = Seq("alpha beta gamma", "beta gamma delta",
+      "gamma delta alpha", "delta alpha beta", "the rain in spain",
+      "rain rain go away", "in the plain plain", "spain explains rain",
+      "Ünïcode naïve café café", "ab xy ab xy zz zz")
+    val df = texts.toDF("text").repartition(5)
+    // maxDriverVocab = 0 forces every pre-token count over the guard,
+    // i.e. the distributed loop; the default runs the driver tier
+    val distributed = BpeTrain.train(df, "text", nMerges = 16,
+      maxDriverVocab = 0L)
+    val driver = BpeTrain.train(df, "text", nMerges = 16)
+    assert(driver == distributed)
+    // dry stop must agree between tiers too
+    val dDry = BpeTrain.train(Seq("abcdefg").toDF("text"), "text",
+      nMerges = 4, maxDriverVocab = 0L)
+    val lDry = BpeTrain.train(Seq("abcdefg").toDF("text"), "text",
+      nMerges = 4)
+    assert(dDry == lDry && lDry.isEmpty)
+  }
+
   test("dry corpus stops early instead of padding ranks") {
     import spark.implicits._
     // every adjacent pair is unique -> nothing reaches minCount = 2
