@@ -94,7 +94,48 @@ object Prof {
         operators.Similarity.nnGraphMultiProbe(emb, degree = 8,
           nPlanes = 4, probes = 2))),
       "distinct_ngrams" -> (() => time("distinct_ngrams")(
-        operators.Eval.distinctNgrams(docs, "source", "text", maxN = 2)))
+        operators.Eval.distinctNgrams(docs, "source", "text", maxN = 2))),
+      "ktruss_full" -> (() => time("ktruss_full")(
+        operators.Graph.kTruss(
+          operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.8), k = 3, rounds = 4))),
+      "ktruss_tinyedges" -> (() => {
+        val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id",
+          "text", n = 3, threshold = 0.8)
+          .select("id_a", "id_b").cache()
+        pairs.count()
+        time("ktruss_tinyedges")(
+          operators.Graph.kTruss(pairs, k = 3, rounds = 4))
+        pairs.unpersist()
+      }),
+      "ktruss_support_once" -> (() => {
+        val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id",
+          "text", n = 3, threshold = 0.8)
+        val e = pairs.select(
+            least(col("id_a"), col("id_b")).cast("long").as("lo"),
+            greatest(col("id_a"), col("id_b")).cast("long").as("hi"))
+          .filter(col("lo") < col("hi")).distinct().cache()
+        println(s"[prof] canonical edges n=${e.count()}")
+        time("ktruss_support_once") {
+          val tri = e.select(col("lo").as("a"), col("hi").as("b"))
+            .join(e.select(col("lo").as("b"), col("hi").as("c")), "b")
+            .join(e.select(col("lo").as("a"), col("hi").as("c")),
+              Seq("a", "c"))
+          tri.select(explode(array(
+              struct(col("a").as("lo"), col("b").as("hi")),
+              struct(col("b").as("lo"), col("c").as("hi")),
+              struct(col("a").as("lo"), col("c").as("hi")))).as("e"))
+            .select(col("e.lo"), col("e.hi"))
+            .groupBy("lo", "hi")
+            .agg(count(lit(1)).as("support"))
+        }
+        e.unpersist()
+      }),
+      "cross_neardup" -> (() => time("cross_neardup")(
+        operators.Dedup.crossNearDupPairs(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          n = 3, threshold = 0.8)))
     )
 
     args.headOption match {

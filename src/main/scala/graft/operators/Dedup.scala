@@ -247,8 +247,11 @@ object Dedup {
         explode(col("sh")).as("h"))
     val idxA = index(shA)
     val idxB = index(shB)
-    val dfCounts = idxA.select("h").unionAll(idxB.select("h"))
-      .groupBy("h").agg(count(lit(1)).as("dfq"))
+    // persisted (r14): BOTH prefix sides join this vocab-sized frame —
+    // uncached, the union-of-both-explodes aggregate ran twice
+    val dfCounts = persistTracked(
+      idxA.select("h").unionAll(idxB.select("h"))
+        .groupBy("h").agg(count(lit(1)).as("dfq")))
     def prefix(idx: DataFrame): DataFrame =
       idx.join(dfCounts, "h")
         .withColumn("rn", row_number().over(

@@ -76,7 +76,15 @@ object ExactSubstr {
     require(maxExtend >= 1 && maxExtend <= 256,
       s"bad maxExtend: $maxExtend")
     require(maxOcc >= 2, s"bad maxOcc: $maxOcc")
-    val sfx = suffixes(df, idCol, textCol, minLen, maxExtend)
+    // persist the suffix rows (r14): they feed the occupancy aggregate
+    // AND the kept-side join, and `keep` is then read by BOTH sides of
+    // the pair self-join — uncached, the posexplode (every token
+    // position carrying a gram string + lookahead array) re-ran up to
+    // 4x per query (measured at sf0.1: q_exact_substr 4.4 s -> 2.0 s
+    // with this one cache). Same registry as the shingle caches so
+    // harnesses can release it.
+    val sfx = TrackedCaches.persist(
+      suffixes(df, idCol, textCol, minLen, maxExtend))
     // occupancy guard: one (gram -> positions) count, grams above the
     // cap drop from matching (reported by droppedGrams, never silent)
     val occ = sfx.groupBy("gram").agg(count(lit(1)).as("__occ"))

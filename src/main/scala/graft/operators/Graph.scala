@@ -615,28 +615,48 @@ object Graph {
     // the cap applies ONCE at entry: peeling only removes edges, so
     // degrees (and thus wedge volume) only shrink afterwards
     var alive = canonicalEdges(edges, aCol, bCol, maxDegree)
+    // the PERSISTED frame backing `alive` (alive itself may be a
+    // projection of it, whose unpersist would silently no-op)
+    var aliveCache = alive
     var aliveN = alive.count()
     var done = aliveN == 0
+    // filtered support of the CURRENT alive set — valid as the final
+    // answer exactly when the loop ended converged (see below)
+    var lastSup: DataFrame = null
     (1 to rounds).foreach { _ =>
       if (!done) {
-        // edges with no triangle have no support row at all, so ONE
-        // semi-join against the filtered support frame drops both the
-        // triangle-free and the under-supported edges
-        val next = TrackedCaches.persist(
-          alive.join(support(alive).filter(col("support") >= minSup)
-            .select("lo", "hi"), Seq("lo", "hi"), "left_semi"))
-        val n = next.count()
-        alive.unpersist()
-        alive = next
+        // edges with no triangle have no support row, and support()'s
+        // keys are a SUBSET of the edge set it scans (every exploded
+        // triangle corner is an input edge) — so the filtered support
+        // frame IS the next edge set; the r14 rewrite drops the
+        // per-round semi-join back against `alive` that re-derived it
+        // (measured: the 4-round loop on the cached sf0.1 graph was
+        // ~12.6 s with one support pass at 0.56 s — the loop was all
+        // per-round stage overhead)
+        val sup = TrackedCaches.persist(
+          support(alive).filter(col("support") >= minSup))
+        val n = sup.count()
+        aliveCache.unpersist()
+        aliveCache = sup
+        alive = sup.select("lo", "hi")
+        lastSup = sup
         if (n == aliveN) done = true
         aliveN = n
       }
     }
     // final in-truss support on the survivor set (kCore's final-pass
     // discipline: the reported support is the SUBGRAPH support even
-    // when the round budget stopped early)
-    alive.join(support(alive), Seq("lo", "hi"))
-      .select(col("lo").as("src"), col("hi").as("dst"), col("support"))
+    // when the round budget stopped early). A CONVERGED run needs no
+    // extra pass: the last round dropped nothing, so its filtered
+    // support — computed over exactly the surviving edge set — already
+    // equals `alive join support(alive)` (every survivor has support
+    // >= k-2 by convergence, and support keys are a subset of alive).
+    if (done && lastSup != null)
+      lastSup.select(col("lo").as("src"), col("hi").as("dst"),
+        col("support"))
+    else
+      alive.join(support(alive), Seq("lo", "hi"))
+        .select(col("lo").as("src"), col("hi").as("dst"), col("support"))
   }
 
   /** Per-node local clustering coefficient: 2T / (deg * (deg - 1)),

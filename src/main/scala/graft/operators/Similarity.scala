@@ -644,7 +644,10 @@ object Similarity {
       col("bkt"))
     val r = b.select(col("id").as("idb"), col("v").as("vb"),
       col("bkt").as("bktb"))
-    val best = l.join(r,
+    // persist the per-node best match (r14): the mutuality check joins
+    // `best` against its own reversal, so uncached the bucket join +
+    // rank window ran twice. Frame is node-sized (one row per id).
+    val best = TrackedCaches.persist(l.join(r,
         col("bkt") === col("bktb") && col("ida") =!= col("idb"))
       .select(col("ida"), col("idb"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
@@ -652,7 +655,7 @@ object Similarity {
         Window.partitionBy("ida")
           .orderBy(col("cos").desc, col("idb"))))
       .filter(col("__rk") === 1)
-      .select("ida", "idb", "cos")
+      .select("ida", "idb", "cos"))
     // reversed copy with EVERY column renamed (the self-join lineage
     // convention): mutual = best(a)=b AND best(b)=a
     val rev = best.select(col("ida").as("__rb"), col("idb").as("__ra"))
@@ -1060,7 +1063,13 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("qid"),
       col(vecCol).as("qv")))
     val cv = corpus.select(col(idCol).as("node"), col(vecCol).as("nv"))
-    val g = graph.select(col("src"), col("dst"))
+    // persist the edge set (r14): `graph` is typically the EXPENSIVE
+    // index build (per-layer bucket join + rank window) and each hop
+    // round joins it again — uncached, the build re-ran once per round
+    // (measured at sf0.1: the multi-probe build is ~2.5 s of the 5.4 s
+    // q_ann_graph_mp_topk; rounds = 2 paid it twice). Shared registry
+    // so harnesses can release it.
+    val g = TrackedCaches.persist(graph.select(col("src"), col("dst")))
     val rank = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("node"))
     var beam = q.select(col("qid"), col("qid").as("node"))
