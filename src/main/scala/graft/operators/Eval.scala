@@ -731,21 +731,6 @@ object Eval {
   private def chrStream(c: String): org.apache.spark.sql.Column =
     regexp_replace(lower(trim(coalesce(col(c), lit("")))), "\\s+", "")
 
-  /** Character n-grams of the char stream. */
-  private def charGrams(c: String, n: Int)
-      : org.apache.spark.sql.Column = {
-    val s = chrStream(c)
-    when(length(s) >= n,
-        transform(sequence(lit(1), length(s) - n + 1),
-          i => s.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  private def charGramCounts(df: DataFrame, idCol: String, c: String,
-      n: Int, out: String): DataFrame =
-    df.select(col(idCol).as("__id"), explode(charGrams(c, n)).as("gram"))
-      .groupBy("__id", "gram").agg(count(lit(1)).as(out))
-
   /** Corpus chrF (character n-gram F-score, beta = 2, orders
     * 1..maxN): per-order clipped char-gram overlap pooled over the
     * corpus (sacrebleu's corpus-statistic pooling), then
@@ -760,26 +745,51 @@ object Eval {
   def corpusChrF(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 3): DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"bad maxN: $maxN")
-    val perN = (1 to maxN).map { n =>
-      val clipped = charGramCounts(df, idCol, candCol, n, "cp")
-        .join(charGramCounts(df, idCol, refCol, n, "cg"),
-          Seq("__id", "gram"), "inner")
-        .agg(coalesce(sum(least(col("cp"), col("cg"))), lit(0L))
-          .as(s"clipped_$n"))
-      val totals = df.select(
-          greatest(length(chrStream(candCol)) - n + 1, lit(0))
-            .cast("long").as("ct"),
-          greatest(length(chrStream(refCol)) - n + 1, lit(0))
-            .cast("long").as("rt"))
-        .agg(sum("ct").as(s"ctotal_$n"), sum("rt").as(s"rtotal_$n"))
-      clipped.crossJoin(totals) // one-row frames
+    // ONE corpus pass for every order and both sides (r14; was 3 scans
+    // PER order — two gram-count passes + a totals pass — crossJoined:
+    // 9 scans at maxN = 3). Char streams are computed once, each
+    // order's grams for cand and ref are tagged (n, side) through a
+    // single explode, and one (id, n, gram) aggregate carries both
+    // sides' counts. The per-order TOTALS need no separate pass: total
+    // char n-grams per side = the sum of that side's per-gram counts.
+    // All sums stay integral, so the pooled P/R/F values are
+    // bit-identical to the per-order form.
+    def gramsOf(s: Column, n: Int): Column =
+      when(length(s) >= n,
+          transform(sequence(lit(1), length(s) - n + 1),
+            i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    val parts = (1 to maxN).flatMap { n =>
+      Seq(
+        transform(gramsOf(col("__c"), n),
+          g => struct(lit(n).as("n"), lit(1).as("cand"), g.as("gram"))),
+        transform(gramsOf(col("__r"), n),
+          g => struct(lit(n).as("n"), lit(0).as("cand"), g.as("gram"))))
     }
-    val joined = perN.reduce(_ crossJoin _)
-    def p(n: Int) = when(col(s"ctotal_$n") > 0,
-      col(s"clipped_$n") / col(s"ctotal_$n").cast("double"))
+    val perGram = df
+      .select(col(idCol).as("__id"),
+        chrStream(candCol).as("__c"), chrStream(refCol).as("__r"))
+      .select(col("__id"), explode(flatten(array(parts: _*))).as("t"))
+      .groupBy(col("__id"), col("t.n").as("__n"),
+        col("t.gram").as("__gk"))
+      .agg(sum(col("t.cand").cast("long")).as("cp"),
+        sum(lit(1L) - col("t.cand")).as("cg"))
+    val stats = perGram.groupBy("__n").agg(
+      sum(when(col("cp") > 0 && col("cg") > 0,
+        least(col("cp"), col("cg"))).otherwise(0L)).as("clipped"),
+      sum(col("cp")).as("ctotal"),
+      sum(col("cg")).as("rtotal"))
+    // single-row pivot; missing orders (corpus shorter than n
+    // everywhere) coalesce to 0 like the old per-order empty sums
+    val joined = stats.groupBy().pivot("__n", 1 to maxN)
+      .agg(first("clipped").as("clipped"), first("ctotal").as("ctotal"),
+        first("rtotal").as("rtotal"))
+    def g(c: String, n: Int) = coalesce(col(s"${n}_$c"), lit(0L))
+    def p(n: Int) = when(g("ctotal", n) > 0,
+      g("clipped", n) / g("ctotal", n).cast("double"))
       .otherwise(0.0)
-    def r(n: Int) = when(col(s"rtotal_$n") > 0,
-      col(s"clipped_$n") / col(s"rtotal_$n").cast("double"))
+    def r(n: Int) = when(g("rtotal", n) > 0,
+      g("clipped", n) / g("rtotal", n).cast("double"))
       .otherwise(0.0)
     def f(n: Int) = when(lit(4.0) * p(n) + r(n) > 0,
       lit(5.0) * p(n) * r(n) / (lit(4.0) * p(n) + r(n)))

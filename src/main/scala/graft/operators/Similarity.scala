@@ -572,13 +572,28 @@ object Similarity {
       : DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).map { s =>
-      kmeansAssignExact(
-        emb.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as("sv")),
-        idCol, "sv", k, iters)
-        .select(col(idCol), col("cluster").as(s"c$s"))
-    }.reduce(_.join(_, idCol))
+    // the m sub-space Lloyd loops are INDEPENDENT (disjoint slices of
+    // the same corpus) but each runs iters+1 sequential driver-side
+    // jobs — overlap them from a small thread pool (guide §2.6) so one
+    // subspace's argmin collect back-fills the cores another's tail
+    // leaves idle (r14; sequential they serialized m x (iters+2) tiny
+    // jobs). Results are unchanged: each loop is a pure function of
+    // its slice.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val parts = (0 until m).map { s =>
+      Future {
+        kmeansAssignExact(
+          emb.select(col(idCol),
+            slice(col(vecCol), s * sub + 1, sub).as("sv")),
+          idCol, "sv", k, iters)
+          .select(col(idCol), col("cluster").as(s"c$s"))
+      }
+    }
+    Await.result(Future.sequence(parts), Duration.Inf)
+      .reduce(_.join(_, idCol))
   }
 
   /** Deterministic random hyperplanes (seeded driver-side, inlined as
