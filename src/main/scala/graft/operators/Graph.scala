@@ -14,6 +14,46 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Driver-tier guard for the iterative graph loops (the BpeTrain
+    * `MaxDriverVocab` precedent, r14): when the symmetrized DISTINCT
+    * edge set holds at most this many directed rows, the fixed-round /
+    * fixed-point iteration runs locally over collected primitive
+    * arrays instead of as per-round Spark jobs. Rationale (guide
+    * §1.2 "the distributed algorithm"): each round is edge-sized work
+    * with a strict sequential dependency on the previous round, so
+    * below this size the distributed loop pays 2 exchanges + plan-cut
+    * + action scheduling PER ROUND for zero parallelism win —
+    * measured at sf0.1 the 4-5-round loops cost 2-3 s each while the
+    * local simulation of the same rounds is sub-millisecond. The tier
+    * changes WHERE the rounds run, never what they compute: every
+    * local loop below simulates the distributed rounds update-for-
+    * update (same min/count/argmax math, same 8dp rounding and sorted
+    * float folds, same round caps and convergence rules), pinned by
+    * GraphSpec tier-equality properties and the unchanged oracles.
+    * 2^20 directed rows ≈ 16 MB of raw longs (~50 MB transient Row
+    * overhead during the one collect) — far under driver headroom,
+    * and at 100 TB a graph over the cap takes the distributed loop
+    * unchanged. Callers force the distributed path with
+    * `maxDriverEdges = 0` (the spec hook). */
+  val MaxDriverEdges: Long = 1L << 20
+
+  private def r8(x: Double): Double =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Collected (src, dst) primitive arrays of a symmetrized edge
+    * frame — the driver tier's one collect, guarded by
+    * [[MaxDriverEdges]] at every call site. */
+  private def collectSym(sym: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = sym.select(col("src"), col("dst")).collect()
+    val s = new Array[Long](rows.length)
+    val d = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      s(i) = rows(i).getLong(0); d(i) = rows(i).getLong(1); i += 1
+    }
+    (s, d)
+  }
+
   /** Symmetrized (src, dst) edge view in ONE pass over `edges`: each
     * input row explodes into both directions. The union-of-two-selects
     * idiom this replaces (r14) referenced `edges` twice, so an
@@ -63,10 +103,22 @@ object Graph {
     * are identical either way — only the recovery story changes. */
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     val sym = symEdges(edges, aCol, bCol)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // driver tier (see MaxDriverEdges): the count doubles as the
+    // persist materializer the first round's action used to provide
+    val nEdges = sym.count()
+    if (nEdges <= maxDriverEdges) {
+      val (s, d) = collectSym(sym)
+      sym.unpersist()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return TrackedCaches.track(
+        ccLocal(s, d, maxIter).toSeq.sortBy(_._1).toDF("id", "comp"))
+    }
     var labels = sym.select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("comp"))
@@ -162,6 +214,55 @@ object Graph {
     TrackedCaches.track(labels)
   }
 
+  /** Local simulation of the [[connectedComponents]] rounds — the
+    * driver tier. Identical update rule per round (synchronous
+    * pull-the-neighbor-min, then jump comp := min(comp, comp(comp))),
+    * identical convergence test (labels are monotone decreasing, so
+    * "sum unchanged" ⇔ "no label changed") and the same `maxIter`
+    * cap — a capped under-merged run reproduces the distributed
+    * loop's capped output exactly, not a union-find shortcut past it. */
+  private[operators] def ccLocal(src: Array[Long], dst: Array[Long],
+      maxIter: Int): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    var comp = mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < src.length) {
+      if (!comp.contains(src(i))) comp.update(src(i), src(i))
+      i += 1
+    }
+    var iter = 0
+    var converged = comp.isEmpty
+    while (!converged && iter < maxIter) {
+      // (1) pull: comp(v) := min(comp(v), min over neighbors comp(u)) —
+      // all reads against the PREVIOUS round's table (synchronous)
+      val pulled = comp.clone()
+      i = 0
+      while (i < src.length) {
+        val cu = comp(dst(i))
+        if (cu < pulled(src(i))) pulled.update(src(i), cu)
+        i += 1
+      }
+      // (2) jump: comp(v) := min(comp(v), comp(comp(v))) over PULLED
+      var changed = false
+      val next = mutable.LongMap.empty[Long]
+      pulled.foreachEntry { (v, c) =>
+        val nv = math.min(c, pulled.getOrElse(c, c))
+        next.update(v, nv)
+        if (nv != comp(v)) changed = true
+      }
+      comp = next
+      converged = !changed
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graph] connectedComponents hit maxIter=$maxIter before the " +
+          "convergence check passed: labels are valid but components may " +
+          "be under-merged (downstream dedup would under-dedup). " +
+          "Raise maxIter for deep chain graphs.")
+    comp.toArray
+  }
+
   /** Distributed PageRank over an undirected pair graph (edges are
     * symmetrized; every node has degree >= 1, so there are no dangling
     * nodes). Fixed iteration count, damping d:
@@ -184,7 +285,8 @@ object Graph {
     * (lineage kept, logical plan flattened). */
   def pageRank(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     // persist the symmetrized edges BEFORE the node count: the edge
     // input may itself be an expensive pipeline (the near-dup pair
@@ -193,6 +295,17 @@ object Graph {
     val sym = symEdges(edges, aCol, bCol)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // driver tier (see MaxDriverEdges): simulate the rounds locally
+    val nEdges = sym.count()
+    if (nEdges <= maxDriverEdges) {
+      val (s, d) = collectSym(sym)
+      sym.unpersist()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return TrackedCaches.track(
+        pageRankLocal(s, d, iterations, damping).toSeq.sortBy(_._1)
+          .toDF("id", "rank"))
+    }
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // one scalar to the driver (node count)
@@ -232,6 +345,54 @@ object Graph {
     out.persist(StorageLevel.MEMORY_AND_DISK).count()
     sym.unpersist(); adj.unpersist()
     TrackedCaches.track(out)
+  }
+
+  /** Local simulation of the [[pageRank]] rounds — the driver tier.
+    * Identical float math per round: contrib = round8(rank / deg),
+    * per-node neighbor sums fold the contributions in ASCENDING order
+    * from 0.0 (the sort_array + aggregate fold), next rank =
+    * round8(base + damping * sum) — so the returned ranks are the
+    * distributed loop's bit for bit (`r8` is Spark's HALF_UP double
+    * rounding; the existing code already mixes the two). */
+  private[operators] def pageRankLocal(src: Array[Long], dst: Array[Long],
+      iterations: Int, damping: Double): Array[(Long, Double)] = {
+    import scala.collection.mutable
+    val deg = mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < src.length) {
+      deg.update(src(i), deg.getOrElse(src(i), 0L) + 1L); i += 1
+    }
+    val n = deg.size
+    if (n == 0) return Array.empty
+    val base = r8((1.0 - damping) / n)
+    var ranks = mutable.LongMap.empty[Double]
+    deg.foreachEntry((v, _) => ranks.update(v, r8(1.0 / n)))
+    // group incoming edges by dst once: edge index order sorted by dst
+    val order = Array.range(0, src.length)
+      .sortBy(dst(_))
+    for (_ <- 1 to iterations) {
+      val contrib = mutable.LongMap.empty[Double]
+      deg.foreachEntry((v, dv) =>
+        contrib.update(v, r8(ranks(v) / dv)))
+      val next = mutable.LongMap.empty[Double]
+      var j = 0
+      while (j < order.length) {
+        val u = dst(order(j))
+        var k = j
+        while (k < order.length && dst(order(k)) == u) k += 1
+        val cs = new Array[Double](k - j)
+        var m = j
+        while (m < k) { cs(m - j) = contrib(src(order(m))); m += 1 }
+        java.util.Arrays.sort(cs)
+        var sum = 0.0
+        var t = 0
+        while (t < cs.length) { sum += cs(t); t += 1 }
+        next.update(u, r8(base + damping * sum))
+        j = k
+      }
+      ranks = next
+    }
+    ranks.toArray
   }
 
   /** Transitive near-dup survivors: keep every row of `df` except
@@ -408,10 +569,29 @@ object Graph {
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       idCol: String = "id", labelCol: String = "label",
       aCol: String = "id_a", bCol: String = "id_b",
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3,
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     require(iterations >= 0, s"bad iterations: $iterations")
     val sym = TrackedCaches.persist(symEdges(edges, aCol, bCol)
       .distinct())
+    // driver tier (see MaxDriverEdges): string labels only (the local
+    // tie-break replays Spark's UTF8 binary order, which is only
+    // implemented for strings here); node frame shares the edge cap
+    val labelIsString = nodes.schema(labelCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    if (labelIsString && sym.count() <= maxDriverEdges &&
+        nodes.count() <= maxDriverEdges) {
+      val seedRows = nodes
+        .select(col(idCol).cast("long").as("id"), col(labelCol))
+        .collect()
+      val (s, d) = collectSym(sym)
+      val nd = seedRows.map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      return lpaLocal(nd, s, d, iterations).toSeq.sortBy(_._1)
+        .toDF("id", "label")
+    }
     var labels = TrackedCaches.persist(
       nodes.select(col(idCol).cast("long").as("id"),
         col(labelCol).as("seed_label"),
@@ -437,6 +617,72 @@ object Graph {
       prev.unpersist()
     }
     labels.select(col("id"), col("label"))
+  }
+
+  /** Local simulation of the [[labelPropagation]] rounds — the driver
+    * tier (string labels only). Same synchronous rounds: every
+    * labeled NODE ROW (duplicate node rows kept, exactly as the
+    * distributed join sees them) contributes its label to each
+    * neighbor, the winner is (count desc, label asc in UTF8 BINARY
+    * order — Spark's string ordering, via [[BpeTrain.utf8Less]]),
+    * seeds keep their label, unlabeled nodes with no labeled neighbor
+    * keep their current label. */
+  private[operators] def lpaLocal(nodeRows: Array[(Long, String)],
+      src: Array[Long], dst: Array[Long], iterations: Int)
+      : Array[(Long, String)] = {
+    import scala.collection.mutable
+    // per-row state: (id, seed_label, label); duplicates preserved
+    val ids = nodeRows.map(_._1)
+    val seed = nodeRows.map(_._2)
+    var label = seed.clone()
+    // id -> row indices (handles duplicate node rows bit-for-bit)
+    val rowsOf = mutable.LongMap.empty[mutable.ArrayBuilder.ofInt]
+    var i = 0
+    while (i < ids.length) {
+      rowsOf.getOrElseUpdate(ids(i), new mutable.ArrayBuilder.ofInt) += i
+      i += 1
+    }
+    val rowIdx = mutable.LongMap.empty[Array[Int]]
+    rowsOf.foreachEntry((k, b) => rowIdx.update(k, b.result()))
+    for (_ <- 1 to iterations) {
+      // (dst, label) counts from every labeled source ROW
+      val counts = mutable.HashMap.empty[(Long, String), Long]
+      var e = 0
+      while (e < src.length) {
+        rowIdx.get(src(e)).foreach { rs =>
+          var j = 0
+          while (j < rs.length) {
+            val l = label(rs(j))
+            if (l != null) {
+              val key = (dst(e), l)
+              counts.update(key, counts.getOrElse(key, 0L) + 1L)
+            }
+            j += 1
+          }
+        }
+        e += 1
+      }
+      // winner per node: count desc, label asc (UTF8 binary)
+      val best = mutable.LongMap.empty[(String, Long)]
+      counts.foreach { case ((u, l), c) =>
+        best.get(u) match {
+          case Some((bl, bc)) =>
+            if (c > bc || (c == bc && BpeTrain.utf8Less(l, bl)))
+              best.update(u, (l, c))
+          case None => best.update(u, (l, c))
+        }
+      }
+      val next = new Array[String](label.length)
+      i = 0
+      while (i < label.length) {
+        next(i) =
+          if (seed(i) != null) seed(i)
+          else best.get(ids(i)).map(_._1).getOrElse(label(i))
+        i += 1
+      }
+      label = next
+    }
+    ids.indices.map(j => (ids(j), label(j))).toArray
   }
 
   /** Incremental connected components — fold a DELTA edge batch into an
@@ -536,11 +782,19 @@ object Graph {
     * materializes. Output: `(id, deg)` per k-core member with its
     * in-core degree. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     require(k >= 1, s"bad k: $k")
     require(rounds >= 1, s"bad rounds: $rounds")
     val sym = TrackedCaches.persist(symEdges(edges, aCol, bCol)
       .distinct())
+    // driver tier (see MaxDriverEdges): peel locally
+    if (sym.count() <= maxDriverEdges) {
+      val (s, d) = collectSym(sym)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return kCoreLocal(s, d, k, rounds).toSeq.sorted.toDF("id", "deg")
+    }
     var alive: DataFrame = null
     var aliveN = -1L
     var done = false
@@ -571,6 +825,45 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
   }
 
+  /** Local simulation of the [[kCore]] peel — the driver tier. Same
+    * round semantics: survivors = nodes whose degree WITHIN the
+    * current survivor-induced subgraph is >= k, fixpoint detected by
+    * an unchanged survivor count, remaining rounds skipped, and the
+    * reported degree is one final in-subgraph degree pass over the
+    * final survivor set (so an early-stopped budget reports the same
+    * numbers as the distributed loop). */
+  private[operators] def kCoreLocal(src: Array[Long], dst: Array[Long],
+      k: Int, rounds: Int): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    def degrees(alive: mutable.LongMap[Boolean])
+        : mutable.LongMap[Long] = {
+      val deg = mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < src.length) {
+        if (alive == null ||
+            (alive.contains(src(i)) && alive.contains(dst(i))))
+          deg.update(src(i), deg.getOrElse(src(i), 0L) + 1L)
+        i += 1
+      }
+      deg
+    }
+    var alive: mutable.LongMap[Boolean] = null
+    var aliveN = -1L
+    var done = false
+    (1 to rounds).foreach { _ =>
+      if (!done) {
+        val deg = degrees(alive)
+        val next = mutable.LongMap.empty[Boolean]
+        deg.foreachEntry((v, dv) => if (dv >= k) next.update(v, true))
+        val n = next.size.toLong
+        alive = next
+        if (n == aliveN) done = true
+        aliveN = n
+      }
+    }
+    degrees(alive).toArray
+  }
+
   /** k-truss of the pair graph: the maximal subgraph where every EDGE
     * participates in >= k-2 triangles within the subgraph — the
     * edge-level strengthening of [[kCore]] (a k-truss is always inside
@@ -595,7 +888,8 @@ object Graph {
     * its final in-truss support. */
   def kTruss(edges: DataFrame, k: Int, rounds: Int = 4,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxDegree: Int = DefaultMaxDegree): DataFrame = {
+      maxDegree: Int = DefaultMaxDegree,
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     require(k >= 3, s"bad k: $k (a truss needs k >= 3)")
     require(rounds >= 1, s"bad rounds: $rounds")
     val minSup = k - 2
@@ -620,6 +914,23 @@ object Graph {
     var aliveCache = alive
     var aliveN = alive.count()
     var done = aliveN == 0
+    // driver tier (see MaxDriverEdges): the hub cap above already ran
+    // distributed (its detection aggregate needs the full edge set);
+    // only the sequential peel rounds tier down
+    if (aliveN <= maxDriverEdges) {
+      val rows = alive.select(col("lo"), col("hi")).collect()
+      val lo = new Array[Long](rows.length)
+      val hi = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        lo(i) = rows(i).getLong(0); hi(i) = rows(i).getLong(1); i += 1
+      }
+      aliveCache.unpersist()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return kTrussLocal(lo, hi, k, rounds).toSeq.sorted
+        .toDF("src", "dst", "support")
+    }
     // filtered support of the CURRENT alive set — valid as the final
     // answer exactly when the loop ended converged (see below)
     var lastSup: DataFrame = null
@@ -657,6 +968,74 @@ object Graph {
     else
       alive.join(support(alive), Seq("lo", "hi"))
         .select(col("lo").as("src"), col("hi").as("dst"), col("support"))
+  }
+
+  /** Local simulation of the [[kTruss]] peel — the driver tier. Same
+    * rounds: per-edge triangle support within the surviving canonical
+    * (lo < hi) edge set (each triangle a<b<c found once, crediting
+    * its three edges), survivors = support >= k-2 (no-support edges
+    * drop — support keys are a subset of the edge set), fixpoint on
+    * an unchanged count skips remaining rounds, and a non-converged
+    * budget pays one final support pass over the survivors (inner
+    * join ⇒ zero-triangle survivors drop, exactly the distributed
+    * tail). */
+  private[operators] def kTrussLocal(lo: Array[Long], hi: Array[Long],
+      k: Int, rounds: Int): Array[(Long, Long, Long)] = {
+    import scala.collection.mutable
+    val minSup = k - 2
+    // support within the edge set: for each (a,b), common c over the
+    // ASCENDING out-neighbor lists N+(a), N+(b) closes triangle a<b<c
+    def support(edges: Array[(Long, Long)])
+        : mutable.HashMap[(Long, Long), Long] = {
+      val nplus = mutable.LongMap.empty[mutable.ArrayBuilder.ofLong]
+      edges.foreach { case (a, b) =>
+        nplus.getOrElseUpdate(a, new mutable.ArrayBuilder.ofLong) += b
+      }
+      val adj = mutable.LongMap.empty[Array[Long]]
+      nplus.foreachEntry { (a, b) =>
+        val arr = b.result(); java.util.Arrays.sort(arr)
+        adj.update(a, arr)
+      }
+      val sup = mutable.HashMap.empty[(Long, Long), Long]
+      def credit(e: (Long, Long)): Unit =
+        sup.update(e, sup.getOrElse(e, 0L) + 1L)
+      edges.foreach { case (a, b) =>
+        (adj.get(a), adj.get(b)) match {
+          case (Some(na), Some(nb)) =>
+            // sorted-merge intersection of N+(a) and N+(b)
+            var i = 0; var j = 0
+            while (i < na.length && j < nb.length) {
+              if (na(i) < nb(j)) i += 1
+              else if (na(i) > nb(j)) j += 1
+              else {
+                val c = na(i)
+                credit((a, b)); credit((b, c)); credit((a, c))
+                i += 1; j += 1
+              }
+            }
+          case _ =>
+        }
+      }
+      sup
+    }
+    var alive = lo.indices.map(i => (lo(i), hi(i))).toArray
+    var aliveN = alive.length.toLong
+    var done = aliveN == 0
+    var lastSup: mutable.HashMap[(Long, Long), Long] = null
+    (1 to rounds).foreach { _ =>
+      if (!done) {
+        val sup = support(alive).filter(_._2 >= minSup)
+        val n = sup.size.toLong
+        alive = sup.keysIterator.toArray
+        lastSup = sup
+        if (n == aliveN) done = true
+        aliveN = n
+      }
+    }
+    val fin =
+      if (done && lastSup != null) lastSup
+      else support(alive)
+    fin.iterator.map { case ((a, b), s) => (a, b, s) }.toArray
   }
 
   /** Per-node local clustering coefficient: 2T / (deg * (deg - 1)),
@@ -844,19 +1223,32 @@ object Graph {
     * seeds keep their restart mass. */
   def personalizedPageRank(edges: DataFrame, seedIds: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 3, damping: Double = 0.85,
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val sym = symEdges(edges, aCol, bCol)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = seedIds.select(
         col(seedIds.columns.head).cast("long").as("src"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val nS = seeds.count() // one scalar to the driver (seed count)
     require(nS >= 1, "personalizedPageRank needs at least one seed")
     val spark = edges.sparkSession
+    // driver tier (see MaxDriverEdges): seed count is node-bounded but
+    // independent of the edge set, so it shares the same cap
+    val nEdges = sym.count()
+    if (nEdges <= maxDriverEdges && nS <= maxDriverEdges) {
+      val (s, d) = collectSym(sym)
+      val seedArr = seeds.collect().map(_.getLong(0))
+      sym.unpersist(); seeds.unpersist()
+      import spark.implicits._
+      return TrackedCaches.track(
+        pprLocal(s, d, seedArr, iterations, damping).toSeq.sortBy(_._1)
+          .toDF("id", "is_seed", "rank"))
+    }
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     def r8(x: Double): Double =
       BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     val base = r8((1.0 - damping) / nS)
@@ -890,5 +1282,72 @@ object Graph {
     out.persist(StorageLevel.MEMORY_AND_DISK).count()
     sym.unpersist(); adj.unpersist(); seeds.unpersist(); nodes.unpersist()
     TrackedCaches.track(out)
+  }
+
+  /** Local simulation of the [[personalizedPageRank]] rounds — the
+    * driver tier. Same per-round math as the distributed loop:
+    * positive-rank nodes contribute round8(rank / deg), per-node sums
+    * fold ascending from 0.0 WITHOUT rounding, and the next rank is
+    * round8(seedBase-or-0 + damping * sum) over the node universe
+    * (graph nodes ∪ seeds; nodes with no contribution coalesce to
+    * sum 0.0). */
+  private[operators] def pprLocal(src: Array[Long], dst: Array[Long],
+      seeds: Array[Long], iterations: Int, damping: Double)
+      : Array[(Long, Int, Double)] = {
+    import scala.collection.mutable
+    val deg = mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < src.length) {
+      deg.update(src(i), deg.getOrElse(src(i), 0L) + 1L); i += 1
+    }
+    val nS = seeds.length
+    val base = r8((1.0 - damping) / nS)
+    val isSeed = mutable.LongMap.empty[Boolean]
+    seeds.foreach(s => isSeed.update(s, true))
+    // node universe = graph nodes ∪ seeds
+    val nodes = mutable.LongMap.empty[Boolean]
+    deg.foreachEntry((v, _) => nodes.update(v, isSeed.getOrElse(v, false)))
+    seeds.foreach(s => nodes.update(s, true))
+    var ranks = mutable.LongMap.empty[Double]
+    nodes.foreachEntry((v, seed) =>
+      ranks.update(v, if (seed) r8(1.0 / nS) else 0.0))
+    val order = Array.range(0, src.length).sortBy(dst(_))
+    for (_ <- 1 to iterations) {
+      // contributions only from positive-rank graph nodes
+      val contrib = mutable.LongMap.empty[Double]
+      deg.foreachEntry { (v, dv) =>
+        val rv = ranks(v)
+        if (rv > 0) contrib.update(v, r8(rv / dv))
+      }
+      val sums = mutable.LongMap.empty[Double]
+      var j = 0
+      while (j < order.length) {
+        val u = dst(order(j))
+        var k = j
+        val buf = mutable.ArrayBuilder.make[Double]
+        while (k < order.length && dst(order(k)) == u) {
+          contrib.get(src(order(k))).foreach(buf += _)
+          k += 1
+        }
+        val cs = buf.result()
+        if (cs.nonEmpty) {
+          java.util.Arrays.sort(cs)
+          var sum = 0.0
+          var t = 0
+          while (t < cs.length) { sum += cs(t); t += 1 }
+          sums.update(u, sum)
+        }
+        j = k
+      }
+      val next = mutable.LongMap.empty[Double]
+      nodes.foreachEntry { (v, seed) =>
+        next.update(v, r8((if (seed) base else 0.0) +
+          damping * sums.getOrElse(v, 0.0)))
+      }
+      ranks = next
+    }
+    nodes.toArray.map { case (v, seed) =>
+      (v, if (seed) 1 else 0, ranks(v))
+    }
   }
 }
