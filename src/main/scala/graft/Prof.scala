@@ -135,7 +135,47 @@ object Prof {
         operators.Dedup.crossNearDupPairs(
           docs.filter(col("doc_id") % 7 =!= 0),
           docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
-          n = 3, threshold = 0.8)))
+          n = 3, threshold = 0.8))),
+      // manifest lifecycle phase split (r15): which of the q_manifest_
+      // compact stages carries the cost — the writes, the bloom
+      // builds, or the compaction swap
+      "manifest_phases" -> (() => {
+        val d = docs
+        def phase[T](name: String)(body: => T): T = {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"[prof] manifest/$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f")
+          r
+        }
+        (1 to reps).foreach { _ =>
+          val p = java.nio.file.Files
+            .createTempDirectory("graft-prof-manifest").toString
+          phase("write_partitioned")(
+            operators.Manifests.writeSeenManifestPartitioned(
+              d.filter(col("doc_id") % 3 === 0), "text", s"$p/seen",
+              prefixLen = 1))
+          phase("append_1")(
+            operators.Manifests.appendSeenManifest(spark,
+              d.filter(col("doc_id") % 3 === 1), "text", s"$p/seen",
+              prefixLen = 1))
+          phase("bloom_sidecar_write")(
+            operators.Manifests.writeBloomSidecar(spark,
+              spark.read.parquet(s"$p/seen"), s"$p/seen_bloom"))
+          val (bloom, _) = phase("bloom_sidecar_read")(
+            operators.Manifests.readBloomSidecar(spark, s"$p/seen_bloom"))
+          val fresh = operators.Manifests.filterUnseenWithBloom(
+            d.filter(col("doc_id") % 3 === 2), "text",
+            spark.read.parquet(s"$p/seen"), bloom)
+          phase("append_2_fresh")(
+            operators.Manifests.appendSeenManifest(spark, fresh, "text",
+              s"$p/seen", prefixLen = 1))
+          phase("compact")(
+            operators.Manifests.compactSeenManifest(spark, s"$p/seen"))
+          phase("final_read")(
+            spark.read.parquet(s"$p/seen").count())
+          graft.operators.TrackedCaches.releaseAll()
+        }
+      })
     )
 
     args.headOption match {

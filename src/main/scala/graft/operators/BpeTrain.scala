@@ -51,6 +51,14 @@ object BpeTrain {
     * binary ordering (BpeTrainSpec pins tier equality). */
   val MaxDriverVocab: Long = 4L * 1000 * 1000
 
+  /** Companion BYTE guard for the driver tier (r15, advisor note):
+    * estimated retained driver bytes of the collected symbol table.
+    * 512 MiB sits far under the gate JVMs' 4 GiB heaps while covering
+    * any honest vocabulary (4M rows x ~50 B is ~200 MB); pre-token
+    * pathologies that pack more symbol payload under the row cap run
+    * the distributed loop instead. */
+  val MaxDriverVocabBytes: Long = 512L << 20
+
   /** Learned merge table after `nMerges` rounds (fewer if the corpus
     * runs dry — no adjacent pair appears at least `minCount` times).
     * Returns the ordered merges; rank = position. */
@@ -95,10 +103,31 @@ object BpeTrain {
     // jobs is pure scheduling overhead when that table fits in hand
     // (measured at sf0.1: 8.2 s distributed -> the corpus pass's
     // ~0.5 s + microseconds of local loop). One collect, guarded.
+    //
+    // r15 (advisor note): the row guard alone assumed ~50 B of symbols
+    // per pre-token — a corpus of pathologically long pre-tokens
+    // (unsegmented scripts, binary-ish text the GPT-2 regex cannot
+    // split) could blow the driver heap while staying under the row
+    // cap. Estimate RETAINED driver bytes over the same cached table
+    // (one cheap vocab-sized job: per word ~64 B of tuple/array
+    // overhead + 48 B per symbol ref+header + 2 B per char) and take
+    // the driver tier only when BOTH guards pass; over-budget corpora
+    // run the distributed loop below, which never collects.
     if (nWords <= maxDriverVocab) {
-      val words = base.collect()
-      base.unpersist()
-      return trainLocal(words, nMerges, minCount)
+      val estBytes = base
+        .map { case (syms, _) =>
+          64L + syms.foldLeft(0L)((a, s) => a + 48L + 2L * s.length)
+        }
+        .toDF("b").agg(coalesce(sum("b"), lit(0L))).first().getLong(0)
+      if (estBytes <= MaxDriverVocabBytes) {
+        val words = base.collect()
+        base.unpersist()
+        return trainLocal(words, nMerges, minCount)
+      }
+      System.err.println(
+        s"[graft.bpe] driver tier refused: estimated retained " +
+          s"$estBytes B over MaxDriverVocabBytes=$MaxDriverVocabBytes " +
+          s"(rows $nWords under $maxDriverVocab) — distributed loop")
     }
 
     var cur = base

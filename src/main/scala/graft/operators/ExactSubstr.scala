@@ -44,6 +44,17 @@ import graft.functions.TextFunctions
   * fixture-keyed. */
 object ExactSubstr {
 
+  /** Input-size budget for the suffix-frame cache in
+    * [[maximalMatchStats]]: the suffix explode is per-token-position
+    * sized (a corpus-scale multiple), so the persist only pays for
+    * itself when the whole frame comfortably fits storage. 4 GiB of
+    * INPUT estimate (the optimizer's parquet-stat figure) keeps the
+    * cached suffix frame in the tens of GiB worst case — trivially
+    * safe in the gate environments, conservative on a shared cluster.
+    * Inputs over the budget run uncached (reported loudly): the same
+    * results, CPU traded for bounded storage. */
+  val MaxSuffixCacheInputBytes: Long = 4L << 30
+
   /** Suffix rows: one per token position with at least `minLen`
     * tokens remaining — (id, pos, gram key, previous token, bounded
     * lookahead). Map-only on the scan. */
@@ -70,7 +81,8 @@ object ExactSubstr {
     * document pair sharing at least one maximal run of `minLen`+
     * tokens. Lengths in tokens, capped at `minLen + maxExtend`. */
   def maximalMatchStats(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 8, maxExtend: Int = 8, maxOcc: Long = 50L)
+      minLen: Int = 8, maxExtend: Int = 8, maxOcc: Long = 50L,
+      maxCacheInputBytes: Long = MaxSuffixCacheInputBytes)
       : DataFrame = {
     require(minLen >= 2 && minLen <= 64, s"bad minLen: $minLen")
     require(maxExtend >= 1 && maxExtend <= 256,
@@ -83,8 +95,26 @@ object ExactSubstr {
     // 4x per query (measured at sf0.1: q_exact_substr 4.4 s -> 2.0 s
     // with this one cache). Same registry as the shingle caches so
     // harnesses can release it.
-    val sfx = TrackedCaches.persist(
-      suffixes(df, idCol, textCol, minLen, maxExtend))
+    //
+    // r15 (advisor note): the suffix frame is per-token-POSITION sized
+    // — each position carries a gram string plus a lookahead array, so
+    // this cache is a constant multiple of the CORPUS, unlike the
+    // vocab-/node-sized r14 persists. Gate it on the input's optimizer
+    // size estimate (parquet statistics — free, no job): under the
+    // budget the 4x reuse wins outright; above it the recompute form
+    // costs CPU but can never exhaust cache storage at 100 TB.
+    val sfx0 = suffixes(df, idCol, textCol, minLen, maxExtend)
+    val inBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sfx =
+      if (inBytes <= maxCacheInputBytes) TrackedCaches.persist(sfx0)
+      else {
+        System.err.println(
+          s"[graft.exactsubstr] input estimate $inBytes B over the " +
+            s"suffix-cache budget $maxCacheInputBytes B — running " +
+            "UNCACHED (each consumer re-derives the suffix explode; " +
+            "correct, trades CPU for bounded storage)")
+        sfx0
+      }
     // occupancy guard: one (gram -> positions) count, grams above the
     // cap drop from matching (reported by droppedGrams, never silent)
     val occ = sfx.groupBy("gram").agg(count(lit(1)).as("__occ"))

@@ -137,7 +137,13 @@ object Manifests {
       spark.read.parquet(path).select(col("key_md5")))
     val n = math.max(m.count(), 1L)
     val bloom = m.stat.bloomFilter("key_md5", n, fpp)
-    val keys = batch.select(keyMd5(col(keyCol)).as("key_md5")).distinct()
+    // persisted (r15): BOTH split branches (the definitely-new filter
+    // and the maybe-seen anti-join) read this frame — uncached, the
+    // batch's md5 pass + distinct would run once per branch, and the
+    // batch itself may be a computed pipeline (the q_manifest_compact
+    // steady-state feeds the bloom-filtered fresh set back in)
+    val keys = TrackedCaches.persist(
+      batch.select(keyMd5(col(keyCol)).as("key_md5")).distinct())
     val defNew = keys.filter(!bloomMightContain(bloom, col("key_md5")))
     val maybe = keys.filter(bloomMightContain(bloom, col("key_md5")))
       .join(m, Seq("key_md5"), "left_anti")

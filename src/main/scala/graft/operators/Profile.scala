@@ -671,9 +671,20 @@ object Profile {
       s"percentiles must be sorted distinct: $ps")
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    // persist the projected (group, value) frame (r15): THREE separate
+    // passes read it — the eager min/max probe, the shard-count
+    // aggregate, and the picked-shard rank window — so an unpersisted
+    // input replays its upstream (a parquet scan at best, a computed
+    // pipeline at worst) three times. The projection is two columns,
+    // the narrowest form of the input, released with the tracked
+    // registry like every operator-internal cache. Callers that
+    // already persisted their input (madByGroup, trimmedMean) skip
+    // the second copy — the three passes then read their cache
+    // through the cheap projection instead of materializing it twice.
+    val v0 = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
+    val v = if (TrackedCaches.isCached(df)) v0 else TrackedCaches.persist(v0)
     val stats = v.agg(min("__v").as("mn"), max("__v").as("mx")).first()
     if (stats.isNullAt(0))
       return v.select(col("__g").as(groupCol),

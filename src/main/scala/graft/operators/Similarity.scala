@@ -579,21 +579,31 @@ object Similarity {
     // leaves idle (r14; sequential they serialized m x (iters+2) tiny
     // jobs). Results are unchanged: each loop is a pure function of
     // its slice.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val parts = (0 until m).map { s =>
-      Future {
-        kmeansAssignExact(
-          emb.select(col(idCol),
-            slice(col(vecCol), s * sub + 1, sub).as("sv")),
-          idCol, "sv", k, iters)
-          .select(col(idCol), col("cluster").as(s"c$s"))
+    // r15 (advisor note): a DEDICATED m-sized pool, not the global EC —
+    // each future blocks on Spark actions (the per-iteration argmin
+    // collects), and m blocked threads on the shared global pool could
+    // starve unrelated work (or deadlock if pqCodes were ever called
+    // FROM the global EC). A bounded Await (vs Duration.Inf) turns a
+    // hung subspace into a diagnosable timeout instead of a wedged
+    // driver; generous because it bounds hangs, not honest work.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val parts = (0 until m).map { s =>
+        Future {
+          kmeansAssignExact(
+            emb.select(col(idCol),
+              slice(col(vecCol), s * sub + 1, sub).as("sv")),
+            idCol, "sv", k, iters)
+            .select(col(idCol), col("cluster").as(s"c$s"))
+        }
       }
-    }
-    Await.result(Future.sequence(parts), Duration.Inf)
-      .reduce(_.join(_, idCol))
+      Await.result(Future.sequence(parts), 1.hour)
+        .reduce(_.join(_, idCol))
+    } finally pool.shutdown()
   }
 
   /** Deterministic random hyperplanes (seeded driver-side, inlined as

@@ -22,6 +22,15 @@ private[graft] object TrackedCaches {
   private val entries =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** True when `df`'s exact plan is already served by the cache
+    * manager — callers use it to skip a persist whose only effect
+    * would be a second materialized copy of already-cached data. */
+  def isCached(df: DataFrame): Boolean =
+    df.sparkSession.sharedState.cacheManager
+      .lookupCachedData(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
+
   def persist(df: DataFrame): DataFrame = {
     // classic.Dataset is the only runtime Dataset in a JVM-local session
     val cached = df.sparkSession.sharedState.cacheManager
