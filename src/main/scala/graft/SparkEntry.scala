@@ -2379,16 +2379,23 @@ object SparkEntry {
       val e = emb(s, dir)
       val old = e.filter(col("vec_id") % 10 =!= 0)
       val fresh = e.filter(col("vec_id") % 10 === 0)
+      // persist the inline-built index (r15): the maintenance op reads
+      // `layered` once per layer (kept-side anti-join), and uncached
+      // each reference re-ran the full 2-layer bucket-join + rank-
+      // window build. Production indexes are STORED tables — the
+      // cache stands in for that precondition within the timed query.
       Similarity.flattenNnGraph(Similarity.nnGraphUpsert(
-        Similarity.nnGraphLayered(old), old, fresh))
+        operators.TrackedCaches.persist(Similarity.nnGraphLayered(old)),
+        old, fresh))
     }),
 
     // incremental DELETE: drop every 10th vector and heal adjacency —
     // equals the rebuild on survivors (oracle: same CTEs, filtered e)
     "q_ann_graph_delete" -> ((s, dir) => {
       val e = emb(s, dir)
+      // persisted index input — same rationale as q_ann_graph_upsert
       Similarity.flattenNnGraph(Similarity.nnGraphDelete(
-        Similarity.nnGraphLayered(e), e,
+        operators.TrackedCaches.persist(Similarity.nnGraphLayered(e)), e,
         e.filter(col("vec_id") % 10 === 0).select("vec_id")))
     }),
 

@@ -37,16 +37,22 @@ object Baskets {
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct())
     val sizes = items.groupBy("__b").agg(count(lit(1)).as("n"))
-    val hot = sizes.filter(col("n") > MaxBasketSize)
-      .orderBy(col("n").desc).limit(3).collect()
-    require(hot.isEmpty,
-      s"associationRules: basket(s) over MaxBasketSize=$MaxBasketSize " +
-        hot.map(r => s"${r.get(0)} (${r.getLong(1)})").mkString(", ") +
-        " — the per-basket pair join is quadratic in basket size; " +
-        "split or drop degenerate baskets upstream")
-    // sizes IS the distinct-basket frame — count it rather than
-    // re-shuffling the cached items a third time
-    val nBaskets = sizes.count()
+    // ONE job answers both guards (r15): the basket count and the
+    // max-size overflow flag ride the same aggregate — the detailed
+    // top-3 offender probe (a second pass) only runs on the failure
+    // path, where cost no longer matters
+    val probe = sizes.agg(count(lit(1)).as("nb"), max("n").as("mx"))
+      .first()
+    val nBaskets = probe.getLong(0)
+    if (nBaskets > 0 && probe.getLong(1) > MaxBasketSize) {
+      val hot = sizes.filter(col("n") > MaxBasketSize)
+        .orderBy(col("n").desc).limit(3).collect()
+      require(hot.isEmpty,
+        s"associationRules: basket(s) over MaxBasketSize=$MaxBasketSize " +
+          hot.map(r => s"${r.get(0)} (${r.getLong(1)})").mkString(", ") +
+          " — the per-basket pair join is quadratic in basket size; " +
+          "split or drop degenerate baskets upstream")
+    }
     val itemN = items.groupBy("__i").agg(count(lit(1)).as("cnt"))
     val pairs = items.as("a")
       .join(items.as("b"),
